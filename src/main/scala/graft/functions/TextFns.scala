@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text/hash column builders for the LLM-pipeline operators (dedup, text
+ * analysis, fingerprinting). Everything here is a Catalyst expression built
+ * from codegen'd built-ins (higher-order array functions) — no UDFs, so
+ * whole-stage codegen and column pruning stay intact.
+ *
+ * The polynomial hash is deliberately *arithmetic-reproducible*: the DuckDB
+ * correctness oracle computes the identical value with `list_reduce`, so
+ * sketch-based operators remain hash-checkable end-to-end.
+ */
+object TextFns {
+
+  /** Modulus for reproducible polynomial hashing: a prime < 2^30 so that
+   * `acc * 31 + code` never exceeds 2^35 (no BIGINT overflow in either
+   * engine, ANSI-safe). */
+  val HashMod: Long = 1000000007L
+
+  /** Whitespace tokenizer: trim, then split on whitespace runs. */
+  def tokens(textCol: String): Column =
+    expr(s"split(trim($textCol), '\\\\s+')")
+
+  /**
+   * Reproducible polynomial rolling hash of a string:
+   * `h = fold(chars, 0, (acc, c) -> (acc*31 + codepoint(c)) % 1000000007)`.
+   * Used for document fingerprinting; DuckDB oracle computes the same fold.
+   */
+  def polyHash(textExpr: String): Column = expr(
+    s"""CASE WHEN length($textExpr) = 0 THEN 0L ELSE
+       |  aggregate(
+       |    transform(sequence(1, length($textExpr)),
+       |              i -> CAST(ascii(substr($textExpr, i, 1)) AS BIGINT)),
+       |    0L,
+       |    (acc, x) -> (acc * 31 + x) % ${HashMod}L)
+       |END""".stripMargin)
+
+  /**
+   * Word n-gram shingles from a token-array expression: overlapping windows
+   * of `n` tokens joined with single spaces. Empty array when the document
+   * has fewer than `n` tokens.
+   */
+  def shingles(wordsExpr: String, n: Int = 3): Column = {
+    val parts = (0 until n).map(j => s"element_at($wordsExpr, i + $j)").mkString(", ")
+    expr(
+      s"""CASE WHEN size($wordsExpr) >= $n THEN
+         |  transform(sequence(1, size($wordsExpr) - ${n - 1}),
+         |            i -> concat_ws(' ', $parts))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+  }
+
+  /** Non-negative 64-bit shingle hash reduced into the reproducible-hash
+   * field: `pmod(xxhash64(s), HashMod)`. xxhash64 keeps the shuffle key
+   * 8 bytes instead of a full shingle string at 100 TB scale. */
+  def shingleHash(shingleCol: Column): Column =
+    pmod(xxhash64(shingleCol), lit(HashMod))
+
+  /** MinHash permutation parameters: deterministic LCG-derived (a, b) pairs,
+   * a != 0, reproducible across runs and engines. */
+  def minhashParams(numHashes: Int): IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (1103515245L * (i + 1) + 12345L) % HashMod
+      val b = (69069L * (i + 1) + 362437L) % HashMod
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** One MinHash component: `min((a*h + b) mod P)` over a column of
+   * pre-hashed shingles — used as `min(minhashExpr(i))` aggregates. */
+  def minhashComponent(hashCol: Column, a: Long, b: Long): Column =
+    pmod(hashCol * lit(a) + lit(b), lit(HashMod))
+}

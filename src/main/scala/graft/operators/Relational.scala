@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Reference-parity relational operators: global sort, preview, time-range
+ * filter, and MERGE-style upsert (SURVEY.md §2.2, §2.3, §2.6).
+ */
+object Relational {
+
+  /**
+   * Global ascending sort by an event-time column, nulls last
+   * (reference: omnichannel_to_bq.py:107-116; pandas default
+   * `na_position='last'`). No-op with absent column (:114-115).
+   *
+   * Scale: Spark executes this as a range-partitioned exchange + per-partition
+   * sort — the only correct distributed total sort. `tieBreak` columns make
+   * the order fully deterministic for tests.
+   */
+  def sortByCreatedAt(df: DataFrame, column: String = "created_at",
+                      tieBreak: Seq[String] = Nil): DataFrame =
+    if (!df.columns.contains(column)) df
+    else df.orderBy((asc_nulls_last(column) +: tieBreak.map(asc)): _*)
+
+  /** head-N preview (reference: omnichannel_to_bq.py:118-123). Catalyst
+   * collapses sort+limit upstream into TakeOrderedAndProject. */
+  def preview(df: DataFrame, n: Int = 5): DataFrame = df.limit(n)
+
+  /**
+   * `[since, to)` half-open time-range predicate — the reference's only
+   * pushed-down filter (omnichannel_to_bq.py:41, SURVEY.md §2.1-S3). The
+   * literal is cast to the column's own type so TIMESTAMP and TIMESTAMP_NTZ
+   * sources both get a pushable comparison (shows up as PushedFilters in the
+   * parquet scan).
+   */
+  def timeRange(df: DataFrame, column: String,
+                sinceInclusive: String, toExclusive: String): DataFrame = {
+    val dt = df.schema(column).dataType
+    df.filter(col(column) >= lit(sinceInclusive).cast(dt) &&
+              col(column) <  lit(toExclusive).cast(dt))
+  }
+
+  /**
+   * MERGE-style upsert (reference: omnichannel_to_bq.py:167-191): staging
+   * rows replace matching main rows (UPDATE all non-key columns) and are
+   * inserted when unmatched — exactly `anti-join + union`.
+   *
+   * Scale: the anti join shuffles on the key unless the staging side is
+   * broadcastable; staging batches are typically small, so we hint broadcast
+   * (AQE would usually pick it anyway). Ragged schemas are tolerated via
+   * `unionByName(allowMissingColumns = true)` (SURVEY.md §7.4.5).
+   *
+   * Precondition: unique keys in `staging` — BigQuery MERGE errors on
+   * duplicate source keys (omnichannel_to_bq.py:184-185); callers enforce via
+   * [[assertUniqueKeys]] or [[dedupeLatest]].
+   */
+  def upsertPlan(main: DataFrame, staging: DataFrame, key: String,
+                 broadcastStaging: Boolean = true): DataFrame = {
+    val s = if (broadcastStaging) broadcast(staging) else staging
+    main.join(s, Seq(key), "left_anti")
+      .unionByName(staging, allowMissingColumns = true)
+  }
+
+  /**
+   * Mirror of BigQuery MERGE's duplicate-source-key error
+   * (omnichannel_to_bq.py:184-185): throws when `staging[key]` has dups.
+   * One cheap aggregate; runs before the upsert write.
+   */
+  def assertUniqueKeys(staging: DataFrame, key: String): Unit = {
+    val dups = staging.groupBy(key).count().filter(col("count") > 1).limit(1).collect()
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate key '${dups.head.get(0)}' in staging column '$key' " +
+        "(BigQuery MERGE would fail; dedupe with Relational.dedupeLatest)")
+  }
+
+  /**
+   * Keep the latest row per key — the canonical fix for duplicate staging
+   * keys (SURVEY.md §2.5): `row_number() over (partition by key order by
+   * orderCol desc) = 1`.
+   */
+  def dedupeLatest(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/**
+ * Approximate-nearest-neighbor search over an `ARRAY<FLOAT>` embedding
+ * column: exact brute-force cosine top-k as the baseline, and a
+ * random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+ */
+object Similarity {
+
+  /**
+   * Exact cosine top-k: broadcast the (small) query set against the corpus,
+   * one pass, rank per query. The corpus side never shuffles — the plan is
+   * scan → broadcast-nested-loop → window on (query partition), so corpus
+   * scale-out is linear. Emits (query_id, neighbor_id, rank).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"),
+      VectorFns.norm(vecCol).as("nc"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("vq"),
+      VectorFns.norm(vecCol).as("nq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]: a pure
+   * arithmetic LCG over (plane, dim) so signatures are reproducible across
+   * runs, engines, and cluster sizes (no RNG state to ship). */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val x = (1103515245L * (plane * 131L + dim + 1) + 12345L) % 2147483647L
+    ((if (x < 0) -x else x) % 2001L - 1000L) / 1000.0
+  }
+
+  /** Random-hyperplane signature bits -> one integer bucket per vector. */
+  def hyperplaneBucket(vecCol: String, numPlanes: Int, dim: Int): Column = {
+    val bitExprs = (0 until numPlanes).map { p =>
+      val terms = (0 until dim).map(d =>
+        s"CAST(element_at($vecCol, ${d + 1}) AS DOUBLE) * ${planeComponent(p, d)}")
+        .mkString(" + ")
+      s"CASE WHEN ($terms) > 0 THEN ${1 << p} ELSE 0 END"
+    }
+    expr(bitExprs.mkString("(", " + ", ")"))
+  }
+
+  /**
+   * LSH-bucketed near-neighbor candidate pairs: vectors sharing a
+   * hyperplane-signature bucket are compared exactly and filtered by cosine
+   * threshold. O(n) bucketing + per-bucket quadratic — the scale path when
+   * all-pairs is infeasible; recall < 1 by construction (rows-only check,
+   * no SQL oracle).
+   */
+  def hyperplaneLshPairs(emb: DataFrame, threshold: Double = 0.4,
+                         numPlanes: Int = 8, dim: Int = 64,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol),
+      VectorFns.norm(vecCol).as("nrm"),
+      hyperplaneBucket(vecCol, numPlanes, dim).as("bucket"))
+    val a = base.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = base.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, "bucket")
+      .filter(col("a") < col("b"))
+      .withColumn("cos", VectorFns.dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"))
+  }
+}

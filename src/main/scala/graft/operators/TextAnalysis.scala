@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/**
+ * Text-analysis operators for LLM training-data pipelines: token counting,
+ * quality scoring, marker-based language ID, and document fingerprinting.
+ *
+ * All four are single narrow projections over the documents table — no
+ * shuffle, fully codegen'd, linear scans that scale to 100 TB by partition
+ * count alone. Scores are derived exclusively from integer counts so the
+ * resulting doubles are bit-identical across engines (oracle-checkable).
+ */
+object TextAnalysis {
+
+  private def toks: Column = TextFns.tokens("text")
+
+  /** Tokens, characters, and average token length per document. */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("__t", toks)
+      .select(
+        col(idCol),
+        size(col("__t")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        expr("aggregate(__t, 0, (acc, w) -> acc + length(w))").as("sum_token_len"))
+      .withColumn("avg_token_len",
+        round(col("sum_token_len") / col("n_tokens").cast("double"), 4))
+
+  /** Small fixed stopword list used by the quality heuristic. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /**
+   * Heuristic quality score in [0, 1]: rewards length (saturating at 200
+   * tokens), a healthy stopword ratio, and penalizes punctuation soup.
+   * Deterministic integer-count arithmetic only.
+   */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("__t", toks)
+      .select(
+        col(idCol),
+        size(col("__t")).as("n_tokens"),
+        expr(s"size(filter(__t, w -> array_contains($stopArr, w)))").as("n_stop"),
+        regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
+        length(col("text")).as("n_chars"))
+      .withColumn("stop_ratio",
+        round(col("n_stop") / col("n_tokens").cast("double"), 6))
+      .withColumn("quality_score",
+        round(
+          least(col("n_tokens"), lit(200)).cast("double") / 200d * 0.5
+            + col("stop_ratio") * 0.3
+            + (lit(1.0) - least(col("n_punct"), lit(50)).cast("double") / 50d) * 0.2,
+          6))
+  }
+
+  /** Marker words per language for the n-gram-free language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "las"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  /**
+   * Language ID by marker-token counting with a deterministic priority
+   * tie-break (declared order; "und" = undetermined when no marker hits).
+   * A real pipeline swaps in a character-n-gram model — the operator shape
+   * (narrow projection, argmax over per-class counts) is identical.
+   */
+  def langId(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val counted = docs
+      .withColumn("__t", toks)
+      .select(
+        col(idCol) +: langMarkers.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+          expr(s"size(filter(__t, w -> array_contains($arr, w)))").as(s"c_$lang")
+        }: _*)
+    // argmax with first-wins tie-break in declared language order
+    val langs = langMarkers.map(_._1)
+    val best = langs.map(l => col(s"c_$l")).reduce((a, b) => greatest(a, b))
+    val pick = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"c_$l") === best && best > 0, lit(l)).otherwise(rest)
+    }
+    counted.withColumn("lang_pred", pick)
+      .select(col(idCol) +: langs.map(l => col(s"c_$l")) :+ col("lang_pred"): _*)
+  }
+
+  /**
+   * Document fingerprints: a reproducible polynomial rolling hash of the raw
+   * text plus a vocabulary fingerprint (hash of the sorted distinct token
+   * set) that is invariant to token order — cheap near-dup prefilter.
+   */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("__t", toks)
+      .withColumn("__vocab", expr("concat_ws(' ', array_sort(array_distinct(__t)))"))
+      .select(
+        col(idCol),
+        TextFns.polyHash("text").as("fp_text"),
+        TextFns.polyHash("__vocab").as("fp_vocab"))
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixture-table loader for the driver-generated parquet at
+ * /root/testdata/sf*/ (see TESTDATA.md / FIXTURES.md).
+ *
+ * The `events.ts` column is written as parquet TIMESTAMP(NANOS), which
+ * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+ * We read nanos as LONG (`spark.sql.legacy.parquet.nanosAsLong`) and
+ * convert to a microsecond TimestampType column — lossless for this data
+ * (verified: no sub-microsecond components) and the conversion is a
+ * codegen'd narrow projection, so pushdown/pruning on other columns is
+ * unaffected.
+ */
+object Fixtures {
+
+  /** Columns stored as TIMESTAMP(NANOS) per fixture table. */
+  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Relational
+
+/**
+ * Managed-table catalog operations — the reference's BigQuery dataset
+ * surface re-expressed against the Spark catalog (SURVEY.md §2.1-S5..S8).
+ */
+object Tables {
+
+  /** List table names in a database (reference: omnichannel_to_bq.py:132-141). */
+  def listTables(spark: SparkSession, db: String = "default"): Seq[String] =
+    spark.catalog.listTables(db).collect().map(_.name).toSeq
+
+  /** Introspect a table's schema — drives upsert column alignment the same
+   * way the reference's MERGE codegen reads the staging schema
+   * (omnichannel_to_bq.py:170-172). */
+  def tableSchema(spark: SparkSession, table: String): StructType =
+    spark.table(table).schema
+
+  /** Drop-if-exists (reference: omnichannel_to_bq.py:193-201). Returns
+   * whether the table existed. */
+  def dropTable(spark: SparkSession, table: String): Boolean = {
+    val existed = spark.catalog.tableExists(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    existed
+  }
+
+  /**
+   * Full overwrite load — the reference's WRITE_TRUNCATE path
+   * (omnichannel_to_bq.py:143-165). Parquet managed table; Spark's
+   * insert-overwrite commits via a staged job-commit protocol, so a failed
+   * load never leaves a truncated table (fixes the reference's
+   * truncate-then-load non-atomicity, SURVEY.md §4.2).
+   */
+  def loadOverwrite(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+
+  /**
+   * Staged upsert into a managed table (reference "update" path,
+   * omnichannel_to_bq.py:280-304): duplicate-staging-key guard (mirrors
+   * BigQuery MERGE's error), anti-join + union plan, then write-new +
+   * swap so the main table is never read and overwritten in one job
+   * (SURVEY.md §7.2 atomicity note). Returns the post-merge row count —
+   * the reference's COUNT(*) verification (omnichannel_to_bq.py:186-187).
+   */
+  def upsertIntoTable(spark: SparkSession, staging: DataFrame,
+                      mainTable: String, key: String): Long = {
+    if (!spark.catalog.tableExists(mainTable)) {
+      loadOverwrite(staging, mainTable)
+    } else {
+      Relational.assertUniqueKeys(staging, key)
+      val merged = Relational.upsertPlan(spark.table(mainTable), staging, key)
+      val tmp = s"${mainTable}__upsert_tmp"
+      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      merged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE `$mainTable`")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$mainTable`")
+    }
+    spark.table(mainTable).count()
+  }
+}
