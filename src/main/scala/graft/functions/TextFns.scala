@@ -20,9 +20,11 @@ object TextFns {
    * engine, ANSI-safe). */
   val HashMod: Long = 1000000007L
 
-  /** Whitespace tokenizer: trim, then split on whitespace runs. */
+  /** Whitespace tokenizer: trim, split on whitespace runs, drop empty
+   * tokens — `split(trim(''), '\s+')` yields `[""]`, so without the filter
+   * an empty/whitespace-only document would count one phantom token. */
   def tokens(textCol: String): Column =
-    expr(s"split(trim($textCol), '\\\\s+')")
+    expr(s"filter(split(trim($textCol), '\\\\s+'), w -> w != '')")
 
   /**
    * Reproducible polynomial rolling hash of a string:

@@ -27,8 +27,11 @@ object TextAnalysis {
         size(col("__t")).as("n_tokens"),
         length(col("text")).as("n_chars"),
         expr("aggregate(__t, 0, (acc, w) -> acc + length(w))").as("sum_token_len"))
+      // explicit CASE (not engine default) so ANSI Spark and the DuckDB
+      // oracle agree on empty documents: 0 tokens -> NULL
       .withColumn("avg_token_len",
-        round(col("sum_token_len") / col("n_tokens").cast("double"), 4))
+        when(col("n_tokens") > 0,
+          round(col("sum_token_len") / col("n_tokens").cast("double"), 4)))
 
   /** Small fixed stopword list used by the quality heuristic. */
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
@@ -49,7 +52,9 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
         length(col("text")).as("n_chars"))
       .withColumn("stop_ratio",
-        round(col("n_stop") / col("n_tokens").cast("double"), 6))
+        when(col("n_tokens") > 0,
+          round(col("n_stop") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
       .withColumn("quality_score",
         round(
           least(col("n_tokens"), lit(200)).cast("double") / 200d * 0.5

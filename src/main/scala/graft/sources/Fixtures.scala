@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Fixture-table loader for the driver-generated parquet at
- * /root/testdata/sf*/ (see TESTDATA.md / FIXTURES.md).
+ * Fixture-table loader for the driver-generated parquet under the
+ * /root/testdata/sf0.001 | sf0.01 | sf0.1 directories (see TESTDATA.md).
  *
  * The `events.ts` column is written as parquet TIMESTAMP(NANOS), which
  * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
