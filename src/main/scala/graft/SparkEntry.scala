@@ -1,13 +1,466 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.schema.Normalize
+import graft.sources.Fixtures
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 plus the LLM-pipeline extension surface, each with a
+ * DuckDB-runnable `oracleSql` twin over the same parquet tables.
+ *
+ * Determinism rules shared by every query/oracle pair:
+ *   - every query ends in an explicit ORDER BY on both sides;
+ *   - count-like columns are BIGINT on both sides;
+ *   - monetary aggregates run in DECIMAL (exact, order-independent) and are
+ *     cast to DOUBLE only at the end, so Spark's partial/final aggregation
+ *     order cannot perturb the result vs the single-threaded oracle;
+ *   - double-typed derived values are either raw divisions of identical
+ *     integer inputs (bit-identical across engines) or guarded by explicit
+ *     CASE so ANSI Spark and DuckDB agree on edge rows.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Fixtures.table(s, dir, name)
+
+  /** events with `ts` renamed to `created_at` — the fixture stand-in for the
+   * reference's "deals" payload (SURVEY.md §5). */
+  private def deals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumnRenamed("ts", "created_at")
+
+  private val dec = DecimalType(18, 2)
+  /** Exact per-row revenue term: decimal in, decimal out. */
+  private def revenue =
+    col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_top_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-parity surface (SURVEY.md §2) ----
+    "normalize" -> ((s, dir) =>
+      Normalize.normalize(deals(s, dir)).orderBy("event_id")),
+
+    "sort_created_at" -> ((s, dir) =>
+      Relational.sortByCreatedAt(Normalize.normalize(deals(s, dir)),
+        tieBreak = Seq("event_id"))),
+
+    "time_range" -> ((s, dir) =>
+      Relational.timeRange(t(s, dir, "events"), "ts",
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00").orderBy("event_id")),
+
+    "preview" -> ((s, dir) =>
+      Relational.preview(
+        Relational.sortByCreatedAt(t(s, dir, "events"), "ts", Seq("event_id")), 5)),
+
+    "upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val main = ev.filter(col("event_id") % 2 === 0)
+      val staging = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") + 100)
+        .withColumn("event_type", lit("updated"))
+      Relational.upsertPlan(main, staging, "event_id").orderBy("event_id")
+    }),
+
+    "dedupe_latest" -> ((s, dir) =>
+      Relational.dedupeLatest(t(s, dir, "events"), "user_id", "ts",
+        tieBreak = Seq("event_id")).orderBy("user_id")),
+
+    "count_rows" -> ((s, dir) =>
+      t(s, dir, "events").agg(count(lit(1)).as("n"))),
+
+    "props_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // ---- relational engine queries (star schema; bench headliners) ----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_top_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
+    "nation_agg" -> ((s, dir) => {
+      val nat = broadcast(t(s, dir, "nation"))
+      val reg = broadcast(t(s, dir, "region"))
+      t(s, dir, "customer")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "topn_per_group" -> ((s, dir) =>
+      Relational.dedupeLatest(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")),
+
+    // ---- text analysis (documents) ----
+    "token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---- dedup (documents) ----
+    "exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents")).orderBy("keep_id")),
+
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5).orderBy("doc_a", "doc_b")),
+
+    "simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 7, n = 3,
+        threshold = 0.5).orderBy("doc_a", "doc_b")),
+
+    "embedding_near_dup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- similarity search (embeddings) ----
+    "topk_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "hyperplane_ann" -> ((s, dir) =>
+      Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"), threshold = 0.4,
+        numPlanes = 4, numTables = 16, dim = 64).orderBy("vec_a", "vec_b")),
+
+    // ---- multimodal (documents; payload = utf8 bytes of text) ----
+    "payload_meta" -> ((s, dir) =>
+      Multimodal.payloadMeta(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "decode_batch" -> ((s, dir) =>
+      Multimodal.decodeBatch(s, t(s, dir, "documents")).toDF().orderBy("doc_id")),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — same semantics, same ORDER BY, same output types.
+  // ---------------------------------------------------------------------
+
+  /** DuckDB expression: whitespace tokens of `text` (empty tokens dropped,
+   * mirroring TextFns.tokens). */
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+  /** DuckDB 3-gram shingle/Jaccard pair query, shared by the three near-dup
+   * operators (they differ only in candidate generation; all verify by exact
+   * Jaccard >= 0.5, and the fixture pair distribution has a wide margin
+   * around the threshold). */
+  private val jaccardPairsSql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  generate_series(1, len(t) - 2),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b FROM inter
+       |JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB fragment: polynomial hash of non-empty lambda variable `v`
+   * (mirrors TextFns.polyHashFragment). */
+  private def duckPolyFragment(v: String, mult: Long, mod: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"list_transform(generate_series(1, length($v)), " +
+    s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), " +
+    s"(acc, x) -> (acc * $mult + x) % $mod)"
+
+  /** DuckDB fragment: 63-bit token hash (mirrors TextFns.token63Fragment). */
+  private def duckToken63(v: String): String =
+    s"(${duckPolyFragment(v, 31, 1000000007L)} " +
+    s"+ ${duckPolyFragment(v, 131, 998244353L)} * 1073741824 " +
+    s"+ (${duckPolyFragment(v, 137, 1000003L)} % 8) * 1152921504606846976)"
+
+  /** DuckDB simhash oracle: the FULL operator contract —
+   * `hamming(simhash_a, simhash_b) <= 7 AND jaccard >= 0.5` — recomputed
+   * from scratch (token hashes, bit sums, sign bits, pairwise hamming). */
+  private val simhashSql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, w -> ${duckToken63("w")}) AS hs
+       |       FROM toks),
+       |bits AS (SELECT doc_id, list_transform(generate_series(0, 63),
+       |  b -> CASE WHEN COALESCE(list_sum(list_transform(hs,
+       |         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |       THEN 1 ELSE 0 END) AS bits FROM th),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  generate_series(1, len(t) - 2),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |  JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+       |SELECT j.doc_a, j.doc_b FROM jac j
+       |JOIN bits ba ON ba.doc_id = j.doc_a
+       |JOIN bits bb ON bb.doc_id = j.doc_b
+       |WHERE list_sum(list_transform(generate_series(1, 64),
+       |  i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END)) <= 7
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB scalar: reproducible polynomial hash of expression `e`
+   * (mirrors TextFns.polyHash). */
+  private def polyHashSql(e: String): String =
+    s"""CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length($e)),
+       |                   i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007) END""".stripMargin
+
+  /** DuckDB scalar: sequential-order double dot product of two FLOAT[]
+   * columns — same accumulation order as VectorFns.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "normalize" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at,
+        |  user_id,
+        |  COALESCE(event_type, '') AS event_type,
+        |  CAST(value AS VARCHAR) AS value,
+        |  COALESCE(props, '') AS props
+        |FROM events ORDER BY CAST(event_id AS VARCHAR)""".stripMargin,
+
+    "sort_created_at" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at,
+        |  user_id,
+        |  COALESCE(event_type, '') AS event_type,
+        |  CAST(value AS VARCHAR) AS value,
+        |  COALESCE(props, '') AS props
+        |FROM events
+        |ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(event_id AS VARCHAR)""".stripMargin,
+
+    "time_range" ->
+      """SELECT * FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "preview" ->
+      "SELECT * FROM events ORDER BY ts, event_id LIMIT 5",
+
+    "upsert" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+        |UNION ALL
+        |SELECT event_id, ts, user_id, 'updated' AS event_type,
+        |       value + 100 AS value, props
+        |FROM events WHERE event_id % 3 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "dedupe_latest" ->
+      """SELECT * FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "count_rows" -> "SELECT count(*) AS n FROM events",
+
+    "props_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "nation_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "token_stats" ->
+      s"""SELECT doc_id,
+         |  len(t) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  COALESCE(list_sum(list_transform(t, w -> CAST(length(w) AS BIGINT))), 0) AS sum_token_len,
+         |  CASE WHEN len(t) > 0 THEN
+         |    round(COALESCE(list_sum(list_transform(t, w -> CAST(length(w) AS BIGINT))), 0)
+         |          / CAST(len(t) AS DOUBLE), 4)
+         |  END AS avg_token_len
+         |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars, stop_ratio,
+         |  round(CAST(least(n_tokens, 200) AS DOUBLE) / 200 * 0.5
+         |        + stop_ratio * 0.3
+         |        + (1.0 - CAST(least(n_punct, 50) AS DOUBLE) / 50) * 0.2, 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id, n_tokens, n_stop, n_punct, n_chars,
+         |    CASE WHEN n_tokens > 0
+         |         THEN round(n_stop / CAST(n_tokens AS DOUBLE), 6)
+         |         ELSE 0.0 END AS stop_ratio
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(t) AS n_tokens,
+         |      len(list_filter(t, w -> list_contains(
+         |        ['the','a','and','of','to','in','is','it'], w))) AS n_stop,
+         |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |      CAST(length(text) AS BIGINT) AS n_chars
+         |    FROM (SELECT doc_id, text, $toksSql AS t FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""SELECT doc_id, c_en, c_fr, c_es, c_de,
+         |  CASE WHEN g = 0 THEN 'und'
+         |       WHEN c_en = g THEN 'en'
+         |       WHEN c_fr = g THEN 'fr'
+         |       WHEN c_es = g THEN 'es'
+         |       WHEN c_de = g THEN 'de'
+         |  END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, c_en, c_fr, c_es, c_de,
+         |         greatest(c_en, c_fr, c_es, c_de) AS g
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(t, w -> list_contains(['the','and','of','is'], w))) AS c_en,
+         |      len(list_filter(t, w -> list_contains(['le','la','et','les'], w))) AS c_fr,
+         |      len(list_filter(t, w -> list_contains(['el','los','y','las'], w))) AS c_es,
+         |      len(list_filter(t, w -> list_contains(['der','die','und','das'], w))) AS c_de
+         |    FROM (SELECT doc_id, $toksSql AS t FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+
+    "fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${polyHashSql("text")} AS fp_text,
+         |  ${polyHashSql("vocab")} AS fp_vocab
+         |FROM (SELECT doc_id, text,
+         |        array_to_string(list_sort(list_distinct($toksSql)), ' ') AS vocab
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "ngram_jaccard" -> jaccardPairsSql,
+    "minhash_lsh"   -> jaccardPairsSql,
+    "simhash"       -> simhashSql,
+
+    "embedding_near_dup" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "topk_cosine" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id) AS rank
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // hyperplane_ann: approximate recall — no SQL oracle (rows-only check)
+
+    "payload_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS checksum,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decode_batch" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  sha256(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -60,6 +60,25 @@ object TextFns {
   def shingleHash(shingleCol: Column): Column =
     pmod(xxhash64(shingleCol), lit(HashMod))
 
+  /** SQL fragment: polynomial hash of (non-empty) string variable `v` —
+   * for use inside higher-order-function lambdas where a Column cannot
+   * reach. Same arithmetic as [[polyHash]]. */
+  def polyHashFragment(v: String, mult: Long, mod: Long): String =
+    s"aggregate(transform(sequence(1, length($v)), " +
+    s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), " +
+    s"(acc, x) -> (acc * $mult + x) % $mod)"
+
+  /** SQL fragment: 63-bit reproducible token hash from three independent
+   * polynomial folds — bits 0-29 from (31, 1e9+7), 30-59 from
+   * (131, 998244353), 60-62 from (137, 1000003). Bit 63 is always 0. The
+   * DuckDB oracle computes the identical value, so SimHash signatures are
+   * hash-checkable end-to-end (xxhash64 is not available in DuckDB).
+   * Precondition: `v` non-empty (guaranteed by [[tokens]]). */
+  def token63Fragment(v: String): String =
+    s"(${polyHashFragment(v, 31, 1000000007L)} " +
+    s"+ ${polyHashFragment(v, 131, 998244353L)} * 1073741824 " +
+    s"+ (${polyHashFragment(v, 137, 1000003L)} % 8) * 1152921504606846976)"
+
   /** MinHash permutation parameters: deterministic LCG-derived (a, b) pairs,
    * a != 0, reproducible across runs and engines. */
   def minhashParams(numHashes: Int): IndexedSeq[(Long, Long)] =

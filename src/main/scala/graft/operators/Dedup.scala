@@ -21,17 +21,19 @@ import graft.functions.{TextFns, VectorFns}
 object Dedup {
 
   /** (id, shingle-hash) pairs, distinct per document. */
-  private def docShingles(docs: DataFrame, idCol: String, n: Int): DataFrame =
+  private def docShingles(docs: DataFrame, idCol: String, n: Int,
+                          textCol: String): DataFrame =
     docs
-      .withColumn("__t", TextFns.tokens("text"))
+      .withColumn("__t", TextFns.tokens(textCol))
       .select(col(idCol),
         explode(array_distinct(TextFns.shingles("__t", n))).as("__s"))
       .select(col(idCol), TextFns.shingleHash(col("__s")).as("sh"))
 
   /** (id, hs: sorted shingle-hash set, sz) — for exact-Jaccard verification
    * of candidate pairs. */
-  private def shingleSets(docs: DataFrame, idCol: String, n: Int): DataFrame =
-    docShingles(docs, idCol, n)
+  private def shingleSets(docs: DataFrame, idCol: String, n: Int,
+                          textCol: String): DataFrame =
+    docShingles(docs, idCol, n, textCol)
       .groupBy(idCol).agg(collect_set(col("sh")).as("hs"))
       .withColumn("sz", size(col("hs")))
 
@@ -69,9 +71,9 @@ object Dedup {
    * default because it changes semantics (oracle is exact).
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                        idCol: String = "doc_id",
+                        idCol: String = "doc_id", textCol: String = "text",
                         maxShingleDF: Option[Int] = None): DataFrame = {
-    val sh0 = docShingles(docs, idCol, n)
+    val sh0 = docShingles(docs, idCol, n, textCol)
     val sh = maxShingleDF match {
       case Some(cap) =>
         val df = sh0.groupBy("sh").agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
@@ -104,10 +106,10 @@ object Dedup {
    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.5,
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = docShingles(docs, idCol, n)
+    val sh = docShingles(docs, idCol, n, textCol)
     val params = TextFns.minhashParams(numHashes)
     val sig = sh.groupBy(idCol).agg(
       params.head match { case (a, b) => min(TextFns.minhashComponent(col("sh"), a, b)).as("mh_0") },
@@ -125,21 +127,38 @@ object Dedup {
       .join(buckets.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    jaccardFilter(cand, shingleSets(docs, idCol, n), idCol, threshold)
+    jaccardFilter(cand, shingleSets(docs, idCol, n, textCol), idCol, threshold)
   }
 
   /**
    * SimHash near-dup pairs: 64-bit token-frequency SimHash computed per row
-   * with higher-order functions (zero shuffle for the signature), banded
-   * into four 16-bit bands for candidate generation, Hamming-distance
-   * pre-filter, then exact-Jaccard verification (same determinism argument
-   * as [[minhashLshPairs]]).
+   * with higher-order functions (zero shuffle for the signature), banded for
+   * candidate generation, Hamming-distance filter, then exact-Jaccard
+   * verification.
+   *
+   * Determinism: the band count is `maxHamming + 1` rounded up to the next
+   * divisor of 64, so by pigeonhole any pair within `maxHamming` flips has
+   * at least one flip-free band and is GUARANTEED a candidate — the output
+   * is exactly `{(a,b) : hamming <= maxHamming and jaccard >= threshold}`,
+   * not a recall-dependent subset. Default maxHamming=7 gives 8 bands of
+   * 8 bits: bucket collisions stay rare while the guarantee holds.
+   *
+   * Token hashing: `reproducibleHash = true` (default) uses the 63-bit
+   * polynomial hash ([[TextFns.token63Fragment]]) that the DuckDB oracle
+   * can recompute, making the full contract hash-checkable; `false` swaps
+   * in xxhash64 (faster per token, not oracle-computable).
    */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 16, n: Int = 3,
-                   threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, n: Int = 3,
+                   threshold: Double = 0.5, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   reproducibleHash: Boolean = true): DataFrame = {
+    val numBands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).getOrElse(64)
+    val bandWidth = 64 / numBands
+    val tokenHash =
+      if (reproducibleHash) TextFns.token63Fragment("w") else "xxhash64(w)"
     val bits = docs
-      .withColumn("__t", TextFns.tokens("text"))
-      .withColumn("__th", expr("transform(__t, w -> xxhash64(w))"))
+      .withColumn("__t", TextFns.tokens(textCol))
+      .withColumn("__th", expr(s"transform(__t, w -> $tokenHash)"))
       .withColumn("__sums", expr(
         """aggregate(__th, array_repeat(0, 64),
           |  (acc, h) -> zip_with(acc, sequence(0, 63),
@@ -150,9 +169,10 @@ object Dedup {
       .select(col(idCol), col("bits"))
     val banded = bits.select(
       col(idCol), col("bits"),
-      explode(array((0 until 4).map { j =>
+      explode(array((0 until numBands).map { j =>
         struct(lit(j).as("band"),
-          expr(s"aggregate(sequence(0, 15), 0, (acc, k) -> acc + shiftleft(element_at(bits, ${16 * j} + k + 1), k))")
+          expr(s"aggregate(sequence(0, ${bandWidth - 1}), 0, " +
+               s"(acc, k) -> acc + shiftleft(element_at(bits, ${bandWidth * j} + k + 1), k))")
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bits"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -163,7 +183,7 @@ object Dedup {
       .withColumn("hamming", expr("size(filter(zip_with(ba, bb2, (x, y) -> x != y), d -> d))"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b").distinct()
-    jaccardFilter(cand, shingleSets(docs, idCol, n), idCol, threshold)
+    jaccardFilter(cand, shingleSets(docs, idCol, n, textCol), idCol, threshold)
   }
 
   /**

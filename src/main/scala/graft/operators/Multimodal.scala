@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** Typed decode result carried next to the payload. */
-  case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
-                       channels: Int, checksum: String)
+  case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long,
+                       channels: Long, checksum: String)
 
   /** Attach a binary payload column (UTF-8 bytes of `text` stand in for a
    * real media blob in fixtures). */
@@ -34,11 +34,11 @@ object Multimodal {
   def payloadMeta(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     withPayload(docs).select(
       col(idCol),
-      octet_length(col("payload")).as("byte_len"),
+      octet_length(col("payload")).cast("long").as("byte_len"),
       sha2(col("payload"), 256).as("checksum"),
-      (octet_length(col("payload")) % 640 + 1).as("width"),
-      (octet_length(col("payload")) % 480 + 1).as("height"),
-      lit(3).as("channels"))
+      (octet_length(col("payload")) % 640 + 1).cast("long").as("width"),
+      (octet_length(col("payload")) % 480 + 1).cast("long").as("height"),
+      lit(3L).as("channels"))
 
   /**
    * Batch decode via `mapPartitions` — the shape a real codec integration
@@ -59,8 +59,8 @@ object Multimodal {
           val digest = java.security.MessageDigest.getInstance("SHA-256")
           val hex = digest.digest(bytes).map("%02x".format(_)).mkString
           MediaMeta(id, bytes.length.toLong,
-            width = bytes.length % 640 + 1, height = bytes.length % 480 + 1,
-            channels = 3, checksum = hex)
+            width = bytes.length % 640 + 1L, height = bytes.length % 480 + 1L,
+            channels = 3L, checksum = hex)
         }
       }
   }

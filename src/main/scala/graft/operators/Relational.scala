@@ -48,16 +48,21 @@ object Relational {
    * inserted when unmatched — exactly `anti-join + union`.
    *
    * Scale: the anti join shuffles on the key unless the staging side is
-   * broadcastable; staging batches are typically small, so we hint broadcast
-   * (AQE would usually pick it anyway). Ragged schemas are tolerated via
-   * `unionByName(allowMissingColumns = true)` (SURVEY.md §7.4.5).
+   * broadcastable. By default we leave strategy choice to Catalyst/AQE
+   * (which broadcasts automatically under autoBroadcastJoinThreshold);
+   * `broadcastStaging = true` forces the hint for callers that KNOW the
+   * batch is small — an unconditional hint on an arbitrarily large staging
+   * batch would OOM executors. Ragged schemas are tolerated via
+   * `unionByName(allowMissingColumns = true)` (SURVEY.md §7.4.5); note
+   * main-side columns missing from staging are NULL on updated rows —
+   * callers that need column preservation must align schemas first.
    *
    * Precondition: unique keys in `staging` — BigQuery MERGE errors on
    * duplicate source keys (omnichannel_to_bq.py:184-185); callers enforce via
    * [[assertUniqueKeys]] or [[dedupeLatest]].
    */
   def upsertPlan(main: DataFrame, staging: DataFrame, key: String,
-                 broadcastStaging: Boolean = true): DataFrame = {
+                 broadcastStaging: Boolean = false): DataFrame = {
     val s = if (broadcastStaging) broadcast(staging) else staging
     main.join(s, Seq(key), "left_anti")
       .unionByName(staging, allowMissingColumns = true)
@@ -81,8 +86,10 @@ object Relational {
    * keys (SURVEY.md §2.5): `row_number() over (partition by key order by
    * orderCol desc) = 1`.
    */
-  def dedupeLatest(df: DataFrame, key: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+  def dedupeLatest(df: DataFrame, key: String, orderCol: String,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy((col(orderCol).desc +: tieBreak.map(col(_).desc)): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -29,7 +29,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
@@ -42,11 +42,13 @@ object Similarity {
     ((if (x < 0) -x else x) % 2001L - 1000L) / 1000.0
   }
 
-  /** Random-hyperplane signature bits -> one integer bucket per vector. */
-  def hyperplaneBucket(vecCol: String, numPlanes: Int, dim: Int): Column = {
+  /** Random-hyperplane signature bits -> one integer bucket per vector, for
+   * LSH table `table` (each table uses an independent plane set). */
+  def hyperplaneBucket(vecCol: String, numPlanes: Int, dim: Int,
+                       table: Int = 0): Column = {
     val bitExprs = (0 until numPlanes).map { p =>
       val terms = (0 until dim).map(d =>
-        s"CAST(element_at($vecCol, ${d + 1}) AS DOUBLE) * ${planeComponent(p, d)}")
+        s"CAST(element_at($vecCol, ${d + 1}) AS DOUBLE) * ${planeComponent(table * numPlanes + p, d)}")
         .mkString(" + ")
       s"CASE WHEN ($terms) > 0 THEN ${1 << p} ELSE 0 END"
     }
@@ -54,22 +56,39 @@ object Similarity {
   }
 
   /**
-   * LSH-bucketed near-neighbor candidate pairs: vectors sharing a
-   * hyperplane-signature bucket are compared exactly and filtered by cosine
-   * threshold. O(n) bucketing + per-bucket quadratic — the scale path when
-   * all-pairs is infeasible; recall < 1 by construction (rows-only check,
-   * no SQL oracle).
+   * Multi-table hyperplane-LSH near-neighbor candidate pairs: `numTables`
+   * independent plane sets of `numPlanes` each; vectors sharing any table's
+   * bucket are compared exactly and filtered by cosine threshold.
+   *
+   * Recall amplification: a pair at cosine c collides in one table with
+   * p = (1 - acos(c)/pi)^numPlanes, and in any of L tables with
+   * 1 - (1-p)^L — defaults (4 planes x 16 tables) give ~94% recall at
+   * c = 0.4 and >99.9% at c >= 0.7. Still approximate by construction
+   * (rows-only check, no SQL oracle). O(n * L) bucketing, no all-pairs:
+   * the scale path when the exact operator's cross join is infeasible.
    */
   def hyperplaneLshPairs(emb: DataFrame, threshold: Double = 0.4,
-                         numPlanes: Int = 8, dim: Int = 64,
+                         numPlanes: Int = 4, numTables: Int = 16, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), hyperplaneBucket(vecCol, numPlanes, dim, t).as("bucket"))
+    }: _*)
     val base = emb.select(col(idCol), col(vecCol),
       VectorFns.norm(vecCol).as("nrm"),
-      hyperplaneBucket(vecCol, numPlanes, dim).as("bucket"))
-    val a = base.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
-    val b = base.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, "bucket")
+      explode(tables).as("tb"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
+    val b = base.select(col("tbl"), col("bucket"), col(idCol).as("b"))
+    // dedup on the 16-byte id pair BEFORE re-attaching vectors: the distinct
+    // shuffles small keys, not float arrays replicated numTables times
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vecs = emb.select(col(idCol), col(vecCol), VectorFns.norm(vecCol).as("nrm"))
+    cand
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na")), "a")
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb")), "b")
       .withColumn("cos", VectorFns.dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a").as("vec_a"), col("b").as("vec_b"))

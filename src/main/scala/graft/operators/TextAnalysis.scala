@@ -24,9 +24,10 @@ object TextAnalysis {
       .withColumn("__t", toks)
       .select(
         col(idCol),
-        size(col("__t")).as("n_tokens"),
-        length(col("text")).as("n_chars"),
-        expr("aggregate(__t, 0, (acc, w) -> acc + length(w))").as("sum_token_len"))
+        size(col("__t")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("aggregate(__t, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .as("sum_token_len"))
       // explicit CASE (not engine default) so ANSI Spark and the DuckDB
       // oracle agree on empty documents: 0 tokens -> NULL
       .withColumn("avg_token_len",
@@ -47,10 +48,11 @@ object TextAnalysis {
       .withColumn("__t", toks)
       .select(
         col(idCol),
-        size(col("__t")).as("n_tokens"),
-        expr(s"size(filter(__t, w -> array_contains($stopArr, w)))").as("n_stop"),
-        regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
-        length(col("text")).as("n_chars"))
+        size(col("__t")).cast("long").as("n_tokens"),
+        expr(s"CAST(size(filter(__t, w -> array_contains($stopArr, w))) AS BIGINT)")
+          .as("n_stop"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars"))
       .withColumn("stop_ratio",
         when(col("n_tokens") > 0,
           round(col("n_stop") / col("n_tokens").cast("double"), 6))
@@ -82,7 +84,7 @@ object TextAnalysis {
       .select(
         col(idCol) +: langMarkers.map { case (lang, words) =>
           val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-          expr(s"size(filter(__t, w -> array_contains($arr, w)))").as(s"c_$lang")
+          expr(s"CAST(size(filter(__t, w -> array_contains($arr, w))) AS BIGINT)").as(s"c_$lang")
         }: _*)
     // argmax with first-wins tie-break in declared language order
     val langs = langMarkers.map(_._1)
