@@ -42,6 +42,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q3_top_revenue")(spark, "/root/testdata/sf0.001")
 
+  /** Headline bench set: every registered query except the intentionally
+   * quadratic exact variant (`embedding_near_dup` is the all-pairs oracle
+   * twin of `hyperplane_ann`; it must never be a bench/default path). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "q3_top_revenue", "nation_agg", "topn_per_group",
+    "normalize", "sort_created_at", "time_range", "preview", "upsert",
+    "dedupe_latest", "count_rows", "props_extract",
+    "token_stats", "quality_score", "lang_id", "fingerprint",
+    "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
+    "topk_cosine", "hyperplane_ann", "payload_meta", "decode_batch")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
     "normalize" -> ((s, dir) =>

@@ -156,7 +156,13 @@ object Dedup {
     val bandWidth = 64 / numBands
     val tokenHash =
       if (reproducibleHash) TextFns.token63Fragment("w") else "xxhash64(w)"
-    val bits = docs
+    // The signature is bit-PACKED into one BIGINT: band buckets are shifted
+    // slices and pair hamming is `bit_count(sa ^ sb)` — one instruction per
+    // candidate instead of a 64-element zip_with. With skew-prone band
+    // buckets (common-vocabulary docs share sign bits, so a band bucket can
+    // hold a large fraction of the corpus) the candidate join volume is the
+    // cost driver, and the per-candidate filter must be near-free.
+    val sigDf = docs
       .withColumn("__t", TextFns.tokens(textCol))
       .withColumn("__th", expr(s"transform(__t, w -> $tokenHash)"))
       .withColumn("__sums", expr(
@@ -164,24 +170,29 @@ object Dedup {
           |  (acc, h) -> zip_with(acc, sequence(0, 63),
           |    (a, b) -> a + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1
           |                   THEN 1 ELSE -1 END))""".stripMargin))
-      .withColumn("bits", expr(
-        "transform(__sums, s -> CASE WHEN s > 0 THEN 1 ELSE 0 END)"))
-      .select(col(idCol), col("bits"))
-    val banded = bits.select(
-      col(idCol), col("bits"),
+      // __sums must be the INPUT of the packing HOF, not a lambda capture:
+      // Catalyst inlines single-use aliases into lambda bodies, where a
+      // captured expression is re-evaluated on every lambda step (64x/row).
+      .withColumn("sig", expr(
+        """aggregate(
+          |  zip_with(__sums, sequence(0, 63),
+          |    (s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+          |              ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .select(col(idCol), col("sig"))
+    val mask = (1L << bandWidth) - 1
+    val banded = sigDf.select(
+      col(idCol), col("sig"),
       explode(array((0 until numBands).map { j =>
         struct(lit(j).as("band"),
-          expr(s"aggregate(sequence(0, ${bandWidth - 1}), 0, " +
-               s"(acc, k) -> acc + shiftleft(element_at(bits, ${bandWidth * j} + k + 1), k))")
-            .as("bucket"))
+          expr(s"CAST(shiftright(sig, ${bandWidth * j}) & $mask AS INT)").as("bucket"))
       }: _*)).as("bb"))
-      .select(col(idCol), col("bits"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.select(col(idCol).as("a"), col("bits").as("ba"), col("band"), col("bucket"))
-      .join(banded.select(col(idCol).as("b"), col("bits").as("bb2"), col("band"), col("bucket")),
+      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col(idCol).as("a"), col("sig").as("sa"), col("band"), col("bucket"))
+      .join(banded.select(col(idCol).as("b"), col("sig").as("sb"), col("band"), col("bucket")),
             Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .withColumn("hamming", expr("size(filter(zip_with(ba, bb2, (x, y) -> x != y), d -> d))"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(expr(s"bit_count(sa ^ sb) <= $maxHamming"))
       .select("a", "b").distinct()
     jaccardFilter(cand, shingleSets(docs, idCol, n, textCol), idCol, threshold)
   }

@@ -43,7 +43,12 @@ object Similarity {
   }
 
   /** Random-hyperplane signature bits -> one integer bucket per vector, for
-   * LSH table `table` (each table uses an independent plane set). */
+   * LSH table `table` (each table uses an independent plane set).
+   *
+   * Kept for single-table/unit use; [[hyperplaneLshPairs]] computes all
+   * tables in one pass over a literal plane matrix instead (an unrolled
+   * per-term expression at numTables x numPlanes x dim terms is a codegen
+   * bomb — measured 100x slower than the higher-order-function form). */
   def hyperplaneBucket(vecCol: String, numPlanes: Int, dim: Int,
                        table: Int = 0): Column = {
     val bitExprs = (0 until numPlanes).map { p =>
@@ -70,14 +75,38 @@ object Similarity {
   def hyperplaneLshPairs(emb: DataFrame, threshold: Double = 0.4,
                          numPlanes: Int = 4, numTables: Int = 16, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = array((0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), hyperplaneBucket(vecCol, numPlanes, dim, t).as("bucket"))
-    }: _*)
-    val base = emb.select(col(idCol), col(vecCol),
-      VectorFns.norm(vecCol).as("nrm"),
-      explode(tables).as("tb"))
-      .select(col(idCol), col(vecCol), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // All numTables*numPlanes plane dot products in ONE pass over a literal
+    // plane matrix: tiny expression tree, runtime loops — vs an unrolled
+    // sum with numTables*numPlanes*dim terms that murders codegen.
+    val planes: Seq[Seq[Double]] = (0 until numTables * numPlanes).map { p =>
+      (0 until dim).map(d => planeComponent(p, d))
+    }
+    require(numTables * numPlanes <= 64,
+      "numTables * numPlanes must fit a packed 64-bit signature")
+    // Pack all plane-sign bits into ONE BIGINT in a single pass. The plane
+    // matrix and the bit array ride in HOF *input* position throughout —
+    // never as lambda captures, which Catalyst would inline and re-evaluate
+    // per lambda step. Per-table buckets are then cheap shifted slices.
+    val bits = emb
+      .withColumn("__planes", typedLit(planes))
+      .withColumn("__sig", expr(
+        s"""aggregate(
+           |  zip_with(
+           |    transform(__planes, p ->
+           |      aggregate(zip_with($vecCol, p, (x, y) -> CAST(x AS DOUBLE) * y),
+           |                CAST(0 AS DOUBLE), (acc, v) -> acc + v)),
+           |    sequence(0, ${numTables * numPlanes - 1}),
+           |    (d, b) -> CASE WHEN d > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+           |              ELSE CAST(0 AS BIGINT) END),
+           |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+    val mask = (1L << numPlanes) - 1
+    val base = bits.select(
+      col(idCol),
+      explode(array((0 until numTables).map { t =>
+        struct(lit(t).as("tbl"),
+          expr(s"CAST(shiftright(__sig, ${t * numPlanes}) & $mask AS INT)").as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val a = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
     val b = base.select(col("tbl"), col("bucket"), col(idCol).as("b"))
     // dedup on the 16-byte id pair BEFORE re-attaching vectors: the distinct

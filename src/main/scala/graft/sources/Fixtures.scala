@@ -21,7 +21,12 @@ object Fixtures {
   private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sessions built by Verify/Bench/tests set nanosAsLong up front; this
+    // guard covers ad-hoc sessions (e.g. the driver's own entry() smoke
+    // session) that would otherwise fail on TIMESTAMP(NANOS) columns.
+    if (nanosCols.contains(name) &&
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
