@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two exact near-dup clusters + unrelated docs; body (long) column checks
+  // that textCol is honored rather than a hardcoded "text"
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+    (3L, "completely different words about spark query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"),
+    (5L, "unrelated short text"))
+    .toDF("doc_id", "body")
+
+  test("exactDedup groups identical texts, keeps min id") {
+    val out = rows(Dedup.exactDedup(docs, textCol = "body").orderBy("keep_id"))
+    assert(out == Seq(Seq(1L, 2L), Seq(2L, 1L), Seq(3L, 1L), Seq(5L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds near-dup pairs above threshold") {
+    val out = rows(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body").orderBy("doc_a", "doc_b"))
+    assert(out == Seq(Seq(1L, 2L), Seq(1L, 4L), Seq(2L, 4L)))
+  }
+
+  test("minhashLshPairs agrees with the exact operator on high-sim pairs") {
+    val exact = rows(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body").orderBy("doc_a", "doc_b"))
+    val lsh = rows(Dedup.minhashLshPairs(docs, n = 3, numHashes = 128,
+      bands = 32, threshold = 0.5, textCol = "body").orderBy("doc_a", "doc_b"))
+    assert(lsh == exact)
+  }
+
+  test("simhashPairs: identical docs at hamming 0, contract filters both sides") {
+    val out = rows(Dedup.simhashPairs(docs, maxHamming = 7, n = 3,
+      threshold = 0.5, textCol = "body").orderBy("doc_a", "doc_b"))
+    // (1,4) identical -> hamming 0; (1,2)/(2,4) differ in one token's case
+    assert(out.contains(Seq(1L, 4L)))
+    assert(out.forall(p => Seq(Seq(1L, 2L), Seq(1L, 4L), Seq(2L, 4L)).contains(p)))
+  }
+
+  test("embeddingNearDupPairs finds cosine-close vectors only") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = rows(Dedup.embeddingNearDupPairs(emb, threshold = 0.9))
+    assert(out == Seq(Seq(1L, 2L)))
+  }
+}

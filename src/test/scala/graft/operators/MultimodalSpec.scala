@@ -1,0 +1,25 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+
+  test("payloadMeta: byte length, sha-256, deterministic fake dimensions") {
+    val out = rows(Multimodal.payloadMeta(docs).orderBy("doc_id"))
+    assert(out(0) == Seq(1L, 5L,
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824",
+      6L, 6L, 3L))
+    assert(out(1)(1) == 0L)
+  }
+
+  test("decodeBatch (mapPartitions stub) agrees with the expression path") {
+    val exprPath = rows(Multimodal.payloadMeta(docs)
+      .select("doc_id", "byte_len", "checksum").orderBy("doc_id"))
+    val mpPath = rows(Multimodal.decodeBatch(spark, docs).toDF()
+      .select("doc_id", "byte_len", "checksum").orderBy("doc_id"))
+    assert(exprPath == mpPath)
+  }
+}

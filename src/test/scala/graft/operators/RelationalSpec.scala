@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev = Seq(
+    (1L, "2024-01-03 00:00:00", "a"),
+    (2L, null.asInstanceOf[String], "b"),
+    (3L, "2024-01-01 00:00:00", "c"),
+    (4L, "2024-01-02 00:00:00", "d"))
+    .toDF("id", "created_at", "v")
+
+  test("sortByCreatedAt: ascending, nulls last") {
+    assert(rows(Relational.sortByCreatedAt(ev).select("id")).flatten ==
+      Seq(3L, 4L, 1L, 2L))
+  }
+
+  test("sortByCreatedAt: absent column is a no-op") {
+    val df = Seq(1, 2).toDF("x")
+    assert(Relational.sortByCreatedAt(df).collect().toSeq ==
+      df.collect().toSeq)
+  }
+
+  test("preview limits to n rows") {
+    assert(Relational.preview(ev, 2).count() == 2)
+  }
+
+  test("timeRange is half-open [since, to)") {
+    val out = Relational.timeRange(ev, "created_at",
+      "2024-01-01 00:00:00", "2024-01-03 00:00:00")
+    assert(rows(out.select("id")).flatten.toSet == Set(3L, 4L))
+  }
+
+  test("upsertPlan: staging replaces matches, inserts misses, keeps rest") {
+    val main = Seq((1L, "old1"), (2L, "old2")).toDF("id", "v")
+    val staging = Seq((2L, "new2"), (9L, "new9")).toDF("id", "v")
+    val out = rows(Relational.upsertPlan(main, staging, "id").orderBy("id"))
+    assert(out == Seq(Seq(1L, "old1"), Seq(2L, "new2"), Seq(9L, "new9")))
+  }
+
+  test("upsertPlan twice with same staging is idempotent") {
+    val main = Seq((1L, "a")).toDF("id", "v")
+    val staging = Seq((1L, "b"), (2L, "c")).toDF("id", "v")
+    val once = Relational.upsertPlan(main, staging, "id")
+    val twice = Relational.upsertPlan(once, staging, "id")
+    assert(rows(once.orderBy("id")) == rows(twice.orderBy("id")))
+  }
+
+  test("upsertPlan tolerates ragged schemas via unionByName") {
+    val main = Seq((1L, "a", "extra")).toDF("id", "v", "w")
+    val staging = Seq((1L, "b")).toDF("id", "v")
+    val out = rows(Relational.upsertPlan(main, staging, "id"))
+    assert(out == Seq(Seq(1L, "b", null)))
+  }
+
+  test("assertUniqueKeys throws on duplicate staging keys, passes on unique") {
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    intercept[IllegalArgumentException] { Relational.assertUniqueKeys(dup, "id") }
+    Relational.assertUniqueKeys(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+  }
+
+  test("dedupeLatest keeps the latest row per key with tie-break") {
+    val df = Seq(
+      (10L, "2024-01-01 00:00:00", 1L),
+      (10L, "2024-01-02 00:00:00", 2L),
+      (10L, "2024-01-02 00:00:00", 3L), // same ts: tie-break on seq desc
+      (20L, "2024-01-01 00:00:00", 4L))
+      .toDF("k", "ts", "seq")
+    val out = Relational.dedupeLatest(df, "k", "ts", tieBreak = Seq("seq"))
+    assert(rows(out.orderBy("k").select("seq")).flatten == Seq(3L, 4L))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.tables
+
+import graft.SparkSpec
+
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("loadOverwrite + listTables + tableSchema + dropTable round-trip") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Tables.loadOverwrite(df, "t_round")
+    assert(Tables.listTables(spark).contains("t_round"))
+    assert(Tables.tableSchema(spark, "t_round").fieldNames.toSeq == Seq("id", "v"))
+    assert(spark.table("t_round").count() == 2)
+    // overwrite replaces, not appends
+    Tables.loadOverwrite(df, "t_round")
+    assert(spark.table("t_round").count() == 2)
+    assert(Tables.dropTable(spark, "t_round"))
+    assert(!Tables.dropTable(spark, "t_round")) // second drop: did not exist
+  }
+
+  test("upsertIntoTable merges staging and returns post-merge count") {
+    Tables.dropTable(spark, "t_up")
+    val main = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Tables.loadOverwrite(main, "t_up")
+    val staging = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    assert(Tables.upsertIntoTable(spark, staging, "t_up", "id") == 3L)
+    assert(rows(spark.table("t_up").orderBy("id")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+    Tables.dropTable(spark, "t_up")
+  }
+
+  test("upsertIntoTable creates the table when main is absent") {
+    Tables.dropTable(spark, "t_new")
+    val staging = Seq((7L, "x")).toDF("id", "v")
+    assert(Tables.upsertIntoTable(spark, staging, "t_new", "id") == 1L)
+    Tables.dropTable(spark, "t_new")
+  }
+
+  test("upsertIntoTable rejects duplicate staging keys") {
+    Tables.dropTable(spark, "t_dup")
+    Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_dup")
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Tables.upsertIntoTable(spark, dup, "t_dup", "id")
+    }
+    // main table untouched by the failed upsert
+    assert(rows(spark.table("t_dup")) == Seq(Seq(1L, "a")))
+    Tables.dropTable(spark, "t_dup")
+  }
+}
