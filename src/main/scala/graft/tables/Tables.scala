@@ -11,6 +11,18 @@ import graft.operators.Relational
  */
 object Tables {
 
+  /** Backtick-quote each dot-separated part of a (possibly db-qualified)
+   * table name: `db.tbl` -> `` `db`.`tbl` ``. Quoting the whole string at
+   * once would fuse `db.tbl` into ONE identifier in the default database. */
+  private def q(name: String): String =
+    name.split('.').map(p => s"`$p`").mkString(".")
+
+  /** `db.tbl` -> `db.tbl<suffix>` (suffix goes on the table part only). */
+  private def suffixed(name: String, suffix: String): String = {
+    val parts = name.split('.')
+    (parts.init :+ (parts.last + suffix)).mkString(".")
+  }
+
   /** List table names in a database (reference: omnichannel_to_bq.py:132-141). */
   def listTables(spark: SparkSession, db: String = "default"): Seq[String] =
     spark.catalog.listTables(db).collect().map(_.name).toSeq
@@ -25,7 +37,7 @@ object Tables {
    * whether the table existed. */
   def dropTable(spark: SparkSession, table: String): Boolean = {
     val existed = spark.catalog.tableExists(table)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(table)}")
     existed
   }
 
@@ -46,6 +58,13 @@ object Tables {
    * swap so the main table is never read and overwritten in one job
    * (SURVEY.md §7.2 atomicity note). Returns the post-merge row count —
    * the reference's COUNT(*) verification (omnichannel_to_bq.py:186-187).
+   *
+   * Swap protocol (single-writer assumed, like the reference's interactive
+   * use): write `tmp` -> rename main -> `backup` -> rename `tmp` -> main ->
+   * drop `backup`. A crash between the renames leaves BOTH the full merged
+   * result (`tmp`) and the original (`backup`) on disk; recovery = rename
+   * whichever is present back to `mainTable`. At no point is the only copy
+   * of the data mid-overwrite.
    */
   def upsertIntoTable(spark: SparkSession, staging: DataFrame,
                       mainTable: String, key: String): Long = {
@@ -54,11 +73,14 @@ object Tables {
     } else {
       Relational.assertUniqueKeys(staging, key)
       val merged = Relational.upsertPlan(spark.table(mainTable), staging, key)
-      val tmp = s"${mainTable}__upsert_tmp"
-      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      val tmp = suffixed(mainTable, "__upsert_tmp")
+      val backup = suffixed(mainTable, "__upsert_backup")
+      spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
       merged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
-      spark.sql(s"DROP TABLE `$mainTable`")
-      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$mainTable`")
+      spark.sql(s"ALTER TABLE ${q(mainTable)} RENAME TO ${q(backup)}")
+      spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(mainTable)}")
+      spark.sql(s"DROP TABLE ${q(backup)}")
     }
     spark.table(mainTable).count()
   }

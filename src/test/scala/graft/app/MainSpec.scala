@@ -1,0 +1,77 @@
+package graft.app
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** End-to-end CLI pipeline runs (SURVEY.md §7.1 minimum slice) over the
+ * sf0.001 fixtures and JSON page files. */
+class MainSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parseArgs: subcommands, trimming, defaults, rejects unknown flags") {
+    val c = Main.parseArgs(Seq("upsert", "--input", "/x", "--table", " t1 ",
+      "--since", "2024-01-10", "--to", "2024-01-20 06:30:00"))
+    assert(c.table == "t1" && c.staging == "t1_staging")
+    assert(c.since.contains("2024-01-10 00:00:00"))
+    assert(c.to.contains("2024-01-20 06:30:00"))
+    intercept[IllegalArgumentException] {
+      Main.parseArgs(Seq("load", "--input", "/x", "--nope", "y"))
+    }
+    intercept[IllegalArgumentException] { Main.parseArgs(Seq("fetch")) }
+  }
+
+  test("load path: fetch -> normalize -> sort -> overwrite table") {
+    Tables.dropTable(spark, "app_load")
+    val n = Main.run(spark, Main.Config(action = "load",
+      input = s"$sf/events.parquet", table = "app_load", tsCol = "ts"))
+    assert(n == 1000L)
+    val out = spark.table("app_load")
+    // normalized: user_id is long, everything else stringified
+    assert(out.schema("user_id").dataType.typeName == "long")
+    assert(out.schema("value").dataType.typeName == "string")
+    Tables.dropTable(spark, "app_load")
+  }
+
+  test("load path honors --since/--to time range") {
+    Tables.dropTable(spark, "app_range")
+    val n = Main.run(spark, Main.Config(action = "load",
+      input = s"$sf/events.parquet", table = "app_range", tsCol = "ts",
+      since = Some("2024-01-10 00:00:00"), to = Some("2024-01-20 00:00:00")))
+    assert(n == 361L) // matches the time_range oracle count at sf0.001
+    Tables.dropTable(spark, "app_range")
+  }
+
+  test("abort-on-empty: no table is created, returns -1") {
+    Tables.dropTable(spark, "app_empty")
+    val n = Main.run(spark, Main.Config(action = "load",
+      input = s"$sf/events.parquet", table = "app_empty", tsCol = "ts",
+      since = Some("2030-01-01 00:00:00"), to = Some("2030-01-02 00:00:00")))
+    assert(n == -1L)
+    assert(!spark.catalog.tableExists("app_empty"))
+  }
+
+  test("upsert path from JSON pages: staging created, merged, dropped") {
+    Tables.dropTable(spark, "app_up")
+    val dir = Files.createTempDirectory("app-pages")
+    Files.writeString(dir.resolve("page-1.json"),
+      """{"deals": [{"id": 1, "created_at": "2024-01-01 00:00:00", "v": "a"},
+        |           {"id": 2, "created_at": "2024-01-02 00:00:00", "v": "b"}]}""".stripMargin)
+    val url = s"file://$dir/page-{page}.json"
+    val cfg = Main.Config(action = "upsert", input = url, table = "app_up",
+      key = "id", staging = "app_up_stg")
+    assert(Main.run(spark, cfg) == 2L)
+    // second run with an updated page: id=2 updated, id=3 inserted
+    Files.writeString(dir.resolve("page-1.json"),
+      """{"deals": [{"id": 2, "created_at": "2024-01-02 00:00:00", "v": "B"},
+        |           {"id": 3, "created_at": "2024-01-03 00:00:00", "v": "c"}]}""".stripMargin)
+    assert(Main.run(spark, cfg) == 3L)
+    // id is on the reference INT list -> normalized to LONG; v -> string
+    assert(rows(spark.table("app_up").select("id", "v").orderBy("id")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+    assert(!spark.catalog.tableExists("app_up_stg")) // staging cleaned up
+    Tables.dropTable(spark, "app_up")
+  }
+}
