@@ -67,8 +67,11 @@ object Dedup {
    *
    * Scale: the shingle self-join shuffles on an 8-byte hash; a frequent
    * shingle appearing in d docs contributes d² join rows, so production runs
-   * at 100 TB should cap document frequency (`maxShingleDF`) — off by
-   * default because it changes semantics (oracle is exact).
+   * at 100 TB should cap document frequency (`maxShingleDF`). The cap prunes
+   * CANDIDATE GENERATION only: set sizes (the Jaccard denominator) are
+   * always computed pre-cap, so capped intersections can only undercount —
+   * the cap trades recall, never precision (reported pairs still have true
+   * Jaccard >= threshold). Off by default; the oracle covers the exact path.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
@@ -80,7 +83,8 @@ object Dedup {
         sh0.join(df.select("sh"), "sh")
       case None => sh0
     }
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    // true set sizes (pre-cap): the denominator must not shrink with the cap
+    val sizes = sh0.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val left  = sh.select(col(idCol).as("a"), col("sh"))
     val right = sh.select(col(idCol).as("b"), col("sh"))
     left.join(right, "sh")

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.operators.Relational
+import graft.schema.Normalize
+import graft.tables.Tables
+
+/**
+ * Structured Streaming surface. The reference has no streaming (Kafka is
+ * its explicit future work, README.md:103-117); this is the §2.9 mapping
+ * from SURVEY.md: the SAME batch operators (normalize, dedupe, upsert)
+ * applied per micro-batch, plus the event-time primitives a streaming
+ * ingest needs (watermarked windowed aggregation, stateful sessions).
+ *
+ * Scale notes: windowed aggregation state is bounded by the watermark
+ * (late rows beyond it are dropped and their state evicted); the
+ * foreachBatch upsert reuses the batch anti-join plan, so a small
+ * micro-batch broadcasts against the main table exactly like a small
+ * staging batch would.
+ */
+object Streams {
+
+  /** Streaming normalize — the batch rule table applied to a stream
+   * (narrow projection, so it is trivially streamable). */
+  def normalizeStream(stream: DataFrame, tsAsString: Boolean = true): DataFrame =
+    Normalize.normalize(stream, tsAsString)
+
+  /**
+   * Watermarked tumbling-window counts per key column: the canonical
+   * event-time aggregation (append mode emits a window once the watermark
+   * passes its end; state for closed windows is evicted).
+   */
+  def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                     windowLength: String = "10 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"))
+
+  /** One sessionization input/output row pair. */
+  case class Event(user_id: Long, ts: Timestamp)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                     n_events: Long)
+  /** Internal session accumulator (public: codegen'd encoders cannot
+   * access private classes). */
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /**
+   * Gap-based sessionization via flatMapGroupsWithState with EVENT-TIME
+   * timeouts: a session closes when a later event for the key arrives past
+   * the gap (in-batch split) or when the watermark passes `end + gap`
+   * (idle-key eviction). State per key is one (start, end, count) triple —
+   * O(active users), not O(events) — and the watermark bounds it.
+   * (Processing-time timeouts would keep the engine scheduling batches
+   * forever, which also livelocks processAllAvailable in tests.)
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 seconds")
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must exceed the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /**
+   * Streaming upsert sink: each micro-batch is deduped to its latest row
+   * per key (micro-batches can carry several updates for one key) and
+   * merged into the managed table with the batch upsert — exactly-once per
+   * key per batch under the default checkpointed micro-batch semantics.
+   */
+  def upsertSink(stream: DataFrame, table: String, key: String,
+                 orderCol: String, checkpointDir: String): StreamingQuery = {
+    // foreachBatch executes in a CLONED session: a refreshTable inside the
+    // batch session does not invalidate the stream owner's relation cache,
+    // which would then resolve the post-swap table to deleted files
+    // (FILE_NOT_EXIST). Refresh the owning session explicitly per batch.
+    val owner = stream.sparkSession
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val deduped = Relational.dedupeLatest(batch, key, orderCol)
+          Tables.upsertIntoTable(batch.sparkSession, deduped, table, key)
+          owner.catalog.refreshTable(table)
+          ()
+        }
+      }
+      .start()
+  }
+}

@@ -81,6 +81,10 @@ object Tables {
       spark.sql(s"ALTER TABLE ${q(mainTable)} RENAME TO ${q(backup)}")
       spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(mainTable)}")
       spark.sql(s"DROP TABLE ${q(backup)}")
+      // the session's relation cache still points at the pre-swap file
+      // listing for mainTable; without a refresh the next read fails with
+      // FILE_NOT_EXIST (observed under repeated foreachBatch upserts)
+      spark.catalog.refreshTable(mainTable)
     }
     spark.table(mainTable).count()
   }

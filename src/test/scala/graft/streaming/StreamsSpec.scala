@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts: tumbling windows close after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = Streams.windowedCounts(
+      mem.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      windowLength = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:01:00"), "a"), (ts("2024-01-01 00:02:00"), "a"),
+        (ts("2024-01-01 00:03:00"), "b"))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData((ts("2024-01-01 01:00:00"), "a"))
+      q.processAllAvailable()
+      val rows0 = spark.table("wc").select("event_type", "n").orderBy("event_type")
+      assert(rows(rows0) == Seq(Seq("a", 2L), Seq("b", 1L)))
+    } finally q.stop()
+  }
+
+  test("normalizeStream applies the batch rule table to a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = Streams.normalizeStream(mem.toDF().toDF("user_id", "note"))
+    val q = out.writeStream.format("memory").queryName("ns")
+      .outputMode("append").start()
+    try {
+      mem.addData(("7", "x"), ("bad", null))
+      q.processAllAvailable()
+      assert(rows(spark.table("ns").orderBy(col("user_id").asc_nulls_last)) ==
+        Seq(Seq(7L, "x"), Seq(null, "")))
+    } finally q.stop()
+  }
+
+  test("upsertSink merges micro-batches into a managed table") {
+    implicit val sqlCtx = spark.sqlContext
+    Tables.dropTable(spark, "stream_up")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val cp = Files.createTempDirectory("cp").toString
+    val q = Streams.upsertSink(mem.toDF().toDF("id", "v", "ts"),
+      "stream_up", "id", "ts", cp)
+    try {
+      mem.addData((1L, "a", ts("2024-01-01 00:00:00")),
+        (2L, "b", ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      assert(spark.table("stream_up").count() == 2)
+      // second batch: update id=2 (two versions in one batch; latest wins),
+      // insert id=3
+      mem.addData((2L, "stale", ts("2024-01-01 00:10:00")),
+        (2L, "B", ts("2024-01-01 00:11:00")),
+        (3L, "c", ts("2024-01-01 00:12:00")))
+      q.processAllAvailable()
+      assert(rows(spark.table("stream_up").select("id", "v").orderBy("id")) ==
+        Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+    } finally q.stop()
+    Tables.dropTable(spark, "stream_up")
+  }
+
+  test("sessionize: gap splits sessions, batch emits closed sessions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 60_000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // two bursts 10 minutes apart in ONE batch: first session closes
+      mem.addData(
+        Streams.Event(1L, ts("2024-01-01 00:00:00")),
+        Streams.Event(1L, ts("2024-01-01 00:00:30")),
+        Streams.Event(1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      val closed = rows(spark.table("sess")
+        .select("user_id", "start", "end", "n_events"))
+      assert(closed == Seq(Seq(1L, ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:30"), 2L)))
+    } finally q.stop()
+  }
+}
