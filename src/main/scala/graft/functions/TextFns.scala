@@ -28,17 +28,13 @@ object TextFns {
 
   /**
    * Reproducible polynomial rolling hash of a string:
-   * `h = fold(chars, 0, (acc, c) -> (acc*31 + codepoint(c)) % 1000000007)`.
+   * `h = fold(codepoints, 0, (acc, c) -> (acc*31 + c) % 1000000007)`.
    * Used for document fingerprinting; DuckDB oracle computes the same fold.
+   * Resolves to the native codegen'd [[graft.plans.PolyHash]] expression —
+   * the session must register [[graft.plans.GraftExtensions]].
    */
-  def polyHash(textExpr: String): Column = expr(
-    s"""CASE WHEN length($textExpr) = 0 THEN 0L ELSE
-       |  aggregate(
-       |    transform(sequence(1, length($textExpr)),
-       |              i -> CAST(ascii(substr($textExpr, i, 1)) AS BIGINT)),
-       |    0L,
-       |    (acc, x) -> (acc * 31 + x) % ${HashMod}L)
-       |END""".stripMargin)
+  def polyHash(textExpr: String): Column =
+    expr(s"graft_poly_hash($textExpr, 31, ${HashMod})")
 
   /**
    * Word n-gram shingles from a token-array expression: overlapping windows
@@ -60,13 +56,12 @@ object TextFns {
   def shingleHash(shingleCol: Column): Column =
     pmod(xxhash64(shingleCol), lit(HashMod))
 
-  /** SQL fragment: polynomial hash of (non-empty) string variable `v` —
-   * for use inside higher-order-function lambdas where a Column cannot
-   * reach. Same arithmetic as [[polyHash]]. */
+  /** SQL fragment: polynomial hash of string variable `v` — for use inside
+   * higher-order-function lambdas where a Column cannot reach. Resolves to
+   * the native [[graft.plans.PolyHash]] (registered SQL functions are
+   * callable from lambda bodies; bare expressions are not). */
   def polyHashFragment(v: String, mult: Long, mod: Long): String =
-    s"aggregate(transform(sequence(1, length($v)), " +
-    s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), " +
-    s"(acc, x) -> (acc * $mult + x) % $mod)"
+    s"graft_poly_hash($v, $mult, $mod)"
 
   /** SQL fragment: 63-bit reproducible token hash from three independent
    * polynomial folds — bits 0-29 from (31, 1e9+7), 30-59 from

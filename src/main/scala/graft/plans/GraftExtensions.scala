@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * Session extensions for the graft engine. Activate with
+ * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` (works
+ * through `getOrCreate`) or `SparkSession.builder().withExtensions(...)`.
+ *
+ * Currently injects:
+ *  - `graft_poly_hash(str[, mult, mod])` — native codegen'd polynomial
+ *    hash ([[PolyHash]]); defaults (31, 1e9+7) match `TextFns.HashMod`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"graft_poly_hash: $what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s)             => PolyHash(s, 31L, 1000000007L)
+        case Seq(s, mult, mod)  =>
+          PolyHash(s, longLit(mult, "mult"), longLit(mod, "mod"))
+        case _ => throw new IllegalArgumentException(
+          "graft_poly_hash expects (str) or (str, mult, mod)")
+      }))
+  }
+}
