@@ -51,7 +51,7 @@ object SparkEntry {
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
-    "topk_cosine", "hyperplane_ann", "payload_meta", "decode_batch")
+    "topk_cosine", "hyperplane_ann", "ivf_topk", "payload_meta", "decode_batch")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -178,6 +178,12 @@ object SparkEntry {
     "hyperplane_ann" -> ((s, dir) =>
       Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"), threshold = 0.4,
         numPlanes = 4, numTables = 16, dim = 64).orderBy("vec_a", "vec_b")),
+
+    "ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+        nlist = 16, nprobe = 4, dim = 64).orderBy("query_id", "rank")
+    }),
 
     // ---- multimodal (documents; payload = utf8 bytes of text) ----
     "payload_meta" -> ((s, dir) =>

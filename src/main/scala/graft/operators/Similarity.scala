@@ -61,6 +61,90 @@ object Similarity {
   }
 
   /**
+   * Deterministic IVF (inverted-file) centroid training: seeds are the
+   * `nlist` lowest-id vectors, optionally refined by Lloyd iterations
+   * (assign-all + per-dimension mean; each iteration is one Spark job over
+   * typed-literal centroids). `iters = 0` (default) keeps training fully
+   * deterministic across partitionings — mean aggregation order can
+   * perturb last-ulp bits and flip borderline assignments otherwise.
+   * Returns `nlist x dim` centroid rows collected to the driver (small:
+   * nlist is hundreds-to-thousands at 100 TB, never corpus-sized).
+   */
+  def trainIvfCentroids(emb: DataFrame, nlist: Int, dim: Int, iters: Int = 0,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val seeds = emb.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (0 until iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = withIvfCell(emb, cents, vecCol)
+      val means = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__cell", "__pos").agg(avg(col("__v")).as("__m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      cents.indices.map { c =>
+        byCell.get(c + 1) match { // cells are 1-based (array_position)
+          case Some(ms) => ms.sortBy(_._2).map(_._3).toSeq
+          case None     => cents(c) // empty cell keeps its seed
+        }
+      }
+    }
+  }
+
+  /** Attach `__cell` = 1-based index of the nearest centroid (by cosine
+   * against unit-normalized centroids — equivalently max dot / norm). */
+  private def withIvfCell(emb: DataFrame, centroids: Seq[Seq[Double]],
+                          vecCol: String): DataFrame = {
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    emb
+      .withColumn("__cents", typedLit(unit))
+      // dot against every centroid in one HOF pass (input position!)
+      .withColumn("__dists", expr(
+        s"""transform(__cents, c ->
+           |  aggregate(zip_with($vecCol, c, (x, y) -> CAST(x AS DOUBLE) * y),
+           |            CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin))
+      .withColumn("__cell",
+        expr("array_position(__dists, array_max(__dists))").cast("int"))
+  }
+
+  /**
+   * IVF approximate top-k: corpus vectors live in their nearest centroid's
+   * cell; each query probes its `nprobe` nearest cells and ranks only the
+   * vectors inside them. Candidate volume is ~`nprobe/nlist` of the corpus
+   * per query — the scale path when broadcast-brute-force over the full
+   * corpus is infeasible. Recall < 1 by construction (rows-only check).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol, vecCol)
+    val c = withIvfCell(corpus, cents, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"),
+        VectorFns.norm(vecCol).as("nc"), col("__cell").as("cell"))
+    val q = withIvfCell(queries, cents, vecCol)
+      .withColumn("__probes", expr(
+        s"""slice(array_sort(
+           |  transform(sequence(1, ${cents.size}),
+           |            i -> struct(-element_at(__dists, i) AS d, i AS idx))),
+           |  1, $nprobe)""".stripMargin))
+      .select(col(idCol).as("query_id"), col(vecCol).as("vq"),
+        VectorFns.norm(vecCol).as("nq"),
+        explode(expr("transform(__probes, p -> p.idx)")).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
    * Multi-table hyperplane-LSH near-neighbor candidate pairs: `numTables`
    * independent plane sets of `numPlanes` each; vectors sharing any table's
    * bucket are compared exactly and filtered by cosine threshold.

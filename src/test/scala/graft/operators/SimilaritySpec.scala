@@ -19,6 +19,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(Seq(1L, 2L, 1L), Seq(1L, 3L, 2L), Seq(1L, 4L, 3L)))
   }
 
+  test("ivfTopK: probing all cells reproduces brute force; fewer cells is a subset") {
+    val corpus = (1L to 40L).map { i =>
+      (i, Array(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 3)
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .orderBy("query_id", "rank"))
+    // nprobe = nlist: every cell probed -> identical to brute force
+    val full = rows(Similarity.ivfTopK(corpus, queries, k = 5,
+      nlist = 4, nprobe = 4, dim = 2).orderBy("query_id", "rank"))
+    assert(full == exact)
+    // nprobe < nlist: approximate, but whatever it returns ranks correctly
+    val approx = rows(Similarity.ivfTopK(corpus, queries, k = 5,
+      nlist = 4, nprobe = 2, dim = 2))
+    assert(approx.nonEmpty)
+    val exactPairs = exact.map(r => (r(0), r(1))).toSet
+    assert(approx.count(r => exactPairs.contains((r(0), r(1)))) >= approx.size / 2)
+  }
+
+  test("trainIvfCentroids: Lloyd iteration moves centroids toward cell means") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    // seeds = two lowest ids: (1,0) and (0.9,0.1). Against unit centroids,
+    // (0.9,0.1) itself lands in cell 2, as do (0,1) and (0.1,0.9) — so the
+    // refined centroids are (1,0) and mean{(0.9,0.1),(0,1),(0.1,0.9)}.
+    val refined = Similarity.trainIvfCentroids(emb, nlist = 2, dim = 2, iters = 1)
+    assert(refined.size == 2)
+    assert(math.abs(refined(0)(0) - 1.0) < 1e-6)
+    assert(math.abs(refined(1)(0) - 1.0 / 3) < 1e-6 &&
+      math.abs(refined(1)(1) - 2.0 / 3) < 1e-6)
+  }
+
   test("hyperplaneLshPairs output is a subset of the exact pairs") {
     val exact = rows(Dedup.embeddingNearDupPairs(emb, threshold = 0.5)).toSet
     val lsh = rows(Similarity.hyperplaneLshPairs(emb, threshold = 0.5,
