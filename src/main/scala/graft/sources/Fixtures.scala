@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
  * (verified: no sub-microsecond components) and the conversion is a
  * codegen'd narrow projection, so pushdown/pruning on other columns is
  * unaffected.
+ *
+ * Known scan-plan caveat (fixture-storage specific): predicates on the
+ * CONVERTED `ts` evaluate as post-scan DataFilters, not parquet
+ * PushedFilters — the `timestamp_micros(ts div 1000)` wrapper blocks
+ * row-group pushdown. Production data written as TIMESTAMP(MICROS) needs
+ * no conversion and range predicates push down natively; with nanos
+ * storage at scale, filter on the raw long with nanos literals instead.
  */
 object Fixtures {
 
