@@ -140,12 +140,25 @@ object Dedup {
    * candidate generation, Hamming-distance filter, then exact-Jaccard
    * verification.
    *
-   * Determinism: the band count is `maxHamming + 1` rounded up to the next
-   * divisor of 64, so by pigeonhole any pair within `maxHamming` flips has
-   * at least one flip-free band and is GUARANTEED a candidate — the output
-   * is exactly `{(a,b) : hamming <= maxHamming and jaccard >= threshold}`,
-   * not a recall-dependent subset. Default maxHamming=7 gives 8 bands of
-   * 8 bits: bucket collisions stay rare while the guarantee holds.
+   * Determinism: candidate generation uses COMBINATION banding (the
+   * multi-block scheme from Manku et al., WWW'07 "Detecting Near-Duplicates
+   * for Web Crawling"): the 64-bit signature splits into `numBlocks` blocks
+   * and each table keys on a SUBSET of `numBlocks - maxHamming` blocks. By
+   * pigeonhole, any pair within `maxHamming` flips has that many clean
+   * blocks, so some subset is entirely flip-free and the pair is GUARANTEED
+   * a candidate — the output is exactly
+   * `{(a,b) : hamming <= maxHamming and jaccard >= threshold}`, not a
+   * recall-dependent subset.
+   *
+   * Plain banding is `numBlocks = maxHamming + 1` (subsets of size 1) —
+   * the DEFAULT. Raising numBlocks gives wider multi-block keys (e.g.
+   * classic web-dedup: maxHamming=3, numBlocks=6 -> C(6,3)=20 tables of
+   * 32-bit keys), which pays off when signature bits are informative.
+   * Measured caveat: on a small-shared-vocabulary corpus (the sf0.1
+   * fixture) 27 of 64 sign bits are near-constant and candidate volume is
+   * ~24M rows under EITHER scheme (bias, not key width, dominates) — so
+   * the per-candidate filter being one xor+popcount is what keeps the
+   * operator viable, and combinations only add explode volume there.
    *
    * Token hashing: `reproducibleHash = true` (default) uses the 63-bit
    * polynomial hash ([[TextFns.token63Fragment]]) that the DuckDB oracle
@@ -154,10 +167,11 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7, n: Int = 3,
                    threshold: Double = 0.5, idCol: String = "doc_id",
-                   textCol: String = "text",
+                   textCol: String = "text", numBlocks: Int = -1,
                    reproducibleHash: Boolean = true): DataFrame = {
-    val numBands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).getOrElse(64)
-    val bandWidth = 64 / numBands
+    val blocks = if (numBlocks > 0) numBlocks else maxHamming + 1
+    require(blocks > maxHamming && blocks <= 64,
+      "need maxHamming < numBlocks <= 64")
     val tokenHash =
       if (reproducibleHash) TextFns.token63Fragment("w") else "xxhash64(w)"
     // The signature is bit-PACKED into one BIGINT: band buckets are shifted
@@ -184,13 +198,26 @@ object Dedup {
           |              ELSE CAST(0 AS BIGINT) END),
           |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
       .select(col(idCol), col("sig"))
-    val mask = (1L << bandWidth) - 1
+    // block boundaries: near-equal widths summing to 64
+    val widths = {
+      val base = 64 / blocks; val extra = 64 % blocks
+      (0 until blocks).map(i => base + (if (i < extra) 1 else 0))
+    }
+    val offsets = widths.scanLeft(0)(_ + _).init
+    // all subsets of (blocks - maxHamming) blocks; each is one table
+    val subsets = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val tables = subsets.zipWithIndex.map { case (subset, tid) =>
+      // key = concatenated bits of the subset's blocks (shift-or on sig)
+      val keyExpr = subset.map { b =>
+        s"((shiftright(sig, ${offsets(b)}) & ${(1L << widths(b)) - 1}))"
+      }.zip(subset.scanLeft(0)((acc, b) => acc + widths(b)).init)
+        .map { case (bits, shift) => s"shiftleft($bits, $shift)" }
+        .reduce((a, b) => s"($a + $b)")
+      struct(lit(tid).as("band"), expr(keyExpr).as("bucket"))
+    }
     val banded = sigDf.select(
       col(idCol), col("sig"),
-      explode(array((0 until numBands).map { j =>
-        struct(lit(j).as("band"),
-          expr(s"CAST(shiftright(sig, ${bandWidth * j}) & $mask AS INT)").as("bucket"))
-      }: _*)).as("bb"))
+      explode(array(tables: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded.select(col(idCol).as("a"), col("sig").as("sa"), col("band"), col("bucket"))
       .join(banded.select(col(idCol).as("b"), col("sig").as("sb"), col("band"), col("bucket")),
