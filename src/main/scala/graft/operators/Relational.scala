@@ -82,6 +82,25 @@ object Relational {
   }
 
   /**
+   * Skew-resistant equi-join: the big side gets a per-row salt, the small
+   * side is replicated across all `salts` values, and the join runs on
+   * (key, salt) — one hot key spreads over `salts` reducers instead of one.
+   * Result set is identical to `big.join(small, key)` (inner); only the
+   * physical distribution changes. Prefer AQE's automatic skew-join
+   * splitting for sort-merge joins; salting is for the cases AQE cannot
+   * rewrite (e.g. skewed aggregation feeding a join, or forced
+   * shuffle-hash joins).
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
    * Keep the latest row per key — the canonical fix for duplicate staging
    * keys (SURVEY.md §2.5): `row_number() over (partition by key order by
    * orderCol desc) = 1`.

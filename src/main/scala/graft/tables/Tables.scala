@@ -52,6 +52,22 @@ object Tables {
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
 
   /**
+   * Overwrite load into a BUCKETED managed table: rows are hash-bucketed
+   * (and optionally sorted) by `bucketCol` at write time, so joins and
+   * aggregations on that column between tables bucketed the same way run
+   * with NO shuffle exchange — at 100 TB, pre-bucketing the main table on
+   * its upsert key turns every incremental merge's shuffle into a local
+   * zipped read. See TablesSpec for the plan-level proof (no Exchange
+   * under the join).
+   */
+  def loadBucketed(df: DataFrame, table: String, bucketCol: String,
+                   numBuckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
+  /**
    * Staged upsert into a managed table (reference "update" path,
    * omnichannel_to_bq.py:280-304): duplicate-staging-key guard (mirrors
    * BigQuery MERGE's error), anti-join + union plan, then write-new +

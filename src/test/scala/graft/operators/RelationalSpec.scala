@@ -63,6 +63,17 @@ class RelationalSpec extends SparkSpec {
     Relational.assertUniqueKeys(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
   }
 
+  test("saltedJoin returns exactly the plain inner-join result") {
+    // one hot key (7) with many rows — the salting target
+    val big = ((1L to 50L) ++ Seq.fill(200)(7L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((7L, "hot"), (3L, "cold"), (99L, "missing-side")).toDF("k", "v")
+    val plain = rows(big.join(small, Seq("k")).orderBy("k", "payload"))
+    val salted = rows(Relational.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "v").orderBy("k", "payload"))
+    assert(salted == plain && plain.size == 202) // 201 hot-key rows + 1 cold
+  }
+
   test("dedupeLatest keeps the latest row per key with tie-break") {
     val df = Seq(
       (10L, "2024-01-01 00:00:00", 1L),

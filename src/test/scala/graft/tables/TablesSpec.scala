@@ -36,6 +36,25 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, "t_new")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    Tables.dropTable(spark, "b_left"); Tables.dropTable(spark, "b_right")
+    val l = (1L to 100L).map(i => (i, s"l$i")).toDF("id", "lv")
+    val r = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "rv")
+    Tables.loadBucketed(l, "b_left", "id", 4)
+    Tables.loadBucketed(r, "b_right", "id", 4)
+    // disable broadcast so the planner actually uses the bucketed layout
+    // (tiny test tables would otherwise broadcast and skip bucketing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_left").join(spark.table("b_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Tables.dropTable(spark, "b_left"); Tables.dropTable(spark, "b_right")
+  }
+
   test("upsertIntoTable rejects duplicate staging keys") {
     Tables.dropTable(spark, "t_dup")
     Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_dup")
