@@ -41,14 +41,23 @@ object TextFns {
    * of `n` tokens joined with single spaces. Empty array when the document
    * has fewer than `n` tokens.
    */
-  def shingles(wordsExpr: String, n: Int = 3): Column = {
+  def shinglesSql(wordsExpr: String, n: Int = 3): String = {
     val parts = (0 until n).map(j => s"element_at($wordsExpr, i + $j)").mkString(", ")
-    expr(
-      s"""CASE WHEN size($wordsExpr) >= $n THEN
-         |  transform(sequence(1, size($wordsExpr) - ${n - 1}),
-         |            i -> concat_ws(' ', $parts))
-         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    s"""CASE WHEN size($wordsExpr) >= $n THEN
+       |  transform(sequence(1, size($wordsExpr) - ${n - 1}),
+       |            i -> concat_ws(' ', $parts))
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
   }
+
+  def shingles(wordsExpr: String, n: Int = 3): Column =
+    expr(shinglesSql(wordsExpr, n))
+
+  /** SQL string: distinct 8-byte shingle hashes of a token-array expression
+   * as ONE array per row — the narrow (shuffle-free) form of the per-doc
+   * shingle set used for signatures and exact-Jaccard verification. */
+  def shingleHashArraySql(wordsExpr: String, n: Int = 3): String =
+    s"array_distinct(transform(${shinglesSql(wordsExpr, n)}, " +
+    s"s -> pmod(xxhash64(s), $HashMod)))"
 
   /** Non-negative 64-bit shingle hash reduced into the reproducible-hash
    * field: `pmod(xxhash64(s), HashMod)`. xxhash64 keeps the shuffle key

@@ -20,7 +20,9 @@ import graft.functions.{TextFns, VectorFns}
  */
 object Dedup {
 
-  /** (id, shingle-hash) pairs, distinct per document. */
+  /** (id, shingle-hash) pairs, distinct per document. The hash runs as a
+   * codegen'd scalar on EXPLODED rows — measurably faster than hashing
+   * inside an interpreted transform() lambda over the shingle array. */
   private def docShingles(docs: DataFrame, idCol: String, n: Int,
                           textCol: String): DataFrame =
     docs
@@ -29,8 +31,11 @@ object Dedup {
         explode(array_distinct(TextFns.shingles("__t", n))).as("__s"))
       .select(col(idCol), TextFns.shingleHash(col("__s")).as("sh"))
 
-  /** (id, hs: sorted shingle-hash set, sz) — for exact-Jaccard verification
-   * of candidate pairs. */
+  /** (id, hs: distinct shingle-hash set, sz) for signatures and
+   * exact-Jaccard verification. The groupBy exchange is shared: every pair
+   * operator references this frame several times (join sides, sizes,
+   * verification) and Spark's ReuseExchange dedupes the identical shuffle
+   * subplans, so shingling runs once per query, not once per reference. */
   private def shingleSets(docs: DataFrame, idCol: String, n: Int,
                           textCol: String): DataFrame =
     docShingles(docs, idCol, n, textCol)
@@ -84,7 +89,7 @@ object Dedup {
       case None => sh0
     }
     // true set sizes (pre-cap): the denominator must not shrink with the cap
-    val sizes = sh0.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val sizes = shingleSets(docs, idCol, n, textCol).select(col(idCol), col("sz"))
     val left  = sh.select(col(idCol).as("a"), col("sh"))
     val right = sh.select(col(idCol).as("b"), col("sh"))
     left.join(right, "sh")
@@ -113,16 +118,14 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = docShingles(docs, idCol, n, textCol)
-    val params = TextFns.minhashParams(numHashes)
-    val sig = sh.groupBy(idCol).agg(
-      params.head match { case (a, b) => min(TextFns.minhashComponent(col("sh"), a, b)).as("mh_0") },
-      params.zipWithIndex.tail.map { case ((a, b), i) =>
-        min(TextFns.minhashComponent(col("sh"), a, b)).as(s"mh_$i")
-      }: _*)
+    // native one-pass signature (graft_minhash) over the per-doc shingle
+    // array: a narrow projection — no explode/groupBy shuffle at all
+    val sets = shingleSets(docs, idCol, n, textCol)
+    val sig = sets.select(col(idCol),
+      expr(s"graft_minhash(hs, $numHashes)").as("sig"))
     val bandStructs = (0 until bands).map { j =>
-      val cols = (j * r until (j + 1) * r).map(i => col(s"mh_$i"))
-      struct(lit(j).as("band"), hash(cols: _*).as("bucket"))
+      struct(lit(j).as("band"),
+        hash(expr(s"slice(sig, ${j * r + 1}, $r)")).as("bucket"))
     }
     val buckets = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))

@@ -82,6 +82,36 @@ object Relational {
   }
 
   /**
+   * Column-preserving upsert — exact BigQuery-MERGE semantics on ragged
+   * schemas (reference: omnichannel_to_bq.py:167-191 SETs only the staging
+   * schema's columns): matched main rows take ALL staging column values
+   * (including nulls) but keep main-only columns; inserted rows get null
+   * for main-only columns. [[upsertPlan]]'s anti-join+union is cheaper and
+   * identical when schemas match; this variant is for staging batches with
+   * a column subset.
+   *
+   * Plan shape: one left_outer join from main (update side) + one anti
+   * join for inserts, both on the key — Catalyst/AQE broadcasts staging
+   * when small, same as upsertPlan.
+   */
+  def upsertPlanPreserving(main: DataFrame, staging: DataFrame,
+                           key: String): DataFrame = {
+    val sCols = staging.columns.toSet
+    require(sCols.contains(key), s"staging lacks key column '$key'")
+    val sPref = staging.columns.foldLeft(staging)((d, c) =>
+      d.withColumnRenamed(c, s"__s_$c"))
+    val matchedMarker = col(s"__s_$key").isNotNull
+    val updated = main.join(sPref, main(key) === col(s"__s_$key"), "left_outer")
+      .select(main.columns.map { c =>
+        if (sCols.contains(c))
+          when(matchedMarker, col(s"__s_$c")).otherwise(main(c)).as(c)
+        else main(c).as(c)
+      }.toSeq: _*)
+    val inserts = staging.join(main.select(key), Seq(key), "left_anti")
+    updated.unionByName(inserts, allowMissingColumns = true)
+  }
+
+  /**
    * Skew-resistant equi-join: the big side gets a per-row salt, the small
    * side is replicated across all `salts` values, and the join runs on
    * (key, salt) — one hot key spreads over `salts` reducers instead of one.

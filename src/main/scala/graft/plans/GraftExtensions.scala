@@ -33,5 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_poly_hash expects (str) or (str, mult, mod)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, n) => MinHashSig(arr, longLit(n, "numHashes").toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash expects (shingleHashArray, numHashes)")
+      }))
   }
 }

@@ -57,6 +57,22 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(Seq(1L, "b", null)))
   }
 
+  test("upsertPlanPreserving keeps main-only columns on updated rows") {
+    val main = Seq((1L, "a", "keep1"), (2L, "b", "keep2")).toDF("id", "v", "extra")
+    val staging = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val out = rows(Relational.upsertPlanPreserving(main, staging, "id").orderBy("id"))
+    // id=2: v updated, extra PRESERVED (upsertPlan would null it);
+    // id=3: inserted with extra=null; id=1 untouched
+    assert(out == Seq(Seq(1L, "a", "keep1"), Seq(2L, "B", "keep2"), Seq(3L, "c", null)))
+  }
+
+  test("upsertPlanPreserving takes staging nulls on matched rows (MERGE SET semantics)") {
+    val main = Seq((1L, "old", "x")).toDF("id", "v", "extra")
+    val staging = Seq((1L, null.asInstanceOf[String])).toDF("id", "v")
+    val out = rows(Relational.upsertPlanPreserving(main, staging, "id"))
+    assert(out == Seq(Seq(1L, null, "x"))) // v SET to null, extra kept
+  }
+
   test("assertUniqueKeys throws on duplicate staging keys, passes on unique") {
     val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
     intercept[IllegalArgumentException] { Relational.assertUniqueKeys(dup, "id") }
