@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NanosRangePushdown)
     ext.injectFunction((
       new FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
