@@ -47,6 +47,7 @@ object SparkEntry {
    * twin of `hyperplane_ann`; it must never be a bench/default path). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "nation_agg", "topn_per_group",
+    "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
@@ -134,6 +135,40 @@ object SparkEntry {
         tieBreak = Seq("o_orderkey"))
         .select("o_custkey", "o_orderkey", "o_orderdate")
         .orderBy("o_custkey")),
+
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
+    "semi_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 50),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")),
+
+    "intersect_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    "except_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
 
     // ---- text analysis (documents) ----
     "token_stats" -> ((s, dir) =>
@@ -370,6 +405,37 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "semi_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "except_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
 
     "token_stats" ->
       s"""SELECT doc_id,
