@@ -104,7 +104,7 @@ private[rest] class PaginatedJsonTable(tableSchema: StructType,
   override def name(): String = s"paginated-json(${properties.getOrElse("url", "?")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PaginatedJsonScanBuilder(tableSchema, properties ++ options.asScala)
 }
@@ -162,6 +162,13 @@ private[rest] class PaginatedJsonScan(tableSchema: StructType, spec: PageSpec)
     extends Scan with Batch {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(tableSchema == PaginatedJsonSource.rawSchema,
+      "streaming paginated-json supports the raw value STRING schema; " +
+      "materialize types downstream with from_json")
+    new PaginatedJsonMicroBatch(spec)
+  }
   override def description(): String =
     s"PaginatedJsonScan(url=${spec.url}, since=${spec.since.getOrElse("-")}, " +
     s"to=${spec.to.getOrElse("-")}, partitions=${spec.numPartitions})"
