@@ -52,7 +52,8 @@ object SparkEntry {
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
-    "topk_cosine", "hyperplane_ann", "ivf_topk", "payload_meta", "decode_batch")
+    "topk_cosine", "hyperplane_ann", "ivf_topk",
+    "payload_meta", "decode_batch", "media_ops")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -226,6 +227,9 @@ object SparkEntry {
 
     "decode_batch" -> ((s, dir) =>
       Multimodal.decodeBatch(s, t(s, dir, "documents")).toDF().orderBy("doc_id")),
+
+    "media_ops" -> ((s, dir) =>
+      Multimodal.mediaOps(t(s, dir, "documents")).orderBy("doc_id")),
   )
 
   // ---------------------------------------------------------------------
@@ -536,6 +540,21 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "media_ops" ->
+      """SELECT doc_id, byte_len, width, height,
+        |  round(224.0 / width, 6) AS scale_x,
+        |  round(224.0 / height, 6) AS scale_y,
+        |  CASE WHEN byte_len > 0
+        |    THEN generate_series(CAST(0 AS BIGINT), byte_len - 1, 64)
+        |    ELSE CAST([] AS BIGINT[]) END AS frame_offsets
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |    CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "decode_batch" ->
       """SELECT doc_id,

@@ -41,6 +41,33 @@ object Multimodal {
       lit(3L).as("channels"))
 
   /**
+   * Resize planning + frame sampling over the payload — the two remaining
+   * media transforms of a training pipeline, as pure expressions. The
+   * "native" dimensions are the deterministic stub of [[payloadMeta]]; the
+   * real outputs of this operator (scale factors, sampled byte offsets)
+   * are the plumbing a codec-backed implementation feeds its decoder:
+   *   - scale_x / scale_y: target-over-native ratios a resize kernel uses;
+   *   - frame_offsets: byte positions sampled every `frameStride` bytes
+   *     (stands in for per-frame seek offsets; empty for empty payloads).
+   */
+  def mediaOps(docs: DataFrame, idCol: String = "doc_id",
+               targetW: Int = 224, targetH: Int = 224,
+               frameStride: Int = 64): DataFrame =
+    withPayload(docs).select(
+      col(idCol),
+      octet_length(col("payload")).cast("long").as("byte_len"),
+      (octet_length(col("payload")) % 640 + 1).cast("long").as("width"),
+      (octet_length(col("payload")) % 480 + 1).cast("long").as("height"))
+      .withColumn("scale_x",
+        round(lit(targetW.toDouble) / col("width").cast("double"), 6))
+      .withColumn("scale_y",
+        round(lit(targetH.toDouble) / col("height").cast("double"), 6))
+      .withColumn("frame_offsets", expr(
+        s"""CASE WHEN byte_len > 0
+           |  THEN sequence(CAST(0 AS BIGINT), byte_len - 1, CAST($frameStride AS BIGINT))
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+
+  /**
    * Batch decode via `mapPartitions` — the shape a real codec integration
    * uses (amortizes per-partition codec init across rows). The decode body
    * is a STUB: deterministic dimensions from the payload bytes instead of a
