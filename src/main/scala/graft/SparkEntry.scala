@@ -46,7 +46,8 @@ object SparkEntry {
    * quadratic exact variant (`embedding_near_dup` is the all-pairs oracle
    * twin of `hyperplane_ann`; it must never be a bench/default path). */
   def benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_top_revenue", "nation_agg", "topn_per_group",
+    "q1_agg", "q3_top_revenue", "q5_region_revenue", "vocab_stats",
+    "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
@@ -136,6 +137,37 @@ object SparkEntry {
         tieBreak = Seq("o_orderkey"))
         .select("o_custkey", "o_orderkey", "o_orderdate")
         .orderBy("o_custkey")),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      // 5-way join: region -> nation -> customer -> orders -> lineitem;
+      // tiny dims broadcast, fact tables shuffle on their join keys
+      val reg = broadcast(t(s, dir, "region"))
+      val nat = broadcast(t(s, dir, "nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("r_name")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("r_name")
+    }),
+
+    "vocab_stats" -> ((s, dir) => {
+      // corpus report: distinct vocabulary and volume per document source
+      val docs = t(s, dir, "documents")
+      docs
+        .select(col("source"), col("doc_id"),
+          explode(graft.functions.TextFns.tokens("text")).as("tok"))
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).as("n_vocab"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("source")
+    }),
 
     "rollup_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -409,6 +441,31 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "vocab_stats" ->
+      """SELECT source,
+        |  count(DISTINCT tok) AS n_vocab,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_tokens
+        |FROM (SELECT source, doc_id,
+        |        unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                           w -> w <> '')) AS tok
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,

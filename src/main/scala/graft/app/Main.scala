@@ -124,7 +124,12 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val c = parseArgs(args.toSeq)
+    val c =
+      try parseArgs(args.toSeq)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(s"[graft] ${e.getMessage}")
+        sys.exit(2)
+      }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
