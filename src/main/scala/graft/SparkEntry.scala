@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.schema.Normalize
 import graft.sources.Fixtures
 
@@ -54,7 +54,8 @@ object SparkEntry {
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
     "topk_cosine", "hyperplane_ann", "ivf_topk",
-    "payload_meta", "decode_batch", "media_ops")
+    "payload_meta", "decode_batch", "media_ops",
+    "sample_stratified", "pack_sequences", "curate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -262,6 +263,20 @@ object SparkEntry {
 
     "media_ops" -> ((s, dir) =>
       Multimodal.mediaOps(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---- corpus curation (documents) ----
+    "sample_stratified" -> ((s, dir) =>
+      Curation.sampleStratified(t(s, dir, "documents"), "lang",
+        rates = Map("en" -> 50), defaultRate = 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), budget = 512)
+        .orderBy("source", "doc_id")),
+
+    "curate" -> ((s, dir) =>
+      Curation.curate(t(s, dir, "documents"), minTokens = 10,
+        maxTokens = 2000, minAlphaRatio = 0.5).orderBy("doc_id")),
   )
 
   // ---------------------------------------------------------------------
@@ -612,6 +627,36 @@ object SparkEntry {
         |    CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)} % 100 AS h,
+         |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
+         |  FROM documents)
+         |WHERE h < rate ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""SELECT source, doc_id, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |        FROM documents))
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "curate" ->
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |tk AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |       FROM documents)
+         |SELECT tk.doc_id, n_tokens FROM tk
+         |JOIN keepers ON tk.doc_id = keepers.doc_id
+         |WHERE n_tokens BETWEEN 10 AND 2000
+         |  AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) >= 0.5
+         |ORDER BY tk.doc_id""".stripMargin,
 
     "decode_batch" ->
       """SELECT doc_id,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/**
+ * Corpus-curation operators: the selection/packing passes that turn a raw
+ * document table into training-ready data.
+ */
+object Curation {
+
+  /**
+   * Deterministic stratified sampling: keep a per-stratum percentage of
+   * documents, chosen by a reproducible hash of the id — the same rows
+   * survive on every run, cluster size, and engine (the sampling hash is
+   * the oracle-checkable polynomial hash, not a seeded RNG). `rates` maps
+   * stratum value -> keep percentage [0,100]; `defaultRate` covers
+   * unlisted strata. One narrow filter, no shuffle.
+   */
+  def sampleStratified(docs: DataFrame, strataCol: String,
+                       rates: Map[String, Int], defaultRate: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val rate: Column = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(
+      expr(s"graft_poly_hash(CAST($idCol AS STRING), 31, 1000000007) % 100")
+        < rate)
+  }
+
+  /**
+   * Sequence packing: assign documents to fixed-token-budget packs within
+   * each shard (`shardCol`), in deterministic `idCol` order — the standard
+   * streaming pack `pack = floor(exclusive_prefix_tokens / budget)`.
+   *
+   * Scale: the running sum is a window per shard, so parallelism =
+   * shard count (at 100 TB shards are file groups or sources, thousands
+   * wide); a single global pack order would serialize and is deliberately
+   * not offered.
+   */
+  def packSequences(docs: DataFrame, budget: Int, shardCol: String = "source",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(TextFns.tokens(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        ((col("__cum") - col("n_tokens")) / budget).cast("long"))
+      .select(col(shardCol), col(idCol), col("n_tokens"), col("pack_id"))
+  }
+
+  /**
+   * Composed curation pass: drop exact duplicates (keep the lowest id per
+   * text), keep documents inside a token-count band with enough alphabetic
+   * content. The shape of a real intake filter: one dedup aggregate plus
+   * narrow predicates, all oracle-checkable.
+   */
+  def curate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 2000,
+             minAlphaRatio: Double = 0.5, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val keepers = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keepers, idCol)
+      .withColumn("__t", TextFns.tokens(textCol))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("__alpha",
+        length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double"))
+      .filter(col("__alpha") / greatest(length(col(textCol)), lit(1)) >= minAlphaRatio)
+      .select(col(idCol), col("n_tokens"))
+  }
+}

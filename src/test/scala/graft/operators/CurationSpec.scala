@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleStratified: deterministic, per-stratum rates, no RNG") {
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val a = rows(Curation.sampleStratified(docs, "lang",
+      Map("en" -> 50), defaultRate = 10).orderBy("doc_id"))
+    val b = rows(Curation.sampleStratified(docs, "lang",
+      Map("en" -> 50), defaultRate = 10).orderBy("doc_id"))
+    assert(a == b) // reproducible across runs
+    val en = a.count(_(1) == "en"); val fr = a.count(_(1) == "fr")
+    assert(en > fr) // 50% vs 10% rates separate clearly at n=100 each
+    // rate 0 keeps nothing; rate 100 keeps everything
+    assert(Curation.sampleStratified(docs, "lang", Map(), 0).count() == 0)
+    assert(Curation.sampleStratified(docs, "lang", Map(), 100).count() == 200)
+  }
+
+  test("packSequences: budget boundaries within shard, shards independent") {
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "d e f"), (3L, "s1", "g h"),
+      (10L, "s2", "x y z w"))
+      .toDF("doc_id", "source", "text")
+    val out = rows(Curation.packSequences(docs, budget = 4)
+      .orderBy("source", "doc_id"))
+    // s1: cum excl = 0, 3, 6 -> packs 0, 0, 1; s2 starts fresh at pack 0
+    assert(out == Seq(
+      Seq("s1", 1L, 3L, 0L), Seq("s1", 2L, 3L, 0L), Seq("s1", 3L, 2L, 1L),
+      Seq("s2", 10L, 4L, 0L)))
+  }
+
+  test("curate: drops dups, short/long docs, and low-alpha docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"), // dup of 1
+      (3L, "too short"),                                               // < 10 tokens
+      (4L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"),                     // low alpha
+      (5L, "many plain english words fill this document nicely for the test"))
+      .toDF("doc_id", "text")
+    val out = rows(Curation.curate(docs, minTokens = 10, maxTokens = 2000,
+      minAlphaRatio = 0.5).orderBy("doc_id"))
+    assert(out.map(_(0)) == Seq(1L, 5L))
+  }
+}
