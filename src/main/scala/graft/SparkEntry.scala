@@ -49,6 +49,7 @@ object SparkEntry {
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "vocab_stats",
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
+    "asof_join", "range_join",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
@@ -263,6 +264,29 @@ object SparkEntry {
 
     "media_ops" -> ((s, dir) =>
       Multimodal.mediaOps(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("signup_ts"), col("event_id").as("signup_event_id"))
+      Relational.asofJoin(purchases, signups, "user_id", "ts")
+        .orderBy("event_id")
+    }),
+
+    "range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val windows = ev
+        .filter(col("event_type") === "signup" && col("event_id") % 20 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          expr("ts + INTERVAL 6 HOURS").as("w_end"))
+      Relational.rangeJoin(ev.select("event_id", "ts"), "ts",
+        windows, "w_start", "w_end")
+        .select("window_id", "event_id")
+        .orderBy("window_id", "event_id")
+    }),
 
     // ---- corpus curation (documents) ----
     "sample_stratified" -> ((s, dir) =>
@@ -627,6 +651,26 @@ object SparkEntry {
         |    CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, ts AS signup_ts,
+        |                       event_id AS signup_event_id
+        |                FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "range_join" ->
+      """SELECT w.window_id, e.event_id
+        |FROM (SELECT event_id, ts FROM events) e
+        |JOIN (SELECT event_id AS window_id, ts AS w_start,
+        |             ts + INTERVAL 6 HOUR AS w_end
+        |      FROM events
+        |      WHERE event_type = 'signup' AND event_id % 20 = 0) w
+        |  ON e.ts >= w.w_start AND e.ts < w.w_end
+        |ORDER BY window_id, event_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM (

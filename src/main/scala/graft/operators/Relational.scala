@@ -82,6 +82,62 @@ object Relational {
   }
 
   /**
+   * AS-OF join: each left row picks up the LATEST right row with
+   * `right.ts <= left.ts` for its key (inclusive; unmatched lefts keep
+   * nulls — LEFT ASOF semantics). Spark has no native as-of join; this is
+   * the union + running-`last(ignoreNulls)` window composition:
+   * both sides union by name, order within each key by (ts, side) so a
+   * right row at the same timestamp sorts before the left row that should
+   * see it, and the right value columns propagate forward.
+   *
+   * Scale: ONE shuffle on the key (the window partition) — same exchange
+   * count as a plain equi-join, no range explosion. Precondition: right is
+   * unique per (key, ts); right value columns must not collide with left
+   * column names (rename before calling); `tsCol` must be named the same
+   * on both sides.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               tsCol: String): DataFrame = {
+    val valueCols = right.columns.filterNot(c => c == key || c == tsCol).toSeq
+    require(valueCols.nonEmpty, "right side needs at least one value column")
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"rename right columns colliding with left: $collisions")
+    val l = left.withColumn("__side", lit(1))
+    val r = right.withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /**
+   * Range (interval) join WITHOUT an equi key: left rows whose `lTs` falls
+   * in `[rStart, rEnd)` of right rows. A naive formulation is a cross join
+   * with a post-filter — quadratic. This one buckets time by
+   * `bucketSeconds`: each right interval explodes over the coarse buckets
+   * it covers, each left row owns one bucket, and the join runs as an
+   * EQUI-join on the bucket plus the exact range refinement — candidate
+   * volume is (pairs per bucket), not |L| x |R|. Choose bucketSeconds near
+   * the typical interval length; intervals explode to
+   * ~len/bucketSeconds + 1 rows each.
+   */
+  def rangeJoin(left: DataFrame, lTs: String,
+                right: DataFrame, rStart: String, rEnd: String,
+                bucketSeconds: Long = 21600): DataFrame = {
+    val lB = left.withColumn("__bucket",
+      (unix_timestamp(col(lTs)) / bucketSeconds).cast("long"))
+    val rB = right.withColumn("__bucket", explode(expr(
+      s"sequence(CAST(unix_timestamp($rStart) / $bucketSeconds AS BIGINT), " +
+      s"CAST(unix_timestamp($rEnd - INTERVAL 1 MICROSECOND) / $bucketSeconds AS BIGINT))")))
+    lB.join(rB, Seq("__bucket"))
+      .filter(col(lTs) >= col(rStart) && col(lTs) < col(rEnd))
+      .drop("__bucket")
+  }
+
+  /**
    * Column-preserving upsert — exact BigQuery-MERGE semantics on ragged
    * schemas (reference: omnichannel_to_bq.py:167-191 SETs only the staging
    * schema's columns): matched main rows take ALL staging column values

@@ -79,6 +79,44 @@ class RelationalSpec extends SparkSpec {
     Relational.assertUniqueKeys(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
   }
 
+  test("asofJoin: latest right at or before left ts; unmatched lefts null") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 12:00:00"),
+      (3L, 20L, "2024-01-01 09:00:00")) // user 20 has no prior right row
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, "2024-01-01 09:00:00", "a"),
+      (10L, "2024-01-01 12:00:00", "b"), // equal ts: inclusive match
+      (20L, "2024-01-01 11:00:00", "c")) // after left 3: no match
+      .toDF("user_id", "ts", "tag")
+    val out = rows(Relational.asofJoin(left, right, "user_id", "ts")
+      .select("event_id", "tag").orderBy("event_id"))
+    assert(out == Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, null)))
+  }
+
+  test("asofJoin rejects colliding value column names") {
+    val l = Seq((1L, 10L, "2024-01-01 10:00:00", "x")).toDF("event_id", "user_id", "ts", "v")
+    val r = Seq((10L, "2024-01-01 09:00:00", "y")).toDF("user_id", "ts", "v")
+    intercept[IllegalArgumentException] { Relational.asofJoin(l, r, "user_id", "ts") }
+  }
+
+  test("rangeJoin: half-open interval, buckets crossed correctly") {
+    val left = Seq(
+      (1L, "2024-01-01 00:00:00"), // == start: included
+      (2L, "2024-01-01 05:59:59"), // inside, later bucket
+      (3L, "2024-01-01 06:00:00"), // == end: excluded
+      (4L, "2023-12-31 23:59:59")) // before: excluded
+      .toDF("id", "ts").selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+    val right = Seq((100L, "2024-01-01 00:00:00", "2024-01-01 06:00:00"))
+      .toDF("wid", "s", "e")
+      .selectExpr("wid", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+    // bucket smaller than the interval: right explodes over multiple buckets
+    val out = rows(Relational.rangeJoin(left, "ts", right, "s", "e",
+      bucketSeconds = 3600).select("id").orderBy("id"))
+    assert(out.flatten == Seq(1L, 2L))
+  }
+
   test("saltedJoin returns exactly the plain inner-join result") {
     // one hot key (7) with many rows — the salting target
     val big = ((1L to 50L) ++ Seq.fill(200)(7L)).zipWithIndex
