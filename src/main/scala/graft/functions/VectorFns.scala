@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
  */
 object VectorFns {
 
-  /** Dot product of two float-array expressions, accumulated in double. */
-  def dot(aExpr: String, bExpr: String): Column = expr(
-    s"""aggregate(
-       |  zip_with($aExpr, $bExpr, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  CAST(0 AS DOUBLE),
-       |  (acc, v) -> acc + v)""".stripMargin)
+  /** Dot product of two float-array expressions, accumulated left-to-right
+   * in double. Resolves to the native [[graft.plans.DotProduct]] loop
+   * (bit-identical to the HOF aggregate-over-zip_with form and the DuckDB
+   * oracle's sequential list_sum, ~10x cheaper per pair); the session must
+   * register [[graft.plans.GraftExtensions]]. */
+  def dot(aExpr: String, bExpr: String): Column =
+    expr(s"graft_dot($aExpr, $bExpr)")
 
   /** L2 norm of a float-array expression. */
   def norm(aExpr: String): Column = sqrt(dot(aExpr, aExpr))

@@ -102,11 +102,9 @@ object Similarity {
     }
     emb
       .withColumn("__cents", typedLit(unit))
-      // dot against every centroid in one HOF pass (input position!)
+      // dot against every centroid in one pass (native loop per centroid)
       .withColumn("__dists", expr(
-        s"""transform(__cents, c ->
-           |  aggregate(zip_with($vecCol, c, (x, y) -> CAST(x AS DOUBLE) * y),
-           |            CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin))
+        s"transform(__cents, c -> graft_dot($vecCol, c))"))
       .withColumn("__cell",
         expr("array_position(__dists, array_max(__dists))").cast("int"))
   }
@@ -176,9 +174,7 @@ object Similarity {
       .withColumn("__sig", expr(
         s"""aggregate(
            |  zip_with(
-           |    transform(__planes, p ->
-           |      aggregate(zip_with($vecCol, p, (x, y) -> CAST(x AS DOUBLE) * y),
-           |                CAST(0 AS DOUBLE), (acc, v) -> acc + v)),
+           |    transform(__planes, p -> graft_dot($vecCol, p)),
            |    sequence(0, ${numTables * numPlanes - 1}),
            |    (d, b) -> CASE WHEN d > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
            |              ELSE CAST(0 AS BIGINT) END),

@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_poly_hash expects (str) or (str, mult, mod)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_dot expects (arrayA, arrayB)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {
