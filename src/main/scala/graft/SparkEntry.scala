@@ -54,7 +54,7 @@ object SparkEntry {
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
-    "topk_cosine", "hyperplane_ann", "ivf_topk",
+    "topk_cosine", "hyperplane_ann", "ivf_topk", "quantize_int8",
     "payload_meta", "decode_batch", "media_ops",
     "sample_stratified", "pack_sequences", "curate")
 
@@ -248,6 +248,9 @@ object SparkEntry {
     "hyperplane_ann" -> ((s, dir) =>
       Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"), threshold = 0.4,
         numPlanes = 4, numTables = 16, dim = 64).orderBy("vec_a", "vec_b")),
+
+    "quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings")).orderBy("vec_id")),
 
     "ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -651,6 +654,17 @@ object SparkEntry {
         |    CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "quantize_int8" ->
+      """SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+        |    (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END)) AS INT)) AS q,
+        |  CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+        |FROM (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding,
+        |                                x -> abs(CAST(x AS DOUBLE)))) AS m
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_event_id

@@ -25,4 +25,5 @@ object VectorFns {
    * join (see Similarity) instead of calling this inside join conditions. */
   def cosine(aExpr: String, bExpr: String): Column =
     dot(aExpr, bExpr) / (norm(aExpr) * norm(bExpr))
+
 }

@@ -34,6 +34,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /**
+   * Symmetric int8 quantization of the embedding column: per-vector scale
+   * = 127 / max(|x|), q_i = round(x_i * scale) — the standard 4x storage
+   * compression for embedding corpora. One narrow projection; the max
+   * rides in its own column so lambdas only capture cheap attributes
+   * (never recompute an aggregate per element). Zero vectors quantize to
+   * all zeros with scale 0.
+   */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    emb
+      .withColumn("__maxabs",
+        expr(s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale",
+        when(col("__maxabs") > 0, lit(127.0) / col("__maxabs"))
+          .otherwise(lit(0.0)))
+      .select(col(idCol),
+        expr(s"transform($vecCol, x -> " +
+             "CAST(round(CAST(x AS DOUBLE) * scale) AS INT))").as("q"),
+        col("scale"))
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1]: a pure
    * arithmetic LCG over (plane, dim) so signatures are reproducible across
    * runs, engines, and cluster sizes (no RNG state to ship). */

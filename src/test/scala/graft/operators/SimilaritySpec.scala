@@ -53,6 +53,17 @@ class SimilaritySpec extends SparkSpec {
       math.abs(refined(1)(1) - 2.0 / 3) < 1e-6)
   }
 
+  test("quantizeInt8: full range used, zero vector safe, reconstruction close") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = rows(Similarity.quantizeInt8(emb).orderBy("vec_id"))
+    assert(out(0)(1) == Seq(64, -127, 32)) // 0.5*127, -1*127, 0.25*127 rounded
+    assert(out(0)(2) == 127.0) // scale = 127 / 1.0
+    assert(out(1)(1) == Seq(0, 0, 0) && out(1)(2) == 0.0)
+  }
+
   test("hyperplaneLshPairs output is a subset of the exact pairs") {
     val exact = rows(Dedup.embeddingNearDupPairs(emb, threshold = 0.5)).toSet
     val lsh = rows(Similarity.hyperplaneLshPairs(emb, threshold = 0.5,
