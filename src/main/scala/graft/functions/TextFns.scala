@@ -52,13 +52,6 @@ object TextFns {
   def shingles(wordsExpr: String, n: Int = 3): Column =
     expr(shinglesSql(wordsExpr, n))
 
-  /** SQL string: distinct 8-byte shingle hashes of a token-array expression
-   * as ONE array per row — the narrow (shuffle-free) form of the per-doc
-   * shingle set used for signatures and exact-Jaccard verification. */
-  def shingleHashArraySql(wordsExpr: String, n: Int = 3): String =
-    s"array_distinct(transform(${shinglesSql(wordsExpr, n)}, " +
-    s"s -> pmod(xxhash64(s), $HashMod)))"
-
   /** Non-negative 64-bit shingle hash reduced into the reproducible-hash
    * field: `pmod(xxhash64(s), HashMod)`. xxhash64 keeps the shuffle key
    * 8 bytes instead of a full shingle string at 100 TB scale. */
@@ -91,9 +84,4 @@ object TextFns {
       val b = (69069L * (i + 1) + 362437L) % HashMod
       (if (a == 0) 1L else a, b)
     }
-
-  /** One MinHash component: `min((a*h + b) mod P)` over a column of
-   * pre-hashed shingles — used as `min(minhashExpr(i))` aggregates. */
-  def minhashComponent(hashCol: Column, a: Long, b: Long): Column =
-    pmod(hashCol * lit(a) + lit(b), lit(HashMod))
 }

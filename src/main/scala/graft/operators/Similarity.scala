@@ -63,24 +63,6 @@ object Similarity {
     ((if (x < 0) -x else x) % 2001L - 1000L) / 1000.0
   }
 
-  /** Random-hyperplane signature bits -> one integer bucket per vector, for
-   * LSH table `table` (each table uses an independent plane set).
-   *
-   * Kept for single-table/unit use; [[hyperplaneLshPairs]] computes all
-   * tables in one pass over a literal plane matrix instead (an unrolled
-   * per-term expression at numTables x numPlanes x dim terms is a codegen
-   * bomb — measured 100x slower than the higher-order-function form). */
-  def hyperplaneBucket(vecCol: String, numPlanes: Int, dim: Int,
-                       table: Int = 0): Column = {
-    val bitExprs = (0 until numPlanes).map { p =>
-      val terms = (0 until dim).map(d =>
-        s"CAST(element_at($vecCol, ${d + 1}) AS DOUBLE) * ${planeComponent(table * numPlanes + p, d)}")
-        .mkString(" + ")
-      s"CASE WHEN ($terms) > 0 THEN ${1 << p} ELSE 0 END"
-    }
-    expr(bitExprs.mkString("(", " + ", ")"))
-  }
-
   /**
    * Deterministic IVF (inverted-file) centroid training: seeds are the
    * `nlist` lowest-id vectors, optionally refined by Lloyd iterations
