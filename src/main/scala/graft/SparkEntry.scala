@@ -49,7 +49,7 @@ object SparkEntry {
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "vocab_stats",
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
-    "asof_join", "range_join",
+    "asof_join", "range_join", "profile_events", "value_percentiles",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
@@ -267,6 +267,32 @@ object SparkEntry {
 
     "media_ops" -> ((s, dir) =>
       Multimodal.mediaOps(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "profile_events" -> ((s, dir) => {
+      // data-quality profile of the events table: per-column null counts,
+      // ranges, and cardinalities in one aggregate pass
+      val ev = t(s, dir, "events")
+      ev.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_event_type"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+    }),
+
+    "value_percentiles" -> ((s, dir) =>
+      // discrete percentiles (actual data values, no interpolation — the
+      // only percentile flavor that hash-matches across engines)
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"))
+        .orderBy("event_type")),
 
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -654,6 +680,23 @@ object SparkEntry {
         |    CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "profile_events" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_event_type,
+        |  count(DISTINCT event_type) AS n_event_types,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events""".stripMargin,
+
+    "value_percentiles" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.25) AS p25,
+        |  quantile_disc(value, 0.5)  AS p50,
+        |  quantile_disc(value, 0.75) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "quantize_int8" ->
       """SELECT vec_id,
