@@ -5,9 +5,15 @@ Usage: compare_oracle.py <sfDir> <verifyOutDir>
 Reads each <out>/<name>/ parquet (Spark result) and runs the matching SQL
 from <out>/oracle_sql.json in DuckDB with views over <sfDir>/*.parquet.
 Columns sorted by name; rows compared in emitted order AND sorted order.
+Additionally mimics the driver's pandas compare (sort_values over all
+columns + hash_pandas_object), which is dtype-sensitive: e.g. DuckDB
+HUGEINT becomes float64 in pandas and hash-mismatches an int64 Spark
+column even when every value is equal, and array-typed columns make the
+sort throw — both invisible to the repr()-based row compare below.
 """
 import sys, os, json, math
 import duckdb
+import pandas.util as pdu
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -51,6 +57,20 @@ def main(sf_dir, out_dir):
             print(f"{name:22s} ORACLE SQL ERROR: {e}"); fails += 1; continue
         if ocols != cols:
             print(f"{name:22s} SCHEMA MISMATCH spark={cols} oracle={ocols}"); fails += 1; continue
+        try:
+            sdf = spark_rel.df()[cols].sort_values(cols).reset_index(drop=True)
+            odf = ora_rel.df()[ocols].sort_values(ocols).reset_index(drop=True)
+            if pdu.hash_pandas_object(sdf, index=False).sum() != \
+               pdu.hash_pandas_object(odf, index=False).sum():
+                dts = {c: (str(sdf[c].dtype), str(odf[c].dtype))
+                       for c in cols if sdf[c].dtype != odf[c].dtype}
+                print(f"{name:22s} PANDAS-HASH MISMATCH dtypes={dts}")
+                fails += 1
+                continue
+        except Exception as e:
+            print(f"{name:22s} PANDAS COMPARE ERROR: {e}")
+            fails += 1
+            continue
         ok_ordered = spark_rows == ora_rows
         ok_sorted = sorted(spark_rows) == sorted(ora_rows)
         if ok_ordered:

@@ -566,11 +566,14 @@ object SparkEntry {
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
 
+    // NB: list_sum returns HUGEINT in DuckDB — cast to BIGINT so the
+    // comparator sees int64 on both sides (pandas renders HUGEINT as float64)
     "token_stats" ->
       s"""SELECT doc_id,
          |  len(t) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  COALESCE(list_sum(list_transform(t, w -> CAST(length(w) AS BIGINT))), 0) AS sum_token_len,
+         |  CAST(COALESCE(list_sum(list_transform(t, w -> CAST(length(w) AS BIGINT))), 0)
+         |       AS BIGINT) AS sum_token_len,
          |  CASE WHEN len(t) > 0 THEN
          |    round(COALESCE(list_sum(list_transform(t, w -> CAST(length(w) AS BIGINT))), 0)
          |          / CAST(len(t) AS DOUBLE), 4)
@@ -655,7 +658,78 @@ object SparkEntry {
          |  WHERE q.vec_id < 10)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // hyperplane_ann: approximate recall — no SQL oracle (rows-only check)
+    // hyperplane_ann IS oracle-checkable despite being "approximate": the
+    // plane matrix is a closed-form LCG of (plane, dim), so DuckDB recomputes
+    // the exact same 64 plane sign bits, the same 16 x 4-bit buckets, the
+    // same candidate set, and the same cosine-verified pairs.
+    "hyperplane_ann" ->
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63), d ->
+         |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
+         |      % 2001 - 1000) / 1000.0) AS pv
+         |  FROM generate_series(0, 63) t(p)),
+         |bits AS (
+         |  SELECT e.vec_id, pl.p // 4 AS tbl,
+         |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
+         |         THEN 1 << (pl.p % 4) ELSE 0 END AS bit
+         |  FROM embeddings e, planes pl),
+         |buckets AS (
+         |  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, tbl),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT c.va AS vec_a, c.vb AS vec_b
+         |FROM cand c
+         |JOIN n a ON a.vec_id = c.va
+         |JOIN n b ON b.vec_id = c.vb
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // ivf_topk is likewise fully deterministic with iters=0: centroids are
+    // the 16 lowest-id vectors unit-normalized, assignment is first-max
+    // argmax, probes are the 4 best cells (ties -> lower index).
+    "ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |unitc AS (
+         |  SELECT cidx, list_transform(embedding, x ->
+         |    CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+         |         ELSE CAST(x AS DOUBLE) / nrm END) AS c
+         |  FROM (SELECT cidx, embedding,
+         |          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |        FROM cents)),
+         |dists AS (
+         |  SELECT e.vec_id, u.cidx, ${dotSql("e.embedding", "u.c")} AS d
+         |  FROM embeddings e, unitc u),
+         |cells AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists WHERE vec_id < 10) WHERE rn <= 4),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |      ${dotSql("qn.embedding", "nn.embedding")} / (qn.nrm * nn.nrm) DESC,
+         |      cand.neighbor_id) AS rank
+         |  FROM cand
+         |  JOIN n qn ON qn.vec_id = cand.query_id
+         |  JOIN n nn ON nn.vec_id = cand.neighbor_id)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "payload_meta" ->
       """SELECT doc_id,
@@ -670,9 +744,13 @@ object SparkEntry {
       """SELECT doc_id, byte_len, width, height,
         |  round(224.0 / width, 6) AS scale_x,
         |  round(224.0 / height, 6) AS scale_y,
+        |  CAST(CASE WHEN byte_len > 0 THEN 1 + (byte_len - 1) // 64
+        |       ELSE 0 END AS BIGINT) AS n_frames,
         |  CASE WHEN byte_len > 0
-        |    THEN generate_series(CAST(0 AS BIGINT), byte_len - 1, 64)
-        |    ELSE CAST([] AS BIGINT[]) END AS frame_offsets
+        |    THEN array_to_string(list_transform(
+        |      generate_series(CAST(0 AS BIGINT), byte_len - 1, 64),
+        |      x -> CAST(x AS VARCHAR)), ',')
+        |    ELSE '' END AS frame_offsets
         |FROM (
         |  SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -700,8 +778,10 @@ object SparkEntry {
 
     "quantize_int8" ->
       """SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
-        |    (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END)) AS INT)) AS q,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE) *
+        |      (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END)) AS INT) AS VARCHAR)),
+        |    ',') AS q,
         |  CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
         |FROM (SELECT vec_id, embedding,
         |        list_max(list_transform(embedding,

@@ -47,8 +47,11 @@ object Multimodal {
    * real outputs of this operator (scale factors, sampled byte offsets)
    * are the plumbing a codec-backed implementation feeds its decoder:
    *   - scale_x / scale_y: target-over-native ratios a resize kernel uses;
-   *   - frame_offsets: byte positions sampled every `frameStride` bytes
-   *     (stands in for per-frame seek offsets; empty for empty payloads).
+   *   - n_frames / frame_offsets: byte positions sampled every `frameStride`
+   *     bytes (stands in for per-frame seek offsets; empty for empty
+   *     payloads). Offsets are emitted as a comma-joined string so the
+   *     result stays scalar-typed end to end (sortable/hashable by any
+   *     downstream comparator or sink without array support).
    */
   def mediaOps(docs: DataFrame, idCol: String = "doc_id",
                targetW: Int = 224, targetH: Int = 224,
@@ -62,10 +65,15 @@ object Multimodal {
         round(lit(targetW.toDouble) / col("width").cast("double"), 6))
       .withColumn("scale_y",
         round(lit(targetH.toDouble) / col("height").cast("double"), 6))
+      .withColumn("n_frames", expr(
+        s"CAST(CASE WHEN byte_len > 0 THEN 1 + (byte_len - 1) DIV $frameStride " +
+          "ELSE 0 END AS BIGINT)"))
       .withColumn("frame_offsets", expr(
         s"""CASE WHEN byte_len > 0
-           |  THEN sequence(CAST(0 AS BIGINT), byte_len - 1, CAST($frameStride AS BIGINT))
-           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+           |  THEN array_join(transform(
+           |    sequence(CAST(0 AS BIGINT), byte_len - 1, CAST($frameStride AS BIGINT)),
+           |    x -> CAST(x AS STRING)), ',')
+           |  ELSE '' END""".stripMargin))
 
   /**
    * Batch decode via `mapPartitions` — the shape a real codec integration

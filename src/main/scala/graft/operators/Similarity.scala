@@ -40,7 +40,9 @@ object Similarity {
    * compression for embedding corpora. One narrow projection; the max
    * rides in its own column so lambdas only capture cheap attributes
    * (never recompute an aggregate per element). Zero vectors quantize to
-   * all zeros with scale 0.
+   * all zeros with scale 0. The quantized vector is emitted as a
+   * comma-joined string so the result row is scalar-typed end to end
+   * (sortable/hashable by any downstream comparator or sink).
    */
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
@@ -51,8 +53,9 @@ object Similarity {
         when(col("__maxabs") > 0, lit(127.0) / col("__maxabs"))
           .otherwise(lit(0.0)))
       .select(col(idCol),
-        expr(s"transform($vecCol, x -> " +
-             "CAST(round(CAST(x AS DOUBLE) * scale) AS INT))").as("q"),
+        expr(s"array_join(transform($vecCol, x -> " +
+             "CAST(CAST(round(CAST(x AS DOUBLE) * scale) AS INT) AS STRING)), ',')")
+          .as("q"),
         col("scale"))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1]: a pure

@@ -59,9 +59,9 @@ class SimilaritySpec extends SparkSpec {
       (2L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val out = rows(Similarity.quantizeInt8(emb).orderBy("vec_id"))
-    assert(out(0)(1) == Seq(64, -127, 32)) // 0.5*127, -1*127, 0.25*127 rounded
+    assert(out(0)(1) == "64,-127,32") // 0.5*127, -1*127, 0.25*127 rounded
     assert(out(0)(2) == 127.0) // scale = 127 / 1.0
-    assert(out(1)(1) == Seq(0, 0, 0) && out(1)(2) == 0.0)
+    assert(out(1)(1) == "0,0,0" && out(1)(2) == 0.0)
   }
 
   test("hyperplaneLshPairs output is a subset of the exact pairs") {
