@@ -231,7 +231,10 @@ object SparkEntry {
         bands = 32, threshold = 0.5).orderBy("doc_a", "doc_b")),
 
     "simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 7, n = 3,
+      // maxHamming = 3 on a 64-bit signature: the Manku et al. (WWW'07)
+      // web-dedup operating point; 4x16-bit bands keep the candidate join
+      // ~20x smaller than hamming-7's 8x8-bit bands on biased sign bits
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3, n = 3,
         threshold = 0.5).orderBy("doc_a", "doc_b")),
 
     "embedding_near_dup" -> ((s, dir) =>
@@ -376,7 +379,7 @@ object SparkEntry {
     s"+ (${duckPolyFragment(v, 137, 1000003L)} % 8) * 1152921504606846976)"
 
   /** DuckDB simhash oracle: the FULL operator contract —
-   * `hamming(simhash_a, simhash_b) <= 7 AND jaccard >= 0.5` — recomputed
+   * `hamming(simhash_a, simhash_b) <= 3 AND jaccard >= 0.5` — recomputed
    * from scratch (token hashes, bit sums, sign bits, pairwise hamming). */
   private val simhashSql =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -402,7 +405,7 @@ object SparkEntry {
        |JOIN bits ba ON ba.doc_id = j.doc_a
        |JOIN bits bb ON bb.doc_id = j.doc_b
        |WHERE list_sum(list_transform(generate_series(1, 64),
-       |  i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END)) <= 7
+       |  i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB scalar: reproducible polynomial hash of expression `e`

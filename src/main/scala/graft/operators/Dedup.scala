@@ -155,20 +155,20 @@ object Dedup {
    *
    * Plain banding is `numBlocks = maxHamming + 1` (subsets of size 1) —
    * the DEFAULT. Raising numBlocks gives wider multi-block keys (e.g.
-   * classic web-dedup: maxHamming=3, numBlocks=6 -> C(6,3)=20 tables of
-   * 32-bit keys), which pays off when signature bits are informative.
-   * Measured caveat: on a small-shared-vocabulary corpus (the sf0.1
-   * fixture) 27 of 64 sign bits are near-constant and candidate volume is
-   * ~24M rows under EITHER scheme (bias, not key width, dominates) — so
-   * the per-candidate filter being one xor+popcount is what keeps the
-   * operator viable, and combinations only add explode volume there.
+   * maxHamming=3, numBlocks=6 -> C(6,3)=20 tables of 32-bit keys), which
+   * pays off when signature bits are informative. Measured on the sf0.1
+   * fixture (shared-vocabulary corpus, 27/64 sign bits near-constant):
+   * maxHamming=7 (8x8-bit bands) joins ~24M candidate rows; the default
+   * maxHamming=3 (4x16-bit bands, the Manku web-dedup operating point)
+   * joins ~1.3M — band width, not combinations, is the lever, so plain
+   * banding stays the default scheme.
    *
    * Token hashing: `reproducibleHash = true` (default) uses the 63-bit
    * polynomial hash ([[TextFns.token63Fragment]]) that the DuckDB oracle
    * can recompute, making the full contract hash-checkable; `false` swaps
    * in xxhash64 (faster per token, not oracle-computable).
    */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, n: Int = 3,
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
                    threshold: Double = 0.5, idCol: String = "doc_id",
                    textCol: String = "text", numBlocks: Int = -1,
                    reproducibleHash: Boolean = true): DataFrame = {
@@ -183,23 +183,14 @@ object Dedup {
     // buckets (common-vocabulary docs share sign bits, so a band bucket can
     // hold a large fraction of the corpus) the candidate join volume is the
     // cost driver, and the per-candidate filter must be near-free.
+    // graft_simhash: native 64-counter loop per document (codegen'd) — the
+    // HOF formulation costs 64 interpreted lambda steps per TOKEN and was
+    // the dominant cost of the whole operator (the candidate join recomputes
+    // the signature subplan on both sides, doubling it).
     val sigDf = docs
       .withColumn("__t", TextFns.tokens(textCol))
       .withColumn("__th", expr(s"transform(__t, w -> $tokenHash)"))
-      .withColumn("__sums", expr(
-        """aggregate(__th, array_repeat(0, 64),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |    (a, b) -> a + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1
-          |                   THEN 1 ELSE -1 END))""".stripMargin))
-      // __sums must be the INPUT of the packing HOF, not a lambda capture:
-      // Catalyst inlines single-use aliases into lambda bodies, where a
-      // captured expression is re-evaluated on every lambda step (64x/row).
-      .withColumn("sig", expr(
-        """aggregate(
-          |  zip_with(__sums, sequence(0, 63),
-          |    (s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
-          |              ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("sig", expr("graft_simhash(__th)"))
       .select(col(idCol), col("sig"))
     // block boundaries: near-equal widths summing to 64
     val widths = {

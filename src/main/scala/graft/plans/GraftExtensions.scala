@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_dot expects (arrayA, arrayB)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => SimHashSig(arr)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash expects (tokenHashArray)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {
