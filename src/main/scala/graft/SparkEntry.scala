@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, Sessions, Similarity, TextAnalysis}
 import graft.schema.Normalize
 import graft.sources.Fixtures
 
@@ -56,7 +56,9 @@ object SparkEntry {
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
     "topk_cosine", "hyperplane_ann", "ivf_topk", "quantize_int8",
     "payload_meta", "decode_batch", "media_ops",
-    "sample_stratified", "pack_sequences", "curate")
+    "sample_stratified", "pack_sequences", "curate",
+    "sessionize", "window_agg", "neardup_clusters", "tfidf_topterms",
+    "clean_text", "pivot_counts", "union_ragged", "cube_agg")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -333,6 +335,49 @@ object SparkEntry {
     "curate" -> ((s, dir) =>
       Curation.curate(t(s, dir, "documents"), minTokens = 10,
         maxTokens = 2000, minAlphaRatio = 0.5).orderBy("doc_id")),
+
+    // ---- event-time analytics (events) ----
+    "sessionize" -> ((s, dir) =>
+      Sessions.sessionize(t(s, dir, "events")).orderBy("event_id")),
+
+    "window_agg" -> ((s, dir) =>
+      Sessions.windowedAgg(t(s, dir, "events"), "1 day")
+        .orderBy("w_start", "event_type")),
+
+    // ---- dedup clustering / text ops (documents) ----
+    "neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
+        .orderBy("doc_id", "rank")),
+
+    "clean_text" -> ((s, dir) =>
+      TextAnalysis.cleanText(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---- reshaping / multi-dim aggregation ----
+    "pivot_counts" -> ((s, dir) =>
+      Relational.pivotCounts(t(s, dir, "events"), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")),
+
+    "union_ragged" -> ((s, dir) => {
+      // ragged-schema concatenation — the S4/§2.7 surface: JSON pages with
+      // differing key sets align by name, missing columns go null
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+      val b = ev.filter(col("event_id") % 2 =!= 0)
+        .select("event_id", "value")
+      a.unionByName(b, allowMissingColumns = true).orderBy("event_id")
+    }),
+
+    "cube_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
   )
 
   // ---------------------------------------------------------------------
@@ -344,12 +389,12 @@ object SparkEntry {
   private val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
 
-  /** DuckDB 3-gram shingle/Jaccard pair query, shared by the three near-dup
-   * operators (they differ only in candidate generation; all verify by exact
-   * Jaccard >= 0.5, and the fixture pair distribution has a wide margin
-   * around the threshold). */
-  private val jaccardPairsSql =
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** DuckDB CTE body computing exact 3-gram Jaccard >= 0.5 pairs into a
+   * `pairs(doc_a, doc_b)` CTE — shared by the three near-dup pair operators
+   * (they differ only in candidate generation; all verify by exact Jaccard)
+   * and by the connected-components clusters oracle. */
+  private val jaccardCtes =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |  generate_series(1, len(t) - 2),
        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
@@ -357,12 +402,14 @@ object SparkEntry {
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b FROM inter
-       |JOIN sizes sa ON inter.doc_a = sa.doc_id
-       |JOIN sizes sb ON inter.doc_b = sb.doc_id
-       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |  JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"WITH $jaccardCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
 
   /** DuckDB fragment: polynomial hash of non-empty lambda variable `v`
    * (mirrors TextFns.polyHashFragment). */
@@ -850,5 +897,92 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS channels,
         |  sha256(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sessionize" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT *, CASE WHEN
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "window_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end,
+        |  event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // connected components over the near-dup pair graph: transitive closure
+    // via recursive CTE, cluster id = min reachable doc id
+    "neardup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, dst FROM ed
+         |  UNION
+         |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src)
+         |SELECT d.doc_id,
+         |  CAST(least(d.doc_id, COALESCE(min(reach.r), d.doc_id)) AS BIGINT)
+         |    AS cluster_id
+         |FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "tfidf_topterms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS t FROM documents)
+         |  GROUP BY doc_id, t),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, term, tf, df, score, rank FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         |    tf.tf / CAST(dfx.df AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf / CAST(dfx.df AS DOUBLE) DESC, tf.term) AS rank
+         |  FROM tf JOIN dfx ON tf.term = dfx.term)
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "clean_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text),
+        |    'https?://[^ \t\n]+', '<url>', 'g'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        |    '[0-9]+', '<num>', 'g'),
+        |    '[ \t\n]+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pivot_counts" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "union_ragged" ->
+      """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, CAST(NULL AS BIGINT) AS user_id,
+        |       CAST(NULL AS VARCHAR) AS event_type, value
+        |FROM events WHERE event_id % 2 <> 0
+        |ORDER BY event_id""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
   )
 }

@@ -223,6 +223,52 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate CLUSTERS: connected components over the near-dup pair
+   * graph (default edge source: [[minhashLshPairs]]), labelling every
+   * document with the smallest doc id reachable through near-dup edges —
+   * singletons label themselves. This is the step that turns pairwise
+   * dedup output into actionable keep/drop groups ("keep min id per
+   * cluster") in a training-data pipeline.
+   *
+   * Algorithm: iterative min-label propagation (the standard distributed
+   * connected-components scheme — each round every vertex takes the min of
+   * its own label and its neighbours' labels) until a fixpoint. Rounds
+   * needed = component diameter; near-dup clusters are near-cliques, so
+   * 2-4 rounds in practice. Each round is one shuffle on the edge key plus
+   * one on the vertex key; `localCheckpoint` truncates the growing lineage
+   * so round N+1 does not replan rounds 1..N. The fixpoint is unique, so
+   * the result is deterministic regardless of how many rounds it took.
+   */
+  def nearDupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+                      bands: Int = 32, threshold: Double = 0.5,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxRounds: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(docs, n, numHashes, bands, threshold, idCol, textCol)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // edges are reused every round — compute once
+    var cur = docs.select(col(idCol).as("id"), col(idCol).cast("long").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(cur.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src").agg(min("nl").as("nbr_min"))
+      val next = cur
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(cur.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      cur = next
+      round += 1
+    }
+    cur.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs by exact all-pairs comparison over
    * an (optionally modulo-sampled) slice. Quadratic by definition — this is
    * the exact/verification variant; the scale path is

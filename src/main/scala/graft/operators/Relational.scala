@@ -187,6 +187,20 @@ object Relational {
   }
 
   /**
+   * Pivot: one row per `groupCol`, one BIGINT count column per declared
+   * `pivotCol` value (absent combinations = 0). Values are declared
+   * explicitly — never discovered at plan time — so the output schema is
+   * static and the job is ONE aggregate pass instead of
+   * distinct-values-scan + aggregate.
+   */
+  def pivotCounts(df: DataFrame, groupCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame =
+    df.groupBy(groupCol)
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .na.fill(0L, values)
+
+  /**
    * Keep the latest row per key — the canonical fix for duplicate staging
    * keys (SURVEY.md §2.5): `row_number() over (partition by key order by
    * orderCol desc) = 1`.

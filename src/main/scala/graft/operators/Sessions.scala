@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-time operators over an event log: gap-based sessionization and
+ * tumbling-window aggregation — the batch twins of the Structured
+ * Streaming surface in [[graft.streaming.Streams]].
+ */
+object Sessions {
+
+  /**
+   * Gap-based sessionization: events of one user belong to the same session
+   * while consecutive gaps are <= `gapSeconds`; a larger gap starts a new
+   * session. Emits the input keyed by (user, ordered position) plus a
+   * per-user `session_id` starting at 1.
+   *
+   * Plan shape: ONE shuffle on the user key shared by both window passes
+   * (lag + running sum over the same (user, ts) ordering) — Spark plans a
+   * single Exchange and sorts once. Gap arithmetic runs on epoch
+   * microseconds (exact integers). The `tieBreak` column makes same-
+   * timestamp ordering deterministic.
+   */
+  def sessionize(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", gapSeconds: Long = 1800,
+                 tieBreak: String = "event_id"): DataFrame = {
+    val order = Seq(col(tsCol).asc, col(tieBreak).asc)
+    val w = Window.partitionBy(userCol).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(
+      prevUs.isNull ||
+        (unix_micros(col(tsCol)) - prevUs) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_id", sum(isNew).over(run).cast("long"))
+  }
+
+  /**
+   * Tumbling event-time windows: aggregate per `window(ts, width)` x an
+   * optional dimension column. Uses Spark's native `window()` (epoch-aligned
+   * bucketing, identical to `date_trunc` for whole-day/hour widths in a UTC
+   * session) and emits the window bounds as plain timestamp columns.
+   *
+   * The aggregate set (counts, distinct users, min/max) is chosen to be
+   * exactly reproducible under any aggregation order — no floating-point
+   * sums.
+   */
+  def windowedAgg(events: DataFrame, width: String = "1 day",
+                  tsCol: String = "ts", dimCol: String = "event_type",
+                  userCol: String = "user_id",
+                  valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width).as("w"), col(dimCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col(dimCol), col("n_events"), col("n_users"),
+        col("min_value"), col("max_value"))
+}

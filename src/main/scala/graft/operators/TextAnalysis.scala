@@ -97,6 +97,56 @@ object TextAnalysis {
   }
 
   /**
+   * Top-k characteristic terms per document by tf/df weighting. The score
+   * `tf / df` ranks identically to classic tf-idf `tf * log(N/df)` for any
+   * fixed corpus size N, but stays a raw division of two integer counts —
+   * bit-identical across engines, no transcendental functions (log results
+   * can differ in the last ulp between libm implementations and flip ranks).
+   * Ties break on the term string, so top-k is fully deterministic.
+   *
+   * Scale: two hash-aggregates (doc-term counts, term document-frequency)
+   * plus one window on the doc key; the df side is a small dimension
+   * (vocabulary-sized) that Catalyst broadcasts.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+                    idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .withColumn("__t", toks)
+      .select(col(idCol), explode(col("__t")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("score", col("tf") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /**
+   * Canonical text cleaning for training corpora: lowercase, mask URLs /
+   * emails / digit runs with fixed placeholder tokens, collapse whitespace,
+   * trim. One narrow codegen'd projection; patterns restricted to the regex
+   * subset Java and RE2 interpret identically (character classes, `+`,
+   * alternation — no backrefs or lookarounds).
+   */
+  def cleanText(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col(textCol)),
+              "https?://[^ \\t\\n]+", "<url>"),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
+          "[0-9]+", "<num>"),
+        "[ \\t\\n]+", " ")).as("clean"))
+
+  /**
    * Document fingerprints: a reproducible polynomial rolling hash of the raw
    * text plus a vocabulary fingerprint (hash of the sorted distinct token
    * set) that is invariant to token order — cheap near-dup prefilter.

@@ -138,4 +138,15 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.dedupeLatest(df, "k", "ts", tieBreak = Seq("seq"))
     assert(rows(out.orderBy("k").select("seq")).flatten == Seq(3L, 4L))
   }
+
+  test("pivotCounts: declared values become columns, absent combos are 0") {
+    val df = Seq(
+      (1L, "click"), (1L, "click"), (1L, "view"),
+      (2L, "view"))
+      .toDF("user_id", "event_type")
+    val out = Relational.pivotCounts(df, "user_id", "event_type",
+      Seq("click", "view", "purchase")).orderBy("user_id")
+    assert(out.columns.toSeq == Seq("user_id", "click", "view", "purchase"))
+    assert(rows(out) == Seq(Seq(1L, 2L, 1L, 0L), Seq(2L, 0L, 1L, 0L)))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionize: gap starts a new session, per-user numbering from 1") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:10:00")), // 10 min gap -> same session
+      (3L, 10L, ts("2024-01-01 01:00:00")), // 50 min gap -> new session
+      (4L, 20L, ts("2024-01-01 05:00:00"))  // other user -> own session 1
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sessions.sessionize(ev, gapSeconds = 1800).orderBy("event_id")
+      .select("event_id", "session_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("sessionize: boundary gap exactly equal to gapSeconds stays in session") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sessions.sessionize(ev, gapSeconds = 1800)
+      .select("session_id").as[Long].collect().toSet
+    assert(out == Set(1L)) // strict > gap starts a new session
+  }
+
+  test("windowedAgg: epoch-aligned tumbling day windows, exact aggregates") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:30:00"), "click", 2.0),
+      (2L, 2L, ts("2024-01-01 23:59:59"), "click", 5.0),
+      (3L, 1L, ts("2024-01-02 00:00:00"), "click", 7.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Sessions.windowedAgg(ev, "1 day").orderBy("w_start")
+    val rs = rows(out)
+    assert(rs.size == 2)
+    assert(rs(0)(0) == ts("2024-01-01 00:00:00") && rs(0)(1) == ts("2024-01-02 00:00:00"))
+    assert(rs(0)(3) == 2L && rs(0)(4) == 2L) // n_events, n_users
+    assert(rs(0)(5) == 2.0 && rs(0)(6) == 5.0)
+    assert(rs(1)(3) == 1L)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms: rarer terms outrank frequent ones, ties break on term") {
+    // "common" appears in all 3 docs (df=3); each doc also has a unique term
+    // (df=1). Unique terms must rank first despite equal tf.
+    val docs = Seq(
+      (1L, "common alpha common"),
+      (2L, "common beta"),
+      (3L, "common gamma"))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rank"))
+    // doc 1: alpha (tf=1, df=1, score 1.0) beats common (tf=2, df=3, 0.667)
+    assert(out(0)(1) == "alpha" && out(0)(5) == 1L)
+    assert(out(1)(1) == "common" && out(1)(2) == 2L && out(1)(3) == 3L)
+    assert(out(2)(1) == "beta" && out(3)(1) == "common")
+  }
+
+  test("tfidfTopTerms: equal scores tie-break alphabetically") {
+    val docs = Seq((1L, "zebra apple")).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.tfidfTopTerms(docs, k = 2).orderBy("rank"))
+    assert(out.map(_(1)) == Seq("apple", "zebra"))
+  }
+
+  test("cleanText masks urls, emails and digit runs, collapses whitespace") {
+    val docs = Seq(
+      (1L, "  Visit https://example.com/x?a=1 or mail Bob@Example.COM now  "),
+      (2L, "room 42 costs 1234 dollars"))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.cleanText(docs).orderBy("doc_id"))
+    assert(out(0)(1) == "visit <url> or mail <email> now")
+    assert(out(1)(1) == "room <num> costs <num> dollars")
+  }
+}
