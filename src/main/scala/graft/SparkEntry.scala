@@ -58,7 +58,8 @@ object SparkEntry {
     "payload_meta", "decode_batch", "media_ops",
     "sample_stratified", "pack_sequences", "curate",
     "sessionize", "window_agg", "neardup_clusters", "tfidf_topterms",
-    "clean_text", "pivot_counts", "union_ragged", "cube_agg")
+    "clean_text", "pivot_counts", "union_ragged", "cube_agg",
+    "repetition_score", "decontaminate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -354,6 +355,16 @@ object SparkEntry {
 
     "clean_text" -> ((s, dir) =>
       TextAnalysis.cleanText(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "repetition_score" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // stand-in benchmark: the five lowest-id documents probe the corpus
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 5))
+        .orderBy("doc_id")
+    }),
 
     // ---- reshaping / multi-dim aggregation ----
     "pivot_counts" -> ((s, dir) =>
@@ -960,6 +971,38 @@ object SparkEntry {
         |    '[0-9]+', '<num>', 'g'),
         |    '[ \t\n]+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "repetition_score" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS BIGINT)
+         |    AS n_shingles,
+         |  CAST(CASE WHEN len(t) >= 3 THEN len(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) ELSE 0 END AS BIGINT)
+         |    AS n_distinct,
+         |  CASE WHEN len(t) >= 3 THEN
+         |    1.0 - CAST(len(list_distinct(list_transform(
+         |      generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+         |      / (len(t) - 2)
+         |  ELSE 0.0 END AS rep_ratio
+         |FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+         |hits AS (SELECT sh.doc_id, count(*) AS n_hits
+         |  FROM sh JOIN probe ON sh.s = probe.s GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "pivot_counts" ->
       """SELECT user_id,

@@ -223,6 +223,35 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: count, per document, the distinct word
+   * n-gram shingles it shares with a (small) probe corpus — e.g. an eval
+   * benchmark — and flag any overlap. The standard pre-training hygiene
+   * step that keeps test sets out of training data.
+   *
+   * Scale: the probe set is benchmark-sized (thousands of docs), so its
+   * distinct shingles BROADCAST and the big side never shuffles shingle
+   * strings — the only exchange is the per-doc hit count on the 8-byte id.
+   * Raw strings (not hashes) are joined deliberately: a hash collision
+   * would contaminate-flag an innocent document, and with the probe side
+   * broadcast the string join costs no shuffle volume.
+   */
+  def decontaminate(docs: DataFrame, probes: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def shingleStrings(d: DataFrame) = d
+      .withColumn("__t", TextFns.tokens(textCol))
+      .select(col(idCol), explode(array_distinct(TextFns.shingles("__t", n))).as("s"))
+    val p = shingleStrings(probes).select("s").distinct()
+    val hits = shingleStrings(docs)
+      .join(broadcast(p), "s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /**
    * Near-duplicate CLUSTERS: connected components over the near-dup pair
    * graph (default edge source: [[minhashLshPairs]]), labelling every
    * document with the smallest doc id reachable through near-dup edges —

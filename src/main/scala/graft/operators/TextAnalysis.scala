@@ -127,6 +127,27 @@ object TextAnalysis {
   }
 
   /**
+   * Intra-document repetition score — the fraction of word n-gram
+   * occurrences that are repeats of an earlier n-gram in the same document
+   * (`1 - distinct/total`), a standard corpus-quality signal for filtering
+   * boilerplate and degenerate generations. Narrow codegen'd projection;
+   * the ratio is a division of two integer counts (bit-exact).
+   */
+  def repetitionScore(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("__t", toks)
+      .withColumn("__sh", TextFns.shingles("__t", n))
+      .select(
+        col(idCol),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_distinct") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+
+  /**
    * Canonical text cleaning for training corpora: lowercase, mask URLs /
    * emails / digit runs with fixed placeholder tokens, collapse whitespace,
    * trim. One narrow codegen'd projection; patterns restricted to the regex

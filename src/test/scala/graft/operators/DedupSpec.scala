@@ -52,6 +52,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(Seq(1L, 2L)))
   }
 
+  test("decontaminate: shared shingles flag docs, clean docs pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a quick brown fox runs away"), // shares "quick brown fox"
+      (3L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val probes = Seq((99L, "quick brown fox")).toDF("doc_id", "text")
+    val out = rows(Dedup.decontaminate(docs, probes).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 1L, true), Seq(2L, 1L, true), Seq(3L, 0L, false)))
+  }
+
   test("nearDupClusters: transitive chain collapses to one min-id cluster") {
     // A~B and B~C at Jaccard 0.6, A~C at 0.33 (< 0.5): the cluster exists
     // only through transitivity; D shares nothing and stays a singleton

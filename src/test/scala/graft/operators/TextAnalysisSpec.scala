@@ -27,6 +27,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_(1)) == Seq("apple", "zebra"))
   }
 
+  test("repetitionScore: repeated 3-grams raise the ratio, short docs are 0") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // shingles: 7 total, 3 distinct
+      (2L, "all distinct words here now"), // 3 shingles, all distinct
+      (3L, "too short")) // < 3 tokens -> no shingles
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.repetitionScore(docs).orderBy("doc_id"))
+    assert(out(0) == Seq(1L, 7L, 3L, 1.0 - 3.0 / 7))
+    assert(out(1) == Seq(2L, 3L, 3L, 0.0))
+    assert(out(2) == Seq(3L, 0L, 0L, 0.0))
+  }
+
   test("cleanText masks urls, emails and digit runs, collapses whitespace") {
     val docs = Seq(
       (1L, "  Visit https://example.com/x?a=1 or mail Bob@Example.COM now  "),
