@@ -68,6 +68,41 @@ object Tables {
   }
 
   /**
+   * Overwrite load into a PARTITIONED managed table: rows land under one
+   * directory per distinct `partitionCol` value, so any query filtering on
+   * that column reads only the matching directories (partition pruning —
+   * `PartitionFilters` in the scan, zero I/O for pruned dates). The
+   * standard layout for time-series fact tables at 100 TB: the reference's
+   * `[since, to)` incremental loads become per-date directory replacements
+   * instead of full-table rewrites. Dynamic overwrite mode replaces ONLY
+   * the partitions present in `df`, leaving others untouched.
+   */
+  def loadPartitioned(df: DataFrame, table: String,
+                      partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      df.write.mode(SaveMode.Overwrite).format("parquet")
+        .partitionBy(partitionCol).saveAsTable(table)
+    } else {
+      // insertInto + dynamic mode replaces only the partitions present in
+      // df. Catalog-table inserts read the SESSION conf (the per-write
+      // option is ignored on this path), so set it for the write and
+      // restore the caller's value after.
+      // insertInto matches columns by POSITION — align to table schema.
+      val ordered = spark.table(table).schema.fieldNames.map(df.col).toSeq
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try
+        df.select(ordered: _*).write.mode(SaveMode.Overwrite).insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /**
    * Staged upsert into a managed table (reference "update" path,
    * omnichannel_to_bq.py:280-304): duplicate-staging-key guard (mirrors
    * BigQuery MERGE's error), anti-join + union plan, then write-new +

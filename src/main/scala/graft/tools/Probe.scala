@@ -1,33 +1,37 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.Dedup
-import graft.sources.Fixtures
+import graft.SparkEntry
 
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("probe")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .appName("plans")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .withExtensions(new graft.plans.GraftExtensions().apply _)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    val docs = Fixtures.table(spark, dir, "documents")
-
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"MARKER $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq("q1_agg", "q3_top_revenue", "time_range", "upsert",
+      "asof_join", "minhash_lsh", "simhash", "topk_cosine", "sessionize",
+      "tfidf_topterms")
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of headline queries (sf0.01)\n\n")
+    sb.append("Generated from `SparkEntry.queries` via `.explain(\"formatted\")`;\n")
+    sb.append("regenerate with the probe recipe in `.claude/skills/verify/SKILL.md`.\n")
+    for (n <- names) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $n\n\n```\n$plan```\n")
     }
-
-    for (run <- 1 to 3) {
-      time(s"simhash_h3_native_run$run") { Dedup.simhashPairs(docs).count() }
-    }
-    time("simhash_h7_native") { Dedup.simhashPairs(docs, maxHamming = 7).count() }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/PLANS.md"),
+      sb.toString.getBytes("UTF-8"))
+    println("MARKER plans written")
     spark.stop()
   }
 }

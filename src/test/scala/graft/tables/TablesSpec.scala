@@ -55,6 +55,27 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, "b_left"); Tables.dropTable(spark, "b_right")
   }
 
+  test("loadPartitioned: dynamic overwrite replaces only present partitions; scans prune") {
+    Tables.dropTable(spark, "t_part")
+    val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0))
+    val day2 = Seq((3L, "2024-01-02", 30.0))
+    Tables.loadPartitioned((day1 ++ day2).toDF("id", "dt", "v"), "t_part", "dt")
+    assert(spark.table("t_part").count() == 3)
+    // rewrite ONLY day2 with different rows; day1 must survive untouched
+    Tables.loadPartitioned(
+      Seq((9L, "2024-01-02", 99.0)).toDF("id", "dt", "v"), "t_part", "dt")
+    val after = rows(spark.table("t_part").orderBy("id").select("id"))
+    assert(after.flatten == Seq(1L, 2L, 9L))
+    // partition pruning: a dt filter must reach PartitionFilters, and the
+    // scan must read only the one matching partition directory
+    val q = spark.table("t_part").filter($"dt" === "2024-01-01")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("dt"),
+      s"no partition filter in scan:\n$scan")
+    assert(q.count() == 2)
+    Tables.dropTable(spark, "t_part")
+  }
+
   test("upsertIntoTable rejects duplicate staging keys") {
     Tables.dropTable(spark, "t_dup")
     Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_dup")
