@@ -76,4 +76,55 @@ object PropertyLaws extends Properties("graft") {
         Normalize.normalize(frame(rows.reverse)), tieBreak = Seq("user_id", "note"))
       a.collect().toSeq == b.collect().toSeq
     }
+
+  private val messyText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.const("word"), Gen.const("WORD"), Gen.const("42"),
+    Gen.const("https://x.io/a?b=1"), Gen.const("a@b.co"),
+    Gen.const("  "), Gen.alphaNumStr.map(_.take(6))))
+    .map(_.mkString(" "))
+
+  property("cleanText is idempotent") =
+    forAll(Gen.listOfN(4, messyText)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.operators.TextAnalysis.cleanText(docs)
+      val twice = graft.operators.TextAnalysis.cleanText(
+        once.withColumnRenamed("clean", "text"))
+      once.orderBy("doc_id").collect().toSeq ==
+        twice.orderBy("doc_id").collect().toSeq
+    }
+
+  property("repetitionScore: 0 <= ratio < 1 and distinct <= total") =
+    forAll(Gen.listOfN(4, messyText)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      graft.operators.TextAnalysis.repetitionScore(docs).collect().forall { r =>
+        val (tot, dis, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        dis <= tot && ratio >= 0.0 && ratio < 1.0 &&
+          (tot > 0 || ratio == 0.0)
+      }
+    }
+
+  property("sessionize: per-user ids start at 1 and step by at most 1") =
+    forAll(Gen.listOf(for {
+      u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 100000L)
+    } yield (u, t))) { evs =>
+      import spark.implicits._
+      val df = evs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, new java.sql.Timestamp(t * 1000L))
+      }.toDF("event_id", "user_id", "ts")
+      val out = graft.operators.Sessions.sessionize(df, gapSeconds = 600)
+        .select("user_id", "ts", "event_id", "session_id")
+        .collect().map(r => (r.getLong(0), (r.getTimestamp(1).getTime,
+          r.getLong(2)), r.getLong(3)))
+      out.groupBy(_._1).values.forall { g =>
+        val ids = g.sortBy(_._2).map(_._3).toSeq
+        ids.headOption.forall(_ == 1L) &&
+          ids.sliding(2).forall {
+            case Seq(a, b) => b == a || b == a + 1; case _ => true
+          }
+      }
+    }
 }
