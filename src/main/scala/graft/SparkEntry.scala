@@ -53,7 +53,8 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
-    "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
+    "exact_dedup", "ngram_jaccard", "ngram_jaccard_capped",
+    "minhash_lsh", "simhash",
     "topk_cosine", "hyperplane_ann", "ivf_topk", "quantize_int8",
     "payload_meta", "decode_batch", "media_ops",
     "sample_stratified", "pack_sequences", "curate",
@@ -228,6 +229,14 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
+
+    // the 100 TB production path: shingles seen in > 20 documents are
+    // excluded from CANDIDATE GENERATION (the df² join-volume driver) while
+    // Jaccard denominators stay pre-cap — recall-only tradeoff, and the
+    // oracle models the cap exactly
+    "ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5,
+        maxShingleDF = Some(20)).orderBy("doc_a", "doc_b")),
 
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 128,
@@ -698,6 +707,29 @@ object SparkEntry {
     "ngram_jaccard" -> jaccardPairsSql,
     "minhash_lsh"   -> jaccardPairsSql,
     "simhash"       -> simhashSql,
+
+    // capped variant: candidates only from shingles with df <= 20, but the
+    // Jaccard denominator uses PRE-CAP set sizes (matches
+    // Dedup.ngramJaccardPairs cap semantics — precision preserved, recall
+    // traded)
+    "ngram_jaccard_capped" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |dfreq AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+         |capped AS (SELECT sh.doc_id, sh.s FROM sh
+         |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.c <= 20),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON inter.doc_a = sa.doc_id
+         |JOIN sizes sb ON inter.doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "embedding_near_dup" ->
       s"""WITH n AS (SELECT vec_id, embedding,

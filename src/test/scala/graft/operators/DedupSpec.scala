@@ -52,6 +52,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(Seq(1L, 2L)))
   }
 
+  test("ngramJaccardPairs cap: prunes candidates via stop-shingles, keeps pre-cap denominators") {
+    // 30 filler docs all contain the stop-shingle "x y z" (df = 32), which
+    // is also 1 of the 4 shingles shared by near-dup docs A and B
+    val fillers = (100L until 130L).map(i => (i, s"x y z u$i"))
+    val docs = (fillers ++ Seq(
+      (1L, "x y z a b c d"), // shingles: xyz yza zab abc bcd
+      (2L, "x y z a b c e")  // shingles: xyz yza zab abc bce
+    )).toDF("doc_id", "text")
+    // exact: i=4, sizes 5+5 -> 4/6 = 0.667 >= 0.5
+    assert(rows(Dedup.ngramJaccardPairs(docs)) == Seq(Seq(1L, 2L)))
+    // cap=10 excludes "x y z" from candidates: i=3 but denominator stays
+    // pre-cap (5+5-3=7) -> 0.43 < 0.5 -> recall traded, no false positive
+    assert(rows(Dedup.ngramJaccardPairs(docs, maxShingleDF = Some(10))).isEmpty)
+    // cap=50 keeps it: identical to exact
+    assert(rows(Dedup.ngramJaccardPairs(docs, maxShingleDF = Some(50)))
+      == Seq(Seq(1L, 2L)))
+  }
+
   test("decontaminate: shared shingles flag docs, clean docs pass") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),
