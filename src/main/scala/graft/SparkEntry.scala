@@ -60,7 +60,7 @@ object SparkEntry {
     "sample_stratified", "pack_sequences", "curate",
     "sessionize", "window_agg", "neardup_clusters", "tfidf_topterms",
     "clean_text", "pivot_counts", "union_ragged", "cube_agg",
-    "repetition_score", "decontaminate")
+    "repetition_score", "decontaminate", "train_val_split", "top_ngrams")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -345,6 +345,13 @@ object SparkEntry {
     "curate" -> ((s, dir) =>
       Curation.curate(t(s, dir, "documents"), minTokens = 10,
         maxTokens = 2000, minAlphaRatio = 0.5).orderBy("doc_id")),
+
+    "train_val_split" -> ((s, dir) =>
+      Curation.trainValSplit(t(s, dir, "documents"), valPct = 10)
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    "top_ngrams" -> ((s, dir) =>
+      Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
 
     // ---- event-time analytics (events) ----
     "sessionize" -> ((s, dir) =>
@@ -909,6 +916,21 @@ object SparkEntry {
          |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
          |  FROM documents)
          |WHERE h < rate ORDER BY doc_id""".stripMargin,
+
+    "train_val_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |    % 100 < 10 THEN 'val' ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "top_ngrams" ->
+      s"""SELECT s AS ngram, count(*) AS df
+         |FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |  WHERE len(t) >= 3)
+         |GROUP BY s ORDER BY df DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "pack_sequences" ->
       s"""SELECT source, doc_id, n_tokens,

@@ -54,6 +54,38 @@ object Curation {
   }
 
   /**
+   * Deterministic train/validation split by reproducible id hash: a
+   * document's assignment never changes with cluster size, run, engine,
+   * or corpus growth (new docs don't reshuffle old assignments — the
+   * property a seeded `randomSplit` does NOT have). `valPct` percent of
+   * the hash space goes to "val", the rest to "train". One narrow
+   * projection.
+   */
+  def trainValSplit(docs: DataFrame, valPct: Int = 10,
+                    idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("split",
+      when(
+        expr(s"graft_poly_hash(CAST($idCol AS STRING), 31, 1000000007) % 100")
+          < valPct, lit("val"))
+        .otherwise(lit("train")))
+
+  /**
+   * Top-k corpus n-grams by document frequency — the corpus-level
+   * vocabulary report (boilerplate detection, stop-shingle candidates for
+   * [[Dedup.ngramJaccardPairs]]'s DF cap). Ties break on the n-gram
+   * string, so top-k is deterministic. One hash-aggregate over exploded
+   * distinct-per-doc shingles + a global top-k (TakeOrderedAndProject).
+   */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__t", TextFns.tokens(textCol))
+      .select(explode(array_distinct(TextFns.shingles("__t", n))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(k)
+
+  /**
    * Composed curation pass: drop exact duplicates (keep the lowest id per
    * text), keep documents inside a token-count band with enough alphabetic
    * content. The shape of a real intake filter: one dedup aggregate plus

@@ -45,4 +45,28 @@ class CurationSpec extends SparkSpec {
       minAlphaRatio = 0.5).orderBy("doc_id"))
     assert(out.map(_(0)) == Seq(1L, 5L))
   }
+
+  test("trainValSplit: stable under corpus growth, roughly valPct sized") {
+    val small = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val big = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sSmall = Curation.trainValSplit(small, valPct = 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val sBig = Curation.trainValSplit(big, valPct = 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // adding documents never reassigns existing ones
+    assert(sSmall.forall { case (id, sp) => sBig(id) == sp })
+    val nVal = sBig.values.count(_ == "val")
+    assert(nVal > 10 && nVal < 90, s"val fraction off: $nVal/400")
+  }
+
+  test("topNgrams: df-ranked with alphabetical ties, distinct per doc") {
+    val docs = Seq(
+      (1L, "a b c a b c"),     // "a b c" counted once for this doc
+      (2L, "a b c x y z"),
+      (3L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val out = rows(Curation.topNgrams(docs, n = 3, k = 3))
+    assert(out(0)(0) == "a b c" && out(0)(1) == 2L) // df=2, ties: "a b c" < "x y z"
+    assert(out(1)(0) == "x y z" && out(1)(1) == 2L)
+  }
 }
