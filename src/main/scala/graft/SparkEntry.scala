@@ -60,7 +60,8 @@ object SparkEntry {
     "sample_stratified", "pack_sequences", "curate",
     "sessionize", "window_agg", "neardup_clusters", "tfidf_topterms",
     "clean_text", "pivot_counts", "union_ragged", "cube_agg",
-    "repetition_score", "decontaminate", "train_val_split", "top_ngrams")
+    "repetition_score", "decontaminate", "train_val_split", "top_ngrams",
+    "rolling_counts", "interval_overlap")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -360,6 +361,22 @@ object SparkEntry {
     "window_agg" -> ((s, dir) =>
       Sessions.windowedAgg(t(s, dir, "events"), "1 day")
         .orderBy("w_start", "event_type")),
+
+    "rolling_counts" -> ((s, dir) =>
+      Sessions.rollingCounts(t(s, dir, "events"), windowSeconds = 86400)
+        .orderBy("event_id")),
+
+    "interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def intervals(tpe: String, idAs: String, sAs: String, eAs: String) =
+        ev.filter(col("event_type") === tpe && col("event_id") % 20 === 0)
+          .select(col("event_id").as(idAs), col("ts").as(sAs),
+            expr("ts + INTERVAL 6 HOURS").as(eAs))
+      Relational.intervalOverlapJoin(
+        intervals("signup", "a_id", "a_start", "a_end"), "a_start", "a_end",
+        intervals("purchase", "b_id", "b_start", "b_end"), "b_start", "b_end")
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
 
     // ---- dedup clustering / text ops (documents) ----
     "neardup_clusters" -> ((s, dir) =>
@@ -985,6 +1002,24 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY w_start, event_type""".stripMargin,
+
+    // epoch_us floor-division matches Spark unix_timestamp's truncation
+    "rolling_counts" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |  CAST(count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) // 1000000
+        |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_trailing
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "interval_overlap" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT event_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+        |      FROM events WHERE event_type = 'signup' AND event_id % 20 = 0) a
+        |JOIN (SELECT event_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+        |      FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0) b
+        |  ON a.s < b.e AND b.s < a.e
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // connected components over the near-dup pair graph: transitive closure
     // via recursive CTE, cluster id = min reachable doc id

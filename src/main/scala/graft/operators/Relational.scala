@@ -138,6 +138,33 @@ object Relational {
   }
 
   /**
+   * Interval OVERLAP join (both sides are intervals, no equi key): pairs
+   * where `[aStart, aEnd)` and `[bStart, bEnd)` intersect. Same coarse
+   * time-bucket scheme as [[rangeJoin]]: each interval explodes over the
+   * buckets it covers, the join runs as an equi-join on the bucket with
+   * the exact overlap refinement, and double-counting across shared
+   * buckets is removed by keeping each pair only in the FIRST bucket both
+   * cover (max of the two start buckets) — dedup by arithmetic, not a
+   * `distinct` shuffle.
+   */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          bucketSeconds: Long = 21600): DataFrame = {
+    def bucketed(df: DataFrame, s: String, e: String, tag: String) =
+      df.withColumn(s"__b0_$tag",
+          (unix_timestamp(col(s)) / bucketSeconds).cast("long"))
+        .withColumn("__bucket", explode(expr(
+          s"sequence(CAST(unix_timestamp($s) / $bucketSeconds AS BIGINT), " +
+          s"CAST(unix_timestamp($e - INTERVAL 1 MICROSECOND) / $bucketSeconds AS BIGINT))")))
+    val aB = bucketed(a, aStart, aEnd, "a")
+    val bB = bucketed(b, bStart, bEnd, "b")
+    aB.join(bB, Seq("__bucket"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bucket") === greatest(col("__b0_a"), col("__b0_b")))
+      .drop("__bucket", "__b0_a", "__b0_b")
+  }
+
+  /**
    * Column-preserving upsert — exact BigQuery-MERGE semantics on ragged
    * schemas (reference: omnichannel_to_bq.py:167-191 SETs only the staging
    * schema's columns): matched main rows take ALL staging column values

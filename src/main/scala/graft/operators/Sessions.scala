@@ -39,6 +39,24 @@ object Sessions {
   }
 
   /**
+   * Rolling (sliding, per-row) time-range aggregate: for every event, the
+   * count of events by the same key in the trailing `windowSeconds`
+   * (inclusive of the current row's timestamp). A RANGE-frame window over
+   * epoch seconds — one shuffle on the key, no self-join, no interval
+   * explosion; the canonical "activity in the last N days" feature.
+   */
+  def rollingCounts(events: DataFrame, windowSeconds: Long = 604800,
+                    keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__sec"))
+      .rangeBetween(-windowSeconds, Window.currentRow)
+    events
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("n_trailing", count(lit(1)).over(w).cast("long"))
+      .drop("__sec")
+  }
+
+  /**
    * Tumbling event-time windows: aggregate per `window(ts, width)` x an
    * optional dimension column. Uses Spark's native `window()` (epoch-aligned
    * bucketing, identical to `date_trunc` for whole-day/hour widths in a UTC

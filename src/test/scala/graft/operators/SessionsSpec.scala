@@ -33,6 +33,38 @@ class SessionsSpec extends SparkSpec {
     assert(out == Set(1L)) // strict > gap starts a new session
   }
 
+  test("rollingCounts: trailing range window includes boundary, excludes older") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 00:30:00")), // 30 min later
+      (3L, 7L, ts("2024-01-01 02:00:00")), // 2h after first
+      (4L, 8L, ts("2024-01-01 00:10:00"))  // other user
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sessions.rollingCounts(ev, windowSeconds = 3600)
+      .select("event_id", "n_trailing").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L)
+    assert(out(2L) == 2L) // events 1+2 within the hour
+    assert(out(3L) == 1L) // event 2 is 90 min back -> out of range; only self
+    assert(out(4L) == 1L)
+  }
+
+  test("intervalOverlapJoin: overlap semantics, no double-count across buckets") {
+    import graft.operators.Relational
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 10:00:00")), // spans buckets
+      (2L, ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq(
+      (10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00")), // overlaps 1
+      (11L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // touches 1's end: no overlap (half-open)
+      (12L, ts("2024-01-02 00:30:00"), ts("2024-01-02 02:00:00"))) // overlaps 2
+      .toDF("b_id", "b_start", "b_end")
+    val out = Relational.intervalOverlapJoin(a, "a_start", "a_end",
+      b, "b_start", "b_end", bucketSeconds = 3600)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 12L)))
+  }
+
   test("windowedAgg: epoch-aligned tumbling day windows, exact aggregates") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 00:30:00"), "click", 2.0),
