@@ -104,6 +104,31 @@ object Streams {
   }
 
   /**
+   * Watermarked STREAM-STREAM interval join: each left event picks up the
+   * right-side events for its key from the trailing `windowSeconds`
+   * (`left.ts - window <= right.ts <= left.ts`) — e.g. purchases enriched
+   * with same-user signups of the last day, both sides unbounded streams.
+   *
+   * The explicit time bound is what makes this executable at scale: with
+   * both sides watermarked, the state store only retains right rows until
+   * the left watermark passes `right.ts + windowSeconds` (and vice versa),
+   * so state is bounded by rate x window, not by stream length.
+   *
+   * Precondition: right columns must not collide with left column names
+   * (rename before calling — same contract as [[Relational.asofJoin]]).
+   */
+  def intervalJoinStream(left: DataFrame, lKey: String, lTs: String,
+                         right: DataFrame, rKey: String, rTs: String,
+                         windowSeconds: Long,
+                         watermark: String = "10 seconds"): DataFrame =
+    left.withWatermark(lTs, watermark)
+      .join(right.withWatermark(rTs, watermark),
+        col(lKey) === col(rKey) &&
+          col(rTs) >= col(lTs) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+          col(rTs) <= col(lTs))
+      .drop(rKey)
+
+  /**
    * Streaming upsert sink: each micro-batch is deduped to its latest row
    * per key (micro-batches can carry several updates for one key) and
    * merged into the managed table with the batch upsert — exactly-once per

@@ -72,6 +72,29 @@ class StreamsSpec extends SparkSpec {
     Tables.dropTable(spark, "stream_up")
   }
 
+  test("intervalJoinStream: joins within the trailing window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val signups = MemoryStream[(Long, Timestamp)]
+    val out = Streams.intervalJoinStream(
+      purchases.toDF().toDF("purchase_id", "user_id", "ts"), "user_id", "ts",
+      signups.toDF().toDF("su_user", "su_ts"), "su_user", "su_ts",
+      windowSeconds = 3600)
+    val q = out.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      signups.addData((7L, ts("2024-01-01 00:00:00")),
+        (8L, ts("2024-01-01 00:00:00")))
+      purchases.addData(
+        (100L, 7L, ts("2024-01-01 00:30:00")), // 30 min after signup: joins
+        (101L, 7L, ts("2024-01-01 02:00:00")), // 2h after: outside window
+        (102L, 9L, ts("2024-01-01 00:10:00"))) // no signup for user 9
+      q.processAllAvailable()
+      val got = rows(spark.table("ij").select("purchase_id", "su_ts"))
+      assert(got == Seq(Seq(100L, ts("2024-01-01 00:00:00"))))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, batch emits closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
