@@ -61,7 +61,7 @@ object SparkEntry {
     "sessionize", "window_agg", "neardup_clusters", "tfidf_topterms",
     "clean_text", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "top_ngrams",
-    "rolling_counts", "interval_overlap")
+    "rolling_counts", "interval_overlap", "distinct_estimate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -353,6 +353,21 @@ object SparkEntry {
 
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
+
+    "distinct_estimate" -> ((s, dir) => {
+      // KMV sketch (typed Aggregator, k=64) vs the exact distinct count,
+      // per source — the UDAF surface with a deterministic, oracle-
+      // checkable sketch (k smallest reproducible hashes)
+      val kmv = graft.functions.KmvSketch.udaf(64)
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFns.tokens("text")).as("tok"))
+        .select(col("source"), graft.functions.TextFns.polyHash("tok").as("h"))
+        .groupBy("source")
+        .agg(kmv(col("h")).as("kmv_estimate"),
+          countDistinct(col("h")).as("n_exact"))
+        .orderBy("source")
+    }),
 
     // ---- event-time analytics (events) ----
     "sessionize" -> ((s, dir) =>
@@ -939,6 +954,24 @@ object SparkEntry {
          |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
          |    % 100 < 10 THEN 'val' ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // KMV: the k-th smallest of the same reproducible hashes gives the
+    // same estimate the Aggregator computes — (k-1)*mod/h_k, exact below k
+    "distinct_estimate" ->
+      s"""WITH h AS (SELECT DISTINCT source,
+         |    ${duckPolyFragment("tok", 31, 1000000007L)} AS h
+         |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+         |r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM h),
+         |agg AS (SELECT source, count(*) AS nd,
+         |    max(CASE WHEN rn <= 64 THEN h END) AS kth
+         |  FROM r GROUP BY source)
+         |SELECT source,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE 63.0 * 1000000007 / kth END AS kmv_estimate,
+         |  nd AS n_exact
+         |FROM agg ORDER BY source""".stripMargin,
 
     "top_ngrams" ->
       s"""SELECT s AS ngram, count(*) AS df
