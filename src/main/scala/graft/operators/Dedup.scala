@@ -88,8 +88,12 @@ object Dedup {
         sh0.join(df.select("sh"), "sh")
       case None => sh0
     }
-    // true set sizes (pre-cap): the denominator must not shrink with the cap
-    val sizes = shingleSets(docs, idCol, n, textCol).select(col(idCol), col("sz"))
+    // true set sizes (pre-cap): the denominator must not shrink with the
+    // cap. A plain count over the (already distinct) shingle rows — no
+    // collect_set array build; this operator never needs the sets
+    // themselves (intersections come from the self-join counts).
+    val sizes = docShingles(docs, idCol, n, textCol)
+      .groupBy(idCol).agg(count(lit(1)).as("sz"))
     val left  = sh.select(col(idCol).as("a"), col("sh"))
     val right = sh.select(col(idCol).as("b"), col("sh"))
     left.join(right, "sh")
