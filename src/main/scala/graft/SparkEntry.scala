@@ -61,7 +61,8 @@ object SparkEntry {
     "sessionize", "window_agg", "neardup_clusters", "tfidf_topterms",
     "clean_text", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "top_ngrams",
-    "rolling_counts", "interval_overlap", "distinct_estimate")
+    "rolling_counts", "interval_overlap", "distinct_estimate",
+    "intake_pipeline")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -353,6 +354,9 @@ object SparkEntry {
 
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
+
+    "intake_pipeline" -> ((s, dir) =>
+      Curation.intakePipeline(t(s, dir, "documents")).orderBy("doc_id")),
 
     "distinct_estimate" -> ((s, dir) => {
       // KMV sketch (typed Aggregator, k=64) vs the exact distinct count,
@@ -954,6 +958,38 @@ object SparkEntry {
          |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
          |    % 100 < 10 THEN 'val' ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the whole intake chain recomputed: exact-dedup + quality band, then
+    // 3-gram Jaccard pairs over the curated set (greedy higher-id drop),
+    // then the reproducible split
+    "intake_pipeline" ->
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |tk AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |cur AS (SELECT tk.doc_id, tk.text, tk.n_tokens FROM tk
+         |  JOIN keepers ON tk.doc_id = keepers.doc_id
+         |  WHERE n_tokens BETWEEN 10 AND 2000
+         |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1) >= 0.5),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM cur),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON inter.doc_a = sa.doc_id
+         |  JOIN sizes sb ON inter.doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |    % 100 < 10 THEN 'val' ELSE 'train' END AS split
+         |FROM cur
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
 
     // KMV: the k-th smallest of the same reproducible hashes gives the
     // same estimate the Aggregator computes — (k-1)*mod/h_k, exact below k

@@ -86,6 +86,33 @@ object Curation {
       .limit(k)
 
   /**
+   * End-to-end intake pipeline — the full pre-training document intake as
+   * ONE composed plan: exact dedup (keep lowest id per text) + quality
+   * band ([[curate]]), then greedy near-dup removal (every verified
+   * MinHash pair drops its higher id — the standard one-pass policy; use
+   * [[graft.operators.Dedup.nearDupClusters]] when transitive cluster
+   * membership matters), then the reproducible train/val split.
+   * Emits (doc_id, n_tokens, split) for surviving documents.
+   *
+   * Scale: strictly the union of its parts — one dedup aggregate, narrow
+   * quality predicates, O(n) banded candidates + verification on the
+   * already-curated survivor set (run the expensive near-dup stage on the
+   * smallest frame), one anti-join, one narrow split projection.
+   */
+  def intakePipeline(docs: DataFrame, minTokens: Int = 10,
+                     maxTokens: Int = 2000, minAlphaRatio: Double = 0.5,
+                     valPct: Int = 10, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val curated = curate(docs, minTokens, maxTokens, minAlphaRatio, idCol, textCol)
+    val kept = docs.join(curated.select(idCol), idCol)
+    val pairs = Dedup.minhashLshPairs(kept, idCol = idCol, textCol = textCol)
+    val survivors = curated.join(
+      pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    trainValSplit(survivors, valPct, idCol)
+      .select(col(idCol), col("n_tokens"), col("split"))
+  }
+
+  /**
    * Composed curation pass: drop exact duplicates (keep the lowest id per
    * text), keep documents inside a token-count band with enough alphabetic
    * content. The shape of a real intake filter: one dedup aggregate plus

@@ -59,6 +59,20 @@ class CurationSpec extends SparkSpec {
     assert(nVal > 10 && nVal < 90, s"val fraction off: $nVal/400")
   }
 
+  test("intakePipeline: dedups, filters, drops higher near-dup ids, splits") {
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),              // exact dup of 1 -> dropped
+      (3L, base + " extra"),   // near-dup of 1 (high jaccard) -> higher id dropped
+      (4L, "too short"),       // quality-dropped
+      (5L, "many plain english words fill this document nicely for the test"))
+      .toDF("doc_id", "text")
+    val out = rows(Curation.intakePipeline(docs).orderBy("doc_id"))
+    assert(out.map(_(0)) == Seq(1L, 5L))
+    assert(out.forall(r => r(2) == "train" || r(2) == "val"))
+  }
+
   test("topNgrams: df-ranked with alphabetical ties, distinct per doc") {
     val docs = Seq(
       (1L, "a b c a b c"),     // "a b c" counted once for this doc
