@@ -50,6 +50,7 @@ object SparkEntry {
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "range_join", "profile_events", "value_percentiles",
+    "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "quality_score", "lang_id", "fingerprint",
@@ -299,6 +300,30 @@ object SparkEntry {
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
     }),
+
+    "rank_stats" -> ((s, dir) => {
+      // the full ranking-function family over a deterministic total order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_id") % 50 === 0) // small, stable sample
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .orderBy("event_id")
+    }),
+
+    "group_concat" -> ((s, dir) =>
+      // collection aggregate: per user, the sorted distinct event types
+      // as one string (deterministic regardless of aggregation order)
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+          .as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")),
 
     "value_percentiles" -> ((s, dir) =>
       // discrete percentiles (actual data values, no interpolation — the
@@ -904,6 +929,23 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value,
         |  min(ts) AS min_ts, max(ts) AS max_ts
         |FROM events""".stripMargin,
+
+    "rank_stats" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WHERE event_id % 50 = 0
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "group_concat" ->
+      """SELECT user_id,
+        |  COALESCE(string_agg(DISTINCT event_type, ',' ORDER BY event_type), '')
+        |    AS types,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "value_percentiles" ->
       """SELECT event_type,
