@@ -263,14 +263,16 @@ object Dedup {
    * dedup output into actionable keep/drop groups ("keep min id per
    * cluster") in a training-data pipeline.
    *
-   * Algorithm: iterative min-label propagation (the standard distributed
-   * connected-components scheme — each round every vertex takes the min of
-   * its own label and its neighbours' labels) until a fixpoint. Rounds
-   * needed = component diameter; near-dup clusters are near-cliques, so
-   * 2-4 rounds in practice. Each round is one shuffle on the edge key plus
-   * one on the vertex key; `localCheckpoint` truncates the growing lineage
-   * so round N+1 does not replan rounds 1..N. The fixpoint is unique, so
-   * the result is deterministic regardless of how many rounds it took.
+   * Algorithm: iterative min-label propagation (each round every vertex
+   * takes the min of its own label and its neighbours' labels) PLUS a
+   * pointer-jumping step (`label <- label(label)`) that halves the
+   * remaining chain depth — the standard accelerated distributed CC, so
+   * rounds needed are O(log diameter) instead of O(diameter); worst-case
+   * path-shaped components converge in ~log2(n) rounds, near-clique dup
+   * clusters in 1-2. Each round shuffles once on the edge key and twice
+   * on the vertex key; `localCheckpoint` truncates the growing lineage so
+   * round N+1 does not replan rounds 1..N. The fixpoint is unique, so the
+   * result is deterministic regardless of how many rounds it took.
    */
   def nearDupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.5,
@@ -288,10 +290,18 @@ object Dedup {
       val nbrMin = edges
         .join(cur.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min("nl").as("nbr_min"))
-      val next = cur
+      val stepped = cur
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jumping: follow the label one hop (labels always point at
+      // ids <= self, so label(label) <= label and monotonicity holds)
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+          stepped("label") === col("jid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("jlabel"), stepped("label")))
+            .as("label"))
         .localCheckpoint(true)
       converged = next.join(cur.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).isEmpty

@@ -83,16 +83,19 @@ class DedupSpec extends SparkSpec {
   }
 
   test("nearDupClusters: transitive chain collapses to one min-id cluster") {
-    // A~B and B~C at Jaccard 0.6, A~C at 0.33 (< 0.5): the cluster exists
-    // only through transitivity; D shares nothing and stays a singleton
-    val w = (1 to 14).map(i => s"tok$i")
+    // a 4-deep chain: doc i near-dups only doc i±1 (Jaccard 0.6 between
+    // neighbours, 0.33 for skips) — the cluster exists only through
+    // transitivity and exercises the pointer-jumping rounds; doc 5 shares
+    // nothing and stays a singleton
+    val w = (1 to 16).map(i => s"tok$i")
     val docs = Seq(
       (1L, w.slice(0, 10).mkString(" ")),
       (2L, w.slice(2, 12).mkString(" ")),
       (3L, w.slice(4, 14).mkString(" ")),
-      (4L, "completely different words here entirely"))
+      (4L, w.slice(6, 16).mkString(" ")),
+      (5L, "completely different words here entirely"))
       .toDF("doc_id", "text")
     val out = rows(Dedup.nearDupClusters(docs).orderBy("doc_id"))
-    assert(out == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 4L)))
+    assert(out == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L), Seq(5L, 5L)))
   }
 }
