@@ -107,6 +107,52 @@ object PropertyLaws extends Properties("graft") {
       }
     }
 
+  property("intervalOverlapJoin = naive cross-join filter (bucket dedup exact)") =
+    forAll(
+      Gen.listOfN(8, for {
+        id <- Gen.choose(0L, 1000L); s <- Gen.choose(0L, 48L); len <- Gen.choose(1L, 20L)
+      } yield (id, s, s + len)),
+      Gen.listOfN(8, for {
+        id <- Gen.choose(0L, 1000L); s <- Gen.choose(0L, 48L); len <- Gen.choose(1L, 20L)
+      } yield (id, s, s + len))) { (as, bs) =>
+      import spark.implicits._
+      def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+      val a = as.zipWithIndex.map { case ((_, s, e), i) => (i.toLong, ts(s), ts(e)) }
+        .toDF("a_id", "a_start", "a_end")
+      val b = bs.zipWithIndex.map { case ((_, s, e), i) => (i.toLong, ts(s), ts(e)) }
+        .toDF("b_id", "b_start", "b_end")
+      val bucketed = Relational.intervalOverlapJoin(a, "a_start", "a_end",
+        b, "b_start", "b_end", bucketSeconds = 7200)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val naive = a.crossJoin(b)
+        .filter($"a_start" < $"b_end" && $"b_start" < $"a_end")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      bucketed == naive
+    }
+
+  property("asofJoin picks the latest right row at or before each left ts") =
+    forAll(
+      Gen.listOfN(6, for { k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 50L) } yield (k, t)),
+      Gen.listOfN(6, for { k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 50L) } yield (k, t))) {
+      (ls, rs) =>
+        import spark.implicits._
+        def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+        val rsu = rs.distinct // right must be unique per (key, ts)
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+          .toDF("lid", "k", "ts")
+        val right = rsu.map { case (k, t) => (k, ts(t), t) }
+          .toDF("k", "ts", "rval")
+        val got = Relational.asofJoin(left, right, "k", "ts")
+          .select("lid", "rval").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        ls.zipWithIndex.forall { case ((k, t), i) =>
+          val expect = rsu.filter(r => r._1 == k && r._2 <= t)
+            .map(_._2).sorted.lastOption
+          got(i.toLong) == expect
+        }
+    }
+
   property("sessionize: per-user ids start at 1 and step by at most 1") =
     forAll(Gen.listOf(for {
       u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 100000L)
