@@ -30,7 +30,7 @@ object Main {
                     key: String = "id", staging: String = "",
                     since: Option[String] = None, to: Option[String] = None,
                     tsCol: String = "created_at", preview: Boolean = false,
-                    objKey: String = "deals")
+                    objKey: String = "deals", partitionByDate: Boolean = false)
 
   /** ISO input parsing at the app boundary (reference get_iso_from_input,
    * omnichannel_to_bq.py:15-26): accepts `yyyy-MM-dd` or
@@ -60,6 +60,8 @@ object Main {
       case "--ts-col" :: v :: t  => c = c.copy(tsCol = v.trim); rest = t
       case "--obj-key" :: v :: t => c = c.copy(objKey = v.trim); rest = t
       case "--preview" :: t      => c = c.copy(preview = true); rest = t
+      case "--partition-by-date" :: t =>
+        c = c.copy(partitionByDate = true); rest = t
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
       case Nil => ()
@@ -113,7 +115,14 @@ object Main {
     if (c.preview) df.show(5, truncate = false)
     c.action match {
       case "load" =>
-        Tables.loadOverwrite(df, c.table)
+        if (c.partitionByDate && df.columns.contains(c.tsCol)) {
+          // date-partitioned lakehouse layout: later [since, to) loads
+          // replace only the dates present in the batch (dynamic
+          // overwrite) and dt filters prune at the scan
+          val dt = org.apache.spark.sql.functions
+            .substring(org.apache.spark.sql.functions.col(c.tsCol), 1, 10)
+          Tables.loadPartitioned(df.withColumn("dt", dt), c.table, "dt")
+        } else Tables.loadOverwrite(df, c.table)
         spark.table(c.table).count()
       case "upsert" =>
         // reference update path: stage, merge, drop staging even on failure

@@ -53,6 +53,25 @@ class MainSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("app_empty"))
   }
 
+  test("load path with --partition-by-date lands a pruned dt layout") {
+    Tables.dropTable(spark, "app_part")
+    val n = Main.run(spark, Main.Config(action = "load",
+      input = s"$sf/events.parquet", table = "app_part", tsCol = "ts",
+      partitionByDate = true))
+    assert(n == 1000L)
+    val q = spark.table("app_part").filter(spark.table("app_part")("dt") === "2024-01-10")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("dt"))
+    assert(q.count() > 0)
+    // incremental re-load of one day replaces only that day's partition
+    val n2 = Main.run(spark, Main.Config(action = "load",
+      input = s"$sf/events.parquet", table = "app_part", tsCol = "ts",
+      since = Some("2024-01-10 00:00:00"), to = Some("2024-01-11 00:00:00"),
+      partitionByDate = true))
+    assert(n2 == 1000L) // same data for that day -> total unchanged
+    Tables.dropTable(spark, "app_part")
+  }
+
   test("upsert path from JSON pages: staging created, merged, dropped") {
     Tables.dropTable(spark, "app_up")
     val dir = Files.createTempDirectory("app-pages")
