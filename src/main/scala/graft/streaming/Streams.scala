@@ -104,6 +104,19 @@ object Streams {
   }
 
   /**
+   * Watermarked streaming deduplication: drop re-deliveries of the same
+   * key (e.g. at-least-once sources re-emitting event ids). State holds
+   * one entry per key seen within the watermark horizon and is evicted
+   * as event time advances — bounded by rate x watermark, the only way
+   * exactly-once-per-key dedup works on an unbounded stream.
+   */
+  def dedupStream(stream: DataFrame, keyCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /**
    * Watermarked STREAM-STREAM interval join: each left event picks up the
    * right-side events for its key from the trailing `windowSeconds`
    * (`left.ts - window <= right.ts <= left.ts`) — e.g. purchases enriched

@@ -72,6 +72,26 @@ class StreamsSpec extends SparkSpec {
     Tables.dropTable(spark, "stream_up")
   }
 
+  test("dedupStream: re-delivered keys are dropped across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = Streams.dedupStream(
+      mem.toDF().toDF("event_id", "ts", "v"), "event_id", "ts")
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00"), "a"),
+        (1L, ts("2024-01-01 00:00:01"), "a-dup-same-batch"),
+        (2L, ts("2024-01-01 00:00:02"), "b"))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 00:00:03"), "a-dup-next-batch"),
+        (3L, ts("2024-01-01 00:00:04"), "c"))
+      q.processAllAvailable()
+      val got = rows(spark.table("dd").select("event_id", "v").orderBy("event_id"))
+      assert(got == Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: joins within the trailing window only") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Timestamp)]
