@@ -59,7 +59,8 @@ object SparkEntry {
     "topk_cosine", "hyperplane_ann", "ivf_topk", "quantize_int8",
     "payload_meta", "decode_batch", "media_ops",
     "sample_stratified", "pack_sequences", "curate",
-    "sessionize", "window_agg", "neardup_clusters", "tfidf_topterms",
+    "sessionize", "window_agg", "sliding_window",
+    "neardup_clusters", "tfidf_topterms",
     "clean_text", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "top_ngrams",
     "rolling_counts", "interval_overlap", "distinct_estimate",
@@ -404,6 +405,13 @@ object SparkEntry {
 
     "window_agg" -> ((s, dir) =>
       Sessions.windowedAgg(t(s, dir, "events"), "1 day")
+        .orderBy("w_start", "event_type")),
+
+    "sliding_window" -> ((s, dir) =>
+      // overlapping windows: 1-day length sliding every 12h — each event
+      // lands in exactly 2 windows
+      Sessions.windowedAgg(t(s, dir, "events"), "1 day",
+        slide = Some("12 hours"))
         .orderBy("w_start", "event_type")),
 
     "rolling_counts" -> ((s, dir) =>
@@ -1112,6 +1120,24 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2, 3
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // Spark sliding windows (L=1d, S=12h, epoch-aligned): an event at t
+    // belongs to exactly the two windows starting at floor(t/S)*S and
+    // floor(t/S)*S - S — recomputed via unnest of both starts
+    "sliding_window" ->
+      """SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS w_start,
+        |  CAST(to_timestamp(ws + 86400) AS TIMESTAMP) AS w_end,
+        |  event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM (
+        |  SELECT unnest([(epoch_us(ts) // 1000000 // 43200) * 43200,
+        |                 (epoch_us(ts) // 1000000 // 43200) * 43200 - 43200])
+        |           AS ws,
+        |    event_type, user_id, value
+        |  FROM events)
+        |GROUP BY ws, event_type
         |ORDER BY w_start, event_type""".stripMargin,
 
     // epoch_us floor-division matches Spark unix_timestamp's truncation

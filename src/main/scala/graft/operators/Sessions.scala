@@ -69,9 +69,13 @@ object Sessions {
   def windowedAgg(events: DataFrame, width: String = "1 day",
                   tsCol: String = "ts", dimCol: String = "event_type",
                   userCol: String = "user_id",
-                  valueCol: String = "value"): DataFrame =
+                  valueCol: String = "value",
+                  slide: Option[String] = None): DataFrame =
     events
-      .groupBy(window(col(tsCol), width).as("w"), col(dimCol))
+      .groupBy(
+        slide.fold(window(col(tsCol), width))(s => window(col(tsCol), width, s))
+          .as("w"),
+        col(dimCol))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col(userCol)).as("n_users"),

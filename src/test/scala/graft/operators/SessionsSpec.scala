@@ -65,6 +65,17 @@ class SessionsSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("windowedAgg sliding: each event lands in exactly length/slide windows") {
+    val ev = Seq((1L, 1L, ts("2024-01-01 13:00:00"), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Sessions.windowedAgg(ev, "1 day", slide = Some("12 hours"))
+      .orderBy("w_start")
+    val rs = rows(out)
+    assert(rs.size == 2) // 1d/12h -> two overlapping windows
+    assert(rs(0)(0) == ts("2024-01-01 00:00:00"))
+    assert(rs(1)(0) == ts("2024-01-01 12:00:00"))
+  }
+
   test("windowedAgg: epoch-aligned tumbling day windows, exact aggregates") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 00:30:00"), "click", 2.0),
