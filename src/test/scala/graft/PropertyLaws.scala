@@ -130,6 +130,27 @@ object PropertyLaws extends Properties("graft") {
       bucketed == naive
     }
 
+  property("rangeJoin = naive cross-join filter (bucket explosion exact)") =
+    forAll(
+      Gen.listOfN(10, Gen.choose(0L, 72L)),
+      Gen.listOfN(6, for {
+        s <- Gen.choose(0L, 48L); len <- Gen.choose(1L, 24L)
+      } yield (s, s + len))) { (points, intervals) =>
+      import spark.implicits._
+      def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+      val l = points.zipWithIndex.map { case (h, i) => (i.toLong, ts(h)) }
+        .toDF("l_id", "l_ts")
+      val r = intervals.zipWithIndex.map { case ((s, e), i) => (i.toLong, ts(s), ts(e)) }
+        .toDF("r_id", "r_start", "r_end")
+      val bucketed = Relational.rangeJoin(l, "l_ts", r, "r_start", "r_end",
+        bucketSeconds = 7200)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val naive = l.crossJoin(r)
+        .filter($"l_ts" >= $"r_start" && $"l_ts" < $"r_end")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      bucketed == naive
+    }
+
   property("asofJoin picks the latest right row at or before each left ts") =
     forAll(
       Gen.listOfN(6, for { k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 50L) } yield (k, t)),
