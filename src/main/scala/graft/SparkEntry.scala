@@ -53,7 +53,7 @@ object SparkEntry {
     "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
-    "token_stats", "quality_score", "lang_id", "fingerprint",
+    "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard", "ngram_jaccard_capped",
     "minhash_lsh", "simhash",
     "topk_cosine", "hyperplane_ann", "ivf_topk", "quantize_int8",
@@ -216,6 +216,9 @@ object SparkEntry {
     // ---- text analysis (documents) ----
     "token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "bpe_token_stats" -> ((s, dir) =>
+      TextAnalysis.bpeTokenStats(t(s, dir, "documents")).orderBy("doc_id")),
 
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
@@ -726,6 +729,19 @@ object SparkEntry {
          |  END AS avg_token_len
          |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "bpe_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9''\\s]+'))
+         |    AS BIGINT) AS n_bpe,
+         |  CAST(len($toksSql) AS BIGINT) AS n_words,
+         |  CASE WHEN len($toksSql) > 0 THEN
+         |    CAST(len(regexp_extract_all(text,
+         |      '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9''\\s]+'))
+         |      AS DOUBLE) / len($toksSql)
+         |  END AS tokens_per_word
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "quality_score" ->
       s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars, stop_ratio,

@@ -36,6 +36,19 @@ object TextFns {
   def polyHash(textExpr: String): Column =
     expr(s"graft_poly_hash($textExpr, 31, ${HashMod})")
 
+  /** BPE-ish pre-tokenization pattern (GPT-2-style categories without
+   * lookarounds, so Java and RE2 agree): common contractions, letter runs,
+   * 1-3 digit groups, punctuation runs. Whitespace separates and is not
+   * emitted. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9'\\s]+"
+
+  /** BPE-ish tokens of a text expression: all matches of [[bpePattern]] —
+   * the pre-tokenizer splits a byte-pair encoder runs before merges, which
+   * is what "token count" approximates in corpus budgeting. */
+  def bpeTokens(textCol: String): Column =
+    regexp_extract_all(col(textCol), lit(bpePattern), lit(0))
+
   /**
    * Word n-gram shingles from a token-array expression: overlapping windows
    * of `n` tokens joined with single spaces. Empty array when the document

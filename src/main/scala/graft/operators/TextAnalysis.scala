@@ -34,6 +34,23 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           round(col("sum_token_len") / col("n_tokens").cast("double"), 4)))
 
+  /**
+   * BPE-ish token budgeting: subword-ish counts from the GPT-2-style
+   * pre-tokenizer regex ([[TextFns.bpePattern]]) next to whitespace word
+   * counts, plus their ratio (tokens-per-word — the standard fudge factor
+   * for corpus token budgets). Narrow projection, integer counts, exact
+   * ratio.
+   */
+  def bpeTokenStats(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        size(TextFns.bpeTokens("text")).cast("long").as("n_bpe"),
+        size(toks).cast("long").as("n_words"))
+      .withColumn("tokens_per_word",
+        when(col("n_words") > 0,
+          col("n_bpe") / col("n_words").cast("double")))
+
   /** Small fixed stopword list used by the quality heuristic. */
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 

@@ -39,6 +39,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == Seq(3L, 0L, 0L, 0.0))
   }
 
+  test("bpeTokenStats: subword categories split like a BPE pre-tokenizer") {
+    val docs = Seq(
+      // don't -> don | 't ; 1234 -> 123 | 4 ; "end." -> end | .
+      (1L, "don't stop 1234 end."),
+      (2L, "")) // empty: 0/0, null ratio
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.bpeTokenStats(docs).orderBy("doc_id"))
+    assert(out(0) == Seq(1L, 7L, 4L, 7.0 / 4)) // don,'t,stop,123,4,end,.
+    assert(out(1) == Seq(2L, 0L, 0L, null))
+  }
+
   test("cleanText masks urls, emails and digit runs, collapses whitespace") {
     val docs = Seq(
       (1L, "  Visit https://example.com/x?a=1 or mail Bob@Example.COM now  "),
