@@ -75,6 +75,41 @@ object Multimodal {
            |    x -> CAST(x AS STRING)), ',')
            |  ELSE '' END""".stripMargin))
 
+  /** Typed feature row: per-payload histogram features. */
+  case class MediaFeatures(doc_id: Long, byte_len: Long,
+                           histogram: Array[Float], peak_bin: Int)
+
+  /**
+   * Feature extraction over the binary payload — REAL (not stubbed):
+   * a 16-bin byte histogram normalized to frequencies plus the densest
+   * bin, the kind of cheap content signature used for media dedup
+   * pre-filters and corruption screens. Same `mapPartitions` shape as
+   * [[decodeBatch]] (per-partition batch loop, no driver involvement);
+   * a codec-backed pipeline swaps the byte loop for decoded-sample
+   * features without touching the plumbing.
+   */
+  def featureExtractBatch(spark: SparkSession, docs: DataFrame,
+                          idCol: String = "doc_id"): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val counts = new Array[Long](16)
+          var i = 0
+          while (i < bytes.length) {
+            counts((bytes(i) & 0xff) >>> 4) += 1
+            i += 1
+          }
+          val n = math.max(bytes.length, 1).toFloat
+          val hist = counts.map(c => c / n)
+          val peak = counts.indices.maxBy(i => (counts(i), -i))
+          MediaFeatures(id, bytes.length.toLong, hist, peak)
+        }
+      }
+  }
+
   /**
    * Batch decode via `mapPartitions` — the shape a real codec integration
    * uses (amortizes per-partition codec init across rows). The decode body

@@ -15,6 +15,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1)(1) == 0L)
   }
 
+  test("featureExtractBatch: 16-bin byte histogram sums to 1, peak correct") {
+    // "hello" = 0x68 65 6c 6c 6f -> all five bytes in bin 6
+    val out = Multimodal.featureExtractBatch(spark, docs)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).histogram(6) == 1.0f && out(0).peak_bin == 6)
+    assert(math.abs(out(0).histogram.sum - 1.0f) < 1e-6)
+    assert(out(1).byte_len == 0L && out(1).histogram.forall(_ == 0.0f))
+    assert(out(1).peak_bin == 0) // ties break to the lowest bin
+  }
+
   test("decodeBatch (mapPartitions stub) agrees with the expression path") {
     val exprPath = rows(Multimodal.payloadMeta(docs)
       .select("doc_id", "byte_len", "checksum").orderBy("doc_id"))
