@@ -54,10 +54,11 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
-    "exact_dedup", "ngram_jaccard", "ngram_jaccard_capped",
+    "exact_dedup", "ngram_jaccard", "ngram_jaccard_exact",
     "minhash_lsh", "simhash",
-    "topk_cosine", "hyperplane_ann", "ivf_topk", "quantize_int8",
-    "payload_meta", "decode_batch", "media_ops",
+    "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
+    "quantize_int8",
+    "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate",
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "tfidf_topterms",
@@ -233,17 +234,19 @@ object SparkEntry {
     "exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents")).orderBy("keep_id")),
 
-    "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
-        .orderBy("doc_a", "doc_b")),
-
-    // the 100 TB production path: shingles seen in > 20 documents are
+    // the DEFAULT path is DF-capped: shingles seen in > 20 documents are
     // excluded from CANDIDATE GENERATION (the df² join-volume driver) while
     // Jaccard denominators stay pre-cap — recall-only tradeoff, and the
     // oracle models the cap exactly
-    "ngram_jaccard_capped" -> ((s, dir) =>
+    "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5,
         maxShingleDF = Some(20)).orderBy("doc_a", "doc_b")),
+
+    // exact all-candidates oracle twin (maxShingleDF = None): O(df²) join
+    // volume by definition — never the production default
+    "ngram_jaccard_exact" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5,
+        maxShingleDF = None).orderBy("doc_a", "doc_b")),
 
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 128,
@@ -271,6 +274,16 @@ object SparkEntry {
       Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"), threshold = 0.4,
         numPlanes = 4, numTables = 16, dim = 64).orderBy("vec_a", "vec_b")),
 
+    // bucket-size-capped variant: (table, bucket) groups holding > 48
+    // vectors are dropped before the candidate self-join — the skew guard
+    // for correlated embeddings. The cap is modeled exactly in the oracle
+    // (plane signs are a closed form), so precision is still hash-checked;
+    // only recall is traded, and only in overflowed tables.
+    "hyperplane_ann_capped" -> ((s, dir) =>
+      Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"), threshold = 0.4,
+        numPlanes = 4, numTables = 16, dim = 64,
+        maxBucketSize = Some(48)).orderBy("vec_a", "vec_b")),
+
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings")).orderBy("vec_id")),
 
@@ -289,6 +302,17 @@ object SparkEntry {
 
     "media_ops" -> ((s, dir) =>
       Multimodal.mediaOps(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // the mapPartitions feature-extraction surface, scalarized for the
+    // driver compare: integer bin counts ride as a comma-joined string
+    // (the quantize_int8 pattern), so the row is exact on both engines
+    "feature_extract" -> ((s, dir) =>
+      Multimodal.featureExtractBatch(s, t(s, dir, "documents")).toDF()
+        .select(col("doc_id"), col("byte_len"),
+          expr("array_join(transform(hist_counts, c -> CAST(c AS STRING)), ',')")
+            .as("hist"),
+          col("peak_bin").cast("long").as("peak_bin"))
+        .orderBy("doc_id")),
 
     "profile_events" -> ((s, dir) => {
       // data-quality profile of the events table: per-column null counts,
@@ -796,15 +820,15 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
-    "ngram_jaccard" -> jaccardPairsSql,
-    "minhash_lsh"   -> jaccardPairsSql,
-    "simhash"       -> simhashSql,
+    "ngram_jaccard_exact" -> jaccardPairsSql,
+    "minhash_lsh"         -> jaccardPairsSql,
+    "simhash"             -> simhashSql,
 
-    // capped variant: candidates only from shingles with df <= 20, but the
-    // Jaccard denominator uses PRE-CAP set sizes (matches
+    // the default (DF-capped) path: candidates only from shingles with
+    // df <= 20, but the Jaccard denominator uses PRE-CAP set sizes (matches
     // Dedup.ngramJaccardPairs cap semantics — precision preserved, recall
     // traded)
-    "ngram_jaccard_capped" ->
+    "ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |  generate_series(1, len(t) - 2),
@@ -847,32 +871,11 @@ object SparkEntry {
     // plane matrix is a closed-form LCG of (plane, dim), so DuckDB recomputes
     // the exact same 64 plane sign bits, the same 16 x 4-bit buckets, the
     // same candidate set, and the same cosine-verified pairs.
-    "hyperplane_ann" ->
-      s"""WITH planes AS (
-         |  SELECT p, list_transform(generate_series(0, 63), d ->
-         |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
-         |      % 2001 - 1000) / 1000.0) AS pv
-         |  FROM generate_series(0, 63) t(p)),
-         |bits AS (
-         |  SELECT e.vec_id, pl.p // 4 AS tbl,
-         |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
-         |         THEN 1 << (pl.p % 4) ELSE 0 END AS bit
-         |  FROM embeddings e, planes pl),
-         |buckets AS (
-         |  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
-         |  FROM bits GROUP BY vec_id, tbl),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |  FROM buckets a JOIN buckets b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |n AS (SELECT vec_id, embedding,
-         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
-         |SELECT c.va AS vec_a, c.vb AS vec_b
-         |FROM cand c
-         |JOIN n a ON a.vec_id = c.va
-         |JOIN n b ON b.vec_id = c.vb
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin,
+    "hyperplane_ann" -> hyperplaneAnnSql(cap = None),
+
+    // capped variant: the oracle recomputes the bucket sizes too, so the
+    // recall-only pruning is itself hash-checked
+    "hyperplane_ann_capped" -> hyperplaneAnnSql(cap = Some(48)),
 
     // ivf_topk is likewise fully deterministic with iters=0: centroids are
     // the 16 lowest-id vectors unit-normalized, assignment is first-max

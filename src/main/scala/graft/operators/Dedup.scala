@@ -42,6 +42,22 @@ object Dedup {
       .groupBy(idCol).agg(collect_set(col("sh")).as("hs"))
       .withColumn("sz", size(col("hs")))
 
+  /** Drop LSH buckets holding more than `cap` members before a candidate
+   * self-join. A skewed bucket (shared-vocabulary docs collapsing into one
+   * band value) turns O(n·bands) candidate generation into a d² blowup on
+   * one shuffle key; dropping oversized buckets bounds the join at cap² rows
+   * per bucket. Recall-only tradeoff: a pair loses only the tables where
+   * its bucket overflowed, and near-dup pairs collide in many tables.
+   * `None` keeps every bucket (the exact-recall oracle contract). */
+  private[operators] def capBuckets(buckets: DataFrame, keyCols: Seq[String],
+                                    cap: Option[Int]): DataFrame = cap match {
+    case Some(c) =>
+      val small = buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= c)
+      buckets.join(small.select(keyCols.map(col): _*), keyCols)
+    case None => buckets
+  }
+
   /** Join candidate pairs (a, b) with both shingle sets and keep pairs whose
    * exact Jaccard >= threshold. */
   private def jaccardFilter(cand: DataFrame, sets: DataFrame, idCol: String,
@@ -66,39 +82,53 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
 
   /**
-   * Exact n-gram Jaccard duplicate pairs: explode distinct word-n-gram
-   * shingle hashes, self-join on the shingle, count intersections, filter
+   * N-gram Jaccard duplicate pairs: distinct word-n-gram shingle hashes,
+   * shingle-keyed candidate generation, intersection counts, filter
    * `|A∩B| / |A∪B| >= threshold`. Emits (doc_a, doc_b) with doc_a < doc_b.
    *
-   * Scale: the shingle self-join shuffles on an 8-byte hash; a frequent
-   * shingle appearing in d docs contributes d² join rows, so production runs
-   * at 100 TB should cap document frequency (`maxShingleDF`). The cap prunes
-   * CANDIDATE GENERATION only: set sizes (the Jaccard denominator) are
-   * always computed pre-cap, so capped intersections can only undercount —
-   * the cap trades recall, never precision (reported pairs still have true
-   * Jaccard >= threshold). Off by default; the oracle covers the exact path.
+   * Scale: a shingle appearing in d docs contributes d² candidate rows, so
+   * the DEFAULT caps shingle document frequency (`maxShingleDF = 1000`) —
+   * a stop-word-like shingle shared by a million documents must never
+   * drive the join. The cap prunes CANDIDATE GENERATION only: set sizes
+   * (the Jaccard denominator) are always computed pre-cap, so capped
+   * intersections can only undercount — the cap trades recall, never
+   * precision (reported pairs still have true Jaccard >= threshold). Pass
+   * `maxShingleDF = None` for the exact all-candidates path (the oracle
+   * twin; O(df²) join volume by definition).
+   *
+   * Physical shape: the capped path groups each surviving shingle's doc
+   * ids into one bounded array (≤ cap ids) and emits pairs with a double
+   * explode — one exchange on the 8-byte shingle hash, per-row state
+   * bounded by the cap, and no second join back against the shingle rows.
+   * The exact path keeps the classic self-join (an unbounded id list per
+   * shingle must never sit in one row).
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxShingleDF: Option[Int] = None): DataFrame = {
+                        maxShingleDF: Option[Int] = Some(1000)): DataFrame = {
     val sh0 = docShingles(docs, idCol, n, textCol)
-    val sh = maxShingleDF match {
-      case Some(cap) =>
-        val df = sh0.groupBy("sh").agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
-        sh0.join(df.select("sh"), "sh")
-      case None => sh0
-    }
     // true set sizes (pre-cap): the denominator must not shrink with the
     // cap. A plain count over the (already distinct) shingle rows — no
     // collect_set array build; this operator never needs the sets
-    // themselves (intersections come from the self-join counts).
+    // themselves (intersections come from the candidate counts).
     val sizes = docShingles(docs, idCol, n, textCol)
       .groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val left  = sh.select(col(idCol).as("a"), col("sh"))
-    val right = sh.select(col(idCol).as("b"), col("sh"))
-    left.join(right, "sh")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val counted = maxShingleDF match {
+      case Some(cap) =>
+        sh0.groupBy("sh")
+          .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select(explode(col("ids")).as("a"), col("ids"))
+          .select(col("a"), explode(col("ids")).as("b"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      case None =>
+        sh0.select(col(idCol).as("a"), col("sh"))
+          .join(sh0.select(col(idCol).as("b"), col("sh")), "sh")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    }
+    counted
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
       .filter(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double") >= threshold)
@@ -115,11 +145,15 @@ object Dedup {
    * Scale: signatures are one hash-aggregate over (doc, shingle); banding
    * explodes to `bands` rows/doc; the bucket self-join shuffles on
    * (band, bucket) — strictly O(n) candidate generation vs the exact
-   * operator's O(shingle-df²).
+   * operator's O(shingle-df²). `maxBucketSize` additionally drops any band
+   * bucket holding more members than the cap before the self-join (see
+   * [[capBuckets]]) — the production guard against a degenerate band value
+   * shared across a large slice of the corpus.
    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.5,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // native one-pass signature (graft_minhash) over the per-doc shingle
@@ -131,9 +165,10 @@ object Dedup {
       struct(lit(j).as("band"),
         hash(expr(s"slice(sig, ${j * r + 1}, $r)")).as("bucket"))
     }
-    val buckets = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = capBuckets(
+      sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), maxBucketSize)
     val cand = buckets.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(buckets.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
@@ -175,7 +210,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
                    threshold: Double = 0.5, idCol: String = "doc_id",
                    textCol: String = "text", numBlocks: Int = -1,
-                   reproducibleHash: Boolean = true): DataFrame = {
+                   reproducibleHash: Boolean = true,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     val blocks = if (numBlocks > 0) numBlocks else maxHamming + 1
     require(blocks > maxHamming && blocks <= 64,
       "need maxHamming < numBlocks <= 64")
@@ -213,10 +249,14 @@ object Dedup {
         .reduce((a, b) => s"($a + $b)")
       struct(lit(tid).as("band"), expr(keyExpr).as("bucket"))
     }
-    val banded = sigDf.select(
-      col(idCol), col("sig"),
-      explode(array(tables: _*)).as("bb"))
-      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // maxBucketSize: with biased sign bits a 16-bit band bucket can hold a
+    // large corpus fraction — capBuckets bounds the candidate join there
+    // (recall-only; pigeonhole completeness holds only for uncapped runs)
+    val banded = capBuckets(
+      sigDf.select(col(idCol), col("sig"), explode(array(tables: _*)).as("bb"))
+        .select(col(idCol), col("sig"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), maxBucketSize)
     val cand = banded.select(col(idCol).as("a"), col("sig").as("sa"), col("band"), col("bucket"))
       .join(banded.select(col(idCol).as("b"), col("sig").as("sb"), col("band"), col("bucket")),
             Seq("band", "bucket"))
@@ -273,6 +313,17 @@ object Dedup {
    * on the vertex key; `localCheckpoint` truncates the growing lineage so
    * round N+1 does not replan rounds 1..N. The fixpoint is unique, so the
    * result is deterministic regardless of how many rounds it took.
+   *
+   * Round cost control: the per-round checkpoint is LAZY and is
+   * materialized by the convergence count itself (the pre-round label
+   * rides along as `prev`, so convergence is a filter-count over the
+   * frame the round had to materialize anyway — no separate join +
+   * isEmpty job), and round N-1's checkpoint blocks are explicitly
+   * unpersisted once round N is cached, so executor storage holds at
+   * most two vertex generations regardless of round count. (On a real
+   * cluster at 100 TB, prefer `checkpoint` to reliable storage over
+   * `localCheckpoint` — executor loss under local checkpointing forces
+   * a full recompute.)
    */
   def nearDupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.5,
@@ -292,24 +343,37 @@ object Dedup {
         .groupBy("src").agg(min("nl").as("nbr_min"))
       val stepped = cur
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       // pointer jumping: follow the label one hop (labels always point at
       // ids <= self, so label(label) <= label and monotonicity holds)
       val next = stepped
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
           stepped("label") === col("jid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), stepped("prev"),
           least(stepped("label"), coalesce(col("jlabel"), stepped("label")))
             .as("label"))
-        .localCheckpoint(true)
-      converged = next.join(cur.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      cur = next
+        .localCheckpoint(false) // lazy: the convergence count materializes it
+      converged = next.filter(col("label") < col("prev")).count() == 0L
+      unpersistCheckpoint(cur) // round N-1 blocks freed once round N is cached
+      cur = next.select("id", "label")
       round += 1
     }
+    unpersistCheckpoint(edges)
     cur.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
+
+  /** Free the cached blocks behind a `localCheckpoint`ed frame (best-effort:
+   * walks the plan for the checkpoint's `LogicalRDD` and unpersists its RDD
+   * asynchronously). Dataset.unpersist only drops CacheManager entries, not
+   * checkpoint RDDs, so iterative operators must release rounds manually or
+   * pin every generation in executor storage for the query's lifetime. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /**
    * Embedding-cosine near-duplicate pairs by exact all-pairs comparison over

@@ -75,9 +75,12 @@ object Multimodal {
            |    x -> CAST(x AS STRING)), ',')
            |  ELSE '' END""".stripMargin))
 
-  /** Typed feature row: per-payload histogram features. */
+  /** Typed feature row: per-payload histogram features. `hist_counts`
+   * carries the raw per-bin byte counts next to the normalized frequencies
+   * so downstream checks (and the SQL oracle) can stay integer-exact. */
   case class MediaFeatures(doc_id: Long, byte_len: Long,
-                           histogram: Array[Float], peak_bin: Int)
+                           histogram: Array[Float], hist_counts: Array[Long],
+                           peak_bin: Int)
 
   /**
    * Feature extraction over the binary payload — REAL (not stubbed):
@@ -105,7 +108,7 @@ object Multimodal {
           val n = math.max(bytes.length, 1).toFloat
           val hist = counts.map(c => c / n)
           val peak = counts.indices.maxBy(i => (counts(i), -i))
-          MediaFeatures(id, bytes.length.toLong, hist, peak)
+          MediaFeatures(id, bytes.length.toLong, hist, counts, peak)
         }
       }
   }

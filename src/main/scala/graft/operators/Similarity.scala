@@ -156,13 +156,21 @@ object Similarity {
    * Recall amplification: a pair at cosine c collides in one table with
    * p = (1 - acos(c)/pi)^numPlanes, and in any of L tables with
    * 1 - (1-p)^L — defaults (4 planes x 16 tables) give ~94% recall at
-   * c = 0.4 and >99.9% at c >= 0.7. Still approximate by construction
-   * (rows-only check, no SQL oracle). O(n * L) bucketing, no all-pairs:
+   * c = 0.4 and >99.9% at c >= 0.7. O(n * L) bucketing, no all-pairs:
    * the scale path when the exact operator's cross join is infeasible.
+   *
+   * `maxBucketSize` drops any (table, bucket) holding more vectors than the
+   * cap before the candidate self-join — with few planes per table (or
+   * correlated embeddings) one bucket can hold a large corpus fraction and
+   * its self-join is a d² blowup on a single shuffle key. Recall-only: a
+   * pair loses only its overflowed tables, and close pairs collide in many
+   * tables. The cap is fully oracle-modelable (plane signs are a closed
+   * form), so the capped contract stays hash-checkable.
    */
   def hyperplaneLshPairs(emb: DataFrame, threshold: Double = 0.4,
                          numPlanes: Int = 4, numTables: Int = 16, dim: Int = 64,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBucketSize: Option[Int] = None): DataFrame = {
     // All numTables*numPlanes plane dot products in ONE pass over a literal
     // plane matrix: tiny expression tree, runtime loops — vs an unrolled
     // sum with numTables*numPlanes*dim terms that murders codegen.
@@ -186,13 +194,15 @@ object Similarity {
            |              ELSE CAST(0 AS BIGINT) END),
            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
     val mask = (1L << numPlanes) - 1
-    val base = bits.select(
-      col(idCol),
-      explode(array((0 until numTables).map { t =>
-        struct(lit(t).as("tbl"),
-          expr(s"CAST(shiftright(__sig, ${t * numPlanes}) & $mask AS INT)").as("bucket"))
-      }: _*)).as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val base = Dedup.capBuckets(
+      bits.select(
+        col(idCol),
+        explode(array((0 until numTables).map { t =>
+          struct(lit(t).as("tbl"),
+            expr(s"CAST(shiftright(__sig, ${t * numPlanes}) & $mask AS INT)").as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")),
+      Seq("tbl", "bucket"), maxBucketSize)
     val a = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
     val b = base.select(col("tbl"), col("bucket"), col(idCol).as("b"))
     // dedup on the 16-byte id pair BEFORE re-attaching vectors: the distinct
