@@ -43,8 +43,9 @@ object SparkEntry {
     queries("q3_top_revenue")(spark, "/root/testdata/sf0.001")
 
   /** Headline bench set: every registered query except the intentionally
-   * quadratic exact variant (`embedding_near_dup` is the all-pairs oracle
-   * twin of `hyperplane_ann`; it must never be a bench/default path). */
+   * quadratic exact variants (`embedding_near_dup` is the all-pairs oracle
+   * twin of `hyperplane_ann`, `ngram_jaccard_exact` the uncapped twin of
+   * `ngram_jaccard`; neither may ever be a bench/default path). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "vocab_stats",
     "nation_agg", "topn_per_group",
@@ -54,7 +55,7 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
-    "exact_dedup", "ngram_jaccard", "ngram_jaccard_exact",
+    "exact_dedup", "ngram_jaccard",
     "minhash_lsh", "simhash",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "quantize_int8",
@@ -593,6 +594,52 @@ object SparkEntry {
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
+  /** Parameterized DuckDB twin of hyperplane_ann. The plane matrix is a
+   * closed-form LCG of (plane, dim), so DuckDB recomputes the exact same
+   * 64 plane sign bits, the same 16 x 4-bit buckets, the same candidate
+   * set, and the same cosine-verified pairs. With `cap = Some(c)` the
+   * oracle also recomputes the bucket sizes and drops any (tbl, bucket)
+   * group holding more than c vectors — mirroring Dedup.capBuckets — so
+   * the recall-only pruning is itself hash-checked. */
+  private def hyperplaneAnnSql(cap: Option[Int]): String = {
+    val keptCte = cap match {
+      case Some(c) =>
+        s"""kept AS (
+           |  SELECT b.vec_id, b.tbl, b.bucket FROM buckets b
+           |  JOIN (SELECT tbl, bucket FROM buckets
+           |        GROUP BY tbl, bucket HAVING count(*) <= $c) ok
+           |    ON b.tbl = ok.tbl AND b.bucket = ok.bucket),""".stripMargin
+      case None =>
+        "kept AS (SELECT vec_id, tbl, bucket FROM buckets),"
+    }
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(0, 63), d ->
+       |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
+       |      % 2001 - 1000) / 1000.0) AS pv
+       |  FROM generate_series(0, 63) t(p)),
+       |bits AS (
+       |  SELECT e.vec_id, pl.p // 4 AS tbl,
+       |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
+       |         THEN 1 << (pl.p % 4) ELSE 0 END AS bit
+       |  FROM embeddings e, planes pl),
+       |buckets AS (
+       |  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY vec_id, tbl),
+       |$keptCte
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM kept a JOIN kept b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT c.va AS vec_a, c.vb AS vec_b
+       |FROM cand c
+       |JOIN n a ON a.vec_id = c.va
+       |JOIN n b ON b.vec_id = c.vb
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "normalize" ->
       """SELECT CAST(event_id AS VARCHAR) AS event_id,
@@ -946,6 +993,28 @@ object SparkEntry {
         |    CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // feature_extract twin: byte i's high nibble is the hex digit at
+    // position 2i-1 of hex(payload), so the 16-bin histogram from
+    // Multimodal.featureExtractBatch ((byte & 0xff) >>> 4) is recomputable
+    // exactly; peak_bin is first-max argmax via list_position.
+    "feature_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, byte_len,
+        |    list_transform(generate_series(0, 15), b ->
+        |      len(list_filter(generate_series(1, CAST(byte_len AS INTEGER)),
+        |          i -> substr(hx, 2 * i - 1, 1) =
+        |               substr('0123456789ABCDEF', b + 1, 1)))) AS counts
+        |  FROM h)
+        |SELECT doc_id, byte_len,
+        |  array_to_string(list_transform(counts, x -> CAST(x AS VARCHAR)), ',')
+        |    AS hist,
+        |  CAST(list_position(counts, list_max(counts)) - 1 AS BIGINT) AS peak_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "profile_events" ->
       """SELECT count(*) AS n_rows,

@@ -96,12 +96,16 @@ object Dedup {
    * `maxShingleDF = None` for the exact all-candidates path (the oracle
    * twin; O(df²) join volume by definition).
    *
-   * Physical shape: the capped path groups each surviving shingle's doc
-   * ids into one bounded array (≤ cap ids) and emits pairs with a double
-   * explode — one exchange on the 8-byte shingle hash, per-row state
-   * bounded by the cap, and no second join back against the shingle rows.
-   * The exact path keeps the classic self-join (an unbounded id list per
-   * shingle must never sit in one row).
+   * Physical shape: the capped path first computes per-shingle df with a
+   * plain count (constant aggregation state per key — a skewed shingle
+   * costs one counter, never an array), filters to df <= cap, and only
+   * then collects each SURVIVING shingle's doc ids into one provably
+   * bounded array (≤ cap ids) for the double-explode pair generation.
+   * Both exchanges hash the same 8-byte shingle key. Collecting before
+   * the filter would accumulate a million-element array for a stop-word
+   * shingle just to throw it away — the exact OOM the cap exists to
+   * prevent. The exact path keeps the classic self-join (an unbounded id
+   * list per shingle must never sit in one row).
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
@@ -115,9 +119,13 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("sz"))
     val counted = maxShingleDF match {
       case Some(cap) =>
-        sh0.groupBy("sh")
-          .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("__df"))
+        val surviving = sh0.groupBy("sh")
+          .agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap)
+          .select("sh")
+        sh0.join(surviving, "sh")
+          .groupBy("sh")
+          .agg(collect_list(col(idCol)).as("ids"))
           .select(explode(col("ids")).as("a"), col("ids"))
           .select(col("a"), explode(col("ids")).as("b"))
           .filter(col("a") < col("b"))
@@ -363,17 +371,26 @@ object Dedup {
     cur.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
-  /** Free the cached blocks behind a `localCheckpoint`ed frame (best-effort:
-   * walks the plan for the checkpoint's `LogicalRDD` and unpersists its RDD
-   * asynchronously). Dataset.unpersist only drops CacheManager entries, not
-   * checkpoint RDDs, so iterative operators must release rounds manually or
-   * pin every generation in executor storage for the query's lifetime. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+  /** Free the cached blocks behind a `localCheckpoint`ed frame (best-effort).
+   * Dataset.unpersist only drops CacheManager entries, not checkpoint RDDs,
+   * so iterative operators must release rounds manually or pin every
+   * generation in executor storage for the query's lifetime.
+   *
+   * Deliberately matches ONLY a frame that IS the checkpoint — a root
+   * `LogicalRDD`, optionally under a single projection (the two shapes
+   * [[nearDupClusters]] produces) — and never walks deeper lineage: a
+   * recursive walk would also unpersist any caller-owned checkpoint RDD
+   * embedded upstream in the plan, and local-checkpointed RDDs cannot be
+   * recomputed once their blocks are dropped. */
+  private def unpersistCheckpoint(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case Project(_, lr: LogicalRDD) => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+  }
 
   /**
    * Embedding-cosine near-duplicate pairs by exact all-pairs comparison over
