@@ -30,23 +30,30 @@ object Bench {
     catch { case _: Throwable => () }
     // two timed runs per query, report the min: AQE stat-dependent plans
     // (notably the skewed simhash candidate join) vary up to 2x between
-    // runs, and the minimum is the stable, reproducible cost signal
+    // runs, and the minimum is the stable, reproducible cost signal.
+    // Failures are NOT swallowed: a failed query records ok=false and the
+    // run exits non-zero, so a broken plan can never masquerade as a fast
+    // time in an rc=0 bench.
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
+      var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          ok = false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -56,7 +56,7 @@ object SparkEntry {
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard",
-    "minhash_lsh", "simhash",
+    "minhash_lsh", "simhash", "simhash_capped",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "quantize_int8",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
@@ -259,6 +259,18 @@ object SparkEntry {
       // ~20x smaller than hamming-7's 8x8-bit bands on biased sign bits
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3, n = 3,
         threshold = 0.5).orderBy("doc_a", "doc_b")),
+
+    // bucket-size-capped variant: band buckets holding > 64 docs are
+    // dropped before the candidate self-join — the skew guard for biased
+    // sign bits (the sf0.01 fixture's two largest buckets hold 108 and 73
+    // of 500 docs; the cap prunes exactly those). The signature is fully
+    // closed-form, so the oracle recomputes the dropped buckets too and
+    // the recall trade itself is hash-checked. Pigeonhole completeness
+    // holds only uncapped — this is the high-skew production escape hatch.
+    "simhash_capped" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3, n = 3,
+        threshold = 0.5, maxBucketSize = Some(64))
+        .orderBy("doc_a", "doc_b")),
 
     "embedding_near_dup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
@@ -551,8 +563,35 @@ object SparkEntry {
 
   /** DuckDB simhash oracle: the FULL operator contract —
    * `hamming(simhash_a, simhash_b) <= 3 AND jaccard >= 0.5` — recomputed
-   * from scratch (token hashes, bit sums, sign bits, pairwise hamming). */
-  private val simhashSql =
+   * from scratch (token hashes, bit sums, sign bits, pairwise hamming).
+   *
+   * With `cap = Some(c)` the oracle ALSO recomputes the 4 x 16-bit band
+   * buckets (bit k of block t = bits[16t + k]), drops any (band, bucket)
+   * group holding more than c docs, and intersects with the surviving
+   * candidate pairs — so the recall-only pruning of
+   * `Dedup.simhashPairs(maxBucketSize = ...)` is itself hash-checked.
+   * Uncapped, candidate membership is redundant (pigeonhole guarantees
+   * every qualifying pair is a candidate) and is omitted. */
+  private def simhashSql(cap: Option[Int]): String = {
+    val candCtes = cap match {
+      case Some(c) =>
+        s"""bands AS (SELECT doc_id, t.band,
+           |    list_sum(list_transform(generate_series(1, 16),
+           |      k -> bits[16 * t.band + k] * (1 << (k - 1)))) AS bucket
+           |  FROM bits, (SELECT unnest(generate_series(0, 3)) AS band) t),
+           |ok AS (SELECT band, bucket FROM bands
+           |  GROUP BY band, bucket HAVING count(*) <= $c),
+           |kept AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+           |  JOIN ok ON b.band = ok.band AND b.bucket = ok.bucket),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM kept a JOIN kept b
+           |  ON a.band = b.band AND a.bucket = b.bucket
+           |    AND a.doc_id < b.doc_id),
+           |""".stripMargin
+      case None => ""
+    }
+    val candJoin = if (cap.isDefined)
+      "JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b\n" else ""
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |th AS (SELECT doc_id, list_transform(t, w -> ${duckToken63("w")}) AS hs
        |       FROM toks),
@@ -560,7 +599,7 @@ object SparkEntry {
        |  b -> CASE WHEN COALESCE(list_sum(list_transform(hs,
        |         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
        |       THEN 1 ELSE 0 END) AS bits FROM th),
-       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |${candCtes}sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |  generate_series(1, len(t) - 2),
        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
        |  FROM toks WHERE len(t) >= 3),
@@ -572,12 +611,13 @@ object SparkEntry {
        |  JOIN sizes sa ON inter.doc_a = sa.doc_id
        |  JOIN sizes sb ON inter.doc_b = sb.doc_id
        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
-       |SELECT j.doc_a, j.doc_b FROM jac j
-       |JOIN bits ba ON ba.doc_id = j.doc_a
+       |SELECT j.doc_a AS doc_a, j.doc_b AS doc_b FROM jac j
+       |${candJoin}JOIN bits ba ON ba.doc_id = j.doc_a
        |JOIN bits bb ON bb.doc_id = j.doc_b
        |WHERE list_sum(list_transform(generate_series(1, 64),
        |  i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** DuckDB scalar: reproducible polynomial hash of expression `e`
    * (mirrors TextFns.polyHash). */
@@ -869,7 +909,8 @@ object SparkEntry {
 
     "ngram_jaccard_exact" -> jaccardPairsSql,
     "minhash_lsh"         -> jaccardPairsSql,
-    "simhash"             -> simhashSql,
+    "simhash"             -> simhashSql(cap = None),
+    "simhash_capped"      -> simhashSql(cap = Some(64)),
 
     // the default (DF-capped) path: candidates only from shingles with
     // df <= 20, but the Jaccard denominator uses PRE-CAP set sizes (matches
