@@ -63,7 +63,7 @@ object SparkEntry {
     "sample_stratified", "pack_sequences", "curate",
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "tfidf_topterms",
-    "clean_text", "pivot_counts", "union_ragged", "cube_agg",
+    "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "top_ngrams",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline")
@@ -480,6 +480,21 @@ object SparkEntry {
 
     "clean_text" -> ((s, dir) =>
       TextAnalysis.cleanText(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // the fixture corpus contains no real PII, so the contract query
+    // plants deterministic doc_id-derived contact details in every row
+    // (identically in the oracle SQL) — the redaction paths are genuinely
+    // exercised and the counts/tags hash-checked, not vacuously green
+    "pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".9 call 555 010 "),
+            (col("doc_id") % 9000 + 1000).cast("string"))))
+        .orderBy("doc_id")),
 
     "repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1326,6 +1341,39 @@ object SparkEntry {
         |    '[0-9]+', '<num>', 'g'),
         |    '[ \t\n]+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pii_redact twin: same deterministic PII planting, same pattern table,
+    // same application order (each count runs on the text as it stood
+    // before that category's replacement)
+    "pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |  '.9 call 555 010 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t FROM aug),
+        |s2 AS (SELECT doc_id, n_email,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS BIGINT)
+        |    AS n_url,
+        |  regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_url,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+        |    AS n_ip,
+        |  regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+        |    '<IP>', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_url, n_ip,
+        |  CAST(len(regexp_extract_all(t, '\+?[0-9][0-9() .-]{6,}[0-9]'))
+        |    AS BIGINT) AS n_phone,
+        |  regexp_replace(t, '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')
+        |    AS t FROM s3)
+        |SELECT doc_id, n_email, n_url, n_ip, n_phone, t AS clean
+        |FROM s4 ORDER BY doc_id""".stripMargin,
 
     "repetition_score" ->
       s"""SELECT doc_id,

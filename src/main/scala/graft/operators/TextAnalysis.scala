@@ -197,4 +197,44 @@ object TextAnalysis {
         col(idCol),
         TextFns.polyHash("text").as("fp_text"),
         TextFns.polyHash("__vocab").as("fp_vocab"))
+
+  /** PII pattern table (name, regex, replacement tag). Regexes stay in the
+   * Java∩RE2 subset — no lookaround or backreferences, and no `\s`/`\b`,
+   * whose character classes differ between the two engines — so the DuckDB
+   * oracle matches byte for byte. Application ORDER is part of the
+   * contract: emails, then URLs, then IPv4s, then phone-like digit runs —
+   * each later pattern runs on already-redacted text, so an IP can never
+   * be re-matched as a phone number. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ \\t\\n]+", "<URL>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"))
+
+  /**
+   * PII redaction — the training-data hygiene step that scrubs contact
+   * details before a corpus ships: each [[piiPatterns]] category is
+   * counted (on the text as it stood BEFORE that category's replacement)
+   * and replaced with its typed tag, in table order. Counts make the
+   * redaction auditable (how much PII did this shard contain?).
+   *
+   * Scale: one narrow codegen'd projection, no shuffle; each intermediate
+   * redaction stage is a named column referenced twice (count + next
+   * stage), which keeps Catalyst from inlining the regex chain into every
+   * downstream expression.
+   */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    var df = docs.withColumn("__pii0", col(textCol))
+    piiPatterns.zipWithIndex.foreach { case ((name, pat, tag), i) =>
+      df = df
+        .withColumn(s"n_$name",
+          regexp_count(col(s"__pii$i"), lit(pat)).cast("long"))
+        .withColumn(s"__pii${i + 1}", regexp_replace(col(s"__pii$i"), pat, tag))
+    }
+    df.select(
+      col(idCol) +:
+        piiPatterns.map { case (name, _, _) => col(s"n_$name") } :+
+        col(s"__pii${piiPatterns.size}").as("clean"): _*)
+  }
 }

@@ -59,4 +59,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0)(1) == "visit <url> or mail <email> now")
     assert(out(1)(1) == "room <num> costs <num> dollars")
   }
+
+  test("piiRedact replaces typed tags in order and counts each category") {
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org or b@x.co, site http://x.io/p?q=1 done"),
+      // the IP must be redacted as <IP>, NOT swallowed by the phone
+      // pattern (order contract), while the trailing run IS a phone
+      (2L, "host 192.168.0.1 call +1 (555) 010-4242 end"),
+      (3L, "no pii here"))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.piiRedact(docs).orderBy("doc_id"))
+    // columns: doc_id, n_email, n_url, n_ip, n_phone, clean
+    assert(out(0) == Seq(1L, 2L, 1L, 0L, 0L,
+      "mail <EMAIL> or <EMAIL>, site <URL> done"))
+    assert(out(1) == Seq(2L, 0L, 0L, 1L, 1L,
+      "host <IP> call <PHONE> end"))
+    assert(out(2) == Seq(3L, 0L, 0L, 0L, 0L, "no pii here"))
+  }
 }
