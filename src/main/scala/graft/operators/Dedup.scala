@@ -115,6 +115,11 @@ object Dedup {
     // cap. A plain count over the (already distinct) shingle rows — no
     // collect_set array build; this operator never needs the sets
     // themselves (intersections come from the candidate counts).
+    // NOTE the groupBy exchange here is LOAD-BEARING: `sizes` is joined
+    // twice below (doc_a and doc_b sides) and ReuseExchange computes the
+    // identical aggregate subplan once. A "cheaper" narrow projection
+    // (size(array_distinct(shingles)) per doc) re-tokenizes the corpus
+    // once per reference and measured 4x slower end-to-end at sf0.1.
     val sizes = docShingles(docs, idCol, n, textCol)
       .groupBy(idCol).agg(count(lit(1)).as("sz"))
     val counted = maxShingleDF match {
