@@ -300,6 +300,17 @@ object SparkEntry {
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings")).orderBy("vec_id")),
 
+    // LSH parameter eval: recall/precision of the capped hyperplane path
+    // vs the exact quadratic ground truth. Oracle-only (never benched) —
+    // this is the sample-sized sizing run, not a production path.
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecall(
+        Similarity.hyperplaneLshPairs(emb, threshold = 0.4, numPlanes = 4,
+          numTables = 16, dim = 64, maxBucketSize = Some(48)),
+        Dedup.embeddingNearDupPairs(emb, threshold = 0.4))
+    }),
+
     "ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
@@ -649,6 +660,16 @@ object SparkEntry {
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
+  /** DuckDB twin of the exact all-pairs embedding near-dup (the quadratic
+   * oracle ground truth) — shared by embedding_near_dup and ann_recall. */
+  private val embeddingNearDupSql =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Parameterized DuckDB twin of hyperplane_ann. The plane matrix is a
    * closed-form LCG of (plane, dim), so DuckDB recomputes the exact same
    * 64 plane sign bits, the same 16 x 4-bit buckets, the same candidate
@@ -950,13 +971,27 @@ object SparkEntry {
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "embedding_near_dup" ->
-      s"""WITH n AS (SELECT vec_id, embedding,
-         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin,
+    "embedding_near_dup" -> embeddingNearDupSql,
+
+    // ann_recall: both pair sets are deterministic (closed-form planes +
+    // exact cosine), so the recall/precision metrics themselves are
+    // hash-checked. Oracle-only like embedding_near_dup — the exact side
+    // is quadratic and must never be benched.
+    "ann_recall" ->
+      s"""WITH approx AS (SELECT * FROM (${hyperplaneAnnSql(cap = Some(48))})),
+         |ex AS (SELECT * FROM ($embeddingNearDupSql)),
+         |hit AS (SELECT count(*) AS c FROM approx a JOIN ex e
+         |  ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b)
+         |SELECT
+         |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+         |  CAST((SELECT c FROM hit) AS BIGINT) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM ex) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM ex)
+         |  END AS recall,
+         |  CASE WHEN (SELECT count(*) FROM approx) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM approx)
+         |  END AS precision""".stripMargin,
 
     "topk_cosine" ->
       s"""WITH n AS (SELECT vec_id, embedding,

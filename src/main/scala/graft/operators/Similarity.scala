@@ -218,4 +218,31 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a").as("vec_a"), col("b").as("vec_b"))
   }
+
+  /**
+   * Recall / precision of an approximate near-neighbor pair set against
+   * the exact ground truth at the same threshold — the eval you run (on a
+   * SAMPLE: the exact side is quadratic by definition) to size LSH
+   * parameters (planes, tables, bucket caps) before a production pass.
+   * Returns one row: pair counts, hits, recall and precision. For the
+   * verified LSH operators precision is 1.0 by construction (candidates
+   * are cosine-checked); recall is the number the cap/table trade moves.
+   *
+   * Both inputs must expose (vec_a, vec_b) with vec_a < vec_b. The three
+   * aggregates are single-row frames, so the combining cross joins are
+   * free (broadcast of one row each).
+   */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val key = Seq("vec_a", "vec_b")
+    val nHit = approx.join(exact, key).agg(count(lit(1)).as("n_hit"))
+    val nApprox = approx.agg(count(lit(1)).as("n_approx"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nExact.crossJoin(nApprox).crossJoin(nHit)
+      .select(
+        col("n_exact"), col("n_approx"), col("n_hit"),
+        when(col("n_exact") > 0,
+          col("n_hit").cast("double") / col("n_exact")).as("recall"),
+        when(col("n_approx") > 0,
+          col("n_hit").cast("double") / col("n_approx")).as("precision"))
+  }
 }

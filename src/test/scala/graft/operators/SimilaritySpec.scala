@@ -71,4 +71,16 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.nonEmpty) // (1,2) at cos 0.8 should survive 8 tables
   }
+
+  test("annRecall counts hits and divides only when denominators are > 0") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("vec_a", "vec_b")
+    val approx = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("vec_a", "vec_b")
+    val out = rows(Similarity.annRecall(approx, exact))
+    assert(out.head == Seq(4L, 3L, 2L, 2.0 / 4, 2.0 / 3))
+    // empty ground truth: recall NULL, precision still defined
+    val out2 = rows(Similarity.annRecall(approx, exact.limit(0)))
+    assert(out2.head == Seq(0L, 3L, 0L, null, 0.0))
+  }
 }
