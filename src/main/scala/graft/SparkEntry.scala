@@ -64,7 +64,8 @@ object SparkEntry {
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
-    "repetition_score", "decontaminate", "train_val_split", "top_ngrams",
+    "repetition_score", "decontaminate", "train_val_split", "split_leakage",
+    "top_ngrams",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline")
 
@@ -428,6 +429,10 @@ object SparkEntry {
     "train_val_split" -> ((s, dir) =>
       Curation.trainValSplit(t(s, dir, "documents"), valPct = 10)
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // eval-set hygiene: near-dup pairs crossing the train/val boundary
+    "split_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(t(s, dir, "documents"), valPct = 10)),
 
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
@@ -1187,6 +1192,27 @@ object SparkEntry {
          |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
          |    % 100 < 10 THEN 'val' ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // split_leakage: near-dup pairs (exact-Jaccard ground truth — the
+    // minhash LSH pair set at these parameters) x the reproducible-hash
+    // split, aggregated to one leak-rate row
+    "split_leakage" ->
+      s"""WITH $jaccardCtes,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |    % 100 < 10 THEN 'val' ELSE 'train' END AS split FROM documents),
+         |j AS (SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+         |  FROM pairs p
+         |  JOIN sp sa ON p.doc_a = sa.doc_id
+         |  JOIN sp sb ON p.doc_b = sb.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_cross,
+         |  CASE WHEN count(*) > 0 THEN
+         |    CAST(COALESCE(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END), 0)
+         |      AS DOUBLE) / count(*)
+         |  END AS leak_rate
+         |FROM j""".stripMargin,
 
     // the whole intake chain recomputed: exact-dedup + quality band, then
     // 3-gram Jaccard pairs over the curated set (greedy higher-id drop),

@@ -70,6 +70,40 @@ object Curation {
         .otherwise(lit("train")))
 
   /**
+   * Train/val contamination check: near-duplicate pairs that CROSS the
+   * split boundary leak evaluation data into training — the eval-set
+   * hygiene number a pipeline must drive to ~0 (e.g. by splitting on
+   * near-dup cluster id instead of doc id). Near-dup edges come from
+   * [[Dedup.minhashLshPairs]] (the O(n) scale path); the split is
+   * [[trainValSplit]]'s reproducible hash, so the whole metric is
+   * deterministic and oracle-checkable. One row: n_pairs, n_cross,
+   * leak_rate.
+   *
+   * Scale: pair volume is the minhash candidate bound; the split columns
+   * join on the 8-byte id — nothing here exceeds the dedup pass the
+   * pipeline already runs.
+   */
+  def splitLeakage(docs: DataFrame, valPct: Int = 10, n: Int = 3,
+                   threshold: Double = 0.5, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val split = trainValSplit(docs, valPct, idCol)
+      .select(col(idCol), col("split"))
+    Dedup.minhashLshPairs(docs, n = n, threshold = threshold,
+      idCol = idCol, textCol = textCol)
+      .join(split.select(col(idCol).as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(split.select(col(idCol).as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross"))
+      .select(col("n_pairs"), col("n_cross"),
+        when(col("n_pairs") > 0,
+          col("n_cross").cast("double") / col("n_pairs")).as("leak_rate"))
+  }
+
+  /**
    * Top-k corpus n-grams by document frequency — the corpus-level
    * vocabulary report (boilerplate detection, stop-shingle candidates for
    * [[Dedup.ngramJaccardPairs]]'s DF cap). Ties break on the n-gram

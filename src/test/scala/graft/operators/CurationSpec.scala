@@ -83,4 +83,27 @@ class CurationSpec extends SparkSpec {
     assert(out(0)(0) == "a b c" && out(0)(1) == 2L) // df=2, ties: "a b c" < "x y z"
     assert(out(1)(0) == "x y z" && out(1)(1) == 2L)
   }
+
+  test("splitLeakage: cross-boundary near-dup pairs counted; degenerate splits leak 0") {
+    import org.apache.spark.sql.functions.col
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    // three near-dup copies + one unrelated doc -> 3 near-dup pairs
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, base),
+      (4L, "completely different words live here in this other document now"))
+      .toDF("doc_id", "text")
+    // valPct 0 and 100 put everything in one split: pairs exist, leak = 0
+    val all = rows(Curation.splitLeakage(docs, valPct = 0))
+    assert(all.head == Seq(3L, 0L, 0.0))
+    val none = rows(Curation.splitLeakage(docs, valPct = 100))
+    assert(none.head == Seq(3L, 0L, 0.0))
+    // generic split: n_cross must equal the count derived independently
+    // from trainValSplit + the pair list
+    val split = rows(Curation.trainValSplit(docs, valPct = 50)
+      .select(col("doc_id"), col("split"))).map(r => r(0) -> r(1)).toMap
+    val expectedCross = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .count { case (a, b) => split(a) != split(b) }
+    val out = rows(Curation.splitLeakage(docs, valPct = 50))
+    assert(out.head(0) == 3L && out.head(1) == expectedCross.toLong)
+  }
 }
