@@ -56,7 +56,7 @@ object SparkEntry {
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard",
-    "minhash_lsh", "simhash", "simhash_capped",
+    "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "quantize_int8",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
@@ -272,6 +272,20 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3, n = 3,
         threshold = 0.5, maxBucketSize = Some(64))
         .orderBy("doc_a", "doc_b")),
+
+    // the incremental ingest shape: docs with doc_id % 7 = 0 arrive as the
+    // new batch; the rest is the already-signed corpus (signature index
+    // only — corpus text is never re-read). Verification is the MinHash
+    // Jaccard ESTIMATE (>= 64 of 128 components equal), recomputed exactly
+    // by the oracle from the closed-form polynomial/LCG signature chain.
+    "incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 7 =!= 0), reproducible = true)
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 7 === 0), corpusSigs)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     "embedding_near_dup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
@@ -659,6 +673,51 @@ object SparkEntry {
        |                   i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))),
        |  (acc, x) -> (acc * 31 + x) % 1000000007) END""".stripMargin
 
+  /** DuckDB twin of incremental_neardup: the ENTIRE signature chain is
+   * closed-form — polynomial shingle hash, the 128 LCG permutation (a, b)
+   * pairs inlined below from [[graft.functions.TextFns.minhashParams]]
+   * (including its a==0 guard, by construction), polynomial band buckets —
+   * so DuckDB recomputes the exact signatures, the exact candidate set
+   * (pairs sharing a band bucket where at least one side is the NEW batch,
+   * doc_id % 7 = 0), and the exact >= 64-of-128 component-equality
+   * Jaccard estimate. Corpus x corpus pairs are excluded by contract. */
+  private val incrementalNearDupSql: String = {
+    val ps = graft.functions.TextFns.minhashParams(128)
+    val aLit = ps.map(_._1).mkString("[", ", ", "]")
+    val bLit = ps.map(_._2).mkString("[", ", ", "]")
+    s"""WITH p AS (SELECT CAST($aLit AS BIGINT[]) AS pa,
+       |                  CAST($bLit AS BIGINT[]) AS pb),
+       |toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  generate_series(1, len(t) - 2),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM
+       |  (SELECT doc_id, ${duckPolyFragment("s", 31, 1000000007L)} AS h
+       |   FROM sh) GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, list_transform(generate_series(1, 128),
+       |    i -> list_min(list_transform(hs,
+       |      h -> (h * pa[i] + pb[i]) % 1000000007))) AS sig
+       |  FROM hsets, p),
+       |bands AS (SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      sig[band * 4 + 1 : band * 4 + 4]),
+       |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS bucket
+       |  FROM sigs, (SELECT unnest(generate_series(0, 31)) AS band)),
+       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % 7 = 0)
+       |SELECT c.doc_a, c.doc_b FROM cand c
+       |JOIN sigs sa ON sa.doc_id = c.doc_a
+       |JOIN sigs sb ON sb.doc_id = c.doc_b
+       |WHERE list_sum(list_transform(generate_series(1, 128),
+       |  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 64
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** DuckDB scalar: sequential-order double dot product of two FLOAT[]
    * columns — same accumulation order as VectorFns.dot. */
   private def dotSql(a: String, b: String): String =
@@ -975,6 +1034,11 @@ object SparkEntry {
          |JOIN sizes sb ON inter.doc_b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // incremental ingest: sign-once corpus index + per-batch banding,
+    // verified by the signature-estimated Jaccard — the whole chain is
+    // closed-form and recomputed here
+    "incremental_neardup" -> incrementalNearDupSql,
 
     "embedding_near_dup" -> embeddingNearDupSql,
 

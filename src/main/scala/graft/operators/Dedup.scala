@@ -22,14 +22,23 @@ object Dedup {
 
   /** (id, shingle-hash) pairs, distinct per document. The hash runs as a
    * codegen'd scalar on EXPLODED rows — measurably faster than hashing
-   * inside an interpreted transform() lambda over the shingle array. */
+   * inside an interpreted transform() lambda over the shingle array.
+   * `reproducible = true` swaps xxhash64 for the polynomial hash the
+   * DuckDB oracle can recompute (needed when downstream output depends on
+   * the hash VALUES, e.g. signature-estimated Jaccard, not just on
+   * hash-set equality). */
   private def docShingles(docs: DataFrame, idCol: String, n: Int,
-                          textCol: String): DataFrame =
+                          textCol: String,
+                          reproducible: Boolean = false): DataFrame = {
+    val hash =
+      if (reproducible) expr(s"graft_poly_hash(__s, 31, ${TextFns.HashMod})")
+      else TextFns.shingleHash(col("__s"))
     docs
       .withColumn("__t", TextFns.tokens(textCol))
       .select(col(idCol),
         explode(array_distinct(TextFns.shingles("__t", n))).as("__s"))
-      .select(col(idCol), TextFns.shingleHash(col("__s")).as("sh"))
+      .select(col(idCol), hash.as("sh"))
+  }
 
   /** (id, hs: distinct shingle-hash set, sz) for signatures and
    * exact-Jaccard verification. The groupBy exchange is shared: every pair
@@ -37,8 +46,9 @@ object Dedup {
    * verification) and Spark's ReuseExchange dedupes the identical shuffle
    * subplans, so shingling runs once per query, not once per reference. */
   private def shingleSets(docs: DataFrame, idCol: String, n: Int,
-                          textCol: String): DataFrame =
-    docShingles(docs, idCol, n, textCol)
+                          textCol: String,
+                          reproducible: Boolean = false): DataFrame =
+    docShingles(docs, idCol, n, textCol, reproducible)
       .groupBy(idCol).agg(collect_set(col("sh")).as("hs"))
       .withColumn("sz", size(col("hs")))
 
@@ -187,6 +197,102 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     jaccardFilter(cand, shingleSets(docs, idCol, n, textCol), idCol, threshold)
+  }
+
+  /**
+   * (id, sig) MinHash signature table — the PERSISTABLE dedup index state:
+   * write it once per corpus (bucketed by id, or banded and bucketed by
+   * (band, bucket) for join-free candidate lookup) and future batches
+   * dedup against it without touching corpus text. The default polynomial
+   * shingle hash makes signature VALUES recomputable by the SQL oracle
+   * (required by [[incrementalNearDups]], whose output depends on
+   * component equality counts, not just set equality). Signatures only
+   * compare across tables built with the SAME hash family — [[
+   * incrementalNearDups]] signs batches with the reproducible hash, so a
+   * `reproducible = false` index handed to it would silently match
+   * nothing; keep the default unless the index never meets a batch.
+   */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        reproducible: Boolean = true): DataFrame =
+    shingleSets(docs, idCol, n, textCol, reproducible)
+      .select(col(idCol), expr(s"graft_minhash(hs, $numHashes)").as("sig"))
+
+  /** Closed-form band bucket of a signature slice: a polynomial combine of
+   * the `r` components (mod 2^31-1) instead of Murmur3, so the oracle can
+   * recompute bucket membership. Collisions only ADD candidates, which the
+   * estimate verify then filters — identical output semantics. */
+  private def bandBuckets(sigs: DataFrame, bands: Int, r: Int,
+                          idCol: String): DataFrame = {
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        expr(s"""aggregate(slice(sig, ${j * r + 1}, $r),
+                |  CAST(0 AS BIGINT),
+                |  (acc, x) -> (acc * 1000003 + x) % 2147483647)""".stripMargin)
+          .as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /**
+   * INCREMENTAL near-dup detection — the shape a 100 TB pipeline actually
+   * runs: the corpus is signed ONCE ([[minhashSignatures]], persisted),
+   * and each arriving batch is compared against the signature index plus
+   * itself without re-reading corpus text. Verification uses the MinHash
+   * Jaccard ESTIMATE (fraction of equal signature components >=
+   * `estThreshold`) — signatures are the only state, so there is no
+   * shingle-set storage and no corpus re-hash; with 128 hashes the
+   * estimate's std error is ~0.044, so borderline pairs can differ from
+   * the exact-Jaccard contract (documented trade of the sig-only design).
+   *
+   * Emits (doc_a, doc_b), doc_a < doc_b, where at least one side is new:
+   * new x corpus pairs plus new x new pairs, never corpus x corpus (those
+   * were found when the corpus itself was ingested).
+   *
+   * Scale: per batch, O(|batch| * bands) bucket rows join against the
+   * banded index — at a steady corpus this is the difference between
+   * O(batch) and O(corpus) work per ingest. `maxBucketSize` caps skewed
+   * buckets exactly like the batch operators.
+   */
+  def incrementalNearDups(newDocs: DataFrame, corpusSigs: DataFrame,
+                          estThreshold: Double = 0.5, n: Int = 3,
+                          numHashes: Int = 128, bands: Int = 32,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val minMatches = math.ceil(estThreshold * numHashes).toInt
+    val newSigs = minhashSignatures(newDocs, n, numHashes, idCol, textCol,
+      reproducible = true)
+    val newBands = bandBuckets(newSigs, bands, r, idCol)
+    val allBands = capBuckets(
+      bandBuckets(corpusSigs, bands, r, idCol)
+        .union(newBands), // cap sees the bucket's FULL post-batch size
+      Seq("band", "bucket"), maxBucketSize)
+    // candidate pairs with at least one NEW side: new rows that survived
+    // the cap, joined against everything sharing their bucket
+    val newKept = allBands
+      .join(newSigs.select(col(idCol)), Seq(idCol), "left_semi")
+    val cand = newKept.select(col(idCol).as("a"), col("band"), col("bucket"))
+      .join(allBands.select(col(idCol).as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    // corpus and batch ids are disjoint by contract (a batch re-ingesting
+    // corpus ids would belong to upsert, not dedup) — plain union, no
+    // array-shuffling distinct
+    val allSigs = corpusSigs.select(col(idCol), col("sig"))
+      .union(newSigs.select(col(idCol), col("sig")))
+    cand
+      .join(allSigs.select(col(idCol).as("a"), col("sig").as("sa")), "a")
+      .join(allSigs.select(col(idCol).as("b"), col("sig").as("sb")), "b")
+      .withColumn("__m", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("__m") >= minMatches)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
   }
 
   /**

@@ -82,6 +82,40 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 1L, true), Seq(2L, 1L, true), Seq(3L, 0L, false)))
   }
 
+  test("incrementalNearDups: new-vs-corpus and new-vs-new, never corpus-vs-corpus") {
+    // corpus contains an identical pair (1, 4) — already found at corpus
+    // ingest time, so the incremental pass must NOT re-emit it
+    val corpusSigs = Dedup.minhashSignatures(docs, textCol = "body")
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog again and again"),
+      (7L, "the quick brown fox jumps over the lazy dog again and again"),
+      (8L, "totally novel content sharing no shingles with anything else"))
+      .toDF("doc_id", "body")
+    val out = rows(Dedup.incrementalNearDups(batch, corpusSigs, textCol = "body")
+      .orderBy("doc_a", "doc_b"))
+    // identical texts -> identical signatures -> estimate exactly 1.0
+    assert(out.contains(Seq(1L, 6L)) && out.contains(Seq(4L, 7L))
+      && out.contains(Seq(6L, 7L)))
+    val corpusIds = Set(1L, 2L, 3L, 4L, 5L)
+    assert(out.forall { case Seq(a: Long, b: Long) => !(corpusIds(a) && corpusIds(b)) })
+    assert(out.forall { case Seq(a: Long, b: Long) => a != 8L && b != 8L })
+  }
+
+  test("incrementalNearDups: bucket cap sees the post-batch bucket size") {
+    // 9 corpus clones + 1 new clone share every band bucket -> post-batch
+    // bucket size 10; a cap of 9 drops those buckets entirely, so the new
+    // doc pairs with nothing even though each PRE-batch bucket held 9
+    val clones = (1L to 9L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "body")
+    val sigs = Dedup.minhashSignatures(clones, textCol = "body")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "body")
+    assert(rows(Dedup.incrementalNearDups(batch, sigs, textCol = "body",
+      maxBucketSize = Some(9))).isEmpty)
+    val kept = rows(Dedup.incrementalNearDups(batch, sigs, textCol = "body",
+      maxBucketSize = Some(10)).orderBy("doc_a"))
+    assert(kept == (1L to 9L).map(i => Seq(i, 10L)))
+  }
+
   test("nearDupClusters: transitive chain collapses to one min-id cluster") {
     // a 4-deep chain: doc i near-dups only doc i±1 (Jaccard 0.6 between
     // neighbours, 0.33 for skips) — the cluster exists only through
