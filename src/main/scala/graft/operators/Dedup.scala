@@ -250,10 +250,15 @@ object Dedup {
    * new x corpus pairs plus new x new pairs, never corpus x corpus (those
    * were found when the corpus itself was ingested).
    *
-   * Scale: per batch, O(|batch| * bands) bucket rows join against the
-   * banded index — at a steady corpus this is the difference between
-   * O(batch) and O(corpus) work per ingest. `maxBucketSize` caps skewed
-   * buckets exactly like the batch operators.
+   * Scale: per batch, O(|batch| * bands) bucket rows — the broadcastable
+   * side — join against the banded index, and in the uncapped path that
+   * candidate join is the ONLY pass over the index: at a steady corpus
+   * this is the difference between O(batch) and O(corpus) work per
+   * ingest. `maxBucketSize` caps skewed buckets exactly like the batch
+   * operators (sized over the full post-batch population, which is what
+   * makes the cap exact and costs the one extra aggregate pass); only the
+   * new side needs the bucket filter — pairs can only form in buckets the
+   * new side still holds, so the index side stays unfiltered.
    */
   def incrementalNearDups(newDocs: DataFrame, corpusSigs: DataFrame,
                           estThreshold: Double = 0.5, n: Int = 3,
@@ -266,14 +271,16 @@ object Dedup {
     val newSigs = minhashSignatures(newDocs, n, numHashes, idCol, textCol,
       reproducible = true)
     val newBands = bandBuckets(newSigs, bands, r, idCol)
-    val allBands = capBuckets(
-      bandBuckets(corpusSigs, bands, r, idCol)
-        .union(newBands), // cap sees the bucket's FULL post-batch size
-      Seq("band", "bucket"), maxBucketSize)
-    // candidate pairs with at least one NEW side: new rows that survived
-    // the cap, joined against everything sharing their bucket
-    val newKept = allBands
-      .join(newSigs.select(col(idCol)), Seq(idCol), "left_semi")
+    val allBands = bandBuckets(corpusSigs, bands, r, idCol).union(newBands)
+    val newKept = maxBucketSize match {
+      case None => newBands
+      case Some(c) =>
+        // cap sees the bucket's FULL post-batch size
+        val kept = allBands.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= c)
+          .select("band", "bucket")
+        newBands.join(kept, Seq("band", "bucket"), "left_semi")
+    }
     val cand = newKept.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(allBands.select(col(idCol).as("b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
