@@ -264,12 +264,25 @@ object Dedup {
                           estThreshold: Double = 0.5, n: Int = 3,
                           numHashes: Int = 128, bands: Int = 32,
                           idCol: String = "doc_id", textCol: String = "text",
-                          maxBucketSize: Option[Int] = None): DataFrame = {
+                          maxBucketSize: Option[Int] = None): DataFrame =
+    incrementalNearDupsFromSigs(
+      minhashSignatures(newDocs, n, numHashes, idCol, textCol,
+        reproducible = true),
+      corpusSigs, estThreshold, numHashes, bands, idCol, maxBucketSize)
+
+  /** [[incrementalNearDups]] starting from ALREADY-SIGNED batch rows —
+   * the entry point for callers that also persist the batch signatures
+   * (e.g. [[graft.streaming.Streams.nearDupSink]]) and must not sign the
+   * text twice. Both signature tables must come from the same
+   * [[minhashSignatures]] hash family and `numHashes`. */
+  def incrementalNearDupsFromSigs(newSigs: DataFrame, corpusSigs: DataFrame,
+                                  estThreshold: Double = 0.5,
+                                  numHashes: Int = 128, bands: Int = 32,
+                                  idCol: String = "doc_id",
+                                  maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val minMatches = math.ceil(estThreshold * numHashes).toInt
-    val newSigs = minhashSignatures(newDocs, n, numHashes, idCol, textCol,
-      reproducible = true)
     val newBands = bandBuckets(newSigs, bands, r, idCol)
     val allBands = bandBuckets(corpusSigs, bands, r, idCol).union(newBands)
     val newKept = maxBucketSize match {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational}
 import graft.schema.Normalize
 import graft.tables.Tables
 
@@ -167,4 +167,53 @@ object Streams {
       }
       .start()
   }
+
+  /**
+   * Streaming incremental near-duplicate detection over a GROWING corpus:
+   * each micro-batch of documents is MinHash-signed once, near-dup-checked
+   * against the signature index accumulated from every earlier batch
+   * ([[Dedup.incrementalNearDupsFromSigs]] — new-vs-corpus plus
+   * new-vs-new, never corpus-vs-corpus again), and its signatures are then
+   * added to the index. Pairs land under `pairsPath`, the index under
+   * `indexPath` — both parquet, both partitioned by ingest batch.
+   *
+   * Exactly-once despite foreachBatch's at-least-once contract: every
+   * write goes to a `batch=<id>` partition in OVERWRITE mode, so a
+   * replayed micro-batch rewrites its own partitions instead of appending
+   * duplicates, and the index read EXCLUDES the current batch id — on the
+   * first run that partition does not exist yet, on a replay it holds this
+   * very batch's signatures and must not act as corpus (the ids would
+   * collide and re-verify every pair against itself).
+   *
+   * Scale: per micro-batch, the work is the uncapped incremental join —
+   * O(|batch| * bands) broadcastable rows against the index — plus one
+   * index-partition listing; corpus text is never re-read and signatures
+   * are computed exactly once per document per successful batch.
+   */
+  def nearDupSink(stream: DataFrame, indexPath: String, pairsPath: String,
+                  checkpointDir: String, estThreshold: Double = 0.5,
+                  n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxBucketSize: Option[Int] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val sigs = Dedup.minhashSignatures(batch, n, numHashes, idCol, textCol)
+          sigs.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          val corpus = s.read
+            .option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          // read back this batch's just-written signatures rather than
+          // recomputing them: one signing pass per document, ever
+          val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
+          Dedup.incrementalNearDupsFromSigs(newSigs, corpus, estThreshold,
+            numHashes, bands, idCol, maxBucketSize)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
 }

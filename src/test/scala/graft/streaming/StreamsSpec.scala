@@ -72,6 +72,37 @@ class StreamsSpec extends SparkSpec {
     Tables.dropTable(spark, "stream_up")
   }
 
+  test("nearDupSink: batches near-dup against the grown index, corpus pairs stay put") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("ndidx").toString
+    val pairs = Files.createTempDirectory("ndpairs").toString
+    val cp = Files.createTempDirectory("ndcp").toString
+    val q = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp)
+    try {
+      // batch 0: one identical pair inside the batch + an unrelated doc
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "completely different words about spark query engines at scale"))
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(pairs).select("doc_a", "doc_b")
+        .orderBy("doc_a")) == Seq(Seq(1L, 2L)))
+      // batch 1: a clone of doc 1 must pair with BOTH earlier clones via
+      // the index, and (1, 2) must not be re-emitted
+      mem.addData(
+        (4L, "the quick brown fox jumps over the lazy dog again and again"),
+        (5L, "totally novel content sharing no shingles with anything else"))
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(pairs).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")) ==
+        Seq(Seq(1L, 2L), Seq(1L, 4L), Seq(2L, 4L)))
+      // the index holds one signature row per document ever ingested
+      assert(spark.read.parquet(idx).count() == 5L)
+    } finally q.stop()
+  }
+
   test("dedupStream: re-delivered keys are dropped across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
