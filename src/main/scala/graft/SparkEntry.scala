@@ -55,7 +55,7 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
-    "exact_dedup", "ngram_jaccard",
+    "exact_dedup", "ngram_jaccard", "fuzzy_join",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "quantize_int8",
@@ -235,6 +235,13 @@ object SparkEntry {
     // ---- dedup (documents) ----
     "exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents")).orderBy("keep_id")),
+
+    // entity-level fuzzy self-join: customer names within 1 edit —
+    // deletion-neighborhood candidates (FastSS) + levenshtein verify
+    "fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "customer"), k = 1,
+        idCol = "c_custkey", textCol = "c_name")
+        .orderBy("doc_a", "doc_b")),
 
     // the DEFAULT path is DF-capped: shingles seen in > 20 documents are
     // excluded from CANDIDATE GENERATION (the df² join-volume driver) while
@@ -1006,6 +1013,16 @@ object SparkEntry {
     "exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // fuzzy_join is verify-exact (the prefix filter is complete, the
+    // levenshtein verify exact), so the oracle is the brute-force join
+    "fuzzy_join" ->
+      """SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ngram_jaccard_exact" -> jaccardPairsSql,
     "minhash_lsh"         -> jaccardPairsSql,

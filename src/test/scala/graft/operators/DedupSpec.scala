@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
@@ -114,6 +116,27 @@ class DedupSpec extends SparkSpec {
     val kept = rows(Dedup.incrementalNearDups(batch, sigs, textCol = "body",
       maxBucketSize = Some(10)).orderBy("doc_a"))
     assert(kept == (1L to 9L).map(i => Seq(i, 10L)))
+  }
+
+  test("editDistancePairs matches the brute-force levenshtein join") {
+    // repeated grams (9, 10) exercise the multiset occ numbering; (6, 7, 8)
+    // are below the gram bound and must pair through the short pool; (4, 5)
+    // is an exact duplicate; (1, 3) differ by one insertion
+    val names = Seq(
+      (1L, "red widget"), (2L, "red gadget"), (3L, "red widgets"),
+      (4L, "blue bolt"), (5L, "blue bolt"), (6L, "ab"), (7L, "b"),
+      (8L, "a"), (9L, "aaaa"), (10L, "aaab")).toDF("doc_id", "text")
+    for (k <- Seq(0, 1, 2)) {
+      val brute = rows(names.select(col("doc_id").as("a"), col("text").as("sa"))
+        .crossJoin(names.select(col("doc_id").as("b"), col("text").as("sb")))
+        .filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+        .filter(col("dist") <= k)
+        .select(col("a"), col("b"), col("dist")).orderBy("a", "b"))
+      val out = rows(Dedup.editDistancePairs(names, k = k)
+        .orderBy("doc_a", "doc_b"))
+      assert(out == brute, s"k=$k")
+    }
   }
 
   test("nearDupClusters: transitive chain collapses to one min-id cluster") {
