@@ -55,14 +55,15 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
-    "exact_dedup", "ngram_jaccard", "fuzzy_join",
+    "exact_dedup", "ngram_jaccard", "fuzzy_join", "dedup_lines",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "quantize_int8",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
-    "sample_stratified", "pack_sequences", "curate",
+    "sample_stratified", "pack_sequences", "curate", "cap_per_group",
+    "salted_join",
     "sessionize", "window_agg", "sliding_window",
-    "neardup_clusters", "tfidf_topterms",
+    "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "split_leakage",
     "top_ngrams",
@@ -458,6 +459,20 @@ object SparkEntry {
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
 
+    // per-source quota: at most 40 docs per source, lowest-hash-first
+    "cap_per_group" -> ((s, dir) =>
+      Curation.capPerGroup(t(s, dir, "documents"), "source",
+        maxPerGroup = 15).orderBy("doc_id")),
+
+    // skew-salted orders->customer equi-join (result = the plain join)
+    "salted_join" -> ((s, dir) =>
+      Relational.saltedJoin(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("c_custkey"), col("o_totalprice")),
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        key = "c_custkey", salts = 8)
+        .orderBy("o_orderkey")),
+
     "intake_pipeline" -> ((s, dir) =>
       Curation.intakePipeline(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -510,6 +525,16 @@ object SparkEntry {
     // ---- dedup clustering / text ops (documents) ----
     "neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // materialized dedup: cluster representatives + absorbed counts
+    "neardup_dedup" -> ((s, dir) =>
+      Dedup.nearDupDedup(t(s, dir, "documents")).orderBy("keep_id")),
+
+    // C4-style corpus segment dedup; the fixtures' text is one line, so
+    // the query dedups word segments (sep = " ") — same machinery
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.dedupSegments(t(s, dir, "documents"), sep = " ")
+        .orderBy("doc_id")),
 
     "tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
@@ -598,6 +623,23 @@ object SparkEntry {
 
   private val jaccardPairsSql =
     s"WITH $jaccardCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
+
+  /** Near-dup connected components as CTEs ending in
+   * `cl(doc_id, cluster_id)` — shared by the clusters and materialized-
+   * dedup oracles (prefix with WITH RECURSIVE). */
+  private val nearDupClusterCtes =
+    s"""$jaccardCtes,
+       |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM ed
+       |  UNION
+       |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+       |cl AS (SELECT d.doc_id,
+       |  CAST(least(d.doc_id, COALESCE(min(reach.r), d.doc_id)) AS BIGINT)
+       |    AS cluster_id
+       |  FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
 
   /** DuckDB fragment: polynomial hash of non-empty lambda variable `v`
    * (mirrors TextFns.polyHashFragment). */
@@ -1024,6 +1066,26 @@ object SparkEntry {
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // dedup_lines: corpus-first-occurrence per word segment (sep = ' '),
+    // reassembled per doc; first = lowest (doc_id, position)
+    "dedup_lines" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS seg
+        |  FROM documents),
+        |marked AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(COALESCE(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos),
+        |    '') AS text_kept
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ngram_jaccard_exact" -> jaccardPairsSql,
     "minhash_lsh"         -> jaccardPairsSql,
     "simhash"             -> simhashSql(cap = None),
@@ -1268,6 +1330,24 @@ object SparkEntry {
          |  FROM documents)
          |WHERE h < rate ORDER BY doc_id""".stripMargin,
 
+    // cap_per_group: at most 15 docs per source, ranked by the
+    // reproducible polynomial id hash (ties on doc_id)
+    "cap_per_group" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)},
+         |      doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+
+    // salted_join: salting only changes physical distribution — the
+    // oracle is the plain inner join
+    "salted_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = customer.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
     "train_val_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
@@ -1447,18 +1527,14 @@ object SparkEntry {
     // connected components over the near-dup pair graph: transitive closure
     // via recursive CTE, cluster id = min reachable doc id
     "neardup_clusters" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT src, dst FROM ed
-         |  UNION
-         |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src)
-         |SELECT d.doc_id,
-         |  CAST(least(d.doc_id, COALESCE(min(reach.r), d.doc_id)) AS BIGINT)
-         |    AS cluster_id
-         |FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $nearDupClusterCtes
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+    // materialized dedup: one row per cluster representative
+    "neardup_dedup" ->
+      s"""WITH RECURSIVE $nearDupClusterCtes
+         |SELECT cluster_id AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM cl GROUP BY cluster_id ORDER BY keep_id""".stripMargin,
 
     "tfidf_topterms" ->
       s"""WITH tf AS (

@@ -104,6 +104,35 @@ object Curation {
   }
 
   /**
+   * Per-group document quota (the RefinedWeb/Gopher-style per-domain
+   * cap): keep at most `maxPerGroup` documents from each value of
+   * `groupCol`, selected by the reproducible polynomial id hash (ties on
+   * the id) rather than by id order — so the survivors are an unbiased,
+   * run- and engine-stable sample of each group, and adding documents to
+   * a group only ever displaces the highest-hash survivors. Emits
+   * (idCol, groupCol) for the kept documents.
+   *
+   * Scale: the rank is a per-group window, but it runs on a NARROW
+   * (group, hash, id) projection with the id list joined back to the
+   * full rows afterward — the wide text/payload columns never ride
+   * through the sort. A single pathological group (one domain = half the
+   * corpus) still sorts in one task, but as 16-byte rows that spill; if
+   * that is the workload, pre-thin with [[sampleStratified]] at a rate
+   * near cap/count first — the hash ordering makes the two selections
+   * consistent (both keep low-hash rows).
+   */
+  def capPerGroup(docs: DataFrame, groupCol: String, maxPerGroup: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(maxPerGroup >= 1, "maxPerGroup >= 1")
+    val h = expr(s"graft_poly_hash(CAST($idCol AS STRING), 31, 1000000007)")
+    val w = Window.partitionBy(groupCol).orderBy(h.asc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerGroup)
+      .select(col(idCol), col(groupCol))
+  }
+
+  /**
    * Top-k corpus n-grams by document frequency — the corpus-level
    * vocabulary report (boilerplate detection, stop-shingle candidates for
    * [[Dedup.ngramJaccardPairs]]'s DF cap). Ties break on the n-gram

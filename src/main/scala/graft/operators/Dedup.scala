@@ -502,6 +502,25 @@ object Dedup {
     cur.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /**
+   * Materialized near-dup dedup — the user-facing "give me the deduped
+   * corpus" answer on top of [[nearDupClusters]]: one row per surviving
+   * document (the cluster representative = the minimum id, which is the
+   * cluster id itself) with how many documents it absorbed. Keep set =
+   * `keep_id`; everything else in the cluster is the drop set. One extra
+   * hash-aggregate over the cluster assignment — nothing beyond the
+   * clustering pass itself.
+   */
+  def nearDupDedup(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+                   bands: Int = 32, threshold: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxRounds: Int = 20): DataFrame =
+    nearDupClusters(docs, n, numHashes, bands, threshold, idCol, textCol,
+      maxRounds)
+      .groupBy(col("cluster_id").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("keep_id"), col("n_members"))
+
   /** Free the cached blocks behind a `localCheckpoint`ed frame (best-effort).
    * Dataset.unpersist only drops CacheManager entries, not checkpoint RDDs,
    * so iterative operators must release rounds manually or pin every
@@ -590,6 +609,47 @@ object Dedup {
       .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
       .filter(col("dist") <= k)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("dist"))
+  }
+
+  /**
+   * Corpus-level segment dedup (the C4/RefinedWeb "line dedup" pass):
+   * split every document on a literal `sep`, keep only the FIRST
+   * occurrence of each distinct segment across the whole corpus — first =
+   * lowest (doc id, position) — and reassemble each document from its
+   * surviving segments in original order. Emits one row per input
+   * document: (doc_id, n_segments, n_kept, text_kept), with
+   * `text_kept = ""` when every segment lost.
+   *
+   * Scale: the winner per segment is `min(struct(doc_id, pos))` from a
+   * hash AGGREGATE, not a window — partial aggregation combines map-side,
+   * so a boilerplate segment duplicated a billion times costs one struct
+   * per map task, never a billion-row sort partition (the window
+   * formulation has exactly that skew hole). The winner set (one row per
+   * distinct segment) joins back to the exploded segments on the segment
+   * key to mark keepers; reassembly is a per-document sort_array over
+   * collected (pos, seg) structs — document-bounded state. Two linear
+   * shuffles total: by segment, then by doc.
+   */
+  def dedupSegments(docs: DataFrame, sep: String = "\n",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("id"), col("pos"), col("col").as("seg"))
+    val winners = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("seg"), col("w.id").as("wid"), col("w.pos").as("wpos"))
+    segs.join(winners, "seg")
+      .withColumn("keep", col("id") === col("wid") && col("pos") === col("wpos"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("seg"))))),
+          s => s("seg")), sep).as("text_kept"))
+      .select(col(idCol), col("n_segments"), col("n_kept"), col("text_kept"))
   }
 
   /**

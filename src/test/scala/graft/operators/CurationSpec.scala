@@ -20,6 +20,29 @@ class CurationSpec extends SparkSpec {
     assert(Curation.sampleStratified(docs, "lang", Map(), 100).count() == 200)
   }
 
+  test("capPerGroup: quota per group, hash-ordered, partition-invariant") {
+    // ids span digit-lengths so the poly hash wraps and is NOT id-ordered
+    val pairs = (1L to 100L).map(i => (i * 987654L + 13L, s"src${i % 3}"))
+    val docs = pairs.toDF("doc_id", "source")
+    val kept = rows(Curation.capPerGroup(docs, "source", maxPerGroup = 10)
+      .orderBy("doc_id"))
+    val perGroup = kept.groupBy(_(1)).view.mapValues(_.size).toMap
+    assert(perGroup == Map("src0" -> 10, "src1" -> 10, "src2" -> 10))
+    // exact selection: the 10 lowest (polyHash, id) per group, recomputed
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val expected = pairs.groupBy(_._2).values.flatMap(g =>
+      g.map(_._1).sortBy(i => (polyHash(i.toString), i)).take(10))
+      .toSeq.sorted
+    assert(kept.map(_(0)) == expected)
+    // physical layout must not change the selection
+    val repart = rows(Curation.capPerGroup(docs.repartition(7), "source",
+      maxPerGroup = 10).orderBy("doc_id"))
+    assert(repart == kept)
+    // a cap above the group size keeps everything
+    assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
+  }
+
   test("packSequences: budget boundaries within shard, shards independent") {
     val docs = Seq(
       (1L, "s1", "a b c"), (2L, "s1", "d e f"), (3L, "s1", "g h"),

@@ -139,6 +139,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupSegments: corpus-first occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a|b|c"),
+      (2L, "b|d|a"),   // b and a already seen in doc 1
+      (3L, "c|c"),     // both segments lost to doc 1 (and first-c beats second)
+      (4L, "d|e"))     // d lost to doc 2
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.dedupSegments(docs, sep = "|").orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 3L, 3L, "a|b|c"),
+      Seq(2L, 3L, 1L, "d"),
+      Seq(3L, 2L, 0L, ""),
+      Seq(4L, 2L, 1L, "e")))
+    // within-doc duplicate: first position of the FIRST doc holds it
+    val within = rows(Dedup.dedupSegments(
+      Seq((7L, "x|x|y")).toDF("doc_id", "text"), sep = "|"))
+    assert(within == Seq(Seq(7L, 3L, 2L, "x|y")))
+  }
+
+  test("nearDupDedup: representatives keep their absorbed counts") {
+    // docs 1-3 near-dup each other (shared shingles), 9 is a singleton
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, base), (2L, base + " eta"), (3L, base + " theta"),
+      (9L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.nearDupDedup(docs).orderBy("keep_id"))
+    assert(out == Seq(Seq(1L, 3L), Seq(9L, 1L)))
+  }
+
   test("nearDupClusters: transitive chain collapses to one min-id cluster") {
     // a 4-deep chain: doc i near-dups only doc i±1 (Jaccard 0.6 between
     // neighbours, 0.33 for skips) — the cluster exists only through
