@@ -66,7 +66,7 @@ object SparkEntry {
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "split_leakage",
-    "top_ngrams",
+    "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline")
 
@@ -458,6 +458,12 @@ object SparkEntry {
 
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
+
+    // exact heavy hitters (tokens over n/(k+1) of all occurrences) via a
+    // Misra-Gries candidate pass + exact recount of candidates only
+    "heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), k = 30)
+        .orderBy(col("n_occurrences").desc, col("token"))),
 
     // per-source quota: at most 40 docs per source, lowest-hash-first
     "cap_per_group" -> ((s, dir) =>
@@ -1329,6 +1335,17 @@ object SparkEntry {
          |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
          |  FROM documents)
          |WHERE h < rate ORDER BY doc_id""".stripMargin,
+
+    // heavy_hitters: the sketch is candidates-only, so the ground truth
+    // is the plain GROUP BY / HAVING at threshold n/(k+1), k=30
+    "heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM tok)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  count(*) / CAST(any_value(tot.n) AS DOUBLE) AS share
+         |FROM tok, tot GROUP BY token
+         |HAVING count(*) * 31 > any_value(tot.n)
+         |ORDER BY n_occurrences DESC, token""".stripMargin,
 
     // cap_per_group: at most 15 docs per source, ranked by the
     // reproducible polynomial id hash (ties on doc_id)

@@ -144,6 +144,49 @@ object TextAnalysis {
   }
 
   /**
+   * Exact corpus heavy hitters with bounded memory: every token whose
+   * occurrence count exceeds `n / (k + 1)` of the `n` total token
+   * occurrences, with its exact count and share. Two passes:
+   *
+   *   1. one aggregate pass builds a [[graft.functions.MgSketch]]
+   *      (Misra-Gries, <= k counters per partial buffer — the full
+   *      vocabulary never shuffles) plus the total count; the sketch's
+   *      guarantee makes its <= k survivors a SUPERSET of the true heavy
+   *      hitters regardless of merge order;
+   *   2. the candidate tokens (a driver-bounded list, <= k — same
+   *      contract as the IVF centroid collect) filter the token stream
+   *      BEFORE the exact recount, so the second shuffle carries only
+   *      candidate rows.
+   *
+   * The threshold is applied to the exact recount, so the output is
+   * exact and partition-invariant even though the intermediate sketch
+   * contents are not — which is what makes a sketch-based plan
+   * oracle-checkable against a plain GROUP BY / HAVING.
+   *
+   * At 100 TB: pass 1 is a map-side-combined aggregate with O(k) state;
+   * pass 2 is a broadcast-filtered count of at most k distinct keys. The
+   * full-vocabulary `groupBy(token)` this replaces shuffles every
+   * distinct token (billions) to answer a k-row question.
+   */
+  def heavyHitters(docs: DataFrame, k: Int = 32,
+                   textCol: String = "text"): DataFrame = {
+    val tokens = docs.select(explode(TextFns.tokens(textCol)).as("token"))
+    val mg = graft.functions.MgSketch.udaf(k)
+    val head = tokens
+      .agg(mg(col("token")).as("cand"), count(lit(1)).as("n")).head()
+    val cand = head.getAs[Map[String, Long]]("cand").keys.toSeq
+    val n = head.getAs[Long]("n")
+    if (cand.isEmpty) tokens.filter(lit(false))
+      .select(col("token"), lit(0L).as("n_occurrences"),
+        lit(0.0).as("share"))
+    else tokens.filter(col("token").isin(cand: _*))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * (k + 1) > n)
+      .select(col("token"), col("n_occurrences"),
+        (col("n_occurrences").cast("double") / n).as("share"))
+  }
+
+  /**
    * Intra-document repetition score — the fraction of word n-gram
    * occurrences that are repeats of an earlier n-gram in the same document
    * (`1 - distinct/total`), a standard corpus-quality signal for filtering
