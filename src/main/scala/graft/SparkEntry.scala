@@ -58,7 +58,7 @@ object SparkEntry {
     "exact_dedup", "ngram_jaccard", "fuzzy_join", "dedup_lines",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
-    "quantize_int8",
+    "quantize_int8", "embedding_centroids",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join",
@@ -322,6 +322,11 @@ object SparkEntry {
 
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings")).orderBy("vec_id")),
+
+    // per-label class centroids in exact micro-unit fixed point
+    "embedding_centroids" -> ((s, dir) =>
+      Similarity.embeddingCentroids(t(s, dir, "embeddings"))
+        .orderBy("label")),
 
     // LSH parameter eval: recall/precision of the capped hyperplane path
     // vs the exact quadratic ground truth. Oracle-only (never benched) —
@@ -1307,6 +1312,24 @@ object SparkEntry {
         |                                x -> abs(CAST(x AS DOUBLE)))) AS m
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+
+    // embedding_centroids: same micro-unit integer sums (associative,
+    // engine-invariant), floor of the exact double quotient
+    "embedding_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |agg AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM ex GROUP BY label, pos)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |  string_agg(CAST(CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS VARCHAR), ',' ORDER BY pos) AS centroid_micro
+        |FROM agg GROUP BY label ORDER BY label""".stripMargin,
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_event_id

@@ -35,6 +35,46 @@ object Similarity {
   }
 
   /**
+   * Per-label embedding centroids (class means — IVF seeding, dataset
+   * cartography, per-cluster summaries): element-wise mean of the
+   * embedding column per `labelCol`, emitted as (label, n_vectors,
+   * centroid) with the centroid comma-joined (scalar row contract).
+   *
+   * Elements are scaled to exact micro-unit integers
+   * (`round(x * 1e6)`) before summing: float addition is not
+   * associative, so a naive `avg(float)` differs in the last ulp across
+   * partitionings and engines — the scaled-integer sum is associative
+   * and therefore partition-invariant and oracle-checkable
+   * bit-for-bit. The centroid element stays in micro-units
+   * (`floor(sum / n)` as BIGINT; both engines floor the same exact
+   * double quotient — sums stay under 2^53 up to ~1e9 unit-norm
+   * vectors per cell). Micro-unit precision is far below embedding
+   * noise.
+   *
+   * Scale: explode to (label, dim) — both aggregates are hash
+   * aggregates with map-side combine over (label, dim) then (label);
+   * state is dimension-bounded per label, never corpus-bounded.
+   */
+  def embeddingCentroids(emb: DataFrame, labelCol: String = "label",
+                         vecCol: String = "embedding"): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)"))
+          .as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("label")
+      .agg(
+        max(col("n")).as("n_vectors"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m").cast("string")), ",").as("centroid_micro"))
+      .select(col("label"), col("n_vectors"), col("centroid_micro"))
+
+  /**
    * Symmetric int8 quantization of the embedding column: per-vector scale
    * = 127 / max(|x|), q_i = round(x_i * scale) — the standard 4x storage
    * compression for embedding corpora. One narrow projection; the max

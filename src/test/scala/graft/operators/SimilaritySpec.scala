@@ -53,6 +53,22 @@ class SimilaritySpec extends SparkSpec {
       math.abs(refined(1)(1) - 2.0 / 3) < 1e-6)
   }
 
+  test("embeddingCentroids: exact micro-unit means, partition-invariant") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(-0.5f, 0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = rows(Similarity.embeddingCentroids(docs).orderBy("label"))
+    // label 0: mean (0.5, 0.5) -> 500000 micro; label 1: (-0.5, 0.25)
+    assert(out == Seq(
+      Seq(0, 2L, "500000,500000"),
+      Seq(1, 1L, "-500000,250000")))
+    val repart = rows(Similarity.embeddingCentroids(docs.repartition(5))
+      .orderBy("label"))
+    assert(repart == out)
+  }
+
   test("quantizeInt8: full range used, zero vector safe, reconstruction close") {
     val emb = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
