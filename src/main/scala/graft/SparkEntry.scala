@@ -61,7 +61,7 @@ object SparkEntry {
     "quantize_int8", "embedding_centroids",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
-    "salted_join",
+    "salted_join", "corpus_shuffle", "length_buckets",
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
@@ -469,6 +469,14 @@ object SparkEntry {
     "heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(t(s, dir, "documents"), k = 30)
         .orderBy(col("n_occurrences").desc, col("token"))),
+
+    // epoch-1 training-order shuffle (reproducible hash permutation)
+    "corpus_shuffle" -> ((s, dir) =>
+      Curation.shuffleCorpus(t(s, dir, "documents"), epoch = 1)),
+
+    // padding-efficiency report: power-of-two token-length buckets
+    "length_buckets" -> ((s, dir) =>
+      Curation.lengthBuckets(t(s, dir, "documents")).orderBy("bucket")),
 
     // per-source quota: at most 40 docs per source, lowest-hash-first
     "cap_per_group" -> ((s, dir) =>
@@ -1369,6 +1377,21 @@ object SparkEntry {
          |FROM tok, tot GROUP BY token
          |HAVING count(*) * 31 > any_value(tot.n)
          |ORDER BY n_occurrences DESC, token""".stripMargin,
+
+    "corpus_shuffle" ->
+      s"""SELECT doc_id,
+         |  (${duckPolyFragment("CAST(doc_id AS VARCHAR) || ':e1'", 31, 1000000007L)}
+         |    * 1103515245 + 12345) % 2147483647 AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "length_buckets" ->
+      s"""SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(min(n) AS BIGINT) AS min_tokens,
+         |  CAST(max(n) AS BIGINT) AS max_tokens
+         |FROM (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // cap_per_group: at most 15 docs per source, ranked by the
     // reproducible polynomial id hash (ties on doc_id)

@@ -176,6 +176,58 @@ object Curation {
   }
 
   /**
+   * Deterministic, epoch-aware corpus shuffle for training order: each
+   * epoch orders documents by the reproducible hash of (id, epoch), so
+   * every epoch sees an independent permutation, every run/engine/
+   * cluster-size sees the SAME permutation, and resuming mid-epoch is
+   * just a key-range predicate. Emits (idCol, shuffle_key) sorted by
+   * (shuffle_key, id).
+   *
+   * The polynomial hash alone is monotonic on short keys (it only mixes
+   * once its value wraps the modulus), which would leave a small-id
+   * corpus nearly unshuffled — so the key takes one LCG mixing step
+   * (`(h * 1103515245 + 12345) mod 2^31-1`) after it: adjacent hashes
+   * land far apart, and the arithmetic stays exact 64-bit integer on
+   * every engine (max product ~1.1e18 < 2^63).
+   *
+   * Scale: the sort is a range exchange (total order across output
+   * files without a single-partition sort); the key is computed in one
+   * narrow projection. This replaces `ORDER BY rand()` — which is
+   * neither reproducible nor resumable — as the shuffle stage of an
+   * intake pipeline.
+   */
+  def shuffleCorpus(docs: DataFrame, epoch: Int = 0,
+                    idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      expr(s"(graft_poly_hash(CAST($idCol AS STRING) || ':e$epoch', " +
+        "31, 1000000007) * 1103515245 + 12345) % 2147483647")
+        .as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col(idCol))
+
+  /**
+   * Token-length histogram in power-of-two buckets — the
+   * padding-efficiency report batch assembly needs (docs batched within
+   * a bucket pad to at most 2x their own length). `bucket` =
+   * bit-length of the token count (`length(bin(n))`, so 1..1→1, 2..3→2,
+   * 4..7→3, …) — integer arithmetic only, no transcendental log2 whose
+   * last-ulp could flip a boundary between engines. One narrow
+   * projection + one tiny hash aggregate.
+   */
+  def lengthBuckets(docs: DataFrame,
+                    textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__n", size(TextFns.tokens(textCol)).cast("long"))
+      .withColumn("bucket", length(bin(col("__n"))).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"))
+
+  /**
    * Composed curation pass: drop exact duplicates (keep the lowest id per
    * text), keep documents inside a token-count band with enough alphabetic
    * content. The shape of a real intake filter: one dedup aggregate plus

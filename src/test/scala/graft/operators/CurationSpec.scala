@@ -43,6 +43,30 @@ class CurationSpec extends SparkSpec {
     assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
   }
 
+  test("shuffleCorpus: reproducible, epoch-dependent permutations") {
+    val docs = (1L to 50L).toDF("doc_id")
+    val e1 = rows(Curation.shuffleCorpus(docs, epoch = 1)).map(_(0))
+    val e1Again = rows(Curation.shuffleCorpus(docs.repartition(7), epoch = 1))
+      .map(_(0))
+    assert(e1 == e1Again)            // run- and layout-stable
+    assert(e1.toSet == (1L to 50L).toSet)
+    val e2 = rows(Curation.shuffleCorpus(docs, epoch = 2)).map(_(0))
+    assert(e1 != e2)                 // epochs are independent permutations
+    assert(e1 != (1L to 50L).toSeq)  // and it actually shuffles
+  }
+
+  test("lengthBuckets: power-of-two bins with exact stats") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = rows(Curation.lengthBuckets(docs).orderBy("bucket"))
+    assert(out == Seq(
+      Seq(1L, 1L, 1L, 1L, 1L),   // n=1
+      Seq(2L, 2L, 5L, 2L, 3L),   // n=2,3
+      Seq(3L, 1L, 4L, 4L, 4L),   // n=4..7
+      Seq(4L, 1L, 8L, 8L, 8L)))  // n=8..15
+  }
+
   test("packSequences: budget boundaries within shard, shards independent") {
     val docs = Seq(
       (1L, "s1", "a b c"), (2L, "s1", "d e f"), (3L, "s1", "g h"),
