@@ -34,4 +34,34 @@ object Jsonl {
    * inference costs a full extra scan before the real one. */
   def readInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /**
+   * Read JSONL splitting good rows from a quarantine channel: lines that
+   * fail to parse (or whose fields fail the schema) surface on the
+   * second frame with the raw line intact, instead of aborting the job
+   * (FAILFAST) or silently nulling out (plain PERMISSIVE). A crawl-scale
+   * ingest ALWAYS contains malformed shards; the pipeline contract is
+   * "load the good, keep the bad inspectable".
+   *
+   * Shape: a line-splittable text scan + per-line `from_json` with a
+   * corrupt-record field — one parse per line, same cost as the json
+   * source. (The json file source itself REFUSES corrupt-column-only
+   * projections unless the scan is cached — a non-starter at corpus
+   * scale — so the quarantine channel parses from the text scan, where
+   * no such restriction exists.)
+   */
+  def readWithQuarantine(spark: SparkSession, path: String,
+                         schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val withCorrupt = schema.add("__corrupt", "string")
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "__corrupt")).as("j"))
+    val good = parsed.filter(col("j.__corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
+    val bad = parsed.filter(col("j.__corrupt").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, bad)
+  }
 }

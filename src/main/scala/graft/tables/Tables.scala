@@ -1,6 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Relational
@@ -124,19 +125,52 @@ object Tables {
     } else {
       Relational.assertUniqueKeys(staging, key)
       val merged = Relational.upsertPlan(spark.table(mainTable), staging, key)
-      val tmp = suffixed(mainTable, "__upsert_tmp")
-      val backup = suffixed(mainTable, "__upsert_backup")
-      spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
-      merged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
-      spark.sql(s"ALTER TABLE ${q(mainTable)} RENAME TO ${q(backup)}")
-      spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(mainTable)}")
-      spark.sql(s"DROP TABLE ${q(backup)}")
-      // the session's relation cache still points at the pre-swap file
-      // listing for mainTable; without a refresh the next read fails with
-      // FILE_NOT_EXIST (observed under repeated foreachBatch upserts)
-      spark.catalog.refreshTable(mainTable)
+      writeSwapped(spark, merged, mainTable)
     }
     spark.table(mainTable).count()
+  }
+
+  /**
+   * Small-file compaction: rewrite a managed table into `targetFiles`
+   * shards via the same crash-safe tmp/backup swap as the upsert path.
+   * Streaming/incremental sinks accrete one file per micro-batch per
+   * partition; at 100 TB that is millions of KB-sized files whose
+   * open/footer costs dominate scans — periodic compaction to
+   * row-group-sized shards is routine table maintenance. `sortCol`
+   * optionally range-sorts while rewriting (total sort = range
+   * exchange), clustering the table for pruning on that column.
+   * Returns (filesBefore, filesAfter).
+   */
+  def compactTable(spark: SparkSession, table: String, targetFiles: Int,
+                   sortCol: Option[String] = None): (Int, Int) = {
+    require(targetFiles >= 1, "targetFiles >= 1")
+    val before = spark.table(table).inputFiles.length
+    val df = spark.table(table)
+    val shaped = sortCol match {
+      case Some(c) => df.repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(c)
+      case None => df.repartition(targetFiles)
+    }
+    writeSwapped(spark, shaped, table)
+    (before, spark.table(table).inputFiles.length)
+  }
+
+  /** Replace `mainTable`'s contents with `df` via write-new + rename swap
+   * (see [[upsertIntoTable]]'s protocol note: a crash between renames
+   * leaves both the new table and the backup recoverable on disk). */
+  private def writeSwapped(spark: SparkSession, df: DataFrame,
+                           mainTable: String): Unit = {
+    val tmp = suffixed(mainTable, "__swap_tmp")
+    val backup = suffixed(mainTable, "__swap_backup")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE ${q(mainTable)} RENAME TO ${q(backup)}")
+    spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(mainTable)}")
+    spark.sql(s"DROP TABLE ${q(backup)}")
+    // the session's relation cache still points at the pre-swap file
+    // listing for mainTable; without a refresh the next read fails with
+    // FILE_NOT_EXIST (observed under repeated foreachBatch upserts)
+    spark.catalog.refreshTable(mainTable)
   }
 }

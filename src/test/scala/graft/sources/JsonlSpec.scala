@@ -43,6 +43,23 @@ class JsonlSpec extends SparkSpec {
     assert(rows(back2) == Seq(Seq(2L, "b", null)))
   }
 
+  test("quarantine read splits malformed lines without aborting") {
+    val dir = Files.createTempDirectory("graft-jsonl5").toFile
+    val f = new java.io.File(dir, "shard.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "ok", "lang": "en"}""")
+    w.println("""{"doc_id": broken""")           // malformed JSON
+    w.println("""not json at all""")             // not JSON
+    w.println("""{"doc_id": 2, "text": "also ok"}""")
+    w.close()
+    val (good, bad) = Jsonl.readWithQuarantine(spark, f.toString, schema)
+    assert(rows(good.orderBy("doc_id")) == Seq(
+      Seq(1L, "ok", "en"), Seq(2L, "also ok", null)))
+    // quarantined rows carry the raw line for inspection/replay
+    assert(rows(bad.orderBy("raw_line")).map(_(0)) ==
+      Seq("not json at all", """{"doc_id": broken"""))
+  }
+
   test("shard count follows upstream partitioning") {
     val dir = Files.createTempDirectory("graft-jsonl4").toString + "/sharded"
     Jsonl.write((1L to 100L).toDF("doc_id").repartition(4), dir)

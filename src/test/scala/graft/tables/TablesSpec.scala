@@ -76,6 +76,26 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, "t_part")
   }
 
+  test("compactTable shrinks file count, preserves data, can sort-cluster") {
+    val t = "compact_me"
+    Tables.loadOverwrite(
+      (1L to 200L).toDF("id").repartition(37), t)
+    assert(spark.table(t).inputFiles.length == 37)
+    val (before, after) = Tables.compactTable(spark, t, targetFiles = 3)
+    assert(before == 37 && after == 3)
+    assert(rows(spark.table(t).orderBy("id")).map(_(0)) == (1L to 200L))
+    // sorted compaction: each output file holds a contiguous id range
+    Tables.compactTable(spark, t, targetFiles = 2, sortCol = Some("id"))
+    val byFile = spark.table(t)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .collect().groupBy(_.getString(1)).values.map(_.map(_.getLong(0)).sorted)
+    assert(byFile.size == 2)
+    val ranges = byFile.map(ids => (ids.head, ids.last)).toSeq.sortBy(_._1)
+    assert(ranges(0)._2 < ranges(1)._1, s"files overlap: $ranges")
+    Tables.dropTable(spark, t)
+  }
+
   test("upsertIntoTable rejects duplicate staging keys") {
     Tables.dropTable(spark, "t_dup")
     Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_dup")
