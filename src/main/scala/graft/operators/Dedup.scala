@@ -584,8 +584,12 @@ object Dedup {
       .filter(length(col(textCol)) <= maxLen)
       .select(col(idCol).as("id"), col(textCol).as("s"))
     // levels 0..k of the deletion neighborhood; each level deletes one
-    // character everywhere in the previous level's (per-doc distinct)
-    // variants. sequence(1, length(v)) is guarded: Spark's sequence runs
+    // character everywhere in the previous level's variants (per-row
+    // array_distinct only — cross-row duplicates at level >= 2 merely
+    // duplicate local explode work by a small constant, which is cheaper
+    // than a full-string distinct SHUFFLE per level; the one exchange
+    // that dedups runs on (id, 8-byte hash) at the end).
+    // sequence(1, length(v)) is guarded: Spark's sequence runs
     // DESCENDING when start > stop, so length 0 must yield no deletions.
     val del1 = "CASE WHEN length(v) < 1 THEN array() ELSE " +
       "array_distinct(transform(sequence(1, length(v)), " +
@@ -593,7 +597,7 @@ object Dedup {
     var level = strs.select(col("id"), col("s").as("v"))
     var variants = level
     for (_ <- 1 to k) {
-      level = level.select(col("id"), explode(expr(del1)).as("v")).distinct()
+      level = level.select(col("id"), explode(expr(del1)).as("v"))
       variants = variants.union(level)
     }
     val vset = variants
