@@ -61,7 +61,7 @@ object SparkEntry {
     "quantize_int8", "embedding_centroids",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
-    "salted_join", "corpus_shuffle", "length_buckets",
+    "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
@@ -469,6 +469,17 @@ object SparkEntry {
     "heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(t(s, dir, "documents"), k = 30)
         .orderBy(col("n_occurrences").desc, col("token"))),
+
+    // snapshot diff: old = docs minus id%17==0; new = docs minus
+    // id%11==0 with id%13==0 texts edited -> added/removed/changed
+    "corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 17 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.corpusDiff(oldSnap, newSnap).orderBy("doc_id", "status")
+    }),
 
     // epoch-1 training-order shuffle (reproducible hash permutation)
     "corpus_shuffle" -> ((s, dir) =>
@@ -1377,6 +1388,22 @@ object SparkEntry {
          |FROM tok, tot GROUP BY token
          |HAVING count(*) * 31 > any_value(tot.n)
          |ORDER BY n_occurrences DESC, token""".stripMargin,
+
+    "corpus_diff" ->
+      s"""WITH oldsnap AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+         |newsnap AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 0)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS status
+         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+         |   OR ${duckToken63("o.text")} <> ${duckToken63("n.text")}
+         |ORDER BY doc_id, status""".stripMargin,
 
     "corpus_shuffle" ->
       s"""SELECT doc_id,

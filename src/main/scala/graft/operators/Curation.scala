@@ -176,6 +176,34 @@ object Curation {
   }
 
   /**
+   * Snapshot diff for dataset versioning: which documents were added,
+   * removed, or changed between two corpus snapshots keyed by `idCol`.
+   * "Changed" means the 63-bit content hash of `textCol` differs — the
+   * full-outer join carries only (id, hash, presence), never the text,
+   * so a 100 TB snapshot pair diffs with 17-byte shuffle rows. The hash
+   * is the reproducible composite polynomial ([[TextFns.token63Fragment]]),
+   * so the diff is engine- and run-stable (and oracle-checkable);
+   * unchanged documents are filtered out (a diff is sparse by contract).
+   * Emits (idCol, status) with status in added | removed | changed.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    def sideFrame(df: DataFrame, h: String, p: String) = df.select(
+      col(idCol).as("id"),
+      expr(TextFns.token63Fragment(textCol)).as(h), lit(1).as(p))
+    sideFrame(oldDocs, "ho", "po")
+      .join(sideFrame(newDocs, "hn", "pn"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("po").isNull, "added")
+          .when(col("pn").isNull, "removed")
+          .when(!(col("ho") <=> col("hn")), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("id").as(idCol), col("status"))
+  }
+
+  /**
    * Deterministic, epoch-aware corpus shuffle for training order: each
    * epoch orders documents by the reproducible hash of (id, epoch), so
    * every epoch sees an independent permutation, every run/engine/

@@ -43,6 +43,16 @@ class CurationSpec extends SparkSpec {
     assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
   }
 
+  test("corpusDiff: added/removed/changed, unchanged suppressed") {
+    val oldSnap = Seq((1L, "same"), (2L, "gone"), (3L, "before"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (3L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = rows(Curation.corpusDiff(oldSnap, newSnap).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(2L, "removed"), Seq(3L, "changed"), Seq(4L, "added")))
+  }
+
   test("shuffleCorpus: reproducible, epoch-dependent permutations") {
     val docs = (1L to 50L).toDF("doc_id")
     val e1 = rows(Curation.shuffleCorpus(docs, epoch = 1)).map(_(0))
