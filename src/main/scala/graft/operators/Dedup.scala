@@ -610,8 +610,11 @@ object Dedup {
       .join(strs.select(col("id").as("a"), col("s").as("sa")), "a")
       .join(strs.select(col("id").as("b"), col("s").as("sb")), "b")
       .filter(abs(length(col("sa")) - length(col("sb"))) <= k)
-      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-      .filter(col("dist") <= k)
+      // thresholded levenshtein runs the BANDED O(k*len) DP with early
+      // exit (returns -1 past the threshold) instead of the full matrix
+      .withColumn("dist",
+        levenshtein(col("sa"), col("sb"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("dist"))
   }
 

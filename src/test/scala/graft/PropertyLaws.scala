@@ -194,4 +194,30 @@ object PropertyLaws extends Properties("graft") {
           }
       }
     }
+
+  property("editDistancePairs equals the brute-force levenshtein join") =
+    forAll(
+      Gen.listOfN(8, Gen.choose(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))),
+      Gen.choose(0, 2)) { (texts, k) =>
+      import spark.implicits._
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expect = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        d = lev(ta, tb) if d <= k
+      } yield (ia, ib, d.toLong)).sorted
+      val got = graft.operators.Dedup.editDistancePairs(
+        docs.toDF("doc_id", "text"), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      got == expect
+    }
 }
