@@ -62,6 +62,7 @@ object SparkEntry {
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
+    "dataset_card",
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
@@ -469,6 +470,10 @@ object SparkEntry {
     "heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(t(s, dir, "documents"), k = 30)
         .orderBy(col("n_occurrences").desc, col("token"))),
+
+    // one-row dataset card (docs/tokens/vocab/dup-rate/lang mix)
+    "dataset_card" -> ((s, dir) =>
+      Curation.datasetCard(t(s, dir, "documents"))),
 
     // snapshot diff: old = docs minus id%17==0; new = docs minus
     // id%11==0 with id%13==0 texts edited -> added/removed/changed
@@ -1388,6 +1393,30 @@ object SparkEntry {
          |FROM tok, tot GROUP BY token
          |HAVING count(*) * 31 > any_value(tot.n)
          |ORDER BY n_occurrences DESC, token""".stripMargin,
+
+    "dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(sum(len($toksSql)), 0) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |voc AS (
+         |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
+         |lg AS (
+         |  SELECT string_agg(lang || ':' || CAST(c AS VARCHAR), ','
+         |                    ORDER BY lang) AS lang_counts
+         |  FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang))
+         |SELECT n_docs, n_tokens, vocab,
+         |  n_docs - n_distinct AS n_dup_docs,
+         |  CASE WHEN n_docs > 0
+         |    THEN CAST(n_docs - n_distinct AS DOUBLE) / n_docs
+         |    ELSE 0.0 END AS dup_rate,
+         |  CASE WHEN n_docs > 0
+         |    THEN CAST(n_tokens AS DOUBLE) / n_docs ELSE 0.0 END
+         |    AS mean_tokens,
+         |  lang_counts
+         |FROM base, voc, lg""".stripMargin,
 
     "corpus_diff" ->
       s"""WITH oldsnap AS (

@@ -176,6 +176,53 @@ object Curation {
   }
 
   /**
+   * One-row dataset card: the corpus summary a dataset release ships —
+   * document/token totals, exact vocabulary size, exact-duplicate rate,
+   * and the language mix as a deterministic `lang:count` string (sorted
+   * by language; scalar-typed row end to end). Every figure is exact
+   * integer arithmetic or a division of exact integers, so the card is
+   * engine- and partitioning-invariant.
+   *
+   * Scale: three independent aggregates (doc stats, exploded-vocab
+   * distinct, language rollup) cross-joined as 1-row frames. Vocabulary
+   * uses countDistinct over exploded tokens — one shuffle of the token
+   * stream; swap in the KMV sketch ([[graft.functions.KmvSketch]]) when
+   * an estimate is acceptable at 100 TB.
+   */
+  def datasetCard(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  langCol: String = "lang"): DataFrame = {
+    val base = docs
+      .withColumn("__n", size(TextFns.tokens(textCol)).cast("long"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_tokens"),
+        countDistinct(col(textCol)).as("n_distinct_texts"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .withColumn("dup_rate",
+        when(col("n_docs") > 0,
+          col("n_dup_docs").cast("double") / col("n_docs"))
+          .otherwise(lit(0.0)))
+      .withColumn("mean_tokens",
+        when(col("n_docs") > 0,
+          col("n_tokens").cast("double") / col("n_docs"))
+          .otherwise(lit(0.0)))
+    val vocab = docs
+      .select(explode(TextFns.tokens(textCol)).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("vocab"))
+    val langs = docs.groupBy(col(langCol).as("__lang"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__lang"), col("__c")))),
+        s => concat(s("__lang"), lit(":"), s("__c").cast("string"))), ",")
+        .as("lang_counts"))
+    base.crossJoin(vocab).crossJoin(langs)
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        col("n_dup_docs"), col("dup_rate"), col("mean_tokens"),
+        col("lang_counts"))
+  }
+
+  /**
    * Snapshot diff for dataset versioning: which documents were added,
    * removed, or changed between two corpus snapshots keyed by `idCol`.
    * "Changed" means the 63-bit content hash of `textCol` differs — the

@@ -43,6 +43,17 @@ class CurationSpec extends SparkSpec {
     assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
   }
 
+  test("datasetCard: exact one-row profile") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "d e", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = rows(Curation.datasetCard(docs))
+    assert(out == Seq(Seq(3L, 8L, 5L, 1L, 1.0 / 3, 8.0 / 3, "en:2,fr:1")))
+    // empty corpus: zeros, not a crash or a divide-by-zero
+    val empty = rows(Curation.datasetCard(docs.filter("1 = 0")))
+    assert(empty.head.take(4) == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("corpusDiff: added/removed/changed, unchanged suppressed") {
     val oldSnap = Seq((1L, "same"), (2L, "gone"), (3L, "before"))
       .toDF("doc_id", "text")
