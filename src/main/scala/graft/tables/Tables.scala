@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Relational
@@ -139,25 +139,61 @@ object Tables {
    * row-group-sized shards is routine table maintenance. `sortCol`
    * optionally range-sorts while rewriting (total sort = range
    * exchange), clustering the table for pruning on that column.
-   * Returns (filesBefore, filesAfter).
+   * Partitioned tables keep their partition layout (and pruning), with
+   * `targetFiles` applied per partition value. Returns
+   * (filesBefore, filesAfter).
+   *
+   * Partitioned tables do NOT go through the rename swap: HMS partition
+   * locations are absolute, so renaming a partitioned managed table
+   * leaves its partitions pointing at the old paths (and dropping the
+   * backup would delete data the renamed-in table now owns — measured,
+   * not theoretical). They compact via a staging table + per-partition
+   * dynamic overwrite instead: one extra data write, same crash
+   * safety (job-commit staging on the overwrite).
    */
   def compactTable(spark: SparkSession, table: String, targetFiles: Int,
                    sortCol: Option[String] = None): (Int, Int) = {
     require(targetFiles >= 1, "targetFiles >= 1")
     val before = spark.table(table).inputFiles.length
     val df = spark.table(table)
-    val shaped = sortCol match {
-      case Some(c) => df.repartitionByRange(targetFiles, col(c))
-        .sortWithinPartitions(c)
-      case None => df.repartition(targetFiles)
+    // a partitioned table must stay partitioned — a plain rewrite would
+    // silently flatten the layout and break partition pruning for every
+    // downstream reader. targetFiles then applies PER PARTITION.
+    import scala.jdk.CollectionConverters._
+    val partCols = spark.catalog.listColumns(table).collectAsList()
+      .asScala.filter(_.isPartition).map(_.name).toSeq
+    val shaped = (sortCol, partCols) match {
+      case (Some(c), Seq()) =>
+        df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(c)
+      case (None, Seq()) => df.repartition(targetFiles)
+      case (s, pcs) =>
+        // targetFiles applies per partition VALUE: shuffle on the
+        // partition columns plus a row-level bucket so each value's rows
+        // land in at most targetFiles tasks (the bucket source only
+        // routes rows — any per-row value works, determinism not needed)
+        val bucket = pmod(monotonically_increasing_id(),
+          lit(targetFiles.toLong))
+        val shuffled = df.repartition((pcs.map(col) :+ bucket): _*)
+        s.fold(shuffled)(c => shuffled.sortWithinPartitions(c))
     }
-    writeSwapped(spark, shaped, table)
+    if (partCols.isEmpty) writeSwapped(spark, shaped, table)
+    else {
+      val tmp = suffixed(table, "__compact_tmp")
+      spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
+      shaped.write.mode(SaveMode.Overwrite).format("parquet")
+        .partitionBy(partCols: _*).saveAsTable(tmp)
+      loadPartitioned(spark.table(tmp), table, partCols.head)
+      spark.sql(s"DROP TABLE ${q(tmp)}")
+      spark.catalog.refreshTable(table)
+    }
     (before, spark.table(table).inputFiles.length)
   }
 
   /** Replace `mainTable`'s contents with `df` via write-new + rename swap
    * (see [[upsertIntoTable]]'s protocol note: a crash between renames
-   * leaves both the new table and the backup recoverable on disk). */
+   * leaves both the new table and the backup recoverable on disk).
+   * UNPARTITIONED tables only — HMS partition locations do not survive
+   * a table rename (see [[compactTable]]). */
   private def writeSwapped(spark: SparkSession, df: DataFrame,
                            mainTable: String): Unit = {
     val tmp = suffixed(mainTable, "__swap_tmp")

@@ -96,6 +96,26 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, t)
   }
 
+  test("compactTable keeps partition layout and caps files per partition") {
+    val t = "compact_part"
+    Tables.loadPartitioned(
+      (1L to 120L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+        .repartition(10), t, "day")
+    assert(spark.table(t).inputFiles.length > 6)
+    val (_, after) = Tables.compactTable(spark, t, targetFiles = 2)
+    assert(after <= 6) // <= 2 files x 3 day-partitions
+    // layout survived: still partitioned by day, pruning still works
+    import scala.jdk.CollectionConverters._
+    assert(spark.catalog.listColumns(t).collectAsList().asScala
+      .filter(_.isPartition).map(_.name) == Seq("day"))
+    val pruned = spark.table(t)
+      .filter(org.apache.spark.sql.functions.col("day") === "d1")
+    assert(pruned.inputFiles.length <= 2)
+    assert(pruned.count() == 40L)
+    assert(spark.table(t).count() == 120L)
+    Tables.dropTable(spark, t)
+  }
+
   test("upsertIntoTable rejects duplicate staging keys") {
     Tables.dropTable(spark, "t_dup")
     Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_dup")
