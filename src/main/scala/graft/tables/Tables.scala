@@ -125,7 +125,24 @@ object Tables {
     } else {
       Relational.assertUniqueKeys(staging, key)
       val merged = Relational.upsertPlan(spark.table(mainTable), staging, key)
-      writeSwapped(spark, merged, mainTable)
+      import scala.jdk.CollectionConverters._
+      val partCols = spark.catalog.listColumns(mainTable).collectAsList()
+        .asScala.filter(_.isPartition).map(_.name).toSeq
+      if (partCols.isEmpty) writeSwapped(spark, merged, mainTable)
+      else {
+        // partitioned main: rename swap corrupts HMS partition locations
+        // (see compactTable) — materialize the merge to a staging table,
+        // then dynamic-overwrite. Upserts never delete rows, so the
+        // merged frame covers every existing partition and the dynamic
+        // overwrite replaces all of them.
+        val tmp = suffixed(mainTable, "__upsert_stage")
+        spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
+        merged.write.mode(SaveMode.Overwrite).format("parquet")
+          .partitionBy(partCols: _*).saveAsTable(tmp)
+        loadPartitioned(spark.table(tmp), mainTable, partCols.head)
+        spark.sql(s"DROP TABLE ${q(tmp)}")
+        spark.catalog.refreshTable(mainTable)
+      }
     }
     spark.table(mainTable).count()
   }

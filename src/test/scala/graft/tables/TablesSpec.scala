@@ -116,6 +116,27 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, t)
   }
 
+  test("upsertIntoTable on a partitioned main keeps layout and merges") {
+    val t = "upsert_part"
+    Tables.loadPartitioned(
+      Seq((1L, "a", "d0"), (2L, "b", "d0"), (3L, "c", "d1"))
+        .toDF("id", "v", "day"), t, "day")
+    // update id 2, insert id 4 into a NEW partition
+    val n = Tables.upsertIntoTable(spark,
+      Seq((2L, "B", "d0"), (4L, "d", "d2")).toDF("id", "v", "day"), t, "id")
+    assert(n == 4L)
+    assert(rows(spark.table(t).orderBy("id").select("id", "v", "day")) ==
+      Seq(Seq(1L, "a", "d0"), Seq(2L, "B", "d0"),
+        Seq(3L, "c", "d1"), Seq(4L, "d", "d2")))
+    import scala.jdk.CollectionConverters._
+    assert(spark.catalog.listColumns(t).collectAsList().asScala
+      .filter(_.isPartition).map(_.name) == Seq("day"))
+    assert(spark.table(t)
+      .filter(org.apache.spark.sql.functions.col("day") === "d2")
+      .count() == 1L)
+    Tables.dropTable(spark, t)
+  }
+
   test("upsertIntoTable rejects duplicate staging keys") {
     Tables.dropTable(spark, "t_dup")
     Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_dup")
