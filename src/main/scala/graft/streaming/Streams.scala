@@ -190,6 +190,51 @@ object Streams {
    * index-partition listing; corpus text is never re-read and signatures
    * are computed exactly once per document per successful batch.
    */
+  /**
+   * Streaming windowed top-k tokens — the trending-terms feed over a
+   * document stream. Tokens explode per event, count under a watermarked
+   * tumbling window, and each finalized window's top `k` land in one
+   * parquet partition per micro-batch.
+   *
+   * Correctness lever: in APPEND mode a window is emitted exactly once,
+   * after the watermark passes its end — so every row of a window
+   * arrives in the same micro-batch and the in-batch rank IS the
+   * window's final answer (no cross-batch merge, no re-ranking).
+   * State is bounded by the watermark (distinct tokens per open window);
+   * the per-batch rank windows only over finalized rows, which are
+   * top-k-sized inputs, not the stream.
+   */
+  def topTokensSink(stream: DataFrame, outPath: String,
+                    checkpointDir: String, k: Int = 5,
+                    tsCol: String = "ts", textCol: String = "text",
+                    windowLength: String = "10 minutes",
+                    watermark: String = "10 minutes"): StreamingQuery = {
+    import graft.functions.TextFns
+    val counts = stream
+      .select(col(tsCol), explode(TextFns.tokens(textCol)).as("token"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("window").orderBy(col("n").desc, col("token").asc)
+          batch
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= k)
+            .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("token"), col("n"), col("rank"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
   def nearDupSink(stream: DataFrame, indexPath: String, pairsPath: String,
                   checkpointDir: String, estThreshold: Double = 0.5,
                   n: Int = 3, numHashes: Int = 128, bands: Int = 32,

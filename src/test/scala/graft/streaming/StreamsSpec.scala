@@ -103,6 +103,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topTokensSink: finalized windows emit their exact top-k once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = Files.createTempDirectory("ttout").toString
+    val cp = Files.createTempDirectory("ttcp").toString
+    val q = Streams.topTokensSink(mem.toDF().toDF("ts", "text"),
+      out, cp, k = 2, windowLength = "10 minutes", watermark = "5 minutes")
+    try {
+      // window [00:00, 00:10): a x3, b x2, c x1
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), "a a b"),
+        (ts("2024-01-01 00:05:00"), "a b c"))
+      q.processAllAvailable()
+      // nothing finalized yet — watermark has not passed the window end
+      assert(new java.io.File(out).listFiles()
+        .count(_.getName.startsWith("batch=")) == 0)
+      // an event far past the window pushes the watermark over 00:10
+      mem.addData((ts("2024-01-01 01:00:00"), "z"))
+      q.processAllAvailable()
+      val got = rows(spark.read.option("basePath", out).parquet(out)
+        .select("token", "n", "rank").orderBy("rank"))
+      assert(got == Seq(Seq("a", 3L, 1L), Seq("b", 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupStream: re-delivered keys are dropped across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
