@@ -62,7 +62,7 @@ object SparkEntry {
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card",
+    "dataset_card", "corpus_mix",
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
@@ -470,6 +470,14 @@ object SparkEntry {
     "heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(t(s, dir, "documents"), k = 30)
         .orderBy(col("n_occurrences").desc, col("token"))),
+
+    // recipe-weighted mixing to a 3000-token budget: src0 at 300,
+    // src1 at 200, everything else at 25 permille
+    "corpus_mix" -> ((s, dir) =>
+      Curation.mixCorpus(t(s, dir, "documents"),
+        weightsPermille = Map("src0" -> 300, "src1" -> 200),
+        defaultPermille = 25, tokenBudget = 3000L)
+        .orderBy("doc_id")),
 
     // one-row dataset card (docs/tokens/vocab/dup-rate/lang mix)
     "dataset_card" -> ((s, dir) =>
@@ -1393,6 +1401,26 @@ object SparkEntry {
          |FROM tok, tot GROUP BY token
          |HAVING count(*) * 31 > any_value(tot.n)
          |ORDER BY n_occurrences DESC, token""".stripMargin,
+
+    // corpus_mix: same exact integer rate arithmetic — floor divisions,
+    // 1% hash buckets
+    "corpus_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents),
+         |rates AS (
+         |  SELECT source,
+         |    least(100, CASE WHEN sum(n) > 0 THEN
+         |      (100 * ((3000 * (CASE source WHEN 'src0' THEN 300
+         |                       WHEN 'src1' THEN 200 ELSE 25 END)) // 1000))
+         |        // sum(n)
+         |      ELSE 0 END) AS rate
+         |  FROM tok GROUP BY source)
+         |SELECT tok.doc_id, tok.source, tok.n AS n_tokens
+         |FROM tok JOIN rates ON tok.source = rates.source
+         |WHERE ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |  % 100 < rate
+         |ORDER BY doc_id""".stripMargin,
 
     "dataset_card" ->
       s"""WITH base AS (

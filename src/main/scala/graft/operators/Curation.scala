@@ -176,6 +176,48 @@ object Curation {
   }
 
   /**
+   * Deterministic corpus mixing to a token budget: given per-source
+   * mixture weights (permille) and a total token budget, keep a
+   * reproducible-hash sample of each source sized so its kept tokens
+   * approximate `budget * weight / 1000` — the "data mixing" step that
+   * turns raw source dumps into a recipe-weighted training corpus.
+   *
+   * All arithmetic is exact integer (targets and keep-rates by floor
+   * division, selection by the polynomial id hash), so the kept set is
+   * run-, engine-, and partitioning-invariant, and sources larger than
+   * their target thin down while sources at or under it keep everything
+   * (rate caps at 100%). Keep-rate granularity is 1% — the standard
+   * hash-bucket tradeoff ([[sampleStratified]]).
+   *
+   * Scale: one per-source token aggregate (tiny — source-cardinality),
+   * broadcast back as the rate dimension; selection is a narrow filter.
+   * No driver round-trip.
+   */
+  def mixCorpus(docs: DataFrame, weightsPermille: Map[String, Int],
+                defaultPermille: Int, tokenBudget: Long,
+                srcCol: String = "source", idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(tokenBudget >= 0 && defaultPermille >= 0)
+    val tok = docs.withColumn("__n",
+      size(TextFns.tokens(textCol)).cast("long"))
+    val w: Column = weightsPermille.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (k, v)) => when(col(srcCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    val rates = tok.groupBy(srcCol).agg(sum(col("__n")).as("__t"))
+      .withColumn("__w", w)
+      .withColumn("__target", expr(s"($tokenBudget * __w) div 1000"))
+      .withColumn("__rate",
+        least(lit(100L), when(col("__t") > 0,
+          expr("(100 * __target) div __t")).otherwise(lit(0L))))
+      .select(col(srcCol), col("__rate"))
+    tok.join(broadcast(rates), srcCol)
+      .filter(
+        expr(s"graft_poly_hash(CAST($idCol AS STRING), 31, 1000000007) % 100")
+          < col("__rate"))
+      .select(col(idCol), col(srcCol), col("__n").as("n_tokens"))
+  }
+
+  /**
    * One-row dataset card: the corpus summary a dataset release ships —
    * document/token totals, exact vocabulary size, exact-duplicate rate,
    * and the language mix as a deterministic `lang:count` string (sorted

@@ -43,6 +43,25 @@ class CurationSpec extends SparkSpec {
     assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
   }
 
+  test("mixCorpus: rates follow weights, cap at 100%, zero stays empty") {
+    // 3 sources x 20 docs x 5 tokens = 100 tokens per source
+    val docs = (1L to 60L).map(i =>
+      (i * 7919L, s"s${i % 3}", "a b c d e")).toDF("doc_id", "source", "text")
+    // budget 100: s0 weight 500 -> target 50 -> rate 50%; s1 weight 1000
+    // -> target 100 -> rate 100%; s2 default 0 -> rate 0%
+    val out = rows(Curation.mixCorpus(docs,
+      Map("s0" -> 500, "s1" -> 1000), defaultPermille = 0,
+      tokenBudget = 100L).orderBy("doc_id"))
+    val bySrc = out.groupBy(_(1)).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("s2", 0) == 0)
+    assert(bySrc("s1") == 20)                    // rate capped at 100%
+    assert(bySrc("s0") > 2 && bySrc("s0") < 18)  // ~50% hash selection
+    // deterministic under re-layout
+    val again = rows(Curation.mixCorpus(docs.repartition(7),
+      Map("s0" -> 500, "s1" -> 1000), 0, 100L).orderBy("doc_id"))
+    assert(again == out)
+  }
+
   test("datasetCard: exact one-row profile") {
     val docs = Seq(
       (1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "d e", "fr"))
