@@ -62,7 +62,7 @@ object SparkEntry {
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card", "corpus_mix",
+    "dataset_card", "corpus_mix", "chunk_documents",
     "sessionize", "window_agg", "sliding_window",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
@@ -470,6 +470,11 @@ object SparkEntry {
     "heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(t(s, dir, "documents"), k = 30)
         .orderBy(col("n_occurrences").desc, col("token"))),
+
+    // context-window chunking: 24-token chunks, 8-token overlap
+    "chunk_documents" -> ((s, dir) =>
+      Curation.chunkDocuments(t(s, dir, "documents"), chunkTokens = 24,
+        overlapTokens = 8).orderBy("doc_id", "chunk_id")),
 
     // recipe-weighted mixing to a 3000-token budget: src0 at 300,
     // src1 at 200, everything else at 25 permille
@@ -1401,6 +1406,22 @@ object SparkEntry {
          |FROM tok, tot GROUP BY token
          |HAVING count(*) * 31 > any_value(tot.n)
          |ORDER BY n_occurrences DESC, token""".stripMargin,
+
+    // chunk_documents: 24-token windows every 16 tokens (8 overlap);
+    // DuckDB lists are 1-based and slices are inclusive
+    "chunk_documents" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |starts AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t), 16)) AS s,
+         |    generate_subscripts(generate_series(1, len(t), 16), 1) - 1
+         |      AS chunk_id
+         |  FROM tok WHERE len(t) > 0)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(t[s : least(s + 23, len(t))]) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(t[s : least(s + 23, len(t))], ' ') AS chunk_text
+         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
 
     // corpus_mix: same exact integer rate arithmetic — floor divisions,
     // 1% hash buckets

@@ -176,6 +176,40 @@ object Curation {
   }
 
   /**
+   * Context-window chunking: split each document's token stream into
+   * windows of `chunkTokens` starting every `chunkTokens - overlapTokens`
+   * positions (trailing chunks may be short; consecutive chunks share
+   * `overlapTokens` tokens — the standard long-document preprocessing
+   * for a bounded-context model). Emits one row per chunk:
+   * (idCol, chunk_id, n_chunk_tokens, chunk_text), chunk ids 0-based in
+   * document order. Empty/whitespace documents produce no chunks.
+   *
+   * Scale: a single generate (chunk starts per doc) + slice projection —
+   * no shuffle at all; chunk rows inherit the input partitioning. The
+   * token array is built once per document and sliced per chunk.
+   */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 512,
+                     overlapTokens: Int = 64,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1 && overlapTokens >= 0
+      && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    docs
+      .withColumn("__t", TextFns.tokens(textCol))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"),
+        posexplode(expr(s"sequence(0, __n - 1, $step)")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        expr(s"slice(__t, col + 1, $chunkTokens)").as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /**
    * Deterministic corpus mixing to a token budget: given per-source
    * mixture weights (permille) and a total token budget, keep a
    * reproducible-hash sample of each source sized so its kept tokens

@@ -43,6 +43,21 @@ class CurationSpec extends SparkSpec {
     assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
   }
 
+  test("chunkDocuments: overlapping windows, short tail, empty doc skipped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"),  // 7 tokens: chunks at 0, 3, 6
+      (2L, "a b"),                    // single short chunk
+      (3L, "   "))                    // no tokens -> no chunks
+      .toDF("doc_id", "text")
+    val out = rows(Curation.chunkDocuments(docs, chunkTokens = 5,
+      overlapTokens = 2).orderBy("doc_id", "chunk_id"))
+    assert(out == Seq(
+      Seq(1L, 0L, 5L, "t1 t2 t3 t4 t5"),
+      Seq(1L, 1L, 4L, "t4 t5 t6 t7"),
+      Seq(1L, 2L, 1L, "t7"),
+      Seq(2L, 0L, 2L, "a b")))
+  }
+
   test("mixCorpus: rates follow weights, cap at 100%, zero stays empty") {
     // 3 sources x 20 docs x 5 tokens = 100 tokens per source
     val docs = (1L to 60L).map(i =>
