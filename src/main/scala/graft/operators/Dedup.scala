@@ -106,6 +106,15 @@ object Dedup {
    * `maxShingleDF = None` for the exact all-candidates path (the oracle
    * twin; O(df²) join volume by definition).
    *
+   * KNOW THE LIMIT (measured, BENCH_scaling.md): the join volume is
+   * Ω(Σ df²) and the cap only removes stop-shingle volume — when the
+   * corpus's NEAR-DUP MASS is itself large (clusters of replicas), the
+   * quadratic candidates are the answer's own support and this operator
+   * goes superlinear (38× time at 10× docs on a replica-heavy corpus).
+   * [[minhashLshPairs]] produced the same verified pair set there at
+   * 0.014% recall loss, 15× faster — it is the default near-dup path at
+   * scale; this operator is the oracle-grade/small-corpus exact path.
+   *
    * Physical shape: the capped path first computes per-shingle df with a
    * plain count (constant aggregation state per key — a skewed shingle
    * costs one counter, never an array), filters to df <= cap, and only
