@@ -63,7 +63,7 @@ object SparkEntry {
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "corpus_mix", "chunk_documents",
-    "sessionize", "window_agg", "sliding_window",
+    "sessionize", "window_agg", "sliding_window", "funnel",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "split_leakage",
@@ -557,6 +557,11 @@ object SparkEntry {
     "rolling_counts" -> ((s, dir) =>
       Sessions.rollingCounts(t(s, dir, "events"), windowSeconds = 86400)
         .orderBy("event_id")),
+
+    // 3-step view -> click -> purchase funnel, each step within 2 days
+    "funnel" -> ((s, dir) =>
+      Sessions.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), withinSeconds = 172800L)),
 
     "interval_overlap" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1682,6 +1687,31 @@ object SparkEntry {
         |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_trailing
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // funnel: per-user earliest valid completion per step, each step
+    // strictly after the previous and within 2 days of it
+    "funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS done FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS done FROM events e
+        |  JOIN s0 ON e.user_id = s0.u
+        |  WHERE e.event_type = 'click' AND e.ts > s0.done
+        |    AND e.ts <= s0.done + INTERVAL 172800 SECOND GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS done FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.done
+        |    AND e.ts <= s1.done + INTERVAL 172800 SECOND GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step_name,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+        |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+        |    CAST(count(*) AS BIGINT) FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |    CAST(count(*) AS BIGINT) FROM s2)
+        |ORDER BY step_idx""".stripMargin,
 
     "interval_overlap" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id

@@ -12,6 +12,47 @@ import org.apache.spark.sql.functions._
 object Sessions {
 
   /**
+   * Ordered-funnel analysis: how many users complete each prefix of the
+   * `steps` event sequence, where step i must occur strictly after the
+   * user's step i-1 completion and within `withinSeconds` of it (each
+   * user's earliest valid completion time is used at every step — the
+   * standard product-analytics funnel). Emits one row per step:
+   * (step_idx, step_name, n_users), counts monotonically non-increasing.
+   *
+   * Plan shape: one filtered aggregate per step joined to the previous
+   * step's per-user completion frame — k-1 equi-joins on the 8-byte user
+   * key for a k-step funnel, each input pre-filtered to that step's
+   * events. Times stay exact (timestamp + integer-second interval), so
+   * the funnel is engine-invariant and oracle-checkable.
+   */
+  def funnel(events: DataFrame, steps: Seq[String],
+             withinSeconds: Long, userCol: String = "user_id",
+             tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "at least one step")
+    val perStep = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prevOpt, (step, i)) =>
+        val stepEvents = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("u"), col(tsCol).as("t"))
+        Some(prevOpt match {
+          case None =>
+            stepEvents.groupBy("u").agg(min(col("t")).as("done"))
+          case Some(prev) =>
+            stepEvents
+              .join(prev.select(col("u"), col("done").as("p")), "u")
+              .filter(col("t") > col("p") &&
+                col("t") <= col("p") + expr(s"INTERVAL $withinSeconds SECONDS"))
+              .groupBy("u").agg(min(col("t")).as("done"))
+        })
+    }.flatten
+    perStep.zipWithIndex.map { case (frame, i) =>
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"),
+          lit(steps(i)).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("step_idx")
+  }
+
+  /**
    * Gap-based sessionization: events of one user belong to the same session
    * while consecutive gaps are <= `gapSeconds`; a larger gap starts a new
    * session. Emits the input keyed by (user, ordered position) plus a

@@ -11,6 +11,33 @@ class SessionsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("funnel: ordered steps, time window, earliest-completion semantics") {
+    val ev = Seq(
+      // u1 completes the full funnel in order
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      // u2: clicks BEFORE viewing — click step not completed
+      (2L, "click", "2024-01-01 00:00:00"),
+      (2L, "view", "2024-01-01 01:00:00"),
+      // u3: clicks too late (> 1h after view)
+      (3L, "view", "2024-01-01 00:00:00"),
+      (3L, "click", "2024-01-01 02:00:01"),
+      // u4: earliest view is the anchor — the valid click follows the
+      // FIRST view even though a later view is closer
+      (4L, "view", "2024-01-01 00:00:00"),
+      (4L, "view", "2024-01-01 05:00:00"),
+      (4L, "click", "2024-01-01 00:30:00"))
+      .map { case (u, tpe, t) => (u, tpe, ts(t)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = rows(Sessions.funnel(ev, Seq("view", "click", "purchase"),
+      withinSeconds = 3600L))
+    assert(out == Seq(
+      Seq(0L, "view", 4L),      // u1 u2 u3 u4 all viewed
+      Seq(1L, "click", 2L),     // u1 and u4
+      Seq(2L, "purchase", 1L))) // u1
+  }
+
   test("sessionize: gap starts a new session, per-user numbering from 1") {
     val ev = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00")),
