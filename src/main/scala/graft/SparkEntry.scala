@@ -63,7 +63,7 @@ object SparkEntry {
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "corpus_mix", "chunk_documents",
-    "sessionize", "window_agg", "sliding_window", "funnel",
+    "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "split_leakage",
@@ -557,6 +557,11 @@ object SparkEntry {
     "rolling_counts" -> ((s, dir) =>
       Sessions.rollingCounts(t(s, dir, "events"), windowSeconds = 86400)
         .orderBy("event_id")),
+
+    // weekly cohort retention triangle
+    "retention" -> ((s, dir) =>
+      Sessions.retention(t(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")),
 
     // 3-step view -> click -> purchase funnel, each step within 2 days
     "funnel" -> ((s, dir) =>
@@ -1687,6 +1692,20 @@ object SparkEntry {
         |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_trailing
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // retention: integer epoch-day-seventh weeks (engine-invariant)
+    "retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) // 86400000000) // 7 AS w
+        |  FROM events),
+        |cohorts AS (SELECT u, min(w) AS cw FROM weeks GROUP BY u)
+        |SELECT CAST(cw AS BIGINT) AS cohort_week,
+        |  CAST(w - cw AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM weeks JOIN cohorts USING (u)
+        |GROUP BY cw, w - cw
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // funnel: per-user earliest valid completion per step, each step
     // strictly after the previous and within 2 days of it

@@ -53,6 +53,32 @@ object Sessions {
   }
 
   /**
+   * Cohort retention matrix: users grouped by the week of their first
+   * event (the cohort), counted as active in each later week they
+   * appear — the classic retention triangle. Weeks are integer epoch-day
+   * sevenths (`epoch_days div 7`), NOT calendar `date_trunc('week')`:
+   * week-start conventions differ between engines, integer arithmetic
+   * does not. Emits (cohort_week, week_offset, n_users), offset 0 =
+   * the cohort's own week.
+   *
+   * Plan shape: one aggregate for first-event weeks (user-keyed), one
+   * distinct over (user, week), one join on the user key, one final
+   * count — all hash aggregates with map-side combine.
+   */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val week = expr(s"(unix_micros($tsCol) div 86400000000) div 7")
+    val weeks = events
+      .select(col(userCol).as("u"), week.as("w")).distinct()
+    val cohorts = weeks.groupBy("u").agg(min(col("w")).as("cw"))
+    weeks.join(cohorts, "u")
+      .groupBy(col("cw").as("cohort_week"),
+        (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"))
+  }
+
+  /**
    * Gap-based sessionization: events of one user belong to the same session
    * while consecutive gaps are <= `gapSeconds`; a larger gap starts a new
    * session. Emits the input keyed by (user, ordered position) plus a

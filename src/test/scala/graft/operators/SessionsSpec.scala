@@ -11,6 +11,25 @@ class SessionsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("retention: cohort = first-event week, offsets count distinct users") {
+    def week(t: String): Long =
+      Timestamp.valueOf(t).getTime / 1000 / 86400 / 7
+    // u1 active in two consecutive weeks; u2 same cohort week as u1's
+    // SECOND week (two events, one distinct week); u3 a later cohort
+    val t1a = "2024-01-01 10:00:00"; val t1b = "2024-01-09 10:00:00"
+    val t2 = "2024-01-09 23:00:00"; val t3 = "2024-01-20 00:00:00"
+    assert(week(t1b) == week(t1a) + 1 && week(t2) == week(t1b))
+    val ev = Seq((1L, t1a), (1L, t1b), (2L, t2), (2L, t2), (3L, t3))
+      .map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val out = rows(Sessions.retention(ev)
+      .orderBy("cohort_week", "week_offset"))
+    assert(out == Seq(
+      Seq(week(t1a), 0L, 1L),  // u1 cohort week
+      Seq(week(t1a), 1L, 1L),  // u1 returns the next week
+      Seq(week(t2), 0L, 1L),   // u2's own cohort (u1's week-1 is separate)
+      Seq(week(t3), 0L, 1L)))
+  }
+
   test("funnel: ordered steps, time window, earliest-completion semantics") {
     val ev = Seq(
       // u1 completes the full funnel in order
