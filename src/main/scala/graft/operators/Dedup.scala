@@ -592,25 +592,32 @@ object Dedup {
     val strs = docs.filter(col(textCol).isNotNull)
       .filter(length(col(textCol)) <= maxLen)
       .select(col(idCol).as("id"), col(textCol).as("s"))
-    // levels 0..k of the deletion neighborhood; each level deletes one
-    // character everywhere in the previous level's variants (per-row
+    // k = 1 (the common case) computes every variant KEY in O(len) via
+    // the native rolling-hash expression — no variant string is ever
+    // materialized (the generic path below is O(len²) bytes per row).
+    // k >= 2: levels of the deletion neighborhood; each level deletes
+    // one character everywhere in the previous level's variants (per-row
     // array_distinct only — cross-row duplicates at level >= 2 merely
     // duplicate local explode work by a small constant, which is cheaper
     // than a full-string distinct SHUFFLE per level; the one exchange
     // that dedups runs on (id, 8-byte hash) at the end).
     // sequence(1, length(v)) is guarded: Spark's sequence runs
     // DESCENDING when start > stop, so length 0 must yield no deletions.
-    val del1 = "CASE WHEN length(v) < 1 THEN array() ELSE " +
-      "array_distinct(transform(sequence(1, length(v)), " +
-      "i -> concat(substring(v, 1, i - 1), substring(v, i + 1, length(v))))) END"
-    var level = strs.select(col("id"), col("s").as("v"))
-    var variants = level
-    for (_ <- 1 to k) {
-      level = level.select(col("id"), explode(expr(del1)).as("v"))
-      variants = variants.union(level)
+    val vset = if (k == 1) {
+      strs.select(col("id"), explode(expr("graft_del1_keys(s)")).as("h"))
+        .distinct()
+    } else {
+      val del1 = "CASE WHEN length(v) < 1 THEN array() ELSE " +
+        "array_distinct(transform(sequence(1, length(v)), " +
+        "i -> concat(substring(v, 1, i - 1), substring(v, i + 1, length(v))))) END"
+      var level = strs.select(col("id"), col("s").as("v"))
+      var variants = level
+      for (_ <- 1 to k) {
+        level = level.select(col("id"), explode(expr(del1)).as("v"))
+        variants = variants.union(level)
+      }
+      variants.select(col("id"), xxhash64(col("v")).as("h")).distinct()
     }
-    val vset = variants
-      .select(col("id"), xxhash64(col("v")).as("h")).distinct()
     val cand = vset.select(col("id").as("a"), col("h"))
       .join(vset.select(col("id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))

@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_simhash expects (tokenHashArray)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_del1_keys"),
+      new ExpressionInfo(classOf[Del1Keys].getName, "graft_del1_keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => Del1Keys(s)
+        case _ => throw new IllegalArgumentException(
+          "graft_del1_keys expects (str)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {

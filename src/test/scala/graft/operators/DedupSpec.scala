@@ -118,6 +118,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == (1L to 9L).map(i => Seq(i, 10L)))
   }
 
+  test("graft_del1_keys: variant-count dedup and cross-string key equality") {
+    val keys = Seq("abc", "ab", "aab", "").toDF("s")
+      .selectExpr("s", "explode(graft_del1_keys(s)) AS h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byS = keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byS("abc").size == 4)  // abc, bc, ac, ab
+    assert(byS("ab").size == 3)   // ab, b, a
+    assert(byS("aab").size == 3)  // aab, ab (adjacent-a dedup), aa
+    assert(byS("") == Set(0L))
+    // "abc" delete-c variant key == the standalone string "ab"'s own key
+    assert(byS("abc").intersect(byS("ab")).nonEmpty)
+    // no spurious sharing between unrelated strings
+    assert(byS("abc").intersect(byS("")).isEmpty)
+  }
+
   test("editDistancePairs matches the brute-force levenshtein join") {
     // repeated grams (9, 10) exercise the multiset occ numbering; (6, 7, 8)
     // are below the gram bound and must pair through the short pool; (4, 5)
