@@ -69,7 +69,7 @@ object SparkEntry {
     "repetition_score", "decontaminate", "train_val_split", "split_leakage",
     "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
-    "intake_pipeline")
+    "intake_pipeline", "intake_pipeline_v2")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -523,6 +523,11 @@ object SparkEntry {
 
     "intake_pipeline" -> ((s, dir) =>
       Curation.intakePipeline(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // v2 recipe: curate -> per-source cap -> near-dup drop -> split ->
+    // shuffle key, one composed plan
+    "intake_pipeline_v2" -> ((s, dir) =>
+      Curation.intakePipelineV2(t(s, dir, "documents")).orderBy("doc_id")),
 
     "distinct_estimate" -> ((s, dir) => {
       // KMV sketch (typed Aggregator, k=64) vs the exact distinct count,
@@ -1582,6 +1587,46 @@ object SparkEntry {
          |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
          |    % 100 < 10 THEN 'val' ELSE 'train' END AS split
          |FROM cur
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the v2 chain: cur (as intake_pipeline) -> per-source cap ->
+    // 3-gram Jaccard pairs over the CAPPED set (greedy higher-id drop)
+    // -> split + shuffle key
+    "intake_pipeline_v2" ->
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |tk AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |cur AS (SELECT tk.doc_id, tk.text, tk.n_tokens FROM tk
+         |  JOIN keepers ON tk.doc_id = keepers.doc_id
+         |  WHERE n_tokens BETWEEN 10 AND 2000
+         |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1) >= 0.5),
+         |curd AS (SELECT cur.doc_id, d.source, cur.n_tokens, cur.text
+         |  FROM cur JOIN documents d ON cur.doc_id = d.doc_id),
+         |cap AS (SELECT doc_id, source, n_tokens, text FROM (
+         |  SELECT curd.*, row_number() OVER (PARTITION BY source ORDER BY
+         |    ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)},
+         |    doc_id) AS rk FROM curd) WHERE rk <= 15),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM cap),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON inter.doc_a = sa.doc_id
+         |  JOIN sizes sb ON inter.doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+         |SELECT doc_id, source, n_tokens,
+         |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |    % 100 < 10 THEN 'val' ELSE 'train' END AS split,
+         |  (${duckPolyFragment("CAST(doc_id AS VARCHAR) || ':e1'", 31, 1000000007L)}
+         |    * 1103515245 + 12345) % 2147483647 AS shuffle_key
+         |FROM cap
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
 

@@ -379,6 +379,44 @@ object Curation {
         col("min_tokens"), col("max_tokens"))
 
   /**
+   * The v2 end-to-end intake: the modern pre-training recipe as ONE
+   * composed plan — quality curation ([[curate]]), per-source quota
+   * ([[capPerGroup]]), greedy MinHash near-dup removal, the
+   * reproducible train/val split, and the epoch-aware shuffle key —
+   * emitting (doc_id, source, n_tokens, split, shuffle_key) for
+   * surviving documents, ready to range-sort and write.
+   *
+   * Stage order is the cost order: cheap narrow filters first, the
+   * quota next (bounds every later stage by sources × cap), the
+   * expensive near-dup candidate join only on the capped survivor set.
+   * Every stage is individually oracle-checked elsewhere; this query's
+   * oracle recomputes the whole chain in one CTE pipeline.
+   */
+  def intakePipelineV2(docs: DataFrame, minTokens: Int = 10,
+                       maxTokens: Int = 2000, minAlphaRatio: Double = 0.5,
+                       maxPerSource: Int = 15, valPct: Int = 10,
+                       epoch: Int = 1, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val curated = curate(docs, minTokens, maxTokens, minAlphaRatio,
+      idCol, textCol)
+    val withSrc = docs.select(col(idCol), col(srcCol)).join(curated, idCol)
+    val capped = withSrc.join(
+      capPerGroup(withSrc, srcCol, maxPerSource, idCol).select(idCol), idCol)
+    val keptDocs = docs.join(capped.select(idCol), idCol)
+    val pairs = Dedup.minhashLshPairs(keptDocs, idCol = idCol,
+      textCol = textCol)
+    val survivors = capped.join(
+      pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    trainValSplit(survivors, valPct, idCol)
+      .withColumn("shuffle_key",
+        expr(s"(graft_poly_hash(CAST($idCol AS STRING) || ':e$epoch', " +
+          "31, 1000000007) * 1103515245 + 12345) % 2147483647"))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("split"),
+        col("shuffle_key"))
+  }
+
+  /**
    * Composed curation pass: drop exact duplicates (keep the lowest id per
    * text), keep documents inside a token-count band with enough alphabetic
    * content. The shape of a real intake filter: one dedup aggregate plus
