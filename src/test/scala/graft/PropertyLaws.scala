@@ -195,6 +195,38 @@ object PropertyLaws extends Properties("graft") {
       }
     }
 
+  property("dedupSegments: kept multiset = distinct corpus segments") =
+    forAll(Gen.listOfN(5, Gen.listOf(Gen.oneOf("x", "y", "z", "w"))
+      .map(_.mkString("|")))) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Dedup.dedupSegments(docs, sep = "|")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3)))
+      val segsOf = texts.map(_.split("\\|", -1).toSeq)
+      // per doc: segment count preserved; kept text is a subsequence
+      out.forall { case (id, nSeg, nKept, kept) =>
+        val orig = segsOf(id.toInt)
+        val keptSeq = if (kept.isEmpty && nKept == 0) Seq.empty
+                      else kept.split("\\|", -1).toSeq
+        nSeg == orig.size && nKept == keptSeq.size &&
+          isSubsequence(keptSeq, orig)
+      } && {
+        // union of kept segments across the corpus = distinct segments
+        val keptAll = out.flatMap { case (_, _, nk, kept) =>
+          if (nk == 0) Seq.empty else kept.split("\\|", -1).toSeq }
+        keptAll.length == keptAll.distinct.length &&
+          keptAll.toSet == segsOf.flatten.toSet
+      }
+    }
+
+  private def isSubsequence(sub: Seq[String], full: Seq[String]): Boolean = {
+    var i = 0
+    for (s <- full) if (i < sub.length && sub(i) == s) i += 1
+    i == sub.length
+  }
+
   property("editDistancePairs equals the brute-force levenshtein join") =
     forAll(
       Gen.listOfN(8, Gen.choose(0, 6).flatMap(n =>
