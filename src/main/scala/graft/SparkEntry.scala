@@ -65,7 +65,7 @@ object SparkEntry {
     "dataset_card", "corpus_mix", "chunk_documents",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
-    "clean_text", "pii_redact", "pivot_counts", "union_ragged", "cube_agg",
+    "clean_text", "pii_redact", "nfc_normalize", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "split_leakage",
     "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
@@ -464,6 +464,11 @@ object SparkEntry {
 
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
+
+    // unicode NFC canonical composition (intake stage zero)
+    "nfc_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeUnicode(t(s, dir, "documents"))
+        .orderBy("doc_id")),
 
     // exact heavy hitters (tokens over n/(k+1) of all occurrences) via a
     // Misra-Gries candidate pass + exact recount of candidates only
@@ -1410,6 +1415,11 @@ object SparkEntry {
          |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
          |  FROM documents)
          |WHERE h < rate ORDER BY doc_id""".stripMargin,
+
+    "nfc_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // heavy_hitters: the sketch is candidates-only, so the ground truth
     // is the plain GROUP BY / HAVING at threshold n/(k+1), k=30

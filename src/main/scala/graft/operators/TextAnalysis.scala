@@ -144,6 +144,19 @@ object TextAnalysis {
   }
 
   /**
+   * Unicode NFC normalization pass ([[graft.plans.NfcNormalize]]):
+   * canonically compose the text column so that equality-based operators
+   * (exact dedup, segment dedup, shingles, fingerprints) see one
+   * encoding per grapheme — the zeroth stage of any text intake. Emits
+   * (idCol, text_nfc, changed). Narrow projection, zero shuffle.
+   */
+  def normalizeUnicode(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      expr(s"graft_nfc($textCol)").as("text_nfc"),
+      (expr(s"graft_nfc($textCol)") =!= col(textCol)).as("changed"))
+
+  /**
    * Exact corpus heavy hitters with bounded memory: every token whose
    * occurrence count exceeds `n / (k + 1)` of the `n` total token
    * occurrences, with its exact count and share. Two passes:

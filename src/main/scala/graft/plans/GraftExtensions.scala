@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_simhash expects (tokenHashArray)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NfcNormalize(s)
+        case _ => throw new IllegalArgumentException(
+          "graft_nfc expects (str)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_del1_keys"),
       new ExpressionInfo(classOf[Del1Keys].getName, "graft_del1_keys"),
       (args: Seq[Expression]) => args match {

@@ -1,9 +1,28 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("normalizeUnicode: composes decomposed forms, NFC text unchanged") {
+    val composed = "caf\u00e9"      // e-acute as one codepoint
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val docs = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.normalizeUnicode(docs).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, composed, true),   // normalized to the composed form
+      Seq(2L, composed, false),  // already NFC
+      Seq(3L, "plain ascii", false)))
+    // post-normalization, the two spellings exact-dedup together
+    val deduped = Dedup.exactDedup(TextAnalysis.normalizeUnicode(docs)
+      .select(col("doc_id"), col("text_nfc").as("text")))
+    assert(rows(deduped.orderBy("keep_id")) ==
+      Seq(Seq(1L, 2L), Seq(3L, 1L)))
+  }
 
   test("tfidfTopTerms: rarer terms outrank frequent ones, ties break on term") {
     // "common" appears in all 3 docs (df=3); each doc also has a unique term
