@@ -65,7 +65,7 @@ object SparkEntry {
     "dataset_card", "corpus_mix", "chunk_documents",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
-    "clean_text", "pii_redact", "nfc_normalize", "pivot_counts", "union_ragged", "cube_agg",
+    "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "decontaminate", "train_val_split", "split_leakage",
     "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
@@ -465,6 +465,11 @@ object SparkEntry {
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
 
+    // corpus-relative quality selection: keep percentile band [10, 90]
+    "quality_band" -> ((s, dir) =>
+      Curation.qualityBand(t(s, dir, "documents"), minPct = 10.0,
+        maxPct = 90.0).orderBy("doc_id")),
+
     // unicode NFC canonical composition (intake stage zero)
     "nfc_normalize" -> ((s, dir) =>
       TextAnalysis.normalizeUnicode(t(s, dir, "documents"))
@@ -691,6 +696,27 @@ object SparkEntry {
 
   private val jaccardPairsSql =
     s"WITH $jaccardCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
+
+  /** DuckDB quality-score body (no ORDER BY) — shared by the
+   * quality_score and quality_band oracles. */
+  private val qualityScoreSql =
+    s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars, stop_ratio,
+       |  round(CAST(least(n_tokens, 200) AS DOUBLE) / 200 * 0.5
+       |        + stop_ratio * 0.3
+       |        + (1.0 - CAST(least(n_punct, 50) AS DOUBLE) / 50) * 0.2, 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_tokens, n_stop, n_punct, n_chars,
+       |    CASE WHEN n_tokens > 0
+       |         THEN round(n_stop / CAST(n_tokens AS DOUBLE), 6)
+       |         ELSE 0.0 END AS stop_ratio
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(t) AS n_tokens,
+       |      len(list_filter(t, w -> list_contains(
+       |        ['the','a','and','of','to','in','is','it'], w))) AS n_stop,
+       |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       |      CAST(length(text) AS BIGINT) AS n_chars
+       |    FROM (SELECT doc_id, text, $toksSql AS t FROM documents)))""".stripMargin
 
   /** Near-dup connected components as CTEs ending in
    * `cl(doc_id, cluster_id)` — shared by the clusters and materialized-
@@ -1072,23 +1098,16 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "quality_score" ->
-      s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars, stop_ratio,
-         |  round(CAST(least(n_tokens, 200) AS DOUBLE) / 200 * 0.5
-         |        + stop_ratio * 0.3
-         |        + (1.0 - CAST(least(n_punct, 50) AS DOUBLE) / 50) * 0.2, 6) AS quality_score
-         |FROM (
-         |  SELECT doc_id, n_tokens, n_stop, n_punct, n_chars,
-         |    CASE WHEN n_tokens > 0
-         |         THEN round(n_stop / CAST(n_tokens AS DOUBLE), 6)
-         |         ELSE 0.0 END AS stop_ratio
-         |  FROM (
-         |    SELECT doc_id,
-         |      len(t) AS n_tokens,
-         |      len(list_filter(t, w -> list_contains(
-         |        ['the','a','and','of','to','in','is','it'], w))) AS n_stop,
-         |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-         |      CAST(length(text) AS BIGINT) AS n_chars
-         |    FROM (SELECT doc_id, text, $toksSql AS t FROM documents)))
+      s"$qualityScoreSql\nORDER BY doc_id",
+
+    // quality_band: percentile of the same score, (score, id) ordering
+    "quality_band" ->
+      s"""WITH qs AS ($qualityScoreSql),
+         |pr AS (SELECT doc_id, quality_score,
+         |  round(percent_rank() OVER (ORDER BY quality_score, doc_id) * 100,
+         |    6) AS pct_rank FROM qs)
+         |SELECT doc_id, quality_score, pct_rank FROM pr
+         |WHERE pct_rank >= 10 AND pct_rank <= 90
          |ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->

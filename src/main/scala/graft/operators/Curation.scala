@@ -176,6 +176,32 @@ object Curation {
   }
 
   /**
+   * Percentile-band quality selection: keep the documents whose
+   * [[TextAnalysis.qualityScore]] falls inside a corpus-relative
+   * percentile band — selection by quantile rather than an absolute
+   * threshold, so the filter keeps the same FRACTION as score
+   * distributions drift between crawls (the production framing of
+   * "drop the worst X%"). Ranks come from `percent_rank` ordered by
+   * (score, id) — the id tie-break makes band edges deterministic.
+   * Emits (idCol, quality_score, pct_rank) for kept documents.
+   *
+   * Scale: one global window over narrow (score, id) pairs — a range
+   * exchange, same shape as any total sort; the wide columns never
+   * enter the sort.
+   */
+  def qualityBand(docs: DataFrame, minPct: Double = 10.0,
+                  maxPct: Double = 100.0,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(minPct <= maxPct, "minPct <= maxPct")
+    val w = Window.orderBy(col("quality_score").asc, col(idCol).asc)
+    TextAnalysis.qualityScore(docs, idCol)
+      .select(col(idCol), col("quality_score"))
+      .withColumn("pct_rank", round(percent_rank().over(w) * 100, 6))
+      .filter(col("pct_rank") >= minPct && col("pct_rank") <= maxPct)
+      .select(col(idCol), col("quality_score"), col("pct_rank"))
+  }
+
+  /**
    * Context-window chunking: split each document's token stream into
    * windows of `chunkTokens` starting every `chunkTokens - overlapTokens`
    * positions (trailing chunks may be short; consecutive chunks share

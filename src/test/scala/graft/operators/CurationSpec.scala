@@ -43,6 +43,20 @@ class CurationSpec extends SparkSpec {
     assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
   }
 
+  test("qualityBand: percentile band keeps the expected fraction, edges exact") {
+    // scores rise with token count; 11 docs -> pct_rank = 0,10,..,100
+    val docs = (1L to 11L).map(i =>
+      (i, Seq.fill(i.toInt)("word").mkString(" "))).toDF("doc_id", "text")
+    val out = rows(Curation.qualityBand(docs, minPct = 10.0, maxPct = 90.0)
+      .orderBy("doc_id"))
+    // drops the lowest (pct 0) and highest (pct 100) scorers
+    assert(out.map(_(0)) == (2L to 10L))
+    assert(out.forall { r =>
+      val p = r(2).asInstanceOf[Double]; p >= 10.0 && p <= 90.0 })
+    // full band keeps everything
+    assert(Curation.qualityBand(docs, 0.0, 100.0).count() == 11L)
+  }
+
   test("chunkDocuments: overlapping windows, short tail, empty doc skipped") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"),  // 7 tokens: chunks at 0, 3, 6
