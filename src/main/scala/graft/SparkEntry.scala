@@ -62,7 +62,7 @@ object SparkEntry {
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card", "corpus_mix", "chunk_documents",
+    "dataset_card", "corpus_mix", "chunk_documents", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
@@ -485,6 +485,13 @@ object SparkEntry {
     "chunk_documents" -> ((s, dir) =>
       Curation.chunkDocuments(t(s, dir, "documents"), chunkTokens = 24,
         overlapTokens = 8).orderBy("doc_id", "chunk_id")),
+
+    // deterministic upsampling: src0 2.5 epochs, src1 0.5, rest 1
+    "upsample" -> ((s, dir) =>
+      Curation.upsampleCorpus(t(s, dir, "documents"),
+        weightsPermille = Map("src0" -> 2500, "src1" -> 500),
+        defaultPermille = 1000)
+        .orderBy("doc_id", "replica")),
 
     // recipe-weighted mixing to a 3000-token budget: src0 at 300,
     // src1 at 200, everything else at 25 permille
@@ -1466,6 +1473,20 @@ object SparkEntry {
          |    AS n_chunk_tokens,
          |  array_to_string(t[s : least(s + 23, len(t))], ' ') AS chunk_text
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "upsample" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 500
+         |    ELSE 1000 END AS wt,
+         |  ((${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |    * 1103515245 + 12345) % 2147483647) % 1000 AS h
+         |  FROM documents),
+         |n AS (SELECT doc_id, source,
+         |  (wt // 1000) + CASE WHEN h < wt % 1000 THEN 1 ELSE 0 END AS n
+         |  FROM w)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS replica
+         |FROM n WHERE n > 0 ORDER BY doc_id, replica""".stripMargin,
 
     // corpus_mix: same exact integer rate arithmetic — floor divisions,
     // 1% hash buckets

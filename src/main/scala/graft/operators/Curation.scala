@@ -176,6 +176,43 @@ object Curation {
   }
 
   /**
+   * Deterministic source upsampling — the complement of [[mixCorpus]]:
+   * repeat each document `weightPermille / 1000` times, with the
+   * fractional remainder resolved per document by the reproducible id
+   * hash (weight 2500 = every doc twice, and the stable half of each
+   * source a third time). Emits one row per replica:
+   * (idCol, srcCol, replica), replica 0-based — downstream shuffling
+   * ([[shuffleCorpus]] keyed by (id, replica)) interleaves the copies.
+   *
+   * A seeded `sample(withReplacement)` gives none of this: its copies
+   * move with partitioning and its fraction drifts per run. One narrow
+   * generate, no shuffle.
+   */
+  def upsampleCorpus(docs: DataFrame, weightsPermille: Map[String, Int],
+                     defaultPermille: Int = 1000,
+                     srcCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(defaultPermille >= 0 &&
+      weightsPermille.values.forall(_ >= 0), "weights >= 0")
+    val w: Column = weightsPermille.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (k, v)) => when(col(srcCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs.select(col(idCol), col(srcCol))
+      .withColumn("__w", w)
+      // LCG-mixed hash (see shuffleCorpus): the raw polynomial hash is
+      // monotonic on short keys, which skews `% 1000` badly on small-id
+      // corpora — the mix step makes the fractional selector uniform
+      .withColumn("__n", expr("__w div 1000") +
+        when(
+          expr(s"(graft_poly_hash(CAST($idCol AS STRING), 31, 1000000007)" +
+            " * 1103515245 + 12345) % 2147483647")
+            % 1000 < expr("__w % 1000"), 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(srcCol),
+        explode(expr("sequence(0, __n - 1)")).as("replica"))
+  }
+
+  /**
    * Percentile-band quality selection: keep the documents whose
    * [[TextAnalysis.qualityScore]] falls inside a corpus-relative
    * percentile band — selection by quantile rather than an absolute

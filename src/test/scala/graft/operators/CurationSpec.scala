@@ -43,6 +43,25 @@ class CurationSpec extends SparkSpec {
     assert(Curation.capPerGroup(docs, "source", 1000).count() == 100)
   }
 
+  test("upsampleCorpus: integer + fractional-hash replicas, layout-stable") {
+    val docs = (1L to 300L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = rows(Curation.upsampleCorpus(docs,
+      Map("s0" -> 2500, "s1" -> 0), defaultPermille = 1000)
+      .orderBy("doc_id", "replica"))
+    val bySrc = out.groupBy(_(1)).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("s1", 0) == 0)           // weight 0: dropped
+    assert(bySrc("s2") == 100)                      // weight 1000: exactly 1x
+    assert(bySrc("s0") > 220 && bySrc("s0") < 280)  // ~2.5x of 100 docs
+    // every s0 doc appears at least twice with 0-based replica ids
+    val s0 = out.filter(_(1) == "s0").groupBy(_(0)).values
+    assert(s0.forall(rs => rs.map(_(2)) == (0L until rs.size.toLong)))
+    assert(s0.forall(rs => rs.size == 2 || rs.size == 3))
+    val again = rows(Curation.upsampleCorpus(docs.repartition(7),
+      Map("s0" -> 2500, "s1" -> 0), 1000).orderBy("doc_id", "replica"))
+    assert(again == out)
+  }
+
   test("qualityBand: percentile band keeps the expected fraction, edges exact") {
     // scores rise with token count; 11 docs -> pct_rank = 0,10,..,100
     val docs = (1L to 11L).map(i =>
