@@ -218,22 +218,47 @@ object Curation {
    * percentile band — selection by quantile rather than an absolute
    * threshold, so the filter keeps the same FRACTION as score
    * distributions drift between crawls (the production framing of
-   * "drop the worst X%"). Ranks come from `percent_rank` ordered by
+   * "drop the worst X%"). Ranks are percent_rank semantics ordered by
    * (score, id) — the id tie-break makes band edges deterministic.
    * Emits (idCol, quality_score, pct_rank) for kept documents.
    *
-   * Scale: one global window over narrow (score, id) pairs — a range
-   * exchange, same shape as any total sort; the wide columns never
-   * enter the sort.
+   * Scale: an UNPARTITIONED window would sort the whole corpus in one
+   * task, so the rank is assembled instead: range-exchange on the sort
+   * key (parallel, the same shape as any total sort), `row_number`
+   * WITHIN each range partition, plus each partition's exact global
+   * offset. The offsets come from a per-partition count aggregate —
+   * numShufflePartitions rows — so the only unpartitioned window runs
+   * over that tiny frame, never the corpus, and the offset join is a
+   * broadcast. (score, id) is unique, so rank = row_number and
+   * percent_rank = (global_rank - 1) / (n - 1) exactly.
    */
   def qualityBand(docs: DataFrame, minPct: Double = 10.0,
                   maxPct: Double = 100.0,
                   idCol: String = "doc_id"): DataFrame = {
     require(minPct <= maxPct, "minPct <= maxPct")
-    val w = Window.orderBy(col("quality_score").asc, col(idCol).asc)
-    TextAnalysis.qualityScore(docs, idCol)
+    val ranged = TextAnalysis.qualityScore(docs, idCol)
       .select(col(idCol), col("quality_score"))
-      .withColumn("pct_rank", round(percent_rank().over(w) * 100, 6))
+      .repartitionByRange(col("quality_score").asc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val perPart = Window.partitionBy("__pid")
+      .orderBy(col("quality_score").asc, col(idCol).asc)
+    val tiny = Window.orderBy("__pid")
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"),
+        coalesce(sum("__cnt").over(
+          tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"),
+        sum("__cnt").over(
+          tiny.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("__n"))
+    ranged
+      .withColumn("__rn", row_number().over(perPart).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("pct_rank", round(
+        when(col("__n") > 1L,
+          (col("__off") + col("__rn") - 1L).cast("double")
+            / (col("__n") - 1L).cast("double") * 100)
+          .otherwise(0.0), 6))
       .filter(col("pct_rank") >= minPct && col("pct_rank") <= maxPct)
       .select(col(idCol), col("quality_score"), col("pct_rank"))
   }

@@ -206,8 +206,16 @@ object Relational {
    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
+    // The salt must be a pure function of row content: a positional
+    // source (MID, rand) re-evaluates differently when a replayed map
+    // task reorders rows after a fetch failure, and the (key, salt)
+    // join then drops/duplicates rows (SPARK-23207). Hashing the whole
+    // row spreads a hot key across salts as long as its rows differ in
+    // ANY column — exact full-row duplicates share a salt, which only
+    // costs balance, never correctness.
     val saltedBig = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*),
+        lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")

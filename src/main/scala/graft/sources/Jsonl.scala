@@ -58,9 +58,14 @@ object Jsonl {
       .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "__corrupt")).as("j"))
-    val good = parsed.filter(col("j.__corrupt").isNull)
+    // from_json returns a NULL struct (not a populated __corrupt field)
+    // for blank/whitespace-only lines — without the isNotNull guard those
+    // land in `good` as all-null rows, neither parsed nor inspectable.
+    val good = parsed
+      .filter(col("j").isNotNull && col("j.__corrupt").isNull)
       .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
-    val bad = parsed.filter(col("j.__corrupt").isNotNull)
+    val bad = parsed
+      .filter(col("j").isNull || col("j.__corrupt").isNotNull)
       .select(col("value").as("raw_line"))
     (good, bad)
   }

@@ -169,28 +169,6 @@ object Streams {
   }
 
   /**
-   * Streaming incremental near-duplicate detection over a GROWING corpus:
-   * each micro-batch of documents is MinHash-signed once, near-dup-checked
-   * against the signature index accumulated from every earlier batch
-   * ([[Dedup.incrementalNearDupsFromSigs]] — new-vs-corpus plus
-   * new-vs-new, never corpus-vs-corpus again), and its signatures are then
-   * added to the index. Pairs land under `pairsPath`, the index under
-   * `indexPath` — both parquet, both partitioned by ingest batch.
-   *
-   * Exactly-once despite foreachBatch's at-least-once contract: every
-   * write goes to a `batch=<id>` partition in OVERWRITE mode, so a
-   * replayed micro-batch rewrites its own partitions instead of appending
-   * duplicates, and the index read EXCLUDES the current batch id — on the
-   * first run that partition does not exist yet, on a replay it holds this
-   * very batch's signatures and must not act as corpus (the ids would
-   * collide and re-verify every pair against itself).
-   *
-   * Scale: per micro-batch, the work is the uncapped incremental join —
-   * O(|batch| * bands) broadcastable rows against the index — plus one
-   * index-partition listing; corpus text is never re-read and signatures
-   * are computed exactly once per document per successful batch.
-   */
-  /**
    * Streaming windowed top-k tokens — the trending-terms feed over a
    * document stream. Tokens explode per event, count under a watermarked
    * tumbling window, and each finalized window's top `k` land in one
@@ -235,6 +213,28 @@ object Streams {
       .start()
   }
 
+  /**
+   * Streaming incremental near-duplicate detection over a GROWING corpus:
+   * each micro-batch of documents is MinHash-signed once, near-dup-checked
+   * against the signature index accumulated from every earlier batch
+   * ([[Dedup.incrementalNearDupsFromSigs]] — new-vs-corpus plus
+   * new-vs-new, never corpus-vs-corpus again), and its signatures are then
+   * added to the index. Pairs land under `pairsPath`, the index under
+   * `indexPath` — both parquet, both partitioned by ingest batch.
+   *
+   * Exactly-once despite foreachBatch's at-least-once contract: every
+   * write goes to a `batch=<id>` partition in OVERWRITE mode, so a
+   * replayed micro-batch rewrites its own partitions instead of appending
+   * duplicates, and the index read EXCLUDES the current batch id — on the
+   * first run that partition does not exist yet, on a replay it holds this
+   * very batch's signatures and must not act as corpus (the ids would
+   * collide and re-verify every pair against itself).
+   *
+   * Scale: per micro-batch, the work is the uncapped incremental join —
+   * O(|batch| * bands) broadcastable rows against the index — plus one
+   * index-partition listing; corpus text is never re-read and signatures
+   * are computed exactly once per document per successful batch.
+   */
   def nearDupSink(stream: DataFrame, indexPath: String, pairsPath: String,
                   checkpointDir: String, estThreshold: Double = 0.5,
                   n: Int = 3, numHashes: Int = 128, bands: Int = 32,

@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Relational
@@ -132,14 +132,33 @@ object Tables {
       else {
         // partitioned main: rename swap corrupts HMS partition locations
         // (see compactTable) — materialize the merge to a staging table,
-        // then dynamic-overwrite. Upserts never delete rows, so the
-        // merged frame covers every existing partition and the dynamic
-        // overwrite replaces all of them.
+        // then dynamic-overwrite.
         val tmp = suffixed(mainTable, "__upsert_stage")
         spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
         merged.write.mode(SaveMode.Overwrite).format("parquet")
           .partitionBy(partCols: _*).saveAsTable(tmp)
+        // Dynamic overwrite replaces only the partitions PRESENT in the
+        // merged frame. A staging row that changes its partition-column
+        // value vacates its old partition: if nothing else lives there,
+        // the merged frame has no rows for it, the overwrite leaves it
+        // untouched, and the key would exist in two partitions. Detect
+        // vacated partitions (old values absent from merged) and drop
+        // them explicitly — both distinct frames and the collect are
+        // bounded by the table's partition count, not its rows.
+        val pcols = partCols.map(col)
+        val vacated = spark.table(mainTable).select(pcols: _*).distinct()
+          .except(spark.table(tmp).select(pcols: _*).distinct())
+          .collect()
         loadPartitioned(spark.table(tmp), mainTable, partCols.head)
+        vacated.foreach { r =>
+          val spec = partCols.zipWithIndex.map { case (c, i) =>
+            val v = String.valueOf(r.get(i))
+              .replace("\\", "\\\\").replace("'", "\\'")
+            s"`$c` = '$v'"
+          }.mkString(", ")
+          spark.sql(
+            s"ALTER TABLE ${q(mainTable)} DROP IF EXISTS PARTITION ($spec)")
+        }
         spark.sql(s"DROP TABLE ${q(tmp)}")
         spark.catalog.refreshTable(mainTable)
       }
@@ -186,9 +205,12 @@ object Tables {
       case (s, pcs) =>
         // targetFiles applies per partition VALUE: shuffle on the
         // partition columns plus a row-level bucket so each value's rows
-        // land in at most targetFiles tasks (the bucket source only
-        // routes rows — any per-row value works, determinism not needed)
-        val bucket = pmod(monotonically_increasing_id(),
+        // land in at most targetFiles tasks. The bucket MUST be a pure
+        // function of row content: a positional source (MID, rand) can
+        // re-evaluate differently when a lost shuffle block replays the
+        // map task, duplicating/dropping rows in the rewrite — the
+        // SPARK-23207 failure class.
+        val bucket = pmod(xxhash64(df.columns.map(col).toSeq: _*),
           lit(targetFiles.toLong))
         val shuffled = df.repartition((pcs.map(col) :+ bucket): _*)
         s.fold(shuffled)(c => shuffled.sortWithinPartitions(c))

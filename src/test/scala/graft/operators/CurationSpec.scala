@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, percent_rank, round}
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -74,6 +75,24 @@ class CurationSpec extends SparkSpec {
       val p = r(2).asInstanceOf[Double]; p >= 10.0 && p <= 90.0 })
     // full band keeps everything
     assert(Curation.qualityBand(docs, 0.0, 100.0).count() == 11L)
+  }
+
+  test("qualityBand: assembled rank equals percent_rank across partitions") {
+    // enough rows that the range exchange produces MANY partitions — the
+    // per-partition row_number + global-offset assembly must agree with
+    // the textbook single-window percent_rank on every row
+    val docs = (1L to 500L).map(i =>
+      (i, Seq.fill((i % 37 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(7)
+    val got = rows(Curation.qualityBand(docs, 0.0, 100.0)
+      .orderBy("doc_id")).map(r => (r(0), r(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").asc, col("doc_id").asc)
+    val want = rows(graft.operators.TextAnalysis.qualityScore(docs, "doc_id")
+      .withColumn("pct_rank", round(percent_rank().over(w) * 100, 6))
+      .select(col("doc_id"), col("pct_rank")).orderBy("doc_id"))
+      .map(r => (r(0), r(1)))
+    assert(got == want)
   }
 
   test("chunkDocuments: overlapping windows, short tail, empty doc skipped") {

@@ -50,14 +50,18 @@ class JsonlSpec extends SparkSpec {
     w.println("""{"doc_id": 1, "text": "ok", "lang": "en"}""")
     w.println("""{"doc_id": broken""")           // malformed JSON
     w.println("""not json at all""")             // not JSON
+    w.println("")                                // blank: null parse result
+    w.println("   ")                             // whitespace-only: ditto
     w.println("""{"doc_id": 2, "text": "also ok"}""")
     w.close()
     val (good, bad) = Jsonl.readWithQuarantine(spark, f.toString, schema)
+    // blank/whitespace lines parse to a NULL struct (no __corrupt set) —
+    // they must quarantine, not surface as all-null "good" rows
     assert(rows(good.orderBy("doc_id")) == Seq(
       Seq(1L, "ok", "en"), Seq(2L, "also ok", null)))
     // quarantined rows carry the raw line for inspection/replay
     assert(rows(bad.orderBy("raw_line")).map(_(0)) ==
-      Seq("not json at all", """{"doc_id": broken"""))
+      Seq("", "   ", "not json at all", """{"doc_id": broken"""))
   }
 
   test("shard count follows upstream partitioning") {

@@ -137,6 +137,24 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, t)
   }
 
+  test("upsertIntoTable drops a partition its only key moved away from") {
+    val t = "upsert_vacate"
+    Tables.loadPartitioned(
+      Seq((1L, "a", "d0"), (2L, "b", "d1")).toDF("id", "v", "day"), t, "day")
+    // key 2 changes its partition value d1 -> d2; d1 held nothing else,
+    // so dynamic overwrite alone would leave the stale (2, b, d1) copy
+    // behind and the key would exist in two partitions
+    val n = Tables.upsertIntoTable(spark,
+      Seq((2L, "B", "d2")).toDF("id", "v", "day"), t, "id")
+    assert(n == 2L)
+    assert(rows(spark.table(t).orderBy("id").select("id", "v", "day")) ==
+      Seq(Seq(1L, "a", "d0"), Seq(2L, "B", "d2")))
+    assert(spark.table(t)
+      .filter(org.apache.spark.sql.functions.col("day") === "d1")
+      .count() == 0L)
+    Tables.dropTable(spark, t)
+  }
+
   test("upsertIntoTable rejects duplicate staging keys") {
     Tables.dropTable(spark, "t_dup")
     Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_dup")
