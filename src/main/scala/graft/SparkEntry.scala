@@ -56,12 +56,13 @@ object SparkEntry {
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "exact_dedup", "ngram_jaccard", "fuzzy_join", "dedup_lines",
+    "duplicated_spans",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
-    "quantize_int8", "embedding_centroids",
+    "semantic_dedup", "quantize_int8", "embedding_centroids",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
-    "salted_join", "corpus_shuffle", "length_buckets", "corpus_diff",
+    "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "corpus_mix", "chunk_documents", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
@@ -346,6 +347,15 @@ object SparkEntry {
         nlist = 16, nprobe = 4, dim = 64).orderBy("query_id", "rank")
     }),
 
+    // SemDeDup: cluster-then-dedup. Deterministic end-to-end (seed
+    // centroids + exact cosine), so kept/dropped is hash-checked; the
+    // cell-size cap is modeled in the oracle like the LSH bucket caps.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.4,
+        nlist = 16, dim = 64, maxCellSize = Some(4096))
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy("vec_id")),
+
     // ---- multimodal (documents; payload = utf8 bytes of text) ----
     "payload_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(t(s, dir, "documents")).orderBy("doc_id")),
@@ -538,6 +548,16 @@ object SparkEntry {
         key = "c_custkey", salts = 8)
         .orderBy("o_orderkey")),
 
+    // bloom-pre-filtered semi join: exact semi-join result (the filter
+    // only prunes shuffle volume), so the oracle is the plain EXISTS
+    "bloom_join" -> ((s, dir) =>
+      Relational.bloomSemiJoin(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("o_custkey")),
+        key = "o_custkey")
+        .orderBy("o_orderkey")),
+
     "intake_pipeline" -> ((s, dir) =>
       Curation.intakePipeline(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -614,6 +634,13 @@ object SparkEntry {
     // the query dedups word segments (sep = " ") — same machinery
     "dedup_lines" -> ((s, dir) =>
       Dedup.dedupSegments(t(s, dir, "documents"), sep = " ")
+        .orderBy("doc_id")),
+
+    // windowed exact-substring contamination stats (Lee et al. ACL'22
+    // semantics via overlapping w-token window hashes instead of a
+    // global suffix array)
+    "duplicated_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), w = 8)
         .orderBy("doc_id")),
 
     "tfidf_topterms" -> ((s, dir) =>
@@ -1180,6 +1207,32 @@ object SparkEntry {
         |    '') AS text_kept
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // duplicated_spans: the window hash IS the contract — the oracle
+    // recomputes the identical polynomial fold over the identical
+    // 8-token window strings, so presence-in->=2-docs matches exactly.
+    // Outer lambda var is `j`: the polyhash fold binds `i` internally.
+    "duplicated_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+         |      list_transform(generate_series(1, len(t) - 7),
+         |        j -> ${polyHashSql("array_to_string(array_slice(t, j, j + 7), ' ')")})
+         |    ELSE CAST([] AS BIGINT[]) END) AS h
+         |  FROM toks),
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |stats AS (
+         |  SELECT w.doc_id, count(*) AS n_windows,
+         |    sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS dup_windows
+         |  FROM wins w LEFT JOIN dup d ON w.h = d.h GROUP BY w.doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(s.dup_windows, 0) AS BIGINT) AS dup_windows,
+         |  CASE WHEN s.n_windows > 0
+         |    THEN round(CAST(s.dup_windows AS DOUBLE) / s.n_windows, 6)
+         |    ELSE 0.0 END AS dup_fraction
+         |FROM toks tk LEFT JOIN stats s ON tk.doc_id = s.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
     "ngram_jaccard_exact" -> jaccardPairsSql,
     "minhash_lsh"         -> jaccardPairsSql,
     "simhash"             -> simhashSql(cap = None),
@@ -1260,6 +1313,48 @@ object SparkEntry {
     // ivf_topk is likewise fully deterministic with iters=0: centroids are
     // the 16 lowest-id vectors unit-normalized, assignment is first-max
     // argmax, probes are the 4 best cells (ties -> lower index).
+    // semantic_dedup: the whole SemDeDup chain is deterministic — seed
+    // centroids (16 lowest-id vectors, unit-normalized), first-max argmax
+    // cell assignment (same CTE as ivf_topk), cell-size cap, exact cosine
+    // within cells — so kept/dropped per vector is hash-checked.
+    "semantic_dedup" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |unitc AS (
+         |  SELECT cidx, list_transform(embedding, x ->
+         |    CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+         |         ELSE CAST(x AS DOUBLE) / nrm END) AS c
+         |  FROM (SELECT cidx, embedding,
+         |          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |        FROM cents)),
+         |dists AS (
+         |  SELECT e.vec_id, u.cidx, ${dotSql("e.embedding", "u.c")} AS d
+         |  FROM embeddings e, unitc u),
+         |cells AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |base AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS cs
+         |    FROM cells)
+         |  WHERE cs <= 4096),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE ${dotSql("na.embedding", "nb.embedding")}
+         |          / (na.nrm * nb.nrm) >= 0.4)
+         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  (d.vec_id IS NULL) AS kept
+         |FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+
     "ivf_topk" ->
       s"""WITH cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
@@ -1579,6 +1674,15 @@ object SparkEntry {
     "salted_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = customer.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // bloom_join: the Bloom filter is a no-false-negative pre-filter and
+    // the exact semi join removes its false positives — the result is
+    // EXACTLY the semi join, so the oracle is the plain EXISTS
+    "bloom_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |ORDER BY o_orderkey""".stripMargin,
 
     "train_val_split" ->

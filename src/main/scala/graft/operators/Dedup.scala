@@ -681,6 +681,63 @@ object Dedup {
    * the exact/verification variant; the scale path is
    * [[Similarity.hyperplaneLshPairs]] (O(n) bucketed candidates).
    */
+  /**
+   * Cross-document duplicated-span statistics — the windowed, Spark-native
+   * form of exact-substring dedup (Lee et al., "Deduplicating Training Data
+   * Makes Language Models Better", ACL'22: their suffix array finds 50-token
+   * spans shared across documents; overlapping w-token windows find the
+   * same spans with a hash join instead of a global suffix sort). For each
+   * document: how many of its w-token windows also appear verbatim in at
+   * least one OTHER document. High `dup_fraction` = boilerplate or
+   * template contamination that survives document-level dedup.
+   *
+   * "Appears elsewhere" is decided on the reproducible polynomial hash of
+   * the window text — the hash IS the contract (the DuckDB oracle computes
+   * the identical fold), and it is what makes the operator scale: the
+   * shuffle carries 8-byte window hashes, never window strings, so
+   * exchange volume is ~8 bytes x tokens regardless of document size.
+   * Cross-doc presence is `min(doc) != max(doc)` per hash — a hash
+   * AGGREGATE with map-side combine, so a window duplicated a billion
+   * times costs one (min, max) pair per map task, never a skewed
+   * single-key sort. Two linear shuffles total: by window hash, by doc.
+   *
+   * Emits one row per input document:
+   * (idCol, n_windows, dup_windows, dup_fraction), with zero counts for
+   * documents shorter than `w` tokens.
+   */
+  def duplicatedSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val winHash = TextFns.polyHashFragment(s"concat_ws(' ', slice(t, i, $w))",
+      31, TextFns.HashMod)
+    val wins = docs
+      .select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(t) >= $w THEN
+           |  transform(sequence(1, size(t) - ${w - 1}), i -> $winHash)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("h"))
+    // windows present in >= 2 distinct documents: min != max is the exact
+    // 2-distinct test and stays a combinable aggregate (countDistinct
+    // would shuffle per-doc rows; this shuffles one struct per map task)
+    val dup = wins.groupBy("h")
+      .agg(min("id").as("__mn"), max("id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+    val stats = wins
+      .join(dup.withColumn("__d", lit(1L)), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("__d").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("dup_windows"))
+    docs.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(col("n_windows") > 0L,
+          round(col("dup_windows").cast("double") / col("n_windows"), 6))
+          .otherwise(0.0).as("dup_fraction"))
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
                             sampleMod: Int = 1, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {

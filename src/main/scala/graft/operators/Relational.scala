@@ -222,6 +222,46 @@ object Relational {
   }
 
   /**
+   * Bloom-filter-accelerated semi join: keep big-side rows whose `key`
+   * exists on the small side, pre-filtering the big side with a broadcast
+   * Bloom filter BEFORE the exact semi join. The result is EXACTLY the
+   * semi join — the Bloom filter has no false negatives, and its false
+   * positives are removed by the exact join — so the filter is purely a
+   * shuffle-volume reducer, the hand-rolled form of Spark's runtime
+   * bloom-filter join filters (SPARK-32268) with an explicit, testable
+   * contract.
+   *
+   * Scale: the driver materializes `bits` bits (8 KiB at the default) —
+   * the distinct-positions collect is bounded by `bits`, never by the
+   * small side's row count. The big side evaluates `numHashes` codegen'd
+   * xxhash64 probes per row against a broadcast literal mask and only
+   * surviving rows reach the exchange; with a selective small side the
+   * shuffle shrinks by the selectivity factor. The exact semi join
+   * shuffles the small side's distinct keys only.
+   */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+                    bits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    val pos = (side: String, i: Int) =>
+      s"pmod(xxhash64(`$key`, $i), ${bits}L)"
+    val positions = small
+      .select(explode(array((0 until numHashes).map(i =>
+        expr(pos("s", i))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](bits / 64)
+    positions.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63)))
+    val probe = (0 until numHashes).map { i =>
+      s"((element_at(__bloom, CAST(${pos("b", i)} DIV 64 AS INT) + 1) " +
+        s">> CAST(${pos("b", i)} % 64 AS INT)) & 1) = 1"
+    }.mkString(" AND ")
+    big
+      .withColumn("__bloom", typedLit(words.toSeq))
+      .filter(expr(probe))
+      .drop("__bloom")
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  /**
    * Pivot: one row per `groupCol`, one BIGINT count column per declared
    * `pivotCol` value (absent combinations = 0). Values are declared
    * explicitly — never discovered at plan time — so the output schema is

@@ -189,6 +189,54 @@ object Similarity {
   }
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al.,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication", arXiv:2303.09540): cluster embeddings into `nlist`
+   * cells (the same deterministic seed-centroid trainer as [[ivfTopK]]),
+   * compare pairs only WITHIN a cell, and mark as dropped every vector
+   * with a lower-id neighbor at cosine >= `threshold` in its cell. The
+   * paper keeps one representative per semantic neighborhood; lowest id
+   * is the deterministic choice of representative.
+   *
+   * Scale: the pairwise stage is per-cell — candidate volume is bounded
+   * by cellsize² per cell, and `nlist` grows with the corpus to hold
+   * cells bounded (the centroid collect is nlist x dim, never
+   * corpus-sized). `maxCellSize` is the skew guard: a cell holding more
+   * vectors than the cap skips pair generation entirely (all its vectors
+   * stay kept) — recall-only, same philosophy as the LSH bucket caps, and
+   * modeled exactly in the oracle so precision stays hash-checked. The
+   * id-pair self-join carries (cell, id) only; vectors re-attach after.
+   *
+   * Emits one row per input vector: (idCol, cell, kept).
+   */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.7, nlist: Int = 16,
+                    dim: Int = 64, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxCellSize: Option[Int] = Some(4096)): DataFrame = {
+    val cents = trainIvfCentroids(emb, nlist, dim, iters = 0, idCol, vecCol)
+    val cells = withIvfCell(emb, cents, vecCol)
+      .select(col(idCol), col(vecCol), VectorFns.norm(vecCol).as("nrm"),
+        col("__cell").as("cell"))
+    val base = Dedup.capBuckets(
+      cells.select(col(idCol), col("cell")), Seq("cell"), maxCellSize)
+    val a = base.select(col("cell"), col(idCol).as("a"))
+    val b = base.select(col("cell"), col(idCol).as("b"))
+    val vecs = cells.select(col(idCol), col(vecCol), col("nrm"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va"),
+        col("nrm").as("na")), "a")
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), "b")
+      .withColumn("cos", VectorFns.dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    cells.select(col(idCol), col("cell"))
+      .join(dropped.withColumn("__drop", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__drop").isNull.as("kept"))
+  }
+
+  /**
    * Multi-table hyperplane-LSH near-neighbor candidate pairs: `numTables`
    * independent plane sets of `numPlanes` each; vectors sharing any table's
    * bucket are compared exactly and filtered by cosine threshold.

@@ -173,6 +173,27 @@ class DedupSpec extends SparkSpec {
     assert(within == Seq(Seq(7L, 3L, 2L, "x|y")))
   }
 
+  test("duplicatedSpans: cross-doc windows count, within-doc repeats don't") {
+    val docs = Seq(
+      // doc 1: 10 tokens -> 3 windows of 8; the first ("a..h") also
+      // appears in doc 2 -> 1 duplicated window
+      (1L, "a b c d e f g h x y"),
+      // doc 2: 9 tokens -> 2 windows; "a b c d e f g h" shared with doc 1
+      (2L, "z a b c d e f g h"),
+      // doc 3: shorter than the window -> zero windows, fraction 0.0
+      (3L, "short text"),
+      // doc 4: a window repeated WITHIN the doc but in no other doc ->
+      // min(doc) = max(doc), not cross-doc duplication
+      (4L, "p q r s t u v w p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.duplicatedSpans(docs, w = 8).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 3L, 1L, 0.333333),
+      Seq(2L, 2L, 1L, 0.5),
+      Seq(3L, 0L, 0L, 0.0),
+      Seq(4L, 9L, 0L, 0.0)))
+  }
+
   test("nearDupDedup: representatives keep their absorbed counts") {
     // docs 1-3 near-dup each other (shared shingles), 9 is a singleton
     val base = "alpha beta gamma delta epsilon zeta"

@@ -139,6 +139,20 @@ class RelationalSpec extends SparkSpec {
     assert(rows(out.orderBy("k").select("seq")).flatten == Seq(3L, 4L))
   }
 
+  test("bloomSemiJoin returns exactly the semi-join result") {
+    val big = (1L to 300L).map(i => (i % 50, i)).toDF("k", "x")
+    val small = Seq(3L, 7L, 11L, 48L).toDF("k")
+    val want = rows(big.join(small, Seq("k"), "left_semi").orderBy("k", "x"))
+    val got = rows(Relational.bloomSemiJoin(big, small, "k")
+      .orderBy("k", "x"))
+    assert(got == want && got.nonEmpty)
+    // a deliberately tiny filter (64 bits, 300 distinct keys) saturates
+    // the mask with false positives — the exact join must still win
+    val tiny = rows(Relational.bloomSemiJoin(big, small, "k", bits = 64,
+      numHashes = 2).orderBy("k", "x"))
+    assert(tiny == want)
+  }
+
   test("pivotCounts: declared values become columns, absent combos are 0") {
     val df = Seq(
       (1L, "click"), (1L, "click"), (1L, "view"),

@@ -99,4 +99,25 @@ class SimilaritySpec extends SparkSpec {
     val out2 = rows(Similarity.annRecall(approx, exact.limit(0)))
     assert(out2.head == Seq(0L, 3L, 0L, null, 0.0))
   }
+
+  test("semanticDedup: lower-id neighbor in the same cell drops a vector") {
+    // seeds (nlist=2) are vecs 1 and 2 -> cells along (1,0) and (0,1);
+    // 3 is near 1 (cos ~0.99), 4 near 2 (cos ~0.995), 5 shares 1's cell
+    // but is only cos 0.8 from everything there
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.99f, 0.141f)),
+      (4L, Array(0.1f, 0.995f)),
+      (5L, Array(0.8f, -0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = rows(Similarity.semanticDedup(vs, threshold = 0.9, nlist = 2,
+      dim = 2).orderBy("vec_id")).map(r => (r(0), r(2)))
+    assert(out == Seq((1L, true), (2L, true), (3L, false), (4L, false),
+      (5L, true)))
+    // cell-size cap: an over-cap cell skips pair generation -> all kept
+    val capped = rows(Similarity.semanticDedup(vs, threshold = 0.9,
+      nlist = 2, dim = 2, maxCellSize = Some(1)))
+    assert(capped.forall(_(2) == true))
+  }
 }
