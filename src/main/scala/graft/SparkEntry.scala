@@ -51,7 +51,7 @@ object SparkEntry {
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "range_join", "profile_events", "value_percentiles",
-    "rank_stats", "group_concat",
+    "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
@@ -63,7 +63,7 @@ object SparkEntry {
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card", "corpus_mix", "chunk_documents", "upsample",
+    "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
@@ -427,6 +427,13 @@ object SparkEntry {
           expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"))
         .orderBy("event_type")),
 
+    // hash-sample percentiles — the scale path: the reproducible id-hash
+    // sample is recomputed exactly by the oracle, so even the "estimate"
+    // is hash-checked
+    "sampled_percentiles" -> ((s, dir) =>
+      Relational.sampledPercentiles(t(s, dir, "events"), "value",
+        "event_type", "event_id", keepPct = 10).orderBy("event_type")),
+
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -495,6 +502,12 @@ object SparkEntry {
     "chunk_documents" -> ((s, dir) =>
       Curation.chunkDocuments(t(s, dir, "documents"), chunkTokens = 24,
         overlapTokens = 8).orderBy("doc_id", "chunk_id")),
+
+    // content-defined chunking: boundaries from local token hashes, so
+    // an early edit shifts no later chunk (the CDC dedup property)
+    "cdc_chunks" -> ((s, dir) =>
+      Curation.cdcChunks(t(s, dir, "documents"), avgTokens = 16)
+        .orderBy("doc_id", "chunk_id")),
 
     // deterministic upsampling: src0 2.5 epochs, src1 0.5, rest 1
     "upsample" -> ((s, dir) =>
@@ -1478,6 +1491,20 @@ object SparkEntry {
         |  quantile_disc(value, 0.75) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // sampled_percentiles: the oracle recomputes the identical 10%
+    // id-hash sample (same fold as train_val_split), then exact discrete
+    // quantiles over it — the sampling itself is hash-checked
+    "sampled_percentiles" ->
+      s"""SELECT event_type,
+         |  quantile_disc(value, 0.25) AS p25,
+         |  quantile_disc(value, 0.5)  AS p50,
+         |  quantile_disc(value, 0.75) AS p75,
+         |  CAST(count(*) AS BIGINT) AS n_sample
+         |FROM events
+         |WHERE ${duckPolyFragment("CAST(event_id AS VARCHAR)", 31, 1000000007L)}
+         |  % 100 < 10
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "quantize_int8" ->
       """SELECT vec_id,
         |  array_to_string(list_transform(embedding,
@@ -1568,6 +1595,30 @@ object SparkEntry {
          |    AS n_chunk_tokens,
          |  array_to_string(t[s : least(s + 23, len(t))], ' ') AS chunk_text
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // cdc_chunks: the boundary hash is the identical polynomial fold, so
+    // DuckDB reproduces the exact chunk boundaries; chunk_id is the count
+    // of boundary tokens strictly before the token
+    "cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+         |  FROM toks WHERE len(t) > 0),
+         |flagged AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN ${polyHashSql("tok")} % 16 = 0 THEN 1 ELSE 0 END AS b
+         |  FROM tok),
+         |chunked AS (
+         |  SELECT doc_id, pos, tok,
+         |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk_id
+         |  FROM flagged)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+         |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         |FROM chunked GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "upsample" ->
       s"""WITH w AS (SELECT doc_id, source,

@@ -298,6 +298,48 @@ object Curation {
   }
 
   /**
+   * Content-defined chunking (CDC): split a document after every token
+   * whose reproducible polynomial hash is ≡ 0 (mod `avgTokens`), giving
+   * chunks of `avgTokens` expected length whose boundaries depend only on
+   * LOCAL content. That is the property fixed windows lack: inserting a
+   * token early in a document shifts every downstream fixed window (so
+   * all its chunks re-hash as "new" in chunk-level dedup), while CDC
+   * boundaries after the edit point are unchanged — the rolling-hash
+   * cut-point idea of LBFS/FastCDC applied at token granularity, which is
+   * what makes chunk-level dedup stable on mutable corpora.
+   *
+   * Scale: one explode + one per-document window (document-bounded
+   * partitions, never corpus-wide) + one hash aggregate back to chunks.
+   * The boundary hash is the same fold the DuckDB oracle recomputes, so
+   * chunk boundaries are engine- and partitioning-invariant.
+   *
+   * Emits (idCol, chunk_id, n_chunk_tokens, chunk_text); documents with
+   * zero tokens are skipped (no chunks exist).
+   */
+  def cdcChunks(docs: DataFrame, avgTokens: Int = 16, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(avgTokens >= 2, "avgTokens >= 2")
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__t", TextFns.tokens(textCol))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol).as("id"), posexplode(col("__t")))
+      .withColumn("__b",
+        (expr(s"${TextFns.polyHashFragment("col", 31, TextFns.HashMod)}")
+          % avgTokens === 0).cast("long"))
+      // chunk index = boundary tokens strictly BEFORE this one
+      .withColumn("chunk_id", coalesce(sum("__b").over(w), lit(0L)))
+      .groupBy(col("id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          s => s("col")), " ").as("chunk_text"))
+      .select(col("id").as(idCol), col("chunk_id"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
+
+  /**
    * Deterministic corpus mixing to a token budget: given per-source
    * mixture weights (permille) and a total token budget, keep a
    * reproducible-hash sample of each source sized so its kept tokens

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
+
 /**
  * Reference-parity relational operators: global sort, preview, time-range
  * filter, and MERGE-style upsert (SURVEY.md §2.2, §2.3, §2.6).
@@ -259,6 +261,35 @@ object Relational {
       .filter(expr(probe))
       .drop("__bloom")
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  /**
+   * Per-group discrete percentiles from a deterministic hash sample — the
+   * 100 TB percentile path. Exact `percentile_disc` sorts every group's
+   * full value set; at corpus scale the sort dominates the job. Sampling
+   * rows whose reproducible id hash lands in `keepPct` of 100 buckets
+   * bounds the sorted volume to keepPct% of the corpus while the
+   * estimate's error shrinks as 1/sqrt(sample size) — at billions of rows
+   * a 1% sample's percentile error is negligible, and the hash selection
+   * makes the estimate run-, engine- and partitioning-invariant (same
+   * bucket trick as train/val splitting, so the DuckDB oracle reproduces
+   * the exact sample and the exact output).
+   *
+   * Emits one row per group: (groupCol, p25, p50, p75, n_sample).
+   */
+  def sampledPercentiles(df: DataFrame, valueCol: String, groupCol: String,
+                         idCol: String, keepPct: Int = 10): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, "keepPct in 1..100")
+    df
+      .filter(expr(s"${TextFns.polyHashFragment(
+          s"CAST(`$idCol` AS STRING)", 31, TextFns.HashMod)} % 100")
+        < keepPct)
+      .groupBy(groupCol)
+      .agg(
+        expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY `$valueCol`)").as("p25"),
+        expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY `$valueCol`)").as("p50"),
+        expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY `$valueCol`)").as("p75"),
+        count(lit(1)).as("n_sample"))
   }
 
   /**

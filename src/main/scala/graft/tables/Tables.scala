@@ -1,7 +1,8 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, pmod,
+  round, shiftleft, shiftright, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Relational
@@ -225,6 +226,59 @@ object Tables {
       spark.sql(s"DROP TABLE ${q(tmp)}")
       spark.catalog.refreshTable(table)
     }
+    (before, spark.table(table).inputFiles.length)
+  }
+
+  /**
+   * Z-order (Morton-curve) compaction: rewrite an UNPARTITIONED table
+   * into ~`targetFiles` files clustered on the interleaved bit pattern
+   * of `zCols`, so parquet row-group/file min-max statistics are tight
+   * on EVERY z-ordered column at once. A single-column sort
+   * ([[compactTable]] with `sortCol`) gives perfect pruning on that
+   * column and none on any other; z-ordering trades a little pruning on
+   * each column for usable pruning on all of them — the multi-dimension
+   * data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER BY).
+   *
+   * Mechanics: each column is scaled to `bits` bits by its global
+   * min/max (one tiny aggregate — two doubles per column on the
+   * driver), bits interleave column-round-robin into one BIGINT, and
+   * the rewrite is a range exchange + in-partition sort on that key —
+   * the same two-shuffle shape as any total sort, no driver data path.
+   * Linear min/max scaling assumes roughly uniform values; heavily
+   * skewed columns should be pre-ranked (or the skew accepted as
+   * coarser pruning on that column). Nulls scale to bucket 0.
+   */
+  def zorderCompact(spark: SparkSession, table: String, zCols: Seq[String],
+                    targetFiles: Int, bits: Int = 16): (Int, Int) = {
+    require(zCols.size >= 2, "z-order needs at least 2 columns")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      "bits * zCols.size must fit a positive BIGINT")
+    val df = spark.table(table)
+    val before = df.inputFiles.length
+    val mm = df.agg(
+      zCols.map(c => min(col(c).cast("double")).as(s"__mn_$c")).head,
+      (zCols.tail.map(c => min(col(c).cast("double")).as(s"__mn_$c")) ++
+        zCols.map(c => max(col(c).cast("double")).as(s"__mx_$c"))): _*)
+      .collect()(0)
+    val top = (1L << bits) - 1
+    val z = zCols.zipWithIndex.map { case (c, j) =>
+      val mn = mm.getAs[Double](s"__mn_$c")
+      val mx = mm.getAs[Double](s"__mx_$c")
+      val scaled =
+        if (mx > mn)
+          round((coalesce(col(c).cast("double"), lit(mn)) - mn)
+            / (mx - mn) * top).cast("long")
+        else lit(0L)
+      (0 until bits).map { b =>
+        shiftleft(shiftright(scaled, b).bitwiseAND(lit(1L)),
+          b * zCols.size + j)
+      }.reduce[Column](_ + _)
+    }.reduce[Column](_ + _)
+    val shaped = df.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    writeSwapped(spark, shaped, table)
     (before, spark.table(table).inputFiles.length)
   }
 

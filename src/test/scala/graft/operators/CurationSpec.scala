@@ -95,6 +95,32 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cdcChunks: reconstruction, and boundaries survive a prepended edit") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "x " + base), (3L, "")).toDF("doc_id", "text")
+    val out = Curation.cdcChunks(docs, avgTokens = 2)
+    // empty doc: no chunks
+    assert(out.filter($"doc_id" === 3L).count() == 0L)
+    def chunks(id: Long): Seq[String] =
+      rows(out.filter($"doc_id" === id).orderBy("chunk_id"))
+        .map(_(3).asInstanceOf[String])
+    // chunks reassemble the document exactly, in order
+    assert(chunks(1L).mkString(" ") == base)
+    assert(chunks(2L).mkString(" ") == "x " + base)
+    // the CDC property: boundaries are per-token content, so prepending a
+    // token perturbs only the region before the first boundary — every
+    // chunk after it is bit-identical (fixed windows would shift and
+    // re-cut all of them). The prepended token either joins doc 1's first
+    // chunk or becomes its own, so compare the common suffix.
+    val a = chunks(1L); val b = chunks(2L)
+    assert(a.size > 3, s"want several chunks, got ${a.size}")
+    assert(b.takeRight(a.size - 1) == a.drop(1))
+    // per-chunk token counts add up
+    val counts = rows(out.filter($"doc_id" === 1L))
+      .map(_(2).asInstanceOf[Long]).sum
+    assert(counts == 60L)
+  }
+
   test("chunkDocuments: overlapping windows, short tail, empty doc skipped") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"),  // 7 tokens: chunks at 0, 3, 6

@@ -139,6 +139,29 @@ class RelationalSpec extends SparkSpec {
     assert(rows(out.orderBy("k").select("seq")).flatten == Seq(3L, 4L))
   }
 
+  test("sampledPercentiles: exact quantiles over the reproducible sample") {
+    val df = (1L to 500L).map(i => ("g", i, i.toDouble))
+      .toDF("grp", "id", "value")
+    val out = rows(Relational.sampledPercentiles(df, "value", "grp", "id",
+      keepPct = 30))
+    // recompute the identical hash sample and its exact quantiles
+    val kept = df.filter(org.apache.spark.sql.functions.expr(
+      "graft_poly_hash(CAST(id AS STRING), 31, 1000000007) % 100 < 30"))
+    val want = rows(kept.groupBy("grp").agg(
+      org.apache.spark.sql.functions.expr(
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("p25"),
+      org.apache.spark.sql.functions.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+      org.apache.spark.sql.functions.expr(
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sample")))
+    assert(out == want)
+    // the ~30% sample is representative: the median lands near 250
+    val p50 = out.head(2).asInstanceOf[Double]
+    assert(p50 > 150.0 && p50 < 350.0, s"p50=$p50")
+  }
+
   test("bloomSemiJoin returns exactly the semi-join result") {
     val big = (1L to 300L).map(i => (i % 50, i)).toDF("k", "x")
     val small = Seq(3L, 7L, 11L, 48L).toDF("k")

@@ -96,6 +96,37 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, t)
   }
 
+  test("zorderCompact clusters file min-max stats on BOTH columns") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val t = "zorder_me"
+    // a 64x64 grid: x and y are independent dimensions
+    val grid = (0 until 4096).map(i =>
+      (i.toLong, (i % 64).toLong, (i / 64).toLong)).toDF("id", "x", "y")
+    Tables.loadOverwrite(grid.repartition(8), t)
+
+    // baseline: single-column sort clusters x perfectly, y not at all
+    Tables.compactTable(spark, t, targetFiles = 16, sortCol = Some("x"))
+    def spans(): Seq[(Long, Long)] = spark.table(t)
+      .groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val sorted = spans()
+    assert(sorted.map(_._2).max == 63L, "x-sort leaves y unclustered")
+
+    Tables.zorderCompact(spark, t, Seq("x", "y"), targetFiles = 16)
+    val z = spans()
+    // a contiguous z-range's bounding box is bounded in BOTH dims —
+    // every file must beat the full 0..63 span on x AND y
+    assert(z.size >= 12, s"want ~16 files, got ${z.size}")
+    assert(z.forall { case (sx, sy) => sx < 48 && sy < 48 },
+      s"unclustered file spans: $z")
+    // data intact
+    assert(spark.table(t).count() == 4096L)
+    assert(rows(spark.table(t).orderBy("id").select("id")).map(_(0)) ==
+      (0L until 4096L))
+    Tables.dropTable(spark, t)
+  }
+
   test("compactTable keeps partition layout and caps files per partition") {
     val t = "compact_part"
     Tables.loadPartitioned(
