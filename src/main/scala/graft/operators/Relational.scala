@@ -244,17 +244,16 @@ object Relational {
   def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
                     bits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
     require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
-    val pos = (side: String, i: Int) =>
-      s"pmod(xxhash64(`$key`, $i), ${bits}L)"
+    val pos = (i: Int) => s"pmod(xxhash64(`$key`, $i), ${bits}L)"
     val positions = small
       .select(explode(array((0 until numHashes).map(i =>
-        expr(pos("s", i))): _*)).as("p"))
+        expr(pos(i))): _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](bits / 64)
     positions.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63)))
     val probe = (0 until numHashes).map { i =>
-      s"((element_at(__bloom, CAST(${pos("b", i)} DIV 64 AS INT) + 1) " +
-        s">> CAST(${pos("b", i)} % 64 AS INT)) & 1) = 1"
+      s"((element_at(__bloom, CAST(${pos(i)} DIV 64 AS INT) + 1) " +
+        s">> CAST(${pos(i)} % 64 AS INT)) & 1) = 1"
     }.mkString(" AND ")
     big
       .withColumn("__bloom", typedLit(words.toSeq))

@@ -253,6 +253,12 @@ object Tables {
     require(zCols.size >= 2, "z-order needs at least 2 columns")
     require(bits >= 1 && bits * zCols.size <= 62,
       "bits * zCols.size must fit a positive BIGINT")
+    // the rename-swap write would silently flatten a partitioned layout
+    // (same constraint as compactTable's unpartitioned branch)
+    import scala.jdk.CollectionConverters._
+    require(!spark.catalog.listColumns(table).collectAsList()
+      .asScala.exists(_.isPartition),
+      s"zorderCompact supports unpartitioned tables only: $table")
     val df = spark.table(table)
     val before = df.inputFiles.length
     val mm = df.agg(
@@ -260,6 +266,8 @@ object Tables {
       (zCols.tail.map(c => min(col(c).cast("double")).as(s"__mn_$c")) ++
         zCols.map(c => max(col(c).cast("double")).as(s"__mx_$c"))): _*)
       .collect()(0)
+    // empty table (or all-null z column): nothing to cluster — no-op
+    if (mm.anyNull) return (before, before)
     val top = (1L << bits) - 1
     val z = zCols.zipWithIndex.map { case (c, j) =>
       val mn = mm.getAs[Double](s"__mn_$c")
