@@ -63,7 +63,8 @@ object SparkEntry {
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks", "upsample",
+    "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks",
+    "cdc_dedup", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
@@ -509,6 +510,11 @@ object SparkEntry {
       Curation.cdcChunks(t(s, dir, "documents"), avgTokens = 16)
         .orderBy("doc_id", "chunk_id")),
 
+    // chunk-level corpus dedup over CDC chunks (first occurrence wins)
+    "cdc_dedup" -> ((s, dir) =>
+      Dedup.dedupChunks(t(s, dir, "documents"), avgTokens = 16)
+        .orderBy("doc_id")),
+
     // deterministic upsampling: src0 2.5 epochs, src1 0.5, rest 1
     "upsample" -> ((s, dir) =>
       Curation.upsampleCorpus(t(s, dir, "documents"),
@@ -721,6 +727,26 @@ object SparkEntry {
    * mirroring TextFns.tokens). */
   private val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+  /** Shared DuckDB CTE chain ending in `chunked(doc_id, pos, tok,
+   * chunk_id)` — CDC token stream with boundary counts, the twin of
+   * [[graft.operators.Curation.cdcChunks]]'s internals (avgTokens = 16).
+   * Used by the cdc_chunks and cdc_dedup oracles. */
+  private lazy val cdcChunkedCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tok AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+       |  FROM toks WHERE len(t) > 0),
+       |flagged AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN ${polyHashSql("tok")} % 16 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM tok),
+       |chunked AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_id
+       |  FROM flagged)""".stripMargin
 
   /** DuckDB CTE body computing exact 3-gram Jaccard >= 0.5 pairs into a
    * `pairs(doc_a, doc_b)` CTE — shared by the three near-dup pair operators
@@ -1600,25 +1626,33 @@ object SparkEntry {
     // DuckDB reproduces the exact chunk boundaries; chunk_id is the count
     // of boundary tokens strictly before the token
     "cdc_chunks" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tok AS (
-         |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
-         |  FROM toks WHERE len(t) > 0),
-         |flagged AS (
-         |  SELECT doc_id, pos, tok,
-         |    CASE WHEN ${polyHashSql("tok")} % 16 = 0 THEN 1 ELSE 0 END AS b
-         |  FROM tok),
-         |chunked AS (
-         |  SELECT doc_id, pos, tok,
-         |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS chunk_id
-         |  FROM flagged)
+      s"""WITH $cdcChunkedCte
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(count(*) AS BIGINT) AS n_chunk_tokens,
          |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
          |FROM chunked GROUP BY doc_id, chunk_id
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // cdc_dedup: CDC chunks + corpus-first occurrence per chunk hash
+    // (first = lowest (doc_id, chunk position)), reassembled per doc —
+    // the identical chunk boundaries AND the identical winner rule are
+    // recomputed in SQL
+    "cdc_dedup" ->
+      s"""WITH $cdcChunkedCte,
+         |chunks AS (
+         |  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS seg
+         |  FROM chunked GROUP BY doc_id, chunk_id),
+         |marked AS (
+         |  SELECT doc_id, chunk_id, seg, row_number() OVER (
+         |    PARTITION BY ${polyHashSql("seg")}
+         |    ORDER BY doc_id, chunk_id) AS rn
+         |  FROM chunks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(COALESCE(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+         |    ORDER BY chunk_id), '') AS text_kept
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "upsample" ->
       s"""WITH w AS (SELECT doc_id, source,

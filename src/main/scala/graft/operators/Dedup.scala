@@ -682,6 +682,52 @@ object Dedup {
    * [[Similarity.hyperplaneLshPairs]] (O(n) bucketed candidates).
    */
   /**
+   * Chunk-level corpus dedup over CONTENT-DEFINED chunks: cut every
+   * document with [[Curation.cdcChunks]], keep the corpus-first occurrence
+   * of each distinct chunk (first = lowest (doc id, chunk position)), and
+   * reassemble each document from its surviving chunks. The same
+   * first-occurrence contract as [[dedupSegments]], but CDC boundaries
+   * make it edit-stable: a document that differs from an already-seen
+   * version by one inserted sentence still dedups every chunk after the
+   * edit point, where fixed windows would re-cut (and so fail to dedup)
+   * all of them.
+   *
+   * Chunk identity is the reproducible polynomial hash of the chunk text
+   * (the hash IS the contract, recomputed by the oracle): the winner
+   * aggregate and the winner join both key on 8 bytes, and the winner
+   * side carries no text at all. Scale = cdcChunks (explode + per-doc
+   * window) + one hash aggregate + one hash join + one per-doc
+   * reassembly aggregate — all linear, map-side combinable.
+   *
+   * Emits one row per document that has at least one token:
+   * (idCol, n_chunks, n_kept, text_kept), `text_kept = ""` when every
+   * chunk lost.
+   */
+  def dedupChunks(docs: DataFrame, avgTokens: Int = 16,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val segs = Curation.cdcChunks(docs, avgTokens, idCol, textCol)
+      .select(col(idCol).as("id"), col("chunk_id").as("pos"),
+        col("chunk_text").as("seg"),
+        expr(TextFns.polyHashFragment("chunk_text", 31, TextFns.HashMod))
+          .as("h"))
+    val winners = segs.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("h"), col("w.id").as("wid"), col("w.pos").as("wpos"))
+    segs.join(winners, "h")
+      .withColumn("keep", col("id") === col("wid") && col("pos") === col("wpos"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("seg"))))),
+          s => s("seg")), " ").as("text_kept"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_kept"),
+        col("text_kept"))
+  }
+
+  /**
    * Cross-document duplicated-span statistics — the windowed, Spark-native
    * form of exact-substring dedup (Lee et al., "Deduplicating Training Data
    * Makes Language Models Better", ACL'22: their suffix array finds 50-token

@@ -173,6 +173,24 @@ class DedupSpec extends SparkSpec {
     assert(within == Seq(Seq(7L, 3L, 2L, "x|y")))
   }
 
+  test("dedupChunks: an edited near-copy keeps only its changed chunks") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    // doc 2 is doc 1 with one token prepended — the CDC payoff: every
+    // chunk after the perturbed head is boundary-identical to doc 1's
+    // and loses to it (fixed windows would re-cut and keep everything)
+    val docs = Seq((1L, base), (2L, "x " + base)).toDF("doc_id", "text")
+    val out = rows(Dedup.dedupChunks(docs, avgTokens = 2).orderBy("doc_id"))
+    val Seq(d1, d2) = out
+    // doc 1 keeps everything and reassembles exactly
+    assert(d1(2) == d1(1) && d1(3) == base)
+    // doc 2 keeps only the chunks the edit touched — strictly fewer than
+    // half survive, and what survives starts with the prepended token
+    val kept2 = d2(2).asInstanceOf[Long]
+    assert(kept2 >= 1L && kept2 * 2 < d2(1).asInstanceOf[Long],
+      s"doc2 kept $kept2 of ${d2(1)}")
+    assert(d2(3).asInstanceOf[String].startsWith("x"))
+  }
+
   test("duplicatedSpans: cross-doc windows count, within-doc repeats don't") {
     val docs = Seq(
       // doc 1: 10 tokens -> 3 windows of 8; the first ("a..h") also
