@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
-import graft.operators.{Dedup, Relational}
+import graft.functions.TextFns
+import graft.operators.{Curation, Dedup, Relational}
 import graft.schema.Normalize
 import graft.tables.Tables
 
@@ -257,6 +258,78 @@ object Streams {
           Dedup.incrementalNearDupsFromSigs(newSigs, corpus, estThreshold,
             numHashes, bands, idCol, maxBucketSize)
             .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
+   * Streaming chunk-level exact dedup over a GROWING corpus — the
+   * streaming twin of [[Dedup.dedupChunks]] for continuously-crawled
+   * ingest: each micro-batch is CDC-chunked ([[Curation.cdcChunks]] —
+   * edit-stable boundaries, so a re-crawled page that gained a paragraph
+   * still dedups everything after it), chunks already present in the
+   * accumulated hash index are dropped, surviving documents (reassembled
+   * from kept chunks) land under `outPath`, and the batch's distinct
+   * chunk hashes join the index.
+   *
+   * Winner rule: within a batch, lowest (doc id, chunk position) — the
+   * [[Dedup.dedupChunks]] contract; across batches, earlier arrival wins
+   * (a chunk seen in any prior batch drops this batch's copy).
+   *
+   * Exactly-once under foreachBatch's at-least-once contract: both
+   * writes go to `batch=<id>` partitions in overwrite mode, and the
+   * index read EXCLUDES the current batch id, so a replayed micro-batch
+   * rewrites its own partitions and never dedups against itself.
+   *
+   * Scale: the index holds 8-byte hashes — never chunk text — one row
+   * per distinct chunk PER BATCH that carried it (the corpus read
+   * re-distincts), so it grows with chunk appearances, not corpus bytes;
+   * on re-crawl-heavy streams compact it periodically with a distinct
+   * rewrite, exactly like small-file table maintenance. The chunking
+   * pass is recomputed for the reassembly job (twice per batch, linear
+   * in BATCH size) — deliberately traded against persisting corpus text
+   * in the index.
+   */
+  def chunkDedupSink(stream: DataFrame, indexPath: String, outPath: String,
+                     checkpointDir: String, avgTokens: Int = 16,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          def segs = Curation.cdcChunks(batch, avgTokens, idCol, textCol)
+            .select(col(idCol).as("id"), col("chunk_id").as("pos"),
+              col("chunk_text").as("seg"),
+              expr(TextFns.polyHashFragment("chunk_text", 31, TextFns.HashMod))
+                .as("h"))
+          segs.select("h").distinct()
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          val corpus = s.read
+            .option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId).select("h").distinct()
+          val winners = segs.groupBy("h")
+            .agg(min(struct(col("id"), col("pos"))).as("w"))
+            .select(col("h"), col("w.id").as("wid"), col("w.pos").as("wpos"))
+          segs.join(winners, "h")
+            .join(corpus.withColumn("__seen", lit(1)), Seq("h"), "left")
+            .withColumn("keep", col("id") === col("wid")
+              && col("pos") === col("wpos") && col("__seen").isNull)
+            .groupBy(col("id"))
+            .agg(
+              count(lit(1)).as("n_chunks"),
+              coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+                .as("n_kept"),
+              array_join(transform(
+                array_sort(collect_list(
+                  when(col("keep"), struct(col("pos"), col("seg"))))),
+                c => c("seg")), " ").as("text_kept"))
+            .select(col("id").as(idCol), col("n_chunks"), col("n_kept"),
+              col("text_kept"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()
         }
       }

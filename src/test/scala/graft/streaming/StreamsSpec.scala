@@ -103,6 +103,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkDedupSink: chunks dedup against earlier batches, edits keep heads") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("cdidx").toString
+    val out = Files.createTempDirectory("cdout").toString
+    val cp = Files.createTempDirectory("cdcp").toString
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val q = Streams.chunkDedupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, avgTokens = 2)
+    try {
+      // batch 0: doc 1 original, doc 2 an exact copy -> fully deduped
+      mem.addData((1L, base), (2L, base))
+      q.processAllAvailable()
+      val b0 = rows(spark.read.parquet(out).orderBy("doc_id"))
+      assert(b0(0)(3) == base && b0(0)(1) == b0(0)(2))
+      assert(b0(1)(2) == 0L && b0(1)(3) == "")
+      // batch 1: doc 3 = doc 1 with one prepended token -> CDC keeps only
+      // the perturbed head, everything after dedups against the index;
+      // doc 4 is novel and survives whole
+      mem.addData((3L, "x " + base), (4L, "novel tokens only here"))
+      q.processAllAvailable()
+      val b1 = rows(spark.read.parquet(out)
+        .filter($"doc_id" >= 3L).orderBy("doc_id"))
+      val kept3 = b1(0)(2).asInstanceOf[Long]
+      assert(kept3 >= 1L && kept3 * 2 < b1(0)(1).asInstanceOf[Long],
+        s"doc3 kept $kept3 of ${b1(0)(1)}")
+      assert(b1(0)(3).asInstanceOf[String].startsWith("x"))
+      assert(b1(1)(1) == b1(1)(2) && b1(1)(3) == "novel tokens only here")
+      // batch 2: a verbatim re-send of batch 0's document dedups to zero
+      // against the grown index
+      mem.addData((5L, base))
+      q.processAllAvailable()
+      val b2 = rows(spark.read.parquet(out).filter($"doc_id" === 5L))
+      assert(b2.head(2) == 0L && b2.head(3) == "")
+    } finally q.stop()
+  }
+
   test("topTokensSink: finalized windows emit their exact top-k once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
