@@ -68,7 +68,8 @@ object SparkEntry {
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
-    "repetition_score", "decontaminate", "train_val_split", "split_leakage",
+    "repetition_score", "lm_score", "decontaminate", "train_val_split",
+    "split_leakage",
     "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2")
@@ -686,6 +687,11 @@ object SparkEntry {
 
     "repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // in-corpus bigram LM quality scoring (perplexity-filter analogue);
+    // per-term integer micro-nat quantization keeps the mean engine-exact
+    "lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents")).orderBy("doc_id")),
 
     "decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2110,6 +2116,32 @@ object SparkEntry {
          |  ELSE 0.0 END AS rep_ratio
          |FROM (SELECT doc_id, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // lm_score: identical MLE bigram probabilities from corpus counts;
+    // each log term is floored to integer micro-nats BEFORE the sum, so
+    // the mean is an associative integer sum + one IEEE division in both
+    // engines (a raw double avg would be summation-order-dependent)
+    "lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |stats AS (
+         |  SELECT doc_id, count(*) AS nb,
+         |    sum(CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1e6)
+         |        AS BIGINT)) AS s
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(st.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN st.nb > 0
+         |    THEN round(CAST(st.s AS DOUBLE) / st.nb / 1e6, 6)
+         |    ELSE 0.0 END AS lm_score
+         |FROM documents d LEFT JOIN stats st ON d.doc_id = st.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

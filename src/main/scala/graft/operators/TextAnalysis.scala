@@ -150,6 +150,56 @@ object TextAnalysis {
    * encoding per grapheme — the zeroth stage of any text intake. Emits
    * (idCol, text_nfc, changed). Narrow projection, zero shuffle.
    */
+  /**
+   * In-corpus bigram language-model scoring — the perplexity-style
+   * quality filter (CCNet / Gopher filter corpora by LM perplexity; with
+   * no external LM shippable here, the corpus is its own model): MLE
+   * bigram probabilities p(w2|w1) = c(w1,w2) / c(w1·) from corpus counts,
+   * and each document scores the mean log-probability of its bigrams.
+   * Low scores = improbable token sequences (gibberish, boilerplate
+   * splice points); high = formulaic text. No smoothing is needed — every
+   * scored bigram exists in the corpus by construction, so p > 0.
+   *
+   * Cross-engine exactness: a double `avg` over log terms is summation-
+   * order-dependent, so each term is quantized to integer MICRO-NATS
+   * (`floor(ln(p) * 1e6)`) first — integer sums are associative and
+   * partition-invariant, and the final division is one deterministic
+   * IEEE op (the [[Similarity.embeddingCentroids]] fixed-point trick).
+   *
+   * Scale: one bigram explode, two vocabulary-bounded hash aggregates
+   * (map-side combined), two linear joins keyed on bigram/context
+   * strings, one per-doc aggregate. Emits (idCol, n_bigrams, lm_score)
+   * for every document; `lm_score = 0.0` when the document has fewer
+   * than two tokens.
+   */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bg = docs
+      .withColumn("__t", toks)
+      .select(col(idCol).as("id"), explode(expr(
+        """CASE WHEN size(__t) >= 2 THEN
+          |  transform(sequence(1, size(__t) - 1),
+          |    i -> struct(element_at(__t, i) AS w1,
+          |                element_at(__t, i + 1) AS w2))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val stats = bg
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("__lpq",
+        floor(log(col("c12").cast("double") / col("c1")) * 1e6).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lpq").as("__s"))
+    docs.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0L,
+          round(col("__s").cast("double") / col("n_bigrams") / 1e6, 6))
+          .otherwise(0.0).as("lm_score"))
+  }
+
   def normalizeUnicode(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame =
     docs.select(col(idCol),

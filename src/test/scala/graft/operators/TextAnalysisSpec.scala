@@ -7,6 +7,25 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lmScore: MLE bigram means, formulaic beats gibberish, short doc zero") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams ab x3, ba x2: highly predictable
+      (2L, "a b c"),         // ab (p=3/4... counted over corpus), bc unique
+      (3L, "x"))             // one token: no bigrams
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.lmScore(docs).orderBy("doc_id"))
+    // corpus counts: c(a,b)=4, c(b,a)=2, c(b,c)=1; c(a·)=4, c(b·)=3
+    // doc1 terms: 3*ln(4/4) + 2*ln(2/3); doc2: ln(4/4) + ln(1/3)
+    def q(x: Double) = math.floor(x * 1e6)
+    val d1 = BigDecimal((3 * q(math.log(1.0)) + 2 * q(math.log(2.0 / 3))) / 5 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal((q(math.log(1.0)) + q(math.log(1.0 / 3))) / 2 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(Seq(1L, 5L, d1), Seq(2L, 2L, d2), Seq(3L, 0L, 0.0)))
+    // the repetitive doc is more probable under the corpus LM
+    assert(d1 > d2)
+  }
+
   test("normalizeUnicode: composes decomposed forms, NFC text unchanged") {
     val composed = "caf\u00e9"      // e-acute as one codepoint
     val decomposed = "cafe\u0301"   // e + combining acute
