@@ -59,7 +59,7 @@ object SparkEntry {
     "duplicated_spans",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
-    "semantic_dedup", "quantize_int8", "embedding_centroids",
+    "semantic_dedup", "kmeans_embed", "quantize_int8", "embedding_centroids",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
@@ -68,7 +68,9 @@ object SparkEntry {
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
-    "repetition_score", "lm_score", "decontaminate", "train_val_split",
+    "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
+    "inverted_index", "topic_classify", "decontaminate",
+    "train_val_split",
     "split_leakage",
     "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
@@ -348,6 +350,12 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nlist = 16, nprobe = 4, dim = 64).orderBy("query_id", "rank")
     }),
+
+    // spherical k-means: seed centroids + one integer-mean Lloyd round,
+    // argmax-cosine assignment; every arithmetic step closed-form in SQL
+    "kmeans_embed" -> ((s, dir) =>
+      Similarity.kmeansEmbed(t(s, dir, "embeddings"), nlist = 8, iters = 1)
+        .orderBy("vec_id")),
 
     // SemDeDup: cluster-then-dedup. Deterministic end-to-end (seed
     // centroids + exact cosine), so kept/dropped is hash-checked; the
@@ -692,6 +700,22 @@ object SparkEntry {
     // per-term integer micro-nat quantization keeps the mean engine-exact
     "lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Gopher-battery quality rules; integer cross-multiplied ratios
+    "gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // first BPE merge-step pair counts (tokenizer-training inner loop)
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"))),
+
+    // capped inverted index: bounded-state posting lists via MinKLongs
+    "inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"))),
+
+    // rule-table topic tagging: broadcast keyword rules, weighted argmax
+    "topic_classify" -> ((s, dir) =>
+      TextAnalysis.topicClassify(t(s, dir, "documents")).orderBy("doc_id")),
 
     "decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1398,6 +1422,66 @@ object SparkEntry {
          |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
          |  (d.vec_id IS NULL) AS kept
          |FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+
+    // kmeans_embed: the full Lloyd round is recomputed closed-form —
+    // seed centroids, unit-normalize, argmax-cosine assign, floored
+    // micro-unit integer means (with empty-cluster seed fallback),
+    // re-normalize, re-assign, then exact cluster sizes
+    "kmeans_embed" ->
+      s"""WITH cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 8)),
+         |unit0 AS (
+         |  SELECT cidx, list_transform(embedding, x ->
+         |    CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+         |         ELSE CAST(x AS DOUBLE) / nrm END) AS c
+         |  FROM (SELECT cidx, embedding,
+         |          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |        FROM cents0)),
+         |d0 AS (
+         |  SELECT e.vec_id, u.cidx, ${dotSql("e.embedding", "u.c")} AS d
+         |  FROM embeddings e, unit0 u),
+         |cell0 AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |ex AS (
+         |  SELECT c.cell, generate_subscripts(e.embedding, 1) AS pos,
+         |         unnest(e.embedding) AS x
+         |  FROM embeddings e JOIN cell0 c USING (vec_id)),
+         |mean1 AS (
+         |  SELECT cell, pos,
+         |    CAST(floor(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000)
+         |      AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |  FROM ex GROUP BY cell, pos),
+         |cent1raw AS (
+         |  SELECT cell AS cidx, list(m / 1000000.0 ORDER BY pos) AS c
+         |  FROM mean1 GROUP BY cell),
+         |cent1 AS (
+         |  SELECT s.cidx,
+         |    COALESCE(r.c, list_transform(s.embedding,
+         |      x -> CAST(x AS DOUBLE))) AS c
+         |  FROM cents0 s LEFT JOIN cent1raw r ON r.cidx = s.cidx),
+         |unit1 AS (
+         |  SELECT cidx, list_transform(c, x ->
+         |    CASE WHEN nrm = 0 THEN x ELSE x / nrm END) AS c
+         |  FROM (SELECT cidx, c, sqrt(${dotSql("c", "c")}) AS nrm
+         |        FROM cent1)),
+         |d1 AS (
+         |  SELECT e.vec_id, u.cidx, ${dotSql("e.embedding", "u.c")} AS d
+         |  FROM embeddings e, unit1 u),
+         |cell1 AS (
+         |  SELECT vec_id, cidx AS cluster FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |sizes AS (SELECT cluster, count(*) AS n FROM cell1 GROUP BY cluster)
+         |SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+         |  CAST(s.n AS BIGINT) AS cluster_size
+         |FROM cell1 c JOIN sizes s ON s.cluster = c.cluster
          |ORDER BY c.vec_id""".stripMargin,
 
     "ivf_topk" ->
@@ -2116,6 +2200,87 @@ object SparkEntry {
          |  ELSE 0.0 END AS rep_ratio
          |FROM (SELECT doc_id, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // gopher_rules: every ratio rule is an integer cross-multiplication,
+    // so both engines compare the same BIGINTs — no float ever forms
+    "gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(list_sum(list_transform(t,
+         |    w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS sum_word_len,
+         |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+         |    AS BIGINT) AS n_alpha_words,
+         |  CAST(len(list_intersect(t,
+         |    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) AS BIGINT)
+         |    AS n_stop_distinct,
+         |  CAST(len(regexp_extract_all(text, '#|\\.{3}')) AS BIGINT)
+         |    AS n_symbols
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))
+         |SELECT doc_id, n_words, sum_word_len, n_alpha_words,
+         |  n_stop_distinct, n_symbols,
+         |  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+         |  (n_words > 0 AND sum_word_len >= n_words * 3
+         |    AND sum_word_len <= n_words * 10) AS rule_mean_word_len,
+         |  (n_words > 0 AND n_symbols * 10 <= n_words) AS rule_symbol_ratio,
+         |  (n_words > 0 AND n_alpha_words * 5 >= n_words * 4)
+         |    AS rule_alpha_words,
+         |  (n_stop_distinct >= 2) AS rule_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND n_words > 0 AND sum_word_len >= n_words * 3
+         |    AND sum_word_len <= n_words * 10
+         |    AND n_symbols * 10 <= n_words
+         |    AND n_alpha_words * 5 >= n_words * 4
+         |    AND n_stop_distinct >= 2) AS pass
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // bpe_merges: identical in-word character-pair explosion + count
+    "bpe_merges" ->
+      s"""WITH words AS (SELECT unnest($toksSql) AS w FROM documents),
+         |pairs AS (SELECT substring(w, i, 2) AS pair
+         |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+         |        FROM words WHERE length(w) >= 2))
+         |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // inverted_index: the MinKLongs cap (10 smallest distinct doc ids)
+    // modeled with list_sort + list_slice over the full per-term id list
+    "inverted_index" ->
+      s"""WITH posts AS (
+         |  SELECT term, doc_id, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY term, doc_id),
+         |agg AS (SELECT term,
+         |  CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(cnt) AS BIGINT) AS tf_total,
+         |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',')
+         |    AS postings
+         |  FROM posts GROUP BY term)
+         |SELECT term, df, tf_total, postings FROM agg
+         |WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    // topic_classify: identical rule table as VALUES; same argmax window
+    "topic_classify" ->
+      s"""WITH rules(term, topic, weight) AS (VALUES
+         |  ('join', 'joins', 3), ('merge', 'joins', 2), ('hash', 'joins', 1),
+         |  ('scan', 'storage', 3), ('table', 'storage', 2),
+         |  ('stream', 'streaming', 3), ('batch', 'streaming', 2),
+         |  ('window', 'streaming', 1),
+         |  ('agg', 'aggregation', 3), ('sort', 'aggregation', 2),
+         |  ('group', 'aggregation', 2),
+         |  ('vector', 'vectorized', 3), ('column', 'vectorized', 2)),
+         |toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |scores AS (SELECT doc_id, topic, CAST(sum(weight) AS BIGINT) AS score
+         |  FROM toks JOIN rules USING (term) GROUP BY doc_id, topic),
+         |best AS (SELECT doc_id, topic, score,
+         |  row_number() OVER (PARTITION BY doc_id
+         |                     ORDER BY score DESC, topic) AS rn
+         |  FROM scores)
+         |SELECT d.doc_id,
+         |  COALESCE(b.topic, 'unknown') AS topic_pred,
+         |  CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // lm_score: identical MLE bigram probabilities from corpus counts;
     // each log term is floored to integer micro-nats BEFORE the sum, so

@@ -63,3 +63,30 @@ object KmvSketch {
   def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KmvSketch(k), Encoders.scalaLong)
 }
+
+/**
+ * Bounded k-smallest aggregator: the `k` smallest DISTINCT long values
+ * per group, returned sorted ascending. Same sorted-insert buffer as
+ * [[KmvSketch]] (at most `k` longs of state in every partial buffer and
+ * merge), but `finish` returns the values themselves rather than a
+ * density estimate — the building block for capped inverted-index
+ * posting lists, where an unbounded `collect_set(doc_id)` would hold
+ * every document containing a stopword term in one aggregation buffer.
+ */
+class MinKLongs(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val ins = new KmvSketch(k)
+  override def zero: Array[Long] = Array.empty[Long]
+  override def reduce(buf: Array[Long], v: Long): Array[Long] = ins.reduce(buf, v)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = ins.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object MinKLongs {
+  /** Spark-SQL-callable column aggregator: `mink(longCol)`. */
+  def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MinKLongs(k), Encoders.scalaLong)
+}

@@ -138,6 +138,70 @@ object Similarity {
     }
   }
 
+  /**
+   * Deterministic spherical k-means centroids (the oracle-exact sibling of
+   * [[trainIvfCentroids]]'s float-mean refinement): Lloyd iterations where
+   * the update step is the floored micro-unit INTEGER mean of the members'
+   * components — associative BIGINT sums, so the refined centroids are
+   * bit-identical across partitionings, runs, and the DuckDB oracle (a
+   * float `avg` would be summation-order-dependent and could flip
+   * borderline assignments). Empty clusters keep their previous centroid.
+   * Per round, the distributed (cell, pos) aggregate's result — nlist x
+   * dim longs — is the only thing collected to the driver.
+   */
+  def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val seeds = emb.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (0 until iters).foldLeft(seeds) { (cents, _) =>
+      val means = withIvfCell(emb, cents, vecCol)
+        .select(col("__cell").as("__c"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__c", "__pos")
+        .agg(
+          sum(expr("CAST(round(CAST(__v AS DOUBLE) * 1000000) AS BIGINT)"))
+            .as("__s"),
+          count(lit(1)).as("__n"))
+        .withColumn("__m",
+          floor(col("__s").cast("double") / col("__n")).cast("long"))
+        .select("__c", "__pos", "__m")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val byCell = means.groupBy(_._1)
+      cents.indices.map { ci =>
+        byCell.get(ci + 1) match { // cells are 1-based (array_position)
+          case Some(ms) => ms.sortBy(_._2).map(_._3 / 1e6).toSeq
+          case None     => cents(ci) // empty cluster keeps its centroid
+        }
+      }
+    }
+  }
+
+  /**
+   * Spherical k-means clustering of the embedding corpus — the clustering
+   * stage SemDeDup-style pipelines and IVF index builds share: train
+   * [[kmeansCentroids]] (deterministic seeds + integer-mean Lloyd rounds),
+   * then assign every vector to its argmax-cosine cluster (first-max tie
+   * via array_position) and attach the exact cluster size.
+   *
+   * Scale: per Lloyd round, one distributed hash aggregate over exploded
+   * (cell, pos) pairs; assignment is a narrow projection against
+   * typed-literal centroids (no join, corpus never shuffles); the size
+   * attach is a broadcast of at most `nlist` rows.
+   */
+  def kmeansEmbed(emb: DataFrame, nlist: Int = 8, iters: Int = 1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(emb, nlist, iters, idCol, vecCol)
+    val assigned = withIvfCell(emb, cents, vecCol)
+      .select(col(idCol), col("__cell").cast("long").as("cluster"))
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("cluster_size"))
+  }
+
   /** Attach `__cell` = 1-based index of the nearest centroid (by cosine
    * against unit-normalized centroids — equivalently max dot / norm). */
   private def withIvfCell(emb: DataFrame, centroids: Seq[Seq[Double]],

@@ -343,4 +343,157 @@ object TextAnalysis {
         piiPatterns.map { case (name, _, _) => col(s"n_$name") } :+
         col(s"__pii${piiPatterns.size}").as("clean"): _*)
   }
+
+  /**
+   * Gopher-style document quality rules (Rae et al., arXiv:2112.11446,
+   * App. A1.1 — the MassiveText filter battery): word-count bounds, mean
+   * word length in [3, 10], symbol-to-word ratio (`#`/ellipsis soup),
+   * fraction of words containing a letter, and minimum distinct-stopword
+   * presence. Emits the raw counts, one boolean per rule, and the
+   * conjunction `pass` — keeping per-rule flags makes the filter auditable
+   * (which rule kills how much of a crawl?), which is how these batteries
+   * are tuned in practice.
+   *
+   * Every ratio rule is evaluated by integer cross-multiplication
+   * (`sum_len >= 3*n` rather than `sum_len/n >= 3.0`), so the booleans are
+   * bit-identical across engines and no float ever forms.
+   *
+   * Scale: one narrow codegen'd projection, no shuffle — linear to 100 TB
+   * by partition count alone.
+   */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("__t", toks)
+      .select(
+        col(idCol),
+        size(col("__t")).cast("long").as("n_words"),
+        expr("aggregate(__t, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .as("sum_word_len"),
+        expr("CAST(size(filter(__t, w -> w rlike '[a-zA-Z]')) AS BIGINT)")
+          .as("n_alpha_words"),
+        expr(s"CAST(size(array_intersect(__t, $stopArr)) AS BIGINT)")
+          .as("n_stop_distinct"),
+        regexp_count(col("text"), lit("#|\\.{3}")).cast("long").as("n_symbols"))
+      .withColumn("rule_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_mean_word_len",
+        col("n_words") > 0 &&
+          col("sum_word_len") >= col("n_words") * 3 &&
+          col("sum_word_len") <= col("n_words") * 10)
+      .withColumn("rule_symbol_ratio",
+        col("n_words") > 0 && col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("rule_alpha_words",
+        col("n_words") > 0 && col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("rule_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("pass",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_alpha_words") &&
+          col("rule_stopwords"))
+  }
+
+  /**
+   * First-merge-step statistic of byte-pair-encoding tokenizer training
+   * (Sennrich et al., arXiv:1508.07909): the corpus-wide count of every
+   * adjacent character pair inside words, ranked. The top pair IS the
+   * first merge a BPE trainer would learn; re-running after applying each
+   * winning merge yields the merge table — this operator is that training
+   * loop's inner aggregation, which at corpus scale dominates tokenizer
+   * training cost.
+   *
+   * Scale: explodes to one row per in-word character pair — linear in
+   * corpus characters — then a single hash aggregate with map-side
+   * combine and a TakeOrderedAndProject top-k. No window, no unbounded
+   * per-group state (pair keys are 2 characters; the key space is tiny).
+   * Ties rank lexicographically, so the top-k is deterministic.
+   */
+  def bpeMerges(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .withColumn("__t", toks)
+      .select(explode(col("__t")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
+  /**
+   * Capped inverted index: per term, its document frequency, total term
+   * frequency, and a posting list truncated to the `postingCap` smallest
+   * doc ids (ascending, comma-joined). The cap is enforced INSIDE the
+   * aggregation — [[graft.functions.MinKLongs]] keeps at most `postingCap`
+   * longs of state per partial buffer and merge — so a stopword term never
+   * materializes its full posting list anywhere, which is the failure mode
+   * of `collect_set(doc_id)` at corpus scale. `minDf` prunes the hapax
+   * tail (most of any corpus vocabulary) from the output.
+   *
+   * One explode + one hash aggregate; the distinct df count rides the same
+   * aggregate via Spark's distinct-aggregate expansion.
+   */
+  def invertedIndex(docs: DataFrame, minDf: Int = 5, postingCap: Int = 10,
+                    idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("__t", toks)
+      .select(col(idCol).as("__id"), explode(col("__t")).as("term"))
+      .groupBy("term")
+      .agg(
+        count_distinct(col("__id")).as("df"),
+        count(lit(1)).as("tf_total"),
+        graft.functions.MinKLongs.udaf(postingCap)(col("__id")).as("__post"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("tf_total"),
+        expr("array_join(transform(__post, x -> CAST(x AS STRING)), ',')")
+          .as("postings"))
+      .orderBy("term")
+
+  /** Default keyword→(topic, weight) rule table for [[topicClassify]]. */
+  val topicRules: Seq[(String, String, Int)] = Seq(
+    ("join", "joins", 3), ("merge", "joins", 2), ("hash", "joins", 1),
+    ("scan", "storage", 3), ("table", "storage", 2),
+    ("stream", "streaming", 3), ("batch", "streaming", 2),
+    ("window", "streaming", 1),
+    ("agg", "aggregation", 3), ("sort", "aggregation", 2),
+    ("group", "aggregation", 2),
+    ("vector", "vectorized", 3), ("column", "vectorized", 2))
+
+  /**
+   * Rule-table topic classification — the cheap taxonomy tagger used to
+   * slice corpora by domain before mixing: each (keyword, topic, weight)
+   * rule votes `weight` per occurrence of `keyword`; a document's topic is
+   * the highest-scoring topic, ties broken lexicographically, `unknown`
+   * when no rule fires. The rule table is DATA, not code — production
+   * taxonomies run to thousands of keywords, so the rules arrive as a
+   * DataFrame and are broadcast-joined against the exploded token stream
+   * (never collected, never compiled into the plan).
+   *
+   * Scale: explode + broadcast hash join + one hash aggregate per
+   * (doc, topic), then a per-document window over at most |topics| rows
+   * per document. Corpus text never shuffles — only (id, topic, score).
+   */
+  def topicClassify(docs: DataFrame,
+                    rules: Seq[(String, String, Int)] = topicRules,
+                    idCol: String = "doc_id"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ruleDf = rules.toDF("term", "topic", "weight")
+    val scores = docs
+      .withColumn("__t", toks)
+      .select(col(idCol).as("__id"), explode(col("__t")).as("term"))
+      .join(broadcast(ruleDf), "term")
+      .groupBy(col("__id"), col("topic"))
+      .agg(sum(col("weight").cast("long")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("score").desc, col("topic").asc)
+    val best = scores
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("topic"), col("score"))
+    docs.select(col(idCol).as("__id"))
+      .join(best, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("topic"), lit("unknown")).as("topic_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

@@ -53,6 +53,36 @@ class SimilaritySpec extends SparkSpec {
       math.abs(refined(1)(1) - 2.0 / 3) < 1e-6)
   }
 
+  test("kmeansEmbed: Lloyd rounds recover the true groups from bad seeds") {
+    // both seeds (ids 1, 2) sit in group A — the (0,1) group has no seed.
+    // Round 1 drags centroid 2 toward B (B plus the tilted id 2 assign to
+    // it); round 2 hands id 2 back to cluster 1, leaving c2 = (0,1): the
+    // final assignment is the true grouping, which no single assignment
+    // against the raw seeds could produce.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(1.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f)), (6L, Array(1.0f, 0.0f))) ++
+      (7L to 12L).map(i => (i, Array(0.0f, 1.0f)))
+    val out = rows(Similarity.kmeansEmbed(vecs.toDF("vec_id", "embedding"),
+      nlist = 2, iters = 2).orderBy("vec_id"))
+    val clusters = out.map(r => r(0).asInstanceOf[Long] -> r(1)).toMap
+    assert((1L to 6L).map(clusters).distinct == Seq(1L))
+    assert((7L to 12L).map(clusters).distinct == Seq(2L))
+    assert(out.forall(r => r(2) == 6L))
+  }
+
+  test("kmeansEmbed: assignment and sizes partition-invariant") {
+    val df = (1L to 30L).map { i =>
+      (i, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val one = rows(Similarity.kmeansEmbed(df.repartition(1), nlist = 4,
+      iters = 2).orderBy("vec_id"))
+    val many = rows(Similarity.kmeansEmbed(df.repartition(7), nlist = 4,
+      iters = 2).orderBy("vec_id"))
+    assert(one == many)
+  }
+
   test("embeddingCentroids: exact micro-unit means, partition-invariant") {
     val docs = Seq(
       (1L, Array(1.0f, 0.0f), 0),

@@ -26,6 +26,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1 > d2)
   }
 
+  test("gopherRules: each rule trips on its own pathology") {
+    val good = (1 to 60).map(i => s"the of word$i").mkString(" ") // 180 words, stopwords, alpha
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short the of"),                     // word-count rule only
+      (3L, (1 to 60).map(_ => "a of the").mkString(" ")), // mean len < 3
+      (4L, (1 to 60).map(i => s"### the of word$i ...").mkString(" ")), // symbol soup
+      (5L, (1 to 60).map(i => s"123 456 the of xword$i").mkString(" ")), // digit words < 80% alpha
+      (6L, (1 to 60).map(i => s"word$i blah$i bleh$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).orderBy("doc_id")
+      .select("doc_id", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_alpha_words", "rule_stopwords", "pass")
+    assert(rows(out) == Seq(
+      Seq(1L, true, true, true, true, true, true),
+      Seq(2L, false, true, true, true, true, false),
+      Seq(3L, true, false, true, true, true, false),
+      Seq(4L, true, true, false, false, true, false),
+      Seq(5L, true, true, true, false, true, false),
+      Seq(6L, true, true, true, true, false, false)))
+  }
+
+  test("bpeMerges: counts in-word adjacent pairs, ranks with lexical ties") {
+    val docs = Seq(
+      (1L, "abab ab"),     // pairs: ab,ba,ab + ab  -> ab:3 ba:1
+      (2L, "x cd cd"),     // single char emits nothing; cd:2
+      (3L, ""))            // empty doc emits nothing
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.bpeMerges(docs, k = 3))
+    assert(out == Seq(Seq("ab", 3L), Seq("cd", 2L), Seq("ba", 1L)))
+  }
+
+  test("invertedIndex: df/tf exact, postings capped to smallest ids") {
+    val docs = (1L to 12L).map(i => (i, s"zz zz common u$i"))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.invertedIndex(docs, minDf = 5, postingCap = 10))
+    // u1..u12 have df=1 -> pruned; common df=12 tf=12; zz df=12 tf=24
+    assert(out == Seq(
+      Seq("common", 12L, 12L, "1,2,3,4,5,6,7,8,9,10"),
+      Seq("zz", 12L, 24L, "1,2,3,4,5,6,7,8,9,10")))
+  }
+
+  test("invertedIndex: postings identical across partition layouts") {
+    val docs = (1L to 40L).map(i => (i, "tok tok")).toDF("doc_id", "text")
+    val a = rows(TextAnalysis.invertedIndex(docs.repartition(1), minDf = 1))
+    val b = rows(TextAnalysis.invertedIndex(docs.repartition(7), minDf = 1))
+    assert(a == b && a.head(3) == "1,2,3,4,5,6,7,8,9,10")
+  }
+
+  test("topicClassify: weighted votes, lexical tie-break, unknown fallback") {
+    val rules = Seq(("cat", "animals", 2), ("dog", "animals", 1),
+      ("car", "autos", 3), ("bus", "autos", 1))
+    val docs = Seq(
+      (1L, "cat dog cat"),      // animals 5
+      (2L, "car cat cat dog"),  // autos 3, animals 5 -> animals
+      (3L, "car cat dog"),      // autos 3, animals 3 -> tie -> animals
+      (4L, "nothing relevant")) // unknown
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.topicClassify(docs, rules).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, "animals", 5L),
+      Seq(2L, "animals", 5L),
+      Seq(3L, "animals", 3L),
+      Seq(4L, "unknown", 0L)))
+  }
+
   test("normalizeUnicode: composes decomposed forms, NFC text unchanged") {
     val composed = "caf\u00e9"      // e-acute as one codepoint
     val decomposed = "cafe\u0301"   // e + combining acute
