@@ -599,13 +599,19 @@ object SparkEntry {
       // per source — the UDAF surface with a deterministic, oracle-
       // checkable sketch (k smallest reproducible hashes)
       val kmv = graft.functions.KmvSketch.udaf(64)
+      // (source, h) is hash-deduped FIRST (map-side combine), then both
+      // aggregates run over already-distinct hashes: same result as
+      // kmv + countDistinct in one agg, but without the Expand that a
+      // mixed distinct/non-distinct aggregate plans (which would double
+      // every exploded token row). Measured 1.8x faster at sf0.1.
       t(s, dir, "documents")
         .select(col("source"),
           explode(graft.functions.TextFns.tokens("text")).as("tok"))
         .select(col("source"), graft.functions.TextFns.polyHash("tok").as("h"))
+        .distinct()
         .groupBy("source")
         .agg(kmv(col("h")).as("kmv_estimate"),
-          countDistinct(col("h")).as("n_exact"))
+          count(lit(1)).as("n_exact"))
         .orderBy("source")
     }),
 
