@@ -59,7 +59,8 @@ object SparkEntry {
     "duplicated_spans",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
-    "semantic_dedup", "kmeans_embed", "quantize_int8", "embedding_centroids",
+    "semantic_dedup", "kmeans_embed", "pq_encode", "quantize_int8",
+    "embedding_centroids",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
@@ -355,6 +356,12 @@ object SparkEntry {
     // argmax-cosine assignment; every arithmetic step closed-form in SQL
     "kmeans_embed" -> ((s, dir) =>
       Similarity.kmeansEmbed(t(s, dir, "embeddings"), nlist = 8, iters = 1)
+        .orderBy("vec_id")),
+
+    // product quantization: 4 subspaces x 16 seed centroids, argmin-L2
+    // codes via the MIPS identity; codebooks + scores closed-form in SQL
+    "pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, k = 16, dim = 64)
         .orderBy("vec_id")),
 
     // SemDeDup: cluster-then-dedup. Deterministic end-to-end (seed
@@ -1489,6 +1496,40 @@ object SparkEntry {
          |  CAST(s.n AS BIGINT) AS cluster_size
          |FROM cell1 c JOIN sizes s ON s.cluster = c.cluster
          |ORDER BY c.vec_id""".stripMargin,
+
+    // pq_encode: codebooks are slices of the first-16-id seed vectors;
+    // score = dot(sub, c) - 0.5*dot(c, c), argmax with first-max ties —
+    // identical MIPS arithmetic, so codes hash-match exactly
+    "pq_encode" ->
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |sub AS (SELECT unnest(generate_series(1, 4)) AS j),
+         |cb AS (
+         |  SELECT s.cidx, b.j,
+         |    list_slice(s.v, (b.j - 1) * 16 + 1, b.j * 16) AS cs
+         |  FROM seeds s, sub b),
+         |cbb AS (SELECT cidx, j, cs,
+         |  ${dotSql("cs", "cs")} * 0.5 AS bias FROM cb),
+         |esub AS (
+         |  SELECT e.vec_id, b.j,
+         |    list_slice(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+         |      (b.j - 1) * 16 + 1, b.j * 16) AS es
+         |  FROM embeddings e, sub b),
+         |scores AS (
+         |  SELECT v.vec_id, v.j, c.cidx,
+         |    ${dotSql("v.es", "c.cs")} - c.bias AS sc
+         |  FROM esub v JOIN cbb c ON c.j = v.j),
+         |best AS (
+         |  SELECT vec_id, j, cidx FROM (
+         |    SELECT vec_id, j, cidx, row_number() OVER (
+         |      PARTITION BY vec_id, j ORDER BY sc DESC, cidx) AS rn
+         |    FROM scores) WHERE rn = 1)
+         |SELECT vec_id,
+         |  string_agg(CAST(cidx AS VARCHAR), ',' ORDER BY j) AS code
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "ivf_topk" ->
       s"""WITH cents AS (

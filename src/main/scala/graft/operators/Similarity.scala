@@ -202,6 +202,55 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("cluster_size"))
   }
 
+  /**
+   * Product-quantization encoding (Jégou et al., "Product Quantization
+   * for Nearest Neighbor Search", TPAMI 2011): the vector is split into
+   * `m` contiguous subspaces and each subvector is replaced by the index
+   * of its nearest codebook centroid — `m` small integers instead of
+   * `dim` floats (64 floats -> 4 bytes here), the standard memory layout
+   * for billion-vector ANN indexes. Codebooks follow the library's
+   * deterministic-seed convention (the first `k` vectors by id, sliced
+   * per subspace; see [[trainIvfCentroids]]), so codes are reproducible
+   * across runs, partitionings, and the DuckDB oracle.
+   *
+   * Nearest-by-L2 is evaluated as `argmax(dot(x, c) - ||c||²/2)` — the
+   * MIPS identity, which spares recomputing `||x||²` per centroid; the
+   * centroid self-products are driver-precomputed doubles folded in index
+   * order, matching the oracle's fold exactly. First-max ties via
+   * `array_position`.
+   *
+   * Scale: one narrow codegen'd projection against typed-literal
+   * codebooks — no join, no shuffle; the driver collects only the `k`
+   * seed vectors.
+   */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 64,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val dsub = dim / m
+    val seeds = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    var df = emb
+    val codeCols = (0 until m).map { j =>
+      val cb = seeds.map(_.slice(j * dsub, (j + 1) * dsub))
+      val bias = cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5)
+      df = df
+        .withColumn(s"__cb$j", typedLit(cb))
+        .withColumn(s"__bias$j", typedLit(bias))
+        .withColumn(s"__sc$j", expr(
+          s"""transform(sequence(1, $k),
+             |  i -> graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
+             |                 element_at(__cb$j, i))
+             |       - element_at(__bias$j, i))""".stripMargin))
+        .withColumn(s"__code$j",
+          expr(s"array_position(__sc$j, array_max(__sc$j))").cast("int"))
+      col(s"__code$j")
+    }
+    df.select(col(idCol),
+      concat_ws(",", codeCols.map(_.cast("string")): _*).as("code"))
+  }
+
   /** Attach `__cell` = 1-based index of the nearest centroid (by cosine
    * against unit-normalized centroids — equivalently max dot / norm). */
   private def withIvfCell(emb: DataFrame, centroids: Seq[Seq[Double]],

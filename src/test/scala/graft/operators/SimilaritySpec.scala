@@ -83,6 +83,23 @@ class SimilaritySpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("pqEncode: per-subspace nearest seed centroid, seeds self-code") {
+    // dim 4, m=2 subspaces of 2 dims; codebooks = subvectors of ids 1, 2
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = rows(Similarity.pqEncode(df, m = 2, k = 2, dim = 4)
+      .orderBy("vec_id"))
+    assert(out == Seq(
+      Seq(1L, "1,1"),   // a seed reproduces its own codebook entries
+      Seq(2L, "2,2"),
+      Seq(3L, "1,2"),   // first half like id 1, second half like id 2
+      Seq(4L, "1,1")))  // nearest-by-L2, not exact match
+  }
+
   test("embeddingCentroids: exact micro-unit means, partition-invariant") {
     val docs = Seq(
       (1L, Array(1.0f, 0.0f), 0),
