@@ -59,8 +59,8 @@ object SparkEntry {
     "duplicated_spans",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
-    "semantic_dedup", "kmeans_embed", "pq_encode", "quantize_int8",
-    "embedding_centroids",
+    "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
+    "quantize_int8", "embedding_centroids",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
@@ -363,6 +363,14 @@ object SparkEntry {
     "pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, k = 16, dim = 64)
         .orderBy("vec_id")),
+
+    // ADC retrieval over PQ codes: corpus side scans 4 code columns, each
+    // query ships a micro-unit integer LUT (associative BIGINT totals)
+    "pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+        m = 4, kcent = 16, dim = 64).orderBy("query_id", "rank")
+    }),
 
     // SemDeDup: cluster-then-dedup. Deterministic end-to-end (seed
     // centroids + exact cosine), so kept/dropped is hash-checked; the
@@ -983,6 +991,39 @@ object SparkEntry {
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
+  /** Shared DuckDB CTE chain for the product-quantization twins: seed
+   * codebooks (first-16-id subvector slices), MIPS scores for EVERY
+   * (vector, subspace, centroid), and `best(vec_id, j, cidx)` — the PQ
+   * codes. pq_encode emits the codes; pq_topk reuses `scores` for the
+   * query LUTs and `best` for the corpus side. */
+  private val pqCtes =
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 16)),
+       |sub AS (SELECT unnest(generate_series(1, 4)) AS j),
+       |cb AS (
+       |  SELECT s.cidx, b.j,
+       |    list_slice(s.v, (b.j - 1) * 16 + 1, b.j * 16) AS cs
+       |  FROM seeds s, sub b),
+       |cbb AS (SELECT cidx, j, cs,
+       |  ${dotSql("cs", "cs")} * 0.5 AS bias FROM cb),
+       |esub AS (
+       |  SELECT e.vec_id, b.j,
+       |    list_slice(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+       |      (b.j - 1) * 16 + 1, b.j * 16) AS es
+       |  FROM embeddings e, sub b),
+       |scores AS (
+       |  SELECT v.vec_id, v.j, c.cidx,
+       |    ${dotSql("v.es", "c.cs")} - c.bias AS sc
+       |  FROM esub v JOIN cbb c ON c.j = v.j),
+       |best AS (
+       |  SELECT vec_id, j, cidx FROM (
+       |    SELECT vec_id, j, cidx, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY sc DESC, cidx) AS rn
+       |    FROM scores) WHERE rn = 1)""".stripMargin
+
   /** DuckDB twin of the exact all-pairs embedding near-dup (the quadratic
    * oracle ground truth) — shared by embedding_near_dup and ann_recall. */
   private val embeddingNearDupSql =
@@ -1501,35 +1542,30 @@ object SparkEntry {
     // score = dot(sub, c) - 0.5*dot(c, c), argmax with first-max ties —
     // identical MIPS arithmetic, so codes hash-match exactly
     "pq_encode" ->
-      s"""WITH seeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        ORDER BY vec_id LIMIT 16)),
-         |sub AS (SELECT unnest(generate_series(1, 4)) AS j),
-         |cb AS (
-         |  SELECT s.cidx, b.j,
-         |    list_slice(s.v, (b.j - 1) * 16 + 1, b.j * 16) AS cs
-         |  FROM seeds s, sub b),
-         |cbb AS (SELECT cidx, j, cs,
-         |  ${dotSql("cs", "cs")} * 0.5 AS bias FROM cb),
-         |esub AS (
-         |  SELECT e.vec_id, b.j,
-         |    list_slice(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-         |      (b.j - 1) * 16 + 1, b.j * 16) AS es
-         |  FROM embeddings e, sub b),
-         |scores AS (
-         |  SELECT v.vec_id, v.j, c.cidx,
-         |    ${dotSql("v.es", "c.cs")} - c.bias AS sc
-         |  FROM esub v JOIN cbb c ON c.j = v.j),
-         |best AS (
-         |  SELECT vec_id, j, cidx FROM (
-         |    SELECT vec_id, j, cidx, row_number() OVER (
-         |      PARTITION BY vec_id, j ORDER BY sc DESC, cidx) AS rn
-         |    FROM scores) WHERE rn = 1)
+      s"""$pqCtes
          |SELECT vec_id,
          |  string_agg(CAST(cidx AS VARCHAR), ',' ORDER BY j) AS code
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // pq_topk: ADC totals as associative BIGINT sums of the SAME floored
+    // micro-unit LUT entries (order-free), ranked with id tie-break
+    "pq_topk" ->
+      s"""$pqCtes,
+         |qsc AS (
+         |  SELECT vec_id AS qid, j, cidx,
+         |    CAST(floor(sc * 1000000) AS BIGINT) AS qs
+         |  FROM scores WHERE vec_id < 10),
+         |tot AS (
+         |  SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(sum(q.qs) AS BIGINT) AS adc
+         |  FROM best b JOIN qsc q ON q.j = b.j AND q.cidx = b.cidx
+         |  WHERE b.vec_id <> q.qid
+         |  GROUP BY q.qid, b.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM tot)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ivf_topk" ->
       s"""WITH cents AS (

@@ -226,29 +226,96 @@ object Similarity {
   def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 64,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebook(emb, m, k, dim, idCol, vecCol)
+    val coded = withPqCodes(emb, books, dim / m, vecCol)
+    coded.select(col(idCol),
+      concat_ws(",", books.indices
+        .map(j => col(s"__code$j").cast("string")): _*).as("code"))
+  }
+
+  /** Per-subspace PQ codebooks from the deterministic first-k-ids seeds:
+   * for subspace `j`, (centroid subvectors, precomputed `||c||²/2` MIPS
+   * biases — folded in index order, matching the oracle's fold). */
+  private def pqCodebook(emb: DataFrame, m: Int, k: Int, dim: Int,
+                         idCol: String, vecCol: String)
+      : Seq[(Seq[Seq[Double]], Seq[Double])] = {
     require(dim % m == 0, "dim must divide into m subspaces")
     val dsub = dim / m
     val seeds = emb.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    var df = emb
-    val codeCols = (0 until m).map { j =>
+    (0 until m).map { j =>
       val cb = seeds.map(_.slice(j * dsub, (j + 1) * dsub))
-      val bias = cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5)
-      df = df
-        .withColumn(s"__cb$j", typedLit(cb))
+      (cb, cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5))
+    }
+  }
+
+  /** Attach `__code0..__code{m-1}` — each subvector's nearest centroid
+   * index by L2, via argmax of the MIPS score `dot(x,c) - ||c||²/2`
+   * (first-max ties through array_position). Narrow projection. */
+  private def withPqCodes(df: DataFrame,
+                          books: Seq[(Seq[Seq[Double]], Seq[Double])],
+                          dsub: Int, vecCol: String): DataFrame =
+    books.zipWithIndex.foldLeft(df) { case (d, ((cb, bias), j)) =>
+      d.withColumn(s"__cb$j", typedLit(cb))
         .withColumn(s"__bias$j", typedLit(bias))
         .withColumn(s"__sc$j", expr(
-          s"""transform(sequence(1, $k),
+          s"""transform(sequence(1, ${cb.size}),
              |  i -> graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
              |                 element_at(__cb$j, i))
              |       - element_at(__bias$j, i))""".stripMargin))
         .withColumn(s"__code$j",
           expr(s"array_position(__sc$j, array_max(__sc$j))").cast("int"))
-      col(s"__code$j")
     }
-    df.select(col(idCol),
-      concat_ws(",", codeCols.map(_.cast("string")): _*).as("code"))
+
+  /**
+   * Asymmetric-distance (ADC) top-k over PQ codes — the query path that
+   * makes product quantization pay: the corpus side is scanned as `m`
+   * small code columns (never the raw vectors), and each query ships only
+   * an `m x k` lookup table of per-centroid score contributions. A
+   * candidate's score is `m` array lookups and adds — no per-pair dot
+   * product.
+   *
+   * Each LUT entry is floored to integer micro-units BEFORE the sum, so
+   * the ADC total is an associative BIGINT sum — bit-identical across
+   * engines and summation orders (a raw double sum would be
+   * order-dependent). Ranking ties break on neighbor id.
+   *
+   * Scale: codes + LUTs via narrow projections; candidates via
+   * broadcast-NLJ (queries tiny, corpus codes unshuffled); per-query
+   * top-k through one window over the query's candidate rows.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 4, kcent: Int = 16, dim: Int = 64,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / m
+    val books = pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
+    val coded = withPqCodes(corpus, books, dsub, vecCol)
+      .select(col(idCol).as("neighbor_id") +:
+        (0 until m).map(j => col(s"__code$j")): _*)
+    val qlut = books.zipWithIndex.foldLeft(queries) {
+      case (d, ((cb, bias), j)) =>
+        d.withColumn(s"__qcb$j", typedLit(cb))
+          .withColumn(s"__qbias$j", typedLit(bias))
+          .withColumn(s"__qs$j", expr(
+            s"""transform(sequence(1, ${cb.size}),
+               |  i -> CAST(floor((graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
+               |                             element_at(__qcb$j, i))
+               |                   - element_at(__qbias$j, i)) * 1000000)
+               |       AS BIGINT))""".stripMargin))
+    }.select(col(idCol).as("query_id") +:
+      (0 until m).map(j => col(s"__qs$j")): _*)
+    val adc = (0 until m)
+      .map(j => s"element_at(__qs$j, __code$j)").mkString(" + ")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    coded.crossJoin(broadcast(qlut))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", expr(adc))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
   }
 
   /** Attach `__cell` = 1-based index of the nearest centroid (by cosine

@@ -100,6 +100,25 @@ class SimilaritySpec extends SparkSpec {
       Seq(4L, "1,1")))  // nearest-by-L2, not exact match
   }
 
+  test("pqTopK: ADC ranks by lookup totals; code-identical vectors tie by id") {
+    // seeds = ids 1,2 -> codebooks {(1,0),(0,1)} in both subspaces.
+    // ids 3,4 quantize to the same codes as id 1, id 5 to id 2's codes:
+    // for query 1 the ADC scores put code-(1,1) vectors (3,4) first
+    // (id tie-break), then the code-(2,2) vectors.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (4L, Array(0.8f, 0.2f, 0.8f, 0.2f)),
+      (5L, Array(0.1f, 0.9f, 0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = rows(Similarity.pqTopK(df, df.filter($"vec_id" === 1), k = 4,
+      m = 2, kcent = 2, dim = 4).orderBy("rank"))
+    assert(out == Seq(
+      Seq(1L, 3L, 1L), Seq(1L, 4L, 2L),   // same code as the query
+      Seq(1L, 2L, 3L), Seq(1L, 5L, 4L)))  // opposite code, id tie-break
+  }
+
   test("embeddingCentroids: exact micro-unit means, partition-invariant") {
     val docs = Seq(
       (1L, Array(1.0f, 0.0f), 0),
