@@ -227,6 +227,35 @@ object PropertyLaws extends Properties("graft") {
     i == sub.length
   }
 
+  // MinKLongs laws are pure buffer arithmetic — no Spark jobs, so they
+  // get the full default example budget via their own forAll sizes.
+  private def minkModel(k: Int, xs: Seq[Long]): Seq[Long] =
+    xs.distinct.sorted.take(k)
+
+  property("MinKLongs: any reduce/merge tree = k smallest distinct") =
+    forAll(Gen.choose(1, 6), Gen.listOf(Gen.choose(-50L, 50L)),
+      Gen.choose(0, 5)) { (k, xs, cut0) =>
+      val agg = new graft.functions.MinKLongs(k)
+      val linear = xs.foldLeft(agg.zero)(agg.reduce)
+      // arbitrary split + merge (partition layout independence)
+      val cut = if (xs.isEmpty) 0 else cut0 % (xs.length + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      val model = minkModel(k, xs)
+      linear.toSeq == model && merged.toSeq == model &&
+        linear.length <= k && merged.length <= k
+    }
+
+  property("MinKLongs merge is commutative") =
+    forAll(Gen.choose(1, 5), Gen.listOf(Gen.choose(0L, 30L)),
+      Gen.listOf(Gen.choose(0L, 30L))) { (k, xs, ys) =>
+      val agg = new graft.functions.MinKLongs(k)
+      val bx = xs.foldLeft(agg.zero)(agg.reduce)
+      val by = ys.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(bx.clone(), by).toSeq == agg.merge(by.clone(), bx).toSeq
+    }
+
   property("editDistancePairs equals the brute-force levenshtein join") =
     forAll(
       Gen.listOfN(8, Gen.choose(0, 6).flatMap(n =>
