@@ -34,6 +34,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("narrow batch operators run unchanged on streaming frames") {
+    // gopherRules is a stateless narrow projection, so the SAME function
+    // accepts a streaming DataFrame — no stream-specific variant needed.
+    // This pins that property: a regression that sneaks an aggregate,
+    // sort, or driver collect into it would fail here with a
+    // non-streamable-plan AnalysisException at start().
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.gopherRules(
+      mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_words", "rule_stopwords")
+    val q = out.writeStream.format("memory").queryName("gr")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "the cat sat on a mat of it"), (2L, "x"))
+      q.processAllAvailable()
+      assert(rows(spark.table("gr").orderBy("doc_id")) ==
+        Seq(Seq(1L, 8L, true), Seq(2L, 1L, false)))
+    } finally q.stop()
+  }
+
   test("normalizeStream applies the batch rule table to a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
