@@ -75,7 +75,7 @@ object SparkEntry {
     "split_leakage",
     "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
-    "intake_pipeline", "intake_pipeline_v2")
+    "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface (SURVEY.md §2) ----
@@ -609,6 +609,11 @@ object SparkEntry {
     "intake_pipeline_v2" -> ((s, dir) =>
       Curation.intakePipelineV2(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // v3 recipe: Gopher battery + bigram-LM floor swap in as the model-
+    // based quality stages; full chain recomputed in one oracle CTE
+    "intake_pipeline_v3" -> ((s, dir) =>
+      Curation.intakePipelineV3(t(s, dir, "documents")).orderBy("doc_id")),
+
     "distinct_estimate" -> ((s, dir) => {
       // KMV sketch (typed Aggregator, k=64) vs the exact distinct count,
       // per source — the UDAF surface with a deterministic, oracle-
@@ -990,6 +995,49 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+  /** Shared DuckDB CTE `gbase(doc_id, n_words, sum_word_len,
+   * n_alpha_words, n_stop_distinct, n_symbols)` — the per-document
+   * integer stats the Gopher rule battery compares. Shared by
+   * gopher_rules and intake_pipeline_v3. */
+  private val gopherBaseCte =
+    s"""gbase AS (SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(t,
+       |    w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS sum_word_len,
+       |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+       |    AS BIGINT) AS n_alpha_words,
+       |  CAST(len(list_intersect(t,
+       |    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) AS BIGINT)
+       |    AS n_stop_distinct,
+       |  CAST(len(regexp_extract_all(text, '#|\\.{3}')) AS BIGINT)
+       |    AS n_symbols
+       |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin
+
+  /** Shared DuckDB CTE chain ending in `lmscore(doc_id, n_bigrams,
+   * lm_score)` — the corpus-count bigram LM with per-term micro-nat
+   * floors. Shared by lm_score and intake_pipeline_v3. */
+  private val lmScoreCtes =
+    s"""lmtoks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |lmbg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+       |        FROM lmtoks WHERE len(t) >= 2)),
+       |lmc12 AS (SELECT w1, w2, count(*) AS c12 FROM lmbg GROUP BY w1, w2),
+       |lmc1 AS (SELECT w1, count(*) AS c1 FROM lmbg GROUP BY w1),
+       |lmst AS (
+       |  SELECT doc_id, count(*) AS nb,
+       |    sum(CAST(floor(ln(CAST(lmc12.c12 AS DOUBLE) / lmc1.c1) * 1e6)
+       |        AS BIGINT)) AS s
+       |  FROM lmbg JOIN lmc12 USING (w1, w2) JOIN lmc1 USING (w1)
+       |  GROUP BY doc_id),
+       |lmscore AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(st.nb, 0) AS BIGINT) AS n_bigrams,
+       |    CASE WHEN st.nb > 0
+       |      THEN round(CAST(st.s AS DOUBLE) / st.nb / 1e6, 6)
+       |      ELSE 0.0 END AS lm_score
+       |  FROM documents d LEFT JOIN lmst st ON d.doc_id = st.doc_id)""".stripMargin
 
   /** Shared DuckDB CTE chain for the product-quantization twins: seed
    * codebooks (first-16-id subvector slices), MIPS scores for EVERY
@@ -2042,6 +2090,39 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
 
+    // v3: Gopher battery (minWords=20) + LM floor (-3.4) + exact-dedup
+    // winners + per-source cap + split/shuffle key — every stage reuses
+    // the fragment its standalone oracle already validates
+    "intake_pipeline_v3" ->
+      s"""WITH $gopherBaseCte,
+         |$lmScoreCtes,
+         |gr AS (SELECT doc_id, n_words FROM gbase
+         |  WHERE n_words >= 20 AND n_words <= 100000
+         |    AND sum_word_len >= n_words * 3
+         |    AND sum_word_len <= n_words * 10
+         |    AND n_symbols * 10 <= n_words
+         |    AND n_alpha_words * 5 >= n_words * 4
+         |    AND n_stop_distinct >= 2),
+         |lmk AS (SELECT doc_id, lm_score FROM lmscore
+         |  WHERE lm_score >= -3.4),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY text),
+         |kept AS (SELECT d.doc_id, d.source, g.n_words, l.lm_score
+         |  FROM documents d
+         |  JOIN gr g ON g.doc_id = d.doc_id
+         |  JOIN lmk l ON l.doc_id = d.doc_id
+         |  WHERE d.doc_id IN (SELECT doc_id FROM keepers)),
+         |cap AS (SELECT doc_id, source, n_words, lm_score FROM (
+         |  SELECT kept.*, row_number() OVER (PARTITION BY source ORDER BY
+         |    ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)},
+         |    doc_id) AS rk FROM kept) WHERE rk <= 15)
+         |SELECT doc_id, source, n_words, lm_score,
+         |  CASE WHEN ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |    % 100 < 10 THEN 'val' ELSE 'train' END AS split,
+         |  (${duckPolyFragment("CAST(doc_id AS VARCHAR) || ':e1'", 31, 1000000007L)}
+         |    * 1103515245 + 12345) % 2147483647 AS shuffle_key
+         |FROM cap ORDER BY doc_id""".stripMargin,
+
     // KMV: the k-th smallest of the same reproducible hashes gives the
     // same estimate the Aggregator computes — (k-1)*mod/h_k, exact below k
     "distinct_estimate" ->
@@ -2287,18 +2368,7 @@ object SparkEntry {
     // gopher_rules: every ratio rule is an integer cross-multiplication,
     // so both engines compare the same BIGINTs — no float ever forms
     "gopher_rules" ->
-      s"""WITH base AS (SELECT doc_id,
-         |  CAST(len(t) AS BIGINT) AS n_words,
-         |  CAST(COALESCE(list_sum(list_transform(t,
-         |    w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS sum_word_len,
-         |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
-         |    AS BIGINT) AS n_alpha_words,
-         |  CAST(len(list_intersect(t,
-         |    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) AS BIGINT)
-         |    AS n_stop_distinct,
-         |  CAST(len(regexp_extract_all(text, '#|\\.{3}')) AS BIGINT)
-         |    AS n_symbols
-         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))
+      s"""WITH $gopherBaseCte
          |SELECT doc_id, n_words, sum_word_len, n_alpha_words,
          |  n_stop_distinct, n_symbols,
          |  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
@@ -2314,7 +2384,7 @@ object SparkEntry {
          |    AND n_symbols * 10 <= n_words
          |    AND n_alpha_words * 5 >= n_words * 4
          |    AND n_stop_distinct >= 2) AS pass
-         |FROM base ORDER BY doc_id""".stripMargin,
+         |FROM gbase ORDER BY doc_id""".stripMargin,
 
     // bpe_merges: identical in-word character-pair explosion + count
     "bpe_merges" ->
@@ -2370,26 +2440,9 @@ object SparkEntry {
     // the mean is an associative integer sum + one IEEE division in both
     // engines (a raw double avg would be summation-order-dependent)
     "lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |bg AS (
-         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-         |        FROM toks WHERE len(t) >= 2)),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         |stats AS (
-         |  SELECT doc_id, count(*) AS nb,
-         |    sum(CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1e6)
-         |        AS BIGINT)) AS s
-         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-         |  GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(st.nb, 0) AS BIGINT) AS n_bigrams,
-         |  CASE WHEN st.nb > 0
-         |    THEN round(CAST(st.s AS DOUBLE) / st.nb / 1e6, 6)
-         |    ELSE 0.0 END AS lm_score
-         |FROM documents d LEFT JOIN stats st ON d.doc_id = st.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, n_bigrams, lm_score
+         |FROM lmscore ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -547,6 +547,52 @@ object Curation {
   }
 
   /**
+   * The v3 intake recipe — v2's skeleton with the round-6 model-based
+   * quality stages swapped in: the Gopher rule battery
+   * ([[TextAnalysis.gopherRules]]) replaces the single alpha-ratio
+   * heuristic, and an in-corpus bigram-LM floor
+   * ([[TextAnalysis.lmScore]] >= `minLm`) replaces nothing the v2 chain
+   * had — it is the perplexity-filter stage modern recipes add. Then
+   * exact dedup (first-id winner per identical text), the per-source
+   * quota, and the reproducible split + epoch shuffle key.
+   *
+   * LM scores are computed against the FULL corpus counts before any
+   * filtering — the scoring model is fixed first, the way a shipped
+   * perplexity filter is trained once and then applied — so the floor
+   * is stable under reordering of the other stages. Stage order is cost
+   * order: both model filters are aggregate-light and run before the
+   * joins; the quota bounds the output at sources × cap.
+   */
+  def intakePipelineV3(docs: DataFrame, minWords: Int = 20,
+                       maxWords: Int = 100000, minLm: Double = -3.4,
+                       maxPerSource: Int = 15, valPct: Int = 10,
+                       epoch: Int = 1, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val gr = TextAnalysis.gopherRules(docs, idCol, minWords, maxWords)
+      .filter(col("pass"))
+      .select(col(idCol), col("n_words"))
+    val lm = TextAnalysis.lmScore(docs, idCol)
+      .filter(col("lm_score") >= minLm)
+      .select(col(idCol), col("lm_score"))
+    val keepers = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    val kept = docs.select(col(idCol), col(srcCol))
+      .join(gr, Seq(idCol))
+      .join(lm, Seq(idCol))
+      .join(keepers, Seq(idCol), "left_semi")
+    val capped = kept.join(
+      capPerGroup(kept, srcCol, maxPerSource, idCol).select(col(idCol)),
+      Seq(idCol))
+    trainValSplit(capped, valPct, idCol)
+      .withColumn("shuffle_key",
+        expr(s"(graft_poly_hash(CAST($idCol AS STRING) || ':e$epoch', " +
+          "31, 1000000007) * 1103515245 + 12345) % 2147483647"))
+      .select(col(idCol), col(srcCol), col("n_words"), col("lm_score"),
+        col("split"), col("shuffle_key"))
+  }
+
+  /**
    * Composed curation pass: drop exact duplicates (keep the lowest id per
    * text), keep documents inside a token-count band with enough alphabetic
    * content. The shape of a real intake filter: one dedup aggregate plus

@@ -253,6 +253,32 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(r => r(2) == "train" || r(2) == "val"))
   }
 
+  test("intakePipelineV3: gopher, LM floor, exact dedup and split compose") {
+    // doc 1: repeated phrase — gopher-clean, near-deterministic bigrams
+    val good = Seq.fill(4)("a castle stands of a bigger mighty barnyard")
+      .mkString(" ")
+    // doc 4: gopher-clean but every stopword continuation varies, so its
+    // corpus bigram probabilities are low (the perplexity-filter target)
+    val vary = (1 to 12)
+      .map(i => (if (i % 2 == 1) "the" else "of") + s" qu${i}x")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, good, "s0"),
+      (2L, good, "s0"),            // exact dup -> keeper is id 1
+      (3L, "tiny doc here", "s0"), // gopher word-count fail
+      (4L, vary, "s0"))            // passes gopher, fails the LM floor
+      .toDF("doc_id", "text", "source")
+    val strict = rows(
+      Curation.intakePipelineV3(docs, minLm = -0.5).orderBy("doc_id"))
+    assert(strict.map(_(0)) == Seq(1L))
+    assert(strict.head(2) == 32L) // n_words
+    assert(strict.forall(r => r(4) == "train" || r(4) == "val"))
+    // relaxing the floor readmits exactly the low-LM doc
+    val loose = rows(
+      Curation.intakePipelineV3(docs, minLm = -10.0).orderBy("doc_id"))
+    assert(loose.map(_(0)) == Seq(1L, 4L))
+  }
+
   test("topNgrams: df-ranked with alphabetical ties, distinct per doc") {
     val docs = Seq(
       (1L, "a b c a b c"),     // "a b c" counted once for this doc
