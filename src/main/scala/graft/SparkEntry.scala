@@ -996,6 +996,19 @@ object SparkEntry {
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
+  /** The Gopher pass conjunction over `gbase` columns, parameterized by
+   * the word-count bounds — ONE definition of the rule battery's SQL,
+   * used by the gopher_rules oracle (50/100000) and the
+   * intake_pipeline_v3 oracle (20/100000). Any rule change lands in
+   * both oracles and leaves only the Scala twin to sync. */
+  private def gopherPassSql(minWords: Int, maxWords: Int): String =
+    s"""(n_words >= $minWords AND n_words <= $maxWords
+       |    AND n_words > 0 AND sum_word_len >= n_words * 3
+       |    AND sum_word_len <= n_words * 10
+       |    AND n_symbols * 10 <= n_words
+       |    AND n_alpha_words * 5 >= n_words * 4
+       |    AND n_stop_distinct >= 2)""".stripMargin
+
   /** Shared DuckDB CTE `gbase(doc_id, n_words, sum_word_len,
    * n_alpha_words, n_stop_distinct, n_symbols)` — the per-document
    * integer stats the Gopher rule battery compares. Shared by
@@ -2097,12 +2110,7 @@ object SparkEntry {
       s"""WITH $gopherBaseCte,
          |$lmScoreCtes,
          |gr AS (SELECT doc_id, n_words FROM gbase
-         |  WHERE n_words >= 20 AND n_words <= 100000
-         |    AND sum_word_len >= n_words * 3
-         |    AND sum_word_len <= n_words * 10
-         |    AND n_symbols * 10 <= n_words
-         |    AND n_alpha_words * 5 >= n_words * 4
-         |    AND n_stop_distinct >= 2),
+         |  WHERE ${gopherPassSql(20, 100000)}),
          |lmk AS (SELECT doc_id, lm_score FROM lmscore
          |  WHERE lm_score >= -3.4),
          |keepers AS (SELECT min(doc_id) AS doc_id FROM documents
@@ -2378,12 +2386,7 @@ object SparkEntry {
          |  (n_words > 0 AND n_alpha_words * 5 >= n_words * 4)
          |    AS rule_alpha_words,
          |  (n_stop_distinct >= 2) AS rule_stopwords,
-         |  (n_words >= 50 AND n_words <= 100000
-         |    AND n_words > 0 AND sum_word_len >= n_words * 3
-         |    AND sum_word_len <= n_words * 10
-         |    AND n_symbols * 10 <= n_words
-         |    AND n_alpha_words * 5 >= n_words * 4
-         |    AND n_stop_distinct >= 2) AS pass
+         |  ${gopherPassSql(50, 100000)} AS pass
          |FROM gbase ORDER BY doc_id""".stripMargin,
 
     // bpe_merges: identical in-word character-pair explosion + count

@@ -477,12 +477,18 @@ object Curation {
    * neither reproducible nor resumable — as the shuffle stage of an
    * intake pipeline.
    */
+  /** The epoch-aware reproducible shuffle key: poly-hash of `id:eN`
+   * mixed through one LCG step. ONE definition — shuffleCorpus and both
+   * intake pipelines share it, and its DuckDB twin is duplicated only in
+   * the oracle strings (any change here must update those twins). */
+  private def shuffleKeyExpr(idCol: String, epoch: Int): Column =
+    expr(s"(graft_poly_hash(CAST($idCol AS STRING) || ':e$epoch', " +
+      "31, 1000000007) * 1103515245 + 12345) % 2147483647")
+
   def shuffleCorpus(docs: DataFrame, epoch: Int = 0,
                     idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol),
-      expr(s"(graft_poly_hash(CAST($idCol AS STRING) || ':e$epoch', " +
-        "31, 1000000007) * 1103515245 + 12345) % 2147483647")
-        .as("shuffle_key"))
+      shuffleKeyExpr(idCol, epoch).as("shuffle_key"))
       .orderBy(col("shuffle_key"), col(idCol))
 
   /**
@@ -539,9 +545,7 @@ object Curation {
     val survivors = capped.join(
       pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
     trainValSplit(survivors, valPct, idCol)
-      .withColumn("shuffle_key",
-        expr(s"(graft_poly_hash(CAST($idCol AS STRING) || ':e$epoch', " +
-          "31, 1000000007) * 1103515245 + 12345) % 2147483647"))
+      .withColumn("shuffle_key", shuffleKeyExpr(idCol, epoch))
       .select(col(idCol), col(srcCol), col("n_tokens"), col("split"),
         col("shuffle_key"))
   }
@@ -585,9 +589,7 @@ object Curation {
       capPerGroup(kept, srcCol, maxPerSource, idCol).select(col(idCol)),
       Seq(idCol))
     trainValSplit(capped, valPct, idCol)
-      .withColumn("shuffle_key",
-        expr(s"(graft_poly_hash(CAST($idCol AS STRING) || ':e$epoch', " +
-          "31, 1000000007) * 1103515245 + 12345) % 2147483647"))
+      .withColumn("shuffle_key", shuffleKeyExpr(idCol, epoch))
       .select(col(idCol), col(srcCol), col("n_words"), col("lm_score"),
         col("split"), col("shuffle_key"))
   }

@@ -291,6 +291,15 @@ object Similarity {
              vecCol: String = "embedding"): DataFrame = {
     val dsub = dim / m
     val books = pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
+    // Empty corpus -> empty codebooks. The LUT transform would then be
+    // `sequence(1, 0)` = [1, 0] (Spark sequences DESCEND when stop <
+    // start) and element_at(..., 0) throws on every QUERY row — the
+    // query side has rows to evaluate even though the corpus does not.
+    // An empty top-k is the correct result, so short-circuit.
+    if (books.head._1.isEmpty)
+      return queries.limit(0)
+        .select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+          lit(0L).as("rank"))
     val coded = withPqCodes(corpus, books, dsub, vecCol)
       .select(col(idCol).as("neighbor_id") +:
         (0 until m).map(j => col(s"__code$j")): _*)

@@ -119,6 +119,13 @@ class SimilaritySpec extends SparkSpec {
       Seq(1L, 2L, 3L), Seq(1L, 5L, 4L)))  // opposite code, id tie-break
   }
 
+  test("pqTopK: empty corpus yields an empty result, not an index error") {
+    val empty = emb.filter($"vec_id" < 0)
+    val out = Similarity.pqTopK(empty, emb, k = 3, m = 2, kcent = 2, dim = 2)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank"))
+  }
+
   test("embeddingCentroids: exact micro-unit means, partition-invariant") {
     val docs = Seq(
       (1L, Array(1.0f, 0.0f), 0),
