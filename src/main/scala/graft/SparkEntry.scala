@@ -70,7 +70,7 @@ object SparkEntry {
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
-    "inverted_index", "topic_classify", "decontaminate",
+    "inverted_index", "topic_classify", "hash_embed", "decontaminate",
     "train_val_split",
     "split_leakage",
     "top_ngrams", "heavy_hitters",
@@ -742,6 +742,10 @@ object SparkEntry {
     // rule-table topic tagging: broadcast keyword rules, weighted argmax
     "topic_classify" -> ((s, dir) =>
       TextAnalysis.topicClassify(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // hashing-trick featurization: signed bucket counts, exact integers
+    "hash_embed" -> ((s, dir) =>
+      TextAnalysis.hashEmbed(t(s, dir, "documents")).orderBy("doc_id")),
 
     "decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2388,6 +2392,26 @@ object SparkEntry {
          |  (n_stop_distinct >= 2) AS rule_stopwords,
          |  ${gopherPassSql(50, 100000)} AS pass
          |FROM gbase ORDER BY doc_id""".stripMargin,
+
+    // hash_embed: identical bucket/sign hashes; signed sums are exact
+    // integers, zero-filled per bucket, joined in bucket order
+    "hash_embed" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |sg AS (SELECT doc_id,
+         |    CAST(${duckPolyFragment("tok", 31, 1000000007L)} % 64 AS INT)
+         |      AS b,
+         |    CASE WHEN (${duckPolyFragment("tok", 31, 1000000007L)} // 64)
+         |      % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM tk),
+         |agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+         |  FROM sg GROUP BY doc_id, b),
+         |filled AS (
+         |  SELECT d.doc_id, g.b, CAST(COALESCE(a.v, 0) AS BIGINT) AS v
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+         |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = g.b)
+         |SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY b) AS vec
+         |FROM filled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // bpe_merges: identical in-word character-pair explosion + count
     "bpe_merges" ->

@@ -449,6 +449,46 @@ object TextAnalysis {
           .as("postings"))
       .orderBy("term")
 
+  /**
+   * Hashing-trick document embedding (Weinberger et al., "Feature
+   * Hashing for Large Scale Multitask Learning", ICML 2009): each token
+   * lands in `dim` buckets by reproducible polynomial hash, with a
+   * second hash bit choosing ±1 so bucket collisions cancel in
+   * expectation. The result is a fixed-width integer vector per document
+   * — a model-free featurization that lets the embedding-side operators
+   * (k-means, PQ, cosine top-k) run on text-only corpora. Components are
+   * exact integer sums, emitted comma-joined, so the vector is
+   * bit-identical across engines and partitionings.
+   *
+   * Scale: explode + one (doc, bucket) hash aggregate with map-side
+   * combine + one per-doc reassembly aggregate — the same two-aggregate
+   * shape as [[Similarity.embeddingCentroids]]; nothing wider than
+   * (id, bucket, count) ever shuffles.
+   */
+  def hashEmbed(docs: DataFrame, dim: Int = 64,
+                idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 2, "dim >= 2")
+    val h = s"graft_poly_hash(tok, 31, ${TextFns.HashMod})"
+    val signed = docs
+      .withColumn("__t", toks)
+      .select(col(idCol).as("__id"), explode(col("__t")).as("tok"))
+      .select(col("__id"), expr(s"CAST($h % $dim AS INT)").as("__b"),
+        expr(s"CASE WHEN ($h div $dim) % 2 = 0 THEN 1L ELSE -1L END")
+          .as("__s"))
+      .groupBy("__id", "__b").agg(sum(col("__s")).as("__v"))
+      .groupBy("__id")
+      .agg(expr("map_from_entries(collect_list(struct(__b, __v)))").as("__m"))
+      .select(col("__id"),
+        expr(s"""array_join(transform(sequence(0, ${dim - 1}),
+                 |  b -> CAST(coalesce(element_at(__m, b), 0L) AS STRING)),
+                 |  ',')""".stripMargin).as("vec"))
+    docs.select(col(idCol).as("__id"))
+      .join(signed, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("vec"),
+          lit(Seq.fill(dim)("0").mkString(","))).as("vec"))
+  }
+
   /** Default keyword→(topic, weight) rule table for [[topicClassify]]. */
   val topicRules: Seq[(String, String, Int)] = Seq(
     ("join", "joins", 3), ("merge", "joins", 2), ("hash", "joins", 1),

@@ -75,6 +75,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a.head(3) == "1,2,3,4,5,6,7,8,9,10")
   }
 
+  test("hashEmbed: signed bucket sums, same token accumulates, empty doc zero") {
+    val docs = Seq((1L, "tok tok tok"), (2L, "tok"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.hashEmbed(docs, dim = 8).orderBy("doc_id"))
+    val v1 = out(0)(1).asInstanceOf[String].split(",").map(_.toLong)
+    val v2 = out(1)(1).asInstanceOf[String].split(",").map(_.toLong)
+    val v3 = out(2)(1).asInstanceOf[String].split(",").map(_.toLong)
+    assert(v1.length == 8 && v3.forall(_ == 0L))
+    // one token -> exactly one nonzero component of magnitude 1;
+    // tripling the token triples that component
+    assert(v2.map(math.abs).sum == 1L)
+    assert(v1.toSeq == v2.map(_ * 3).toSeq)
+  }
+
+  test("hashEmbed: partition-layout invariant") {
+    val docs = (1L to 30L).map(i => (i, s"w$i shared tokens here"))
+      .toDF("doc_id", "text")
+    val a = rows(TextAnalysis.hashEmbed(docs.repartition(1)).orderBy("doc_id"))
+    val b = rows(TextAnalysis.hashEmbed(docs.repartition(7)).orderBy("doc_id"))
+    assert(a == b)
+  }
+
   test("topicClassify: weighted votes, lexical tie-break, unknown fallback") {
     val rules = Seq(("cat", "animals", 2), ("dog", "animals", 1),
       ("car", "autos", 3), ("bus", "autos", 1))
