@@ -48,11 +48,18 @@ object Bench {
       }
       (name, times.min, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    // The harness that collects this line keeps only a bounded tail of the
+    // run's output, so truncation (if the query set keeps growing) eats the
+    // FRONT of the line. Order the payload so the cheapest facts go first:
+    // per-query times sorted ascending (a cut loses the fastest queries,
+    // never the slow ones worth reading), and the headline total + failure
+    // list at the very end where they always survive.
+    val qs = results.sortBy(_._2)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(f"""{"queries":$qs,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"metric":"total","value":$total%.3f}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -60,13 +60,15 @@ object SparkEntry {
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
-    "quantize_int8", "embedding_centroids",
+    "quantize_int8", "embedding_centroids", "hard_negatives",
+    "embedding_outliers",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks",
     "cdc_dedup", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
+    "event_transitions", "count_anomaly",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
@@ -329,6 +331,18 @@ object SparkEntry {
 
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings")).orderBy("vec_id")),
+
+    // contrastive hard-negative mining: nearest different-label vectors
+    "hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("anchor_id", "rank")
+    }),
+
+    // per-label centroid-distance outliers in exact micro-unit integers
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"))
+        .orderBy("vec_id")),
 
     // per-label class centroids in exact micro-unit fixed point
     "embedding_centroids" -> ((s, dir) =>
@@ -663,6 +677,17 @@ object SparkEntry {
     "funnel" -> ((s, dir) =>
       Sessions.funnel(t(s, dir, "events"),
         Seq("view", "click", "purchase"), withinSeconds = 172800L)),
+
+    // first-order Markov transition matrix over per-user event timelines
+    "event_transitions" -> ((s, dir) =>
+      Sessions.eventTransitions(t(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
+    // integer-exact 3-sigma daily volume anomalies vs a trailing-7-day
+    // baseline per event type
+    "count_anomaly" -> ((s, dir) =>
+      Sessions.countAnomaly(t(s, dir, "events"))
+        .orderBy("day", "event_type")),
 
     "interval_overlap" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1488,6 +1513,56 @@ object SparkEntry {
          |  WHERE q.vec_id < 10)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // hard_negatives: the topk_cosine oracle with the label-mismatch
+    // predicate in the join; rank-only output keeps the row integer-exact
+    "hard_negatives" ->
+      s"""WITH n AS (SELECT vec_id, label, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT anchor_id, anchor_label, negative_id, negative_label, rank
+         |FROM (
+         |  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         |    c.vec_id AS negative_id, c.label AS negative_label,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id) AS rank
+         |  FROM n q JOIN n c ON c.label <> q.label
+         |  WHERE q.vec_id < 10)
+         |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+
+    // embedding_outliers: micro-unit centroids (the embedding_centroids
+    // fixed point), BIGINT squared distances, integer row_number cutoff
+    "embedding_outliers" ->
+      """WITH micro AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |ex AS (
+        |  SELECT label, generate_subscripts(xm, 1) AS pos, unnest(xm) AS x
+        |  FROM micro),
+        |agg AS (
+        |  SELECT label, pos, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label,
+        |    list(CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY pos) AS cm
+        |  FROM agg GROUP BY 1),
+        |d AS (
+        |  SELECT m.vec_id, m.label,
+        |    CAST(list_sum(list_transform(generate_series(1, len(m.xm)),
+        |      i -> (m.xm[i] - c.cm[i]) * (m.xm[i] - c.cm[i]))) AS BIGINT)
+        |      AS d2_micro
+        |  FROM micro m JOIN cent c USING (label)),
+        |r AS (
+        |  SELECT vec_id, label, d2_micro,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY d2_micro, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY label) AS n
+        |  FROM d)
+        |SELECT vec_id, label, d2_micro,
+        |  rk > n - CAST(ceil(n * 50 / 1000) AS BIGINT) AS is_outlier
+        |FROM r ORDER BY vec_id""".stripMargin,
+
     // hyperplane_ann IS oracle-checkable despite being "approximate": the
     // plane matrix is a closed-form LCG of (plane, dim), so DuckDB recomputes
     // the exact same 64 plane sign bits, the same 16 x 4-bit buckets, the
@@ -2281,6 +2356,47 @@ object SparkEntry {
         |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
         |    CAST(count(*) AS BIGINT) FROM s2)
         |ORDER BY step_idx""".stripMargin,
+
+    // event_transitions: lead() on the same (ts, event_id) timeline order;
+    // p is one BIGINT/BIGINT division, bit-identical across engines
+    "event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+        |  FROM cnt GROUP BY 1)
+        |SELECT cnt.from_type, cnt.to_type, cnt.n_pairs, tot.n_from,
+        |  CAST(cnt.n_pairs AS DOUBLE) / tot.n_from AS p
+        |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // count_anomaly: the 3-sigma test evaluated in pure BIGINT arithmetic
+    // ((n*x - S1)^2 > 9*(n*S2 - S1^2)) so the flag is engine-invariant
+    "count_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events GROUP BY 1, 2, 4),
+        |st AS (
+        |  SELECT day, event_type, n_events,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_baseline,
+        |    CAST(COALESCE(sum(n_events) OVER w, 0) AS BIGINT) AS s1,
+        |    CAST(COALESCE(sum(n_events * n_events) OVER w, 0) AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, event_type, n_events, n_baseline,
+        |  n_baseline > 0 AND
+        |    (n_baseline * n_events - s1) * (n_baseline * n_events - s1)
+        |      > 9 * (n_baseline * s2 - s1 * s1) AS is_anomaly
+        |FROM st ORDER BY day, event_type""".stripMargin,
 
     "interval_overlap" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id

@@ -151,4 +151,82 @@ object Sessions {
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col(dimCol), col("n_events"), col("n_users"),
         col("min_value"), col("max_value"))
+
+  /**
+   * First-order Markov transition model over each user's event sequence:
+   * count every consecutive (event_type → next event_type) pair per user
+   * timeline and emit MLE transition probabilities — the "what do users
+   * do next" model, and the sequence-statistics twin of [[funnel]]
+   * (funnel checks one ordered path; this measures all of them).
+   * Emits (from_type, to_type, n_pairs, n_from, p) where
+   * p = n_pairs / n_from.
+   *
+   * Timeline order is (ts, event_id) so timestamp ties are broken
+   * deterministically. One shuffle on the user key for the `lead`
+   * window, then a type-pair hash aggregate (state bounded by
+   * |event_type|², never by event volume) and a broadcast join for the
+   * per-source totals. `p` is a single IEEE division of two BIGINTs —
+   * bit-identical across engines and partitionings.
+   */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol), col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n_pairs").cast("long").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .withColumn("p", col("n_pairs").cast("double") / col("n_from"))
+      .select("from_type", "to_type", "n_pairs", "n_from", "p")
+  }
+
+  /**
+   * Daily event-count anomaly detection: flag (day, event_type) cells
+   * whose count deviates from the trailing `baselineDays`-day mean by
+   * more than `sigmas` standard deviations — the volume-spike /
+   * pipeline-breakage monitor every ingest needs.
+   *
+   * The 3σ test is evaluated in INTEGER arithmetic, so the flag is
+   * engine- and partitioning-invariant (no float mean/variance): with
+   * trailing sums S1 = Σx, S2 = Σx² over n baseline days,
+   *   |x − S1/n| > σ·sqrt((n·S2 − S1²)/n²)
+   * ⟺ (n·x − S1)² · n > σ² · (n·S2 − S1²) · n   (n > 0)
+   * ⟺ (n·x − S1)² > σ² · (n·S2 − S1²)
+   * — all BIGINT products (daily counts < 2^20 keep every term far under
+   * 2^63). Emits (day, event_type, n_events, n_baseline, is_anomaly);
+   * cells with an empty baseline are never flagged.
+   *
+   * Plan shape: one date-trunc hash aggregate (map-side combined), then
+   * a RANGE-frame window over epoch days keyed by event_type — state is
+   * |event_type| × days, never event volume; no self-join.
+   */
+  def countAnomaly(events: DataFrame, baselineDays: Int = 7,
+                   sigmas: Int = 3, typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy(typeCol).orderBy(col("__d"))
+      .rangeBetween(-baselineDays.toLong, -1L)
+    daily
+      .withColumn("n_baseline", count(lit(1)).over(w).cast("long"))
+      .withColumn("__s1", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("__s2",
+        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        col("n_baseline") > 0 &&
+          (col("n_baseline") * col("n_events") - col("__s1")) *
+          (col("n_baseline") * col("n_events") - col("__s1")) >
+          lit(sigmas.toLong * sigmas) *
+            (col("n_baseline") * col("__s2") - col("__s1") * col("__s1")))
+      .select(col("day"), col(typeCol), col("n_events"),
+        col("n_baseline"), col("is_anomaly"))
+  }
 }

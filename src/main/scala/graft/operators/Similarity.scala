@@ -522,4 +522,83 @@ object Similarity {
         when(col("n_approx") > 0,
           col("n_hit").cast("double") / col("n_approx")).as("precision"))
   }
+
+  /**
+   * Hard-negative mining for contrastive training: for each anchor in
+   * `queries`, the top-k most-cosine-similar corpus vectors with a
+   * DIFFERENT label — the near-misses that make the best negatives for
+   * embedding-model training. Same plan shape as [[bruteForceTopK]]
+   * (scan → broadcast-NLJ → per-anchor window; the corpus side never
+   * shuffles), with the label-mismatch predicate folded into the join so
+   * same-label pairs never reach the ranker. Emits integer-only rows
+   * (anchor_id, anchor_label, negative_id, negative_label, rank) —
+   * cosine stays internal to the ORDER BY, so the result is
+   * engine-exact.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("negative_id"),
+      col(labelCol).as("negative_label"), col(vecCol).as("vc"),
+      VectorFns.norm(vecCol).as("nc"))
+    val q = queries.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col(vecCol).as("vq"),
+      VectorFns.norm(vecCol).as("nq"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("negative_id").asc)
+    c.join(broadcast(q), col("anchor_label") =!= col("negative_label"))
+      .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "anchor_label", "negative_id", "negative_label",
+        "rank")
+  }
+
+  /**
+   * Centroid-distance outlier detection (dataset cartography / label-noise
+   * screening): squared distance of every vector to its own label's
+   * centroid, with the farthest `outlierPermille`‰ per label flagged —
+   * mislabeled or off-distribution points to re-screen before training.
+   *
+   * Exactness: runs entirely in the micro-unit integer space of
+   * [[embeddingCentroids]] — vectors quantize to BIGINT micro-units, the
+   * per-(label, dim) mean is the floored integer centroid, and the
+   * squared distance Σ(x−m)² is a BIGINT sum (associative, so
+   * partition- and engine-invariant; unit-norm micro vectors keep the
+   * 64-dim sum ≲ 2^44). The flag threshold is a per-label row_number
+   * cutoff `rank > n − ceil(n·p/1000)` — integers end to end.
+   *
+   * Scale: one corpus explode feeds the dimension-bounded centroid
+   * aggregate; the centroid frame (|labels| rows) broadcasts back onto
+   * the unexploded corpus, and the distance folds per row inside one
+   * codegen'd HOF (zip_with + aggregate) — no second explode, one
+   * label-keyed shuffle for the ranking window.
+   */
+  def embeddingOutliers(emb: DataFrame, outlierPermille: Int = 50,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val micro = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(labelCol),
+        expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("__xm"))
+    val cents = micro
+      .select(col(labelCol), posexplode(col("__xm")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(labelCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ms"))
+      .select(col(labelCol), expr("transform(__ms, s -> s.m)").as("__cm"))
+    val w = Window.partitionBy(labelCol)
+      .orderBy(col("d2_micro").asc, col(idCol).asc)
+    val nw = Window.partitionBy(labelCol)
+    micro.join(broadcast(cents), labelCol :: Nil)
+      .withColumn("d2_micro",
+        expr("aggregate(zip_with(__xm, __cm, (x, m) -> (x - m) * (x - m)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("__n", count(lit(1)).over(nw))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("is_outlier",
+        col("__rk") > col("__n") - ceil(col("__n") * outlierPermille / 1000))
+      .select(col(idCol), col(labelCol), col("d2_micro"), col("is_outlier"))
+  }
 }

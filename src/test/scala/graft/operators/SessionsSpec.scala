@@ -136,4 +136,47 @@ class SessionsSpec extends SparkSpec {
     assert(rs(0)(5) == 2.0 && rs(0)(6) == 5.0)
     assert(rs(1)(3) == 1L)
   }
+
+  test("eventTransitions: per-user timelines, ts ties broken by event_id") {
+    val ev = Seq(
+      // u1: view -> click -> view   (two transitions)
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (2L, 1L, "click", "2024-01-01 01:00:00"),
+      (3L, 1L, "view", "2024-01-01 02:00:00"),
+      // u2: simultaneous events — order falls back to event_id (4 then 5)
+      (4L, 2L, "view", "2024-01-01 00:00:00"),
+      (5L, 2L, "click", "2024-01-01 00:00:00"),
+      // u3: single event, no transition
+      (6L, 3L, "purchase", "2024-01-01 00:00:00"))
+      .map { case (e, u, tpe, t) => (e, u, tpe, ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = rows(Sessions.eventTransitions(ev)
+      .orderBy("from_type", "to_type"))
+    // view->click from u1 and u2 (n_from(view)=2), click->view from u1
+    assert(out == Seq(
+      Seq("click", "view", 1L, 1L, 1.0),
+      Seq("view", "click", 2L, 2L, 1.0)))
+  }
+
+  test("countAnomaly: spike beyond 3 sigma flagged, steady traffic not") {
+    // 7 baseline days at exactly 10 events/day (variance 0), then one
+    // 11-event day (any deviation from a zero-variance baseline flags)
+    // and a same-count 10-event day (never flags).
+    def day(d: Int, n: Int, tpe: String) = (1 to n).map { i =>
+      (d * 1000L + i, 1L, tpe, ts(f"2024-01-${d}%02d 12:00:00"))
+    }
+    val steady = (1 to 8).flatMap(d => day(d, 10, "click"))   // day 8 = 10
+    val spiky = (1 to 7).flatMap(d => day(d, 10, "view")) ++
+      day(8, 11, "view")                                      // day 8 = 11
+    val ev = (steady ++ spiky)
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = rows(Sessions.countAnomaly(ev).orderBy("day", "event_type"))
+    val day8 = out.filter(_(0).toString == "2024-01-08")
+    assert(day8.map(r => (r(1), r(2), r(3), r(4))).toSet == Set(
+      ("click", 10L, 7L, false),
+      ("view", 11L, 7L, true)))
+    // day 1 has an empty baseline: never flagged
+    val day1 = out.filter(_(0).toString == "2024-01-01")
+    assert(day1.forall(r => r(4) == false && r(3) == 0L))
+  }
 }

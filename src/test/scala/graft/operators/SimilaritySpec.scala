@@ -193,4 +193,42 @@ class SimilaritySpec extends SparkSpec {
       nlist = 2, dim = 2, maxCellSize = Some(1)))
     assert(capped.forall(_(2) == true))
   }
+
+  test("hardNegatives: nearest different-label vectors, same-label excluded") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.436f), 0),   // same label as 1 — never a negative
+      (3L, Array(0.8f, 0.6f), 1),     // cos 0.8 to anchor 1
+      (4L, Array(0.0f, 1.0f), 1),     // cos 0 to anchor 1
+      (5L, Array(-1.0f, 0.0f), 2))    // cos -1 to anchor 1
+      .toDF("vec_id", "embedding", "label")
+    val out = rows(Similarity.hardNegatives(vs, vs.filter($"vec_id" === 1),
+      k = 2).orderBy("rank"))
+    assert(out == Seq(
+      Seq(1L, 0, 3L, 1, 1L),
+      Seq(1L, 0, 4L, 1, 2L)))
+  }
+
+  test("embeddingOutliers: farthest-from-centroid flagged, per label") {
+    // label 0: three vectors near (1, 0) and one far outlier; permille 250
+    // flags ceil(4 * 0.25) = 1 row — the farthest. label 1: a single
+    // vector is its own centroid (d2 = 0) and ceil(1 * 0.25) = 1 flags it.
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f), 0),
+      (3L, Array(1.0f, -0.1f), 0),
+      (4L, Array(-1.0f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = rows(Similarity.embeddingOutliers(vs, outlierPermille = 250)
+      .orderBy("vec_id"))
+    assert(out.map(r => (r(0), r(3))) == Seq(
+      (1L, false), (2L, false), (3L, false), (4L, true), (5L, true)))
+    // distances are exact integers; the singleton label's d2 is 0
+    assert(out.find(_(0) == 5L).get(2) == 0L)
+    // partition-invariance of the integer path
+    val rep = rows(Similarity.embeddingOutliers(vs.repartition(7),
+      outlierPermille = 250).orderBy("vec_id"))
+    assert(rep == out)
+  }
 }
