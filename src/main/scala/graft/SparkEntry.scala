@@ -73,6 +73,7 @@ object SparkEntry {
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
+    "quality_calibrate", "source_overlap", "bm25_topk",
     "train_val_split",
     "split_leakage",
     "top_ngrams", "heavy_hitters",
@@ -526,6 +527,11 @@ object SparkEntry {
       Curation.qualityBand(t(s, dir, "documents"), minPct = 10.0,
         maxPct = 90.0).orderBy("doc_id")),
 
+    // per-source quality calibration: drop the worst 10% of EVERY source
+    "quality_calibrate" -> ((s, dir) =>
+      Curation.qualityCalibrate(t(s, dir, "documents"), dropPermille = 100)
+        .orderBy("doc_id")),
+
     // unicode NFC canonical composition (intake stage zero)
     "nfc_normalize" -> ((s, dir) =>
       TextAnalysis.normalizeUnicode(t(s, dir, "documents"))
@@ -777,6 +783,18 @@ object SparkEntry {
       // stand-in benchmark: the five lowest-id documents probe the corpus
       Dedup.decontaminate(docs, docs.filter(col("doc_id") < 5))
         .orderBy("doc_id")
+    }),
+
+    // cross-source shingle-overlap (contamination) matrix
+    "source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(t(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
+
+    // BM25 retrieval: every doc_id % 100 == 0 document queries the corpus
+    "bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25TopK(docs, docs.filter(col("doc_id") % 100 === 0),
+        k = 10).orderBy("query_id", "rank")
     }),
 
     // ---- reshaping / multi-dim aggregation ----
@@ -1356,6 +1374,21 @@ object SparkEntry {
          |SELECT doc_id, quality_score, pct_rank FROM pr
          |WHERE pct_rank >= 10 AND pct_rank <= 90
          |ORDER BY doc_id""".stripMargin,
+
+    // quality_calibrate: per-source integer ranks over the same score,
+    // BIGINT cutoff — kept is engine-invariant
+    "quality_calibrate" ->
+      s"""WITH qs AS ($qualityScoreSql),
+         |j AS (SELECT d.doc_id, d.source, qs.quality_score
+         |      FROM documents d JOIN qs ON d.doc_id = qs.doc_id),
+         |r AS (SELECT doc_id, source, quality_score,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY quality_score, doc_id) AS BIGINT) AS src_rank,
+         |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM j)
+         |SELECT doc_id, source, quality_score, src_rank, n_src,
+         |  src_rank > CAST(floor(n_src * 100 / 1000) AS BIGINT) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""SELECT doc_id, c_en, c_fr, c_es, c_de,
@@ -2553,6 +2586,70 @@ object SparkEntry {
          |  FROM posts GROUP BY term)
          |SELECT term, df, tf_total, postings FROM agg
          |WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    // source_overlap: distinct (source, poly-hash) sets — the hash is the
+    // reproducible polynomial, so both engines see identical sets
+    "source_overlap" ->
+      s"""WITH toks AS (SELECT source, $toksSql AS t FROM documents),
+         |shs AS (SELECT source, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT source, ${polyHashSql("s")} AS h FROM shs),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM sh GROUP BY 1),
+         |inter AS (SELECT a.source AS sa, b.source AS sb,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT x.source AS source_a, y.source AS source_b,
+         |  x.n AS n_a, y.n AS n_b,
+         |  CAST(COALESCE(inter.c, 0) AS BIGINT) AS n_common,
+         |  CASE WHEN x.n + y.n - COALESCE(inter.c, 0) > 0 THEN
+         |    CAST(floor(1000000.0 * COALESCE(inter.c, 0)
+         |      / (x.n + y.n - COALESCE(inter.c, 0))) AS BIGINT)
+         |  ELSE 0 END AS jaccard_micro
+         |FROM sizes x JOIN sizes y ON x.source < y.source
+         |LEFT JOIN inter ON inter.sa = x.source AND inter.sb = y.source
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // bm25_topk: the contribution expression below is textually identical
+    // to the Spark side, so both engines floor the same IEEE double
+    "bm25_topk" ->
+      s"""WITH tfs AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |  FROM tfs GROUP BY 1),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tfs GROUP BY 1),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dls),
+         |qterms AS (SELECT DISTINCT doc_id AS query_id, unnest($toksSql) AS term
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.query_id, tfs.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_hit_terms,
+         |    CAST(sum(CAST(floor(
+         |      ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * 2.2)
+         |         / (CAST(tf AS DOUBLE)
+         |            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+         |                                    / (CAST(total_dl AS DOUBLE) / n_docs)))))
+         |      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM tfs
+         |  JOIN qterms q ON q.term = tfs.term AND tfs.doc_id <> q.query_id
+         |  JOIN dfs ON dfs.term = tfs.term
+         |  JOIN dls ON dls.doc_id = tfs.doc_id
+         |  CROSS JOIN corpus
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, n_hit_terms, score_micro, rank FROM (
+         |  SELECT query_id, doc_id, n_hit_terms, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // topic_classify: identical rule table as VALUES; same argmax window
     "topic_classify" ->

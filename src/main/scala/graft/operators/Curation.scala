@@ -264,6 +264,62 @@ object Curation {
   }
 
   /**
+   * Per-source quality calibration: rank documents by
+   * [[TextAnalysis.qualityScore]] WITHIN each source and drop the worst
+   * `dropPermille`‰ of every source independently — the FineWeb-style
+   * per-dump threshold. A single global cutoff lets one
+   * systematically-low-scoring source (different boilerplate, different
+   * language mix) absorb the whole drop budget; calibrating per source
+   * removes the same fraction everywhere, which is the behavior that
+   * survives distribution drift between crawls. Emits every document as
+   * (idCol, srcCol, quality_score, src_rank, n_src, kept) — rank 1 = the
+   * source's worst document; callers filter on `kept`.
+   *
+   * Exactness: ranks are integers ordered by the engine-invariant
+   * (quality_score, id) key, and the cutoff `src_rank > floor(n_src ·
+   * p/1000)` is evaluated on BIGINTs — no percentile float crosses an
+   * engine boundary.
+   *
+   * Scale: the same assembled-rank shape as [[qualityBand]], generalized
+   * to grouped ranking — range-exchange on (source, score, id) so no
+   * single task ever sorts a whole source, `row_number` within each
+   * (range-partition × source) slice, plus exact per-source offsets from
+   * a partitions×sources-row aggregate that broadcasts back. The only
+   * unpartitioned work is over that tiny offset frame.
+   */
+  def qualityCalibrate(docs: DataFrame, dropPermille: Int = 100,
+                       srcCol: String = "source",
+                       idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), col(srcCol))
+      .join(TextAnalysis.qualityScore(docs, idCol)
+        .select(col(idCol), col("quality_score")), idCol :: Nil)
+    val ranged = scored
+      .repartitionByRange(col(srcCol).asc, col("quality_score").asc,
+        col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val perPart = Window.partitionBy(col("__pid"), col(srcCol))
+      .orderBy(col("quality_score").asc, col(idCol).asc)
+    val perSrc = Window.partitionBy(srcCol).orderBy("__pid")
+    val offsets = ranged.groupBy(col("__pid"), col(srcCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"), col(srcCol),
+        coalesce(sum("__cnt").over(
+          perSrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"),
+        sum("__cnt").over(
+          perSrc.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("n_src"))
+    ranged
+      .withColumn("__rn", row_number().over(perPart).cast("long"))
+      .join(broadcast(offsets), Seq("__pid", srcCol))
+      .withColumn("src_rank", col("__off") + col("__rn"))
+      .withColumn("kept",
+        col("src_rank") > floor(col("n_src") * dropPermille / 1000))
+      .select(col(idCol), col(srcCol), col("quality_score"),
+        col("src_rank"), col("n_src"), col("kept"))
+  }
+
+  /**
    * Context-window chunking: split each document's token stream into
    * windows of `chunkTokens` starting every `chunkTokens - overlapTokens`
    * positions (trailing chunks may be short; consecutive chunks share

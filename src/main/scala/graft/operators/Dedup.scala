@@ -798,4 +798,55 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a").as("vec_a"), col("b").as("vec_b"))
   }
+
+  /**
+   * Cross-source shingle-overlap matrix: n-gram Jaccard similarity
+   * between every pair of corpus sources — the contamination dashboard
+   * that answers "how much does crawl A repeat crawl B" before sources
+   * are mixed (pairwise twin of [[decontaminate]], which checks docs
+   * against a benchmark probe set). Emits one row per unordered source
+   * pair: (source_a, source_b, n_a, n_b, n_common, jaccard_micro), with
+   * jaccard in exact micro-units (floor of one deterministic double
+   * division — engine-invariant).
+   *
+   * Shingles are reduced to the reproducible polynomial hash, so the
+   * shuffle key is 8 bytes (never a shingle string) and the oracle can
+   * recompute the identical value — hash collisions perturb both engines
+   * identically rather than breaking the check.
+   *
+   * Scale: distinct (source, hash) is one hash aggregate; the overlap
+   * self-join keys on the hash with per-source distinct sets (each hash
+   * appears once per source, so join fan-out is bounded by sources², not
+   * document count); the final assembly crosses the sources-sized
+   * aggregate — trivially small. A stop-shingle appearing in every
+   * source costs sources² rows, not docs².
+   */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+                    srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .withColumn("__t", TextFns.tokens(textCol))
+      .select(col(srcCol).as("src"),
+        explode(array_distinct(TextFns.shingles("__t", n))).as("__s"))
+      .select(col("src"),
+        expr(s"graft_poly_hash(__s, 31, ${TextFns.HashMod})").as("h"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("sa"), col("b.src").as("sb"))
+      .agg(count(lit(1)).as("c"))
+    sizes.as("x").join(sizes.as("y"), col("x.src") < col("y.src"))
+      .join(inter,
+        col("sa") === col("x.src") && col("sb") === col("y.src"), "left")
+      .select(
+        col("x.src").as("source_a"), col("y.src").as("source_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"),
+        coalesce(col("c"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_micro",
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          expr("CAST(floor(1000000.0 * n_common / (n_a + n_b - n_common)) AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -536,4 +536,67 @@ object TextAnalysis {
         coalesce(col("topic"), lit("unknown")).as("topic_pred"),
         coalesce(col("score"), lit(0L)).as("score"))
   }
+
+  /**
+   * BM25 top-k retrieval (Robertson/Sparck Jones probabilistic ranking,
+   * k1 = 1.2, b = 0.75): score every corpus document against each query's
+   * distinct terms and keep the k best per query — the retrieval half of
+   * a RAG/dedup-screening stack, sitting on the same corpus statistics as
+   * [[invertedIndex]]. Emits (query_id, doc_id, n_hit_terms, score_micro,
+   * rank); a query from inside the corpus never retrieves itself.
+   *
+   * Exactness without a log: the classic idf `ln((N-df+0.5)/(df+0.5))`
+   * is replaced by the odds ratio it wraps — `(N-df+0.5)/(df+0.5)` — a
+   * monotone transform, so rankings agree where idf values are
+   * well-separated and every arithmetic step stays a fixed tree of IEEE
+   * double ops both engines evaluate identically. Each per-term
+   * contribution is floored to integer MICRO-units and summed as BIGINT
+   * (associative ⇒ partition- and engine-invariant; the
+   * [[Similarity.embeddingCentroids]] fixed-point discipline).
+   *
+   * Scale: corpus tf/dl are two hash aggregates over exploded tokens;
+   * df is vocabulary-bounded; the (1-row) corpus stats and the query
+   * term set broadcast onto the tf table, so the only corpus-wide
+   * shuffle is the (query, doc) score aggregate, bounded by
+   * queries × matching-docs. The window ranks per query.
+   */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .withColumn("__t", toks)
+      .select(col(idCol).as("doc_id"), explode(col("__t")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("dl").cast("long").as("total_dl"))
+    val qterms = queries
+      .withColumn("__t", toks)
+      .select(col(idCol).as("query_id"), explode(col("__t")).as("term"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      // one fixed expression tree of IEEE double ops — the oracle SQL
+      // repeats this text verbatim so both engines floor the same double
+      .withColumn("contrib_micro", expr(
+        """CAST(floor(
+          |  ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          |  * ((CAST(tf AS DOUBLE) * 2.2)
+          |     / (CAST(tf AS DOUBLE)
+          |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+          |                                / (CAST(total_dl AS DOUBLE) / n_docs)))))
+          |  * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), sum("contrib_micro").as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
+  }
 }

@@ -312,4 +312,28 @@ class CurationSpec extends SparkSpec {
     val out = rows(Curation.splitLeakage(docs, valPct = 50))
     assert(out.head(0) == 3L && out.head(1) == expectedCross.toLong)
   }
+
+  test("qualityCalibrate: per-source ranks, per-source drop fraction") {
+    // source A: 4 docs with strictly increasing quality (longer text,
+    // no punctuation); source B: 2 docs. dropPermille 250 cuts
+    // floor(4 * 0.25) = 1 doc from A and floor(2 * 0.25) = 0 from B —
+    // a global cutoff could never produce that shape.
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(10), "A"), (2L, doc(20), "A"),
+      (3L, doc(30), "A"), (4L, doc(40), "A"),
+      (5L, doc(5), "B"), (6L, doc(50), "B"))
+      .toDF("doc_id", "text", "source")
+    val out = rows(Curation.qualityCalibrate(docs, dropPermille = 250)
+      .orderBy("doc_id"))
+    // (doc_id, src_rank, n_src, kept)
+    assert(out.map(r => (r(0), r(3), r(4), r(5))) == Seq(
+      (1L, 1L, 4L, false), (2L, 2L, 4L, true),
+      (3L, 3L, 4L, true), (4L, 4L, 4L, true),
+      (5L, 1L, 2L, true), (6L, 2L, 2L, true)))
+    // assembled grouped rank is partition-invariant
+    val rep = rows(Curation.qualityCalibrate(docs.repartition(5),
+      dropPermille = 250).orderBy("doc_id"))
+    assert(rep == out)
+  }
 }

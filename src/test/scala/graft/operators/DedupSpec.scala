@@ -239,4 +239,23 @@ class DedupSpec extends SparkSpec {
     val out = rows(Dedup.nearDupClusters(docs).orderBy("doc_id"))
     assert(out == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L), Seq(5L, 5L)))
   }
+
+  test("sourceOverlap: pairwise shingle Jaccard incl. zero-overlap pairs") {
+    // A and B share exactly one 3-gram ("c d e" via docs 2 and 3);
+    // C shares nothing with either. Distinctness inside a source: doc 4
+    // repeats doc 2's shingles — B's set must not double-count.
+    val docs = Seq(
+      (1L, "a b c d e", "A"),   // shingles: abc bcd cde
+      (2L, "c d e f", "B"),     // shingles: cde def
+      (3L, "c d e f", "B"),     // duplicate of doc 2 — no new shingles
+      (4L, "x y z w", "C"))     // shingles: xyz yzw
+      .toDF("doc_id", "text", "source")
+    val out = rows(Dedup.sourceOverlap(docs)
+      .orderBy("source_a", "source_b"))
+    // (a, b, n_a, n_b, n_common, jaccard_micro)
+    assert(out == Seq(
+      Seq("A", "B", 3L, 2L, 1L, 250000L),  // 1 / (3 + 2 - 1) = 0.25
+      Seq("A", "C", 3L, 2L, 0L, 0L),
+      Seq("B", "C", 2L, 2L, 0L, 0L)))
+  }
 }

@@ -202,4 +202,29 @@ class TextAnalysisSpec extends SparkSpec {
       "host <IP> call <PHONE> end"))
     assert(out(2) == Seq(3L, 0L, 0L, 0L, 0L, "no pii here"))
   }
+
+  test("bm25TopK: term-match ranking, rare-term weight, self excluded") {
+    val docs = Seq(
+      (0L, "apple banana cherry"),            // the query
+      (1L, "apple banana cherry extra"),      // hits all 3 query terms
+      (2L, "apple banana other words here"),  // hits 2
+      (3L, "apple alone plus filler filler"), // hits 1
+      (4L, "nothing in common at all"))       // hits 0 — must not appear
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.bm25TopK(docs,
+      docs.filter(col("doc_id") === 0), k = 10).orderBy("rank"))
+    // self (doc 0) excluded; doc 4 has no hit; more matched terms = higher
+    assert(out.map(_(1)) == Seq(1L, 2L, 3L))
+    assert(out.map(_(2)) == Seq(3L, 2L, 1L))        // n_hit_terms
+    assert(out.map(_(4)) == Seq(1L, 2L, 3L))        // ranks
+    // rare-term weighting: a doc matching one RARE term outscores a doc
+    // matching one COMMON term at equal length
+    val corpus = Seq(
+      (10L, "rare zeta"),
+      (11L, "common zeta"), (12L, "common beta"), (13L, "common gamma"),
+      (14L, "query doc")).toDF("doc_id", "text")
+    val q = Seq((20L, "rare common")).toDF("doc_id", "text")
+    val scored = rows(TextAnalysis.bm25TopK(corpus, q, k = 1))
+    assert(scored.head(1) == 10L) // the rare-term doc wins rank 1
+  }
 }
