@@ -50,7 +50,8 @@ object SparkEntry {
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "vocab_stats",
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
-    "asof_join", "range_join", "profile_events", "value_percentiles",
+    "asof_join", "range_join", "profile_events", "key_skew",
+    "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
@@ -416,6 +417,11 @@ object SparkEntry {
             .as("hist"),
           col("peak_bin").cast("long").as("peak_bin"))
         .orderBy("doc_id")),
+
+    // pre-join shuffle-key skew profile: the 20 heaviest user_id values
+    "key_skew" -> ((s, dir) =>
+      Relational.keySkew(t(s, dir, "events"), "user_id", k = 20)
+        .orderBy("rank")),
 
     "profile_events" -> ((s, dir) => {
       // data-quality profile of the events table: per-column null counts,
@@ -1828,6 +1834,18 @@ object SparkEntry {
         |    AS hist,
         |  CAST(list_position(counts, list_max(counts)) - 1 AS BIGINT) AS peak_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // key_skew: integer permille via BIGINT floor-division on both sides
+    "key_skew" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (SELECT user_id, n_rows,
+        |  CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT)
+        |    AS rank FROM c)
+        |SELECT user_id, n_rows,
+        |  CAST(n_rows * 1000 // total AS BIGINT) AS permille, rank
+        |FROM r CROSS JOIN t WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "profile_events" ->
       """SELECT count(*) AS n_rows,

@@ -318,4 +318,28 @@ object Relational {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /**
+   * Join-key skew profile: the k heaviest values of a prospective
+   * shuffle key with their integer permille share of all rows — the
+   * diagnostic run BEFORE a big join to decide whether [[saltedJoin]] /
+   * an LSH bucket cap / AQE skew handling is needed (a key at 100‰ means
+   * one reducer gets 10% of the table). Emits (keyCol, n_rows, permille,
+   * rank), rank 1 = heaviest, ties broken by key value.
+   *
+   * Plan shape: one hash aggregate with map-side combine, a 1-row total
+   * that broadcasts, and TakeOrderedAndProject for the top-k — the
+   * ranking window only ever sees k rows. The permille is integer
+   * division (n·1000 div total), engine-invariant.
+   */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").cast("long").as("__total"))
+    val w = Window.orderBy(col("n_rows").desc, col(keyCol).asc)
+    counts.orderBy(col("n_rows").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("permille", expr("CAST(n_rows * 1000 DIV __total AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("n_rows"), col("permille"), col("rank"))
+  }
 }

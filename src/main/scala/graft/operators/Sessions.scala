@@ -208,14 +208,24 @@ object Sessions {
    */
   def countAnomaly(events: DataFrame, baselineDays: Int = 7,
                    sigmas: Int = 3, typeCol: String = "event_type",
-                   tsCol: String = "ts"): DataFrame = {
-    val daily = events
-      .groupBy(to_date(col(tsCol)).as("day"), col(typeCol))
-      .agg(count(lit(1)).as("n_events"))
-      .withColumn("__d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+                   tsCol: String = "ts"): DataFrame =
+    countAnomalyFromTotals(
+      events.groupBy(to_date(col(tsCol)).as("day"), col(typeCol))
+        .agg(count(lit(1)).as("n_events")),
+      baselineDays, sigmas, typeCol)
+
+  /** The integer 3σ test over an already-aggregated (day, type, n_events)
+   * frame — ONE definition of the flag rule, shared by [[countAnomaly]]
+   * and the streaming re-evaluation in
+   * [[graft.streaming.Streams.anomalySink]] (which re-assembles totals
+   * from its growing counts index). */
+  def countAnomalyFromTotals(daily: DataFrame, baselineDays: Int = 7,
+                             sigmas: Int = 3,
+                             typeCol: String = "event_type"): DataFrame = {
     val w = Window.partitionBy(typeCol).orderBy(col("__d"))
       .rangeBetween(-baselineDays.toLong, -1L)
     daily
+      .withColumn("__d", datediff(col("day"), lit("1970-01-01")).cast("long"))
       .withColumn("n_baseline", count(lit(1)).over(w).cast("long"))
       .withColumn("__s1", coalesce(sum(col("n_events")).over(w), lit(0L)))
       .withColumn("__s2",

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.functions.TextFns
-import graft.operators.{Curation, Dedup, Relational}
+import graft.operators.{Curation, Dedup, Relational, Sessions}
 import graft.schema.Normalize
 import graft.tables.Tables
 
@@ -330,6 +330,57 @@ object Streams {
             .select(col("id").as(idCol), col("n_chunks"), col("n_kept"),
               col("text_kept"))
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
+   * Streaming volume-anomaly monitor — the streaming twin of
+   * [[graft.operators.Sessions.countAnomaly]] for a live ingest: each
+   * micro-batch contributes its per-(day, type) event counts to a
+   * growing daily-counts index, total counts are re-assembled from the
+   * index, and the integer-exact 3σ trailing-baseline test re-evaluates
+   * for the days the batch touched (a late-arriving sliver re-opens its
+   * day and the day's verdict is recomputed against the same baseline
+   * rule as batch).
+   *
+   * Exactly-once under foreachBatch's at-least-once contract: the
+   * batch's count contribution and its verdict rows both land in
+   * `batch=<id>` partitions in overwrite mode, so a replayed
+   * micro-batch rewrites itself and never double-counts (the
+   * [[nearDupSink]] index-partition protocol). Consumers aggregate
+   * `countsPath` by (day, event_type) and read verdicts as
+   * last-batch-wins per day.
+   *
+   * Scale: the index holds (day, type, n) rows — days × types per
+   * batch, never event rows; re-assembly is one hash aggregate over
+   * that tiny index, and the window test runs on days × types rows.
+   */
+  def anomalySink(stream: DataFrame, countsPath: String, anomPath: String,
+                  checkpointDir: String, baselineDays: Int = 7,
+                  sigmas: Int = 3, typeCol: String = "event_type",
+                  tsCol: String = "ts"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          batch
+            .groupBy(to_date(col(tsCol)).as("day"), col(typeCol))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+          val touched = s.read.parquet(s"$countsPath/batch=$batchId")
+            .select(col("day")).distinct()
+          val totals = s.read
+            .option("basePath", countsPath).parquet(countsPath)
+            .groupBy("day", typeCol)
+            .agg(sum("n").cast("long").as("n_events"))
+          Sessions.countAnomalyFromTotals(totals, baselineDays, sigmas,
+            typeCol)
+            .join(touched, Seq("day"), "leftsemi")
+            .write.mode("overwrite").parquet(s"$anomPath/batch=$batchId")
           ()
         }
       }

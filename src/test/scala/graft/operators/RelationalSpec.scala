@@ -186,4 +186,16 @@ class RelationalSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("user_id", "click", "view", "purchase"))
     assert(rows(out) == Seq(Seq(1L, 2L, 1L, 0L), Seq(2L, 0L, 1L, 0L)))
   }
+
+  test("keySkew: heaviest keys first, integer permille, count ties by key") {
+    // key 1 holds 6/10 rows (600 permille), keys 2 and 3 hold 2 each
+    // (tie broken by key value), key 4 falls outside k = 3
+    val df = (Seq.fill(6)(1L) ++ Seq(2L, 2L, 3L, 3L) ++ Seq(4L))
+      .toDF("user_id")
+    val out = rows(Relational.keySkew(df, "user_id", k = 3))
+    assert(out == Seq(
+      Seq(1L, 6L, 545L, 1L),   // 6 * 1000 div 11
+      Seq(2L, 2L, 181L, 2L),
+      Seq(3L, 2L, 181L, 3L)))
+  }
 }

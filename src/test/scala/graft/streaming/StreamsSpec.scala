@@ -249,4 +249,34 @@ class StreamsSpec extends SparkSpec {
         ts("2024-01-01 00:00:30"), 2L)))
     } finally q.stop()
   }
+
+  test("anomalySink: cross-batch totals, spike flagged, late day re-opened") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = Files.createTempDirectory("ancnt").toString
+    val anom = Files.createTempDirectory("anout").toString
+    val cp = Files.createTempDirectory("ancp").toString
+    def day(d: Int, n: Int) = (1 to n)
+      .map(_ => (ts(f"2024-01-$d%02d 12:00:00"), "view"))
+    val q = Streams.anomalySink(mem.toDF().toDF("ts", "event_type"),
+      counts, anom, cp)
+    try {
+      // batch 0: a steady week at 10/day — nothing flagged
+      mem.addData((1 to 7).flatMap(d => day(d, 10)))
+      q.processAllAvailable()
+      val b0 = rows(spark.read.parquet(s"$anom/batch=0"))
+      assert(b0.size == 7 && b0.forall(_(4) == false))
+      // batch 1: day 8 spikes to 15 (vs a zero-variance baseline of 10)
+      // and day 7 receives 2 late events — both days re-evaluate against
+      // totals assembled ACROSS batches, and both flag
+      mem.addData(day(8, 15) ++ day(7, 2))
+      q.processAllAvailable()
+      val b1 = rows(spark.read.parquet(s"$anom/batch=1").orderBy("day"))
+      assert(b1.map(r => (r(0).toString, r(2), r(4))) == Seq(
+        ("2024-01-07", 12L, true),   // 10 + 2 late vs baseline 10s
+        ("2024-01-08", 15L, true)))
+      // untouched days are not re-emitted by batch 1
+      assert(b1.size == 2)
+    } finally q.stop()
+  }
 }
