@@ -2634,18 +2634,26 @@ object SparkEntry {
     // bm25_topk: the contribution expression below is textually identical
     // to the Spark side, so both engines floor the same IEEE double
     "bm25_topk" ->
-      s"""WITH tfs AS (
+      s"""WITH qterms AS (SELECT DISTINCT doc_id AS query_id,
+         |  unnest($toksSql) AS term
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |tfs AS (
          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
          |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  WHERE term IN (SELECT term FROM qterms)
          |  GROUP BY 1, 2),
-         |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |  FROM tfs GROUP BY 1),
          |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
          |  FROM tfs GROUP BY 1),
+         |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+         |  FROM documents WHERE len($toksSql) > 0),
          |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dls),
-         |qterms AS (SELECT DISTINCT doc_id AS query_id, unnest($toksSql) AS term
-         |  FROM documents WHERE doc_id % 100 = 0),
+         |qsel AS (SELECT query_id, term FROM (
+         |  SELECT q.query_id, q.term,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY dfs.df, q.term) AS tr
+         |  FROM qterms q JOIN dfs ON dfs.term = q.term)
+         |  WHERE tr <= 16),
          |scored AS (
          |  SELECT q.query_id, tfs.doc_id,
          |    CAST(count(*) AS BIGINT) AS n_hit_terms,
@@ -2657,7 +2665,7 @@ object SparkEntry {
          |                                    / (CAST(total_dl AS DOUBLE) / n_docs)))))
          |      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
          |  FROM tfs
-         |  JOIN qterms q ON q.term = tfs.term AND tfs.doc_id <> q.query_id
+         |  JOIN qsel q ON q.term = tfs.term AND tfs.doc_id <> q.query_id
          |  JOIN dfs ON dfs.term = tfs.term
          |  JOIN dls ON dls.doc_id = tfs.doc_id
          |  CROSS JOIN corpus
