@@ -75,6 +75,7 @@ object SparkEntry {
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
     "quality_calibrate", "source_overlap", "bm25_topk",
+    "semantic_decontaminate", "oov_rate",
     "train_val_split",
     "split_leakage",
     "top_ngrams", "heavy_hitters",
@@ -795,6 +796,18 @@ object SparkEntry {
     "source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(t(s, dir, "documents"))
         .orderBy("source_a", "source_b")),
+
+    // embedding-space decontamination: the five lowest-id vectors probe
+    "semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(emb, emb.filter(col("vec_id") < 5))
+        .orderBy("vec_id")
+    }),
+
+    // tokenizer vocabulary coverage: per-doc OOV rate vs the corpus
+    // top-256 vocabulary
+    "oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents")).orderBy("doc_id")),
 
     // BM25 retrieval: every doc_id % 100 == 0 document queries the corpus
     "bm25_topk" -> ((s, dir) => {
@@ -2630,6 +2643,42 @@ object SparkEntry {
          |FROM sizes x JOIN sizes y ON x.source < y.source
          |LEFT JOIN inter ON inter.sa = x.source AND inter.sb = y.source
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // semantic_decontaminate: cosine test repeated as the same IEEE tree;
+    // integer-only output
+    "semantic_decontaminate" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pn
+         |  FROM n WHERE vec_id < 5),
+         |hits AS (
+         |  SELECT c.vec_id,
+         |    CAST(COALESCE(sum(CASE WHEN
+         |      ${dotSql("c.embedding", "p.pe")} / (c.nrm * p.pn) >= 0.7
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged_probes
+         |  FROM n c LEFT JOIN p ON c.vec_id <> p.pid
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, n_flagged_probes, n_flagged_probes = 0 AS kept
+         |FROM hits ORDER BY vec_id""".stripMargin,
+
+    // oov_rate: top-256 vocabulary with (count desc, term) ties; permille
+    // is BIGINT floor division on both sides
+    "oov_rate" ->
+      s"""WITH ex AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |vc AS (SELECT term, count(*) AS n FROM ex GROUP BY 1),
+         |v AS (SELECT term FROM vc ORDER BY n DESC, term LIMIT 256),
+         |pd AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov
+         |  FROM ex LEFT JOIN v ON ex.term = v.term GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(pd.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN COALESCE(pd.n_tokens, 0) > 0 THEN
+         |    CAST(pd.n_oov * 1000 // pd.n_tokens AS BIGINT)
+         |  ELSE 0 END AS oov_permille
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // bm25_topk: the contribution expression below is textually identical
     // to the Spark side, so both engines floor the same IEEE double

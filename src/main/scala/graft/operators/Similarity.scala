@@ -524,6 +524,39 @@ object Similarity {
   }
 
   /**
+   * Embedding-space benchmark decontamination — the semantic twin of
+   * [[Dedup.decontaminate]] (which matches exact shingles): drop corpus
+   * vectors whose cosine to ANY probe (benchmark) embedding reaches
+   * `threshold`, catching paraphrased contamination that no n-gram
+   * overlap can see. Emits every corpus vector as
+   * (idCol, n_flagged_probes, kept) — integer-only, so the row is
+   * engine-exact even though the cosine test runs in doubles (one fixed
+   * IEEE expression tree per pair, identically evaluated by the oracle).
+   *
+   * Scale: probes broadcast (benchmark sets are small by nature); the
+   * corpus side streams through one broadcast-NLJ + per-vector count
+   * aggregate — never shuffled, never collected. For probe sets beyond
+   * broadcast size, pre-bucket both sides with [[hyperplaneLshPairs]]'s
+   * signature machinery instead.
+   */
+  def semanticDecontaminate(corpus: DataFrame, probes: DataFrame,
+                            threshold: Double = 0.7,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("vc"),
+      VectorFns.norm(vecCol).as("nc"))
+    val p = probes.select(col(idCol).as("__pid"), col(vecCol).as("vp"),
+      VectorFns.norm(vecCol).as("np"))
+    c.join(broadcast(p), col(idCol) =!= col("__pid"), "left")
+      .withColumn("__hit",
+        when(VectorFns.dot("vc", "vp") / (col("nc") * col("np"))
+          >= threshold, 1L).otherwise(0L))
+      .groupBy(idCol)
+      .agg(sum("__hit").cast("long").as("n_flagged_probes"))
+      .withColumn("kept", col("n_flagged_probes") === 0L)
+  }
+
+  /**
    * Hard-negative mining for contrastive training: for each anchor in
    * `queries`, the top-k most-cosine-similar corpus vectors with a
    * DIFFERENT label — the near-misses that make the best negatives for

@@ -538,6 +538,48 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer vocabulary coverage (OOV-rate analysis): build the corpus
+   * top-`vocabSize` term vocabulary (by total frequency, ties by term)
+   * and measure every document's out-of-vocabulary token fraction — the
+   * sizing study run before freezing a tokenizer, and the per-document
+   * signal for routing unusual text to byte-fallback handling. Emits
+   * (idCol, n_tokens, n_oov, oov_permille) for every document
+   * (token-less documents report zeros); the rate is integer permille
+   * (n_oov·1000 div n_tokens) so the row is engine-exact.
+   *
+   * Scale: one vocabulary-bounded term-count aggregate feeding a
+   * TakeOrdered top-V (V rows broadcast back), one exploded-token pass
+   * with the broadcast membership join and a per-document count
+   * aggregate, and a narrow id projection to restore empty documents.
+   * Corpus text never shuffles — only (id, counts).
+   */
+  def oovRate(docs: DataFrame, vocabSize: Int = 256,
+              idCol: String = "doc_id"): DataFrame = {
+    val exploded = docs
+      .withColumn("__t", toks)
+      .select(col(idCol).as("__id"), explode(col("__t")).as("term"))
+    val vocab = exploded.groupBy("term")
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1L).as("__v"))
+    val perDoc = exploded
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        when(col("n_tokens") > 0,
+          expr("CAST(n_oov * 1000 DIV n_tokens AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
+
+  /**
    * BM25 top-k retrieval (Robertson/Sparck Jones probabilistic ranking,
    * k1 = 1.2, b = 0.75): score every corpus document against each query's
    * distinct terms and keep the k best per query — the retrieval half of
@@ -554,17 +596,16 @@ object TextAnalysis {
    * (associative ⇒ partition- and engine-invariant; the
    * [[Similarity.embeddingCentroids]] fixed-point discipline).
    *
-   * Scale: ONE tokenize+aggregate pass over the corpus, pre-filtered to
-   * query terms by a broadcast semi-join BEFORE the (doc, term)
-   * aggregate — so the only explode-wide shuffle carries rows for terms
-   * a query actually uses, and df (derived from that same frame, so its
-   * exchange is reused) is query-term-bounded rather than
-   * vocabulary-bounded when it broadcasts back. Document length is a
-   * narrow `size(tokens)` projection — no second explode; corpus stats
-   * are a 1-row aggregate of it. The naive shape (tf → dl/df/corpus all
-   * by re-aggregation) plans FOUR tokenize passes, because each
-   * consumer's column pruning makes the subtrees non-identical and
-   * defeats ReuseExchange — measured 4.5× slower at sf0.1.
+   * Scale: exactly three linear corpus passes, each with ONE consumer —
+   * (1) a distinct-explode df pass filtered to the query vocabulary,
+   * feeding the materialized per-query term selection; (2) the tf
+   * explode pass, filtered to the SELECTED terms before its aggregate
+   * and carrying document length through it (no corpus-wide dl join);
+   * (3) a narrow no-explode projection for the 1-row corpus stats. The
+   * naive shape (tf → dl/df/corpus all by re-aggregation, every frame
+   * referenced twice) plans SEVEN-plus corpus scans, because each
+   * consumer's column pruning makes the shared subtrees non-identical
+   * and defeats ReuseExchange — measured 4.5× slower at sf0.1.
    */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
                maxQueryTerms: Int = 16,
@@ -573,16 +614,44 @@ object TextAnalysis {
       .withColumn("__t", toks)
       .select(col(idCol).as("query_id"), explode(col("__t")).as("term"))
       .distinct()
-    // ONE explode pass computes tf AND carries document length: exploded
-    // tokens left-join the (broadcast) query vocabulary, the per-doc
-    // aggregate counts every token (dl) while collecting only the
-    // query-vocab hits, and the (doc, term) aggregate re-explodes just
-    // those hits. No corpus-wide dl join remains — a separate dl frame
-    // would shuffle (id, len) for EVERY document to meet tf.
+    // Document frequency for the query vocabulary: one distinct-explode
+    // corpus pass, term-filtered by the (broadcast) query vocabulary
+    // BEFORE the aggregate, so state is query-vocab-bounded.
+    val dfq = docs
+      .withColumn("__t", toks)
+      .select(explode(array_distinct(col("__t"))).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // More-like-this term selection: keep each query's `maxQueryTerms`
+    // RAREST terms (df asc, term asc). A whole document as a query drags
+    // in stop-word-grade terms whose postings span the corpus — the
+    // scoring join would fan out to |queries| x df(term) rows for every
+    // common term. Rare terms carry essentially all of the BM25 mass
+    // (idf decays ~1/df), so the cap changes scores marginally and the
+    // join volume by orders of magnitude. df RIDES ON the selection so
+    // the scoring join needs no separate df branch. The frame is
+    // materialized eagerly (bounded: queries x maxQueryTerms rows — the
+    // query set is broadcast-small by this operator's contract, exactly
+    // like bruteForceTopK's), because its three downstream references
+    // would otherwise each re-run the df corpus pass: Catalyst prunes
+    // each reference differently, the subplans stop being identical, and
+    // ReuseExchange cannot dedupe them — measured as 3 extra corpus
+    // scans at sf0.1.
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("df").asc, col("term").asc)
+    val qsel = qterms.join(dfq, "term")
+      .withColumn("__tr", row_number().over(wq))
+      .filter(col("__tr") <= maxQueryTerms)
+      .select("query_id", "term", "df")
+      .localCheckpoint(true)
+    // ONE tf explode pass over the corpus, filtered to the SELECTED
+    // terms before the aggregate and carrying document length through it
+    // (a separate dl frame would shuffle (id, len) for every document to
+    // meet tf in a corpus-wide join).
     val perDoc = docs
       .withColumn("__t", toks)
       .select(col(idCol).as("doc_id"), explode(col("__t")).as("term"))
-      .join(broadcast(qterms.select("term").distinct()
+      .join(broadcast(qsel.select("term").distinct()
         .withColumn("__q", lit(1))), Seq("term"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("dl"),
@@ -591,7 +660,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("__qtoks")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus-level stats need no explode: a narrow token-count projection
     // feeding a 1-row aggregate
     val corpus = docs
@@ -600,26 +668,11 @@ object TextAnalysis {
       .filter(col("__dl") > 0)
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("__dl").cast("long").as("total_dl"))
-    // more-like-this term selection: keep each query's `maxQueryTerms`
-    // RAREST terms (df asc, term asc). A whole document as a query drags
-    // in stop-word-grade terms whose postings span the corpus — the
-    // scoring join would fan out to |queries| x df(term) rows for every
-    // common term. Rare terms carry essentially all of the BM25 mass
-    // (idf decays ~1/df), so the cap changes scores marginally and the
-    // join volume by orders of magnitude. Measured 3.0 s -> 0.8 s at
-    // sf0.1 with 50 full-document queries.
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("df").asc, col("term").asc)
-    val qsel = qterms.join(df, "term")
-      .withColumn("__tr", row_number().over(wq))
-      .filter(col("__tr") <= maxQueryTerms)
-      .select("query_id", "term")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     tf.join(broadcast(qsel), "term")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(df), "term")
       .crossJoin(broadcast(corpus))
       // one fixed expression tree of IEEE double ops — the oracle SQL
       // repeats this text verbatim so both engines floor the same double

@@ -194,6 +194,22 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.forall(_(2) == true))
   }
 
+  test("semanticDecontaminate: probe-similar vectors dropped, probes excluded from self") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)),      // probe
+      (2L, Array(0.99f, 0.141f)),   // cos ~0.99 to probe 1 -> flagged
+      (3L, Array(0.0f, 1.0f)),      // orthogonal -> kept
+      (4L, Array(-1.0f, 0.0f)))     // opposite -> kept
+      .toDF("vec_id", "embedding")
+    val out = rows(Similarity.semanticDecontaminate(vs,
+      vs.filter($"vec_id" === 1), threshold = 0.9).orderBy("vec_id"))
+    assert(out == Seq(
+      Seq(1L, 0L, true),   // the probe itself never matches itself
+      Seq(2L, 1L, false),
+      Seq(3L, 0L, true),
+      Seq(4L, 0L, true)))
+  }
+
   test("hardNegatives: nearest different-label vectors, same-label excluded") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f), 0),

@@ -203,6 +203,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == Seq(3L, 0L, 0L, 0L, 0L, "no pii here"))
   }
 
+  test("oovRate: top-V vocabulary, per-doc OOV permille, empty doc zeros") {
+    val docs = Seq(
+      (1L, "a a a b b c"),   // with V=2 the vocab is {a, b}
+      (2L, "a b x y"),       // 2 of 4 tokens OOV -> 500 permille
+      (3L, "z z z"),         // all OOV -> 1000
+      (4L, ""))              // token-less -> zeros
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.oovRate(docs, vocabSize = 2)
+      .orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 6L, 1L, 166L),   // the lone c is OOV: 1000 div 6
+      Seq(2L, 4L, 2L, 500L),
+      Seq(3L, 3L, 3L, 1000L),
+      Seq(4L, 0L, 0L, 0L)))
+  }
+
   test("bm25TopK: term-match ranking, rare-term weight, self excluded") {
     val docs = Seq(
       (0L, "apple banana cherry"),            // the query
