@@ -336,6 +336,52 @@ object Streams {
       .start()
 
   /**
+   * Maintenance compaction for the `batch=<id>`-partitioned streaming
+   * indexes ([[nearDupSink]] signatures, [[chunkDedupSink]] chunk
+   * hashes, [[anomalySink]] daily counts): fold every batch partition
+   * through `reduce` into a single `batch=-1` partition, swapped in with
+   * the same write-new → rename → drop-backup protocol as
+   * [[graft.tables.Tables]] table maintenance (a crash between renames
+   * leaves both the compacted tree and the original on disk). The
+   * sinks' exclude-current-batch reads keep working unchanged: real
+   * batch ids are non-negative, so `batch=-1` is always visible to
+   * them.
+   *
+   * Run QUIESCED (stream stopped), like any table maintenance — the
+   * operation re-lays the whole directory. At 100 TB cadence this is
+   * the same small-file/merge hygiene as `compactTable`, applied to the
+   * append-per-batch index trees, and it is what keeps a re-crawl-heavy
+   * chunk index from growing with chunk APPEARANCES instead of distinct
+   * chunks.
+   *
+   * `reduce` receives the index rows without the `batch` column and
+   * must return the same schema: `_.distinct()` for hash/signature
+   * indexes, a key-summing aggregate for the counts index.
+   */
+  def compactIndex(spark: SparkSession, indexPath: String)
+                  (reduce: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(indexPath + "__compact_tmp")
+    val backup = new Path(indexPath + "__compact_backup")
+    fs.delete(tmp, true)
+    fs.delete(backup, true)
+    val compacted = reduce(
+      spark.read.option("basePath", indexPath).parquet(indexPath)
+        .drop("batch"))
+    compacted.write.mode("overwrite")
+      .parquet(new Path(tmp, "batch=-1").toString)
+    if (!fs.rename(main, backup))
+      throw new java.io.IOException(s"compactIndex: cannot move $main aside")
+    if (!fs.rename(tmp, main)) {
+      fs.rename(backup, main) // roll back; tmp left for inspection
+      throw new java.io.IOException(s"compactIndex: cannot move $tmp in")
+    }
+    fs.delete(backup, true)
+  }
+
+  /**
    * Streaming volume-anomaly monitor — the streaming twin of
    * [[graft.operators.Sessions.countAnomaly]] for a live ingest: each
    * micro-batch contributes its per-(day, type) event counts to a

@@ -250,6 +250,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactIndex: folded index keeps dedup and count semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("ciidx").toString
+    val out = Files.createTempDirectory("ciout").toString
+    val cp = Files.createTempDirectory("cicp").toString
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val q = Streams.chunkDedupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, avgTokens = 2)
+    try {
+      mem.addData((1L, base))
+      q.processAllAvailable()
+      mem.addData((2L, other))
+      q.processAllAvailable()
+      q.stop()
+      val before = spark.read.option("basePath", idx).parquet(idx)
+        .drop("batch").distinct().count()
+      Streams.compactIndex(spark, idx)(_.distinct())
+      // one partition remains and the distinct hash set is unchanged
+      val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSeq
+      assert(dirs == Seq("batch=-1"))
+      assert(spark.read.option("basePath", idx).parquet(idx)
+        .drop("batch").distinct().count() == before)
+      // a later batch still dedups verbatim re-sends against the
+      // compacted index
+      val q2 = Streams.chunkDedupSink(mem.toDF().toDF("doc_id", "text"),
+        idx, out, cp, avgTokens = 2)
+      try {
+        mem.addData((3L, base))
+        q2.processAllAvailable()
+        val b = rows(spark.read.parquet(out).filter($"doc_id" === 3L))
+        assert(b.head(2) == 0L && b.head(3) == "")
+      } finally q2.stop()
+    } finally if (q.isActive) q.stop()
+  }
+
   test("anomalySink: cross-batch totals, spike flagged, late day re-opened") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
