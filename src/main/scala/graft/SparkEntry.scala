@@ -51,7 +51,7 @@ object SparkEntry {
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "range_join", "profile_events", "key_skew",
-    "value_percentiles",
+    "robust_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
@@ -423,6 +423,11 @@ object SparkEntry {
     "key_skew" -> ((s, dir) =>
       Relational.keySkew(t(s, dir, "events"), "user_id", k = 20)
         .orderBy("rank")),
+
+    // 10%-trimmed per-type mean of value, in exact micro-unit integers
+    "robust_stats" -> ((s, dir) =>
+      Relational.trimmedStats(t(s, dir, "events"))
+        .orderBy("event_type")),
 
     "profile_events" -> ((s, dir) => {
       // data-quality profile of the events table: per-column null counts,
@@ -1847,6 +1852,26 @@ object SparkEntry {
         |    AS hist,
         |  CAST(list_position(counts, list_max(counts)) - 1 AS BIGINT) AS peak_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // robust_stats: micro-unit quantization, integer trim ranks, one
+    // floored division — no float mean/variance crosses engines
+    "robust_stats" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(round(value * 1000000) AS BIGINT) AS vm, event_id
+        |  FROM events),
+        |r AS (SELECT event_type, vm,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY vm, event_id) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM m)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_used,
+        |  CAST(floor(sum(vm) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+        |    AS trimmed_mean_micro
+        |FROM r
+        |WHERE rk > CAST(floor(n * 100 / 1000) AS BIGINT)
+        |  AND rk <= n - CAST(floor(n * 100 / 1000) AS BIGINT)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // key_skew: integer permille via BIGINT floor-division on both sides
     "key_skew" ->

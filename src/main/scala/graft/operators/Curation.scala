@@ -280,12 +280,9 @@ object Curation {
    * p/1000)` is evaluated on BIGINTs — no percentile float crosses an
    * engine boundary.
    *
-   * Scale: the same assembled-rank shape as [[qualityBand]], generalized
-   * to grouped ranking — range-exchange on (source, score, id) so no
-   * single task ever sorts a whole source, `row_number` within each
-   * (range-partition × source) slice, plus exact per-source offsets from
-   * a partitions×sources-row aggregate that broadcasts back. The only
-   * unpartitioned work is over that tiny offset frame.
+   * Scale: grouped ranks come from [[Relational.groupedRanks]] (the
+   * assembled-rank shape of [[qualityBand]], generalized to groups) —
+   * no single task ever sorts a whole source.
    */
   def qualityCalibrate(docs: DataFrame, dropPermille: Int = 100,
                        srcCol: String = "source",
@@ -293,26 +290,8 @@ object Curation {
     val scored = docs.select(col(idCol), col(srcCol))
       .join(TextAnalysis.qualityScore(docs, idCol)
         .select(col(idCol), col("quality_score")), idCol :: Nil)
-    val ranged = scored
-      .repartitionByRange(col(srcCol).asc, col("quality_score").asc,
-        col(idCol).asc)
-      .withColumn("__pid", spark_partition_id())
-    val perPart = Window.partitionBy(col("__pid"), col(srcCol))
-      .orderBy(col("quality_score").asc, col(idCol).asc)
-    val perSrc = Window.partitionBy(srcCol).orderBy("__pid")
-    val offsets = ranged.groupBy(col("__pid"), col(srcCol))
-      .agg(count(lit(1)).as("__cnt"))
-      .select(col("__pid"), col(srcCol),
-        coalesce(sum("__cnt").over(
-          perSrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("__off"),
-        sum("__cnt").over(
-          perSrc.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)).as("n_src"))
-    ranged
-      .withColumn("__rn", row_number().over(perPart).cast("long"))
-      .join(broadcast(offsets), Seq("__pid", srcCol))
-      .withColumn("src_rank", col("__off") + col("__rn"))
+    Relational.groupedRanks(scored, srcCol,
+      Seq(col("quality_score").asc, col(idCol).asc), "src_rank", "n_src")
       .withColumn("kept",
         col("src_rank") > floor(col("n_src") * dropPermille / 1000))
       .select(col(idCol), col(srcCol), col("quality_score"),

@@ -320,6 +320,82 @@ object Relational {
   }
 
   /**
+   * Assembled per-group ranking — grouped `row_number` WITHOUT a
+   * per-group sort task: a `Window.partitionBy(group)` sends every row
+   * of a group to ONE task, which is a single-task bottleneck for any
+   * group at corpus scale. Instead: range-exchange on (group, orderCols)
+   * so no task ever holds a whole group, `row_number` within each
+   * (range-partition × group) slice, and each slice's exact global
+   * offset from a partitions×groups-row count aggregate that broadcasts
+   * back (the only unpartitioned window runs over that tiny frame).
+   * Appends `rankCol` (1-based within the group, ordered by `orderCols`)
+   * and `nCol` (group size). `orderCols` must make rows unique within a
+   * group for the rank to be deterministic.
+   *
+   * Shared by [[graft.operators.Curation.qualityCalibrate]] (per-source
+   * quality ranks) and [[trimmedStats]] (per-group trim bounds); the
+   * global-rank special case is [[graft.operators.Curation.qualityBand]].
+   */
+  def groupedRanks(df: DataFrame, grpCol: String, orderCols: Seq[Column],
+                   rankCol: String, nCol: String): DataFrame = {
+    val ranged = df
+      .repartitionByRange((col(grpCol).asc +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+    val perPart = Window.partitionBy(col("__pid"), col(grpCol))
+      .orderBy(orderCols: _*)
+    val perGrp = Window.partitionBy(grpCol).orderBy("__pid")
+    val offsets = ranged.groupBy(col("__pid"), col(grpCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"), col(grpCol),
+        coalesce(sum("__cnt").over(
+          perGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"),
+        sum("__cnt").over(
+          perGrp.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as(nCol))
+    ranged
+      .withColumn("__rn", row_number().over(perPart).cast("long"))
+      .join(broadcast(offsets), Seq("__pid", grpCol))
+      .withColumn(rankCol, col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /**
+   * Robust (trimmed) per-group statistics of a numeric column: drop the
+   * lowest `lowPermille`‰ and highest `highPermille`‰ of each group by
+   * value, then report the mean of the surviving middle — the
+   * outlier-resistant location estimate for monitoring metric columns
+   * whose tails are garbage (sentinel values, unit mix-ups). Emits
+   * (grpCol, n_total, n_used, trimmed_mean_micro).
+   *
+   * Exactness: values are quantized to micro-unit BIGINTs up front
+   * (round(x·1e6) — the [[graft.operators.Similarity.embeddingCentroids]]
+   * fixed point), trim bounds are integer ranks from [[groupedRanks]],
+   * and the mean is one floored division of associative integer sums —
+   * nothing order-dependent anywhere.
+   */
+  def trimmedStats(df: DataFrame, grpCol: String = "event_type",
+                   valCol: String = "value", tieCol: String = "event_id",
+                   lowPermille: Int = 100,
+                   highPermille: Int = 100): DataFrame = {
+    val m = df.select(col(grpCol),
+      expr(s"CAST(round($valCol * 1000000) AS BIGINT)").as("__vm"),
+      col(tieCol))
+    groupedRanks(m, grpCol, Seq(col("__vm").asc, col(tieCol).asc),
+      "__rk", "__n")
+      .filter(col("__rk") > floor(col("__n") * lowPermille / 1000) &&
+        col("__rk") <= col("__n") - floor(col("__n") * highPermille / 1000))
+      .groupBy(grpCol)
+      .agg(max("__n").as("n_total"),
+        count(lit(1)).as("n_used"),
+        sum("__vm").as("__s"))
+      .withColumn("trimmed_mean_micro",
+        floor(col("__s").cast("double") / col("n_used")).cast("long"))
+      .select(col(grpCol), col("n_total"), col("n_used"),
+        col("trimmed_mean_micro"))
+  }
+
+  /**
    * Join-key skew profile: the k heaviest values of a prospective
    * shuffle key with their integer permille share of all rows — the
    * diagnostic run BEFORE a big join to decide whether [[saltedJoin]] /

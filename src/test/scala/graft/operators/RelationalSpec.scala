@@ -187,6 +187,23 @@ class RelationalSpec extends SparkSpec {
     assert(rows(out) == Seq(Seq(1L, 2L, 1L, 0L), Seq(2L, 0L, 1L, 0L)))
   }
 
+  test("trimmedStats: tails dropped per group, exact integer mean") {
+    // group A: values 1..10 with permille 100 -> floor(10*0.1)=1 cut from
+    // each end: mean of 2..9 = 5.5 -> 5_500_000 micro. group B: 3 rows,
+    // floor(0.3)=0 cut: plain mean of (0, 0, 600) = 200 exactly.
+    val a = (1 to 10).map(i => ("A", i.toDouble, i.toLong))
+    val b = Seq(("B", 0.0, 11L), ("B", 0.0, 12L), ("B", 600.0, 13L))
+    val df = (a ++ b).toDF("event_type", "value", "event_id")
+    val out = rows(Relational.trimmedStats(df).orderBy("event_type"))
+    assert(out == Seq(
+      Seq("A", 10L, 8L, 5500000L),
+      Seq("B", 3L, 3L, 200000000L)))
+    // partition-invariant (assembled grouped ranks + integer sums)
+    val rep = rows(Relational.trimmedStats(df.repartition(7))
+      .orderBy("event_type"))
+    assert(rep == out)
+  }
+
   test("keySkew: heaviest keys first, integer permille, count ties by key") {
     // key 1 holds 6/10 rows (600 permille), keys 2 and 3 hold 2 each
     // (tie broken by key value), key 4 falls outside k = 3
