@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Curation, Dedup, Multimodal, Relational, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Multimodal, Relational, Sessions, Similarity, TextAnalysis}
 import graft.schema.Normalize
 import graft.sources.Fixtures
 
@@ -59,6 +59,7 @@ object SparkEntry {
     "exact_dedup", "ngram_jaccard", "fuzzy_join", "dedup_lines",
     "duplicated_spans",
     "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
+    "pagerank",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "quantize_int8", "embedding_centroids", "hard_negatives",
@@ -273,6 +274,17 @@ object SparkEntry {
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 128,
         bands = 32, threshold = 0.5).orderBy("doc_a", "doc_b")),
+
+    // integer PageRank over the symmetrized near-dup pair graph: the
+    // transitive "which copy is canonical" centrality signal
+    "pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      Graph.pageRank(edges, docs, iters = 5).orderBy("doc_id")
+    }),
 
     "simhash" -> ((s, dir) =>
       // maxHamming = 3 on a 64-bit signature: the Manku et al. (WWW'07)
@@ -897,6 +909,31 @@ object SparkEntry {
   private val jaccardPairsSql =
     s"WITH $jaccardCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
 
+  /** Unrolled integer PageRank over the exact near-dup pair graph
+   * (minhash at these parameters reproduces the exact pair set — same
+   * equivalence the minhash_lsh oracle relies on). Five fixed iterations
+   * as chained CTEs; every step is BIGINT floor arithmetic, so the ranks
+   * are bit-exact across engines. */
+  private val pageRankSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""p$i AS (SELECT n.doc_id,
+         |  CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS doc_id, CAST(sum(p${i - 1}.pr // e.d) AS BIGINT) AS m
+         |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.doc_id
+         |    GROUP BY 1) s ON n.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardCtes,
+       |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+       |e AS (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg ON ed.src = deg.src),
+       |n AS (SELECT doc_id FROM documents),
+       |p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |$iterCtes
+       |SELECT doc_id, pr AS pr_micro FROM p5 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB quality-score body (no ORDER BY) — shared by the
    * quality_score and quality_band oracles. */
   private val qualityScoreSql =
@@ -1505,6 +1542,7 @@ object SparkEntry {
 
     "ngram_jaccard_exact" -> jaccardPairsSql,
     "minhash_lsh"         -> jaccardPairsSql,
+    "pagerank"            -> pageRankSql,
     "simhash"             -> simhashSql(cap = None),
     "simhash_capped"      -> simhashSql(cap = Some(64)),
 

@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: integer damping update, isolated node settles at base") {
+    // star: 1-2, 1-3 (symmetrized), node 4 isolated.
+    // p0 = 1_000_000 everywhere; deg(1) = 2, deg(2) = deg(3) = 1.
+    // iter1: pr(1) = 150000 + 85*2_000_000//100        = 1_850_000
+    //        pr(2) = pr(3) = 150000 + 85*500_000//100  =   575_000
+    // iter2: pr(1) = 150000 + (85*1_150_000)//100      = 1_127_500
+    //        pr(2) = pr(3) = 150000 + (85*925_000)//100 =  936_250
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst", $"src"))
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = rows(Graph.pageRank(edges, nodes, iters = 2).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 1127500L),
+      Seq(2L, 936250L),
+      Seq(3L, 936250L),
+      Seq(4L, 150000L)))
+    // partition-invariant: integer sums and divisions only
+    val rep = rows(Graph.pageRank(edges.repartition(5),
+      nodes.repartition(3), iters = 2).orderBy("doc_id"))
+    assert(rep == out)
+  }
+}
