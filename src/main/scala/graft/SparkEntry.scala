@@ -76,7 +76,7 @@ object SparkEntry {
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
     "quality_calibrate", "source_overlap", "bm25_topk",
-    "semantic_decontaminate", "oov_rate",
+    "semantic_decontaminate", "oov_rate", "hybrid_topk",
     "train_val_split",
     "split_leakage",
     "top_ngrams", "heavy_hitters",
@@ -833,6 +833,13 @@ object SparkEntry {
         k = 10).orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval: BM25 + hash-embed cosine fused by integer RRF
+    "hybrid_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.hybridTopK(docs, docs.filter(col("doc_id") % 100 === 0),
+        k = 10, kEach = 20).orderBy("query_id", "rank")
+    }),
+
     // ---- reshaping / multi-dim aggregation ----
     "pivot_counts" -> ((s, dir) =>
       Relational.pivotCounts(t(s, dir, "events"), "user_id", "event_type",
@@ -908,6 +915,54 @@ object SparkEntry {
 
   private val jaccardPairsSql =
     s"WITH $jaccardCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
+
+  /** BM25 CTE chain ending in `bmr(query_id, doc_id, n_hit_terms,
+   * score_micro, rank)` — shared by the bm25_topk oracle and the
+   * lexical half of hybrid_topk. The contribution expression is
+   * textually identical to [[graft.operators.TextAnalysis.bm25TopK]]'s
+   * Spark expression, so both engines floor the same IEEE double. */
+  private val bm25Ctes: String =
+    s"""qterms AS (SELECT DISTINCT doc_id AS query_id,
+       |  unnest($toksSql) AS term
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |tfs AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |  WHERE term IN (SELECT term FROM qterms)
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tfs GROUP BY 1),
+       |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+       |  FROM documents WHERE len($toksSql) > 0),
+       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dls),
+       |qsel AS (SELECT query_id, term FROM (
+       |  SELECT q.query_id, q.term,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY dfs.df, q.term) AS tr
+       |  FROM qterms q JOIN dfs ON dfs.term = q.term)
+       |  WHERE tr <= 16),
+       |scored AS (
+       |  SELECT q.query_id, tfs.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_hit_terms,
+       |    CAST(sum(CAST(floor(
+       |      ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * 2.2)
+       |         / (CAST(tf AS DOUBLE)
+       |            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+       |                                    / (CAST(total_dl AS DOUBLE) / n_docs)))))
+       |      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tfs
+       |  JOIN qsel q ON q.term = tfs.term AND tfs.doc_id <> q.query_id
+       |  JOIN dfs ON dfs.term = tfs.term
+       |  JOIN dls ON dls.doc_id = tfs.doc_id
+       |  CROSS JOIN corpus
+       |  GROUP BY 1, 2),
+       |bmr AS (
+       |  SELECT query_id, doc_id, n_hit_terms, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)""".stripMargin
 
   /** Unrolled integer PageRank over the exact near-dup pair graph
    * (minhash at these parameters reproduces the exact pair set — same
@@ -2743,50 +2798,61 @@ object SparkEntry {
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    // bm25_topk: the contribution expression below is textually identical
-    // to the Spark side, so both engines floor the same IEEE double
+    // bm25_topk: the contribution expression in the shared CTE chain is
+    // textually identical to the Spark side, so both engines floor the
+    // same IEEE double
     "bm25_topk" ->
-      s"""WITH qterms AS (SELECT DISTINCT doc_id AS query_id,
-         |  unnest($toksSql) AS term
-         |  FROM documents WHERE doc_id % 100 = 0),
-         |tfs AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
-         |  WHERE term IN (SELECT term FROM qterms)
-         |  GROUP BY 1, 2),
-         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |  FROM tfs GROUP BY 1),
-         |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
-         |  FROM documents WHERE len($toksSql) > 0),
-         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dls),
-         |qsel AS (SELECT query_id, term FROM (
-         |  SELECT q.query_id, q.term,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY dfs.df, q.term) AS tr
-         |  FROM qterms q JOIN dfs ON dfs.term = q.term)
-         |  WHERE tr <= 16),
-         |scored AS (
-         |  SELECT q.query_id, tfs.doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_hit_terms,
-         |    CAST(sum(CAST(floor(
-         |      ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |      * ((CAST(tf AS DOUBLE) * 2.2)
-         |         / (CAST(tf AS DOUBLE)
-         |            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-         |                                    / (CAST(total_dl AS DOUBLE) / n_docs)))))
-         |      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
-         |  FROM tfs
-         |  JOIN qsel q ON q.term = tfs.term AND tfs.doc_id <> q.query_id
-         |  JOIN dfs ON dfs.term = tfs.term
-         |  JOIN dls ON dls.doc_id = tfs.doc_id
-         |  CROSS JOIN corpus
-         |  GROUP BY 1, 2)
-         |SELECT query_id, doc_id, n_hit_terms, score_micro, rank FROM (
-         |  SELECT query_id, doc_id, n_hit_terms, score_micro,
+      s"""WITH $bm25Ctes
+         |SELECT query_id, doc_id, n_hit_terms, score_micro, rank
+         |FROM bmr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid_topk: the bm25 chain + the hash_embed vectors as DOUBLE
+    // lists + cosine ranks, fused by integer reciprocal-rank (k = 60)
+    "hybrid_topk" ->
+      s"""WITH $bm25Ctes,
+         |tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |sg AS (SELECT doc_id,
+         |    CAST(${duckPolyFragment("tok", 31, 1000000007L)} % 64 AS INT)
+         |      AS b,
+         |    CASE WHEN (${duckPolyFragment("tok", 31, 1000000007L)} // 64)
+         |      % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM tk),
+         |agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+         |  FROM sg GROUP BY doc_id, b),
+         |filled AS (
+         |  SELECT d.doc_id, g.b, CAST(COALESCE(a.v, 0) AS BIGINT) AS v
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+         |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = g.b),
+         |hv AS (SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY b) AS e
+         |  FROM filled GROUP BY doc_id),
+         |nv AS (SELECT doc_id, e, sqrt(${dotSql("e", "e")}) AS nrm
+         |  FROM hv WHERE len(list_filter(e, x -> x <> 0)) > 0),
+         |cosr AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         |  CAST(row_number() OVER (PARTITION BY q.doc_id
+         |    ORDER BY ${dotSql("q.e", "c.e")} / (q.nrm * c.nrm) DESC,
+         |             c.doc_id) AS BIGINT) AS rank
+         |  FROM nv q JOIN nv c ON c.doc_id <> q.doc_id
+         |  WHERE q.doc_id % 100 = 0),
+         |fused AS (
+         |  SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+         |         COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |         CAST(COALESCE(b.rank, 0) AS BIGINT) AS bm_rank,
+         |         CAST(COALESCE(c.rank, 0) AS BIGINT) AS cos_rank,
+         |         CAST(CASE WHEN b.rank IS NULL THEN 0
+         |                   ELSE 1000000 // (60 + b.rank) END
+         |            + CASE WHEN c.rank IS NULL THEN 0
+         |                   ELSE 1000000 // (60 + c.rank) END AS BIGINT)
+         |           AS rrf_micro
+         |  FROM (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 20) b
+         |  FULL JOIN (SELECT query_id, doc_id, rank FROM cosr
+         |             WHERE rank <= 20) c
+         |    ON b.query_id = c.query_id AND b.doc_id = c.doc_id)
+         |SELECT query_id, doc_id, bm_rank, cos_rank, rrf_micro, rank FROM (
+         |  SELECT query_id, doc_id, bm_rank, cos_rank, rrf_micro,
          |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
-         |  FROM scored)
+         |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // topic_classify: identical rule table as VALUES; same argmax window

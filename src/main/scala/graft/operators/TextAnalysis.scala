@@ -538,6 +538,57 @@ object TextAnalysis {
   }
 
   /**
+   * Hybrid retrieval: BM25 (lexical) and hash-embedding cosine
+   * (distributional) candidate lists fused by reciprocal-rank fusion —
+   * the standard two-tower RAG retrieval stack, composed entirely from
+   * this library's own operators ([[bm25TopK]], [[hashEmbed]],
+   * [[Similarity.bruteForceTopK]]). Each side contributes its top
+   * `kEach`; RRF runs in INTEGER micro-units
+   * (`1 000 000 div (60 + rank)` per side, absent side contributes 0 —
+   * the Cormack et al. k=60 constant), so fusion is engine-exact with
+   * no float anywhere. Emits (query_id, doc_id, bm_rank, cos_rank,
+   * rrf_micro, rank) with absent-side ranks reported as 0.
+   *
+   * Scale: the BM25 side is [[bm25TopK]]'s three linear passes; the
+   * embedding side is one [[hashEmbed]] pass plus a broadcast-NLJ
+   * (swap in the IVF/LSH path for corpora where brute-force cosine is
+   * too wide); the fusion itself joins two ≤ queries×kEach frames —
+   * trivial. Zero vectors (token-less docs) are excluded from the
+   * cosine side rather than crashing the norm division.
+   */
+  def hybridTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                 kEach: Int = 20, dim: Int = 64,
+                 idCol: String = "doc_id"): DataFrame = {
+    val bm = bm25TopK(docs, queries, k = kEach)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm_rank"))
+    val vecs = hashEmbed(docs, dim, idCol)
+      .select(col(idCol).as("vec_id"),
+        expr("transform(split(vec, ','), x -> CAST(x AS FLOAT))")
+          .as("embedding"))
+      .filter(expr("exists(embedding, x -> x != 0F)"))
+    val qv = vecs.join(queries.select(col(idCol).as("vec_id")), "vec_id")
+    val cos = Similarity.bruteForceTopK(vecs, qv, k = kEach)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("cos_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    bm.join(cos, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("bm_rank"), lit(0L)).as("bm_rank"),
+        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"))
+      .withColumn("rrf_micro",
+        when(col("bm_rank") > 0, expr("1000000 DIV (60 + bm_rank)"))
+          .otherwise(lit(0L)) +
+        when(col("cos_rank") > 0, expr("1000000 DIV (60 + cos_rank)"))
+          .otherwise(lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "bm_rank", "cos_rank", "rrf_micro",
+        "rank")
+  }
+
+  /**
    * Tokenizer vocabulary coverage (OOV-rate analysis): build the corpus
    * top-`vocabSize` term vocabulary (by total frequency, ties by term)
    * and measure every document's out-of-vocabulary token fraction — the

@@ -219,6 +219,36 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(4L, 0L, 0L, 0L)))
   }
 
+  test("hybridTopK: integer RRF fusion matches hand-fused side lists") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta shared words"),
+      (1L, "alpha beta gamma delta extra"),
+      (2L, "shared words plus unrelated filler"),
+      (3L, "totally different content here"),
+      (4L, "alpha gamma shared other tokens"))
+      .toDF("doc_id", "text")
+    val q = docs.filter(col("doc_id") === 0)
+    val out = rows(TextAnalysis.hybridTopK(docs, q, k = 10, kEach = 3)
+      .orderBy("rank"))
+    // recompute the fusion from the two sides independently
+    val bm = rows(TextAnalysis.bm25TopK(docs, q, k = 3))
+      .map(r => r(1).asInstanceOf[Long] -> r(4).asInstanceOf[Long]).toMap
+    val vecs = TextAnalysis.hashEmbed(docs)
+      .select(col("doc_id").as("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(split(vec, ','), x -> CAST(x AS FLOAT))").as("embedding"))
+    val cos = rows(Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 0), k = 3))
+      .map(r => r(1).asInstanceOf[Long] -> r(2).asInstanceOf[Long]).toMap
+    val expect = (bm.keySet ++ cos.keySet).toSeq.map { d =>
+      val rrf = bm.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        cos.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (d, bm.getOrElse(d, 0L), cos.getOrElse(d, 0L), rrf)
+    }.sortBy { case (d, _, _, rrf) => (-rrf, d) }
+    assert(out.map(r => (r(1), r(2), r(3), r(4))) == expect)
+    assert(out.map(_(5)) == (1L to expect.size).toSeq)
+  }
+
   test("bm25TopK: term-match ranking, rare-term weight, self excluded") {
     val docs = Seq(
       (0L, "apple banana cherry"),            // the query
