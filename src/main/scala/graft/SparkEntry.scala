@@ -47,7 +47,8 @@ object SparkEntry {
    * twin of `hyperplane_ann`, `ngram_jaccard_exact` the uncapped twin of
    * `ngram_jaccard`; neither may ever be a bench/default path). */
   def benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_top_revenue", "q5_region_revenue", "vocab_stats",
+    "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_nation_volume",
+    "vocab_stats",
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "range_join", "profile_events", "key_skew",
@@ -181,6 +182,33 @@ object SparkEntry {
         .agg(sum(revenue).cast("double").as("revenue"),
           count(lit(1)).as("n_lineitems"))
         .orderBy("r_name")
+    }),
+
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7-style 6-way join: shipping volume between every
+      // (supplier nation, customer nation) pair by ship year. Both
+      // nation legs and the supplier dim broadcast; the lineitem →
+      // orders → customer chain shuffles on its join keys with the
+      // shipdate filter pushed to the fact scan.
+      val nat = t(s, dir, "nation")
+      val natS = broadcast(nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation")))
+      val natC = broadcast(nat.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(natS, col("s_nationkey") === col("s_nk"))
+        .join(natC, col("c_nationkey") === col("c_nk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
     "vocab_stats" -> ((s, dir) => {
@@ -1407,6 +1435,23 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "vocab_stats" ->
       """SELECT source,
