@@ -48,7 +48,7 @@ object SparkEntry {
    * `ngram_jaccard`; neither may ever be a bench/default path). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_nation_volume",
-    "vocab_stats",
+    "q17_small_qty_revenue", "vocab_stats",
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "range_join", "profile_events", "key_skew",
@@ -209,6 +209,29 @@ object SparkEntry {
         .agg(sum(revenue).cast("double").as("revenue"),
           count(lit(1)).as("n_lineitems"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17-style correlated aggregate: revenue from lineitems
+      // whose quantity is below 20% of their part's mean, by brand. The
+      // threshold is evaluated in integers (5·n·qty < Σqty ⟺
+      // qty < 0.2·avg — quantities are integral), so no decimal-vs-
+      // double average crosses engines. The per-part stats aggregate
+      // and both joins key on l_partkey, so one exchange serves all
+      // three (ReuseExchange); no broadcast hint — the part dim is
+      // sf-scaled, AQE decides.
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+      val stats = li.groupBy("l_partkey")
+        .agg(sum("qty").cast("long").as("sq"), count(lit(1)).as("n"))
+      li.join(stats, "l_partkey")
+        .filter(lit(5L) * col("n") * col("qty") < col("sq"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast(dec)).cast("double")
+            .as("small_qty_revenue"))
+        .orderBy("p_brand")
     }),
 
     "vocab_stats" -> ((s, dir) => {
@@ -1452,6 +1475,19 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH q AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |  l_extendedprice FROM lineitem),
+        |st AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq,
+        |  CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_qty_revenue
+        |FROM q JOIN st USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE 5 * n * qty < sq
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "vocab_stats" ->
       """SELECT source,
