@@ -216,10 +216,12 @@ object SparkEntry {
       // whose quantity is below 20% of their part's mean, by brand. The
       // threshold is evaluated in integers (5·n·qty < Σqty ⟺
       // qty < 0.2·avg — quantities are integral), so no decimal-vs-
-      // double average crosses engines. The per-part stats aggregate
-      // and both joins key on l_partkey, so one exchange serves all
-      // three (ReuseExchange); no broadcast hint — the part dim is
-      // sf-scaled, AQE decides.
+      // double average crosses engines. The stats aggregate and both
+      // joins all hash on l_partkey, so the join pipeline needs no
+      // re-exchange after the first (the stats branch re-scans lineitem
+      // with narrower pruning — a cheaper trade than shuffling the wide
+      // row twice); no broadcast hint — the part dim is sf-scaled, AQE
+      // decides.
       val li = t(s, dir, "lineitem").select(col("l_partkey"),
         col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
       val stats = li.groupBy("l_partkey")
