@@ -66,6 +66,7 @@ object SparkEntry {
     "quantize_int8", "embedding_centroids", "hard_negatives",
     "embedding_outliers",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
+    "media_fingerprint",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks",
@@ -482,6 +483,11 @@ object SparkEntry {
           expr("array_join(transform(hist_counts, c -> CAST(c AS STRING)), ',')")
             .as("hist"),
           col("peak_bin").cast("long").as("peak_bin"))
+        .orderBy("doc_id")),
+
+    // pre-codec media dedup: quantized byte-histogram fingerprint groups
+    "media_fingerprint" -> ((s, dir) =>
+      Multimodal.mediaFingerprintDedup(s, t(s, dir, "documents"))
         .orderBy("doc_id")),
 
     // pre-join shuffle-key skew profile: the 20 heaviest user_id values
@@ -1208,6 +1214,22 @@ object SparkEntry {
 
   /** DuckDB scalar: sequential-order double dot product of two FLOAT[]
    * columns — same accumulation order as VectorFns.dot. */
+  /** DuckDB 16-bin byte-histogram CTEs ending in `c(doc_id, byte_len,
+   * counts)` — shared by the feature_extract and media_near_dup oracles
+   * (hex-nibble recount of the UTF-8 payload bytes). */
+  private val histCtes: String =
+    """h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, byte_len,
+      |    list_transform(generate_series(0, 15), b ->
+      |      len(list_filter(generate_series(1, CAST(byte_len AS INTEGER)),
+      |          i -> substr(hx, 2 * i - 1, 1) =
+      |               substr('0123456789ABCDEF', b + 1, 1)))) AS counts
+      |  FROM h)""".stripMargin
+
   private def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
@@ -2012,22 +2034,28 @@ object SparkEntry {
     // Multimodal.featureExtractBatch ((byte & 0xff) >>> 4) is recomputable
     // exactly; peak_bin is first-max argmax via list_position.
     "feature_extract" ->
-      """WITH h AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, byte_len,
-        |    list_transform(generate_series(0, 15), b ->
-        |      len(list_filter(generate_series(1, CAST(byte_len AS INTEGER)),
-        |          i -> substr(hx, 2 * i - 1, 1) =
-        |               substr('0123456789ABCDEF', b + 1, 1)))) AS counts
-        |  FROM h)
-        |SELECT doc_id, byte_len,
-        |  array_to_string(list_transform(counts, x -> CAST(x AS VARCHAR)), ',')
-        |    AS hist,
-        |  CAST(list_position(counts, list_max(counts)) - 1 AS BIGINT) AS peak_bin
-        |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH $histCtes
+         |SELECT doc_id, byte_len,
+         |  array_to_string(list_transform(counts, x -> CAST(x AS VARCHAR)), ',')
+         |    AS hist,
+         |  CAST(list_position(counts, list_max(counts)) - 1 AS BIGINT) AS peak_bin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // media_fingerprint: permille-quantized histogram + length bucket as
+    // the group key; integer floor division on both sides
+    "media_fingerprint" ->
+      s"""WITH $histCtes,
+         |f AS (SELECT doc_id,
+         |  CAST(length(bin(byte_len)) AS VARCHAR) || ':' ||
+         |  array_to_string(list_transform(counts,
+         |    c -> CAST(CASE WHEN byte_len > 0
+         |              THEN (c * 1000) // byte_len ELSE 0 END AS VARCHAR)),
+         |    ',') AS fp
+         |  FROM c)
+         |SELECT doc_id, fp,
+         |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same,
+         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     // robust_stats: micro-unit quantization, integer trim ranks, one
     // floored division — no float mean/variance crosses engines

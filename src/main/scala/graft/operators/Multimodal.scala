@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -136,5 +137,39 @@ object Multimodal {
             channels = 3L, checksum = hex)
         }
       }
+  }
+
+  /**
+   * Cheap-feature media dedup BEFORE any codec: group binary payloads by
+   * a quantized byte-histogram fingerprint — each bin's count reduced to
+   * integer permille of the payload length — plus the power-of-two
+   * length bucket, and keep the lowest id per group. Re-saved/trivially
+   * re-encoded copies collapse; with a real decoder the same plan runs
+   * on perceptual hashes. (A cosine-pair formulation was measured first:
+   * same-language TEXT payloads all have near-identical byte histograms,
+   * so ≥0.995 cosine emitted 37k of 125k possible pairs at sf0.01 —
+   * a quadratic answer carrying no signal. Exact quantized-fingerprint
+   * grouping is the formulation whose output stays LINEAR in the corpus
+   * by construction.)
+   *
+   * Emits (idCol, fp, n_same, keep). One hash aggregate over the
+   * fingerprint string + a window within fingerprint groups — no pair
+   * join anywhere; permille arithmetic is BIGINT floor division, so the
+   * fingerprint is engine-exact.
+   */
+  def mediaFingerprintDedup(spark: SparkSession, docs: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    val f = featureExtractBatch(spark, docs, idCol).toDF()
+      .select(col("doc_id"), col("byte_len"), col("hist_counts").as("h"))
+      .withColumn("fp", concat(
+        length(bin(col("byte_len"))).cast("string"), lit(":"),
+        expr("""array_join(transform(h,
+                |  c -> CAST(CASE WHEN byte_len > 0
+                |            THEN (c * 1000) DIV byte_len ELSE 0 END AS STRING)),
+                |  ',')""".stripMargin)))
+    val w = Window.partitionBy("fp")
+    f.withColumn("n_same", count(lit(1)).over(w).cast("long"))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .select(col("doc_id").as(idCol), col("fp"), col("n_same"), col("keep"))
   }
 }

@@ -32,4 +32,19 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_id", "byte_len", "checksum").orderBy("doc_id"))
     assert(exprPath == mpPath)
   }
+
+  test("mediaFingerprintDedup: identical payloads group, lowest id kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same payload bytes"),
+      (2L, "same payload bytes"),     // exact copy of 1 -> same group
+      (3L, "completely different content with other lengths"))
+      .toDF("doc_id", "text")
+    val out = rows(Multimodal.mediaFingerprintDedup(spark, d)
+      .orderBy("doc_id"))
+    assert(out.map(r => (r(0), r(2), r(3))) == Seq(
+      (1L, 2L, true), (2L, 2L, false), (3L, 1L, true)))
+    // fingerprints of the copies are equal, the outsider's differs
+    assert(out(0)(1) == out(1)(1) && out(0)(1) != out(2)(1))
+  }
 }
