@@ -281,4 +281,50 @@ object PropertyLaws extends Properties("graft") {
         .toSeq.sorted
       got == expect
     }
+
+  property("pageRank equals the single-threaded integer model") =
+    forAll(
+      Gen.listOf(for {
+        a <- Gen.choose(0L, 7L); b <- Gen.choose(0L, 7L) if a != b
+      } yield (math.min(a, b), math.max(a, b))),
+      Gen.choose(1, 3)) { (rawPairs, iters) =>
+      import spark.implicits._
+      val pairs = rawPairs.distinct
+      val nodes = (0L to 7L).toList
+      // reference model: same integer update rule, sequential
+      val ed = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = ed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var pr = nodes.map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val in = ed.groupBy(_._2).view.mapValues(
+          _.map { case (src, _) => pr(src) / deg(src) }.sum).toMap
+        pr = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+      }
+      val edges = ed.toDF("src", "dst")
+      val got = graft.operators.Graph.pageRank(edges, nodes.toDF("doc_id"),
+        iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == pr
+    }
+
+  property("trimmedStats: n_used matches the permille trim rule exactly") =
+    forAll(Gen.listOf(for {
+      g <- Gen.oneOf("a", "b"); v <- Gen.choose(-100, 100)
+    } yield (g, v)), Gen.choose(0, 300), Gen.choose(0, 300)) {
+      (xs0, lo, hi) =>
+      import spark.implicits._
+      val xs = xs0.zipWithIndex.map { case ((g, v), i) =>
+        (g, v.toDouble, i.toLong) }
+      xs.isEmpty || {
+        val got = graft.operators.Relational.trimmedStats(
+          xs.toDF("event_type", "value", "event_id"),
+          lowPermille = lo, highPermille = hi)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        got.forall { case (g, nTotal, nUsed) =>
+          val n = xs.count(_._1 == g).toLong
+          val expect = math.max(0L, n - n * lo / 1000 - n * hi / 1000)
+          nTotal == n && nUsed == expect
+        }
+      }
+    }
 }
