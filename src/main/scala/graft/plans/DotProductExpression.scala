@@ -36,6 +36,16 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // nullSafeEval returns null for length-mismatched arrays and null
+  // elements even when BOTH inputs are non-null, so the default
+  // child-derived nullability would be a lie: an optimizer may fold
+  // IsNull(graft_dot(..)) away on it, and codegen emits the constant
+  // `false` for ev.isNull — the generated `false = true;` then fails to
+  // compile and the whole stage silently falls back to the interpreter
+  // (observed when the inputs are computed non-nullable arrays rather
+  // than parquet columns).
+  override def nullable: Boolean = true
+
   @transient private lazy val leftIsFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val rightIsFloat =
