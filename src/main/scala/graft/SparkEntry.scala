@@ -72,7 +72,7 @@ object SparkEntry {
     "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks",
     "cdc_dedup", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
-    "event_transitions", "count_anomaly",
+    "event_transitions", "count_anomaly", "resample_ffill",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
@@ -777,6 +777,12 @@ object SparkEntry {
     "count_anomaly" -> ((s, dir) =>
       Sessions.countAnomaly(t(s, dir, "events"))
         .orderBy("day", "event_type")),
+
+    // per-user daily resample with forward fill (as-of state per day)
+    "resample_ffill" -> ((s, dir) =>
+      Sessions.resampleDaily(
+        t(s, dir, "events").filter(col("user_id") % 10 === 0))
+        .orderBy("user_id", "day")),
 
     "interval_overlap" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2668,6 +2674,31 @@ object SparkEntry {
         |  CAST(cnt.n_pairs AS DOUBLE) / tot.n_from AS p
         |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // resample_ffill: same last-event-of-day pick (ts desc, event_id
+    // desc), generate_series day spine, IGNORE NULLS carry
+    "resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 10 = 0)
+        |  WHERE rn = 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1))
+        |SELECT s.user_id, s.day,
+        |  last_value(d.value IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  d.value IS NULL AS is_filled
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     // count_anomaly: the 3-sigma test evaluated in pure BIGINT arithmetic
     // ((n*x - S1)^2 > 9*(n*S2 - S1^2)) so the flag is engine-invariant

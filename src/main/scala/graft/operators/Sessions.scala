@@ -187,6 +187,40 @@ object Sessions {
   }
 
   /**
+   * Per-key daily resampling with forward fill: expand each key's
+   * event history onto a continuous day spine (its own min..max day) and
+   * carry the last observed value across gap days — the
+   * dashboard/feature-store "as-of state per day" view of an event log.
+   * Emits (keyCol, day, value, is_filled); the observed value for a day
+   * is the LAST event of that day (ordered by ts, then `tieCol`), and a
+   * filled day repeats the newest earlier observation exactly (the value
+   * is carried, never recomputed — engine-exact without arithmetic).
+   *
+   * Scale: one per-key min/max aggregate generates the spine
+   * (`sequence()` explode — rows bounded by keys × span days, not by
+   * event volume), one day-level last-event aggregate, and one key-keyed
+   * window for the fill; everything shuffles on the 8-byte key.
+   */
+  def resampleDaily(events: DataFrame, keyCol: String = "user_id",
+                    tsCol: String = "ts", valCol: String = "value",
+                    tieCol: String = "event_id"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(max(struct(col(tsCol), col(tieCol), col(valCol))).as("__last"))
+      .select(col(keyCol), col("day"), col("__last")(valCol).as("__obs"))
+    val spine = daily.groupBy(keyCol)
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col(keyCol),
+        explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("value", last(col("__obs"), ignoreNulls = true).over(w))
+      .withColumn("is_filled", col("__obs").isNull)
+      .select(col(keyCol), col("day"), col("value"), col("is_filled"))
+  }
+
+  /**
    * Daily event-count anomaly detection: flag (day, event_type) cells
    * whose count deviates from the trailing `baselineDays`-day mean by
    * more than `sigmas` standard deviations — the volume-spike /

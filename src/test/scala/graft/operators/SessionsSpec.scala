@@ -158,6 +158,25 @@ class SessionsSpec extends SparkSpec {
       Seq("view", "click", 2L, 2L, 1.0)))
   }
 
+  test("resampleDaily: gap days forward-fill the last observation") {
+    val ev = Seq(
+      // u1: obs on day 1 (two events — later one wins) and day 4
+      (1L, 1L, 10.0, "2024-01-01 08:00:00"),
+      (2L, 1L, 20.0, "2024-01-01 09:00:00"),
+      (3L, 1L, 40.0, "2024-01-04 12:00:00"),
+      // u2: a single day — spine is that one day
+      (4L, 2L, 7.0, "2024-01-03 00:00:00"))
+      .map { case (e, u, v, t) => (e, u, v, ts(t)) }
+      .toDF("event_id", "user_id", "value", "ts")
+    val out = rows(Sessions.resampleDaily(ev).orderBy("user_id", "day"))
+    assert(out.map(r => (r(0), r(1).toString, r(2), r(3))) == Seq(
+      (1L, "2024-01-01", 20.0, false),  // last event of the day wins
+      (1L, "2024-01-02", 20.0, true),   // gap: carried
+      (1L, "2024-01-03", 20.0, true),
+      (1L, "2024-01-04", 40.0, false),
+      (2L, "2024-01-03", 7.0, false)))
+  }
+
   test("countAnomaly: spike beyond 3 sigma flagged, steady traffic not") {
     // 7 baseline days at exactly 10 events/day (variance 0), then one
     // 11-event day (any deviation from a zero-variance baseline flags)
