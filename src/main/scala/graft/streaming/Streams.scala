@@ -336,6 +336,25 @@ object Streams {
       .start()
 
   /**
+   * Stream–static enrichment: join a stream against a batch dimension
+   * frame (user profiles, rate tables, allow-lists). Stream–static joins
+   * need no watermark and no stream-side state — each micro-batch joins
+   * the dim as of its own execution, so a dim refresh (table overwrite)
+   * is picked up by the NEXT batch without restarting the query. The
+   * dim side is broadcast: the stream never shuffles, which is the only
+   * join shape that keeps a low-latency trigger low-latency. Inner mode
+   * drops unmatched stream rows (allow-list semantics); left keeps them
+   * with nulls (enrichment semantics).
+   */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String,
+                   joinType: String = "left"): DataFrame = {
+    require(joinType == "left" || joinType == "inner",
+      "stream-static enrichment supports left or inner")
+    stream.join(broadcast(dim), Seq(key),
+      if (joinType == "left") "left_outer" else "inner")
+  }
+
+  /**
    * Maintenance compaction for the `batch=<id>`-partitioned streaming
    * indexes ([[nearDupSink]] signatures, [[chunkDedupSink]] chunk
    * hashes, [[anomalySink]] daily counts): fold every batch partition

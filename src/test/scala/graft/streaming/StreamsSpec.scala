@@ -250,6 +250,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: dim attributes attach per batch, unmatched kept on left") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrichStream(mem.toDF().toDF("user_id", "event_type"),
+      dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val out = rows(spark.table("enriched").orderBy("user_id"))
+      assert(out == Seq(
+        Seq(1L, "click", "gold"),
+        Seq(3L, "view", null)))       // unmatched stream row survives
+      // inner mode = allow-list: the unmatched row is dropped
+      val q2 = Streams.enrichStream(mem.toDF().toDF("user_id", "event_type"),
+        dim, "user_id", joinType = "inner")
+        .writeStream.format("memory").queryName("allowed")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        assert(rows(spark.table("allowed")).map(_(0)).toSet == Set(1L))
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("compactIndex: folded index keeps dedup and count semantics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
