@@ -77,7 +77,7 @@ object SparkEntry {
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
-    "quality_calibrate", "source_overlap", "bm25_topk",
+    "quality_calibrate", "source_overlap", "ngram_novelty", "bm25_topk",
     "semantic_decontaminate", "oov_rate", "hybrid_topk",
     "train_val_split",
     "split_leakage",
@@ -878,6 +878,10 @@ object SparkEntry {
     "source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(t(s, dir, "documents"))
         .orderBy("source_a", "source_b")),
+
+    // per-document content-originality: share of shingles unique to it
+    "ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(t(s, dir, "documents")).orderBy("doc_id")),
 
     // embedding-space decontamination: the five lowest-id vectors probe
     "semantic_decontaminate" -> ((s, dir) => {
@@ -2937,6 +2941,29 @@ object SparkEntry {
          |  CASE WHEN COALESCE(pd.n_tokens, 0) > 0 THEN
          |    CAST(pd.n_oov * 1000 // pd.n_tokens AS BIGINT)
          |  ELSE 0 END AS oov_permille
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // ngram_novelty: same distinct-shingle poly hashes; novel = df == 1
+    "ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM shs),
+         |dfc AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+         |  FROM sh GROUP BY 1),
+         |pd AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel
+         |  FROM sh JOIN dfc ON sh.h = dfc.h GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(pd.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN COALESCE(pd.n_shingles, 0) > 0 THEN
+         |    CAST(pd.n_novel * 1000 // pd.n_shingles AS BIGINT)
+         |  ELSE 0 END AS novelty_permille
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 

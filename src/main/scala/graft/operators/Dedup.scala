@@ -800,6 +800,41 @@ object Dedup {
   }
 
   /**
+   * Per-document n-gram novelty: the share of each document's distinct
+   * shingles that appear in NO other document — the content-originality
+   * signal completing the duplication triptych ([[Dedup.duplicatedSpans]]
+   * measures cross-doc repeated windows, [[TextAnalysis.repetitionScore]]
+   * intra-doc repetition; this measures what is uniquely the document's
+   * own). Emits (idCol, n_shingles, n_novel, novelty_permille) for every
+   * document — shingle-less docs report zeros; the rate is integer
+   * permille, engine-exact.
+   *
+   * Scale: the distinct-shingle explode feeds a df hash aggregate keyed
+   * on the 8-byte reproducible hash (vocabulary-bounded, map-side
+   * combined); novel means df == 1, so the flag needs no join back to a
+   * df table — counting (total, df==1) per doc happens in ONE aggregate
+   * over the df-annotated rows.
+   */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = docShingles(docs, idCol, n, textCol, reproducible = true)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val perDoc = sh.join(df, "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_permille",
+        when(col("n_shingles") > 0,
+          expr("CAST(n_novel * 1000 DIV n_shingles AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
+
+  /**
    * Cross-source shingle-overlap matrix: n-gram Jaccard similarity
    * between every pair of corpus sources — the contamination dashboard
    * that answers "how much does crawl A repeat crawl B" before sources

@@ -240,6 +240,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L), Seq(5L, 5L)))
   }
 
+  test("ngramNovelty: unique shingles counted, shared ones not, empty zeros") {
+    val docs = Seq(
+      (1L, "a b c d"),        // shingles: abc bcd — bcd shared with doc 2
+      (2L, "b c d e"),        // shingles: bcd cde — cde shared with doc 3
+      (3L, "c d e"),          // single shingle cde, fully shared
+      (4L, "x"))              // too short: no shingles
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.ngramNovelty(docs).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 2L, 1L, 500L),   // abc novel, bcd shared
+      Seq(2L, 2L, 0L, 0L),     // both shared
+      Seq(3L, 1L, 0L, 0L),
+      Seq(4L, 0L, 0L, 0L)))
+  }
+
   test("sourceOverlap: pairwise shingle Jaccard incl. zero-overlap pairs") {
     // A and B share exactly one 3-gram ("c d e" via docs 2 and 3);
     // C shares nothing with either. Distinctness inside a source: doc 4
