@@ -48,7 +48,7 @@ object SparkEntry {
    * `ngram_jaccard`; neither may ever be a bench/default path). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_nation_volume",
-    "q17_small_qty_revenue", "vocab_stats",
+    "q12_priority_class", "q17_small_qty_revenue", "vocab_stats",
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "range_join", "profile_events", "key_skew",
@@ -211,6 +211,23 @@ object SparkEntry {
           count(lit(1)).as("n_lineitems"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
+
+    "q12_priority_class" -> ((s, dir) =>
+      // TPC-H Q12-style: late-shipment counts split by order-priority
+      // class per return flag — one fact-fact equi-join (both sides
+      // shuffle on the order key) and a pure-integer conditional
+      // aggregate; the shipdate filter prunes at the lineitem scan
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")),
 
     "q17_small_qty_revenue" -> ((s, dir) => {
       // TPC-H Q17-style correlated aggregate: revenue from lineitems
@@ -1509,6 +1526,17 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q17_small_qty_revenue" ->
       """WITH q AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
