@@ -72,7 +72,7 @@ object SparkEntry {
     "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks",
     "cdc_dedup", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
-    "event_transitions", "count_anomaly", "resample_ffill",
+    "event_transitions", "count_anomaly", "resample_ffill", "event_lift",
     "neardup_clusters", "neardup_dedup", "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
@@ -794,6 +794,11 @@ object SparkEntry {
     "count_anomaly" -> ((s, dir) =>
       Sessions.countAnomaly(t(s, dir, "events"))
         .orderBy("day", "event_type")),
+
+    // market-basket lift between event types over user-day baskets
+    "event_lift" -> ((s, dir) =>
+      Sessions.eventLift(t(s, dir, "events"))
+        .orderBy("type_a", "type_b")),
 
     // per-user daily resample with forward fill (as-of state per day)
     "resample_ffill" -> ((s, dir) =>
@@ -2705,6 +2710,30 @@ object SparkEntry {
         |SELECT cnt.from_type, cnt.to_type, cnt.n_pairs, tot.n_from,
         |  CAST(cnt.n_pairs AS DOUBLE) / tot.n_from AS p
         |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // event_lift: distinct user-day-type baskets, integer milli lift
+    "event_lift" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d,
+        |    event_type AS t
+        |  FROM events),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        |  FROM (SELECT DISTINCT u, d FROM baskets)),
+        |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |  FROM baskets GROUP BY 1),
+        |pc AS (SELECT a.t AS type_a, b.t AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM baskets a JOIN baskets b
+        |    ON a.u = b.u AND a.d = b.d AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT pc.type_a, pc.type_b, ta.n AS n_a, tb.n AS n_b, pc.n_ab,
+        |  CAST((nb.n_baskets * pc.n_ab * 1000) // (ta.n * tb.n) AS BIGINT)
+        |    AS lift_milli
+        |FROM pc
+        |JOIN tc ta ON ta.t = pc.type_a
+        |JOIN tc tb ON tb.t = pc.type_b
+        |CROSS JOIN nb
         |ORDER BY 1, 2""".stripMargin,
 
     // resample_ffill: same last-event-of-day pick (ts desc, event_id

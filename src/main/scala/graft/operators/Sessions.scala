@@ -187,6 +187,51 @@ object Sessions {
   }
 
   /**
+   * Event-type co-occurrence lift (market-basket association over
+   * behavior): for every unordered pair of event types, how much more
+   * often they co-occur in the same user-day basket than independence
+   * predicts — lift = n_baskets · n_ab / (n_a · n_b). Lift > 1 means
+   * the pair attracts (funnel candidates); < 1 means it repels. Emits
+   * (type_a, type_b, n_a, n_b, n_ab, lift_milli) with type_a < type_b
+   * and lift floored to integer milli-units (one fixed BIGINT
+   * multiply/divide — engine-exact; counts < 2³¹ keep the numerator in
+   * range).
+   *
+   * Scale: baskets are distinct (user, day, type) triples — one hash
+   * aggregate; the pair join is per-basket self-join over that distinct
+   * frame (fan-out |types|² per basket, never event²); per-type and
+   * pair counts are |types|-bounded aggregates that cross-join a 1-row
+   * total. Event volume touches only the first distinct.
+   */
+  def eventLift(events: DataFrame, userCol: String = "user_id",
+                typeCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    val baskets = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
+        col(typeCol).as("t"))
+      .distinct()
+    val nBaskets = baskets.select("u", "d").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = baskets.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.u") === col("b.u") && col("a.d") === col("b.d") &&
+          col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCounts.select(col("t").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(typeCounts.select(col("t").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("lift_milli",
+        expr("CAST((n_baskets * n_ab * 1000) DIV (n_a * n_b) AS BIGINT)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_ab", "lift_milli")
+  }
+
+  /**
    * Per-key daily resampling with forward fill: expand each key's
    * event history onto a continuous day spine (its own min..max day) and
    * carry the last observed value across gap days — the

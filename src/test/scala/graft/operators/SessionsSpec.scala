@@ -158,6 +158,29 @@ class SessionsSpec extends SparkSpec {
       Seq("view", "click", 2L, 2L, 1.0)))
   }
 
+  test("eventLift: user-day baskets, integer milli lift, a<b pairs only") {
+    // 4 baskets: u1d1 {view, click}, u1d2 {view}, u2d1 {view, click},
+    // u3d1 {view, buy}. n(view)=4, n(click)=2, n(buy)=1,
+    // n(view,click)=2 -> lift = 4*2/(4*2) = 1.000
+    // n(buy,view)=1  -> lift = 4*1/(1*4) = 1.000
+    // click x buy never co-occur -> no row
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 01:00:00"),
+      (2L, 1L, "click", "2024-01-01 02:00:00"),
+      (3L, 1L, "view", "2024-01-01 03:00:00"),  // dup in basket: ignored
+      (4L, 1L, "view", "2024-01-02 01:00:00"),
+      (5L, 2L, "view", "2024-01-01 01:00:00"),
+      (6L, 2L, "click", "2024-01-01 02:00:00"),
+      (7L, 3L, "view", "2024-01-01 01:00:00"),
+      (8L, 3L, "buy", "2024-01-01 02:00:00"))
+      .map { case (e, u, tpe, t) => (e, u, tpe, ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = rows(Sessions.eventLift(ev).orderBy("type_a", "type_b"))
+    assert(out == Seq(
+      Seq("buy", "view", 1L, 4L, 1L, 1000L),
+      Seq("click", "view", 2L, 4L, 2L, 1000L)))
+  }
+
   test("resampleDaily: gap days forward-fill the last observation") {
     val ev = Seq(
       // u1: obs on day 1 (two events — later one wins) and day 4
