@@ -43,9 +43,16 @@ object SparkEntry {
     queries("q3_top_revenue")(spark, "/root/testdata/sf0.001")
 
   /** Headline bench set: every registered query except the intentionally
-   * quadratic exact variants (`embedding_near_dup` is the all-pairs oracle
-   * twin of `hyperplane_ann`, `ngram_jaccard_exact` the uncapped twin of
-   * `ngram_jaccard`; neither may ever be a bench/default path). */
+   * quadratic / skew-exposed exact variants, which stay oracle-grade only:
+   *   - `embedding_near_dup` — all-pairs oracle twin of `hyperplane_ann`;
+   *   - `ngram_jaccard` / `ngram_jaccard_exact` — Ω(Σ df²) candidate volume
+   *     even DF-capped (measured 38× superlinear at 10× dup mass,
+   *     BENCH_scaling.md); `minhash_lsh` is the near-dup pair default at
+   *     scale (same pair set to 0.014% recall, 15× faster);
+   *   - `simhash` (uncapped) — band-bucket self-join on biased sign bits is
+   *     skew-prone (12.5 s driver-bench outlier, round 6); `simhash_capped`
+   *     (maxBucketSize = 64) is the production headline.
+   * None of these may ever be a bench/default path. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_nation_volume",
     "q12_priority_class", "q17_small_qty_revenue", "vocab_stats",
@@ -57,9 +64,9 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
-    "exact_dedup", "ngram_jaccard", "fuzzy_join", "dedup_lines",
+    "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans",
-    "minhash_lsh", "simhash", "simhash_capped", "incremental_neardup",
+    "minhash_lsh", "simhash_capped", "incremental_neardup",
     "pagerank",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
@@ -328,10 +335,11 @@ object SparkEntry {
         idCol = "c_custkey", textCol = "c_name")
         .orderBy("doc_a", "doc_b")),
 
-    // the DEFAULT path is DF-capped: shingles seen in > 20 documents are
-    // excluded from CANDIDATE GENERATION (the df² join-volume driver) while
-    // Jaccard denominators stay pre-cap — recall-only tradeoff, and the
-    // oracle models the cap exactly
+    // oracle-grade only (not benched): even DF-capped, candidate volume is
+    // Ω(Σ df²) and measured 38× superlinear at 10× dup mass — minhash_lsh
+    // is the near-dup pair default at scale. Shingles seen in > 20
+    // documents are excluded from CANDIDATE GENERATION while Jaccard
+    // denominators stay pre-cap; the oracle models the cap exactly
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5,
         maxShingleDF = Some(20)).orderBy("doc_a", "doc_b")),
@@ -357,6 +365,9 @@ object SparkEntry {
       Graph.pageRank(edges, docs, iters = 5).orderBy("doc_id")
     }),
 
+    // oracle-grade only (not benched): the uncapped band-bucket self-join
+    // is skew-prone on biased sign bits (round-6 driver bench: 12.5 s vs
+    // 2.1 s capped on identical fixtures) — simhash_capped is the headline.
     "simhash" -> ((s, dir) =>
       // maxHamming = 3 on a 64-bit signature: the Manku et al. (WWW'07)
       // web-dedup operating point; 4x16-bit bands keep the candidate join
@@ -2728,7 +2739,8 @@ object SparkEntry {
         |    ON a.u = b.u AND a.d = b.d AND a.t < b.t
         |  GROUP BY 1, 2)
         |SELECT pc.type_a, pc.type_b, ta.n AS n_a, tb.n AS n_b, pc.n_ab,
-        |  CAST((nb.n_baskets * pc.n_ab * 1000) // (ta.n * tb.n) AS BIGINT)
+        |  CAST((CAST(nb.n_baskets AS HUGEINT) * pc.n_ab * 1000)
+        |    // (CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT)
         |    AS lift_milli
         |FROM pc
         |JOIN tc ta ON ta.t = pc.type_a

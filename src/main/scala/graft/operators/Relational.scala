@@ -338,9 +338,19 @@ object Relational {
    */
   def groupedRanks(df: DataFrame, grpCol: String, orderCols: Seq[Column],
                    rankCol: String, nCol: String): DataFrame = {
+    // The ranged frame is referenced TWICE (offsets aggregate + rank join)
+    // and its `__pid` values are only meaningful if both consumers see the
+    // SAME physical partitioning. Two separately-planned range exchanges
+    // are not guaranteed identical: column pruning can make the subplans
+    // differ (defeating ReuseExchange), and AQE may coalesce the two
+    // shuffles to different partition counts — either way the __pid spaces
+    // would disagree and the (__pid, grp) join would rank wrongly. Pinning
+    // with an eager localCheckpoint (the bm25TopK / pageRank pattern)
+    // materializes one physical partitioning that both references share.
     val ranged = df
       .repartitionByRange((col(grpCol).asc +: orderCols): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val perPart = Window.partitionBy(col("__pid"), col(grpCol))
       .orderBy(orderCols: _*)
     val perGrp = Window.partitionBy(grpCol).orderBy("__pid")

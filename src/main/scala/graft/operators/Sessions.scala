@@ -193,9 +193,13 @@ object Sessions {
    * predicts — lift = n_baskets · n_ab / (n_a · n_b). Lift > 1 means
    * the pair attracts (funnel candidates); < 1 means it repels. Emits
    * (type_a, type_b, n_a, n_b, n_ab, lift_milli) with type_a < type_b
-   * and lift floored to integer milli-units (one fixed BIGINT
-   * multiply/divide — engine-exact; counts < 2³¹ keep the numerator in
-   * range).
+   * and lift floored to integer milli-units — engine-exact: the
+   * numerator/denominator products run in DECIMAL(38,0) (HUGEINT on the
+   * oracle side), so basket counts up to 2³¹ are safe by construction
+   * (n_baskets·n_ab·1000 ≤ ~4.6e21 ≪ 10³⁸). A pure-BIGINT numerator
+   * would wrap silently in Spark (non-ANSI) once n_baskets·n_ab·1000
+   * exceeds 2⁶³ — around n_baskets ≈ n_ab ≈ 2²⁷ — while DuckDB raises,
+   * making the engines diverge instead of failing together.
    *
    * Scale: baskets are distinct (user, day, type) triples — one hash
    * aggregate; the pair join is per-basket self-join over that distinct
@@ -227,7 +231,8 @@ object Sessions {
         col("n").as("n_b"))), "type_b")
       .crossJoin(broadcast(nBaskets))
       .withColumn("lift_milli",
-        expr("CAST((n_baskets * n_ab * 1000) DIV (n_a * n_b) AS BIGINT)"))
+        expr("CAST((CAST(n_baskets AS DECIMAL(20,0)) * n_ab * 1000) " +
+          "DIV (CAST(n_a AS DECIMAL(20,0)) * n_b) AS BIGINT)"))
       .select("type_a", "type_b", "n_a", "n_b", "n_ab", "lift_milli")
   }
 

@@ -376,6 +376,18 @@ object Streams {
    * `reduce` receives the index rows without the `batch` column and
    * must return the same schema: `_.distinct()` for hash/signature
    * indexes, a key-summing aggregate for the counts index.
+   *
+   * Replay safety for SUMMING indexes: folding `batch=<id>` partitions
+   * into `batch=-1` destroys the batch-id idempotency key — if a
+   * micro-batch wrote its partition but its checkpoint commit was not
+   * recorded before the stream quiesced, the post-compaction restart
+   * replays it into a fresh `batch=<id>` partition whose rows are
+   * already inside `batch=-1`, double-counting a summing index
+   * (distinct-reduced indexes are immune). So compaction records the
+   * max folded batch id in a `_compacted_through` marker (written into
+   * the new tree BEFORE the atomic swap, so marker and fold appear
+   * together), and [[anomalySink]] consults it via
+   * [[compactedThrough]] to skip re-contributing batches ≤ the marker.
    */
   def compactIndex(spark: SparkSession, indexPath: String)
                   (reduce: DataFrame => DataFrame): Unit = {
@@ -386,11 +398,17 @@ object Streams {
     val backup = new Path(indexPath + "__compact_backup")
     fs.delete(tmp, true)
     fs.delete(backup, true)
-    val compacted = reduce(
-      spark.read.option("basePath", indexPath).parquet(indexPath)
-        .drop("batch"))
+    val all = spark.read.option("basePath", indexPath).parquet(indexPath)
+    val maxBatch = all.agg(max(col("batch")).cast("long")).head.getLong(0)
+    val compacted = reduce(all.drop("batch"))
     compacted.write.mode("overwrite")
       .parquet(new Path(tmp, "batch=-1").toString)
+    // Carry the previous watermark forward: batch=-1 rows from an earlier
+    // compaction fold straight through, so the marker is monotone.
+    val prevMark = compactedThrough(spark, indexPath)
+    val mark = math.max(maxBatch, prevMark)
+    val out = fs.create(new Path(tmp, MarkerFile), true)
+    try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(main, backup))
       throw new java.io.IOException(s"compactIndex: cannot move $main aside")
     if (!fs.rename(tmp, main)) {
@@ -398,6 +416,28 @@ object Streams {
       throw new java.io.IOException(s"compactIndex: cannot move $tmp in")
     }
     fs.delete(backup, true)
+  }
+
+  /** Leading underscore: Spark's parquet reader ignores it as data. */
+  private val MarkerFile = "_compacted_through"
+
+  /**
+   * Highest batch id folded into `batch=-1` by [[compactIndex]], or -1
+   * if the index was never compacted. Batches ≤ this watermark are
+   * already inside the compacted partition and must not re-contribute
+   * to summing indexes on replay.
+   */
+  def compactedThrough(spark: SparkSession, indexPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(indexPath, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    }
   }
 
   /**
@@ -414,8 +454,12 @@ object Streams {
    * batch's count contribution and its verdict rows both land in
    * `batch=<id>` partitions in overwrite mode, so a replayed
    * micro-batch rewrites itself and never double-counts (the
-   * [[nearDupSink]] index-partition protocol). Consumers aggregate
-   * `countsPath` by (day, event_type) and read verdicts as
+   * [[nearDupSink]] index-partition protocol). Because this index SUMS
+   * (unlike the distinct-reduced signature indexes), a replay arriving
+   * after [[compactIndex]] folded its partition into `batch=-1` would
+   * double-count — so each batch first checks the
+   * [[compactedThrough]] watermark and skips batches ≤ it. Consumers
+   * aggregate `countsPath` by (day, event_type) and read verdicts as
    * last-batch-wins per day.
    *
    * Scale: the index holds (day, type, n) rows — days × types per
@@ -430,7 +474,8 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, countsPath)) {
           val s = batch.sparkSession
           batch
             .groupBy(to_date(col(tsCol)).as("day"), col(typeCol))
