@@ -67,6 +67,7 @@ object SparkEntry {
     "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans",
     "minhash_lsh", "simhash_capped", "incremental_neardup",
+    "incremental_neardup_indexed",
     "pagerank",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
@@ -401,6 +402,24 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the PERSISTED-index variant of incremental_neardup: corpus
+    // signatures are written ONCE as the co-located two-table bucketed
+    // layout (writeBandedIndex; memoized across bench passes — the build
+    // is per-corpus, the timed steady state is per-batch), then the batch
+    // joins against it with zero Exchange on the index side (DedupSpec
+    // plan assertion). Same output contract and the same oracle SQL as
+    // incremental_neardup.
+    "incremental_neardup_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = "graft_nd_idx_" + math.abs(dir.hashCode).toString
+      if (!s.catalog.tableExists(base + "_sigs"))
+        Dedup.writeBandedIndex(
+          Dedup.minhashSignatures(docs.filter(col("doc_id") % 7 =!= 0)), base)
+      Dedup.incrementalNearDupsAgainstIndex(
+        Dedup.minhashSignatures(docs.filter(col("doc_id") % 7 === 0)), base)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "embedding_near_dup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("vec_a", "vec_b")),
@@ -496,6 +515,9 @@ object SparkEntry {
     "payload_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // real javax.imageio round-trip: per-doc PNGs are encoded then decoded
+    // executor-side; dimensions/band-count/channel sums all come from the
+    // DECODED raster, and the oracle predicts them in closed form
     "decode_batch" -> ((s, dir) =>
       Multimodal.decodeBatch(s, t(s, dir, "documents")).toDF().orderBy("doc_id")),
 
@@ -1788,6 +1810,9 @@ object SparkEntry {
     // closed-form and recomputed here
     "incremental_neardup" -> incrementalNearDupSql,
 
+    // identical contract through the persisted bucketed index
+    "incremental_neardup_indexed" -> incrementalNearDupSql,
+
     "embedding_near_dup" -> embeddingNearDupSql,
 
     // ann_recall: both pair sets are deterministic (closed-form planes +
@@ -2606,14 +2631,22 @@ object SparkEntry {
          |      / greatest(length(text), 1) >= 0.5
          |ORDER BY tk.doc_id""".stripMargin,
 
+    // decode_batch twin: the Spark side decodes real PNG bytes; this side
+    // predicts what the decoded raster must contain from the closed-form
+    // pattern pixel(x,y) = RGB(x, y, id mod 256) at w = 16 + id mod 17,
+    // h = 16 + id mod 13 — a hash match proves the codec round-trip
     "decode_batch" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
-        |  sha256(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
+        |  CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+        |  CAST(w * h * (doc_id % 256) AS BIGINT) AS sum_b
+        |FROM (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "sessionize" ->
       """SELECT event_id, ts, user_id, event_type, value, props,

@@ -291,17 +291,47 @@ object Dedup {
                                   maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    incrementalNearDupsPrebanded(
+      newSigs, bandBuckets(newSigs, bands, r, idCol),
+      corpusSigs, bandBuckets(corpusSigs, bands, r, idCol),
+      estThreshold, numHashes, idCol, maxBucketSize)
+  }
+
+  /** Banded (id, band, bucket) rows for a signature table — the
+   * PERSISTABLE companion of [[minhashSignatures]]: band a document once
+   * at ingest and every later batch's candidate join reads 3 small
+   * columns instead of re-banding sig arrays (the difference between
+   * O(batch) and O(corpus) banding work per ingest). Must be built with
+   * the same `numHashes`/`bands` as the batches that will join it. */
+  def minhashBandRows(sigs: DataFrame, numHashes: Int = 128,
+                      bands: Int = 32, idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    bandBuckets(sigs, bands, numHashes / bands, idCol)
+  }
+
+  /** [[incrementalNearDupsFromSigs]] with BOTH sides' band rows supplied
+   * by the caller (e.g. read back from a persisted band index) — the
+   * banding step is skipped entirely. Band frames are (idCol, band,
+   * bucket) from [[minhashBandRows]] over the same hash family. */
+  def incrementalNearDupsPrebanded(newSigs: DataFrame, newBands: DataFrame,
+                                   corpusSigs: DataFrame,
+                                   corpusBands: DataFrame,
+                                   estThreshold: Double = 0.5,
+                                   numHashes: Int = 128,
+                                   idCol: String = "doc_id",
+                                   maxBucketSize: Option[Int] = None): DataFrame = {
     val minMatches = math.ceil(estThreshold * numHashes).toInt
-    val newBands = bandBuckets(newSigs, bands, r, idCol)
-    val allBands = bandBuckets(corpusSigs, bands, r, idCol).union(newBands)
+    val nb = newBands.select(col(idCol), col("band"), col("bucket"))
+    val allBands = corpusBands.select(col(idCol), col("band"), col("bucket"))
+      .union(nb)
     val newKept = maxBucketSize match {
-      case None => newBands
+      case None => nb
       case Some(c) =>
         // cap sees the bucket's FULL post-batch size
         val kept = allBands.groupBy("band", "bucket")
           .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= c)
           .select("band", "bucket")
-        newBands.join(kept, Seq("band", "bucket"), "left_semi")
+        nb.join(kept, Seq("band", "bucket"), "left_semi")
     }
     val cand = newKept.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(allBands.select(col(idCol).as("b"), col("band"), col("bucket")),
@@ -322,6 +352,96 @@ object Dedup {
         "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .filter(col("__m") >= minMatches)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
+  }
+
+  /** Fused (band, bucket) join key: band · 2³¹ + bucket. [[bandBuckets]]
+   * buckets are mod 2³¹−1, so the fusion is collision-free and the pair
+   * join can run on ONE 8-byte bucketable column. */
+  private def fusedBucket: Column =
+    col("band").cast("long") * lit(1L << 31) + col("bucket")
+
+  /**
+   * Persist a MinHash signature index as the CO-LOCATED two-table layout a
+   * 100 TB incremental dedup wants on disk:
+   *   - `<base>_bands`: (idCol, band, bucket, bb) bucketed by `bb` (the
+   *     fused band-bucket key) — the candidate-join side;
+   *   - `<base>_sigs`:  (idCol, sig) bucketed by `idCol` — the
+   *     estimate-verify side.
+   * Both are hash-bucketed managed tables ([[graft.tables.Tables
+   * .loadBucketed]]), so every future batch joins against them with NO
+   * Exchange on the index side: the batch's band rows shuffle into the
+   * index's bucketing (batch-sized), the index itself — the 100 TB side —
+   * is read in place. Writing costs one shuffle per table; it is paid once
+   * per corpus, not once per batch.
+   */
+  def writeBandedIndex(sigs: DataFrame, baseTable: String,
+                       numHashes: Int = 128, bands: Int = 32,
+                       numBuckets: Int = 32,
+                       idCol: String = "doc_id"): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val banded = bandBuckets(sigs, bands, numHashes / bands, idCol)
+      .withColumn("bb", fusedBucket)
+    graft.tables.Tables.loadBucketed(banded, baseTable + "_bands", "bb",
+      numBuckets)
+    graft.tables.Tables.loadBucketed(sigs.select(col(idCol), col("sig")),
+      baseTable + "_sigs", idCol, numBuckets)
+  }
+
+  /**
+   * [[incrementalNearDupsFromSigs]] against a PERSISTED [[writeBandedIndex]]
+   * index — identical output contract (new×corpus plus new×new pairs,
+   * MinHash-estimate verified), different physical plan: the corpus never
+   * re-bands and never shuffles.
+   *
+   * Plan shape (the part a 1000-executor cluster cares about):
+   *   - new×corpus candidates: batch band rows ⋈ `<base>_bands` on the
+   *     fused `bb` key — the index scan feeds the join AT ITS BUCKETING,
+   *     zero Exchange on that side (asserted in DedupSpec);
+   *   - corpus-side verify: candidates ⋈ `<base>_sigs` on the id — again
+   *     co-located on the index side; only the batch-sized candidate frame
+   *     shuffles;
+   *   - new×new pairs and all new-side signature joins run on the
+   *     batch-sized frames.
+   */
+  def incrementalNearDupsAgainstIndex(newSigs: DataFrame, baseTable: String,
+                                      estThreshold: Double = 0.5,
+                                      numHashes: Int = 128, bands: Int = 32,
+                                      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = newSigs.sparkSession
+    val minMatches = math.ceil(estThreshold * numHashes).toInt
+    val idxBands = spark.table(baseTable + "_bands")
+    val idxSigs = spark.table(baseTable + "_sigs")
+    val newBands = bandBuckets(newSigs, bands, numHashes / bands, idCol)
+      .withColumn("bb", fusedBucket)
+    val estOk = expr(
+      "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, " +
+        s"(acc, v) -> acc + v) >= $minMatches")
+    // new × corpus: a is always the batch side, b the index side — the
+    // disjoint-ids contract means no least/greatest reshuffle is needed
+    // until the final ordering projection.
+    val candCorpus = newBands.select(col(idCol).as("a"), col("bb"))
+      .join(idxBands.select(col(idCol).as("b"), col("bb")), "bb")
+      .select("a", "b").distinct()
+    val vCorpus = candCorpus
+      .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
+        "a")
+      .join(idxSigs.select(col(idCol).as("b"), col("sig").as("sb")), "b")
+      .filter(estOk)
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+    val candNew = newBands.select(col(idCol).as("a"), col("bb"))
+      .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vNew = candNew
+      .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
+        "a")
+      .join(broadcast(newSigs.select(col(idCol).as("b"), col("sig").as("sb"))),
+        "b")
+      .filter(estOk)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    vCorpus.union(vNew)
   }
 
   /**

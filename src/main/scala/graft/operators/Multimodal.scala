@@ -6,20 +6,22 @@ import org.apache.spark.sql.functions._
 
 /**
  * Multimodal-column plumbing: media payloads travel as opaque `BINARY`
- * columns with typed metadata alongside. The Spark-side shape — schema,
- * partition-parallel batch decode, deterministic metadata — is real; the
- * actual codec step is a clearly-marked deterministic STUB because no
- * image/audio libraries ship in this environment.
+ * columns with typed metadata alongside. The decode path is REAL — PNG
+ * bytes produced and parsed by the base-JDK `javax.imageio` codec (no
+ * external libraries needed); text-byte payloads remain the stand-in for
+ * the audio/video modalities whose codecs genuinely aren't available.
  *
  * At 100 TB the decode runs as `mapPartitions` over the binary column
  * (executor-parallel, one codec context per partition, no driver
- * involvement); swapping the stub for a real decoder changes one function.
+ * involvement); swapping PNG for another codec changes one function.
  */
 object Multimodal {
 
-  /** Typed decode result carried next to the payload. */
-  case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long,
-                       channels: Long, checksum: String)
+  /** Typed decode result: every field below `doc_id` is read back out of
+   * the codec, never copied from the generator. */
+  case class DecodedImage(doc_id: Long, width: Long, height: Long,
+                          channels: Long, n_pixels: Long,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
 
   /** Attach a binary payload column (UTF-8 bytes of `text` stand in for a
    * real media blob in fixtures). */
@@ -114,27 +116,86 @@ object Multimodal {
       }
   }
 
+  /** Closed-form test-image geometry for doc `id` — small enough that the
+   * oracle's arithmetic stays trivial, varied enough that every doc's
+   * image differs: width 16 + id mod 17, height 16 + id mod 13,
+   * pixel(x, y) = RGB(x, y, id mod 256) (x, y < 33 < 256, so channel
+   * values are exact). */
+  private def imageDims(id: Long): (Int, Int) =
+    ((16 + math.floorMod(id, 17)).toInt, (16 + math.floorMod(id, 13)).toInt)
+
   /**
-   * Batch decode via `mapPartitions` — the shape a real codec integration
-   * uses (amortizes per-partition codec init across rows). The decode body
-   * is a STUB: deterministic dimensions from the payload bytes instead of a
-   * real image parse.
+   * REAL image payloads: one genuine PNG per doc, encoded by the base-JDK
+   * `javax.imageio` codec from the closed-form pattern above. Runs as
+   * `mapPartitions` so the (stateful, allocation-heavy) encoder lives
+   * executor-side — the driver never sees a pixel.
+   */
+  def imagePayload(spark: SparkSession, docs: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = imageDims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val blue = math.floorMod(id, 256).toInt
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (x << 16) | (y << 8) | blue)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /**
+   * Batch decode via `mapPartitions` — a REAL codec round-trip, not a
+   * stub: [[imagePayload]]'s PNG bytes are parsed back through
+   * `javax.imageio`, and the emitted dimensions, band count and
+   * per-channel pixel sums all come out of the DECODED raster. The SQL
+   * oracle predicts the same numbers from the closed-form pattern
+   * (sum_r = h·Σx = h·w(w−1)/2, sum_g = w·h(h−1)/2, sum_b = w·h·(id mod
+   * 256)), so a hash match proves the encode→decode loop reproduced
+   * every pixel — the per-partition batch shape is exactly what a
+   * production image pipeline amortizes its codec context across.
    */
   def decodeBatch(spark: SparkSession, docs: DataFrame,
-                  idCol: String = "doc_id"): Dataset[MediaMeta] = {
+                  idCol: String = "doc_id"): Dataset[DecodedImage] = {
     import spark.implicits._
-    withPayload(docs)
-      .select(col(idCol).cast("long").as("id"), col("payload"))
+    imagePayload(spark, docs, idCol)
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real integration: init codec context here, once per partition
         rows.map { case (id, bytes) =>
-          // STUB decode: dimensions/checksum derived deterministically
-          val digest = java.security.MessageDigest.getInstance("SHA-256")
-          val hex = digest.digest(bytes).map("%02x".format(_)).mkString
-          MediaMeta(id, bytes.length.toLong,
-            width = bytes.length % 640 + 1L, height = bytes.length % 480 + 1L,
-            channels = 3L, checksum = hex)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >>> 16) & 0xff
+              sg += (rgb >>> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(id, w.toLong, h.toLong,
+            img.getRaster.getNumBands.toLong, w.toLong * h, sr, sg, sb)
         }
       }
   }

@@ -233,8 +233,15 @@ object Streams {
    *
    * Scale: per micro-batch, the work is the uncapped incremental join —
    * O(|batch| * bands) broadcastable rows against the index — plus one
-   * index-partition listing; corpus text is never re-read and signatures
-   * are computed exactly once per document per successful batch.
+   * index-partition listing; corpus text is never re-read, and BOTH the
+   * signatures and the banded (id, band, bucket) rows are computed
+   * exactly once per document per successful batch: band rows persist
+   * next to the signatures (`<indexPath>__bands`, same batch-partition
+   * protocol), so the per-batch candidate join reads 3 small columns
+   * from the band index instead of re-banding every corpus sig array —
+   * O(batch) banding work per ingest instead of O(corpus). For a
+   * quiesced corpus, [[graft.operators.Dedup.writeBandedIndex]] is the
+   * co-located bucketed layout batch jobs join shuffle-free.
    */
   def nearDupSink(stream: DataFrame, indexPath: String, pairsPath: String,
                   checkpointDir: String, estThreshold: Double = 0.5,
@@ -247,16 +254,23 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          val bandsPath = indexPath + "__bands"
           val sigs = Dedup.minhashSignatures(batch, n, numHashes, idCol, textCol)
           sigs.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-          val corpus = s.read
-            .option("basePath", indexPath).parquet(indexPath)
-            .filter(col("batch") =!= batchId).drop("batch")
           // read back this batch's just-written signatures rather than
           // recomputing them: one signing pass per document, ever
           val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
-          Dedup.incrementalNearDupsFromSigs(newSigs, corpus, estThreshold,
-            numHashes, bands, idCol, maxBucketSize)
+          Dedup.minhashBandRows(newSigs, numHashes, bands, idCol)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          val corpus = s.read
+            .option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          val corpusBands = s.read
+            .option("basePath", bandsPath).parquet(bandsPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
+          Dedup.incrementalNearDupsPrebanded(newSigs, newBands, corpus,
+            corpusBands, estThreshold, numHashes, idCol, maxBucketSize)
             .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
           ()
         }

@@ -103,6 +103,59 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case Seq(a: Long, b: Long) => a != 8L && b != 8L })
   }
 
+  test("incrementalNearDupsAgainstIndex: matches the in-memory path; " +
+      "index scans never sit under an Exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val corpusSigs = Dedup.minhashSignatures(docs, textCol = "body")
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog again and again"),
+      (7L, "the quick brown fox jumps over the lazy dog again and again"),
+      (8L, "totally novel content sharing no shingles with anything else"))
+      .toDF("doc_id", "body")
+    val batchSigs = Dedup.minhashSignatures(batch, textCol = "body")
+    graft.tables.Tables.dropTable(spark, "nd_test_bands")
+    graft.tables.Tables.dropTable(spark, "nd_test_sigs")
+    Dedup.writeBandedIndex(corpusSigs, "nd_test", numBuckets = 4)
+    // disable implicit broadcast so the candidate/verify joins actually
+    // exercise the bucketed layout (the explicit broadcast() hints on the
+    // batch-signature side still apply)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.incrementalNearDupsAgainstIndex(batchSigs, "nd_test")
+      val expected = rows(
+        Dedup.incrementalNearDupsFromSigs(batchSigs, corpusSigs)
+          .orderBy("doc_a", "doc_b"))
+      assert(rows(out.orderBy("doc_a", "doc_b")) == expected)
+      assert(expected.contains(Seq(1L, 6L)) && expected.contains(Seq(6L, 7L)))
+      val plan = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // violation = an Exchange with an index-table scan below it and NO
+      // join in between: that would mean the index itself (the 100 TB
+      // side) is being re-partitioned instead of read at its bucketing.
+      // Shuffles of post-join candidate frames are fine — they are
+      // batch-sized.
+      def scanWithoutJoinBelow(p: SparkPlan): Boolean =
+        if (p.toString.linesIterator.next().contains("nd_test_")) true
+        else if (p.children.length != 1) false
+        else scanWithoutJoinBelow(p.children.head)
+      val offending = plan.collect {
+        case e: SparkPlan with ShuffleExchangeLike
+            if e.children.exists(scanWithoutJoinBelow) => e
+      }
+      assert(offending.isEmpty,
+        s"index scan shuffled before its first join:\n${offending.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.tables.Tables.dropTable(spark, "nd_test_bands")
+      graft.tables.Tables.dropTable(spark, "nd_test_sigs")
+    }
+  }
+
   test("incrementalNearDups: bucket cap sees the post-batch bucket size") {
     // 9 corpus clones + 1 new clone share every band bucket -> post-batch
     // bucket size 10; a cap of 9 drops those buckets entirely, so the new

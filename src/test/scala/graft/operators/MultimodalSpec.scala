@@ -25,12 +25,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).peak_bin == 0) // ties break to the lowest bin
   }
 
-  test("decodeBatch (mapPartitions stub) agrees with the expression path") {
-    val exprPath = rows(Multimodal.payloadMeta(docs)
-      .select("doc_id", "byte_len", "checksum").orderBy("doc_id"))
-    val mpPath = rows(Multimodal.decodeBatch(spark, docs).toDF()
-      .select("doc_id", "byte_len", "checksum").orderBy("doc_id"))
-    assert(exprPath == mpPath)
+  test("imagePayload emits genuine PNG bytes (magic + ImageIO-decodable)") {
+    val png = Multimodal.imagePayload(spark, docs)
+      .orderBy("doc_id").collect()
+    val magic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    png.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(bytes.take(4).sameElements(magic))
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) != null)
+    }
+  }
+
+  test("decodeBatch: decoded raster matches the closed-form pattern") {
+    // doc 1: w = 16 + 1 % 17 = 17, h = 16 + 1 % 13 = 17, blue = 1
+    val out = Multimodal.decodeBatch(spark, docs)
+      .collect().sortBy(_.doc_id)
+    val d1 = out(0)
+    assert(d1.width == 17L && d1.height == 17L && d1.channels == 3L)
+    assert(d1.n_pixels == 17L * 17)
+    assert(d1.sum_r == 17L * (17 * 16 / 2))   // h * sum(x)
+    assert(d1.sum_g == 17L * (17 * 16 / 2))   // w * sum(y)
+    assert(d1.sum_b == 17L * 17 * 1)          // w * h * (id % 256)
+    // doc 2: w = 18, h = 18, blue = 2
+    val d2 = out(1)
+    assert(d2.width == 18L && d2.height == 18L)
+    assert(d2.sum_r == 18L * (18 * 17 / 2) && d2.sum_b == 18L * 18 * 2)
   }
 
   test("mediaFingerprintDedup: identical payloads group, lowest id kept") {
