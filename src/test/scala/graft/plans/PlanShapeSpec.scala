@@ -1,0 +1,95 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/**
+ * Plan-shape regression tests for the most expensive headline queries:
+ * the load-bearing physical-plan properties documented in PLANS.md are
+ * asserted here so a future regression fails a test instead of a bench
+ * round. The canonical incident this guards against: a ReuseExchange
+ * defeat once made bm25_topk scan the corpus 16 times (fixed by the
+ * one-explode-pass rewrite); with these bounds that class of regression
+ * is caught at `sbt test` time.
+ *
+ * Counts are taken from the FINAL adaptive plan (after execution, before
+ * the "Initial Plan" section of the AQE dump) at sf0.001 on the shared
+ * local[4] session, matching the recorded values in PLANS.md. Bounds are
+ * upper bounds — a plan that gets BETTER does not fail the suite.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final-plan string of an executed query (AQE resolved). */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def scanCount(plan: String, table: String): Int =
+    plan.linesIterator.count(l => l.contains("FileScan") && l.contains(table))
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllIn(plan).size
+
+  test("bm25_topk: <= 2 corpus scans (the 16-scan ReuseExchange defeat " +
+      "stays fixed), broadcast query side, no cartesian product") {
+    val p = executedPlan("bm25_topk")
+    assert(scanCount(p, "documents") <= 2, s"corpus rescanned:\n$p")
+    assert(count(p, "BroadcastHashJoin") + count(p, "BroadcastNestedLoopJoin") >= 1,
+      s"query side no longer broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("hybrid_topk: <= 6 corpus scans (single corpus hashEmbed after the " +
+      "round-6 double-embed fix), no cartesian product") {
+    val p = executedPlan("hybrid_topk")
+    assert(scanCount(p, "documents") <= 6, s"corpus rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("topk_cosine: corpus stays unshuffled — broadcast-NLJ on the query " +
+      "side, <= 2 embedding scans") {
+    val p = executedPlan("topk_cosine")
+    assert(scanCount(p, "embeddings") <= 2, s"embeddings rescanned:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
+      s"query side no longer broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("hyperplane_ann_capped: <= 4 embedding scans, hash joins only") {
+    val p = executedPlan("hyperplane_ann_capped")
+    assert(scanCount(p, "embeddings") <= 4, s"embeddings rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("simhash_capped: <= 3 corpus scans, no cartesian product") {
+    val p = executedPlan("simhash_capped")
+    assert(scanCount(p, "documents") <= 3, s"corpus rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("minhash_lsh: single corpus scan feeds signature + verify passes") {
+    val p = executedPlan("minhash_lsh")
+    assert(scanCount(p, "documents") <= 1, s"corpus rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("pagerank: <= 3 corpus scans — the 5 iteration rounds ride the " +
+      "checkpointed edge frame, never the parquet scan") {
+    val p = executedPlan("pagerank")
+    assert(scanCount(p, "documents") <= 3, s"iterations re-scan parquet:\n$p")
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"edge frame no longer checkpointed:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("incremental_neardup: <= 2 corpus scans (index + batch), no " +
+      "cartesian product") {
+    val p = executedPlan("incremental_neardup")
+    assert(scanCount(p, "documents") <= 2, s"corpus rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+}
