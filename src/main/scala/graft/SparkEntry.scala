@@ -412,9 +412,21 @@ object SparkEntry {
     "incremental_neardup_indexed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val base = "graft_nd_idx_" + math.abs(dir.hashCode).toString
-      if (!s.catalog.tableExists(base + "_sigs"))
+      if (!s.catalog.tableExists(base + "_sigs")) {
+        // a previous JVM's default warehouse dir can outlive its
+        // in-memory catalog: saveAsTable then fails with
+        // LOCATION_ALREADY_EXISTS on the orphaned directory — clear any
+        // stale locations before the one-time index build
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("_bands", "_sigs").foreach { sfx =>
+          s.sql(s"DROP TABLE IF EXISTS `$base$sfx`")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, base + sfx), true)
+        }
         Dedup.writeBandedIndex(
           Dedup.minhashSignatures(docs.filter(col("doc_id") % 7 =!= 0)), base)
+      }
       Dedup.incrementalNearDupsAgainstIndex(
         Dedup.minhashSignatures(docs.filter(col("doc_id") % 7 === 0)), base)
         .orderBy("doc_a", "doc_b")
