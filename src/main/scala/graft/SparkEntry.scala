@@ -81,7 +81,8 @@ object SparkEntry {
     "cdc_dedup", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "retention",
     "event_transitions", "count_anomaly", "resample_ffill", "event_lift",
-    "neardup_clusters", "neardup_dedup", "tfidf_topterms",
+    "neardup_clusters", "neardup_dedup", "neardup_dedup_quality",
+    "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
@@ -870,6 +871,12 @@ object SparkEntry {
     // materialized dedup: cluster representatives + absorbed counts
     "neardup_dedup" -> ((s, dir) =>
       Dedup.nearDupDedup(t(s, dir, "documents")).orderBy("keep_id")),
+
+    // quality-aware canonicalization: per-cluster argmax(quality, -id)
+    // instead of min id — the representative a training corpus keeps
+    "neardup_dedup_quality" -> ((s, dir) =>
+      Dedup.nearDupDedupByQuality(t(s, dir, "documents"))
+        .orderBy("doc_id")),
 
     // C4-style corpus segment dedup; the fixtures' text is one line, so
     // the query dedups word segments (sep = " ") — same machinery
@@ -2860,6 +2867,26 @@ object SparkEntry {
       s"""WITH RECURSIVE $nearDupClusterCtes
          |SELECT cluster_id AS keep_id, CAST(count(*) AS BIGINT) AS n_members
          |FROM cl GROUP BY cluster_id ORDER BY keep_id""".stripMargin,
+
+    // quality-aware canonicalization: same recursive closure, keep the
+    // micro-quantized-quality argmax (ties -> lowest id) per cluster
+    "neardup_dedup_quality" ->
+      s"""WITH RECURSIVE $nearDupClusterCtes,
+         |qs AS ($qualityScoreSql),
+         |jq AS (SELECT cl.doc_id, cl.cluster_id,
+         |    CAST(round(qs.quality_score * 1000000) AS BIGINT) AS q_micro
+         |  FROM cl JOIN qs ON cl.doc_id = qs.doc_id),
+         |best AS (SELECT doc_id AS keep_id, cluster_id, n_members FROM (
+         |  SELECT doc_id, cluster_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY q_micro DESC, doc_id ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |      AS n_members
+         |  FROM jq) WHERE rn = 1)
+         |SELECT jq.doc_id, jq.cluster_id, b.keep_id,
+         |  jq.doc_id = b.keep_id AS kept, b.n_members
+         |FROM jq JOIN best b ON jq.cluster_id = b.cluster_id
+         |ORDER BY jq.doc_id""".stripMargin,
 
     "tfidf_topterms" ->
       s"""WITH tf AS (

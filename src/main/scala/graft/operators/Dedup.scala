@@ -650,6 +650,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .select(col("keep_id"), col("n_members"))
 
+  /**
+   * Quality-aware near-dup canonicalization — the materialized dedup
+   * decision a production corpus actually wants: within each connected
+   * near-dup cluster keep the member with the HIGHEST
+   * [[TextAnalysis.qualityScore]] (ties → lowest id), not the arbitrary
+   * min-id representative of [[nearDupDedup]]. Emits one row per document:
+   * (idCol, cluster_id, keep_id, kept, n_members).
+   *
+   * Determinism: the score is quantized to micro-unit BIGINT before the
+   * argmax, and the argmax itself is one `max(struct(q_micro, -id))`
+   * aggregate — engine- and partition-order-invariant, no window sort
+   * over cluster members.
+   *
+   * Scale: [[nearDupClusters]]' cost plus one linear quality projection
+   * and a cluster-keyed aggregate (map-side combined); no additional pair
+   * join anywhere.
+   */
+  def nearDupDedupByQuality(docs: DataFrame, n: Int = 3,
+                            numHashes: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.5,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            maxRounds: Int = 20): DataFrame = {
+    require(textCol == "text",
+      "qualityScore reads the `text` column; rename upstream")
+    val clusters = nearDupClusters(docs, n, numHashes, bands, threshold,
+      idCol, textCol, maxRounds)
+    val q = TextAnalysis.qualityScore(docs, idCol)
+      .select(col(idCol),
+        expr("CAST(round(quality_score * 1000000) AS BIGINT)").as("__qm"))
+    val j = clusters.join(q, idCol)
+    val best = j.groupBy("cluster_id")
+      .agg(max(struct(col("__qm"), (-col(idCol)).as("__nid"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("__best.__nid")).as("keep_id"),
+        col("n_members"))
+    clusters.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("kept"), col("n_members"))
+  }
+
   /** Free the cached blocks behind a `localCheckpoint`ed frame (best-effort).
    * Dataset.unpersist only drops CacheManager entries, not checkpoint RDDs,
    * so iterative operators must release rounds manually or pin every

@@ -84,6 +84,23 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 1L, true), Seq(2L, 1L, true), Seq(3L, 0L, false)))
   }
 
+  test("nearDupDedupByQuality: highest-quality member wins, not min id") {
+    // 1 and 2 are near-dups; 2 carries more tokens -> higher quality
+    // score, so it beats the lower id. 3 is its own cluster.
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets over the quiet river valley"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " and then some more informative trailing context words"),
+      (3L, "entirely unrelated content"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.nearDupDedupByQuality(d).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 1L, 2L, false, 2L),
+      Seq(2L, 1L, 2L, true, 2L),
+      Seq(3L, 3L, 3L, true, 1L)))
+  }
+
   test("incrementalNearDups: new-vs-corpus and new-vs-new, never corpus-vs-corpus") {
     // corpus contains an identical pair (1, 4) — already found at corpus
     // ingest time, so the incremental pass must NOT re-emit it
