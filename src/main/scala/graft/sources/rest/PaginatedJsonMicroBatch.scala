@@ -45,19 +45,26 @@ private[rest] class PaginatedJsonMicroBatch(spec: PageSpec)
   override def deserializeOffset(json: String): Offset =
     PageRecordOffset(json.toLong)
 
+  /** Frontier cache: record count confirmed by FULL pages only. Walking
+   * every page per trigger is O(total records) on an append-only feed —
+   * at streaming cadence that re-reads the whole history every few
+   * seconds. Full pages are immutable by the append-only contract, so
+   * their counts never need re-checking; only the first incomplete page
+   * onward is re-read each trigger (a short page that later fills is
+   * still observed, because the frontier only ever advances past FULL
+   * pages). Driver-side instance state: a restart simply re-walks once
+   * from page 1 and re-warms the cache — correctness never depends on it. */
+  private var fullPagesConfirmed = 0L
+
   override def latestOffset(): Offset = {
-    var consumed = 0L // recomputed from scratch is wasteful; track from 0 only first call
-    // walk from page 1 or the page containing the next unseen record —
-    // we do not persist driver state between calls, so derive from the
-    // last committed offset if the engine gave us one via deserialize;
-    // Spark always calls latestOffset fresh, so walk fully (file/HTTP
-    // HEAD-style probing could optimize; page counts are cheap).
-    var page = 1
+    var consumed = fullPagesConfirmed * spec.count
+    var page = fullPagesConfirmed.toInt + 1
     var done = false
     while (!done) {
       val len = pageLen(page)
       consumed += len
-      if (len < spec.count) done = true else page += 1
+      if (len < spec.count) done = true
+      else { fullPagesConfirmed = page.toLong; page += 1 }
     }
     PageRecordOffset(consumed)
   }
