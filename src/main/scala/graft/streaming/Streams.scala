@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.functions.TextFns
-import graft.operators.{Curation, Dedup, Relational, Sessions}
+import graft.operators.{Curation, Dedup, Relational, Sessions, TextAnalysis}
 import graft.schema.Normalize
 import graft.tables.Tables
 
@@ -367,6 +367,74 @@ object Streams {
     stream.join(broadcast(dim), Seq(key),
       if (joinType == "left") "left_outer" else "inner")
   }
+
+  /**
+   * Streaming INTAKE sink — the full training-data admission pipeline as
+   * one micro-batch sink, the streaming twin of
+   * [[graft.operators.Curation.intakePipeline]]: per batch,
+   *   1. quality gate: [[graft.operators.TextAnalysis.qualityScore]] ≥
+   *      `minQualityMicro` (micro-units; integer compare, engine-exact);
+   *   2. sign survivors once and persist signatures + band rows under
+   *      `batch=<id>` (the [[nearDupSink]] idempotent index protocol);
+   *   3. near-dup admission: a survivor is REJECTED if it matches the
+   *      already-admitted corpus (the index minus this batch) or a
+   *      smaller-id member of its own batch — first-seen wins, exactly
+   *      like the batch pipeline's representative rule;
+   *   4. admitted documents land under `outPath/batch=<id>` (overwrite —
+   *      a replayed batch rewrites itself).
+   *
+   * Scale: the quality gate is a narrow codegen'd projection; signing is
+   * once per surviving document ever; the candidate join is the O(batch ·
+   * bands) incremental shape against the persisted band index — corpus
+   * text is never re-read, corpus sigs never re-banded.
+   */
+  def intakeSink(stream: DataFrame, indexPath: String, outPath: String,
+                 checkpointDir: String, minQualityMicro: Long = 300000L,
+                 estThreshold: Double = 0.5, n: Int = 3,
+                 numHashes: Int = 128, bands: Int = 32,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val bandsPath = indexPath + "__bands"
+          val kept = batch.join(
+            TextAnalysis.qualityScore(batch, idCol)
+              .select(col(idCol),
+                expr("CAST(round(quality_score * 1000000) AS BIGINT)")
+                  .as("__qm"))
+              .filter(col("__qm") >= minQualityMicro)
+              .select(idCol),
+            idCol, "left_semi")
+          val sigs = Dedup.minhashSignatures(kept, n, numHashes, idCol, textCol)
+          sigs.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
+          Dedup.minhashBandRows(newSigs, numHashes, bands, idCol)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          val corpus = s.read
+            .option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          val corpusBands = s.read
+            .option("basePath", bandsPath).parquet(bandsPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
+          val pairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
+            corpus, corpusBands, estThreshold, numHashes, idCol)
+          // batch ids are larger than all corpus ids by ingest contract,
+          // and within the batch first-seen (smaller id) wins: a doc is
+          // rejected iff it is the LARGER side of any pair
+          val batchIds = newSigs.select(col(idCol))
+          val rejected = pairs.select(col("doc_b").as(idCol))
+            .join(batchIds, idCol, "left_semi").distinct()
+          kept.join(rejected, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
 
   /**
    * Maintenance compaction for the `batch=<id>`-partitioned streaming

@@ -93,6 +93,47 @@ class StreamsSpec extends SparkSpec {
     Tables.dropTable(spark, "stream_up")
   }
 
+  test("intakeSink: quality gate, first-seen near-dup admission vs batch " +
+      "and corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("inidx").toString
+    val out = Files.createTempDirectory("inout").toString
+    val cp = Files.createTempDirectory("incp").toString
+    val good = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the evening sun is setting over the quiet river valley"
+    // 0.25 gate: "tiny" scores 0.2025 (fails), the 19-token prose docs
+    // score ~0.295 (pass) under the integer-count quality formula
+    val q = Streams.intakeSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, minQualityMicro = 250000L)
+    try {
+      // batch 0: 1 admitted; 2 is its near-dup (rejected, larger id);
+      // 3 fails the quality gate (too short); 4 is novel and admitted
+      mem.addData(
+        (1L, good),
+        (2L, good + " with a small trailing edit"),
+        (3L, "tiny"),
+        (4L, "completely different words about spark query engines at " +
+          "scale with plenty of additional tokens to pass the gate"))
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(out).select("doc_id").orderBy("doc_id"))
+        .flatten == Seq(1L, 4L))
+      // batch 1: 5 duplicates the ADMITTED corpus doc 1 -> rejected;
+      // 6 is novel -> admitted
+      mem.addData(
+        (5L, good),
+        (6L, "fresh unrelated content about benchmark protocols and " +
+          "median statistics with enough words to clear the quality bar"))
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(out).select("doc_id").orderBy("doc_id"))
+        .flatten == Seq(1L, 4L, 6L))
+      // the signature index holds every quality-surviving doc (the
+      // rejected near-dups still signed - they were compared), but the
+      // quality-failed doc was never signed
+      assert(spark.read.parquet(idx).count() == 5L)
+    } finally q.stop()
+  }
+
   test("nearDupSink: batches near-dup against the grown index, corpus pairs stay put") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
