@@ -58,7 +58,8 @@ object SparkEntry {
     "q12_priority_class", "q17_small_qty_revenue", "vocab_stats",
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
-    "asof_join", "range_join", "profile_events", "key_skew",
+    "asof_join", "asof_join_tolerance", "range_join", "profile_events",
+    "key_skew",
     "robust_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
@@ -619,6 +620,19 @@ object SparkEntry {
     "sampled_percentiles" -> ((s, dir) =>
       Relational.sampledPercentiles(t(s, dir, "events"), "value",
         "event_type", "event_id", keepPct = 10).orderBy("event_type")),
+
+    // tolerance-bounded as-of: the feature-store point-in-time shape —
+    // a signup older than 7 days is too stale to attribute
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("signup_ts"), col("event_id").as("signup_event_id"))
+      Relational.asofJoin(purchases, signups, "user_id", "ts",
+        tolerance = Some("7 days")).orderBy("event_id")
+    }),
 
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2268,6 +2282,23 @@ object SparkEntry {
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, ts AS signup_ts,
+        |                       event_id AS signup_event_id
+        |                FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // tolerance twin: same ASOF match, values nulled when the match is
+    // older than the 7-day freshness bound (match-then-filter — the
+    // latest right row is the only candidate either way)
+    "asof_join_tolerance" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |  CASE WHEN l.ts <= r.ts + INTERVAL 7 DAY THEN r.signup_ts END
+        |    AS signup_ts,
+        |  CASE WHEN l.ts <= r.ts + INTERVAL 7 DAY THEN r.signup_event_id END
+        |    AS signup_event_id
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT user_id, ts, ts AS signup_ts,

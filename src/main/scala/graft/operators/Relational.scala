@@ -97,22 +97,40 @@ object Relational {
    * unique per (key, ts); right value columns must not collide with left
    * column names (rename before calling); `tsCol` must be named the same
    * on both sides.
+   *
+   * `tolerance` (a SQL interval body, e.g. `"7 days"`) bounds how STALE a
+   * match may be — pandas `merge_asof(tolerance=...)` / feature-store
+   * point-in-time semantics: the latest right row is still the only
+   * candidate, but if it is older than `left.ts − tolerance` the left row
+   * keeps nulls instead of a stale value. Same plan; the window
+   * additionally carries the matched right timestamp and the value
+   * columns null out conditionally.
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               tsCol: String): DataFrame = {
+               tsCol: String, tolerance: Option[String] = None): DataFrame = {
     val valueCols = right.columns.filterNot(c => c == key || c == tsCol).toSeq
     require(valueCols.nonEmpty, "right side needs at least one value column")
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"rename right columns colliding with left: $collisions")
     val l = left.withColumn("__side", lit(1))
     val r = right.withColumn("__side", lit(0))
+      .withColumn("__rts", col(tsCol))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+    val filled = (valueCols :+ "__rts").foldLeft(unioned) { (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1).drop("__side")
+    val matched = filled.filter(col("__side") === 1)
+    val bounded = tolerance match {
+      case None => matched
+      case Some(iv) =>
+        val fresh = col(tsCol) <= col("__rts") + expr(s"INTERVAL $iv")
+        valueCols.foldLeft(matched) { (d, c) =>
+          d.withColumn(c, when(fresh, col(c)))
+        }
+    }
+    bounded.drop("__side", "__rts")
   }
 
   /**

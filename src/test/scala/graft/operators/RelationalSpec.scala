@@ -95,6 +95,28 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, null)))
   }
 
+  test("asofJoin tolerance: stale matches null out, fresh ones survive") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"), // 1h after match: fresh
+      (2L, 10L, "2024-01-03 12:00:00"), // 2+ days after match: stale
+      (3L, 20L, "2024-01-01 09:00:00")) // no match at all
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 09:00:00", "a"),
+      (20L, "2024-01-01 11:00:00", "c"))
+      .toDF("user_id", "ts", "tag")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = rows(Relational.asofJoin(left, right, "user_id", "ts",
+        tolerance = Some("1 day"))
+      .select("event_id", "tag").orderBy("event_id"))
+    assert(out == Seq(Seq(1L, "a"), Seq(2L, null), Seq(3L, null)))
+    // without the bound, the stale match is kept
+    val unbounded = rows(Relational.asofJoin(left, right, "user_id", "ts")
+      .select("event_id", "tag").orderBy("event_id"))
+    assert(unbounded == Seq(Seq(1L, "a"), Seq(2L, "a"), Seq(3L, null)))
+  }
+
   test("asofJoin rejects colliding value column names") {
     val l = Seq((1L, 10L, "2024-01-01 10:00:00", "x")).toDF("event_id", "user_id", "ts", "v")
     val r = Seq((10L, "2024-01-01 09:00:00", "y")).toDF("user_id", "ts", "v")
