@@ -307,6 +307,41 @@ object PropertyLaws extends Properties("graft") {
       got == pr
     }
 
+  property("asofJoin tolerance: bounded result = unbounded with stale " +
+      "matches nulled; huge tolerance = unbounded") =
+    forAll(Gen.listOfN(5, for {
+      u <- Gen.choose(1L, 3L); d <- Gen.choose(1, 20)
+    } yield (u, d)), Gen.listOfN(4, for {
+      u <- Gen.choose(1L, 3L); d <- Gen.choose(1, 20)
+    } yield (u, d)), Gen.choose(1, 10)) { (ls, rs0, tolDays) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // right unique per (key, ts) by construction
+      val rs = rs0.distinct
+      val left = ls.zipWithIndex
+        .map { case ((u, d), i) => (i.toLong, u, f"2024-01-$d%02d 00:00:00") }
+        .toDF("event_id", "user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val right = rs
+        .map { case (u, d) => (u, f"2024-01-$d%02d 00:00:00", s"v$u-$d") }
+        .toDF("user_id", "ts", "tag")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      def run(tol: Option[String]) =
+        Relational.asofJoin(left, right, "user_id", "ts", tol)
+          .select("event_id", "tag").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val unbounded = run(None)
+      val bounded = run(Some(s"$tolDays days"))
+      val expect = unbounded.map { case (eid, tag) =>
+        eid -> tag.filter { t =>
+          val ld = ls(eid.toInt)._2
+          val rd = t.split("-")(1).toInt
+          ld - rd <= tolDays // whole-day timestamps: staleness in days
+        }
+      }
+      bounded == expect && run(Some("365 days")) == unbounded
+    }
+
   property("trimmedStats: n_used matches the permille trim rule exactly") =
     forAll(Gen.listOf(for {
       g <- Gen.oneOf("a", "b"); v <- Gen.choose(-100, 100)
