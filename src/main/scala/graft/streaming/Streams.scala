@@ -239,10 +239,59 @@ object Streams {
    * next to the signatures (`<indexPath>__bands`, same batch-partition
    * protocol), so the per-batch candidate join reads 3 small columns
    * from the band index instead of re-banding every corpus sig array —
-   * O(batch) banding work per ingest instead of O(corpus). For a
+   * O(batch) banding work per ingest instead of O(corpus). The bands
+   * tree is reconciled against the sig tree every batch
+   * ([[reconcileBands]]): a pre-band index or a crash between the two
+   * writes is backfilled instead of silently dropping corpus documents
+   * from candidate generation. For a
    * quiesced corpus, [[graft.operators.Dedup.writeBandedIndex]] is the
    * co-located bucketed layout batch jobs join shuffle-free.
    */
+  /**
+   * Band-tree reconciliation for the [[nearDupSink]]/[[intakeSink]] index
+   * protocol: the `<indexPath>__bands` tree is DERIVED state (band rows of
+   * the persisted signatures), and candidate generation reads ONLY the
+   * bands tree — so a sig-index batch partition with no matching band
+   * partition (an index written by a pre-band version of the sink, or a
+   * crash between the signature write and the band write) would silently
+   * drop those corpus documents from near-dup detection. Each micro-batch
+   * therefore:
+   *   - backfills band rows for any sig batch partition missing from the
+   *     bands tree (one banding pass over just that partition — the same
+   *     work the writing batch would have done);
+   *   - prunes band partitions whose sig partition no longer exists
+   *     (e.g. [[compactIndex]] folded the sig tree into `batch=-1`;
+   *     stale band rows are correctness-safe — their candidates die at
+   *     the signature verify join — but they double-count bucket sizes
+   *     under `maxBucketSize` and waste candidate work).
+   * Steady state is two directory listings and zero data work, so the
+   * self-heal costs nothing when the trees agree.
+   */
+  private[streaming] def reconcileBands(s: SparkSession, indexPath: String,
+                                        bandsPath: String, numHashes: Int,
+                                        bands: Int, idCol: String,
+                                        currentBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idx = new Path(indexPath)
+    val bnd = new Path(bandsPath)
+    val fs = idx.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def batchIds(p: Path): Set[Long] =
+      if (!fs.exists(p)) Set.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).toSet
+    val sigBatches = batchIds(idx)
+    val bandBatches = batchIds(bnd)
+    (sigBatches - currentBatch -- bandBatches).foreach { b =>
+      Dedup.minhashBandRows(s.read.parquet(s"$indexPath/batch=$b"),
+        numHashes, bands, idCol)
+        .write.mode("overwrite").parquet(s"$bandsPath/batch=$b")
+    }
+    (bandBatches - currentBatch -- sigBatches).foreach { b =>
+      fs.delete(new Path(bnd, s"batch=$b"), true)
+    }
+  }
+
   def nearDupSink(stream: DataFrame, indexPath: String, pairsPath: String,
                   checkpointDir: String, estThreshold: Double = 0.5,
                   n: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -262,6 +311,8 @@ object Streams {
           val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
           Dedup.minhashBandRows(newSigs, numHashes, bands, idCol)
             .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          reconcileBands(s, indexPath, bandsPath, numHashes, bands, idCol,
+            batchId)
           val corpus = s.read
             .option("basePath", indexPath).parquet(indexPath)
             .filter(col("batch") =!= batchId).drop("batch")
@@ -414,6 +465,8 @@ object Streams {
           val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
           Dedup.minhashBandRows(newSigs, numHashes, bands, idCol)
             .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          reconcileBands(s, indexPath, bandsPath, numHashes, bands, idCol,
+            batchId)
           val corpus = s.read
             .option("basePath", indexPath).parquet(indexPath)
             .filter(col("batch") =!= batchId).drop("batch")

@@ -165,6 +165,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSink: pre-band sig index is backfilled, stale band " +
+      "partitions are pruned") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("bfidx").toString
+    val pairs = Files.createTempDirectory("bfpairs").toString
+    val cp = Files.createTempDirectory("bfcp").toString
+    val bandsDir = idx + "__bands"
+    // a corpus signed by a PRE-BAND version of the sink: signatures on
+    // disk (batch=100, clear of MemoryStream's 0-based ids), no band
+    // partition for them — without reconciliation these docs would
+    // silently vanish from candidate generation
+    graft.operators.Dedup.minhashSignatures(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different words about spark query engines at scale"))
+      .toDF("doc_id", "text"))
+      .write.parquet(s"$idx/batch=100")
+    // plus a band partition whose sig partition no longer exists (a
+    // compacted-away leftover) — must be pruned, not joined
+    Seq((99L, 0, 7L)).toDF("doc_id", "band", "bucket")
+      .write.parquet(s"$bandsDir/batch=50")
+    val q = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp)
+    try {
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog again and again"),
+        (4L, "totally novel content sharing no shingles with anything else"))
+      q.processAllAvailable()
+      // the clone paired with the legacy-index doc 1 via backfilled bands
+      assert(rows(spark.read.parquet(pairs).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")) == Seq(Seq(1L, 3L)))
+      val bandParts = new java.io.File(bandsDir).listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+      assert(bandParts.contains("batch=100"), "legacy sigs were banded")
+      assert(!bandParts.contains("batch=50"), "stale band partition pruned")
+    } finally q.stop()
+  }
+
   test("chunkDedupSink: chunks dedup against earlier batches, edits keep heads") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
