@@ -102,9 +102,16 @@ object Relational {
    * match may be — pandas `merge_asof(tolerance=...)` / feature-store
    * point-in-time semantics: the latest right row is still the only
    * candidate, but if it is older than `left.ts − tolerance` the left row
-   * keeps nulls instead of a stale value. Same plan; the window
-   * additionally carries the matched right timestamp and the value
-   * columns null out conditionally.
+   * keeps nulls instead of a stale value. Same plan; the matched struct
+   * additionally carries the right timestamp and all value columns null
+   * out together when it is stale.
+   *
+   * Row-level matching: the right row rides the window as ONE struct
+   * filled with `last(ignoreNulls)` — a struct is non-null whenever the
+   * row exists, so the matched timestamp and every value column come from
+   * the SAME right row even when that row holds nulls in some value
+   * columns (independently filled columns would smuggle older values past
+   * the freshness bound and diverge from pandas/DuckDB ASOF).
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsCol: String, tolerance: Option[String] = None): DataFrame = {
@@ -114,23 +121,24 @@ object Relational {
     require(collisions.isEmpty, s"rename right columns colliding with left: $collisions")
     val l = left.withColumn("__side", lit(1))
     val r = right.withColumn("__side", lit(0))
-      .withColumn("__rts", col(tsCol))
+      .withColumn("__m", struct(
+        col(tsCol).as("__rts") +: valueCols.map(col): _*))
+      .select((Seq(key, tsCol, "__side", "__m").map(col)): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (valueCols :+ "__rts").foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val matched = unioned
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val fresh = tolerance match {
+      case None => col("__m").isNotNull
+      case Some(iv) => col("__m").isNotNull &&
+        col(tsCol) <= col("__m")("__rts") + expr(s"INTERVAL $iv")
     }
-    val matched = filled.filter(col("__side") === 1)
-    val bounded = tolerance match {
-      case None => matched
-      case Some(iv) =>
-        val fresh = col(tsCol) <= col("__rts") + expr(s"INTERVAL $iv")
-        valueCols.foldLeft(matched) { (d, c) =>
-          d.withColumn(c, when(fresh, col(c)))
-        }
-    }
-    bounded.drop("__side", "__rts")
+    valueCols.foldLeft(matched) { (d, c) =>
+        d.withColumn(c, when(fresh, col("__m")(c)))
+      }
+      .drop("__side", "__m")
   }
 
   /**

@@ -117,6 +117,30 @@ class RelationalSpec extends SparkSpec {
     assert(unbounded == Seq(Seq(1L, "a"), Seq(2L, "a"), Seq(3L, null)))
   }
 
+  test("asofJoin: null value columns in the matched right row stay null " +
+      "(no smuggling older values past the match or the freshness bound)") {
+    val left = Seq((1L, 10L, "2024-01-10 00:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 00:00:00", Some("old"), Some(5L)),
+      (10L, "2024-01-08 00:00:00", None, Some(9L))) // the ASOF match
+      .toDF("user_id", "ts", "tag", "score")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // plain: the matched row is Jan 8 — its null tag must come through as
+    // null, not be backfilled from the Jan 1 row
+    val plain = rows(Relational.asofJoin(left, right, "user_id", "ts")
+      .select("event_id", "tag", "score"))
+    assert(plain == Seq(Seq(1L, null, 9L)))
+    // tolerance 5 days: Jan 8 is fresh (Jan 10 − 5d ≤ Jan 8) so its values
+    // pass the bound as-is; the Jan 1 row (stale) must not leak in through
+    // the null column
+    val bounded = rows(Relational.asofJoin(left, right, "user_id", "ts",
+        tolerance = Some("5 days"))
+      .select("event_id", "tag", "score"))
+    assert(bounded == Seq(Seq(1L, null, 9L)))
+  }
+
   test("asofJoin rejects colliding value column names") {
     val l = Seq((1L, 10L, "2024-01-01 10:00:00", "x")).toDF("event_id", "user_id", "ts", "v")
     val r = Seq((10L, "2024-01-01 09:00:00", "y")).toDF("user_id", "ts", "v")
