@@ -402,18 +402,45 @@ object Dedup {
    *     shuffles;
    *   - new×new pairs and all new-side signature joins run on the
    *     batch-sized frames.
+   *
+   * `maxBucketSize` is the same skew guard as every other candidate path
+   * (a degenerate band bucket in the index — a shared-vocabulary slice —
+   * makes the `bb` join quadratic, and AQE skew-join measurably never
+   * engages for these joins): buckets whose FULL post-batch population
+   * exceeds the cap are dropped from the new side before the candidate
+   * join. Sizing costs one aggregate over the index rows in buckets the
+   * batch touches — the index is semi-joined down to the batch's bucket
+   * set first (batch-sized, broadcast), so the index side still never
+   * shuffles and the sizing pass is O(batch-touched buckets), not
+   * O(index).
    */
   def incrementalNearDupsAgainstIndex(newSigs: DataFrame, baseTable: String,
                                       estThreshold: Double = 0.5,
                                       numHashes: Int = 128, bands: Int = 32,
-                                      idCol: String = "doc_id"): DataFrame = {
+                                      idCol: String = "doc_id",
+                                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = newSigs.sparkSession
     val minMatches = math.ceil(estThreshold * numHashes).toInt
     val idxBands = spark.table(baseTable + "_bands")
     val idxSigs = spark.table(baseTable + "_sigs")
-    val newBands = bandBuckets(newSigs, bands, numHashes / bands, idCol)
+    val allNewBands = bandBuckets(newSigs, bands, numHashes / bands, idCol)
       .withColumn("bb", fusedBucket)
+    val newBands = maxBucketSize match {
+      case None => allNewBands
+      case Some(c) =>
+        // pairs can only form in buckets the batch holds, so the cap only
+        // needs sizes for those: count index members per touched bucket
+        // plus batch members per bucket = the full post-batch population
+        val touched = allNewBands.select("bb").distinct()
+        val idxSizes = idxBands.join(broadcast(touched), Seq("bb"), "left_semi")
+          .groupBy("bb").agg(count(lit(1)).as("__ni"))
+        val newSizes = allNewBands.groupBy("bb").agg(count(lit(1)).as("__nn"))
+        val kept = newSizes.join(idxSizes, Seq("bb"), "left_outer")
+          .filter(col("__nn") + coalesce(col("__ni"), lit(0L)) <= c)
+          .select("bb")
+        allNewBands.join(broadcast(kept), Seq("bb"), "left_semi")
+    }
     val estOk = expr(
       "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, " +
         s"(acc, v) -> acc + v) >= $minMatches")

@@ -173,6 +173,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDupsAgainstIndex: bucket cap sees the post-batch " +
+      "size against the persisted index") {
+    val clones = (1L to 9L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "body")
+    val sigs = Dedup.minhashSignatures(clones, textCol = "body")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "body")
+    val batchSigs = Dedup.minhashSignatures(batch, textCol = "body")
+    graft.tables.Tables.dropTable(spark, "nd_cap_bands")
+    graft.tables.Tables.dropTable(spark, "nd_cap_sigs")
+    Dedup.writeBandedIndex(sigs, "nd_cap", numBuckets = 4)
+    try {
+      // post-batch bucket population is 10 (9 index members + the clone):
+      // a cap of 9 drops every bucket, a cap of 10 keeps them all
+      assert(rows(Dedup.incrementalNearDupsAgainstIndex(batchSigs, "nd_cap",
+        maxBucketSize = Some(9))).isEmpty)
+      val kept = rows(Dedup.incrementalNearDupsAgainstIndex(batchSigs,
+        "nd_cap", maxBucketSize = Some(10)).orderBy("doc_a"))
+      assert(kept == (1L to 9L).map(i => Seq(i, 10L)))
+    } finally {
+      graft.tables.Tables.dropTable(spark, "nd_cap_bands")
+      graft.tables.Tables.dropTable(spark, "nd_cap_sigs")
+    }
+  }
+
   test("incrementalNearDups: bucket cap sees the post-batch bucket size") {
     // 9 corpus clones + 1 new clone share every band bucket -> post-batch
     // bucket size 10; a cap of 9 drops those buckets entirely, so the new
