@@ -30,7 +30,7 @@ private[rest] class PaginatedJsonMicroBatch(spec: PageSpec)
 
   private val mapper = new ObjectMapper()
 
-  private def pageLen(page: Int): Int = {
+  private def pageLen(page: Long): Int = {
     val body = PaginatedJsonSource.retrying(spec.maxRetries, spec.retryDelayMs) {
       () => PaginatedJsonSource.fetchUrl(spec.pageUrl(page), spec.timeoutMs)
     }
@@ -45,26 +45,40 @@ private[rest] class PaginatedJsonMicroBatch(spec: PageSpec)
   override def deserializeOffset(json: String): Offset =
     PageRecordOffset(json.toLong)
 
-  /** Frontier cache: record count confirmed by FULL pages only. Walking
-   * every page per trigger is O(total records) on an append-only feed —
-   * at streaming cadence that re-reads the whole history every few
-   * seconds. Full pages are immutable by the append-only contract, so
-   * their counts never need re-checking; only the first incomplete page
-   * onward is re-read each trigger (a short page that later fills is
-   * still observed, because the frontier only ever advances past FULL
-   * pages). Driver-side instance state: a restart simply re-walks once
-   * from page 1 and re-warms the cache — correctness never depends on it. */
+  /** Frontier cache: FULL pages confirmed so far plus the record count
+   * they actually carried (cached, never recomputed as pages × count —
+   * the two can disagree only if a page oversized, which fails loudly
+   * below). Walking every page per trigger is O(total records) on an
+   * append-only feed — at streaming cadence that re-reads the whole
+   * history every few seconds. Full pages are immutable by the
+   * append-only contract, so their counts never need re-checking; only
+   * the first incomplete page onward is re-read each trigger (a short
+   * page that later fills is still observed, because the frontier only
+   * ever advances past FULL pages). Driver-side instance state: a
+   * restart simply re-walks once from page 1 and re-warms the cache —
+   * correctness never depends on it. */
   private var fullPagesConfirmed = 0L
+  private var recordsConfirmed = 0L
 
   override def latestOffset(): Offset = {
-    var consumed = fullPagesConfirmed * spec.count
-    var page = fullPagesConfirmed.toInt + 1
+    var consumed = recordsConfirmed
+    var page = fullPagesConfirmed + 1
     var done = false
     while (!done) {
       val len = pageLen(page)
+      if (len > spec.count)
+        throw new IllegalStateException(
+          s"page $page returned $len records, more than the requested " +
+          s"page size ${spec.count}: the record-count offset model maps " +
+          "records to pages by fixed page size, so an oversized page " +
+          "would corrupt every later offset")
       consumed += len
       if (len < spec.count) done = true
-      else { fullPagesConfirmed = page.toLong; page += 1 }
+      else {
+        fullPagesConfirmed = page
+        recordsConfirmed = consumed
+        page += 1
+      }
     }
     PageRecordOffset(consumed)
   }

@@ -151,7 +151,7 @@ private[rest] case class PageSpec(url: String, objKey: String, count: Int,
                                   timeoutMs: Int, numPartitions: Int,
                                   tsField: Option[String], since: Option[String],
                                   to: Option[String]) extends Serializable {
-  def pageUrl(page: Int): String = url
+  def pageUrl(page: Long): String = url
     .replace("{page}", page.toString)
     .replace("{count}", count.toString)
     .replace("{since}", since.getOrElse(""))

@@ -48,4 +48,29 @@ class RestStreamSpec extends SparkSpec {
       assert(ids() == (1L to 9L))
     } finally q2.stop()
   }
+
+  test("oversized page fails the stream loudly instead of corrupting offsets") {
+    val dir = Files.createTempDirectory("oversz-pages")
+    val cp = Files.createTempDirectory("oversz-cp").toString
+    val out = Files.createTempDirectory("oversz-out").toString
+    // page 1 carries 5 records against a declared page size of 4: the
+    // record-count offset model maps records to pages by fixed size, so
+    // this must fail the query, not silently mis-count
+    writePage(dir, 1, (1 to 5).map(i => s"""{"id": $i}"""))
+    val q = spark.readStream
+      .format(classOf[PaginatedJsonSource].getName)
+      .options(Map("url" -> s"file://$dir/page-{page}.json",
+        "count" -> "4", "numPartitions" -> "2"))
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException]
+        && c.getMessage.contains("more than the requested")),
+        s"unexpected failure: $ex")
+    } finally q.stop()
+  }
 }
