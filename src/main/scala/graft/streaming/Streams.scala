@@ -427,17 +427,29 @@ object Streams {
    *      `minQualityMicro` (micro-units; integer compare, engine-exact);
    *   2. sign survivors once and persist signatures + band rows under
    *      `batch=<id>` (the [[nearDupSink]] idempotent index protocol);
-   *   3. near-dup admission: a survivor is REJECTED if it matches the
-   *      already-admitted corpus (the index minus this batch) or a
-   *      smaller-id member of its own batch — first-seen wins, exactly
-   *      like the batch pipeline's representative rule;
+   *   3. near-dup admission: a survivor is REJECTED if it matches any
+   *      smaller-id quality-surviving document — admitted OR itself
+   *      rejected (the index keeps every signed document). Rejection is
+   *      therefore TRANSITIVE: if B was rejected as a near-dup of A, a
+   *      later C matching only B is also rejected — the same outcome as
+   *      the batch pipeline's cluster-representative rule, where A, B and
+   *      C share one near-dup cluster and only its first member survives.
+   *      First-seen wins within a batch (smaller id);
    *   4. admitted documents land under `outPath/batch=<id>` (overwrite —
    *      a replayed batch rewrites itself).
+   *
+   * Ingest contract: batch ids must be LARGER than every corpus id (the
+   * rejected-side rule reads pair direction from id order). A violating
+   * batch would silently ADMIT near-dups, so the sink checks the pair
+   * frame every batch and fails loudly on any pair whose larger side is a
+   * corpus document — the exact pairs the admission rule would misread.
    *
    * Scale: the quality gate is a narrow codegen'd projection; signing is
    * once per surviving document ever; the candidate join is the O(batch ·
    * bands) incremental shape against the persisted band index — corpus
-   * text is never re-read, corpus sigs never re-banded.
+   * text is never re-read, corpus sigs never re-banded; the contract
+   * check and the rejected-id rule share one persisted batch-sized pair
+   * frame (no second candidate join).
    */
   def intakeSink(stream: DataFrame, indexPath: String, outPath: String,
                  checkpointDir: String, minQualityMicro: Long = 300000L,
@@ -476,14 +488,30 @@ object Streams {
           val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
           val pairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
             corpus, corpusBands, estThreshold, numHashes, idCol)
-          // batch ids are larger than all corpus ids by ingest contract,
-          // and within the batch first-seen (smaller id) wins: a doc is
-          // rejected iff it is the LARGER side of any pair
-          val batchIds = newSigs.select(col(idCol))
-          val rejected = pairs.select(col("doc_b").as(idCol))
-            .join(batchIds, idCol, "left_semi").distinct()
-          kept.join(rejected, Seq(idCol), "left_anti")
-            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            .persist()
+          try {
+            // batch ids are larger than all corpus ids by ingest contract,
+            // and within the batch first-seen (smaller id) wins: a doc is
+            // rejected iff it is the LARGER side of any pair. Every pair
+            // has at least one batch side (incremental contract), so a
+            // pair whose larger side is NOT in the batch is exactly an
+            // id-ordering violation — fail loudly instead of silently
+            // admitting that near-dup.
+            val batchIds = newSigs.select(col(idCol))
+            val violations = pairs.select(col("doc_b").as(idCol))
+              .join(batchIds, Seq(idCol), "left_anti")
+            val vio = violations.limit(1).collect()
+            if (vio.nonEmpty)
+              throw new IllegalStateException(
+                s"intakeSink batch $batchId violates the id-ordering " +
+                s"contract: corpus doc ${vio.head.get(0)} has a larger id " +
+                "than a batch near-dup partner; batch ids must exceed all " +
+                "corpus ids or the admission rule misreads pair direction")
+            val rejected = pairs.select(col("doc_b").as(idCol))
+              .join(batchIds, idCol, "left_semi").distinct()
+            kept.join(rejected, Seq(idCol), "left_anti")
+              .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          } finally pairs.unpersist()
           ()
         }
       }

@@ -134,6 +134,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intakeSink: id-ordering contract violation fails loudly instead " +
+      "of silently admitting the near-dup") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("vioidx").toString
+    val out = Files.createTempDirectory("vioout").toString
+    val cp = Files.createTempDirectory("viocp").toString
+    val good = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the evening sun is setting over the quiet river valley"
+    val q = Streams.intakeSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, minQualityMicro = 250000L)
+    try {
+      mem.addData((100L, good))
+      q.processAllAvailable()
+      // a later batch with a SMALLER id that near-dups the corpus doc:
+      // the admission rule would misread the pair direction and admit it
+      mem.addData((5L, good))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException]
+        && c.getMessage.contains("id-ordering")), s"unexpected failure: $ex")
+    } finally q.stop()
+  }
+
   test("nearDupSink: batches near-dup against the grown index, corpus pairs stay put") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
