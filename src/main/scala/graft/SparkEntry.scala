@@ -72,6 +72,7 @@ object SparkEntry {
     "pagerank",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
+    "ivf_pq_topk", "matryoshka_topk",
     "quantize_int8", "embedding_centroids", "hard_negatives",
     "embedding_outliers",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
@@ -514,6 +515,24 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         m = 4, kcent = 16, dim = 64).orderBy("query_id", "rank")
+    }),
+
+    // FAISS-IVFPQ composition: candidates from the probed IVF cells only,
+    // each scored by m integer LUT adds over PQ codes — the raw vectors
+    // are never touched at query time
+    "ivf_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+        nlist = 16, nprobe = 4, m = 4, kcent = 16, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // MRL two-stage retrieval: prefix-16 cosine shortlist of 40, exact
+    // full-dim re-rank of the shortlist only
+    "matryoshka_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+        prefixDim = 16, shortlist = 40).orderBy("query_id", "rank")
     }),
 
     // SemDeDup: cluster-then-dedup. Deterministic end-to-end (seed
@@ -2072,6 +2091,82 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
          |  FROM tot)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // ivf_pq_topk: the pq_topk LUT/code CTEs composed with the ivf_topk
+    // cell/probe CTEs — candidates restricted to probed cells, scored by
+    // the micro-floored integer ADC totals
+    "ivf_pq_topk" ->
+      s"""$pqCtes,
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |unitc AS (
+         |  SELECT cidx, list_transform(embedding, x ->
+         |    CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+         |         ELSE CAST(x AS DOUBLE) / nrm END) AS c
+         |  FROM (SELECT cidx, embedding,
+         |          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |        FROM cents)),
+         |dists AS (
+         |  SELECT e.vec_id, u.cidx, ${dotSql("e.embedding", "u.c")} AS d
+         |  FROM embeddings e, unitc u),
+         |cells AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists WHERE vec_id < 10) WHERE rn <= 4),
+         |qsc AS (
+         |  SELECT vec_id AS qid, j, cidx,
+         |    CAST(floor(sc * 1000000) AS BIGINT) AS qs
+         |  FROM scores WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
+         |tot AS (
+         |  SELECT d.query_id, d.neighbor_id, CAST(sum(q.qs) AS BIGINT) AS adc
+         |  FROM cand d
+         |  JOIN best b ON b.vec_id = d.neighbor_id
+         |  JOIN qsc q ON q.qid = d.query_id AND q.j = b.j AND q.cidx = b.cidx
+         |  GROUP BY d.query_id, d.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM tot)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // matryoshka_topk: the topk_cosine oracle run twice — once over the
+    // 16-element prefix to build the 40-deep shortlist, once full-dim
+    // over shortlist members only
+    "matryoshka_topk" ->
+      s"""WITH pn AS (
+         |  SELECT vec_id, vp, sqrt(${dotSql("vp", "vp")}) AS np
+         |  FROM (SELECT vec_id, list_slice(embedding, 1, 16) AS vp
+         |        FROM embeddings)),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("q.vp", "c.vp")} / (q.np * c.np) DESC,
+         |                 c.vec_id) AS prank
+         |    FROM pn q JOIN pn c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE prank <= 40),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |      ${dotSql("qn.embedding", "nn.embedding")} / (qn.nrm * nn.nrm) DESC,
+         |      cand.neighbor_id) AS rank
+         |  FROM cand
+         |  JOIN n qn ON qn.vec_id = cand.query_id
+         |  JOIN n nn ON nn.vec_id = cand.neighbor_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ivf_topk" ->

@@ -378,6 +378,126 @@ object Similarity {
   }
 
   /**
+   * IVF+PQ top-k — the FAISS IVFPQ architecture (Jégou et al., "Product
+   * Quantization for Nearest Neighbor Search", TPAMI 2011, §V): the two
+   * approximations compose multiplicatively. IVF cuts the CANDIDATE
+   * volume to ~`nprobe/nlist` of the corpus per query; PQ cuts the COST
+   * PER CANDIDATE from a `dim`-wide dot product to `m` lookup-table adds
+   * against codes that are ~`dim*4/m` times smaller than the raw
+   * vectors. At 100 TB the corpus side scans only (cell, m code
+   * columns) — the raw embedding column is read once at encode time and
+   * never again at query time.
+   *
+   * All arithmetic is the deterministic machinery of [[ivfTopK]] and
+   * [[pqTopK]] unchanged: seed centroids are the lowest-id vectors, cell
+   * assignment is argmax-dot against unit centroids, LUT entries are
+   * micro-floored BIGINTs so the ADC total is an associative integer
+   * sum, and ranking ties break on neighbor id — closed-form in the
+   * DuckDB twin end to end.
+   *
+   * Scale: codes + cells are narrow codegen'd projections; the
+   * candidate join is corpus-codes ⋈ broadcast(query probes × LUTs) on
+   * `cell`, so the corpus never shuffles; per-query top-k is one window
+   * over the probed cells' rows.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                kcent: Int = 16, dim: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / m
+    val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol, vecCol)
+    val books = pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
+    // empty corpus -> empty codebooks/centroids; the LUT/probe transforms
+    // would then throw on query rows (see pqTopK) — short-circuit
+    if (books.head._1.isEmpty || cents.isEmpty)
+      return queries.limit(0)
+        .select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+          lit(0L).as("rank"))
+    val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books, dsub, vecCol)
+      .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
+        (0 until m).map(j => col(s"__code$j")): _*)
+    val qlut = books.zipWithIndex.foldLeft(
+      withIvfCell(queries, cents, vecCol)
+        .withColumn("__probes", expr(
+          s"""slice(array_sort(
+             |  transform(sequence(1, ${cents.size}),
+             |            i -> struct(-element_at(__dists, i) AS d, i AS idx))),
+             |  1, $nprobe)""".stripMargin))) {
+      case (d, ((cb, bias), j)) =>
+        d.withColumn(s"__qcb$j", typedLit(cb))
+          .withColumn(s"__qbias$j", typedLit(bias))
+          .withColumn(s"__qs$j", expr(
+            s"""transform(sequence(1, ${cb.size}),
+               |  i -> CAST(floor((graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
+               |                             element_at(__qcb$j, i))
+               |                   - element_at(__qbias$j, i)) * 1000000)
+               |       AS BIGINT))""".stripMargin))
+    }.select(col(idCol).as("query_id") +:
+      explode(expr("transform(__probes, p -> p.idx)")).as("cell") +:
+      (0 until m).map(j => col(s"__qs$j")): _*)
+    val adc = (0 until m)
+      .map(j => s"element_at(__qs$j, __code$j)").mkString(" + ")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    coded.join(broadcast(qlut), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", expr(adc))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
+   * Matryoshka two-stage top-k (Kusupati et al., "Matryoshka
+   * Representation Learning", NeurIPS 2022): MRL-trained embeddings
+   * carry a usable representation in every prefix, so stage 1 ranks by
+   * cosine over only the first `prefixDim` dimensions and keeps a
+   * `shortlist` per query; stage 2 re-ranks just the shortlist with the
+   * exact full-dimension cosine. Compute drops ~`dim/prefixDim`× on the
+   * corpus-wide stage; the full vectors are touched for only
+   * `queries × shortlist` rows.
+   *
+   * Scale: stage 1 is a broadcast-NLJ over a PREFIX-ONLY projection (at
+   * 100 TB, store the prefix as its own parquet column and the wide
+   * column is never scanned); stage 2 fetches full vectors by joining
+   * the corpus against the BROADCAST shortlist (queries × shortlist
+   * rows, tiny) — the corpus never shuffles in either stage. Both
+   * stages rank through one window partitioned by query with id
+   * tie-breaks, deterministic end to end.
+   */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     prefixDim: Int = 16, shortlist: Int = 40,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cPre = corpus.select(col(idCol).as("neighbor_id"),
+      expr(s"slice($vecCol, 1, $prefixDim)").as("vp"))
+      .withColumn("np", VectorFns.norm("vp"))
+    val qPre = queries.select(col(idCol).as("query_id"),
+      expr(s"slice($vecCol, 1, $prefixDim)").as("qp"))
+      .withColumn("nqp", VectorFns.norm("qp"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cand = cPre.join(broadcast(qPre), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", VectorFns.dot("qp", "vp") / (col("nqp") * col("np")))
+      .withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val cFull = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vc"), VectorFns.norm(vecCol).as("nc"))
+    val qFull = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("vq"), VectorFns.norm(vecCol).as("nq"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cFull.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al.,
    * "SemDeDup: Data-efficient learning at web-scale through semantic
    * deduplication", arXiv:2303.09540): cluster embeddings into `nlist`

@@ -119,6 +119,65 @@ class SimilaritySpec extends SparkSpec {
       Seq(1L, 2L, 3L), Seq(1L, 5L, 4L)))  // opposite code, id tie-break
   }
 
+  test("ivfPqTopK: probing all cells reproduces pqTopK; fewer cells is a subset") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (4L, Array(0.8f, 0.2f, 0.8f, 0.2f)),
+      (5L, Array(0.1f, 0.9f, 0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" === 1)
+    val adcOnly = rows(Similarity.pqTopK(df, queries, k = 4,
+      m = 2, kcent = 2, dim = 4).orderBy("query_id", "rank"))
+    // nprobe = nlist: every cell probed -> the IVF stage prunes nothing
+    // and the ADC ranking is exactly pqTopK's
+    val full = rows(Similarity.ivfPqTopK(df, queries, k = 4,
+      nlist = 2, nprobe = 2, m = 2, kcent = 2, dim = 4)
+      .orderBy("query_id", "rank"))
+    assert(full == adcOnly)
+    // nprobe = 1: only the query's own cell — candidates are a subset,
+    // still contiguously ranked from 1
+    val one = rows(Similarity.ivfPqTopK(df, queries, k = 4,
+      nlist = 2, nprobe = 1, m = 2, kcent = 2, dim = 4).orderBy("rank"))
+    assert(one.nonEmpty && one.size <= adcOnly.size)
+    assert(one.map(_(2)) == (1L to one.size).map(identity))
+    val fullPairs = adcOnly.map(r => (r(0), r(1))).toSet
+    assert(one.forall(r => fullPairs.contains((r(0), r(1)))))
+  }
+
+  test("ivfPqTopK: empty corpus yields an empty result, not an index error") {
+    val empty = emb.filter($"vec_id" < 0)
+    val out = Similarity.ivfPqTopK(empty, emb, k = 3, nlist = 2, nprobe = 1,
+      m = 2, kcent = 2, dim = 2)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank"))
+  }
+
+  test("matryoshkaTopK: full-size shortlist reproduces brute force even " +
+      "with a 1-dim prefix; a tight shortlist prunes by prefix rank") {
+    val corpus = (1L to 30L).map { i =>
+      (i, Array(math.cos(i * 0.41).toFloat, math.sin(i * 0.41).toFloat,
+        math.cos(i * 1.7).toFloat, math.sin(i * 1.7).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2)
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .orderBy("query_id", "rank"))
+    // shortlist covers the whole corpus -> stage 2 re-ranks everything
+    // exactly, whatever the prefix stage ordered
+    val full = rows(Similarity.matryoshkaTopK(corpus, queries, k = 5,
+      prefixDim = 1, shortlist = 30).orderBy("query_id", "rank"))
+    assert(full == exact)
+    // tight shortlist: approximate, but ranks stay contiguous and the
+    // emitted neighbors are re-ranked by exact full-dim cosine
+    val approx = rows(Similarity.matryoshkaTopK(corpus, queries, k = 5,
+      prefixDim = 2, shortlist = 8).orderBy("query_id", "rank"))
+    assert(approx.size == 10)
+    approx.groupBy(_(0)).values.foreach { rs =>
+      assert(rs.map(_(2)) == (1L to 5L))
+    }
+  }
+
   test("pqTopK: empty corpus yields an empty result, not an index error") {
     val empty = emb.filter($"vec_id" < 0)
     val out = Similarity.pqTopK(empty, emb, k = 3, m = 2, kcent = 2, dim = 2)
