@@ -92,4 +92,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanCount(p, "documents") <= 2, s"corpus rescanned:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  test("ivf_pq_topk: corpus codes scan once, probes/LUTs broadcast on an " +
+      "equi-join — never a nested loop over the corpus") {
+    val p = executedPlan("ivf_pq_topk")
+    assert(scanCount(p, "embeddings") <= 2, s"embeddings rescanned:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"cell join no longer broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("matryoshka_topk: <= 4 embedding scans (prefix + full, each side); " +
+      "shortlist and query sides ride broadcasts") {
+    val p = executedPlan("matryoshka_topk")
+    assert(scanCount(p, "embeddings") <= 4, s"embeddings rescanned:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
+      s"prefix stage no longer broadcast:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"re-rank fetch no longer broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
 }
