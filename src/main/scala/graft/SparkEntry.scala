@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Curation, Dedup, Graph, Multimodal, Relational, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Layout, Multimodal, Relational, Sessions, Similarity, TextAnalysis}
 import graft.schema.Normalize
 import graft.sources.Fixtures
 
@@ -59,7 +59,7 @@ object SparkEntry {
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "asof_join_tolerance", "range_join", "profile_events",
-    "key_skew",
+    "key_skew", "zorder_layout",
     "robust_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
@@ -577,6 +577,13 @@ object SparkEntry {
     "key_skew" -> ((s, dir) =>
       Relational.keySkew(t(s, dir, "events"), "user_id", k = 20)
         .orderBy("rank")),
+
+    // Z-order layout: per-bucket min/max envelopes of the Morton-curve
+    // file assignment — the min-max pruning statistics a file-skipping
+    // reader would consult
+    "zorder_layout" -> ((s, dir) =>
+      Layout.zorderStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        nBuckets = 16, bitsPerDim = 8).orderBy("bucket")),
 
     // 10%-trimmed per-type mean of value, in exact micro-unit integers
     "robust_stats" -> ((s, dir) =>
@@ -2295,6 +2302,28 @@ object SparkEntry {
         |SELECT user_id, n_rows,
         |  CAST(n_rows * 1000 // total AS BIGINT) AS permille, rank
         |FROM r CROSS JOIN t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // zorder_layout: the Morton assignment in closed form — grid cells
+    // from integer bounds (// = floor div, matching Spark's `div`), bit
+    // interleave as a sum over bit positions, bucket = top-4-bit prefix
+    "zorder_layout" ->
+      """WITH b AS (
+        |  SELECT min(l_orderkey) AS minx, max(l_orderkey) AS maxx,
+        |         min(l_partkey) AS miny, max(l_partkey) AS maxy
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), i ->
+        |      (((((l_orderkey - minx) * 256 // (maxx - minx + 1)) >> i) & 1)
+        |        << (2 * i))
+        |      + (((((l_partkey - miny) * 256 // (maxy - miny + 1)) >> i) & 1)
+        |        << (2 * i + 1)))) AS BIGINT) AS zval
+        |  FROM lineitem, b)
+        |SELECT CAST(zval >> 12 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_orderkey) AS x_min, max(l_orderkey) AS x_max,
+        |  min(l_partkey) AS y_min, max(l_partkey) AS y_max
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "profile_events" ->
       """SELECT count(*) AS n_rows,
