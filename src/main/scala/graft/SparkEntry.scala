@@ -59,7 +59,7 @@ object SparkEntry {
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "asof_join_tolerance", "range_join", "profile_events",
-    "key_skew", "zorder_layout",
+    "key_skew", "zorder_layout", "join_cardinality",
     "robust_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
@@ -577,6 +577,17 @@ object SparkEntry {
     "key_skew" -> ((s, dir) =>
       Relational.keySkew(t(s, dir, "events"), "user_id", k = 20)
         .orderBy("rank")),
+
+    // KMV pre-join sizing: distinct-custkey overlap of the high-value vs
+    // low-value order slices, estimated from two 64-long sketches plus
+    // the exact-intersection eval column
+    "join_cardinality" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Relational.kmvOverlapEstimate(
+        o.filter(col("o_totalprice") > 450000),
+        o.filter(col("o_totalprice") < 50000),
+        "o_custkey", "o_custkey", k = 64)
+    }),
 
     // Z-order layout: per-bucket min/max envelopes of the Morton-curve
     // file assignment — the min-max pruning statistics a file-skipping
@@ -2302,6 +2313,50 @@ object SparkEntry {
         |SELECT user_id, n_rows,
         |  CAST(n_rows * 1000 // total AS BIGINT) AS permille, rank
         |FROM r CROSS JOIN t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // join_cardinality: both KMV sketches, the combined union sketch,
+    // and the Beyer et al. estimators recomputed in closed form (k
+    // smallest reproducible polynomial hashes via ORDER BY h LIMIT k)
+    "join_cardinality" ->
+      s"""WITH lh AS (SELECT DISTINCT
+         |    CAST((CAST(1103515245 AS HUGEINT) *
+         |      (${duckPolyFragment("CAST(o_custkey AS VARCHAR)", 31, 1000000007L)})
+         |      + 12345) % 1000000007 AS BIGINT) AS h
+         |  FROM orders WHERE o_totalprice > 450000),
+         |rh AS (SELECT DISTINCT
+         |    CAST((CAST(1103515245 AS HUGEINT) *
+         |      (${duckPolyFragment("CAST(o_custkey AS VARCHAR)", 31, 1000000007L)})
+         |      + 12345) % 1000000007 AS BIGINT) AS h
+         |  FROM orders WHERE o_totalprice < 50000),
+         |sa AS (SELECT h FROM lh ORDER BY h LIMIT 64),
+         |sb AS (SELECT h FROM rh ORDER BY h LIMIT 64),
+         |ua AS (SELECT DISTINCT h FROM
+         |  (SELECT h FROM sa UNION ALL SELECT h FROM sb)),
+         |un AS (SELECT h FROM ua ORDER BY h LIMIT 64),
+         |sc AS (SELECT
+         |  (SELECT count(*) FROM lh) AS nl,
+         |  (SELECT count(*) FROM rh) AS nr,
+         |  (SELECT count(*) FROM ua) AS nu,
+         |  (SELECT max(h) FROM sa) AS ka,
+         |  (SELECT max(h) FROM sb) AS kb,
+         |  (SELECT max(h) FROM un) AS ku,
+         |  (SELECT count(*) FROM un WHERE h IN (SELECT h FROM sa)
+         |     AND h IN (SELECT h FROM sb)) AS kint,
+         |  (SELECT count(*) FROM lh JOIN rh USING (h)) AS nx)
+         |SELECT CAST(64 AS BIGINT) AS k,
+         |  CASE WHEN nl < 64 THEN CAST(nl AS DOUBLE)
+         |       ELSE 63.0 * 1000000007 / ka END AS est_left,
+         |  CASE WHEN nr < 64 THEN CAST(nr AS DOUBLE)
+         |       ELSE 63.0 * 1000000007 / kb END AS est_right,
+         |  CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+         |       ELSE 63.0 * 1000000007 / ku END AS est_union,
+         |  CASE WHEN nu < 64 THEN CAST(kint AS DOUBLE)
+         |       ELSE CAST(kint AS DOUBLE) *
+         |         (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+         |               ELSE 63.0 * 1000000007 / ku END) / 64
+         |  END AS est_intersection,
+         |  CAST(nx AS BIGINT) AS n_exact_intersection
+         |FROM sc""".stripMargin,
 
     // zorder_layout: the Morton assignment in closed form — grid cells
     // from integer bounds (// = floor div, matching Spark's `div`), bit

@@ -454,4 +454,69 @@ object Relational {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col(keyCol), col("n_rows"), col("permille"), col("rank"))
   }
+
+  /**
+   * KMV distinct-set-operation estimator (Beyer et al., "On synopses for
+   * distinct-value estimation over multiset operations", SIGMOD 2007):
+   * estimates the distinct-key cardinalities |A|, |B|, |A ∪ B| and
+   * |A ∩ B| of two join sides from two k-minimum-values sketches — the
+   * pre-join sizing pass that picks broadcast vs shuffle vs skew
+   * handling WITHOUT running the join. Each side is one narrow scan
+   * into a [[graft.functions.MinKLongs]] buffer (≤ k longs of state,
+   * map-side combined); the estimators then run on the driver-sized
+   * 1-row frames.
+   *
+   * The combined sketch is the k smallest of the union of the two
+   * sketches; its k-th value τ estimates union density, and since τ is
+   * ≤ each side's own k-th value, membership of a combined-sketch entry
+   * in side sketches is exact — `K∩/k · est(|A ∪ B|)` is the paper's
+   * intersection estimator. Below k distinct values everything is
+   * exact. Hashes are the reproducible polynomial hash passed through a
+   * universal-hash mix `(a·h + b) mod p`: a raw polynomial hash of a
+   * SHORT key (a numeric id) never wraps the modulus, so raw values
+   * concentrate near zero and the k-th-smallest density estimate
+   * explodes; the multiply-mod mix spreads them uniformly on `[0, p)`
+   * while staying bit-identical across partitionings, runs, and the
+   * DuckDB twin.
+   *
+   * `n_exact_intersection` (a real distinct-hash join) is the eval
+   * column of the sizing run, like distinct_estimate's `n_exact` — a
+   * production caller drops it and pays only the two sketch scans.
+   */
+  def kmvOverlapEstimate(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         k: Int = 64): DataFrame = {
+    val mod = TextFns.HashMod
+    val mink = graft.functions.MinKLongs.udaf(k)
+    def mixed(key: String): Column = expr(
+      s"(1103515245L * graft_poly_hash(CAST($key AS STRING), 31, $mod)" +
+        s" + 12345L) % $mod")
+    val lh = left.select(mixed(leftKey).as("h"))
+    val rh = right.select(mixed(rightKey).as("h"))
+    val sa = lh.agg(mink(col("h")).as("sa"))
+    val sb = rh.agg(mink(col("h")).as("sb"))
+    val ex = lh.distinct().join(rh.distinct(), Seq("h"))
+      .agg(count(lit(1)).as("n_exact_intersection"))
+    def sideEst(arr: String): Column =
+      when(expr(s"size($arr)") < k, expr(s"CAST(size($arr) AS DOUBLE)"))
+        .otherwise(expr(s"CAST(${k - 1} AS DOUBLE) * $mod / element_at($arr, $k)"))
+    sa.crossJoin(sb).crossJoin(ex)
+      .withColumn("__unall", expr("array_sort(array_union(sa, sb))"))
+      .withColumn("__un", expr(s"slice(__unall, 1, $k)"))
+      .withColumn("__kint", expr(
+        "CAST(size(filter(__un, h -> array_contains(sa, h) " +
+          "AND array_contains(sb, h))) AS BIGINT)"))
+      .withColumn("est_left", sideEst("sa"))
+      .withColumn("est_right", sideEst("sb"))
+      .withColumn("est_union",
+        when(expr("size(__unall)") < k, expr("CAST(size(__unall) AS DOUBLE)"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS DOUBLE) * $mod / element_at(__un, $k)")))
+      .withColumn("est_intersection",
+        when(expr("size(__unall)") < k, expr("CAST(__kint AS DOUBLE)"))
+          .otherwise(expr(s"CAST(__kint AS DOUBLE) * est_union / $k")))
+      .select(lit(k.toLong).as("k"), col("est_left"), col("est_right"),
+        col("est_union"), col("est_intersection"),
+        col("n_exact_intersection"))
+  }
 }

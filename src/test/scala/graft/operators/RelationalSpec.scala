@@ -261,4 +261,31 @@ class RelationalSpec extends SparkSpec {
       Seq(2L, 2L, 181L, 2L),
       Seq(3L, 2L, 181L, 3L)))
   }
+
+  test("kmvOverlapEstimate: below k every estimate is exact, duplicates " +
+      "collapse") {
+    // A = {1..20} (each key twice), B = {11..40}: |A|=20, |B|=30,
+    // union 40, intersection 10 — all < k=64, so the sketches are
+    // complete and every estimator returns the exact count
+    val a = ((1L to 20L) ++ (1L to 20L)).toDF("key")
+    val b = (11L to 40L).toDF("key")
+    val out = rows(Relational.kmvOverlapEstimate(a, b, "key", "key", k = 64))
+    assert(out == Seq(Seq(64L, 20.0, 30.0, 40.0, 10.0, 10L)))
+  }
+
+  test("kmvOverlapEstimate: above k the estimates land near the truth " +
+      "and the eval column stays exact") {
+    // |A| = 1000, |B| = 1000, intersection 500 with k = 64 sketches
+    val a = (1L to 1000L).toDF("key")
+    val b = (501L to 1500L).toDF("key")
+    val out = rows(Relational.kmvOverlapEstimate(a, b, "key", "key", k = 64))
+      .head
+    assert(out(0) == 64L && out(5) == 500L)
+    def near(v: Any, truth: Double): Boolean = {
+      val x = v.asInstanceOf[Double]
+      x > truth * 0.5 && x < truth * 2.0
+    }
+    assert(near(out(1), 1000) && near(out(2), 1000)
+      && near(out(3), 1500) && near(out(4), 500), s"estimates off: $out")
+  }
 }
