@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
  * Everything here is integer arithmetic in closed form (grid cells from
  * integer bounds, bit interleaving, prefix buckets), so the layout
  * assignment is deterministic across engines, partitionings, and
- * cluster sizes — the DuckDB twin recomputes it bit for bit.
+ * cluster sizes — the DuckDB twin recomputes it bit for bit. The
+ * catalog-side rewrite that MATERIALIZES a Morton clustering into table
+ * files is [[graft.tables.Tables.zorderCompact]] (double-scaled, n-ary,
+ * spec-checked); this operator is the queryable assignment + statistics
+ * surface that makes the layout's pruning value oracle-checkable.
  */
 object Layout {
 

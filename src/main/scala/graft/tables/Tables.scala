@@ -247,6 +247,10 @@ object Tables {
    * Linear min/max scaling assumes roughly uniform values; heavily
    * skewed columns should be pre-ranked (or the skew accepted as
    * coarser pruning on that column). Nulls scale to bucket 0.
+   *
+   * The queryable (integer-exact, oracle-checked) two-column assignment
+   * and per-bucket pruning envelopes live in
+   * [[graft.operators.Layout]].
    */
   def zorderCompact(spark: SparkSession, table: String, zCols: Seq[String],
                     targetFiles: Int, bits: Int = 16): (Int, Int) = {
