@@ -449,14 +449,17 @@ object Streams {
    * bands) incremental shape against the persisted band index — corpus
    * text is never re-read, corpus sigs never re-banded; the contract
    * check and the rejected-id rule share one persisted batch-sized pair
-   * frame (no second candidate join).
+   * frame (no second candidate join). `maxBucketSize` is the same
+   * post-batch band-bucket population cap as every other LSH candidate
+   * path (AQE skew-join measurably never engages for these joins).
    */
   def intakeSink(stream: DataFrame, indexPath: String, outPath: String,
                  checkpointDir: String, minQualityMicro: Long = 300000L,
                  estThreshold: Double = 0.5, n: Int = 3,
                  numHashes: Int = 128, bands: Int = 32,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): StreamingQuery =
+                 textCol: String = "text",
+                 maxBucketSize: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -487,7 +490,8 @@ object Streams {
             .filter(col("batch") =!= batchId).drop("batch")
           val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
           val pairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
-            corpus, corpusBands, estThreshold, numHashes, idCol)
+            corpus, corpusBands, estThreshold, numHashes, idCol,
+            maxBucketSize)
             .persist()
           try {
             // batch ids are larger than all corpus ids by ingest contract,
