@@ -89,6 +89,17 @@ object TextFns {
     s"+ ${polyHashFragment(v, 131, 998244353L)} * 1073741824 " +
     s"+ (${polyHashFragment(v, 137, 1000003L)} % 8) * 1152921504606846976)"
 
+  /** Reproducible uniform key hash: the polynomial hash through a
+   * universal-hash mix `(a·h + b) mod p`. The mix matters for SHORT keys
+   * (numeric ids): their raw polynomial hash never wraps the modulus and
+   * concentrates near zero, which breaks any k-minimum-values density
+   * estimate; one multiply-mod spreads them uniformly on `[0, HashMod)`
+   * while staying closed-form for the DuckDB twin. */
+  def mixedKeyHash(keyExpr: String): Column =
+    expr(s"(1103515245L * " +
+      s"graft_poly_hash(CAST($keyExpr AS STRING), 31, $HashMod)" +
+      s" + 12345L) % $HashMod")
+
   /** MinHash permutation parameters: deterministic LCG-derived (a, b) pairs,
    * a != 0, reproducible across runs and engines. */
   def minhashParams(numHashes: Int): IndexedSeq[(Long, Long)] =

@@ -488,11 +488,8 @@ object Relational {
                          k: Int = 64): DataFrame = {
     val mod = TextFns.HashMod
     val mink = graft.functions.MinKLongs.udaf(k)
-    def mixed(key: String): Column = expr(
-      s"(1103515245L * graft_poly_hash(CAST($key AS STRING), 31, $mod)" +
-        s" + 12345L) % $mod")
-    val lh = left.select(mixed(leftKey).as("h"))
-    val rh = right.select(mixed(rightKey).as("h"))
+    val lh = left.select(TextFns.mixedKeyHash(leftKey).as("h"))
+    val rh = right.select(TextFns.mixedKeyHash(rightKey).as("h"))
     val sa = lh.agg(mink(col("h")).as("sa"))
     val sb = rh.agg(mink(col("h")).as("sb"))
     val ex = lh.distinct().join(rh.distinct(), Seq("h"))

@@ -215,6 +215,85 @@ object Streams {
   }
 
   /**
+   * Streaming per-group distinct-key estimation with BOUNDED state: each
+   * micro-batch folds its keys into a k-minimum-values sketch per group
+   * ([[graft.functions.MinKLongs]] — at most k longs of aggregation
+   * state, map-side combined), merges it with the persisted running
+   * sketch, and emits the running distinct estimate per group. A
+   * streaming `count(DISTINCT key)` holds EVERY key ever seen in state;
+   * the sketch holds k longs per group forever. Below k distinct keys
+   * the estimate is exact; keys re-delivered across batches collapse in
+   * the sketch union, never double-counted. Hashes are
+   * [[TextFns.mixedKeyHash]], so the estimate arithmetic matches
+   * [[graft.operators.Relational.kmvOverlapEstimate]] exactly.
+   *
+   * Exactly-once despite foreachBatch's at-least-once contract: the
+   * MERGED sketch is written to `sketchPath/batch=<id>` (overwrite), and
+   * a batch always merges from the LATEST partition with id smaller than
+   * its own — a replayed batch re-reads the same predecessor and
+   * rewrites itself deterministically; partitions it had already written
+   * are superseded, never re-read. Estimates land under
+   * `outPath/batch=<id>` by the same protocol.
+   *
+   * Scale: batch work is one narrow hash projection and one sketch
+   * aggregate (at most k longs per group per mapper cross the shuffle);
+   * persisted state is groups × k longs; the merge is an array
+   * union-sort-truncate over the previous 1-partition state — no driver
+   * data path anywhere.
+   */
+  def distinctSink(stream: DataFrame, sketchPath: String, outPath: String,
+                   checkpointDir: String, groupCol: String = "source",
+                   keyCol: String = "doc_id",
+                   k: Int = 64): StreamingQuery = {
+    val mod = TextFns.HashMod
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          val s = batch.sparkSession
+          val mink = graft.functions.MinKLongs.udaf(k)
+          val bs = batch
+            .select(col(groupCol).as("grp"),
+              TextFns.mixedKeyHash(keyCol).as("h"))
+            .groupBy("grp").agg(mink(col("h")).as("sk"))
+          val root = new Path(sketchPath)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val prev =
+            (if (!fs.exists(root)) Seq.empty[Long]
+             else fs.listStatus(root).toSeq.map(_.getPath.getName)
+               .filter(_.startsWith("batch="))
+               .map(_.stripPrefix("batch=").toLong))
+              .filter(_ < batchId)
+          val merged = prev.sorted.lastOption match {
+            case None => bs
+            case Some(p) =>
+              s.read.parquet(s"$sketchPath/batch=$p").as("o")
+                .join(bs.as("b"), Seq("grp"), "full_outer")
+                .select(col("grp"), expr(
+                  s"""slice(array_sort(array_union(
+                     |  coalesce(o.sk, CAST(array() AS ARRAY<BIGINT>)),
+                     |  coalesce(b.sk, CAST(array() AS ARRAY<BIGINT>)))),
+                     |  1, $k)""".stripMargin).as("sk"))
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$sketchPath/batch=$batchId")
+          s.read.parquet(s"$sketchPath/batch=$batchId")
+            .select(col("grp").as(groupCol),
+              when(expr("size(sk)") < k,
+                expr("CAST(size(sk) AS DOUBLE)"))
+                .otherwise(expr(
+                  s"CAST(${k - 1} AS DOUBLE) * $mod / element_at(sk, $k)"))
+                .as("distinct_estimate"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /**
    * Streaming incremental near-duplicate detection over a GROWING corpus:
    * each micro-batch of documents is MinHash-signed once, near-dup-checked
    * against the signature index accumulated from every earlier batch

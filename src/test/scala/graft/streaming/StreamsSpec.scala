@@ -134,6 +134,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctSink: running per-group estimates, re-delivered keys " +
+      "never double-count, state stays <= k longs per group") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sk = Files.createTempDirectory("dsk").toString
+    val out = Files.createTempDirectory("dout").toString
+    val cp = Files.createTempDirectory("dcp").toString
+    val q = Streams.distinctSink(mem.toDF().toDF("source", "doc_id"),
+      sk, out, cp, groupCol = "source", keyCol = "doc_id", k = 64)
+    try {
+      mem.addData((1L to 30L).map(i => ("a", i)) ++
+        (1L to 5L).map(i => ("b", i)): _*)
+      q.processAllAvailable()
+      val first = rows(spark.read.parquet(s"$out/batch=0").orderBy("source"))
+      assert(first == Seq(Seq("a", 30.0), Seq("b", 5.0)))
+      // batch 2 overlaps a's keys 21..30: the union collapses them, so
+      // a grows to exactly 50; b is carried forward untouched; c appears
+      mem.addData((21L to 50L).map(i => ("a", i)) ++
+        (1L to 2L).map(i => ("c", i)): _*)
+      q.processAllAvailable()
+      val second = rows(spark.read.parquet(s"$out/batch=1").orderBy("source"))
+      assert(second == Seq(Seq("a", 50.0), Seq("b", 5.0), Seq("c", 2.0)))
+      // persisted state is bounded: <= k hashes per group
+      val state = rows(spark.read.parquet(s"$sk/batch=1")
+        .selectExpr("grp", "size(sk)"))
+      assert(state.forall(_(1).asInstanceOf[Int] <= 64))
+    } finally q.stop()
+  }
+
   test("intakeSink: id-ordering contract violation fails loudly instead " +
       "of silently admitting the near-dup") {
     implicit val sqlCtx = spark.sqlContext
