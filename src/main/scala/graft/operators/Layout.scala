@@ -25,14 +25,16 @@ object Layout {
 
   /** Bit-interleave two `bitsPerDim`-wide cell coordinates into the
    * Morton code: bit `i` of `x` lands at even position `2i`, bit `i` of
-   * `y` at odd position `2i + 1`. One codegen'd HOF fold over the bit
-   * positions — no UDF, no join. */
-  private def morton(xCell: String, yCell: String, bitsPerDim: Int): Column =
-    expr(
-      s"""aggregate(sequence(0, ${bitsPerDim - 1}), CAST(0 AS BIGINT),
-         |  (acc, i) -> acc
-         |    + shiftleft(shiftright($xCell, i) & 1, 2 * i)
-         |    + shiftleft(shiftright($yCell, i) & 1, 2 * i + 1))""".stripMargin)
+   * `y` at odd position `2i + 1`. UNROLLED into a flat `2·bitsPerDim`-term
+   * sum of shift/mask Columns — a higher-order `aggregate` lambda
+   * evaluates interpreted per element and benched 4× slower than this
+   * whole-stage-codegen form at sf0.1 (the same reduce-of-Columns shape
+   * as [[graft.tables.Tables.zorderCompact]]). */
+  private def morton(xCell: Column, yCell: Column, bitsPerDim: Int): Column =
+    (0 until bitsPerDim).map { i =>
+      shiftleft(shiftright(xCell, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yCell, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce[Column](_ + _)
 
   /**
    * Z-order layout assignment over two non-negative integer key columns:
@@ -70,7 +72,7 @@ object Layout {
         s"($xCol - __minx) * ${cells}L div (__maxx - __minx + 1)"))
       .withColumn("__cy", expr(
         s"($yCol - __miny) * ${cells}L div (__maxy - __miny + 1)"))
-      .withColumn("zval", morton("__cx", "__cy", bitsPerDim))
+      .withColumn("zval", morton(col("__cx"), col("__cy"), bitsPerDim))
       .withColumn("bucket",
         expr(s"shiftright(zval, ${2 * bitsPerDim - bucketBits})"))
       .drop("__minx", "__maxx", "__miny", "__maxy", "__cx", "__cy")

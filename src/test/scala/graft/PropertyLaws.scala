@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.operators.Relational
 import graft.schema.Normalize
@@ -360,6 +360,53 @@ object PropertyLaws extends Properties("graft") {
           val expect = math.max(0L, n - n * lo / 1000 - n * hi / 1000)
           nTotal == n && nUsed == expect
         }
+      }
+    }
+
+  property("kmvOverlapEstimate is symmetric: swapping sides swaps the " +
+      "side estimates and fixes union/intersection") =
+    forAll(Gen.listOf(Gen.choose(0L, 200L)), Gen.listOf(Gen.choose(0L, 200L))) {
+      (as, bs) =>
+      import spark.implicits._
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val a = as.toDF("key")
+        val b = bs.toDF("key")
+        val ab = Relational.kmvOverlapEstimate(a, b, "key", "key", k = 16)
+          .collect().head
+        val ba = Relational.kmvOverlapEstimate(b, a, "key", "key", k = 16)
+          .collect().head
+        ab.getDouble(1) == ba.getDouble(2) && ab.getDouble(2) == ba.getDouble(1) &&
+          ab.getDouble(3) == ba.getDouble(3) && ab.getDouble(4) == ba.getDouble(4) &&
+          ab.getLong(5) == ba.getLong(5)
+      }
+    }
+
+  property("zorderLayout: Morton code is a bijection of the cell pair and " +
+      "bucket is its prefix — invariant under input partitioning") =
+    forAll(Gen.listOfN(12,
+      for { x <- Gen.choose(0L, 500L); y <- Gen.choose(0L, 500L) } yield (x, y)),
+      Gen.choose(1, 8)) { (pts, parts) =>
+      import graft.operators.Layout
+      import spark.implicits._
+      pts.nonEmpty ==> {
+        val df = pts.toDF("x", "y")
+        val out = Layout.zorderLayout(df, "x", "y",
+          nBuckets = 16, bitsPerDim = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3)))
+        val rep = Layout.zorderLayout(df.repartition(parts), "x", "y",
+          nBuckets = 16, bitsPerDim = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3)))
+        // partition-invariant assignment
+        out.sorted.toSeq == rep.sorted.toSeq &&
+          // zval in range, bucket = top-4-bit prefix
+          out.forall { case (_, _, z, bkt) =>
+            z >= 0 && z < 256 && bkt == (z >> 4)
+          } &&
+          // identical points -> identical codes (function of the pair)
+          out.groupBy(p => (p._1, p._2)).values
+            .forall(g => g.map(p => (p._3, p._4)).distinct.length == 1)
       }
     }
 }
