@@ -64,12 +64,13 @@ object SparkEntry {
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
-    "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
+    "token_stats", "bpe_token_stats", "quality_score", "lang_id",
+    "classifier_auc", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans",
-    "minhash_lsh", "simhash_capped", "incremental_neardup",
+    "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed",
-    "pagerank",
+    "pagerank", "triangle_count",
     "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "matryoshka_topk",
@@ -325,6 +326,18 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Mann–Whitney ROC AUC of the English marker-count score against the
+    // ground-truth lang label: the eval gate run before any heuristic
+    // scorer is allowed to drop corpus mass
+    "classifier_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("c_en"))
+        .join(docs.select(col("doc_id"),
+          (col("lang") === lit("en")).as("is_en")), "doc_id")
+      Curation.classifierAuc(scored, "c_en", "is_en")
+    }),
+
     "fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -358,6 +371,28 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 128,
         bands = 32, threshold = 0.5).orderBy("doc_a", "doc_b")),
 
+    // prefix-filtered EXACT similarity join (AllPairs): same pair set as
+    // ngram_jaccard_exact, candidate volume bounded by rare-prefix dfs
+    // instead of all shingle dfs — the exact path that IS benchable
+    "ppjoin" -> ((s, dir) =>
+      Dedup.ppjoinPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // MinHash-vs-exact recall gate: the claim "minhashLshPairs finds the
+    // same pair set as the quadratic exact operator" as an oracle row —
+    // if banding ever drops a true pair at this SF, this row goes red.
+    // Oracle-only (contains the exact Jaccard side), never benched.
+    "dedup_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Similarity.annRecall(
+        Dedup.minhashLshPairs(docs, n = 3, numHashes = 128, bands = 32,
+          threshold = 0.5)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b")),
+        Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+          maxShingleDF = None)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b")))
+    }),
+
     // integer PageRank over the symmetrized near-dup pair graph: the
     // transitive "which copy is canonical" centrality signal
     "pagerank" -> ((s, dir) => {
@@ -367,6 +402,17 @@ object SparkEntry {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       Graph.pageRank(edges, docs, iters = 5).orderBy("doc_id")
+    }),
+
+    // per-document triangle counts over the near-dup graph: local
+    // clique density — "replica farm" vs "one stray copy"
+    "triangle_count" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5)
+      Graph.triangleCounts(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        docs).orderBy("doc_id")
     }),
 
     // oracle-grade only (not benched): the uncapped band-bucket self-join
@@ -1777,6 +1823,34 @@ object SparkEntry {
          |    FROM (SELECT doc_id, $toksSql AS t FROM documents)))
          |ORDER BY doc_id""".stripMargin,
 
+    // Mann–Whitney AUC in BIGINT: collapse to distinct scores, cumulative
+    // negatives-below via window, wins/ties identity; same integer DIV
+    "classifier_auc" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(len(list_filter($toksSql,
+         |      w -> list_contains(['the','and','of','is'], w))) AS BIGINT) AS s,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM documents),
+         |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(sum(1 - y) AS BIGINT) AS q
+         |  FROM sc GROUP BY 1),
+         |c AS (SELECT p, q,
+         |    CAST(COALESCE(sum(q) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cq
+         |  FROM g),
+         |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |    CAST(sum(q) AS BIGINT) AS n_neg,
+         |    CAST(sum(p * q) AS BIGINT) AS n_tie_pairs,
+         |    CAST(sum(p * (2 * cq + q)) AS BIGINT) AS num
+         |  FROM c)
+         |SELECT n_pos, n_neg, n_tie_pairs,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN CAST(num * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+         |  END AS auc_micro
+         |FROM a""".stripMargin,
+
     "fingerprint" ->
       s"""SELECT doc_id,
          |  ${polyHashSql("text")} AS fp_text,
@@ -1848,7 +1922,36 @@ object SparkEntry {
 
     "ngram_jaccard_exact" -> jaccardPairsSql,
     "minhash_lsh"         -> jaccardPairsSql,
+    "ppjoin"              -> jaccardPairsSql,
+
+    // dedup_recall: both pair frames equal the exact Jaccard set at this
+    // SF (minhash_lsh's own oracle IS jaccardPairsSql), so all three
+    // counts are the exact-pair count and recall = precision = 1.0
+    "dedup_recall" ->
+      s"""WITH $jaccardCtes,
+         |n AS (SELECT count(*) AS c FROM pairs)
+         |SELECT CAST((SELECT c FROM n) AS BIGINT) AS n_exact,
+         |  CAST((SELECT c FROM n) AS BIGINT) AS n_approx,
+         |  CAST((SELECT c FROM n) AS BIGINT) AS n_hit,
+         |  CASE WHEN (SELECT c FROM n) > 0 THEN 1.0 END AS recall,
+         |  CASE WHEN (SELECT c FROM n) > 0 THEN 1.0 END AS precision""".stripMargin,
     "pagerank"            -> pageRankSql,
+
+    // triangles with corners x < y < z enumerated exactly once from the
+    // canonical (doc_a < doc_b) pair list, then fanned out to corners
+    "triangle_count" ->
+      s"""WITH $jaccardCtes,
+         |tri AS (SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
+         |  FROM pairs p1
+         |  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         |  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+         |tn AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(tc.t, CAST(0 AS BIGINT)) AS triangles
+         |FROM documents d LEFT JOIN tc ON d.doc_id = tc.n
+         |ORDER BY doc_id""".stripMargin,
     "simhash"             -> simhashSql(cap = None),
     "simhash_capped"      -> simhashSql(cap = Some(64)),
 

@@ -650,4 +650,50 @@ object Curation {
       .filter(col("__alpha") / greatest(length(col(textCol)), lit(1)) >= minAlphaRatio)
       .select(col(idCol), col("n_tokens"))
   }
+
+  /**
+   * Binary-classifier ROC AUC by the Mann–Whitney rank-sum identity, in
+   * exact integer arithmetic: AUC = P(score_pos > score_neg) + ½·P(tie).
+   * The curation use: score every document with a cheap quality/language
+   * heuristic, label a held-out slice, and gate the classifier's
+   * deployment on its AUC — the standard eval before a scorer is allowed
+   * to drop corpus mass. Emits ONE row
+   * (n_pos, n_neg, n_tie_pairs, auc_micro) with
+   * `auc_micro = (2·wins + ties)·1 000 000 DIV (2·n_pos·n_neg)` — every
+   * quantity a BIGINT, so the result is partition- and engine-invariant
+   * (no float ranks, no averaged-tie-rank doubles). NULL `auc_micro`
+   * when either class is empty (ANSI-safe; the oracle mirrors the CASE).
+   *
+   * Scale: one hash-aggregate collapses the corpus to its DISTINCT score
+   * values (p = positives, q = negatives per score); the cumulative
+   * negatives-below window then runs over that collapsed frame. The
+   * single-partition window is bounded by SCORE CARDINALITY, not corpus
+   * size — integer heuristic scores have domains in the hundreds
+   * (marker counts, permille ratios), so the windowed frame is KB-sized
+   * at any corpus scale. A continuous-score classifier must be bucketed
+   * (micro-units) before this operator — which its caller already does,
+   * because floats crossing an engine boundary are banned corpus-wide.
+   */
+  def classifierAuc(scored: DataFrame, scoreCol: String,
+                    labelCol: String): DataFrame = {
+    val g = scored
+      .select(col(scoreCol).cast("long").as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .groupBy("__s")
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__q"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__cq", coalesce(sum(col("__q")).over(w), lit(0L)))
+      .agg(sum(col("__p")).as("n_pos"),
+        sum(col("__q")).as("n_neg"),
+        sum(col("__p") * col("__q")).as("n_tie_pairs"),
+        sum(col("__p") * (lit(2L) * col("__cq") + col("__q"))).as("__num"))
+      .select(coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        coalesce(col("n_tie_pairs"), lit(0L)).as("n_tie_pairs"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("__num * 1000000 DIV (2 * n_pos * n_neg)"))
+          .as("auc_micro"))
+  }
 }

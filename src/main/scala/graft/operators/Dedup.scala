@@ -168,6 +168,68 @@ object Dedup {
   }
 
   /**
+   * EXACT set-similarity self-join via prefix filtering (the AllPairs
+   * family: Chaudhuri et al. ICDE'06 prefix filter; Bayardo et al.
+   * WWW'07): every pair of documents whose n-gram shingle-set Jaccard
+   * meets `threshold`, with NO recall loss and NO all-pairs join. This is
+   * the scale path for exact near-dup requirements (legal/contractual
+   * dedup contracts where "approximate" is not acceptable);
+   * [[minhashLshPairs]] remains the default when ~1e-4 recall loss is
+   * fine, and [[ngramJaccardPairs]] (`maxShingleDF = None`) is the
+   * brute-force oracle twin.
+   *
+   * How the pruning is exact: order every document's shingles by a single
+   * global total order (document frequency ascending, then hash — rarest
+   * first). For Jaccard >= t, a qualifying pair needs overlap
+   * i >= ceil(t/(1+t)·(|A|+|B|)) >= ceil(t·max(|A|,|B|)), so by
+   * pigeonhole the first |x| - ceil(t·|x|) + 1 shingles of EACH side —
+   * the prefix — must contain a COMMON element (prefix-filtering
+   * principle). Joining only on prefix tokens therefore generates a
+   * candidate superset of the true pair set; a symmetric length filter
+   * (t·max <= min, implied by J >= t) prunes further, and the exact
+   * Jaccard verification keeps precision at 1.
+   *
+   * Scale: df is one count aggregate; the per-doc ordered set is one
+   * groupBy (both exchanges hash the 8-byte shingle/doc keys). Join
+   * volume is Σ over PREFIX tokens of df_prefix² — rare-first ordering
+   * puts precisely the lowest-df shingles in prefixes, so stop-shingles
+   * never reach the join (the df-cap intuition of [[ngramJaccardPairs]]
+   * achieved without losing recall). KNOW THE LIMIT: when the corpus is
+   * replica-heavy, identical docs share even their rarest prefix token
+   * and candidates degenerate to the answer's own support — unavoidable
+   * for any exact operator (the output itself is quadratic in cluster
+   * size).
+   */
+  def ppjoinPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh0 = docShingles(docs, idCol, n, textCol)
+    val dfreq = sh0.groupBy("sh").agg(count(lit(1)).as("__df"))
+    // per-doc shingle array in the global (df asc, sh asc) order; this
+    // frame is referenced three times (prefix explode + both verify
+    // sides) and ReuseExchange computes the aggregate once
+    val ordered = sh0.join(dfreq, "sh")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__o"))
+      .select(col(idCol), expr("transform(__o, x -> x.sh)").as("hs"),
+        size(col("__o")).as("sz"))
+    // prefix length p = sz - ceil(t·sz) + 1 (>= 1 for t <= 1)
+    val pref = ordered.select(col(idCol), col("sz"),
+      explode(expr(
+        s"slice(hs, 1, size(hs) - CAST(ceil($threshold * size(hs)) AS INT) + 1)"))
+        .as("tok"))
+    val cand = pref.select(col(idCol).as("a"), col("sz").as("sza"), col("tok"))
+      .join(pref.select(col(idCol).as("b"), col("sz").as("szb"), col("tok")),
+        "tok")
+      .filter(col("a") < col("b"))
+      .filter(least(col("sza"), col("szb")).cast("double") >=
+        lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
+      .select("a", "b").distinct()
+    jaccardFilter(cand, ordered, idCol, threshold)
+  }
+
+  /**
    * MinHash + LSH near-dup pairs: k independent min-hashes over shingle
    * hashes, banded `bands × rowsPerBand`; docs sharing any band bucket are
    * candidates; candidates are verified by exact Jaccard >= threshold so the

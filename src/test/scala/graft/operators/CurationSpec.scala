@@ -336,4 +336,27 @@ class CurationSpec extends SparkSpec {
       dropPermille = 250).orderBy("doc_id"))
     assert(rep == out)
   }
+
+  test("classifierAuc: hand-computed wins/ties, integer micro result") {
+    // positives score {3, 2}, negatives {1, 2}: wins = 3 (3>1, 3>2, 2>1),
+    // ties = 1 (2=2) -> AUC = (3 + 0.5)/4 = 0.875
+    val scored = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("score", "label")
+    val out = rows(Curation.classifierAuc(scored, "score", "label"))
+    assert(out == Seq(Seq(2L, 2L, 1L, 875000L)))
+    // partition-invariant (integer arithmetic only)
+    assert(rows(Curation.classifierAuc(scored.repartition(3),
+      "score", "label")) == out)
+    // perfect separation -> 1.0; inverted -> 0.0
+    val perfect = Seq((5L, true), (1L, false)).toDF("score", "label")
+    assert(rows(Curation.classifierAuc(perfect, "score", "label"))
+      .head(3) == 1000000L)
+    val inverted = Seq((1L, true), (5L, false)).toDF("score", "label")
+    assert(rows(Curation.classifierAuc(inverted, "score", "label"))
+      .head(3) == 0L)
+    // degenerate single-class input -> NULL auc, counts still reported
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("score", "label")
+    val d = rows(Curation.classifierAuc(onlyPos, "score", "label"))
+    assert(d.head.take(3) == Seq(2L, 0L, 0L) && d.head(3) == null)
+  }
 }

@@ -36,6 +36,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("ppjoinPairs equals the brute-force exact operator") {
+    val exact = rows(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body", maxShingleDF = None).orderBy("doc_a", "doc_b"))
+    val pp = rows(Dedup.ppjoinPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body").orderBy("doc_a", "doc_b"))
+    assert(pp == exact && pp.nonEmpty)
+  }
+
+  test("ppjoinPairs keeps the stop-shingle pair the df cap loses") {
+    // same corpus as the cap test: the df-32 stop-shingle "x y z" is 1 of
+    // the 4 shared shingles; the capped operator drops the pair (recall
+    // trade), the prefix-filtered exact operator must keep it — and the
+    // stop-shingle must sort to the END of the df-ordered sets, never
+    // into a prefix
+    val fillers = (100L until 130L).map(i => (i, s"x y z u$i"))
+    val d = (fillers ++ Seq(
+      (1L, "x y z a b c d"),
+      (2L, "x y z a b c e"))).toDF("doc_id", "text")
+    assert(rows(Dedup.ppjoinPairs(d)) == Seq(Seq(1L, 2L)))
+    assert(rows(Dedup.ngramJaccardPairs(d, maxShingleDF = Some(10))).isEmpty)
+  }
+
   test("simhashPairs: identical docs at hamming 0, contract filters both sides") {
     val out = rows(Dedup.simhashPairs(docs, maxHamming = 7, n = 3,
       threshold = 0.5, textCol = "body").orderBy("doc_a", "doc_b"))

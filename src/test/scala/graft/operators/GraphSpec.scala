@@ -26,4 +26,22 @@ class GraphSpec extends SparkSpec {
       nodes.repartition(3), iters = 2).orderBy("doc_id"))
     assert(rep == out)
   }
+
+  test("triangleCounts: clique triangles, pendant and isolated at zero") {
+    // 4-clique {1,2,3,4} -> C(4,3) = 4 triangles, each corner in 3;
+    // pendant 5 hangs off 1 (no triangle); node 6 isolated
+    val clique = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val pairs = (clique :+ (1L, 5L)).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("doc_id")
+    val out = rows(Graph.triangleCounts(pairs, nodes).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 3L), Seq(2L, 3L), Seq(3L, 3L), Seq(4L, 3L),
+      Seq(5L, 0L), Seq(6L, 0L)))
+    // direction- and duplicate-insensitive: symmetrized + doubled edges
+    // canonicalize to the same undirected graph
+    val sym = pairs.union(pairs.select($"dst", $"src")).union(pairs)
+    assert(rows(Graph.triangleCounts(sym, nodes).orderBy("doc_id")) == out)
+  }
 }
