@@ -409,4 +409,66 @@ object PropertyLaws extends Properties("graft") {
             .forall(g => g.map(p => (p._3, p._4)).distinct.length == 1)
       }
     }
+
+  // small shared vocabulary -> dense shingle overlap, so random corpora
+  // actually produce near-dup pairs instead of vacuous empty results
+  private val docGen: Gen[String] =
+    Gen.listOfN(7, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+      .map(_.mkString(" "))
+
+  property("ppjoinPairs equals the brute-force exact Jaccard join") =
+    forAll(Gen.listOfN(7, docGen), Gen.oneOf(0.3, 0.5, 0.8)) { (texts, t) =>
+      import graft.operators.Dedup
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t,
+        maxShingleDF = None).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pp = Dedup.ppjoinPairs(docs, n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      pp.sorted.toSeq == exact.sorted.toSeq
+    }
+
+  property("triangleCounts equals naive enumeration; 3 corners per triangle") =
+    forAll(Gen.listOf(
+      for { a <- Gen.choose(1L, 7L); b <- Gen.choose(1L, 7L) } yield (a, b))) {
+      edgeList =>
+      import graft.operators.Graph
+      import spark.implicits._
+      val und = edgeList.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct.toSet
+      val nodes = (1L to 7L).toList
+      val naive = (for {
+        x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+        if und((x, y)) && und((y, z)) && und((x, z))
+      } yield Seq(x, y, z)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val edges = edgeList.toDF("src", "dst")
+      val out = Graph.triangleCounts(edges, nodes.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      nodes.forall(n => out(n) == naive.getOrElse(n, 0L)) &&
+        out.values.sum % 3 == 0
+    }
+
+  property("classifierAuc equals the naive pairwise wins/ties count") =
+    forAll(Gen.listOf(
+      for { s <- Gen.choose(0L, 4L); y <- Gen.oneOf(true, false) }
+        yield (s, y))) { data =>
+      import graft.operators.Curation
+      import spark.implicits._
+      data.nonEmpty ==> {
+        val pos = data.filter(_._2).map(_._1)
+        val neg = data.filterNot(_._2).map(_._1)
+        val wins = pos.map(p => neg.count(p > _).toLong).sum
+        val ties = pos.map(p => neg.count(p == _).toLong).sum
+        val row = Curation.classifierAuc(
+          data.toDF("score", "label"), "score", "label").collect().head
+        row.getLong(0) == pos.size && row.getLong(1) == neg.size &&
+          row.getLong(2) == ties && {
+            if (pos.isEmpty || neg.isEmpty) row.isNullAt(3)
+            else row.getLong(3) ==
+              (2 * wins + ties) * 1000000L / (2L * pos.size * neg.size)
+          }
+      }
+    }
 }
