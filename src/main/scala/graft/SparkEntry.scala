@@ -762,6 +762,13 @@ object SparkEntry {
     "split_leakage" -> ((s, dir) =>
       Curation.splitLeakage(t(s, dir, "documents"), valPct = 10)),
 
+    // leakage-free split (assign whole near-dup clusters to one side);
+    // oracle-grade only: its cost IS neardup_clusters (already benched)
+    // plus a hash projection — benching it would double-count that pass
+    "cluster_split" -> ((s, dir) =>
+      Curation.clusterSplit(t(s, dir, "documents"), valPct = 10)
+        .orderBy("doc_id")),
+
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
 
@@ -3168,6 +3175,15 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0) b
         |  ON a.s < b.e AND b.s < a.e
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // cluster-hash split: same recursive closure, split decided by the
+    // cluster id's polynomial hash (the trainValSplit rule on cluster_id)
+    "cluster_split" ->
+      s"""WITH RECURSIVE $nearDupClusterCtes
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 100 < 10
+         |       THEN 'val' ELSE 'train' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // connected components over the near-dup pair graph: transitive closure
     // via recursive CTE, cluster id = min reachable doc id

@@ -104,6 +104,34 @@ object Curation {
   }
 
   /**
+   * Leakage-FREE train/validation split: hash the near-dup CLUSTER id
+   * instead of the document id, so every member of a connected near-dup
+   * cluster lands on the same side of the boundary — by construction,
+   * [[splitLeakage]] on this assignment is exactly zero. This is the
+   * split a benchmark-honest pipeline actually ships: [[trainValSplit]]
+   * alone leaks whenever a val document has a training near-twin (the
+   * classic eval-contamination failure). Emits
+   * (idCol, cluster_id, split); singleton documents are their own
+   * cluster, so their assignment matches the same hash rule applied to
+   * their own id — corpus growth still never reshuffles old clusters'
+   * assignments.
+   *
+   * Scale: [[Dedup.nearDupClusters]]' cost (the dedup pass the pipeline
+   * already runs) plus one narrow hash projection — no extra shuffle.
+   */
+  def clusterSplit(docs: DataFrame, valPct: Int = 10, n: Int = 3,
+                   numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.5, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    Dedup.nearDupClusters(docs, n, numHashes, bands, threshold, idCol,
+      textCol)
+      .withColumn("split",
+        when(
+          expr("graft_poly_hash(CAST(cluster_id AS STRING), 31, 1000000007) % 100")
+            < valPct, lit("val"))
+          .otherwise(lit("train")))
+
+  /**
    * Per-group document quota (the RefinedWeb/Gopher-style per-domain
    * cap): keep at most `maxPerGroup` documents from each value of
    * `groupCol`, selected by the reproducible polynomial id hash (ties on

@@ -337,6 +337,29 @@ class CurationSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("clusterSplit: near-dup cluster members never cross the boundary") {
+    // docs 1/2/4 are a near-dup cluster (from the DedupSpec fixture),
+    // 3 and 5 are singletons
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (3L, "completely different words about spark query engines at scale"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "unrelated short text but long enough to carry some shingles"))
+      .toDF("doc_id", "text")
+    // valPct = 50 so both sides are actually populated
+    val out = rows(Curation.clusterSplit(docs, valPct = 50)
+      .orderBy("doc_id"))
+    assert(out.map(_(0)) == Seq(1L, 2L, 3L, 4L, 5L))
+    // one split value per cluster
+    val byCluster = out.groupBy(_(1)).values
+    assert(byCluster.forall(g => g.map(_(2)).distinct.size == 1))
+    // the near-dup cluster {1,2,4} shares cluster id 1 and one side
+    val c124 = out.filter(r => Seq(1L, 2L, 4L).contains(r(0)))
+    assert(c124.map(_(1)).distinct == Seq(1L)
+      && c124.map(_(2)).distinct.size == 1)
+  }
+
   test("classifierAuc: hand-computed wins/ties, integer micro result") {
     // positives score {3, 2}, negatives {1, 2}: wins = 3 (3>1, 3>2, 2>1),
     // ties = 1 (2=2) -> AUC = (3 + 0.5)/4 = 0.875
