@@ -59,7 +59,7 @@ object SparkEntry {
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "asof_join_tolerance", "range_join", "profile_events",
-    "key_skew", "zorder_layout", "join_cardinality",
+    "key_skew", "zorder_layout", "hilbert_layout", "join_cardinality",
     "robust_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
@@ -640,6 +640,12 @@ object SparkEntry {
     // reader would consult
     "zorder_layout" -> ((s, dir) =>
       Layout.zorderStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        nBuckets = 16, bitsPerDim = 8).orderBy("bucket")),
+
+    // Hilbert-curve variant: tighter envelopes than Morton (consecutive
+    // curve positions are always grid neighbors — no Z diagonal jumps)
+    "hilbert_layout" -> ((s, dir) =>
+      Layout.hilbertStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         nBuckets = 16, bitsPerDim = 8).orderBy("bucket")),
 
     // 10%-trimmed per-type mean of value, in exact micro-unit integers
@@ -2489,6 +2495,48 @@ object SparkEntry {
         |  min(l_orderkey) AS x_min, max(l_orderkey) AS x_max,
         |  min(l_partkey) AS y_min, max(l_partkey) AS y_max
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Hilbert fold as a list_reduce over bit levels (MSB first) with a
+    // struct accumulator: the level index rides in the element's x slot;
+    // the quadrant digit is xor(3*rx, ry); the ry=0 branch swaps (and,
+    // when rx=1, flips against the full-grid mask 255) — bit-for-bit the
+    // graft_hilbert native loop
+    "hilbert_layout" ->
+      """WITH b AS (
+        |  SELECT min(l_orderkey) AS minx, max(l_orderkey) AS maxx,
+        |         min(l_partkey) AS miny, max(l_partkey) AS maxy
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    (list_reduce(
+        |      list_prepend(
+        |        struct_pack(
+        |          x := CAST((l_orderkey - minx) * 256 // (maxx - minx + 1)
+        |               AS BIGINT),
+        |          y := CAST((l_partkey - miny) * 256 // (maxy - miny + 1)
+        |               AS BIGINT),
+        |          d := CAST(0 AS BIGINT)),
+        |        list_transform(generate_series(7, 0, -1), i ->
+        |          struct_pack(x := CAST(i AS BIGINT), y := CAST(0 AS BIGINT),
+        |                      d := CAST(0 AS BIGINT)))),
+        |      (acc, e) -> struct_pack(
+        |        x := CASE WHEN ((acc.y >> e.x) & 1) = 0
+        |               THEN CASE WHEN ((acc.x >> e.x) & 1) = 1
+        |                      THEN 255 - acc.y ELSE acc.y END
+        |               ELSE acc.x END,
+        |        y := CASE WHEN ((acc.y >> e.x) & 1) = 0
+        |               THEN CASE WHEN ((acc.x >> e.x) & 1) = 1
+        |                      THEN 255 - acc.x ELSE acc.x END
+        |               ELSE acc.y END,
+        |        d := acc.d + (xor(3 * ((acc.x >> e.x) & 1),
+        |                          (acc.y >> e.x) & 1) << (2 * e.x))))).d
+        |    AS hval
+        |  FROM lineitem, b)
+        |SELECT CAST(hval >> 12 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_orderkey) AS x_min, max(l_orderkey) AS x_max,
+        |  min(l_partkey) AS y_min, max(l_partkey) AS y_max
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "profile_events" ->
       """SELECT count(*) AS n_rows,

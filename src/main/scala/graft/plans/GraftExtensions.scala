@@ -67,6 +67,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_del1_keys expects (str)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y, bits) =>
+          HilbertIndex(x, y, longLit(bits, "bitsPerDim").toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_hilbert expects (xCell, yCell, bitsPerDim)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {

@@ -450,6 +450,27 @@ object PropertyLaws extends Properties("graft") {
         out.values.sum % 3 == 0
     }
 
+  property("graft_hilbert is a neighbor-contiguous bijection at every " +
+      "bit width") =
+    forAll(Gen.choose(1, 4)) { bits =>
+      import org.apache.spark.sql.functions.{col, expr}
+      import spark.implicits._
+      val n = 1L << bits
+      val pts = (for { x <- 0L until n; y <- 0L until n } yield (x, y)).toList
+      val out = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          expr(s"graft_hilbert(x, y, $bits)").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3)
+      // bijection onto [0, 4^bits) and every consecutive pair of curve
+      // positions is a grid neighbor — together these CHARACTERIZE a
+      // space-filling curve of Hilbert type
+      out.map(_._3).toSeq == (0L until n * n) &&
+        out.sliding(2).forall { case Array((x1, y1, _), (x2, y2, _)) =>
+          (x1 - x2).abs + (y1 - y2).abs == 1
+        }
+    }
+
   property("classifierAuc equals the naive pairwise wins/ties count") =
     forAll(Gen.listOf(
       for { s <- Gen.choose(0L, 4L); y <- Gen.oneOf(true, false) }

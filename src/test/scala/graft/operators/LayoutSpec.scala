@@ -60,4 +60,35 @@ class LayoutSpec extends SparkSpec {
       Layout.zorderLayout(grid, "x", "y", nBuckets = 64, bitsPerDim = 2)
     }
   }
+
+  test("hilbertLayout: bijection, neighbor locality, quadrant buckets on " +
+      "the 4x4 grid") {
+    val out = rows(Layout.hilbertLayout(grid, "x", "y",
+      nBuckets = 4, bitsPerDim = 2).orderBy("hval"))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+    // the 16 codes are a bijection of the grid
+    assert(out.map(_._3) == (0L to 15L))
+    // THE Hilbert property Morton lacks: consecutive curve positions are
+    // always grid neighbors (Manhattan distance exactly 1)
+    out.sliding(2).foreach { case Seq((x1, y1, _, _), (x2, y2, _, _)) =>
+      assert((x1 - x2).abs + (y1 - y2).abs == 1)
+    }
+    // curve starts at the origin corner and each quadrant is one bucket
+    assert(out.head._1 == 0L && out.head._2 == 0L)
+    for ((x, y, _, b) <- out)
+      assert(out.filter(o => o._1 / 2 == x / 2 && o._2 / 2 == y / 2)
+        .map(_._4).distinct == Seq(b))
+  }
+
+  test("hilbertStats: every bucket envelope spans half of each dimension") {
+    val out = rows(Layout.hilbertStats(grid, "x", "y",
+      nBuckets = 4, bitsPerDim = 2).orderBy("bucket"))
+    assert(out.map(_(0)) == Seq(0L, 1L, 2L, 3L))
+    for (r <- out) {
+      assert(r(1) == 4L)
+      assert(r(3).asInstanceOf[Long] - r(2).asInstanceOf[Long] == 1L)
+      assert(r(5).asInstanceOf[Long] - r(4).asInstanceOf[Long] == 1L)
+    }
+  }
 }
