@@ -71,7 +71,8 @@ object SparkEntry {
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed",
     "pagerank", "triangle_count",
-    "topk_cosine", "hyperplane_ann", "hyperplane_ann_capped", "ivf_topk",
+    "topk_cosine", "mutual_knn", "hyperplane_ann", "hyperplane_ann_capped",
+    "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "matryoshka_topk",
     "quantize_int8", "embedding_centroids", "hard_negatives",
@@ -87,7 +88,8 @@ object SparkEntry {
     "neardup_clusters", "neardup_dedup", "neardup_dedup_quality",
     "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
-    "repetition_score", "lm_score", "gopher_rules", "bpe_merges",
+    "repetition_score", "simpson_score", "lm_score", "gopher_rules",
+    "bpe_merges",
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
     "quality_calibrate", "source_overlap", "ngram_novelty", "bm25_topk",
     "semantic_decontaminate", "oov_rate", "hybrid_topk",
@@ -491,6 +493,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
         .orderBy("query_id", "rank")
     }),
+
+    // reciprocal-kNN graph: only mutually-top-k pairs survive, so hub
+    // vectors can't fabricate clusters
+    "mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnnPairs(t(s, dir, "embeddings"), k = 10)
+        .orderBy("vec_a", "vec_b")),
 
     "hyperplane_ann" -> ((s, dir) =>
       Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"), threshold = 0.4,
@@ -1025,6 +1033,11 @@ object SparkEntry {
 
     "repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Simpson token-concentration: quadratic-weighted repetition signal
+    // (integer permille), separating boilerplate from benign repeats
+    "simpson_score" -> ((s, dir) =>
+      TextAnalysis.simpsonScore(t(s, dir, "documents")).orderBy("doc_id")),
 
     // in-corpus bigram LM quality scoring (perplexity-filter analogue);
     // per-term integer micro-nat quantization keeps the mean engine-exact
@@ -2020,6 +2033,24 @@ object SparkEntry {
          |  CASE WHEN (SELECT count(*) FROM approx) > 0 THEN
          |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM approx)
          |  END AS precision""".stripMargin,
+
+    // self-kNN both directions from the same ranked CTE, kept only when
+    // reciprocal; ties broken by neighbor id exactly as the Spark window
+    "mutual_knn" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |knn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b
+         |FROM knn f JOIN knn r
+         |  ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+         |WHERE f.query_id < f.neighbor_id
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "topk_cosine" ->
       s"""WITH n AS (SELECT vec_id, embedding,
@@ -3321,6 +3352,24 @@ object SparkEntry {
         |    AS t FROM s3)
         |SELECT doc_id, n_email, n_url, n_ip, n_phone, t AS clean
         |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // Simpson: ordered equal-token pairs per doc from grouped counts —
+    // the run-length fold's Σ n_i(n_i−1), same integer DIV
+    "simpson_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |p AS (SELECT doc_id, CAST(sum(c * (c - 1)) AS BIGINT) AS pairs
+         |  FROM cnt GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT b.doc_id, b.n AS n_tokens,
+         |  CASE WHEN b.n > 1
+         |       THEN CAST(COALESCE(p.pairs, 0) * 1000 // (b.n * (b.n - 1))
+         |            AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS simpson_permille
+         |FROM base b LEFT JOIN p ON b.doc_id = p.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "repetition_score" ->
       s"""SELECT doc_id,

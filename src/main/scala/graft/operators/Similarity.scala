@@ -754,4 +754,33 @@ object Similarity {
         col("__rk") > col("__n") - ceil(col("__n") * outlierPermille / 1000))
       .select(col(idCol), col(labelCol), col("d2_micro"), col("is_outlier"))
   }
+
+  /**
+   * Mutual (reciprocal) k-nearest-neighbor pairs: (a, b) such that b is
+   * in a's cosine top-k AND a is in b's — the symmetric kNN graph that
+   * density-based embedding clustering (HDBSCAN-style), manifold
+   * methods, and reciprocal-rank near-dup screens build on. Mutuality
+   * is the standard asymmetry filter: a hub vector appearing in
+   * thousands of top-k lists only keeps edges to vectors that
+   * reciprocate, so hub-induced false clusters never form. Emits
+   * (vec_a, vec_b) with vec_a < vec_b, each pair once.
+   *
+   * Scale: the kNN feed is [[bruteForceTopK]] self-kNN here (exact —
+   * this operator doubles as the oracle-checkable baseline); swap in
+   * [[ivfTopK]]'s cell-probed feed when brute force is too wide. The
+   * mutuality step itself joins the n·k edge list against its own
+   * reversal on the (8-byte, 8-byte) pair key — output-bounded,
+   * never corpus².
+   */
+  def mutualKnnPairs(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val knn = bruteForceTopK(emb, emb, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    knn.as("f").join(knn.as("r"),
+        col("f.query_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.query_id"))
+      .filter(col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("vec_a"),
+        col("f.neighbor_id").as("vec_b"))
+  }
 }

@@ -271,6 +271,55 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
 
   /**
+   * Token-concentration score by Simpson's index, in exact integer
+   * permille: `1000·Σ nᵢ(nᵢ−1) DIV (N(N−1))` over per-token counts nᵢ —
+   * the probability two tokens drawn without replacement are EQUAL.
+   * Where [[repetitionScore]]'s distinct/total ratio treats "one token
+   * repeated everywhere" and "every token appearing twice" alike,
+   * Simpson weights concentration quadratically, separating the
+   * boilerplate/keyword-stuffing failure mode the quality battery
+   * actually hunts. Emits (idCol, n_tokens, simpson_permille); docs
+   * with < 2 tokens score 0. Integer DIV only — engine- and
+   * partition-invariant.
+   *
+   * Scale: one narrow projection — per-document token counts come from
+   * a `aggregate`-free sort + run-length pass entirely inside the
+   * document's own token array (no explode, no shuffle; the array is
+   * sorted per row and runs are counted with a single HOF fold over
+   * positions, whose per-step work is an integer compare — cheap even
+   * interpreted).
+   */
+  def simpsonScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__t", TextFns.tokens(textCol))
+      .withColumn("__s", sort_array(col("__t")))
+      .select(
+        col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        // Σ n_i(n_i-1) = number of ordered equal pairs = for each
+        // position i > 0 in the sorted array, 2 * (run length so far - 1)
+        // ... computed instead as: for each adjacent equal pair the run
+        // extends, add 2 * (distance back to run start). Equivalent and
+        // simpler: count ordered equal pairs directly via a fold that
+        // carries (run_start_index, acc).
+        expr("""
+          aggregate(
+            IF(size(__s) > 1, sequence(1, size(__s) - 1),
+               CAST(array() AS ARRAY<INT>)),
+            named_struct('run', 0, 'acc', 0L),
+            (st, i) -> IF(__s[i] = __s[i - 1],
+                          named_struct('run', st.run,
+                                       'acc', st.acc + 2L * (i - st.run)),
+                          named_struct('run', i, 'acc', st.acc)),
+            st -> st.acc)""").as("__pairs"))
+      .withColumn("simpson_permille",
+        when(col("n_tokens") > 1,
+          expr("__pairs * 1000 DIV (n_tokens * (n_tokens - 1))"))
+          .otherwise(lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("simpson_permille"))
+
+  /**
    * Canonical text cleaning for training corpora: lowercase, mask URLs /
    * emails / digit runs with fixed placeholder tokens, collapse whitespace,
    * trim. One narrow codegen'd projection; patterns restricted to the regex

@@ -284,6 +284,24 @@ class SimilaritySpec extends SparkSpec {
       Seq(1L, 0, 4L, 1, 2L)))
   }
 
+  test("mutualKnnPairs: only reciprocal top-k edges survive") {
+    // with k = 1: 1 and 2 are each other's nearest (mutual); 3's nearest
+    // is 2, but 2's nearest is 1 — the (2,3) edge is one-directional and
+    // must be dropped; 4 is far from everything
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.31f)),
+      (3L, Array(0.6f, 0.8f)),
+      (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = rows(Similarity.mutualKnnPairs(vs, k = 1)
+      .orderBy("vec_a", "vec_b"))
+    assert(out == Seq(Seq(1L, 2L)))
+    // k = 3 on 4 vectors: every edge is mutual -> all 6 pairs
+    val all = rows(Similarity.mutualKnnPairs(vs, k = 3))
+    assert(all.size == 6)
+  }
+
   test("embeddingOutliers: farthest-from-centroid flagged, per label") {
     // label 0: three vectors near (1, 0) and one far outlier; permille 250
     // flags ceil(4 * 0.25) = 1 row — the farthest. label 1: a single

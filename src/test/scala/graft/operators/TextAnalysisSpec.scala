@@ -273,4 +273,21 @@ class TextAnalysisSpec extends SparkSpec {
     val scored = rows(TextAnalysis.bm25TopK(corpus, q, k = 1))
     assert(scored.head(1) == 10L) // the rare-term doc wins rank 1
   }
+
+  test("simpsonScore: hand-computed ordered-pair counts in permille") {
+    val docs = Seq(
+      (1L, "a a a a"),     // one run of 4: 4·3 = 12 pairs / 12 -> 1000
+      (2L, "a b a b"),     // two runs of 2: 2+2 = 4 pairs / 12 -> 333
+      (3L, "a b c d"),     // all distinct -> 0
+      (4L, "a"),           // < 2 tokens -> 0
+      (5L, ""))            // empty -> 0 tokens, 0
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.simpsonScore(docs).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 4L, 1000L), Seq(2L, 4L, 333L), Seq(3L, 4L, 0L),
+      Seq(4L, 1L, 0L), Seq(5L, 0L, 0L)))
+    // partition-invariant: pure integer per-row projection
+    assert(rows(TextAnalysis.simpsonScore(docs.repartition(3))
+      .orderBy("doc_id")) == out)
+  }
 }
