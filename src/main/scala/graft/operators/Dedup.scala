@@ -689,9 +689,27 @@ object Dedup {
     val pairs = minhashLshPairs(docs, n, numHashes, bands, threshold, idCol, textCol)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // edges are reused every round — compute once
-    var cur = docs.select(col(idCol).as("id"), col(idCol).cast("long").as("label"))
-      .localCheckpoint(true)
+    val init = docs
+      .select(col(idCol).as("id"), col(idCol).cast("long").as("label"))
+    propagateMinLabels(edges, init, maxRounds)
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /**
+   * Min-label propagation with pointer jumping to a fixpoint: given
+   * symmetric `edges` (src, dst) and an initial labeling (id, label)
+   * with `label <= id` semantics (any monotone upper bound works — own
+   * id, or a previous clustering's labels for the incremental/streaming
+   * path), returns the fixpoint where every node holds the minimum
+   * label reachable in its connected component. The loop body is one
+   * neighbor-min join + one label-follow join per round; `edges` and
+   * each round's labels are localCheckpoint-pinned (edges are reused
+   * every round, and each round's lineage would otherwise stack).
+   */
+  private[graft] def propagateMinLabels(edges0: DataFrame, init: DataFrame,
+                                        maxRounds: Int = 20): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    var cur = init.localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -717,7 +735,7 @@ object Dedup {
       round += 1
     }
     unpersistCheckpoint(edges)
-    cur.select(col("id").as(idCol), col("label").as("cluster_id"))
+    cur
   }
 
   /**

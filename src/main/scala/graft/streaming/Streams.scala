@@ -408,6 +408,100 @@ object Streams {
       .start()
 
   /**
+   * Streaming near-dup CLUSTER maintenance over a growing corpus — the
+   * streaming twin of [[Dedup.nearDupClusters]]: each micro-batch runs
+   * the [[nearDupSink]] pipeline (sign once, band, pair new-vs-corpus +
+   * new-vs-new against the accumulated index) and then folds the new
+   * pairs into a persisted labeling by min-label propagation over the
+   * STAR graph — the previous labeling as depth-1 (id ↔ label) edges
+   * plus the batch's pair edges. The snapshot at
+   * `labelsPath/batch=<latest>` therefore always equals what the batch
+   * operator would compute over every document ever ingested: labels
+   * are the min reachable doc id across ALL pairs seen so far,
+   * including merges where a new document BRIDGES two old clusters.
+   *
+   * Exactly-once: sigs/bands/pairs follow [[nearDupSink]]'s
+   * batch-partition overwrite protocol; labels are a FULL snapshot per
+   * batch, merged from the latest PREDECESSOR partition (< batchId, the
+   * [[distinctSink]] protocol) — a replayed batch re-reads the same
+   * predecessor and overwrites its own snapshot, never compounding.
+   *
+   * Scale: star edges keep the propagation diameter at O(1) for old
+   * components regardless of their size — convergence needs rounds
+   * proportional to the NEW merge chains only, and each round is one
+   * join keyed on 8-byte node ids. A snapshot is two longs per
+   * document (the floor for any clustering state). Old snapshots are
+   * compaction fodder exactly like the sig index ([[compactIndex]]).
+   */
+  def clustersSink(stream: DataFrame, indexPath: String, labelsPath: String,
+                   checkpointDir: String, estThreshold: Double = 0.5,
+                   n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucketSize: Option[Int] = None,
+                   maxRounds: Int = 20): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          val s = batch.sparkSession
+          val bandsPath = indexPath + "__bands"
+          val sigs = Dedup.minhashSignatures(batch, n, numHashes, idCol, textCol)
+          sigs.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
+          Dedup.minhashBandRows(newSigs, numHashes, bands, idCol)
+            .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+          reconcileBands(s, indexPath, bandsPath, numHashes, bands, idCol,
+            batchId)
+          val corpus = s.read
+            .option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          val corpusBands = s.read
+            .option("basePath", bandsPath).parquet(bandsPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
+          val pairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
+            corpus, corpusBands, estThreshold, numHashes, idCol,
+            maxBucketSize)
+            .select(col("doc_a"), col("doc_b"))
+          // previous labeling (latest snapshot strictly before this batch
+          // — replay-safe) as star edges, plus this batch's pair edges
+          val root = new Path(labelsPath)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val prevIds =
+            (if (!fs.exists(root)) Seq.empty[Long]
+             else fs.listStatus(root).toSeq.map(_.getPath.getName)
+               .filter(_.startsWith("batch="))
+               .map(_.stripPrefix("batch=").toLong))
+              .filter(_ < batchId)
+          val prev = prevIds.sorted.lastOption match {
+            case None => s.emptyDataFrame
+              .select(lit(0L).as("id"), lit(0L).as("label")).limit(0)
+            case Some(p) => s.read.parquet(s"$labelsPath/batch=$p")
+              .select(col(idCol).as("id"), col("cluster_id").as("label"))
+          }
+          val starEdges = prev.filter(col("id") =!= col("label"))
+            .select(col("id").as("src"), col("label").as("dst"))
+          val pairEdges = pairs
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val edges = starEdges
+            .union(starEdges.select(col("dst").as("src"), col("src").as("dst")))
+            .union(pairEdges)
+            .union(pairEdges.select(col("dst").as("src"), col("src").as("dst")))
+          val init = prev.union(
+            batch.select(col(idCol).cast("long").as("id"))
+              .join(prev.select(col("id")), Seq("id"), "left_anti")
+              .select(col("id"), col("id").as("label")))
+          Dedup.propagateMinLabels(edges, init, maxRounds)
+            .select(col("id").as(idCol), col("label").as("cluster_id"))
+            .write.mode("overwrite").parquet(s"$labelsPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming chunk-level exact dedup over a GROWING corpus — the
    * streaming twin of [[Dedup.dedupChunks]] for continuously-crawled
    * ingest: each micro-batch is CDC-chunked ([[Curation.cdcChunks]] —

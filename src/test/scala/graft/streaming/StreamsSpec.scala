@@ -219,6 +219,59 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clustersSink: labels track growth and a bridge doc merges two " +
+      "old clusters") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("clidx").toString
+    val labels = Files.createTempDirectory("cllabels").toString
+    val cp = Files.createTempDirectory("clcp").toString
+    // estThreshold 0.3: the bridge doc concatenates two old docs, so its
+    // Jaccard to EACH is ~|half| / |whole| < 0.5 by construction
+    val q = Streams.clustersSink(mem.toDF().toDF("doc_id", "text"),
+      idx, labels, cp, estThreshold = 0.3)
+    def latest(): Seq[Seq[Any]] = {
+      val parts = new java.io.File(labels).listFiles()
+        .map(_.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+      rows(spark.read.parquet(s"$labels/batch=${parts.max}")
+        .orderBy("doc_id"))
+    }
+    try {
+      // batch 0: docs 1,2 are a cluster; 3 and 5 are singletons with
+      // unrelated text
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "completely different words about spark query engines at scale"),
+        (5L, "totally novel content sharing no shingles with anything else"))
+      q.processAllAvailable()
+      assert(latest() == Seq(
+        Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 3L), Seq(5L, 5L)))
+      // batch 1: doc 6 is a near-dup of doc 1's text (joins cluster 1);
+      // doc 7 is novel
+      mem.addData(
+        (6L, "the quick brown fox jumps over the lazy dog again and again"),
+        (7L, "entirely fresh sentences that resemble nothing ingested before"))
+      q.processAllAvailable()
+      assert(latest() == Seq(
+        Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 3L), Seq(5L, 5L),
+        Seq(6L, 1L), Seq(7L, 7L)))
+      // batch 2: doc 8 pairs with BOTH old singletons 3 and 5 (its text
+      // holds each one's shingles) — the two old clusters must MERGE
+      // into min-id 3 through the bridge
+      mem.addData(
+        (8L, "completely different words about spark query engines at scale " +
+          "totally novel content sharing no shingles with anything else"))
+      q.processAllAvailable()
+      val out = latest()
+      assert(out.contains(Seq(3L, 3L)) && out.contains(Seq(5L, 3L))
+        && out.contains(Seq(8L, 3L)))
+      // untouched clusters keep their labels across the merge
+      assert(out.contains(Seq(1L, 1L)) && out.contains(Seq(6L, 1L)))
+    } finally q.stop()
+  }
+
   test("nearDupSink: pre-band sig index is backfilled, stale band " +
       "partitions are pruned") {
     implicit val sqlCtx = spark.sqlContext
