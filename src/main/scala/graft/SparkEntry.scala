@@ -65,7 +65,7 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
-    "classifier_auc", "fingerprint",
+    "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans",
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
@@ -338,6 +338,18 @@ object SparkEntry {
         .join(docs.select(col("doc_id"),
           (col("lang") === lit("en")).as("is_en")), "doc_id")
       Curation.classifierAuc(scored, "c_en", "is_en")
+    }),
+
+    // reliability diagram for the same scorer: per-bin positive rates in
+    // integer permille — ranking power (AUC) vs magnitude calibration
+    "calibration_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("c_en"))
+        .join(docs.select(col("doc_id"),
+          (col("lang") === lit("en")).as("is_en")), "doc_id")
+      Curation.calibrationCurve(scored, "c_en", "is_en", buckets = 10)
+        .orderBy("bin")
     }),
 
     "fingerprint" -> ((s, dir) =>
@@ -1848,6 +1860,23 @@ object SparkEntry {
          |      len(list_filter(t, w -> list_contains(['der','die','und','das'], w))) AS c_de
          |    FROM (SELECT doc_id, $toksSql AS t FROM documents)))
          |ORDER BY doc_id""".stripMargin,
+
+    // equal-width integer bins over the observed score range; bin stats
+    // in BIGINT with the same DIV arithmetic
+    "calibration_curve" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(len(list_filter($toksSql,
+         |      w -> list_contains(['the','and','of','is'], w))) AS BIGINT) AS s,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM documents),
+         |b AS (SELECT min(s) AS lo, max(s) AS hi FROM sc)
+         |SELECT CAST((s - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bin,
+         |  min(s) AS score_lo, max(s) AS score_hi,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(y) * 1000 // count(*) AS BIGINT) AS pos_permille
+         |FROM sc, b GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // Mann–Whitney AUC in BIGINT: collapse to distinct scores, cumulative
     // negatives-below via window, wins/ties identity; same integer DIV

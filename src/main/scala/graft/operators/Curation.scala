@@ -724,4 +724,39 @@ object Curation {
           expr("__num * 1000000 DIV (2 * n_pos * n_neg)"))
           .as("auc_micro"))
   }
+
+  /**
+   * Calibration curve (reliability diagram) in exact integers: bucket
+   * the integer score range into `buckets` equal-width bins over the
+   * observed [min, max] and report each bin's size and positive rate —
+   * [[classifierAuc]] says whether a scorer RANKS well; this says
+   * whether its magnitudes mean anything (monotone, roughly linear
+   * pos_permille across bins = calibrated; a cliff = the scorer is a
+   * thresholded feature). Emits one row per NON-EMPTY bin:
+   * (bin, score_lo, score_hi, n, n_pos, pos_permille) with
+   * `pos_permille = n_pos·1000 DIV n` and [score_lo, score_hi] the
+   * bin's closed integer score range.
+   *
+   * Scale: the [min, max] bounds ride a broadcast 1-row aggregate (the
+   * zorderLayout pattern), bin assignment is a narrow integer
+   * projection `(s − min)·buckets DIV (max − min + 1)`, and the result
+   * is one hash-aggregate on ≤ `buckets` groups. A constant score
+   * degenerates to a single bin 0, not a division error.
+   */
+  def calibrationCurve(scored: DataFrame, scoreCol: String,
+                       labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = scored.select(col(scoreCol).cast("long").as("__s"),
+      when(col(labelCol), 1L).otherwise(0L).as("__y"))
+    val bounds = base.agg(min(col("__s")).as("__lo"),
+      max(col("__s")).as("__hi"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr(s"(__s - __lo) * $buckets DIV (__hi - __lo + 1)"))
+      .groupBy("bin")
+      .agg(min(col("__s")).as("score_lo"), max(col("__s")).as("score_hi"),
+        count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .withColumn("pos_permille", expr("n_pos * 1000 DIV n"))
+      .select("bin", "score_lo", "score_hi", "n", "n_pos", "pos_permille")
+  }
 }

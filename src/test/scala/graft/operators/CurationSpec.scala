@@ -360,6 +360,23 @@ class CurationSpec extends SparkSpec {
       && c124.map(_(2)).distinct.size == 1)
   }
 
+  test("calibrationCurve: equal-width bins, per-bin positive permille") {
+    // scores 0..9, label = score >= 5; 5 bins of width 2
+    val scored = (0L to 9L).map(s => (s, s >= 5)).toDF("score", "label")
+    val out = rows(Curation.calibrationCurve(scored, "score", "label",
+      buckets = 5).orderBy("bin"))
+    assert(out == Seq(
+      Seq(0L, 0L, 1L, 2L, 0L, 0L),
+      Seq(1L, 2L, 3L, 2L, 0L, 0L),
+      Seq(2L, 4L, 5L, 2L, 1L, 500L),
+      Seq(3L, 6L, 7L, 2L, 2L, 1000L),
+      Seq(4L, 8L, 9L, 2L, 2L, 1000L)))
+    // constant score -> single bin 0, no division error
+    val const = Seq((7L, true), (7L, false)).toDF("score", "label")
+    assert(rows(Curation.calibrationCurve(const, "score", "label"))
+      == Seq(Seq(0L, 7L, 7L, 2L, 1L, 500L)))
+  }
+
   test("classifierAuc: hand-computed wins/ties, integer micro result") {
     // positives score {3, 2}, negatives {1, 2}: wins = 3 (3>1, 3>2, 2>1),
     // ties = 1 (2=2) -> AUC = (3 + 0.5)/4 = 0.875
