@@ -113,4 +113,29 @@ class PlanShapeSpec extends SparkSpec {
       s"re-rank fetch no longer broadcast:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  test("ppjoin: <= 8 corpus scans (df + ordered-set refs; the pin-free " +
+      "shape measured FASTER than a checkpoint), no cartesian product") {
+    val p = executedPlan("ppjoin")
+    assert(scanCount(p, "documents") <= 8, s"corpus rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("triangle_count: edge list is checkpoint-pinned — the wedge/close " +
+      "joins must not rescan the corpus at all") {
+    val p = executedPlan("triangle_count")
+    // only the pair pipeline (pinned upstream) and the node frame read
+    // documents; wedge + closing joins run on the materialized edges
+    assert(scanCount(p, "documents") <= 1, s"corpus rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("mutual_knn: <= 4 embedding scans, kNN feed broadcast, mutuality " +
+      "join is a hash join on the edge list") {
+    val p = executedPlan("mutual_knn")
+    assert(scanCount(p, "embeddings") <= 4, s"embeddings rescanned:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
+      s"kNN feed no longer broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
 }
