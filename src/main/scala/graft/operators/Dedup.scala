@@ -194,11 +194,14 @@ object Dedup {
    * volume is Σ over PREFIX tokens of df_prefix² — rare-first ordering
    * puts precisely the lowest-df shingles in prefixes, so stop-shingles
    * never reach the join (the df-cap intuition of [[ngramJaccardPairs]]
-   * achieved without losing recall). KNOW THE LIMIT: when the corpus is
-   * replica-heavy, identical docs share even their rarest prefix token
-   * and candidates degenerate to the answer's own support — unavoidable
-   * for any exact operator (the output itself is quadratic in cluster
-   * size).
+   * achieved without losing recall). MEASURED under the 10× dup-mass
+   * stress (BENCH_scaling.md round-8): 4.5× wall for 10× docs carrying
+   * ~1000× pair mass — the full exact 250 600-pair answer in half the
+   * time the df-CAPPED (recall-lossy) shingle join took on the same
+   * corpus. Cost tracks the OUTPUT, the floor for any exact operator:
+   * replica cliques share their rare prefix tokens, so their candidates
+   * are exactly the clique's own pairs. [[minhashLshPairs]] stays ~10×
+   * cheaper there (0.03% recall loss) — still the default at scale.
    */
   def ppjoinPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
