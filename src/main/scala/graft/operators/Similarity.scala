@@ -774,8 +774,33 @@ object Similarity {
    */
   def mutualKnnPairs(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val knn = bruteForceTopK(emb, emb, k, idCol, vecCol)
+    // self-kNN is symmetric: evaluate each UNORDERED pair's cosine once
+    // (a < b halves the broadcast-NLJ pair count vs bruteForceTopK with
+    // queries = corpus) and mirror the skinny (a, b, cos) rows for the
+    // per-query ranking. Both the half-pair frame and the final edge
+    // list are pinned: each is referenced twice, sits above a non-
+    // exchange operator (NLJ / window) that ReuseExchange cannot
+    // dedupe, and is small (24 bytes/pair, 2 longs/edge) — the
+    // pin-small-frames rule from triangle_count.
+    val c = emb.select(col(idCol).as("a"), col(vecCol).as("va"),
+      VectorFns.norm(vecCol).as("na"))
+    val q = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      VectorFns.norm(vecCol).as("nb"))
+    val half = c.join(broadcast(q), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (VectorFns.dot("va", "vb") / (col("na") * col("nb"))).as("cos"))
+      .localCheckpoint(true)
+    val full = half
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"), col("cos"))
+      .union(half.select(col("b").as("query_id"), col("a").as("neighbor_id"),
+        col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val knn = full
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     knn.as("f").join(knn.as("r"),
         col("f.query_id") === col("r.neighbor_id") &&
           col("f.neighbor_id") === col("r.query_id"))

@@ -130,12 +130,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
-  test("mutual_knn: <= 4 embedding scans, kNN feed broadcast, mutuality " +
-      "join is a hash join on the edge list") {
+  test("mutual_knn: the edge list is checkpoint-pinned — the mutuality " +
+      "join must not rescan embeddings or re-run the kNN feed") {
     val p = executedPlan("mutual_knn")
-    assert(scanCount(p, "embeddings") <= 4, s"embeddings rescanned:\n$p")
-    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
-      s"kNN feed no longer broadcast:\n$p")
+    assert(scanCount(p, "embeddings") == 0, s"kNN feed re-ran:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
 }
