@@ -51,7 +51,11 @@ object SparkEntry {
    *     scale (same pair set to 0.014% recall, 15× faster);
    *   - `simhash` (uncapped) — band-bucket self-join on biased sign bits is
    *     skew-prone (12.5 s driver-bench outlier, round 6); `simhash_capped`
-   *     (maxBucketSize = 64) is the production headline.
+   *     (maxBucketSize = 64) is the production headline;
+   *   - `dedup_recall` — contains the brute-force exact Jaccard side by
+   *     definition (it is the recall GATE for minhash_lsh);
+   *   - `cluster_split` — its runtime IS the already-benched
+   *     neardup_clusters pass plus a projection (double-count).
    * None of these may ever be a bench/default path. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_nation_volume",
