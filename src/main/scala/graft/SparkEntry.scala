@@ -433,6 +433,18 @@ object SparkEntry {
         docs).orderBy("doc_id")
     }),
 
+    // Watts–Strogatz local clustering: clique (1000‰) vs hub-and-spoke
+    // (0‰) duplication families; oracle-only — its cost IS the triangle
+    // pass plus a degree join (benching would double-count)
+    "clustering_coeff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5)
+      Graph.clusteringCoefficients(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        docs).orderBy("doc_id")
+    }),
+
     // oracle-grade only (not benched): the uncapped band-bucket self-join
     // is skew-prone on biased sign bits (round-6 driver bench: 12.5 s vs
     // 2.1 s capped on identical fixtures) — simhash_capped is the headline.
@@ -3296,6 +3308,31 @@ object SparkEntry {
          |  CASE WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 100 < 10
          |       THEN 'val' ELSE 'train' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // triangle fan-out joined with symmetric degrees; same integer DIV
+    "clustering_coeff" ->
+      s"""WITH $jaccardCtes,
+         |tri AS (SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
+         |  FROM pairs p1
+         |  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         |  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+         |tn AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY 1),
+         |dn AS (SELECT doc_a AS n FROM pairs
+         |  UNION ALL SELECT doc_b FROM pairs),
+         |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM dn GROUP BY 1)
+         |SELECT doc.doc_id,
+         |  COALESCE(dg.d, CAST(0 AS BIGINT)) AS degree,
+         |  COALESCE(tc.t, CAST(0 AS BIGINT)) AS triangles,
+         |  CASE WHEN COALESCE(dg.d, 0) >= 2
+         |       THEN CAST(2000 * COALESCE(tc.t, 0) // (dg.d * (dg.d - 1))
+         |            AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS coeff_permille
+         |FROM documents doc
+         |LEFT JOIN tc ON doc.doc_id = tc.n
+         |LEFT JOIN dg ON doc.doc_id = dg.n
+         |ORDER BY doc.doc_id""".stripMargin,
 
     // connected components over the near-dup pair graph: transitive closure
     // via recursive CTE, cluster id = min reachable doc id

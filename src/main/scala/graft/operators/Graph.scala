@@ -118,4 +118,38 @@ object Graph {
       .join(perNode, nodes(idCol) === perNode("n"), "left")
       .select(col(idCol), coalesce(col("t"), lit(0L)).as("triangles"))
   }
+
+  /**
+   * Local clustering coefficient per node, in exact integer permille:
+   * `2000·triangles DIV (degree·(degree−1))` — the fraction of a node's
+   * neighbor pairs that are themselves connected (Watts–Strogatz). Over
+   * a near-dup graph this separates tight replica CLIQUES (coeff →
+   * 1000) from hub-and-spoke template families (a shared boilerplate
+   * neighbor with unrelated spokes, coeff → 0) — the two need different
+   * dedup treatment (drop all-but-one vs strip the template). Nodes
+   * with degree < 2 report 0 (no neighbor pair exists). Emits
+   * (idCol, degree, triangles, coeff_permille); pure BIGINT, engine-
+   * and partition-invariant.
+   *
+   * Scale: [[triangleCounts]] plus one degree aggregate and a node-key
+   * join — nothing beyond the triangle pass itself.
+   */
+  def clusteringCoefficients(edges: DataFrame, nodes: DataFrame,
+                             idCol: String = "doc_id"): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    triangleCounts(edges, nodes, idCol)
+      .join(deg, col(idCol) === col("n"), "left")
+      .select(col(idCol),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        col("triangles"),
+        when(coalesce(col("d"), lit(0L)) >= 2,
+          expr("2000 * triangles DIV (d * (d - 1))"))
+          .otherwise(lit(0L)).as("coeff_permille"))
+  }
 }

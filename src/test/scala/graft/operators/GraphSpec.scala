@@ -44,4 +44,21 @@ class GraphSpec extends SparkSpec {
     val sym = pairs.union(pairs.select($"dst", $"src")).union(pairs)
     assert(rows(Graph.triangleCounts(sym, nodes).orderBy("doc_id")) == out)
   }
+
+  test("clusteringCoefficients: clique 1000 permille, hub diluted, " +
+      "degree<2 zero") {
+    val clique = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val pairs = (clique :+ (1L, 5L)).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("doc_id")
+    val out = rows(Graph.clusteringCoefficients(pairs, nodes)
+      .orderBy("doc_id"))
+    assert(out == Seq(
+      // node 1: degree 4 (clique + pendant), 3 triangles -> 2000*3/12
+      Seq(1L, 4L, 3L, 500L),
+      Seq(2L, 3L, 3L, 1000L), Seq(3L, 3L, 3L, 1000L),
+      Seq(4L, 3L, 3L, 1000L),
+      Seq(5L, 1L, 0L, 0L), Seq(6L, 0L, 0L, 0L)))
+  }
 }
