@@ -64,6 +64,7 @@ object SparkEntry {
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "asof_join_tolerance", "range_join", "profile_events",
     "key_skew", "zorder_layout", "hilbert_layout", "join_cardinality",
+    "join_advisor",
     "robust_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
@@ -670,6 +671,15 @@ object SparkEntry {
         o.filter(col("o_totalprice") < 50000),
         "o_custkey", "o_custkey", k = 64)
     }),
+
+    // the decision layer over the sizing passes: lineitem ⋈ orders on
+    // orderkey with a deliberately tight broadcast budget, so the
+    // verdict comes from the skew/shuffle branch, not the easy one
+    "join_advisor" -> ((s, dir) =>
+      Relational.joinAdvisor(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey",
+        broadcastMaxRows = 1000, skewPermille = 200)),
 
     // Z-order layout: per-bucket min/max envelopes of the Morton-curve
     // file assignment — the min-max pruning statistics a file-skipping
@@ -3308,6 +3318,28 @@ object SparkEntry {
          |  CASE WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 100 < 10
          |       THEN 'val' ELSE 'train' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // exact side counts + top-key shares -> the same decision CASE
+    "join_advisor" ->
+      """WITH l AS (SELECT CAST(sum(c) AS BIGINT) AS rows,
+        |    CAST(COALESCE(max(c), 0) AS BIGINT) AS topn FROM (
+        |    SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)),
+        |r AS (SELECT CAST(sum(c) AS BIGINT) AS rows,
+        |    CAST(COALESCE(max(c), 0) AS BIGINT) AS topn FROM (
+        |    SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+        |SELECT l.rows AS n_left, r.rows AS n_right,
+        |  CASE WHEN l.rows > 0 THEN CAST(l.topn * 1000 // l.rows AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS top_share_left_permille,
+        |  CASE WHEN r.rows > 0 THEN CAST(r.topn * 1000 // r.rows AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS top_share_right_permille,
+        |  CASE WHEN r.rows <= 1000 THEN 'broadcast_right'
+        |       WHEN l.rows <= 1000 THEN 'broadcast_left'
+        |       WHEN greatest(
+        |           CASE WHEN l.rows > 0 THEN l.topn * 1000 // l.rows ELSE 0 END,
+        |           CASE WHEN r.rows > 0 THEN r.topn * 1000 // r.rows ELSE 0 END)
+        |         >= 200 THEN 'salted_shuffle'
+        |       ELSE 'shuffle' END AS strategy
+        |FROM l, r""".stripMargin,
 
     // triangle fan-out joined with symmetric degrees; same integer DIV
     "clustering_coeff" ->

@@ -516,4 +516,51 @@ object Relational {
         col("est_union"), col("est_intersection"),
         col("n_exact_intersection"))
   }
+
+  /**
+   * Join-strategy advisor: the decision layer over the sizing passes —
+   * exact per-side row counts and top-key permille shares (one
+   * key-grouped aggregate per side, the [[keySkew]] top-1) folded into
+   * the strategy a 100 TB join planner would pick:
+   * `broadcast_right` / `broadcast_left` when a side fits the broadcast
+   * budget, `salted_shuffle` when either side's heaviest key exceeds
+   * `skewPermille` (a single shuffle partition would receive that share
+   * of the side — the straggler AQE's skew-join provably does NOT fix
+   * for LSH-style candidate joins, PLANS.md round-7), plain `shuffle`
+   * otherwise. Emits ONE row: (n_left, n_right, top_share_left_permille,
+   * top_share_right_permille, strategy) — all BIGINT + one string,
+   * deterministic. Pair with [[kmvOverlapEstimate]] when the OUTPUT
+   * size (not the input shape) is the open question.
+   *
+   * Scale: two key-grouped count aggregates (map-side combined) reduced
+   * to 1-row frames — strictly cheaper than any join it advises on.
+   */
+  def joinAdvisor(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  broadcastMaxRows: Long = 1000000L,
+                  skewPermille: Long = 200L): DataFrame = {
+    def side(df: DataFrame, key: String) =
+      df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum("__n"), lit(0L)).as("rows"),
+          coalesce(max("__n"), lit(0L)).as("topn"))
+    side(left, leftKey)
+      .select(col("rows").as("n_left"), col("topn").as("__tl"))
+      .crossJoin(side(right, rightKey)
+        .select(col("rows").as("n_right"), col("topn").as("__tr")))
+      .withColumn("top_share_left_permille",
+        when(col("n_left") > 0, expr("__tl * 1000 DIV n_left"))
+          .otherwise(lit(0L)))
+      .withColumn("top_share_right_permille",
+        when(col("n_right") > 0, expr("__tr * 1000 DIV n_right"))
+          .otherwise(lit(0L)))
+      .withColumn("strategy",
+        when(col("n_right") <= broadcastMaxRows, lit("broadcast_right"))
+          .when(col("n_left") <= broadcastMaxRows, lit("broadcast_left"))
+          .when(greatest(col("top_share_left_permille"),
+            col("top_share_right_permille")) >= skewPermille,
+            lit("salted_shuffle"))
+          .otherwise(lit("shuffle")))
+      .select("n_left", "n_right", "top_share_left_permille",
+        "top_share_right_permille", "strategy")
+  }
 }

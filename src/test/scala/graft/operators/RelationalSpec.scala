@@ -288,4 +288,21 @@ class RelationalSpec extends SparkSpec {
     assert(near(out(1), 1000) && near(out(2), 1000)
       && near(out(3), 1500) && near(out(4), 500), s"estimates off: $out")
   }
+
+  test("joinAdvisor: all four decision branches fire on the right shapes") {
+    import spark.implicits._
+    val big = (1L to 100L).map(i => (i, i)).toDF("k", "v")          // uniform
+    val skewed = (1L to 100L).map(i => (if (i <= 50) 7L else i, i))
+      .toDF("k", "v")                                               // key 7 = 50%
+    val small = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+    def advise(l: org.apache.spark.sql.DataFrame,
+               r: org.apache.spark.sql.DataFrame) =
+      rows(Relational.joinAdvisor(l, r, "k", "k",
+        broadcastMaxRows = 10, skewPermille = 200)).head
+    assert(advise(big, small)(4) == "broadcast_right")
+    assert(advise(small, big)(4) == "broadcast_left")
+    val s = advise(skewed, big)
+    assert(s(4) == "salted_shuffle" && s(2) == 500L)
+    assert(advise(big, big)(4) == "shuffle")
+  }
 }
