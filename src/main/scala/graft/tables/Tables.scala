@@ -1,8 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, pmod,
-  round, shiftleft, shiftright, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, min,
+  pmod, round, shiftleft, shiftright, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Relational
@@ -290,6 +290,56 @@ object Tables {
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+    writeSwapped(spark, shaped, table)
+    (before, spark.table(table).inputFiles.length)
+  }
+
+  /**
+   * Hilbert-curve compaction — [[zorderCompact]] with the Morton
+   * interleave swapped for the `graft_hilbert` index
+   * ([[graft.plans.HilbertIndex]]; the session must register
+   * [[graft.plans.GraftExtensions]]): rewrite an unpartitioned table
+   * into `targetFiles` files clustered along the 2-D Hilbert curve of
+   * the two key columns. Consecutive curve positions are always grid
+   * neighbors, so per-file min/max envelopes are tighter than Morton's
+   * (whose Z jumps stretch a file's bounding box across the diagonal) —
+   * the strongest two-column data-skipping layout this catalog writes.
+   * Same protocol as [[zorderCompact]]: double-scaled cells from global
+   * bounds (nulls pinned to the minimum), range-exchange on the index +
+   * in-partition sort, crash-safe rename swap. Returns
+   * (filesBefore, filesAfter); empty/all-null tables are a no-op.
+   */
+  def hilbertCompact(spark: SparkSession, table: String,
+                     xCol: String, yCol: String,
+                     targetFiles: Int, bits: Int = 16): (Int, Int) = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    import scala.jdk.CollectionConverters._
+    require(!spark.catalog.listColumns(table).collectAsList()
+      .asScala.exists(_.isPartition),
+      s"hilbertCompact supports unpartitioned tables only: $table")
+    val df = spark.table(table)
+    val before = df.inputFiles.length
+    val mm = df.agg(
+      min(col(xCol).cast("double")).as("__mnx"),
+      min(col(yCol).cast("double")).as("__mny"),
+      max(col(xCol).cast("double")).as("__mxx"),
+      max(col(yCol).cast("double")).as("__mxy"))
+      .collect()(0)
+    if (mm.anyNull) return (before, before)
+    val top = (1L << bits) - 1
+    def cell(c: String, mn: Double, mx: Double): Column =
+      if (mx > mn)
+        round((coalesce(col(c).cast("double"), lit(mn)) - mn)
+          / (mx - mn) * top).cast("long")
+      else lit(0L)
+    val cx = cell(xCol, mm.getAs[Double]("__mnx"), mm.getAs[Double]("__mxx"))
+    val cy = cell(yCol, mm.getAs[Double]("__mny"), mm.getAs[Double]("__mxy"))
+    val shaped = df
+      .withColumn("__cx", cx).withColumn("__cy", cy)
+      .withColumn("__h", expr(s"graft_hilbert(__cx, __cy, $bits)"))
+      .repartitionByRange(targetFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__cx", "__cy", "__h")
     writeSwapped(spark, shaped, table)
     (before, spark.table(table).inputFiles.length)
   }

@@ -127,6 +127,29 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, t)
   }
 
+  test("hilbertCompact clusters file min-max stats on BOTH columns") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val t = "hilbert_me"
+    val grid = (0 until 4096).map(i =>
+      (i.toLong, (i % 64).toLong, (i / 64).toLong)).toDF("id", "x", "y")
+    Tables.loadOverwrite(grid.repartition(8), t)
+    Tables.hilbertCompact(spark, t, "x", "y", targetFiles = 16)
+    val spans = spark.table(t)
+      .groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // a contiguous Hilbert range is a connected region — every file's
+    // bounding box must beat the full 0..63 span on x AND y
+    assert(spans.size >= 12, s"want ~16 files, got ${spans.size}")
+    assert(spans.forall { case (sx, sy) => sx < 48 && sy < 48 },
+      s"unclustered file spans: $spans")
+    // data intact
+    assert(spark.table(t).count() == 4096L)
+    assert(rows(spark.table(t).orderBy("id").select("id")).map(_(0)) ==
+      (0L until 4096L))
+    Tables.dropTable(spark, t)
+  }
+
   test("compactTable keeps partition layout and caps files per partition") {
     val t = "compact_part"
     Tables.loadPartitioned(
