@@ -98,7 +98,7 @@ object SparkEntry {
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
     "quality_calibrate", "source_overlap", "ngram_novelty", "bm25_topk",
     "semantic_decontaminate", "oov_rate", "hybrid_topk",
-    "train_val_split",
+    "train_val_split", "kfold_split",
     "split_leakage",
     "top_ngrams", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
@@ -813,6 +813,11 @@ object SparkEntry {
     // eval-set hygiene: near-dup pairs crossing the train/val boundary
     "split_leakage" -> ((s, dir) =>
       Curation.splitLeakage(t(s, dir, "documents"), valPct = 10)),
+
+    // deterministic k-fold assignment (cross-validation protocol)
+    "kfold_split" -> ((s, dir) =>
+      Curation.kfoldSplit(t(s, dir, "documents"), k = 5)
+        .select("doc_id", "fold").orderBy("doc_id")),
 
     // leakage-free split (assign whole near-dup clusters to one side);
     // oracle-grade only: its cost IS neardup_clusters (already benched)
@@ -2927,6 +2932,12 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "kfold_split" ->
+      s"""SELECT doc_id,
+         |  CAST(${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |    % 5 AS BIGINT) AS fold
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "train_val_split" ->
       s"""SELECT doc_id,

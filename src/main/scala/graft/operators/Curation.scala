@@ -104,6 +104,22 @@ object Curation {
   }
 
   /**
+   * Deterministic k-fold assignment for cross-validation: fold =
+   * reproducible id hash mod k — every document's fold is stable under
+   * corpus growth, partitioning, and engine (the [[trainValSplit]]
+   * property, generalized from a binary split to k folds). Emits the
+   * input plus a `fold` column in [0, k). Compose with
+   * [[Dedup.nearDupClusters]] ids (as [[clusterSplit]] does) when folds
+   * must be leakage-free.
+   */
+  def kfoldSplit(docs: DataFrame, k: Int = 5,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    docs.withColumn("fold",
+      expr(s"graft_poly_hash(CAST($idCol AS STRING), 31, 1000000007) % $k"))
+  }
+
+  /**
    * Leakage-FREE train/validation split: hash the near-dup CLUSTER id
    * instead of the document id, so every member of a connected near-dup
    * cluster lands on the same side of the boundary — by construction,

@@ -337,6 +337,18 @@ class CurationSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("kfoldSplit: stable folds in range, invariant under corpus growth") {
+    val docs = (1L to 100L).toDF("doc_id")
+    val out = rows(Curation.kfoldSplit(docs, k = 5).orderBy("doc_id"))
+    assert(out.forall(r => (0L until 5L).contains(r(1))))
+    // all 5 folds populated on 100 docs
+    assert(out.map(_(1)).distinct.size == 5)
+    // growing the corpus never reassigns existing documents
+    val grown = rows(Curation.kfoldSplit((1L to 200L).toDF("doc_id"), k = 5)
+      .orderBy("doc_id")).take(100)
+    assert(grown == out)
+  }
+
   test("clusterSplit: near-dup cluster members never cross the boundary") {
     // docs 1/2/4 are a near-dup cluster (from the DedupSpec fixture),
     // 3 and 5 are singletons
