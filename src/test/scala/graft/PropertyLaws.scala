@@ -471,6 +471,52 @@ object PropertyLaws extends Properties("graft") {
         }
     }
 
+  property("calibrationCurve equals naive equal-width binning") =
+    forAll(Gen.nonEmptyListOf(
+      for { s <- Gen.choose(0L, 20L); y <- Gen.oneOf(true, false) }
+        yield (s, y)), Gen.choose(1, 6)) { (data, buckets) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      val lo = data.map(_._1).min
+      val hi = data.map(_._1).max
+      val naive = data.groupBy { case (s, _) =>
+        (s - lo) * buckets / (hi - lo + 1)
+      }.map { case (bin, rows) =>
+        val n = rows.size.toLong
+        val p = rows.count(_._2).toLong
+        bin -> (rows.map(_._1).min, rows.map(_._1).max, n, p, p * 1000 / n)
+      }
+      val out = Curation.calibrationCurve(
+        data.toDF("score", "label"), "score", "label", buckets)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+      out == naive
+    }
+
+  property("joinAdvisor decision matches the naive rule on random frames") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 5L)),
+      Gen.nonEmptyListOf(Gen.choose(1L, 5L)),
+      Gen.choose(1L, 12L)) { (lk, rk, budget) =>
+      import graft.operators.Relational
+      import spark.implicits._
+      def top(ks: List[Long]) =
+        ks.groupBy(identity).values.map(_.size.toLong).max
+      val tsl = top(lk) * 1000 / lk.size
+      val tsr = top(rk) * 1000 / rk.size
+      val want =
+        if (rk.size <= budget) "broadcast_right"
+        else if (lk.size <= budget) "broadcast_left"
+        else if (math.max(tsl, tsr) >= 200) "salted_shuffle"
+        else "shuffle"
+      val row = Relational.joinAdvisor(lk.toDF("k"), rk.toDF("k"), "k", "k",
+        broadcastMaxRows = budget, skewPermille = 200).collect().head
+      row.getLong(0) == lk.size && row.getLong(1) == rk.size &&
+        row.getLong(2) == tsl && row.getLong(3) == tsr &&
+        row.getString(4) == want
+    }
+
   property("classifierAuc equals the naive pairwise wins/ties count") =
     forAll(Gen.listOf(
       for { s <- Gen.choose(0L, 4L); y <- Gen.oneOf(true, false) }
