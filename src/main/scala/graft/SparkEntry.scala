@@ -65,7 +65,7 @@ object SparkEntry {
     "asof_join", "asof_join_tolerance", "range_join", "profile_events",
     "key_skew", "zorder_layout", "hilbert_layout", "join_cardinality",
     "join_advisor",
-    "robust_stats", "value_percentiles",
+    "robust_stats", "winsorized_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
@@ -697,6 +697,12 @@ object SparkEntry {
     // 10%-trimmed per-type mean of value, in exact micro-unit integers
     "robust_stats" -> ((s, dir) =>
       Relational.trimmedStats(t(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // clamping sibling of robust_stats: outliers clipped to the band
+    // boundaries instead of dropped — every row still counts
+    "winsorized_stats" -> ((s, dir) =>
+      Relational.winsorizedStats(t(s, dir, "events"))
         .orderBy("event_type")),
 
     "profile_events" -> ((s, dir) => {
@@ -2508,6 +2514,33 @@ object SparkEntry {
         |WHERE rk > CAST(floor(n * 100 / 1000) AS BIGINT)
         |  AND rk <= n - CAST(floor(n * 100 / 1000) AS BIGINT)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same rank CTE as robust_stats; boundary values from the kept band,
+    // all rows clamped into it, same floored micro-mean
+    "winsorized_stats" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(round(value * 1000000) AS BIGINT) AS vm, event_id
+        |  FROM events),
+        |r AS (SELECT event_type, vm,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY vm, event_id) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM m),
+        |b AS (SELECT event_type,
+        |  CAST(min(vm) AS BIGINT) AS lo, CAST(max(vm) AS BIGINT) AS hi
+        |  FROM r
+        |  WHERE rk > CAST(floor(n * 100 / 1000) AS BIGINT)
+        |    AND rk <= n - CAST(floor(n * 100 / 1000) AS BIGINT)
+        |  GROUP BY event_type)
+        |SELECT r.event_type, CAST(max(n) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN vm < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN vm > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  CAST(floor(sum(greatest(least(vm, hi), lo))
+        |    / CAST(max(n) AS DOUBLE)) AS BIGINT) AS winsorized_mean_micro
+        |FROM r JOIN b ON r.event_type = b.event_type
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
 
     // key_skew: integer permille via BIGINT floor-division on both sides
     "key_skew" ->

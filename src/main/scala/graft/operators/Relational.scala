@@ -432,6 +432,52 @@ object Relational {
   }
 
   /**
+   * Winsorized group statistics — [[trimmedStats]]' clamping sibling:
+   * values outside the central permille band are CLIPPED to the band's
+   * boundary values instead of dropped, so every row still contributes
+   * (the estimator of choice when outliers carry signal about volume
+   * but not magnitude — payment spikes, token-count explosions). Emits
+   * (grpCol, n_total, n_clipped_low, n_clipped_high,
+   * winsorized_mean_micro) with the same micro-unit integer discipline
+   * as trimmedStats: boundary values come from integer ranks, the
+   * clamped sum is associative BIGINT, the mean is one floored
+   * division. Groups too small for the band (every rank clipped) drop
+   * from the result, matching trimmedStats' behavior.
+   *
+   * Scale: one [[groupedRanks]] assembled-rank pass (no single task
+   * sorts a whole group), a per-group bounds aggregate over the kept
+   * band, and one broadcast-sized join back on the group key.
+   */
+  def winsorizedStats(df: DataFrame, grpCol: String = "event_type",
+                      valCol: String = "value", tieCol: String = "event_id",
+                      lowPermille: Int = 100,
+                      highPermille: Int = 100): DataFrame = {
+    val m = df.select(col(grpCol),
+      expr(s"CAST(round($valCol * 1000000) AS BIGINT)").as("__vm"),
+      col(tieCol))
+    val ranked = groupedRanks(m, grpCol, Seq(col("__vm").asc, col(tieCol).asc),
+      "__rk", "__n")
+    val bounds = ranked
+      .filter(col("__rk") > floor(col("__n") * lowPermille / 1000) &&
+        col("__rk") <= col("__n") - floor(col("__n") * highPermille / 1000))
+      .groupBy(grpCol)
+      .agg(min("__vm").as("__lo"), max("__vm").as("__hi"))
+    ranked.join(broadcast(bounds), grpCol :: Nil)
+      .groupBy(grpCol)
+      .agg(max("__n").as("n_total"),
+        sum(when(col("__vm") < col("__lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("__vm") > col("__hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        sum(greatest(least(col("__vm"), col("__hi")), col("__lo")))
+          .as("__s"))
+      .withColumn("winsorized_mean_micro",
+        floor(col("__s").cast("double") / col("n_total")).cast("long"))
+      .select(col(grpCol), col("n_total"), col("n_clipped_low"),
+        col("n_clipped_high"), col("winsorized_mean_micro"))
+  }
+
+  /**
    * Join-key skew profile: the k heaviest values of a prospective
    * shuffle key with their integer permille share of all rows — the
    * diagnostic run BEFORE a big join to decide whether [[saltedJoin]] /

@@ -250,6 +250,23 @@ class RelationalSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("winsorizedStats: tails clamped to band bounds, all rows counted") {
+    // group A: values 1..10, permille 100 -> band ranks 2..9 (bounds 2, 9);
+    // clamped sum = 2 + (2..9) + 9 = 55 -> mean 5.5 = 5_500_000 micro,
+    // one clip each side. group B: 3 rows, nothing clipped -> plain mean.
+    val a = (1 to 10).map(i => ("A", i.toDouble, i.toLong))
+    val b = Seq(("B", 0.0, 11L), ("B", 0.0, 12L), ("B", 600.0, 13L))
+    val df = (a ++ b).toDF("event_type", "value", "event_id")
+    val out = rows(Relational.winsorizedStats(df).orderBy("event_type"))
+    assert(out == Seq(
+      Seq("A", 10L, 1L, 1L, 5500000L),
+      Seq("B", 3L, 0L, 0L, 200000000L)))
+    // partition-invariant
+    val rep = rows(Relational.winsorizedStats(df.repartition(7))
+      .orderBy("event_type"))
+    assert(rep == out)
+  }
+
   test("keySkew: heaviest keys first, integer permille, count ties by key") {
     // key 1 holds 6/10 rows (600 permille), keys 2 and 3 hold 2 each
     // (tie broken by key value), key 4 falls outside k = 3
