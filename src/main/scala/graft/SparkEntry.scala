@@ -63,8 +63,8 @@ object SparkEntry {
     "nation_agg", "topn_per_group",
     "rollup_agg", "anti_join", "semi_join", "intersect_users", "except_users",
     "asof_join", "asof_join_tolerance", "range_join", "profile_events",
-    "key_skew", "zorder_layout", "hilbert_layout", "join_cardinality",
-    "join_advisor",
+    "key_skew", "benford_audit", "zorder_layout", "hilbert_layout",
+    "join_cardinality", "join_advisor",
     "robust_stats", "winsorized_stats", "value_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
@@ -704,6 +704,12 @@ object SparkEntry {
     "winsorized_stats" -> ((s, dir) =>
       Relational.winsorizedStats(t(s, dir, "events"))
         .orderBy("event_type")),
+
+    // first-significant-digit distribution vs Benford constants: the
+    // fabricated-data / unit-mixing screen, integer permille throughout
+    "benford_audit" -> ((s, dir) =>
+      Relational.benfordAudit(t(s, dir, "events"))
+        .orderBy("event_type", "digit")),
 
     "profile_events" -> ((s, dir) => {
       // data-quality profile of the events table: per-column null counts,
@@ -2541,6 +2547,31 @@ object SparkEntry {
         |    / CAST(max(n) AS DOUBLE)) AS BIGINT) AS winsorized_mean_micro
         |FROM r JOIN b ON r.event_type = b.event_type
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+
+    // leading digit from the decimal string form (engine-invariant),
+    // Benford expectation as floored-log constants
+    "benford_audit" ->
+      """WITH d AS (SELECT event_type,
+        |  CAST(regexp_extract(CAST(ABS(value) AS VARCHAR), '[1-9]', 0)
+        |    AS BIGINT) AS digit
+        |  FROM events WHERE value IS NOT NULL AND value <> 0),
+        |c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, c.digit, c.n,
+        |  CAST(c.n * 1000 // t.total AS BIGINT) AS permille,
+        |  CAST(CASE c.digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 124
+        |    WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66 WHEN 7 THEN 57
+        |    WHEN 8 THEN 51 WHEN 9 THEN 45 ELSE 0 END AS BIGINT)
+        |    AS benford_permille,
+        |  CAST(abs(c.n * 1000 // t.total
+        |    - CASE c.digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 124
+        |      WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66 WHEN 7 THEN 57
+        |      WHEN 8 THEN 51 WHEN 9 THEN 45 ELSE 0 END) AS BIGINT)
+        |    AS deviation_permille
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, c.digit""".stripMargin,
 
     // key_skew: integer permille via BIGINT floor-division on both sides
     "key_skew" ->

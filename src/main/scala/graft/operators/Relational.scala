@@ -478,6 +478,51 @@ object Relational {
   }
 
   /**
+   * Benford first-significant-digit audit: per group, the observed
+   * distribution of the leading nonzero digit of |value| against
+   * Benford's law — the classic fabricated-/synthetic-data and
+   * unit-mixing screen for numeric columns (a spike at one digit often
+   * means a hard-coded default or a currency/unit mismatch in one
+   * source). Emits one row per (grpCol, digit 1–9) present:
+   * (grpCol, digit, n, permille, benford_permille, deviation_permille),
+   * with the expected permille the floored `log10(1 + 1/d)·1000`
+   * CONSTANTS (301, 176, 124, 96, 79, 66, 57, 51, 45) so no
+   * transcendental function runs in either engine. Nulls and exact
+   * zeros are excluded (no leading digit exists).
+   *
+   * The digit comes from the value's decimal STRING form (first [1-9]
+   * match) — both plain and scientific notation lead with the first
+   * significant digit, so the extraction is engine-invariant without
+   * float log/divide loops.
+   *
+   * Scale: one narrow projection + a hash aggregate on ≤ 9 digits per
+   * group, with the per-group total joined back from the same
+   * aggregate — bytes per partition O(groups·9).
+   */
+  def benfordAudit(df: DataFrame, valCol: String = "value",
+                   grpCol: String = "event_type"): DataFrame = {
+    val expected = Map(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L,
+      5 -> 79L, 6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+    val exp = expected.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val counted = df
+      .filter(col(valCol).isNotNull && col(valCol) =!= 0.0)
+      .withColumn("digit", expr(
+        s"CAST(regexp_extract(CAST(ABS($valCol) AS STRING), '[1-9]', 0) AS BIGINT)"))
+      .groupBy(col(grpCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counted.groupBy(grpCol).agg(sum("n").as("__total"))
+    counted.join(totals, grpCol :: Nil)
+      .withColumn("permille", expr("n * 1000 DIV __total"))
+      .withColumn("benford_permille", exp)
+      .withColumn("deviation_permille",
+        abs(col("permille") - col("benford_permille")))
+      .select(col(grpCol), col("digit"), col("n"), col("permille"),
+        col("benford_permille"), col("deviation_permille"))
+  }
+
+  /**
    * Join-key skew profile: the k heaviest values of a prospective
    * shuffle key with their integer permille share of all rows — the
    * diagnostic run BEFORE a big join to decide whether [[saltedJoin]] /

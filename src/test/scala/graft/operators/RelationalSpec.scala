@@ -267,6 +267,22 @@ class RelationalSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("benfordAudit: leading digits from any magnitude, zeros excluded") {
+    // digits: 1 (from 0.0012), 1 (from 123.0), 2 (from 2e5), 9 (from
+    // -9.5); zero and null rows excluded
+    val df = Seq(
+      ("A", Some(0.0012), 1L), ("A", Some(123.0), 2L),
+      ("A", Some(200000.0), 3L), ("A", Some(-9.5), 4L),
+      ("A", Some(0.0), 5L), ("A", None, 6L))
+      .toDF("event_type", "value", "event_id")
+    val out = rows(Relational.benfordAudit(df).orderBy("digit"))
+    assert(out.map(r => (r(1), r(2))) == Seq((1L, 2L), (2L, 1L), (9L, 1L)))
+    // permille of 4 counted rows; expected constants and deviation
+    assert(out.head == Seq("A", 1L, 2L, 500L, 301L, 199L))
+    assert(out(1) == Seq("A", 2L, 1L, 250L, 176L, 74L))
+    assert(out(2) == Seq("A", 9L, 1L, 250L, 45L, 205L))
+  }
+
   test("keySkew: heaviest keys first, integer permille, count ties by key") {
     // key 1 holds 6/10 rows (600 permille), keys 2 and 3 hold 2 each
     // (tie broken by key value), key 4 falls outside k = 3
