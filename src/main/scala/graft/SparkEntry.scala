@@ -100,7 +100,7 @@ object SparkEntry {
     "semantic_decontaminate", "oov_rate", "hybrid_topk",
     "train_val_split", "kfold_split",
     "split_leakage",
-    "top_ngrams", "heavy_hitters",
+    "top_ngrams", "zipf_audit", "heavy_hitters",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
@@ -840,6 +840,12 @@ object SparkEntry {
 
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
+
+    // Zipf rank-frequency: integer ratio vs the n_top/rank law — corpus
+    // health sibling of benford_audit, no log-log fit anywhere
+    "zipf_audit" -> ((s, dir) =>
+      TextAnalysis.zipfAudit(t(s, dir, "documents"), k = 20)
+        .orderBy("rank")),
 
     // corpus-relative quality selection: keep percentile band [10, 90]
     "quality_band" -> ((s, dir) =>
@@ -3147,6 +3153,20 @@ object SparkEntry {
          |       ELSE 63.0 * 1000000007 / kth END AS kmv_estimate,
          |  nd AS n_exact
          |FROM agg ORDER BY source""".stripMargin,
+
+    // top-k token ranks + integer ratio against n_top / rank
+    "zipf_audit" ->
+      s"""WITH c AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20),
+         |r AS (SELECT term, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT)
+         |    AS rank,
+         |  CAST(max(n) OVER () AS BIGINT) AS top
+         |  FROM c)
+         |SELECT rank, term, n,
+         |  CAST(n * rank * 1000 // top AS BIGINT) AS zipf_ratio_permille
+         |FROM r ORDER BY rank""".stripMargin,
 
     "top_ngrams" ->
       s"""SELECT s AS ngram, count(*) AS df

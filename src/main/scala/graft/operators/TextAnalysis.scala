@@ -320,6 +320,40 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("simpson_permille"))
 
   /**
+   * Zipf rank-frequency audit: the corpus's top-`k` tokens with their
+   * ranks and the integer-permille ratio `n·rank·1000 DIV n_top` —
+   * under Zipf's law `n ≈ n_top / rank`, so a healthy natural-language
+   * corpus holds the ratio near 1000 across ranks, while boilerplate
+   * floods (one template token dominating), language mixing, and
+   * markup-heavy scrapes bend it far off — the corpus-level sibling of
+   * the per-value [[graft.operators.Relational.benfordAudit]] screen.
+   * Emits (rank, term, n, zipf_ratio_permille), rank 1 = most frequent,
+   * ties broken by term. Pure integer arithmetic — no log-log fit, no
+   * float slope.
+   *
+   * Scale: one explode + hash aggregate (map-side combined) and a
+   * TakeOrdered top-k; the ranking window only ever sees k rows.
+   */
+  def zipfAudit(docs: DataFrame, k: Int = 20,
+                textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .withColumn("__t", toks)
+      .select(explode(col("__t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__top", max(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("zipf_ratio_permille",
+        expr("n * rank * 1000 DIV __top"))
+      .select("rank", "term", "n", "zipf_ratio_permille")
+  }
+
+  /**
    * Canonical text cleaning for training corpora: lowercase, mask URLs /
    * emails / digit runs with fixed placeholder tokens, collapse whitespace,
    * trim. One narrow codegen'd projection; patterns restricted to the regex

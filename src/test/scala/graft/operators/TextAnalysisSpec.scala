@@ -274,6 +274,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scored.head(1) == 10L) // the rare-term doc wins rank 1
   }
 
+  test("zipfAudit: ranks by frequency, integer ratio vs n_top/rank") {
+    // a: 6, b: 3, c: 2, d: 1 -> perfect-ish zipf: ratios 1000, 1000,
+    // 2*3*1000/6 = 1000, 1*4*1000/6 = 666
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a a a b c d"))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.zipfAudit(docs, k = 10).orderBy("rank"))
+    assert(out == Seq(
+      Seq(1L, "a", 6L, 1000L),
+      Seq(2L, "b", 3L, 1000L),
+      Seq(3L, "c", 2L, 1000L),
+      Seq(4L, "d", 1L, 666L)))
+  }
+
   test("simpsonScore: hand-computed ordered-pair counts in permille") {
     val docs = Seq(
       (1L, "a a a a"),     // one run of 4: 4·3 = 12 pairs / 12 -> 1000
