@@ -88,7 +88,8 @@ object SparkEntry {
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks",
     "cdc_dedup", "upsample",
-    "sessionize", "window_agg", "sliding_window", "funnel", "retention",
+    "sessionize", "window_agg", "sliding_window", "funnel", "attribution",
+    "retention",
     "event_transitions", "count_anomaly", "resample_ffill", "event_lift",
     "neardup_clusters", "neardup_dedup", "neardup_dedup_quality",
     "tfidf_topterms",
@@ -1008,6 +1009,12 @@ object SparkEntry {
     "funnel" -> ((s, dir) =>
       Sessions.funnel(t(s, dir, "events"),
         Seq("view", "click", "purchase"), withinSeconds = 172800L)),
+
+    // last-touch credit assignment: each purchase attributed to the
+    // user's most recent prior click/view within a 7-day lookback
+    "attribution" -> ((s, dir) =>
+      Sessions.attribution(t(s, dir, "events"))
+        .orderBy("conversion_id")),
 
     // first-order Markov transition matrix over per-user event timelines
     "event_transitions" -> ((s, dir) =>
@@ -3279,6 +3286,30 @@ object SparkEntry {
         |FROM weeks JOIN cohorts USING (u)
         |GROUP BY cw, w - cw
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // same per-user window, last_value IGNORE NULLS of the touch struct
+    // over strictly-preceding rows, microsecond gap on both engines
+    "attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CAST(epoch_us(ts) AS BIGINT) AS tus,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN struct_pack(t := CAST(epoch_us(ts) AS BIGINT),
+        |                         i := event_id,
+        |                         y := event_type) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt
+        |  FROM events)
+        |SELECT event_id AS conversion_id, user_id, ts AS conversion_ts,
+        |  CASE WHEN lt IS NOT NULL AND tus - lt.t <= 604800000000
+        |       THEN lt.i END AS touch_id,
+        |  CASE WHEN lt IS NOT NULL AND tus - lt.t <= 604800000000
+        |       THEN lt.y END AS touch_type,
+        |  CASE WHEN lt IS NOT NULL AND tus - lt.t <= 604800000000
+        |       THEN tus - lt.t END AS gap_us
+        |FROM e WHERE event_type = 'purchase'
+        |ORDER BY conversion_id""".stripMargin,
 
     // funnel: per-user earliest valid completion per step, each step
     // strictly after the previous and within 2 days of it

@@ -323,4 +323,50 @@ object Sessions {
       .select(col("day"), col(typeCol), col("n_events"),
         col("n_baseline"), col("is_anomaly"))
   }
+
+  /**
+   * Last-touch attribution: each conversion event is credited to the
+   * most recent PRIOR touch event (of the configured touch types) by
+   * the same user, if it happened within the lookback — the standard
+   * marketing/growth attribution join, and the template for any
+   * "which earlier event caused this one" credit assignment. Emits one
+   * row per conversion: (conversion_id, userCol, conversion_ts,
+   * touch_id, touch_type, gap_us), with NULL touch columns when no
+   * touch qualifies. Gaps are integer MICROSECONDS (`unix_micros` /
+   * `epoch_us` on both engines — seconds-granularity casts round
+   * differently across engines on fractional timestamps).
+   *
+   * Scale: ONE per-user window over time-ordered events carrying the
+   * latest touch as a `last(ignoreNulls)` struct — no self-join, no
+   * per-conversion scan; state per row is one struct. Ties at the same
+   * timestamp break on the event id (a same-instant touch with a
+   * smaller id counts as prior), so attribution is deterministic.
+   */
+  def attribution(events: DataFrame,
+                  touchTypes: Seq[String] = Seq("click", "view"),
+                  convType: String = "purchase",
+                  lookbackSeconds: Long = 7L * 86400L,
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookbackUs = lookbackSeconds * 1000000L
+    events
+      .withColumn("__touch",
+        when(col(typeCol).isin(touchTypes.map(x => x: Any): _*),
+          struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+            col(typeCol).as("y"))))
+      .withColumn("__last", last(col("__touch"), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("__ok", col("__last").isNotNull &&
+        unix_micros(col(tsCol)) - col("__last.t") <= lookbackUs)
+      .select(col(idCol).as("conversion_id"), col(userCol),
+        col(tsCol).as("conversion_ts"),
+        when(col("__ok"), col("__last.i")).as("touch_id"),
+        when(col("__ok"), col("__last.y")).as("touch_type"),
+        when(col("__ok"), unix_micros(col(tsCol)) - col("__last.t"))
+          .as("gap_us"))
+  }
 }

@@ -221,4 +221,27 @@ class SessionsSpec extends SparkSpec {
     val day1 = out.filter(_(0).toString == "2024-01-01")
     assert(day1.forall(r => r(4) == false && r(3) == 0L))
   }
+
+  test("attribution: latest prior touch wins, lookback bounds, no-touch " +
+      "conversions keep null credit") {
+    val ev = Seq(
+      // user 1: view, click, purchase -> credit the click (latest touch)
+      (1L, 100L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 100L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 100L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: touch 8 days before purchase -> outside 7d lookback
+      (4L, 200L, "click", ts("2024-01-01 00:00:00")),
+      (5L, 200L, "purchase", ts("2024-01-09 00:00:01")),
+      // user 3: purchase with no touch at all; an error event is no touch
+      (6L, 300L, "error", ts("2024-01-02 09:00:00")),
+      (7L, 300L, "purchase", ts("2024-01-02 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = rows(Sessions.attribution(ev).orderBy("conversion_id"))
+    assert(out.map(r => (r(0), r(3), r(4))) == Seq(
+      (3L, 2L, "click"),
+      (5L, null, null),
+      (7L, null, null)))
+    // the credited gap is exactly one hour in microseconds
+    assert(out.head(5) == 3600L * 1000000L)
+  }
 }
