@@ -86,7 +86,8 @@ object SparkEntry {
     "media_fingerprint",
     "sample_stratified", "pack_sequences", "curate", "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card", "corpus_mix", "chunk_documents", "cdc_chunks",
+    "dataset_card", "corpus_mix", "mix_planner", "chunk_documents",
+    "cdc_chunks",
     "cdc_dedup", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "attribution",
     "retention",
@@ -903,6 +904,15 @@ object SparkEntry {
     // one-row dataset card (docs/tokens/vocab/dup-rate/lang mix)
     "dataset_card" -> ((s, dir) =>
       Curation.datasetCard(t(s, dir, "documents"))),
+
+    // recipe-feasibility report: can each source hit its budget share
+    // under the repeat cap? (the audit run before corpus_mix)
+    "mix_planner" -> ((s, dir) =>
+      Curation.mixPlanner(t(s, dir, "documents"),
+        weightsPermille = Map("src0" -> 300, "src1" -> 200),
+        defaultPermille = 25, tokenBudget = 100000L,
+        maxEpochsMilli = 4000L)
+        .orderBy("source")),
 
     // snapshot diff: old = docs minus id%17==0; new = docs minus
     // id%11==0 with id%13==0 texts edited -> added/removed/changed
@@ -2910,6 +2920,35 @@ object SparkEntry {
 
     // corpus_mix: same exact integer rate arithmetic — floor divisions,
     // 1% hash buckets
+    // per-source token mass + recipe arithmetic; ceil-division for the
+    // needed epochs so feasibility is exact
+    "mix_planner" ->
+      s"""WITH tok AS (
+         |  SELECT source, CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    CAST(CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+         |      ELSE 25 END AS BIGINT) AS w
+         |  FROM tok GROUP BY source),
+         |p AS (SELECT source, n_docs, n_tokens,
+         |    CAST((100000 * w) // 1000 AS BIGINT) AS target_tokens
+         |  FROM agg),
+         |q AS (SELECT source, n_docs, n_tokens, target_tokens,
+         |    CAST(CASE WHEN target_tokens = 0 THEN 0
+         |         WHEN n_tokens > 0
+         |         THEN (1000 * target_tokens + n_tokens - 1) // n_tokens
+         |         END AS BIGINT) AS needed_epochs_milli
+         |  FROM p)
+         |SELECT source, n_docs, n_tokens, target_tokens,
+         |  needed_epochs_milli,
+         |  CAST(least(needed_epochs_milli, 4000) AS BIGINT) AS epochs_milli,
+         |  CAST(least(target_tokens, (n_tokens * 4000) // 1000) AS BIGINT)
+         |    AS achieved_tokens,
+         |  needed_epochs_milli IS NOT NULL AND needed_epochs_milli <= 4000
+         |    AS feasible
+         |FROM q ORDER BY source""".stripMargin,
+
     "corpus_mix" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n

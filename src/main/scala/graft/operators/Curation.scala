@@ -148,6 +148,56 @@ object Curation {
           .otherwise(lit("train")))
 
   /**
+   * Mixing-recipe feasibility planner — the sizing report computed
+   * BEFORE [[mixCorpus]] runs: per source, the available token mass,
+   * the recipe's target share of the budget, the epochs (repeats, in
+   * integer milli-epochs) needed to hit it, and whether the target is
+   * reachable under the repeat cap — the "can this mix exist without
+   * over-repeating a small source" audit that decides recipe
+   * renegotiation (the practical constraint behind every published
+   * data-mixture table). Emits one row per source:
+   * (srcCol, n_docs, n_tokens, target_tokens, needed_epochs_milli,
+   * epochs_milli, achieved_tokens, feasible); ceil-division for the
+   * needed epochs so `feasible` is exact, not a floor artifact. All
+   * BIGINT arithmetic.
+   *
+   * Scale: one token-count aggregate per source (map-side combined) —
+   * the planning pass is one scan regardless of corpus size.
+   */
+  def mixPlanner(docs: DataFrame, weightsPermille: Map[String, Int],
+                 defaultPermille: Int, tokenBudget: Long,
+                 maxEpochsMilli: Long = 4000L,
+                 srcCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    require(tokenBudget >= 0 && defaultPermille >= 0 && maxEpochsMilli >= 0)
+    val w: Column = weightsPermille.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (k, v)) =>
+        when(col(srcCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs
+      .withColumn("__n", size(TextFns.tokens(textCol)).cast("long"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), w.as("__w"))
+      .withColumn("target_tokens", expr(s"(${tokenBudget}L * __w) DIV 1000"))
+      .withColumn("needed_epochs_milli",
+        when(col("target_tokens") === 0, lit(0L))
+          .when(col("n_tokens") > 0,
+            expr("(1000 * target_tokens + n_tokens - 1) DIV n_tokens")))
+      .withColumn("epochs_milli",
+        least(col("needed_epochs_milli"), lit(maxEpochsMilli)))
+      .withColumn("achieved_tokens",
+        least(col("target_tokens"),
+          expr(s"(n_tokens * ${maxEpochsMilli}L) DIV 1000")))
+      .withColumn("feasible",
+        col("needed_epochs_milli").isNotNull &&
+          col("needed_epochs_milli") <= maxEpochsMilli)
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("needed_epochs_milli"),
+        col("epochs_milli"), col("achieved_tokens"), col("feasible"))
+  }
+
+  /**
    * Per-group document quota (the RefinedWeb/Gopher-style per-domain
    * cap): keep at most `maxPerGroup` documents from each value of
    * `groupCol`, selected by the reproducible polynomial id hash (ties on

@@ -337,6 +337,22 @@ class CurationSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("mixPlanner: exact ceil-epoch feasibility per source") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(6), "A"), (2L, words(4), "A"), // A: 10 tokens
+      (3L, words(100), "B"))                    // B: 100 tokens
+      .toDF("doc_id", "text", "source")
+    val out = rows(Curation.mixPlanner(docs,
+      weightsPermille = Map("A" -> 500), defaultPermille = 100,
+      tokenBudget = 100L, maxEpochsMilli = 4000L).orderBy("source"))
+    // A: target 50 of 10 available -> needs 5.0 epochs > 4.0 cap:
+    // infeasible, achieves 40. B: target 10 of 100 -> 0.1 epochs, fine.
+    assert(out == Seq(
+      Seq("A", 2L, 10L, 50L, 5000L, 4000L, 40L, false),
+      Seq("B", 1L, 100L, 10L, 100L, 100L, 10L, true)))
+  }
+
   test("kfoldSplit: stable folds in range, invariant under corpus growth") {
     val docs = (1L to 100L).toDF("doc_id")
     val out = rows(Curation.kfoldSplit(docs, k = 5).orderBy("doc_id"))
