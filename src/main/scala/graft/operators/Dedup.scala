@@ -204,7 +204,8 @@ object Dedup {
    * cheaper there (0.03% recall loss) — still the default at scale.
    */
   def ppjoinPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxPrefixDF: Option[Int] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val sh0 = docShingles(docs, idCol, n, textCol)
@@ -218,10 +219,25 @@ object Dedup {
       .select(col(idCol), expr("transform(__o, x -> x.sh)").as("hs"),
         size(col("__o")).as("sz"))
     // prefix length p = sz - ceil(t·sz) + 1 (>= 1 for t <= 1)
-    val pref = ordered.select(col(idCol), col("sz"),
+    val pref0 = ordered.select(col(idCol), col("sz"),
       explode(expr(
         s"slice(hs, 1, size(hs) - CAST(ceil($threshold * size(hs)) AS INT) + 1)"))
         .as("tok"))
+    // optional skew guard (recall-only trade, the ngramJaccardPairs cap
+    // semantics): prefix tokens shared by more than `cap` documents are
+    // dropped from CANDIDATE GENERATION only — verification still runs
+    // exact Jaccard on full sets, so precision stays 1 and a surviving
+    // pair's score is untouched. Exactness holds only uncapped (None,
+    // the default): on a replica-heavy corpus a capped prefix token can
+    // be a clique's ONLY shared prefix entry, losing those pairs.
+    val pref = maxPrefixDF match {
+      case None => pref0
+      case Some(cap) =>
+        val small = pref0.groupBy("tok")
+          .agg(count(lit(1)).as("__pdf")).filter(col("__pdf") <= cap)
+          .select("tok")
+        pref0.join(small, Seq("tok"), "left_semi")
+    }
     val cand = pref.select(col(idCol).as("a"), col("sz").as("sza"), col("tok"))
       .join(pref.select(col(idCol).as("b"), col("sz").as("szb"), col("tok")),
         "tok")

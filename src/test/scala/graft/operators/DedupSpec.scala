@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.ngramJaccardPairs(d, maxShingleDF = Some(10))).isEmpty)
   }
 
+  test("ppjoinPairs maxPrefixDF: recall-only candidate guard") {
+    // uncapped: exact pair set; a cap of 1 kills every shared prefix
+    // token (any pair needs a COMMON prefix token with df >= 2), so the
+    // result empties — recall traded, never a false positive
+    val exact = rows(Dedup.ppjoinPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body").orderBy("doc_a", "doc_b"))
+    assert(exact.nonEmpty)
+    assert(rows(Dedup.ppjoinPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body", maxPrefixDF = Some(1))).isEmpty)
+    // a generous cap changes nothing
+    assert(rows(Dedup.ppjoinPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body", maxPrefixDF = Some(1000))
+      .orderBy("doc_a", "doc_b")) == exact)
+  }
+
   test("simhashPairs: identical docs at hamming 0, contract filters both sides") {
     val out = rows(Dedup.simhashPairs(docs, maxHamming = 7, n = 3,
       threshold = 0.5, textCol = "body").orderBy("doc_a", "doc_b"))
