@@ -54,6 +54,9 @@ object SparkEntry {
    *     (maxBucketSize = 64) is the production headline;
    *   - `dedup_recall` — contains the brute-force exact Jaccard side by
    *     definition (it is the recall GATE for minhash_lsh);
+   *   - `mutual_knn` / `mutual_knn_recall` — the exact O(n²) broadcast-NLJ
+   *     kNN feed and its recall gate; `mutual_knn_ivf` (cell-probed feed,
+   *     same reciprocal filter) is the benched production headliner;
    *   - `cluster_split` — its runtime IS the already-benched
    *     neardup_clusters pass plus a projection (double-count).
    * None of these may ever be a bench/default path. */
@@ -76,7 +79,7 @@ object SparkEntry {
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed",
     "pagerank", "triangle_count",
-    "topk_cosine", "mutual_knn", "hyperplane_ann", "hyperplane_ann_capped",
+    "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "matryoshka_topk",
@@ -526,10 +529,30 @@ object SparkEntry {
     }),
 
     // reciprocal-kNN graph: only mutually-top-k pairs survive, so hub
-    // vectors can't fabricate clusters
+    // vectors can't fabricate clusters. Exact O(n²) feed — oracle-grade
+    // baseline; the benched production headliner is mutual_knn_ivf.
     "mutual_knn" -> ((s, dir) =>
       Similarity.mutualKnnPairs(t(s, dir, "embeddings"), k = 10)
         .orderBy("vec_a", "vec_b")),
+
+    // production mutual-kNN: ivfTopK self-kNN feed (cell-probed, ~1/4 of
+    // the corpus scored per query, corpus side never broadcast) + the
+    // same reciprocal filter. Recall vs the exact twin is gated by
+    // mutual_knn_recall.
+    "mutual_knn_ivf" -> ((s, dir) =>
+      Similarity.mutualKnnPairsIvf(t(s, dir, "embeddings"), k = 10,
+        nlist = 16, nprobe = 4, dim = 64).orderBy("vec_a", "vec_b")),
+
+    // recall/precision of the IVF feed vs the exact quadratic twin —
+    // oracle-only (never benched): it contains the O(n²) side by
+    // definition, like dedup_recall/ann_recall.
+    "mutual_knn_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecall(
+        Similarity.mutualKnnPairsIvf(emb, k = 10, nlist = 16, nprobe = 4,
+          dim = 64),
+        Similarity.mutualKnnPairs(emb, k = 10))
+    }),
 
     "hyperplane_ann" -> ((s, dir) =>
       Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"), threshold = 0.4,
@@ -1618,6 +1641,77 @@ object SparkEntry {
        |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** DuckDB twin of the exact mutual-kNN pair set: self-kNN both
+   * directions from one ranked CTE, kept only when reciprocal, ties on
+   * neighbor id exactly as the Spark window. Shared by mutual_knn and
+   * mutual_knn_recall (the exact side of the gate). */
+  private val mutualKnnSql =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |knn AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.embedding", "c.embedding")}
+       |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id)
+       |  WHERE rank <= 10)
+       |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b
+       |FROM knn f JOIN knn r
+       |  ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB twin of the IVF-fed mutual-kNN pair set: the ivf_topk CTE
+   * chain run as self-kNN (every vector probes its 4 best of 16
+   * seed-centroid cells; exact cosine ranking within probed cells), then
+   * the same reciprocal filter. Deterministic end to end — iters=0
+   * centroids are the 16 lowest-id vectors, first-max argmax ties, rank
+   * ties on neighbor id. Shared by mutual_knn_ivf and
+   * mutual_knn_recall (the approx side of the gate). */
+  private val mutualKnnIvfSql =
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |unitc AS (
+       |  SELECT cidx, list_transform(embedding, x ->
+       |    CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+       |         ELSE CAST(x AS DOUBLE) / nrm END) AS c
+       |  FROM (SELECT cidx, embedding,
+       |          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |        FROM cents)),
+       |dists AS (
+       |  SELECT e.vec_id, u.cidx, ${dotSql("e.embedding", "u.c")} AS d
+       |  FROM embeddings e, unitc u),
+       |cells AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+       |    FROM dists) WHERE rn <= 4),
+       |n AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
+       |knn AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+       |      ${dotSql("qn.embedding", "nn.embedding")} / (qn.nrm * nn.nrm) DESC,
+       |      cand.neighbor_id) AS rank
+       |  FROM cand
+       |  JOIN n qn ON qn.vec_id = cand.query_id
+       |  JOIN n nn ON nn.vec_id = cand.neighbor_id)
+       |  WHERE rank <= 10)
+       |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b
+       |FROM knn f JOIN knn r
+       |  ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Parameterized DuckDB twin of hyperplane_ann. The plane matrix is a
    * closed-form LCG of (plane, dim), so DuckDB recomputes the exact same
    * 64 plane sign bits, the same 16 x 4-bit buckets, the same candidate
@@ -2130,22 +2224,32 @@ object SparkEntry {
          |  END AS precision""".stripMargin,
 
     // self-kNN both directions from the same ranked CTE, kept only when
-    // reciprocal; ties broken by neighbor id exactly as the Spark window
-    "mutual_knn" ->
-      s"""WITH n AS (SELECT vec_id, embedding,
-         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
-         |knn AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${dotSql("q.embedding", "c.embedding")}
-         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
-         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id)
-         |  WHERE rank <= 10)
-         |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b
-         |FROM knn f JOIN knn r
-         |  ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
-         |WHERE f.query_id < f.neighbor_id
-         |ORDER BY vec_a, vec_b""".stripMargin,
+    // reciprocal; ties broken by neighbor id exactly as the Spark window.
+    // Oracle-only from round 9: the benched headliner is mutual_knn_ivf.
+    "mutual_knn" -> mutualKnnSql,
+
+    // IVF-fed twin: probes/cells/ranking all closed-form (the ivf_topk
+    // CTE chain as self-kNN), so the approximate pair set is hash-checked
+    "mutual_knn_ivf" -> mutualKnnIvfSql,
+
+    // recall gate for the IVF feed vs the exact quadratic twin — both
+    // pair sets deterministic, so the metrics themselves are hash-checked.
+    // Oracle-only (contains the exact side by definition).
+    "mutual_knn_recall" ->
+      s"""WITH approx AS (SELECT * FROM ($mutualKnnIvfSql)),
+         |ex AS (SELECT * FROM ($mutualKnnSql)),
+         |hit AS (SELECT count(*) AS c FROM approx a JOIN ex e
+         |  ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b)
+         |SELECT
+         |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+         |  CAST((SELECT c FROM hit) AS BIGINT) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM ex) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM ex)
+         |  END AS recall,
+         |  CASE WHEN (SELECT count(*) FROM approx) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM approx)
+         |  END AS precision""".stripMargin,
 
     "topk_cosine" ->
       s"""WITH n AS (SELECT vec_id, embedding,

@@ -353,12 +353,13 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              broadcastQueries: Boolean = true): DataFrame = {
     val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol, vecCol)
     val c = withIvfCell(corpus, cents, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"),
         VectorFns.norm(vecCol).as("nc"), col("__cell").as("cell"))
-    val q = withIvfCell(queries, cents, vecCol)
+    val q0 = withIvfCell(queries, cents, vecCol)
       .withColumn("__probes", expr(
         s"""slice(array_sort(
            |  transform(sequence(1, ${cents.size}),
@@ -367,9 +368,16 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("vq"),
         VectorFns.norm(vecCol).as("nq"),
         explode(expr("transform(__probes, p -> p.idx)")).as("cell"))
+    // A small external query set ships to every corpus partition
+    // (broadcast, corpus never moves). When queries ARE the corpus
+    // (self-kNN — mutualKnnPairsIvf), broadcasting an O(n) frame is the
+    // wrong plan: fall through to a shuffle join on `cell` and let AQE
+    // pick; nlist must grow with the corpus (~sqrt(n)) for cells to stay
+    // bounded, same contract as semantic_dedup's cells.
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("cell"))
+    c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -799,6 +807,38 @@ object Similarity {
     val knn = full
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    knn.as("f").join(knn.as("r"),
+        col("f.query_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.query_id"))
+      .filter(col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("vec_a"),
+        col("f.neighbor_id").as("vec_b"))
+  }
+
+  /**
+   * Mutual kNN pairs with an [[ivfTopK]] feed — the production path.
+   * [[mutualKnnPairs]] evaluates every (a, b) cosine (O(n²) — exact, but
+   * 10,000× the work at 100× the data); here each vector ranks only the
+   * candidates inside its `nprobe` probed IVF cells, so the kNN feed
+   * touches ~`nprobe/nlist` of the corpus per query and the corpus side
+   * joins on `cell` without shuffling (cell counts are nlist-bounded).
+   * Recall < 1 by construction — [[annRecall]] against the exact twin is
+   * the oracle-enforced gate (`mutual_knn_recall`), mirroring
+   * `dedup_recall`/`ann_recall`.
+   *
+   * Mutuality itself is unchanged: the n·k edge list joins its own
+   * reversal on the (8-byte, 8-byte) pair key — output-bounded. The edge
+   * list is pinned (referenced twice above a window, which ReuseExchange
+   * cannot dedupe; 2 longs/edge).
+   */
+  def mutualKnnPairsIvf(emb: DataFrame, k: Int = 10, nlist: Int = 16,
+                        nprobe: Int = 4, dim: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val knn = ivfTopK(emb, emb, k, nlist, nprobe, dim, idCol, vecCol,
+        broadcastQueries = false)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     knn.as("f").join(knn.as("r"),
