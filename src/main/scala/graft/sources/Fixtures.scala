@@ -7,24 +7,26 @@ import org.apache.spark.sql.functions._
  * Fixture-table loader for the driver-generated parquet under the
  * /root/testdata/sf0.001 | sf0.01 | sf0.1 directories (see TESTDATA.md).
  *
- * The `events.ts` column is written as parquet TIMESTAMP(NANOS), which
- * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
- * We read nanos as LONG (`spark.sql.legacy.parquet.nanosAsLong`) and
- * convert to a microsecond TimestampType column — lossless for this data
- * (verified: no sub-microsecond components) and the conversion is a
- * codegen'd narrow projection, so pushdown/pruning on other columns is
- * unaffected.
+ * Timestamp storage is generation-dependent: some fixture generations
+ * write `events.ts` as parquet TIMESTAMP(NANOS) — which Spark's
+ * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) unless
+ * read as raw LONG (`spark.sql.legacy.parquet.nanosAsLong`) — and some
+ * as plain TIMESTAMP(MICROS), which needs nothing. The loader handles
+ * both: the nanosAsLong conf is set defensively, and the
+ * `timestamp_micros(ts div 1000)` conversion is applied only when the
+ * column actually arrived as a raw nanos LONG (lossless for this data —
+ * no sub-microsecond components). Micros-stored columns pass through
+ * untouched, so their range predicates push down natively.
  *
- * Known scan-plan caveat (fixture-storage specific): predicates on the
- * CONVERTED `ts` evaluate as post-scan DataFilters, not parquet
- * PushedFilters — the `timestamp_micros(ts div 1000)` wrapper blocks
- * row-group pushdown. Production data written as TIMESTAMP(MICROS) needs
- * no conversion and range predicates push down natively; with nanos
- * storage at scale, filter on the raw long with nanos literals instead.
+ * For nanos-stored data the conversion wrapper would block row-group
+ * pushdown ([[graft.plans.NanosRangePushdown]] restores it by adding the
+ * implied raw-long bounds — spec'd against a nanos-shaped fixture it
+ * writes itself, so the guarantee holds whichever storage the driver
+ * generates).
  */
 object Fixtures {
 
-  /** Columns stored as TIMESTAMP(NANOS) per fixture table. */
+  /** Columns that MAY be stored as TIMESTAMP(NANOS) per fixture table. */
   private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -36,7 +38,11 @@ object Fixtures {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c)) d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      // LongType here means the reader hit TIMESTAMP(NANOS) and nanosAsLong
+      // degraded it to raw nanos; anything else is already a timestamp.
+      if (d.columns.contains(c) &&
+          d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       else d
     }
   }
