@@ -7,43 +7,55 @@ import org.apache.spark.sql.functions._
  * Fixture-table loader for the driver-generated parquet under the
  * /root/testdata/sf0.001 | sf0.01 | sf0.1 directories (see TESTDATA.md).
  *
- * Timestamp storage is generation-dependent: some fixture generations
- * write `events.ts` as parquet TIMESTAMP(NANOS) — which Spark's
- * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) unless
- * read as raw LONG (`spark.sql.legacy.parquet.nanosAsLong`) — and some
- * as plain TIMESTAMP(MICROS), which needs nothing. The loader handles
- * both: the nanosAsLong conf is set defensively, and the
- * `timestamp_micros(ts div 1000)` conversion is applied only when the
- * column actually arrived as a raw nanos LONG (lossless for this data —
- * no sub-microsecond components). Micros-stored columns pass through
- * untouched, so their range predicates push down natively.
+ * Timestamp storage is generation-dependent; the loader normalizes all
+ * three observed encodings of `events.ts` to a session-zoned
+ * `TimestampType` column so every downstream operator sees one type:
  *
- * For nanos-stored data the conversion wrapper would block row-group
- * pushdown ([[graft.plans.NanosRangePushdown]] restores it by adding the
- * implied raw-long bounds — spec'd against a nanos-shaped fixture it
- * writes itself, so the guarantee holds whichever storage the driver
- * generates).
+ *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+ *    outright ([PARQUET_TYPE_ILLEGAL]) unless degraded to raw LONG via
+ *    `spark.sql.legacy.parquet.nanosAsLong`; the raw nanos are then
+ *    rebuilt with `timestamp_micros(ts div 1000)` (lossless here — the
+ *    generator emits no sub-microsecond components). The conversion
+ *    wrapper would block row-group pushdown;
+ *    [[graft.plans.NanosRangePushdown]] restores it by adding the
+ *    implied raw-long bounds.
+ *  - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false: Spark reads
+ *    it as `TIMESTAMP_NTZ`, which `unix_micros()` et al. reject. The
+ *    session timezone is pinned UTC everywhere in this project, so a
+ *    plain cast to `TimestampType` is exact (NTZ wall-clock == UTC
+ *    instant) and — being a cast the reader itself can absorb — leaves
+ *    range predicates pushing down natively.
+ *  - parquet TIMESTAMP(MICROS) adjusted to UTC: already `TimestampType`;
+ *    passes through untouched.
  */
 object Fixtures {
 
-  /** Columns that MAY be stored as TIMESTAMP(NANOS) per fixture table. */
-  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  /** Columns that MAY need timestamp normalization per fixture table. */
+  private val tsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Sessions built by Verify/Bench/tests set nanosAsLong up front; this
     // guard covers ad-hoc sessions (e.g. the driver's own entry() smoke
     // session) that would otherwise fail on TIMESTAMP(NANOS) columns.
-    if (nanosCols.contains(name) &&
-        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    // getOption returns the registered default ("false") even when the
+    // conf was never set, so resolve the value rather than test presence.
+    if (tsCols.contains(name) &&
+        !spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      // LongType here means the reader hit TIMESTAMP(NANOS) and nanosAsLong
-      // degraded it to raw nanos; anything else is already a timestamp.
-      if (d.columns.contains(c) &&
-          d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (!d.columns.contains(c)) d
+      else d.schema(c).dataType match {
+        // Raw nanos LONG: the reader hit TIMESTAMP(NANOS) and nanosAsLong
+        // degraded it; rebuild the instant.
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        // NTZ (micros stored without UTC adjustment): exact cast under the
+        // pinned-UTC session.
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
   }
 }

@@ -18,19 +18,31 @@ import graft.operators.Relational
  * the conversion pattern, range predicates on it grow parquet-pushable
  * raw-long bounds.
  */
-class NanosRangePushdownSpec extends SparkSpec {
+class NanosRangePushdownSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private var tmpRoot: java.nio.file.Path = _
+
+  override def afterAll(): Unit = {
+    if (tmpRoot != null)
+      Files.walk(tmpRoot)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    super.afterAll()
+  }
 
   /** events-shaped table with ts stored as raw nanos BIGINT, plus the
    * standard micros conversion on top — the nanosAsLong read shape. */
   private lazy val nanosDir: String = {
-    val dir = Files.createTempDirectory("nanos_fixture").toFile
-    dir.deleteOnExit()
-    val base = "2024-01-05 00:00:00"
+    tmpRoot = Files.createTempDirectory("nanos_fixture")
+    val dir = tmpRoot.toFile
+    // epoch computed explicitly in UTC — the session TZ, not the JVM
+    // default — so window-edge assertions stay phase-independent
+    val baseNanos = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
     (0 until 1000).map { i =>
-      val tsNanos =
-        (java.sql.Timestamp.valueOf(base).getTime / 1000) * 1000000000L +
-          i.toLong * 3600L * 1000000000L // hourly steps from Jan 5
+      val tsNanos = baseNanos + i.toLong * 3600L * 1000000000L // hourly
       (i.toLong, tsNanos, i.toLong % 7)
     }.toDF("event_id", "ts", "user_id")
       .write.mode("overwrite").parquet(dir.getAbsolutePath + "/events")
@@ -63,14 +75,14 @@ class NanosRangePushdownSpec extends SparkSpec {
     assert("1704844800000000000".r.findAllIn(cond).size == 1)
   }
 
-  test("fixture loader leaves micros-stored timestamps untouched") {
-    // the driver's current generation stores events.ts as TIMESTAMP —
-    // Fixtures must not re-wrap it (the round-9 regression: an
-    // unconditional timestamp_micros(ts div 1000) on a TimestampType
-    // column is an analysis error)
+  test("fixture loader normalizes ts to session-zoned TimestampType") {
+    // whatever this generation stored (MICROS adjusted/unadjusted, NANOS),
+    // Fixtures must emit exactly TimestampType — TIMESTAMP_NTZ broke
+    // unix_micros-based operators in round 9 (see FixturesParitySpec)
     val ev = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
       "events")
-    assert(ev.schema("ts").dataType.typeName.startsWith("timestamp"))
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
     assert(ev.limit(1).count() == 1)
   }
 }
