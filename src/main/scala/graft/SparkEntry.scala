@@ -44,7 +44,10 @@ object SparkEntry {
 
   /** Headline bench set: every registered query except the intentionally
    * quadratic / skew-exposed exact variants, which stay oracle-grade only:
-   *   - `embedding_near_dup` — all-pairs oracle twin of `hyperplane_ann`;
+   *   - `embedding_near_dup` — all-pairs oracle twin of
+   *     `embedding_near_dup_lsh` (the benched banded production path);
+   *   - `embedding_near_dup_recall` — recall gate for the banded twin;
+   *     contains the exact quadratic side by definition;
    *   - `ngram_jaccard` / `ngram_jaccard_exact` — Ω(Σ df²) candidate volume
    *     even DF-capped (measured 38× superlinear at 10× dup mass,
    *     BENCH_scaling.md); `minhash_lsh` is the near-dup pair default at
@@ -80,7 +83,7 @@ object SparkEntry {
     "incremental_neardup_indexed",
     "pagerank", "triangle_count",
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
-    "ivf_topk",
+    "embedding_near_dup_lsh", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "matryoshka_topk",
     "quantize_int8", "embedding_centroids", "hard_negatives",
@@ -520,6 +523,24 @@ object SparkEntry {
     "embedding_near_dup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("vec_a", "vec_b")),
+
+    // production banded twin of embedding_near_dup: hyperplane-band
+    // candidates (3 planes x 21 tables — near-dup-tuned, ~99.8% recall at
+    // the 0.4 boundary) + exact cosine verify. Benched; recall gated by
+    // embedding_near_dup_recall.
+    "embedding_near_dup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("vec_a", "vec_b")),
+
+    // recall/precision of the banded near-dup path vs the exact quadratic
+    // twin — oracle-only (never benched): contains the O(n²) side by
+    // definition, like dedup_recall/ann_recall/mutual_knn_recall.
+    "embedding_near_dup_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecall(
+        Dedup.embeddingNearDupLsh(emb, threshold = 0.4),
+        Dedup.embeddingNearDupPairs(emb, threshold = 0.4))
+    }),
 
     // ---- similarity search (embeddings) ----
     "topk_cosine" -> ((s, dir) => {
@@ -1712,14 +1733,17 @@ object SparkEntry {
        |WHERE f.query_id < f.neighbor_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Parameterized DuckDB twin of hyperplane_ann. The plane matrix is a
-   * closed-form LCG of (plane, dim), so DuckDB recomputes the exact same
-   * 64 plane sign bits, the same 16 x 4-bit buckets, the same candidate
-   * set, and the same cosine-verified pairs. With `cap = Some(c)` the
-   * oracle also recomputes the bucket sizes and drops any (tbl, bucket)
-   * group holding more than c vectors — mirroring Dedup.capBuckets — so
-   * the recall-only pruning is itself hash-checked. */
-  private def hyperplaneAnnSql(cap: Option[Int]): String = {
+  /** Parameterized DuckDB twin of the hyperplane-LSH pair operators
+   * (hyperplane_ann at 4 planes x 16 tables, embedding_near_dup_lsh at
+   * 3 x 21). The plane matrix is a closed-form LCG of (plane, dim), so
+   * DuckDB recomputes the exact same packed plane sign bits, the same
+   * per-table buckets, the same candidate set, and the same
+   * cosine-verified pairs. With `cap = Some(c)` the oracle also
+   * recomputes the bucket sizes and drops any (tbl, bucket) group
+   * holding more than c vectors — mirroring Dedup.capBuckets — so the
+   * recall-only pruning is itself hash-checked. */
+  private def hyperplaneAnnSql(cap: Option[Int], numPlanes: Int = 4,
+                               numTables: Int = 16): String = {
     val keptCte = cap match {
       case Some(c) =>
         s"""kept AS (
@@ -1734,11 +1758,11 @@ object SparkEntry {
        |  SELECT p, list_transform(generate_series(0, 63), d ->
        |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
        |      % 2001 - 1000) / 1000.0) AS pv
-       |  FROM generate_series(0, 63) t(p)),
+       |  FROM generate_series(0, ${numPlanes * numTables - 1}) t(p)),
        |bits AS (
-       |  SELECT e.vec_id, pl.p // 4 AS tbl,
+       |  SELECT e.vec_id, pl.p // $numPlanes AS tbl,
        |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
-       |         THEN 1 << (pl.p % 4) ELSE 0 END AS bit
+       |         THEN 1 << (pl.p % $numPlanes) ELSE 0 END AS bit
        |  FROM embeddings e, planes pl),
        |buckets AS (
        |  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
@@ -2202,6 +2226,32 @@ object SparkEntry {
     "incremental_neardup_indexed" -> incrementalNearDupSql,
 
     "embedding_near_dup" -> embeddingNearDupSql,
+
+    // banded production twin: same closed-form plane/bucket machinery at
+    // the near-dup-tuned 3 x 21 layout, exact-cosine verified — fully
+    // hash-checked like hyperplane_ann
+    "embedding_near_dup_lsh" ->
+      hyperplaneAnnSql(cap = None, numPlanes = 3, numTables = 21),
+
+    // recall gate of the banded twin vs the exact quadratic pair set —
+    // both sides deterministic, so the metrics are hash-checked.
+    // Oracle-only (contains the O(n²) side by definition).
+    "embedding_near_dup_recall" ->
+      s"""WITH approx AS (SELECT * FROM (
+         |${hyperplaneAnnSql(cap = None, numPlanes = 3, numTables = 21)})),
+         |ex AS (SELECT * FROM ($embeddingNearDupSql)),
+         |hit AS (SELECT count(*) AS c FROM approx a JOIN ex e
+         |  ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b)
+         |SELECT
+         |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+         |  CAST((SELECT c FROM hit) AS BIGINT) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM ex) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM ex)
+         |  END AS recall,
+         |  CASE WHEN (SELECT count(*) FROM approx) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM approx)
+         |  END AS precision""".stripMargin,
 
     // ann_recall: both pair sets are deterministic (closed-form planes +
     // exact cosine), so the recall/precision metrics themselves are

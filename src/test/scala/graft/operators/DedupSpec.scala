@@ -91,6 +91,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(Seq(1L, 2L)))
   }
 
+  test("embeddingNearDupLsh: precision 1.0, recall >= 0.9, beats the ANN layout") {
+    // the banded production path: a subset of the exact pairs by
+    // construction (cosine-verified candidates); the near-dup-tuned
+    // 3 planes x 21 tables layout loses only boundary pairs (the fixture
+    // misses sit at cosine 0.40-0.45, where per-table collision is
+    // weakest) and strictly out-recalls the general 4 x 16 ANN layout
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val exact = rows(Dedup.embeddingNearDupPairs(emb, threshold = 0.4)).toSet
+    val lsh = rows(Dedup.embeddingNearDupLsh(emb, threshold = 0.4)).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty)
+    assert(lsh.size >= exact.size * 9 / 10,
+      s"recall ${lsh.size}/${exact.size} below 0.9")
+    val ann = rows(Similarity.hyperplaneLshPairs(emb, threshold = 0.4,
+      numPlanes = 4, numTables = 16, dim = 64)).toSet
+    assert(lsh.size > ann.size,
+      s"near-dup layout (${lsh.size}) should out-recall ANN layout (${ann.size})")
+  }
+
+  test("embeddingNearDupLsh bucket cap only trades recall, never precision") {
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val exact = rows(Dedup.embeddingNearDupPairs(emb, threshold = 0.4)).toSet
+    val capped = rows(Dedup.embeddingNearDupLsh(emb, threshold = 0.4,
+      maxBucketSize = Some(16))).toSet
+    assert(capped.subsetOf(exact))
+  }
+
   test("ngramJaccardPairs cap: prunes candidates via stop-shingles, keeps pre-cap denominators") {
     // 30 filler docs all contain the stop-shingle "x y z" (df = 32), which
     // is also 1 of the 4 shingles shared by near-dup docs A and B
