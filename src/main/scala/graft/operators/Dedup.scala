@@ -499,7 +499,8 @@ object Dedup {
                                       estThreshold: Double = 0.5,
                                       numHashes: Int = 128, bands: Int = 32,
                                       idCol: String = "doc_id",
-                                      maxBucketSize: Option[Int] = None): DataFrame = {
+                                      maxBucketSize: Option[Int] = None,
+                                      includeNewPairs: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = newSigs.sparkSession
     val minMatches = math.ceil(estThreshold * numHashes).toInt
@@ -527,9 +528,13 @@ object Dedup {
         s"(acc, v) -> acc + v) >= $minMatches")
     // new × corpus: a is always the batch side, b the index side — the
     // disjoint-ids contract means no least/greatest reshuffle is needed
-    // until the final ordering projection.
+    // until the final ordering projection. The a != b guard is the replay
+    // shield for the streaming tiers: a micro-batch replayed AFTER its
+    // docs were folded into the bucketed bulk meets its own copies here,
+    // and a self-pair would read as a rejection of the doc by itself.
     val candCorpus = newBands.select(col(idCol).as("a"), col("bb"))
       .join(idxBands.select(col(idCol).as("b"), col("bb")), "bb")
+      .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
     val vCorpus = candCorpus
       .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
@@ -538,18 +543,21 @@ object Dedup {
       .filter(estOk)
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"))
-    val candNew = newBands.select(col(idCol).as("a"), col("bb"))
-      .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val vNew = candNew
-      .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
-        "a")
-      .join(broadcast(newSigs.select(col(idCol).as("b"), col("sig").as("sb"))),
-        "b")
-      .filter(estOk)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    vCorpus.union(vNew)
+    if (!includeNewPairs) vCorpus
+    else {
+      val candNew = newBands.select(col(idCol).as("a"), col("bb"))
+        .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val vNew = candNew
+        .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
+          "a")
+        .join(broadcast(newSigs.select(col(idCol).as("b"), col("sig").as("sb"))),
+          "b")
+        .filter(estOk)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      vCorpus.union(vNew)
+    }
   }
 
   /**

@@ -371,11 +371,62 @@ object Streams {
     }
   }
 
+  /**
+   * Near-dup pairs of the current batch against BOTH index tiers — the
+   * one candidate/verify plan shared by [[nearDupSink]], [[intakeSink]]
+   * and [[clustersSink]]:
+   *   - DELTA tier: the `batch=<id>` parquet trees (batches since the
+   *     last compaction; the whole index when never compacted) via
+   *     [[Dedup.incrementalNearDupsPrebanded]] — O(batch x delta), and
+   *     delta stays micro-batch-sized once compaction runs on cadence;
+   *   - BULK tier (when `bucketedBase` is set and the tables exist): the
+   *     [[Dedup.writeBandedIndex]] managed tables via
+   *     [[Dedup.incrementalNearDupsAgainstIndex]] — the corpus-scale
+   *     side joins AT ITS BUCKETING, zero Exchange on the index side
+   *     (plan-asserted in StreamsSpec), with new x new pairs left to the
+   *     delta call so the union never double-reports them.
+   * The tiers hold disjoint documents by the compaction protocol; the
+   * final distinct covers the crash window where a fold wrote the bulk
+   * tables but had not yet pruned the corresponding delta partitions
+   * (batch-sized frame, so the insurance is cheap).
+   *
+   * `maxBucketSize` is evaluated per tier (each call sizes only its own
+   * population): a bucket split across tiers can exceed the cap without
+   * tripping it until compaction unifies it — recall-only slack in the
+   * window between folds, same contract direction as every other cap.
+   */
+  private[streaming] def tieredPairs(s: SparkSession, indexPath: String,
+                                     bandsPath: String, newSigs: DataFrame,
+                                     newBands: DataFrame, batchId: Long,
+                                     bucketedBase: Option[String],
+                                     estThreshold: Double, numHashes: Int,
+                                     bands: Int, idCol: String,
+                                     maxBucketSize: Option[Int]): DataFrame = {
+    val corpus = s.read
+      .option("basePath", indexPath).parquet(indexPath)
+      .filter(col("batch") =!= batchId).drop("batch")
+    val corpusBands = s.read
+      .option("basePath", bandsPath).parquet(bandsPath)
+      .filter(col("batch") =!= batchId).drop("batch")
+    val deltaPairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
+      corpus, corpusBands, estThreshold, numHashes, idCol, maxBucketSize)
+    bucketedBase match {
+      case Some(base) if s.catalog.tableExists(base + "_bands") &&
+          s.catalog.tableExists(base + "_sigs") =>
+        val bulkPairs = Dedup.incrementalNearDupsAgainstIndex(newSigs, base,
+          estThreshold, numHashes, bands, idCol, maxBucketSize,
+          includeNewPairs = false)
+        deltaPairs.union(bulkPairs).distinct()
+      case _ => deltaPairs
+    }
+  }
+
   def nearDupSink(stream: DataFrame, indexPath: String, pairsPath: String,
                   checkpointDir: String, estThreshold: Double = 0.5,
                   n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                   idCol: String = "doc_id", textCol: String = "text",
-                  maxBucketSize: Option[Int] = None): StreamingQuery =
+                  maxBucketSize: Option[Int] = None,
+                  bucketedBase: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -392,15 +443,10 @@ object Streams {
             .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
           reconcileBands(s, indexPath, bandsPath, numHashes, bands, idCol,
             batchId)
-          val corpus = s.read
-            .option("basePath", indexPath).parquet(indexPath)
-            .filter(col("batch") =!= batchId).drop("batch")
-          val corpusBands = s.read
-            .option("basePath", bandsPath).parquet(bandsPath)
-            .filter(col("batch") =!= batchId).drop("batch")
           val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
-          Dedup.incrementalNearDupsPrebanded(newSigs, newBands, corpus,
-            corpusBands, estThreshold, numHashes, idCol, maxBucketSize)
+          tieredPairs(s, indexPath, bandsPath, newSigs, newBands, batchId,
+            bucketedBase, estThreshold, numHashes, bands, idCol,
+            maxBucketSize)
             .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
           ()
         }
@@ -438,7 +484,8 @@ object Streams {
                    n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxBucketSize: Option[Int] = None,
-                   maxRounds: Int = 20): StreamingQuery =
+                   maxRounds: Int = 20,
+                   bucketedBase: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -454,15 +501,9 @@ object Streams {
             .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
           reconcileBands(s, indexPath, bandsPath, numHashes, bands, idCol,
             batchId)
-          val corpus = s.read
-            .option("basePath", indexPath).parquet(indexPath)
-            .filter(col("batch") =!= batchId).drop("batch")
-          val corpusBands = s.read
-            .option("basePath", bandsPath).parquet(bandsPath)
-            .filter(col("batch") =!= batchId).drop("batch")
           val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
-          val pairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
-            corpus, corpusBands, estThreshold, numHashes, idCol,
+          val pairs = tieredPairs(s, indexPath, bandsPath, newSigs, newBands,
+            batchId, bucketedBase, estThreshold, numHashes, bands, idCol,
             maxBucketSize)
             .select(col("doc_a"), col("doc_b"))
           // previous labeling (latest snapshot strictly before this batch
@@ -624,7 +665,10 @@ object Streams {
    * check and the rejected-id rule share one persisted batch-sized pair
    * frame (no second candidate join). `maxBucketSize` is the same
    * post-batch band-bucket population cap as every other LSH candidate
-   * path (AQE skew-join measurably never engages for these joins).
+   * path (AQE skew-join measurably never engages for these joins). With
+   * `bucketedBase` set and [[compactIndexBucketed]] run on cadence, the
+   * corpus-scale index side joins at its bucketing with zero Exchange
+   * ([[tieredPairs]]).
    */
   def intakeSink(stream: DataFrame, indexPath: String, outPath: String,
                  checkpointDir: String, minQualityMicro: Long = 300000L,
@@ -632,7 +676,8 @@ object Streams {
                  numHashes: Int = 128, bands: Int = 32,
                  idCol: String = "doc_id",
                  textCol: String = "text",
-                 maxBucketSize: Option[Int] = None): StreamingQuery =
+                 maxBucketSize: Option[Int] = None,
+                 bucketedBase: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -655,15 +700,9 @@ object Streams {
             .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
           reconcileBands(s, indexPath, bandsPath, numHashes, bands, idCol,
             batchId)
-          val corpus = s.read
-            .option("basePath", indexPath).parquet(indexPath)
-            .filter(col("batch") =!= batchId).drop("batch")
-          val corpusBands = s.read
-            .option("basePath", bandsPath).parquet(bandsPath)
-            .filter(col("batch") =!= batchId).drop("batch")
           val newBands = s.read.parquet(s"$bandsPath/batch=$batchId")
-          val pairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
-            corpus, corpusBands, estThreshold, numHashes, idCol,
+          val pairs = tieredPairs(s, indexPath, bandsPath, newSigs, newBands,
+            batchId, bucketedBase, estThreshold, numHashes, bands, idCol,
             maxBucketSize)
             .persist()
           try {
@@ -756,6 +795,66 @@ object Streams {
       throw new java.io.IOException(s"compactIndex: cannot move $tmp in")
     }
     fs.delete(backup, true)
+  }
+
+  /**
+   * Compaction of a [[nearDupSink]]/[[intakeSink]]/[[clustersSink]]
+   * signature index into the BUCKETED bulk tier: folds every `batch=<id>`
+   * partition (plus any previously-folded bulk) through distinct into the
+   * [[Dedup.writeBandedIndex]] two-table layout, then prunes the folded
+   * delta partitions. After this runs, steady-state admission joins the
+   * corpus-scale side AT ITS BUCKETING — zero Exchange on the index side
+   * of [[tieredPairs]]'s bulk call — and the path tree only ever holds
+   * the batches since the last fold. This is the LSM shape a 100 TB
+   * streaming index wants: per-batch appends stay cheap path writes, the
+   * once-per-cadence fold pays the one bucketing shuffle for the whole
+   * corpus, and every micro-batch in between reads the bulk in place.
+   *
+   * Run QUIESCED (stream stopped), like [[compactIndex]]. Crash safety:
+   * the bucketed tables are written FIRST (staged job commit), the
+   * `_compacted_through` marker and partition pruning follow — a crash
+   * in between leaves documents present in both tiers, which
+   * [[tieredPairs]] tolerates (a != b guard + final distinct), and
+   * re-running the fold is idempotent (distinct union of both tiers).
+   * Signature indexes are distinct-reduced, so the summing-index replay
+   * hazard of [[compactIndex]] does not arise; the marker is still
+   * written for observability and monotone bookkeeping.
+   */
+  def compactIndexBucketed(spark: SparkSession, indexPath: String,
+                           baseTable: String, numHashes: Int = 128,
+                           bands: Int = 32, numBuckets: Int = 32,
+                           idCol: String = "doc_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(main)) return
+    val batchIds = fs.listStatus(main).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    if (batchIds.isEmpty) return
+    val pathSigs = spark.read.option("basePath", indexPath)
+      .parquet(indexPath).drop("batch").select(col(idCol), col("sig"))
+    val allSigs =
+      if (spark.catalog.tableExists(baseTable + "_sigs"))
+        spark.table(baseTable + "_sigs").select(col(idCol), col("sig"))
+          .union(pathSigs)
+      else pathSigs
+    // stage through a scratch tree: the fold reads the bulk tables it is
+    // about to overwrite, and Spark refuses overwrite-while-read plans
+    val stage = new Path(indexPath + "__fold_tmp")
+    fs.delete(stage, true)
+    allSigs.distinct().write.parquet(stage.toString)
+    Dedup.writeBandedIndex(spark.read.parquet(stage.toString), baseTable,
+      numHashes, bands, numBuckets, idCol)
+    fs.delete(stage, true)
+    val mark = math.max(batchIds.max, compactedThrough(spark, indexPath))
+    val out = fs.create(new Path(main, MarkerFile), true)
+    try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
+    val bnd = new Path(indexPath + "__bands")
+    batchIds.foreach { b =>
+      fs.delete(new Path(main, s"batch=$b"), true)
+      fs.delete(new Path(bnd, s"batch=$b"), true)
+    }
   }
 
   /** Leading underscore: Spark's parquet reader ignores it as data. */

@@ -272,6 +272,73 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSink tiered: compaction folds the index into the bucketed " +
+      "bulk; admission joins it with no Exchange on the index side") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("tieridx").toString
+    val pairs = Files.createTempDirectory("tierpairs").toString
+    val cp = Files.createTempDirectory("tiercp").toString
+    Tables.dropTable(spark, "ndbulk_bands")
+    Tables.dropTable(spark, "ndbulk_sigs")
+    val q1 = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp, bucketedBase = Some("ndbulk"))
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "completely different words about spark query engines at scale"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // quiesced maintenance: fold the delta tree into the bucketed tables
+    Streams.compactIndexBucketed(spark, idx, "ndbulk", numBuckets = 4)
+    assert(spark.table("ndbulk_sigs").count() == 3L)
+    assert(!new java.io.File(idx).listFiles()
+      .exists(_.getName.startsWith("batch=")), "folded delta pruned")
+    // resume the stream: the clone must pair with BOTH bulk-tier clones
+    val q2 = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp, bucketedBase = Some("ndbulk"))
+    try {
+      mem.addData(
+        (4L, "the quick brown fox jumps over the lazy dog again and again"),
+        (5L, "totally novel content sharing no shingles with anything else"))
+      q2.processAllAvailable()
+      assert(rows(spark.read.parquet(pairs).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")) ==
+        Seq(Seq(1L, 2L), Seq(1L, 4L), Seq(2L, 4L)))
+    } finally q2.stop()
+    // plan proof on the very frame the sink writes: rebuild batch 1's
+    // tiered pair plan and require that no shuffle repartitions the
+    // bucketed index side (the 100 TB side reads AT its bucketing)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val newSigs = spark.read.parquet(s"$idx/batch=1")
+    val newBands = spark.read.parquet(s"${idx}__bands/batch=1")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val frame = Streams.tieredPairs(spark, idx, idx + "__bands", newSigs,
+        newBands, 1L, Some("ndbulk"), 0.5, 128, 32, "doc_id", None)
+      assert(rows(frame.orderBy("doc_a", "doc_b")) ==
+        Seq(Seq(1L, 4L), Seq(2L, 4L)))
+      val plan = frame.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def scanWithoutJoinBelow(p: SparkPlan): Boolean =
+        if (p.toString.linesIterator.next().contains("ndbulk_")) true
+        else if (p.children.length != 1) false
+        else scanWithoutJoinBelow(p.children.head)
+      val offending = plan.collect {
+        case e: SparkPlan with ShuffleExchangeLike
+            if scanWithoutJoinBelow(e.children.head) => e
+      }
+      assert(offending.isEmpty,
+        s"bucketed index side re-shuffled:\n${offending.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("nearDupSink: pre-band sig index is backfilled, stale band " +
       "partitions are pruned") {
     implicit val sqlCtx = spark.sqlContext
