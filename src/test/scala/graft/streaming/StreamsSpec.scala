@@ -34,6 +34,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts over FileTopicSource e2e: watermark closes windows " +
+      "and late rows are dropped, not resurrected") {
+    import graft.sources.topic.FileTopicSource
+    val topic = Files.createTempDirectory("wm-topic").toString
+    val cp = Files.createTempDirectory("wm-cp").toString
+    def rec(t: String, e: String) = s"""{"ts":"$t","event_type":"$e"}"""
+    FileTopicSource.append(topic, 0, Seq(
+      rec("2024-01-01 00:01:00", "a"), rec("2024-01-01 00:02:00", "a"),
+      rec("2024-01-01 00:03:00", "b")))
+    val parsed = spark.readStream.format(classOf[FileTopicSource].getName)
+      .option("path", topic).load()
+      .select(
+        get_json_object(col("value"), "$.ts").cast("timestamp").as("ts"),
+        get_json_object(col("value"), "$.event_type").as("event_type"))
+    val out = Streams.windowedCounts(parsed, "ts", "event_type",
+      windowLength = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wmtopic")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark has not passed any window end: nothing emitted yet
+      assert(spark.table("wmtopic").isEmpty)
+      // 01:00 advances the watermark to 00:55 -> [00:00, 00:10) closes
+      FileTopicSource.append(topic, 0, Seq(rec("2024-01-01 01:00:00", "a")))
+      q.processAllAvailable()
+      assert(rows(spark.table("wmtopic").select("event_type", "n")
+        .orderBy("event_type")) == Seq(Seq("a", 2L), Seq("b", 1L)))
+      // one batch carrying a LATE row (00:04, behind the 00:55 watermark)
+      // plus an on-time 02:00 row: the late row must be dropped at the
+      // watermark — the closed window's counts stay as emitted — while
+      // 02:00 pushes the watermark to 01:55 and closes [01:00, 01:10)
+      FileTopicSource.append(topic, 0, Seq(
+        rec("2024-01-01 00:04:00", "b"), rec("2024-01-01 02:00:00", "c")))
+      q.processAllAvailable()
+      assert(rows(spark.table("wmtopic")
+        .select("window_start", "event_type", "n")
+        .orderBy("window_start", "event_type")) == Seq(
+        Seq(ts("2024-01-01 00:00:00"), "a", 2L),
+        Seq(ts("2024-01-01 00:00:00"), "b", 1L),
+        Seq(ts("2024-01-01 01:00:00"), "a", 1L)))
+    } finally q.stop()
+  }
+
   test("narrow batch operators run unchanged on streaming frames") {
     // gopherRules is a stateless narrow projection, so the SAME function
     // accepts a streaming DataFrame — no stream-specific variant needed.
