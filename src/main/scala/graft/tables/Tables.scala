@@ -344,9 +344,49 @@ object Tables {
     (before, spark.table(table).inputFiles.length)
   }
 
+  /**
+   * Crash recovery for the [[upsertIntoTable]]/[[compactTable]] rename
+   * swap — the documented restore-from-`backup`/`tmp` procedure as code,
+   * one case per crash window of [[writeSwapped]]:
+   *   - main MISSING, `__swap_tmp` present (crash between the two
+   *     renames): roll FORWARD — `tmp` holds the complete merged result,
+   *     so it becomes main and any `backup` is dropped;
+   *   - main MISSING, only `__swap_backup` present (tmp lost with the
+   *     crash, e.g. its write never committed): roll BACK — the original
+   *     returns as main and the merge is simply un-applied, to be rerun;
+   *   - main PRESENT with leftover `tmp`/`backup` (crash before the
+   *     first rename, or after the second rename before the backup
+   *     drop): main is authoritative — drop the leftovers.
+   * Idempotent: a clean state is a no-op. Returns true when anything was
+   * repaired. Single-writer, like the swap itself: run it on restart
+   * BEFORE the first upsert, never concurrently with one.
+   */
+  def recoverSwap(spark: SparkSession, mainTable: String): Boolean = {
+    val tmp = suffixed(mainTable, "__swap_tmp")
+    val backup = suffixed(mainTable, "__swap_backup")
+    val hasMain = spark.catalog.tableExists(mainTable)
+    val hasTmp = spark.catalog.tableExists(tmp)
+    val hasBackup = spark.catalog.tableExists(backup)
+    if (!hasMain && hasTmp) {
+      spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(mainTable)}")
+      if (hasBackup) spark.sql(s"DROP TABLE ${q(backup)}")
+      spark.catalog.refreshTable(mainTable)
+      true
+    } else if (!hasMain && hasBackup) {
+      spark.sql(s"ALTER TABLE ${q(backup)} RENAME TO ${q(mainTable)}")
+      spark.catalog.refreshTable(mainTable)
+      true
+    } else if (hasMain && (hasTmp || hasBackup)) {
+      if (hasTmp) spark.sql(s"DROP TABLE ${q(tmp)}")
+      if (hasBackup) spark.sql(s"DROP TABLE ${q(backup)}")
+      true
+    } else false
+  }
+
   /** Replace `mainTable`'s contents with `df` via write-new + rename swap
    * (see [[upsertIntoTable]]'s protocol note: a crash between renames
-   * leaves both the new table and the backup recoverable on disk).
+   * leaves both the new table and the backup recoverable on disk;
+   * [[recoverSwap]] is that recovery).
    * UNPARTITIONED tables only — HMS partition locations do not survive
    * a table rename (see [[compactTable]]). */
   private def writeSwapped(spark: SparkSession, df: DataFrame,

@@ -29,6 +29,50 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, "t_up")
   }
 
+  test("recoverSwap restores every crash window of the upsert rename swap") {
+    // Simulate the swap protocol's states by driving the same DDL the
+    // protocol runs, crashing at each window, then exercising the
+    // documented recovery. Merged state: id 1 kept, id 2 updated, 3 new.
+    val mergedRows = Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c"))
+    val origRows = Seq(Seq(1L, "a"), Seq(2L, "b"))
+    def reset(): Unit = {
+      Seq("t_cr", "t_cr__swap_tmp", "t_cr__swap_backup")
+        .foreach(Tables.dropTable(spark, _))
+      Tables.loadOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t_cr")
+      Tables.loadOverwrite(
+        Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"),
+        "t_cr__swap_tmp")
+    }
+    // window 1: crash BETWEEN the renames — main gone, tmp + backup on
+    // disk. Recovery rolls FORWARD to the complete merged result.
+    reset()
+    spark.sql("ALTER TABLE t_cr RENAME TO t_cr__swap_backup")
+    assert(Tables.recoverSwap(spark, "t_cr"))
+    assert(rows(spark.table("t_cr").orderBy("id")) == mergedRows)
+    assert(!spark.catalog.tableExists("t_cr__swap_tmp") &&
+      !spark.catalog.tableExists("t_cr__swap_backup"))
+    // window 2: tmp never committed, crash after the first rename — only
+    // backup remains. Recovery rolls BACK to the original.
+    reset()
+    spark.sql("ALTER TABLE t_cr RENAME TO t_cr__swap_backup")
+    Tables.dropTable(spark, "t_cr__swap_tmp")
+    assert(Tables.recoverSwap(spark, "t_cr"))
+    assert(rows(spark.table("t_cr").orderBy("id")) == origRows)
+    // window 3: crash after the swap completed but before the backup
+    // drop — main is authoritative, leftovers must go.
+    reset()
+    spark.sql("ALTER TABLE t_cr RENAME TO t_cr__swap_backup")
+    spark.sql("ALTER TABLE t_cr__swap_tmp RENAME TO t_cr")
+    assert(Tables.recoverSwap(spark, "t_cr"))
+    assert(rows(spark.table("t_cr").orderBy("id")) == mergedRows)
+    assert(!spark.catalog.tableExists("t_cr__swap_backup"))
+    // clean state: no-op, and a follow-up upsert runs normally
+    assert(!Tables.recoverSwap(spark, "t_cr"))
+    assert(Tables.upsertIntoTable(spark,
+      Seq((4L, "d")).toDF("id", "v"), "t_cr", "id") == 4L)
+    Tables.dropTable(spark, "t_cr")
+  }
+
   test("upsertIntoTable creates the table when main is absent") {
     Tables.dropTable(spark, "t_new")
     val staging = Seq((7L, "x")).toDF("id", "v")
