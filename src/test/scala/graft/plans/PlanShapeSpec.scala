@@ -136,4 +136,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanCount(p, "embeddings") == 0, s"kNN feed re-ran:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  test("join_advisor: one scan per side — the advisor must stay strictly " +
+      "cheaper than any join it advises on") {
+    val p = executedPlan("join_advisor")
+    assert(scanCount(p, "lineitem") <= 1, s"lineitem rescanned:\n$p")
+    assert(scanCount(p, "orders") <= 1, s"orders rescanned:\n$p")
+    // the only joins are 1-row cross-combines of the sizing aggregates
+    assert(count(p, "CartesianProduct") == 0)
+    // sizing aggregates keep their map-side partials (partial_count on
+    // the scan side of the exchange)
+    assert(count(p, "partial_count") >= 2, s"map-side combine lost:\n$p")
+  }
+
+  test("hilbertCompact write: ONE range exchange on the hilbert index + " +
+      "in-partition sort (the envelope-clustering plan)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import spark.implicits._
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val t = "hilbert_pin"
+    graft.tables.Tables.dropTable(spark, t)
+    val grid = (0 until 1024).map(i =>
+      (i.toLong, (i % 32).toLong, (i / 32).toLong)).toDF("id", "x", "y")
+    graft.tables.Tables.loadOverwrite(grid.repartition(4), t)
+    spark.listenerManager.register(listener)
+    try {
+      graft.tables.Tables.hilbertCompact(spark, t, "x", "y",
+        targetFiles = 4, bits = 8)
+      // the listener bus is asynchronous — poll for the write job's plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def writePlan(): Option[String] = captured.asScala
+        .find(_.contains("rangepartitioning(__h"))
+      while (writePlan().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val p = writePlan().getOrElse(
+        fail(s"no write plan captured; saw:\n${captured.asScala.mkString("\n---\n")}"))
+        .split("== Initial Plan ==").head
+      // exactly one exchange: the range partition on the curve index —
+      // any second shuffle means the rewrite repartitioned twice
+      assert(count(p, "Exchange rangepartitioning\\(__h") == 1, s"plan:\n$p")
+      assert(count(p, "Exchange ") == 1, s"extra shuffle in the rewrite:\n$p")
+      assert(count(p, "Sort \\[__h") >= 1, s"in-partition sort lost:\n$p")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      graft.tables.Tables.dropTable(spark, t)
+    }
+  }
 }
