@@ -125,6 +125,11 @@ object Main {
         } else Tables.loadOverwrite(df, c.table)
         spark.table(c.table).count()
       case "upsert" =>
+        // restart hygiene: if a previous run crashed mid-swap, restore the
+        // main table from tmp/backup BEFORE staging a new merge
+        if (Tables.recoverSwap(spark, c.table))
+          System.err.println(
+            s"[graft] recovered ${c.table} from an interrupted swap")
         // reference update path: stage, merge, drop staging even on failure
         Tables.loadOverwrite(df, c.staging)
         try Tables.upsertIntoTable(spark, spark.table(c.staging), c.table, c.key)

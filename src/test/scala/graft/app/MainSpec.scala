@@ -93,4 +93,31 @@ class MainSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("app_up_stg")) // staging cleaned up
     Tables.dropTable(spark, "app_up")
   }
+
+  test("upsert path recovers an interrupted swap before merging") {
+    Seq("app_rec", "app_rec__swap_tmp", "app_rec__swap_backup",
+      "app_rec_stg").foreach(Tables.dropTable(spark, _))
+    val dir = Files.createTempDirectory("app-rec-pages")
+    Files.writeString(dir.resolve("page-1.json"),
+      """{"deals": [{"id": 2, "created_at": "2024-01-02 00:00:00", "v": "B"},
+        |           {"id": 3, "created_at": "2024-01-03 00:00:00", "v": "c"}]}""".stripMargin)
+    // crash state: a previous upsert renamed main aside and died — tmp
+    // (the completed earlier merge) and backup both on disk, main gone
+    import spark.implicits._
+    Tables.loadOverwrite(Seq(("1", "a"), ("2", "b")).toDF("id", "v")
+      .selectExpr("CAST(id AS BIGINT) AS id", "v"), "app_rec__swap_tmp")
+    Tables.loadOverwrite(Seq(("1", "a")).toDF("id", "v")
+      .selectExpr("CAST(id AS BIGINT) AS id", "v"), "app_rec__swap_backup")
+    val cfg = Main.Config(action = "upsert",
+      input = s"file://$dir/page-{page}.json", table = "app_rec",
+      key = "id", staging = "app_rec_stg")
+    // the run first rolls the swap forward (ids 1,2), then merges the
+    // fetched page (2 updated, 3 inserted)
+    assert(Main.run(spark, cfg) == 3L)
+    assert(rows(spark.table("app_rec").select("id", "v").orderBy("id")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+    assert(!spark.catalog.tableExists("app_rec__swap_tmp") &&
+      !spark.catalog.tableExists("app_rec__swap_backup"))
+    Tables.dropTable(spark, "app_rec")
+  }
 }
