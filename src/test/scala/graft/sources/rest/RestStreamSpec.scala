@@ -49,6 +49,69 @@ class RestStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("watermarked event-time windows over the paginated stream: " +
+      "windows close at the watermark, late records are dropped") {
+    val dir = Files.createTempDirectory("wm-pages")
+    val cp = Files.createTempDirectory("wm-pages-cp").toString
+    val out = Files.createTempDirectory("wm-pages-out").toString
+    def rec(id: Int, t: String, e: String) =
+      s"""{"id": $id, "ts": "$t", "event_type": "$e"}"""
+    // parquet sink + stop/start around page mutations (the offset-race
+    // caveat from the tailing test); the watermark itself lives in the
+    // checkpoint, so closing/dropping behavior survives the restarts
+    def start() = {
+      val parsed = spark.readStream
+        .format(classOf[PaginatedJsonSource].getName)
+        .options(Map("url" -> s"file://$dir/page-{page}.json",
+          "count" -> "3", "numPartitions" -> "2"))
+        .load()
+        .select(
+          get_json_object(col("value"), "$.ts").cast("timestamp").as("ts"),
+          get_json_object(col("value"), "$.event_type").as("event_type"))
+      graft.streaming.Streams.windowedCounts(parsed, "ts", "event_type",
+        windowLength = "10 minutes", watermark = "5 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).outputMode("append").start()
+    }
+    def emitted() = rows(spark.read.parquet(out)
+      .select("window_start", "event_type", "n")
+      .orderBy("window_start", "event_type"))
+    writePage(dir, 1, Seq(
+      rec(1, "2024-01-01 00:01:00", "a"), rec(2, "2024-01-01 00:02:00", "a"),
+      rec(3, "2024-01-01 00:03:00", "b")))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(emitted().isEmpty) // watermark passed no window end yet
+    } finally q1.stop()
+    // a short page at 01:00 advances the watermark to 00:55 -> the
+    // [00:00, 00:10) window closes and emits
+    writePage(dir, 2, Seq(rec(4, "2024-01-01 01:00:00", "a")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(emitted() == Seq(
+        Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 2L),
+        Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "b", 1L)))
+    } finally q2.stop()
+    // page 2 fills (append-only) with a LATE record — 00:04, behind the
+    // checkpointed 00:55 watermark — plus an on-time 02:00 record: the
+    // late record must be dropped (the closed window stays as emitted),
+    // while 02:00 closes [01:00, 01:10)
+    writePage(dir, 2, Seq(
+      rec(4, "2024-01-01 01:00:00", "a"),
+      rec(5, "2024-01-01 00:04:00", "b"),
+      rec(6, "2024-01-01 02:00:00", "c")))
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      assert(emitted() == Seq(
+        Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 2L),
+        Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "b", 1L),
+        Seq(java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "a", 1L)))
+    } finally q3.stop()
+  }
+
   test("oversized page fails the stream loudly instead of corrupting offsets") {
     val dir = Files.createTempDirectory("oversz-pages")
     val cp = Files.createTempDirectory("oversz-cp").toString
