@@ -177,6 +177,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intakeSink tiered: admission rejects near-dups of BULK-tier docs " +
+      "after the index is folded into bucketed tables") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("intieridx").toString
+    val out = Files.createTempDirectory("intierout").toString
+    val cp = Files.createTempDirectory("intiercp").toString
+    Tables.dropTable(spark, "inbulk_bands")
+    Tables.dropTable(spark, "inbulk_sigs")
+    val good = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the evening sun is setting over the quiet river valley"
+    def start() = Streams.intakeSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, minQualityMicro = 250000L,
+      bucketedBase = Some("inbulk"))
+    val q1 = start()
+    try {
+      mem.addData(
+        (1L, good),
+        (2L, "completely different words about spark query engines at " +
+          "scale with plenty of additional tokens to pass the gate"))
+      q1.processAllAvailable()
+      assert(rows(spark.read.parquet(out).select("doc_id").orderBy("doc_id"))
+        .flatten == Seq(1L, 2L))
+    } finally q1.stop()
+    // quiesced fold: the whole signed corpus moves to the bucketed tier
+    Streams.compactIndexBucketed(spark, idx, "inbulk", numBuckets = 4)
+    assert(spark.table("inbulk_sigs").count() == 2L)
+    // resumed stream: 3 near-dups BULK doc 1 -> rejected via the
+    // zero-Exchange bulk join; 4 is novel -> admitted
+    val q2 = start()
+    try {
+      mem.addData(
+        (3L, good),
+        (4L, "fresh unrelated content about benchmark protocols and " +
+          "median statistics with enough words to clear the quality bar"))
+      q2.processAllAvailable()
+      assert(rows(spark.read.parquet(out).select("doc_id").orderBy("doc_id"))
+        .flatten == Seq(1L, 2L, 4L))
+    } finally q2.stop()
+  }
+
   test("distinctSink: running per-group estimates, re-delivered keys " +
       "never double-count, state stays <= k longs per group") {
     implicit val sqlCtx = spark.sqlContext
