@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /**
  * Event-time operators over an event log: gap-based sessionization and
@@ -10,6 +11,14 @@ import org.apache.spark.sql.functions._
  * Streaming surface in [[graft.streaming.Streams]].
  */
 object Sessions {
+
+  /** Epoch microseconds of an event-time column, tolerant of
+   * `TIMESTAMP_NTZ` inputs: `unix_micros` rejects NTZ at analysis time
+   * (the round-9 fixture regression), and the cast is a no-op for
+   * session-zoned timestamps (Catalyst folds same-type casts away) while
+   * interpreting NTZ wall-clock in the session zone — exact under this
+   * project's pinned-UTC sessions. */
+  private def tsUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /**
    * Ordered-funnel analysis: how many users complete each prefix of the
@@ -67,7 +76,8 @@ object Sessions {
    */
   def retention(events: DataFrame, userCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame = {
-    val week = expr(s"(unix_micros($tsCol) div 86400000000) div 7")
+    val week =
+      expr(s"(unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000) div 7")
     val weeks = events
       .select(col(userCol).as("u"), week.as("w")).distinct()
     val cohorts = weeks.groupBy("u").agg(min(col("w")).as("cw"))
@@ -96,10 +106,10 @@ object Sessions {
     val order = Seq(col(tsCol).asc, col(tieBreak).asc)
     val w = Window.partitionBy(userCol).orderBy(order: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)
+    val prevUs = lag(tsUs(col(tsCol)), 1).over(w)
     val isNew = when(
       prevUs.isNull ||
-        (unix_micros(col(tsCol)) - prevUs) > gapSeconds * 1000000L, 1L)
+        (tsUs(col(tsCol)) - prevUs) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     events
       .withColumn("session_id", sum(isNew).over(run).cast("long"))
@@ -118,7 +128,7 @@ object Sessions {
       .orderBy(col("__sec"))
       .rangeBetween(-windowSeconds, Window.currentRow)
     events
-      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("__sec", unix_timestamp(col(tsCol).cast(TimestampType)))
       .withColumn("n_trailing", count(lit(1)).over(w).cast("long"))
       .drop("__sec")
   }
@@ -356,17 +366,17 @@ object Sessions {
     events
       .withColumn("__touch",
         when(col(typeCol).isin(touchTypes.map(x => x: Any): _*),
-          struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+          struct(tsUs(col(tsCol)).as("t"), col(idCol).as("i"),
             col(typeCol).as("y"))))
       .withColumn("__last", last(col("__touch"), ignoreNulls = true).over(w))
       .filter(col(typeCol) === convType)
       .withColumn("__ok", col("__last").isNotNull &&
-        unix_micros(col(tsCol)) - col("__last.t") <= lookbackUs)
+        tsUs(col(tsCol)) - col("__last.t") <= lookbackUs)
       .select(col(idCol).as("conversion_id"), col(userCol),
         col(tsCol).as("conversion_ts"),
         when(col("__ok"), col("__last.i")).as("touch_id"),
         when(col("__ok"), col("__last.y")).as("touch_type"),
-        when(col("__ok"), unix_micros(col(tsCol)) - col("__last.t"))
+        when(col("__ok"), tsUs(col(tsCol)) - col("__last.t"))
           .as("gap_us"))
   }
 }

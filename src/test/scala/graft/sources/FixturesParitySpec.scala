@@ -81,6 +81,24 @@ class FixturesParitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(a == b, "NTZ round-trip changed instants")
   }
 
+  test("Sessions operators accept a raw NTZ frame directly (operator-level " +
+      "NTZ tolerance, not just loader normalization)") {
+    // a user handing the library an NTZ frame without going through
+    // Fixtures.table must not hit the round-9 analysis error
+    val ntz = Fixtures.table(spark, realDir, "events")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val viaNtz = Sessions.sessionize(ntz)
+      .select("event_id", "session_id").orderBy("event_id").collect().toSeq
+    val viaTz = Sessions.sessionize(Fixtures.table(spark, realDir, "events"))
+      .select("event_id", "session_id").orderBy("event_id").collect().toSeq
+    assert(viaNtz == viaTz, "NTZ input changed sessionization")
+    assert(Sessions.retention(ntz).count() ==
+      Sessions.retention(Fixtures.table(spark, realDir, "events")).count())
+    assert(Sessions.attribution(ntz).limit(1).count() >= 0)
+    assert(Sessions.rollingCounts(ntz).limit(1).count() >= 0)
+  }
+
   test("nanos-LONG twin (nanosAsLong read shape) normalizes identically") {
     val dir = tmp.resolve("nanos").toString
     val src = Fixtures.table(spark, realDir, "events")
