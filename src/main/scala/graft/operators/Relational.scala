@@ -155,11 +155,14 @@ object Relational {
   def rangeJoin(left: DataFrame, lTs: String,
                 right: DataFrame, rStart: String, rEnd: String,
                 bucketSeconds: Long = 21600): DataFrame = {
+    // CAST AS TIMESTAMP: no-op for session-zoned inputs, NTZ tolerance
+    // otherwise (unix_timestamp rejects TIMESTAMP_NTZ — see Sessions.tsUs)
     val lB = left.withColumn("__bucket",
-      (unix_timestamp(col(lTs)) / bucketSeconds).cast("long"))
+      (unix_timestamp(col(lTs).cast(org.apache.spark.sql.types.TimestampType))
+        / bucketSeconds).cast("long"))
     val rB = right.withColumn("__bucket", explode(expr(
-      s"sequence(CAST(unix_timestamp($rStart) / $bucketSeconds AS BIGINT), " +
-      s"CAST(unix_timestamp($rEnd - INTERVAL 1 MICROSECOND) / $bucketSeconds AS BIGINT))")))
+      s"sequence(CAST(unix_timestamp(CAST($rStart AS TIMESTAMP)) / $bucketSeconds AS BIGINT), " +
+      s"CAST(unix_timestamp(CAST($rEnd AS TIMESTAMP) - INTERVAL 1 MICROSECOND) / $bucketSeconds AS BIGINT))")))
     lB.join(rB, Seq("__bucket"))
       .filter(col(lTs) >= col(rStart) && col(lTs) < col(rEnd))
       .drop("__bucket")
@@ -180,10 +183,11 @@ object Relational {
                           bucketSeconds: Long = 21600): DataFrame = {
     def bucketed(df: DataFrame, s: String, e: String, tag: String) =
       df.withColumn(s"__b0_$tag",
-          (unix_timestamp(col(s)) / bucketSeconds).cast("long"))
+          (unix_timestamp(col(s).cast(org.apache.spark.sql.types.TimestampType))
+            / bucketSeconds).cast("long"))
         .withColumn("__bucket", explode(expr(
-          s"sequence(CAST(unix_timestamp($s) / $bucketSeconds AS BIGINT), " +
-          s"CAST(unix_timestamp($e - INTERVAL 1 MICROSECOND) / $bucketSeconds AS BIGINT))")))
+          s"sequence(CAST(unix_timestamp(CAST($s AS TIMESTAMP)) / $bucketSeconds AS BIGINT), " +
+          s"CAST(unix_timestamp(CAST($e AS TIMESTAMP) - INTERVAL 1 MICROSECOND) / $bucketSeconds AS BIGINT))")))
     val aB = bucketed(a, aStart, aEnd, "a")
     val bB = bucketed(b, bStart, bEnd, "b")
     aB.join(bB, Seq("__bucket"))

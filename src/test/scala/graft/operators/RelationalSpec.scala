@@ -161,6 +161,15 @@ class RelationalSpec extends SparkSpec {
     val out = rows(Relational.rangeJoin(left, "ts", right, "s", "e",
       bucketSeconds = 3600).select("id").orderBy("id"))
     assert(out.flatten == Seq(1L, 2L))
+    // NTZ tolerance: the same join over TIMESTAMP_NTZ inputs (the
+    // round-9 fixture-encoding class) produces the identical result
+    import org.apache.spark.sql.types.TimestampNTZType
+    val outNtz = rows(Relational.rangeJoin(
+      left.withColumn("ts", col("ts").cast(TimestampNTZType)), "ts",
+      right.withColumn("s", col("s").cast(TimestampNTZType))
+        .withColumn("e", col("e").cast(TimestampNTZType)), "s", "e",
+      bucketSeconds = 3600).select("id").orderBy("id"))
+    assert(outNtz.flatten == Seq(1L, 2L))
   }
 
   test("saltedJoin returns exactly the plain inner-join result") {
