@@ -423,6 +423,70 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tiered index crash window: docs in BOTH tiers produce no duplicate " +
+      "pairs and the fold re-runs idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("crashidx").toString
+    val pairs = Files.createTempDirectory("crashpairs").toString
+    val cp = Files.createTempDirectory("crashcp").toString
+    Tables.dropTable(spark, "crbulk_bands")
+    Tables.dropTable(spark, "crbulk_sigs")
+    val q1 = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp, bucketedBase = Some("crbulk"))
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "completely different words about spark query engines at scale"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // stage the crash: snapshot the delta tree, fold, then restore the
+    // folded partitions — the state compactIndexBucketed leaves if it
+    // dies after writing the bulk tables but before pruning the delta
+    val snap = Files.createTempDirectory("crashsnap").toString
+    // copy batch=* children so restores land inside the existing tree
+    // (FileUtil.copy nests a dir under an existing destination)
+    def copyChildren(from: String, to: String): Unit = {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(from).getFileSystem(conf)
+      if (fs.exists(new Path(from)))
+        fs.listStatus(new Path(from)).filter(_.getPath.getName.startsWith("batch="))
+          .foreach { st =>
+            FileUtil.copy(fs, st.getPath, fs,
+              new Path(to, st.getPath.getName), false, conf)
+          }
+    }
+    Files.createDirectories(java.nio.file.Paths.get(s"$snap/idx"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$snap/bands"))
+    copyChildren(idx, s"$snap/idx")
+    copyChildren(idx + "__bands", s"$snap/bands")
+    Streams.compactIndexBucketed(spark, idx, "crbulk", numBuckets = 4)
+    copyChildren(s"$snap/idx", idx)
+    copyChildren(s"$snap/bands", idx + "__bands")
+    assert(new java.io.File(idx).listFiles()
+      .exists(_.getName.startsWith("batch=")), "crash state staged")
+    // a batch duplicating doc 1 — now present in bulk AND delta — must
+    // report the pair exactly once
+    val q2 = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp, bucketedBase = Some("crbulk"))
+    try {
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog again and again"))
+      q2.processAllAvailable()
+      assert(rows(spark.read.parquet(pairs).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")) == Seq(Seq(1L, 3L)))
+    } finally q2.stop()
+    // re-running the fold from the crash state is idempotent: same bulk
+    // content, delta pruned
+    Streams.compactIndexBucketed(spark, idx, "crbulk", numBuckets = 4)
+    assert(spark.table("crbulk_sigs").count() == 3L)
+    assert(rows(spark.table("crbulk_sigs").select("doc_id").orderBy("doc_id"))
+      .flatten == Seq(1L, 2L, 3L))
+    assert(!new java.io.File(idx).listFiles()
+      .exists(_.getName.startsWith("batch=")), "delta pruned on re-run")
+  }
+
   test("nearDupSink: pre-band sig index is backfilled, stale band " +
       "partitions are pruned") {
     implicit val sqlCtx = spark.sqlContext
