@@ -100,8 +100,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1]: a pure
    * arithmetic LCG over (plane, dim) so signatures are reproducible across
-   * runs, engines, and cluster sizes (no RNG state to ship). */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+   * runs, engines, and cluster sizes (no RNG state to ship). The same
+   * closed form lives in [[graft.plans.HyperplaneSig]] (the fused native
+   * signature used by [[hyperplaneLshPairs]]) and in the DuckDB oracle's
+   * generate_series recomputation — all three must stay identical. */
+  private[operators] def planeComponent(plane: Int, dim: Int): Double = {
     val x = (1103515245L * (plane * 131L + dim + 1) + 12345L) % 2147483647L
     ((if (x < 0) -x else x) % 2001L - 1000L) / 1000.0
   }
@@ -576,28 +579,18 @@ object Similarity {
                          numPlanes: Int = 4, numTables: Int = 16, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucketSize: Option[Int] = None): DataFrame = {
-    // All numTables*numPlanes plane dot products in ONE pass over a literal
-    // plane matrix: tiny expression tree, runtime loops — vs an unrolled
-    // sum with numTables*numPlanes*dim terms that murders codegen.
-    val planes: Seq[Seq[Double]] = (0 until numTables * numPlanes).map { p =>
-      (0 until dim).map(d => planeComponent(p, d))
-    }
     require(numTables * numPlanes <= 64,
       "numTables * numPlanes must fit a packed 64-bit signature")
-    // Pack all plane-sign bits into ONE BIGINT in a single pass. The plane
-    // matrix and the bit array ride in HOF *input* position throughout —
-    // never as lambda captures, which Catalyst would inline and re-evaluate
-    // per lambda step. Per-table buckets are then cheap shifted slices.
+    // All plane-sign bits packed into ONE BIGINT by the native
+    // graft_hyperplane_sig expression — the whole plane matrix in one
+    // fused codegen loop per vector (plane components are the same
+    // closed-form LCG the oracle recomputes). Replaced the HOF chain
+    // (transform over a typedLit plane matrix + zip_with bit packing)
+    // that paid an interpreted lambda dispatch per plane per row.
+    // Per-table buckets are then cheap shifted slices of the signature.
     val bits = emb
-      .withColumn("__planes", typedLit(planes))
       .withColumn("__sig", expr(
-        s"""aggregate(
-           |  zip_with(
-           |    transform(__planes, p -> graft_dot($vecCol, p)),
-           |    sequence(0, ${numTables * numPlanes - 1}),
-           |    (d, b) -> CASE WHEN d > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
-           |              ELSE CAST(0 AS BIGINT) END),
-           |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        s"graft_hyperplane_sig($vecCol, ${numTables * numPlanes}, $dim)"))
     val mask = (1L << numPlanes) - 1
     val base = Dedup.capBuckets(
       bits.select(

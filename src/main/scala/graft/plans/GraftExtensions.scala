@@ -76,6 +76,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hilbert expects (xCell, yCell, bitsPerDim)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec, total, dim) =>
+          HyperplaneSig(vec, longLit(total, "totalPlanes").toInt,
+            longLit(dim, "dim").toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_hyperplane_sig expects (vec, totalPlanes, dim)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
@@ -210,6 +212,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)(1) == "64,-127,32") // 0.5*127, -1*127, 0.25*127 rounded
     assert(out(0)(2) == 127.0) // scale = 127 / 1.0
     assert(out(1)(1) == "0,0,0" && out(1)(2) == 0.0)
+  }
+
+  test("graft_hyperplane_sig is bit-identical to the HOF formulation, " +
+      "including edge semantics") {
+    import org.apache.spark.sql.functions.typedLit
+    val real = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val planes: Seq[Seq[Double]] = (0 until 64).map { p =>
+      (0 until 64).map(d => Similarity.planeComponent(p, d))
+    }
+    val both = real
+      .withColumn("__planes", typedLit(planes))
+      .withColumn("hof", expr(
+        """aggregate(
+          |  zip_with(
+          |    transform(__planes, p -> graft_dot(embedding, p)),
+          |    sequence(0, 63),
+          |    (d, b) -> CASE WHEN d > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+          |              ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("native", expr("graft_hyperplane_sig(embedding, 64, 64)"))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+    // edge semantics mirror the HOF chain: short vector -> dot NULL ->
+    // CASE else-branch -> signature 0; null vector stays null
+    val edge = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(null: Array[Float]))
+      .toDF("embedding")
+      .select(expr("graft_hyperplane_sig(embedding, 64, 64)").as("s"))
+    assert(rows(edge.orderBy(col("s").asc_nulls_last)) ==
+      Seq(Seq(0L), Seq(null)))
   }
 
   test("hyperplaneLshPairs output is a subset of the exact pairs") {
