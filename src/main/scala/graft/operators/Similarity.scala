@@ -104,7 +104,7 @@ object Similarity {
    * closed form lives in [[graft.plans.HyperplaneSig]] (the fused native
    * signature used by [[hyperplaneLshPairs]]) and in the DuckDB oracle's
    * generate_series recomputation — all three must stay identical. */
-  private[operators] def planeComponent(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     val x = (1103515245L * (plane * 131L + dim + 1) + 12345L) % 2147483647L
     ((if (x < 0) -x else x) % 2001L - 1000L) / 1000.0
   }

@@ -517,6 +517,27 @@ object PropertyLaws extends Properties("graft") {
         row.getString(4) == want
     }
 
+  property("graft_hyperplane_sig bit p = sign of the closed-form plane dot " +
+      "on random vectors") =
+    forAll(Gen.listOfN(8,
+      Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0f)))) { vecs =>
+      import org.apache.spark.sql.functions.expr
+      import graft.operators.Similarity
+      import spark.implicits._
+      val total = 24
+      val sigs = vecs.map(_.toArray).toDF("embedding")
+        .select(expr(s"graft_hyperplane_sig(embedding, $total, 16)").as("s"))
+        .collect().map(_.getLong(0))
+      sigs.zip(vecs).forall { case (sig, v) =>
+        (0 until total).forall { p =>
+          val dot = (0 until 16).foldLeft(0.0) { (acc, d) =>
+            acc + v(d).toDouble * Similarity.planeComponent(p, d)
+          }
+          (((sig >> p) & 1L) == 1L) == (dot > 0)
+        }
+      }
+    }
+
   property("classifierAuc equals the naive pairwise wins/ties count") =
     forAll(Gen.listOf(
       for { s <- Gen.choose(0L, 4L); y <- Gen.oneOf(true, false) }
