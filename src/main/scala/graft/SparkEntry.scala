@@ -90,7 +90,8 @@ object SparkEntry {
     "embedding_outliers",
     "payload_meta", "decode_batch", "media_ops", "feature_extract",
     "media_fingerprint",
-    "sample_stratified", "pack_sequences", "curate", "cap_per_group",
+    "sample_stratified", "weighted_sample", "pack_sequences", "curate",
+    "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "corpus_mix", "mix_planner", "chunk_documents",
     "cdc_chunks",
@@ -859,6 +860,15 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Curation.packSequences(t(s, dir, "documents"), budget = 512)
         .orderBy("source", "doc_id")),
+
+    // exact weighted sampling: length-derived integer tickets, E-S
+    // reservoir order via integer ghost-copy keys (no float pow)
+    "weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(
+        t(s, dir, "documents")
+          .withColumn("w", expr("CAST(1 + n_chars div 500 AS INT)")),
+        k = 20, weightCol = "w")
+        .orderBy("source", "rank")),
 
     "curate" -> ((s, dir) =>
       Curation.curate(t(s, dir, "documents"), minTokens = 10,
@@ -2993,6 +3003,26 @@ object SparkEntry {
          |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
          |  FROM documents)
          |WHERE h < rate ORDER BY doc_id""".stripMargin,
+
+    // weighted_sample: the whole key derivation is closed-form (clamped
+    // integer tickets, LCG-mixed polynomial hash per ghost copy, max,
+    // rank) so the selected rows hash-check exactly
+    "weighted_sample" ->
+      s"""SELECT source, doc_id, weight, rank FROM (
+         |  SELECT source, doc_id, CAST(wt AS BIGINT) AS weight,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY wk DESC, doc_id) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT source, doc_id, wt,
+         |      list_max(list_transform(generate_series(1, wt),
+         |        r -> (1103515245 * ${duckPolyFragment(
+                 "(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))",
+                 31, 1000000007L)} + 12345) % 1000000007)) AS wk
+         |    FROM (SELECT source, doc_id,
+         |            LEAST(GREATEST(CAST(1 + n_chars // 500 AS INT), 1), 64)
+         |              AS wt
+         |          FROM documents)))
+         |WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
 
     "nfc_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS text_nfc,

@@ -32,6 +32,44 @@ object Curation {
   }
 
   /**
+   * EXACT weighted sampling without replacement — the k rows per group
+   * with the Efraimidis–Spirakis reservoir order (rank by u^(1/w)),
+   * realized in pure integer arithmetic: each row draws `w` independent
+   * uniform integer keys (its "ghost copies") from the reproducible
+   * mixed polynomial hash of (id, copy) and ranks by the LARGEST. The
+   * max of w iid uniforms follows exactly the law u^(1/w) induces, so
+   * the selection is distributionally E-S — without the float `pow`
+   * whose last ulp differs between libms and would make the selection
+   * engine-dependent (not oracle-checkable). Hash-equality ties
+   * (astronomically rare) break on id. Emits
+   * (groupCol, idCol, weight, rank), rank 1 = highest key.
+   *
+   * Scale: one narrow projection computing <= `maxWeight` hashes per
+   * row, one shuffle on the group key for the ranking window. Weights
+   * clamp to [1, maxWeight]: per-row work stays bounded, and beyond
+   * ~64 tickets the inclusion-probability curve is flat anyway (use
+   * [[upsampleCorpus]] when large multiplicities are the actual goal).
+   */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     groupCol: String = "source", idCol: String = "doc_id",
+                     maxWeight: Int = 64): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val w = s"LEAST(GREATEST(CAST($weightCol AS INT), 1), $maxWeight)"
+    val key = expr(
+      s"""array_max(transform(sequence(1, $w),
+         |  r -> (1103515245 * graft_poly_hash(
+         |          CAST($idCol AS STRING) || ':' || CAST(r AS STRING),
+         |          31, 1000000007) + 12345) % 1000000007))""".stripMargin)
+    val win = Window.partitionBy(groupCol)
+      .orderBy(col("__wk").desc, col(idCol).asc)
+    docs.withColumn("__wk", key)
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol),
+        expr(w).cast("long").as("weight"), col("rank"))
+  }
+
+  /**
    * Sequence packing: assign documents to fixed-token-budget packs within
    * each shard (`shardCol`), in deterministic `idCol` order — the standard
    * streaming pack `pack = floor(exclusive_prefix_tokens / budget)`.

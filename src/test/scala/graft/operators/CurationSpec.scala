@@ -21,6 +21,36 @@ class CurationSpec extends SparkSpec {
     assert(Curation.sampleStratified(docs, "lang", Map(), 100).count() == 200)
   }
 
+  test("weightedSample: equals the naive E-S ghost-copy computation, " +
+      "clamps weights, caps per group") {
+    def mix(id: Long, r: Int): Long = {
+      val s = s"$id:$r"
+      var acc = 0L
+      s.foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+      (1103515245L * acc + 12345L) % 1000000007L
+    }
+    val rows0 = Seq(
+      (1L, "a", 1), (2L, "a", 8), (3L, "a", 3), (4L, "a", 1), (5L, "a", 200),
+      (6L, "b", 0), (7L, "b", 2)) // 0 clamps to 1; 200 clamps to 64
+    val df = rows0.toDF("doc_id", "source", "w")
+    val out = rows(Curation.weightedSample(df, k = 3, weightCol = "w")
+      .orderBy("source", "rank"))
+    val naive = rows0.groupBy(_._2).flatMap { case (src, rs) =>
+      rs.map { case (id, _, w) =>
+        val wc = math.min(math.max(w, 1), 64)
+        (src, id, wc.toLong, (1 to wc).map(mix(id, _)).max)
+      }.sortBy { case (_, id, _, key) => (-key, id) }
+        .take(3).zipWithIndex
+        .map { case ((src2, id, wc, _), i) => Seq[Any](src2, id, wc, i + 1L) }
+    }.toSeq.sortBy(r => (r(0).asInstanceOf[String], r(3).asInstanceOf[Long]))
+    assert(out == naive)
+    // per-group cap holds and both groups are present
+    assert(out.count(_(0) == "a") == 3 && out.count(_(0) == "b") == 2)
+    // deterministic across runs
+    assert(out == rows(Curation.weightedSample(df, k = 3, weightCol = "w")
+      .orderBy("source", "rank")))
+  }
+
   test("capPerGroup: quota per group, hash-ordered, partition-invariant") {
     // ids span digit-lengths so the poly hash wraps and is NOT id-ordered
     val pairs = (1L to 100L).map(i => (i * 987654L + 13L, s"src${i % 3}"))
