@@ -80,7 +80,7 @@ object SparkEntry {
     "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans",
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
-    "incremental_neardup_indexed",
+    "incremental_neardup_indexed", "incremental_embedding_neardup",
     "pagerank", "triangle_count",
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "embedding_near_dup_lsh", "ivf_topk",
@@ -524,6 +524,19 @@ object SparkEntry {
     "embedding_near_dup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("vec_a", "vec_b")),
+
+    // incremental embedding near-dup: the corpus exists only as 8-byte
+    // hyperplane signatures; the batch (vec_id % 7 == 0, mirroring
+    // incremental_neardup's split) compares by signature hamming.
+    // Banding is pigeonhole-exact (bands > maxHamming), so the oracle is
+    // the direct quadratic hamming join.
+    "incremental_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.incrementalEmbeddingNearDups(
+        emb.filter(col("vec_id") % 7 === 0),
+        Dedup.embeddingSignatures(emb.filter(col("vec_id") % 7 =!= 0)))
+        .orderBy("vec_a", "vec_b")
+    }),
 
     // production banded twin of embedding_near_dup: hyperplane-band
     // candidates (3 planes x 21 tables — near-dup-tuned, ~99.8% recall at
@@ -2236,6 +2249,30 @@ object SparkEntry {
     "incremental_neardup_indexed" -> incrementalNearDupSql,
 
     "embedding_near_dup" -> embeddingNearDupSql,
+
+    // incremental embedding near-dup: signatures are the closed-form
+    // 63-plane sign packing, banding is pigeonhole-exact (21 bands >
+    // H=20), so the oracle is the DIRECT quadratic hamming join over
+    // recomputed signatures — the banded candidate path must equal it
+    "incremental_embedding_neardup" ->
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63), d ->
+         |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
+         |      % 2001 - 1000) / 1000.0) AS pv
+         |  FROM generate_series(0, 62) t(p)),
+         |bits AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
+         |         THEN 1::BIGINT << pl.p ELSE 0 END AS bit
+         |  FROM embeddings e, planes pl),
+         |sigs AS (
+         |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig
+         |  FROM bits GROUP BY vec_id)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 20
+         |  AND (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0)
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // banded production twin: same closed-form plane/bucket machinery at
     // the near-dup-tuned 3 x 21 layout, exact-cosine verified — fully

@@ -1120,6 +1120,98 @@ object Dedup {
       numTables = 21, dim = dim, idCol = idCol, vecCol = vecCol,
       maxBucketSize = maxBucketSize)
 
+  /**
+   * (id, sig) packed hyperplane signature table — the PERSISTABLE
+   * embedding-dedup index state, the vector-space twin of
+   * [[minhashSignatures]]: EIGHT BYTES per corpus vector, computed once
+   * at ingest ([[graft.plans.HyperplaneSig]], one fused codegen loop),
+   * and future batches near-dup against it without ever re-reading
+   * corpus vectors ([[incrementalEmbeddingNearDups]]). Signature
+   * hamming estimates the angle: E[hamming / totalPlanes] =
+   * acos(cos) / pi, so a hamming threshold IS a cosine threshold in
+   * expectation (the estimate contract, like the MinHash-estimate
+   * verify of [[incrementalNearDups]]).
+   */
+  def embeddingSignatures(emb: DataFrame, totalPlanes: Int = 63,
+                          dim: Int = 64, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+      expr(s"graft_hyperplane_sig($vecCol, $totalPlanes, $dim)").as("sig"))
+
+  /**
+   * INCREMENTAL embedding near-dup — the vector-space twin of
+   * [[incrementalNearDups]]: the corpus exists only as its persisted
+   * 8-byte signatures, and each arriving batch is compared against them
+   * (plus itself) by signature hamming distance, never touching corpus
+   * vectors. Emits (vec_a, vec_b), vec_a < vec_b, where at least one
+   * side is new — never corpus x corpus.
+   *
+   * EXACT against its own contract (hamming <= `maxHamming`), by the
+   * SimHash pigeonhole: signatures are banded into `numBands` bit
+   * slices, candidates share at least one band, and a pair within
+   * hamming H < numBands cannot differ in every band — so banding
+   * loses NOTHING (the verify join then applies the exact popcount
+   * test). The oracle twin therefore checks against the direct
+   * quadratic hamming join. What is approximate is only the
+   * hamming->cosine reading: hamming/totalPlanes concentrates on
+   * acos(c)/pi with sd ~ sqrt(p(1-p)/totalPlanes) (~0.06 at 63
+   * planes), the documented trade of keeping 8 bytes of state per
+   * vector instead of the vector itself.
+   *
+   * Scale: per batch, O(|batch| x numBands) band rows join the banded
+   * index — the incremental O(batch) shape, not O(corpus); the verify
+   * join moves two BIGINTs per candidate. `maxBucketSize` is the same
+   * recall-only skew guard as every banded path (a degenerate band
+   * value — e.g. a mass of near-axis vectors — makes one bucket
+   * quadratic); uncapped (default) keeps the pigeonhole exactness.
+   */
+  def incrementalEmbeddingNearDups(newEmb: DataFrame, corpusSigs: DataFrame,
+                                   maxHamming: Int = 20, numBands: Int = 21,
+                                   totalPlanes: Int = 63, dim: Int = 64,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding",
+                                   maxBucketSize: Option[Int] = None): DataFrame = {
+    require(totalPlanes % numBands == 0,
+      "totalPlanes must divide into numBands")
+    require(maxHamming < numBands,
+      s"pigeonhole exactness needs maxHamming < numBands " +
+      s"(got H=$maxHamming, bands=$numBands)")
+    val r = totalPlanes / numBands
+    val mask = (1L << r) - 1
+    val newSigs = embeddingSignatures(newEmb, totalPlanes, dim, idCol, vecCol)
+    def bandRows(sigs: DataFrame): DataFrame =
+      sigs.select(col(idCol), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"CAST(shiftright(sig, ${b * r}) & $mask AS INT)").as("bucket"))
+      }: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    val nb = bandRows(newSigs)
+    val allBands = bandRows(corpusSigs).union(nb)
+    val newKept = maxBucketSize match {
+      case None => nb
+      case Some(c) =>
+        val kept = allBands.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= c)
+          .select("band", "bucket")
+        nb.join(kept, Seq("band", "bucket"), "left_semi")
+    }
+    val cand = newKept.select(col(idCol).as("a"), col("band"), col("bucket"))
+      .join(allBands.select(col(idCol).as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val allSigs = corpusSigs.select(col(idCol), col("sig"))
+      .union(newSigs.select(col(idCol), col("sig")))
+    cand
+      .join(allSigs.select(col(idCol).as("a"), col("sig").as("sa")), "a")
+      .join(allSigs.select(col(idCol).as("b"), col("sig").as("sb")), "b")
+      .filter(expr(s"bit_count(sa ^ sb) <= $maxHamming"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"))
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
                             sampleMod: Int = 1, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {

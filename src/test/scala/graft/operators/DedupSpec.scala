@@ -111,6 +111,46 @@ class DedupSpec extends SparkSpec {
       s"near-dup layout (${lsh.size}) should out-recall ANN layout (${ann.size})")
   }
 
+  test("incrementalEmbeddingNearDups: banded path equals the direct " +
+      "hamming join (pigeonhole exactness); corpus x corpus excluded") {
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+    val corpusSigs = Dedup.embeddingSignatures(
+      emb.filter(col("vec_id") % 7 =!= 0))
+    val out = rows(Dedup.incrementalEmbeddingNearDups(batch, corpusSigs)
+      .orderBy("vec_a", "vec_b"))
+    // direct quadratic twin over recomputed signatures
+    val sigs = Dedup.embeddingSignatures(emb)
+    val a = sigs.select(col("vec_id").as("vec_a"), col("sig").as("sa"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("sig").as("sb"))
+    val direct = rows(a.join(b, col("vec_a") < col("vec_b"))
+      .filter(expr("bit_count(sa ^ sb) <= 20"))
+      .filter(col("vec_a") % 7 === 0 || col("vec_b") % 7 === 0)
+      .select("vec_a", "vec_b").orderBy("vec_a", "vec_b"))
+    assert(out == direct, "banding lost or added pairs")
+    assert(out.nonEmpty)
+    // every pair has at least one batch side
+    assert(out.forall(p => p(0).asInstanceOf[Long] % 7 == 0 ||
+      p(1).asInstanceOf[Long] % 7 == 0))
+  }
+
+  test("incrementalEmbeddingNearDups: identical vectors pair at hamming 0, " +
+      "orthogonal ones never pair") {
+    val corpus = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array.fill(64)(1.0f)),          // clone of corpus 1
+      (11L, Array.fill(64)(-1.0f)))          // antipode: hamming 63
+      .toDF("vec_id", "embedding")
+    val out = rows(Dedup.incrementalEmbeddingNearDups(batch,
+      Dedup.embeddingSignatures(corpus), maxHamming = 5)
+      .orderBy("vec_a", "vec_b"))
+    assert(out == Seq(Seq(1L, 10L)))
+  }
+
   test("embeddingNearDupLsh bucket cap only trades recall, never precision") {
     val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
       "embeddings")
