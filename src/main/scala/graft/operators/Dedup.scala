@@ -1170,7 +1170,21 @@ object Dedup {
                                    totalPlanes: Int = 63, dim: Int = 64,
                                    idCol: String = "vec_id",
                                    vecCol: String = "embedding",
-                                   maxBucketSize: Option[Int] = None): DataFrame = {
+                                   maxBucketSize: Option[Int] = None): DataFrame =
+    incrementalEmbeddingNearDupsFromSigs(
+      embeddingSignatures(newEmb, totalPlanes, dim, idCol, vecCol),
+      corpusSigs, maxHamming, numBands, totalPlanes, idCol, maxBucketSize)
+
+  /** [[incrementalEmbeddingNearDups]] with the batch already signed —
+   * the streaming shape, where the sink signs once, persists, and reads
+   * the signatures back (one signing pass per vector, ever). */
+  def incrementalEmbeddingNearDupsFromSigs(newSigs: DataFrame,
+                                           corpusSigs: DataFrame,
+                                           maxHamming: Int = 20,
+                                           numBands: Int = 21,
+                                           totalPlanes: Int = 63,
+                                           idCol: String = "vec_id",
+                                           maxBucketSize: Option[Int] = None): DataFrame = {
     require(totalPlanes % numBands == 0,
       "totalPlanes must divide into numBands")
     require(maxHamming < numBands,
@@ -1178,7 +1192,6 @@ object Dedup {
       s"(got H=$maxHamming, bands=$numBands)")
     val r = totalPlanes / numBands
     val mask = (1L << r) - 1
-    val newSigs = embeddingSignatures(newEmb, totalPlanes, dim, idCol, vecCol)
     def bandRows(sigs: DataFrame): DataFrame =
       sigs.select(col(idCol), explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),

@@ -454,6 +454,59 @@ object Streams {
       .start()
 
   /**
+   * Streaming EMBEDDING near-dup over a growing vector corpus — the
+   * vector-space twin of [[nearDupSink]], with an index of EIGHT BYTES
+   * per corpus vector: each micro-batch is signed once
+   * ([[Dedup.embeddingSignatures]], the fused hyperplane-sign packing),
+   * the signatures land under `batch=<id>` (the idempotent
+   * index-partition protocol), and the batch's near-dup pairs against
+   * the accumulated signature index (plus itself) are computed by
+   * signature hamming — corpus vectors are never re-read, never even
+   * stored by the sink. Banding inside the pair step is
+   * pigeonhole-exact against the hamming contract
+   * ([[Dedup.incrementalEmbeddingNearDupsFromSigs]]).
+   *
+   * Exactly-once under foreachBatch's at-least-once contract: sigs and
+   * pairs both land in `batch=<id>` partitions in overwrite mode, and
+   * the index read EXCLUDES the current batch id — a replayed
+   * micro-batch rewrites itself and never pairs against its own
+   * earlier write.
+   *
+   * Scale: state per corpus vector is one BIGINT (the floor for any
+   * near-dup index); per batch, O(|batch| x numBands) band rows join
+   * the banded index — O(batch) incremental work at a steady corpus.
+   * Compact the partition tree with [[compactIndex]] (distinct reduce)
+   * on cadence like every other signature index.
+   */
+  def embeddingNearDupSink(stream: DataFrame, indexPath: String,
+                           pairsPath: String, checkpointDir: String,
+                           maxHamming: Int = 20, numBands: Int = 21,
+                           totalPlanes: Int = 63, dim: Int = 64,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxBucketSize: Option[Int] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          Dedup.embeddingSignatures(batch, totalPlanes, dim, idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          // read back: one signing pass per vector, ever
+          val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
+          val corpus = s.read
+            .option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          Dedup.incrementalEmbeddingNearDupsFromSigs(newSigs, corpus,
+            maxHamming, numBands, totalPlanes, idCol, maxBucketSize)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming near-dup CLUSTER maintenance over a growing corpus — the
    * streaming twin of [[Dedup.nearDupClusters]]: each micro-batch runs
    * the [[nearDupSink]] pipeline (sign once, band, pair new-vs-corpus +

@@ -423,6 +423,36 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("embeddingNearDupSink: batches pair against the grown 8-byte " +
+      "signature index, corpus vectors never re-read") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val idx = Files.createTempDirectory("embidx").toString
+    val pairs = Files.createTempDirectory("embpairs").toString
+    val cp = Files.createTempDirectory("embcp").toString
+    val q = Streams.embeddingNearDupSink(
+      mem.toDF().toDF("vec_id", "embedding"),
+      idx, pairs, cp, maxHamming = 5)
+    val ones = (0 until 64).map(_ => 1.0f)
+    val alt = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    try {
+      // batch 0: two dissimilar vectors -> no pairs
+      mem.addData((1L, ones), (2L, alt))
+      q.processAllAvailable()
+      assert(spark.read.parquet(pairs).count() == 0)
+      // batch 1: a clone of vector 1 (hamming 0) and a novel antipode
+      mem.addData((3L, ones), (4L, ones.map(-_)))
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(pairs).select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")) == Seq(Seq(1L, 3L)))
+      // the index holds one 8-byte signature row per vector ever seen
+      val sigs = spark.read.parquet(idx)
+      assert(sigs.count() == 4L)
+      assert(sigs.schema("sig").dataType ==
+        org.apache.spark.sql.types.LongType)
+    } finally q.stop()
+  }
+
   test("tiered index crash window: docs in BOTH tiers produce no duplicate " +
       "pairs and the fold re-runs idempotently") {
     implicit val sqlCtx = spark.sqlContext
