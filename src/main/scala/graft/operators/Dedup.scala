@@ -1160,10 +1160,16 @@ object Dedup {
    *
    * Scale: per batch, O(|batch| x numBands) band rows join the banded
    * index — the incremental O(batch) shape, not O(corpus); the verify
-   * join moves two BIGINTs per candidate. `maxBucketSize` is the same
-   * recall-only skew guard as every banded path (a degenerate band
-   * value — e.g. a mass of near-axis vectors — makes one bucket
-   * quadratic); uncapped (default) keeps the pigeonhole exactness.
+   * join moves two BIGINTs per candidate. Candidate SELECTIVITY is set
+   * by the contract: bands must outnumber H, so band width =
+   * totalPlanes / numBands and a random pair is a candidate with
+   * 1 - (1 - 2^-width)^numBands — permissive at the default H = 20
+   * (3-bit bands, ~0.94), sharp at tight contracts (H = 6 over 9
+   * 7-bit bands: ~0.07). Pick H for the dup definition first; the
+   * banding self-tunes. `maxBucketSize` is the same recall-only skew
+   * guard as every banded path (a degenerate band value — e.g. a mass
+   * of near-axis vectors — makes one bucket quadratic); uncapped
+   * (default) keeps the pigeonhole exactness.
    */
   def incrementalEmbeddingNearDups(newEmb: DataFrame, corpusSigs: DataFrame,
                                    maxHamming: Int = 20, numBands: Int = 21,
