@@ -123,8 +123,8 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val seeds = emb.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
     (0 until iters).foldLeft(seeds) { (cents, _) =>
       val assigned = withIvfCell(emb, cents, vecCol)
       val means = assigned
@@ -156,8 +156,8 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val seeds = emb.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
     (0 until iters).foldLeft(seeds) { (cents, _) =>
       val means = withIvfCell(emb, cents, vecCol)
         .select(col("__cell").as("__c"),
@@ -245,8 +245,8 @@ object Similarity {
     require(dim % m == 0, "dim must divide into m subspaces")
     val dsub = dim / m
     val seeds = emb.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
     (0 until m).map { j =>
       val cb = seeds.map(_.slice(j * dsub, (j + 1) * dsub))
       (cb, cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5))

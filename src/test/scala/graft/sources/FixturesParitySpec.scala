@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import org.scalatest.BeforeAndAfterAll
 
 import graft.SparkSpec
-import graft.operators.Sessions
+import graft.operators.{Sessions, Similarity}
 
 /**
  * Fixture-schema parity: the REAL driver-generated parquet (whatever
@@ -97,6 +97,19 @@ class FixturesParitySpec extends SparkSpec with BeforeAndAfterAll {
       Sessions.retention(Fixtures.table(spark, realDir, "events")).count())
     assert(Sessions.attribution(ntz).limit(1).count() >= 0)
     assert(Sessions.rollingCounts(ntz).limit(1).count() >= 0)
+  }
+
+  test("double-stored embeddings twin: centroid training is element-type " +
+      "independent") {
+    // a future generation storing embedding as ARRAY<DOUBLE> must not
+    // crash the driver-side centroid collects (same drift class as the
+    // NTZ timestamps — typed getSeq[Float] would throw)
+    val emb = Fixtures.table(spark, realDir, "embeddings")
+    val dbl = emb.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val a = Similarity.trainIvfCentroids(emb, nlist = 4, dim = 64)
+    val b = Similarity.trainIvfCentroids(dbl, nlist = 4, dim = 64)
+    assert(a == b, "centroids differ between float and double storage")
   }
 
   test("nanos-LONG twin (nanosAsLong read shape) normalizes identically") {
