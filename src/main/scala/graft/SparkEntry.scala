@@ -81,6 +81,7 @@ object SparkEntry {
     "duplicated_spans",
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed", "incremental_embedding_neardup",
+    "incremental_embedding_neardup_indexed",
     "pagerank", "triangle_count",
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "embedding_near_dup_lsh", "ivf_topk",
@@ -535,6 +536,29 @@ object SparkEntry {
       Dedup.incrementalEmbeddingNearDups(
         emb.filter(col("vec_id") % 7 === 0),
         Dedup.embeddingSignatures(emb.filter(col("vec_id") % 7 =!= 0)))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // identical contract through the persisted bucketed signature index
+    // (the 100 TB steady-state shape: the corpus-scale side joins at its
+    // bucketing with zero Exchange) — mirrors incremental_neardup_indexed
+    "incremental_embedding_neardup_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = "graft_emb_idx_" + math.abs(dir.hashCode).toString
+      if (!s.catalog.tableExists(base + "_sigs")) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("_bands", "_sigs").foreach { sfx =>
+          s.sql(s"DROP TABLE IF EXISTS `$base$sfx`")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, base + sfx), true)
+        }
+        Dedup.writeEmbeddingBandedIndex(
+          Dedup.embeddingSignatures(emb.filter(col("vec_id") % 7 =!= 0)),
+          base)
+      }
+      Dedup.incrementalEmbeddingNearDupsAgainstIndex(
+        Dedup.embeddingSignatures(emb.filter(col("vec_id") % 7 === 0)), base)
         .orderBy("vec_a", "vec_b")
     }),
 
@@ -1675,6 +1699,31 @@ object SparkEntry {
        |      PARTITION BY vec_id, j ORDER BY sc DESC, cidx) AS rn
        |    FROM scores) WHERE rn = 1)""".stripMargin
 
+  /** DuckDB twin of the incremental embedding near-dup contract: the
+   * closed-form 63-plane signature packing, then the DIRECT quadratic
+   * hamming join (banding is pigeonhole-exact, so the banded paths must
+   * equal it). Shared by incremental_embedding_neardup and its
+   * bucketed-index twin. */
+  private val incrementalEmbeddingNearDupSql =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(0, 63), d ->
+       |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
+       |      % 2001 - 1000) / 1000.0) AS pv
+       |  FROM generate_series(0, 62) t(p)),
+       |bits AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
+       |         THEN 1::BIGINT << pl.p ELSE 0 END AS bit
+       |  FROM embeddings e, planes pl),
+       |sigs AS (
+       |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig
+       |  FROM bits GROUP BY vec_id)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 20
+       |  AND (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0)
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** DuckDB twin of the exact all-pairs embedding near-dup (the quadratic
    * oracle ground truth) — shared by embedding_near_dup and ann_recall. */
   private val embeddingNearDupSql =
@@ -2254,25 +2303,11 @@ object SparkEntry {
     // 63-plane sign packing, banding is pigeonhole-exact (21 bands >
     // H=20), so the oracle is the DIRECT quadratic hamming join over
     // recomputed signatures — the banded candidate path must equal it
-    "incremental_embedding_neardup" ->
-      s"""WITH planes AS (
-         |  SELECT p, list_transform(generate_series(0, 63), d ->
-         |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
-         |      % 2001 - 1000) / 1000.0) AS pv
-         |  FROM generate_series(0, 62) t(p)),
-         |bits AS (
-         |  SELECT e.vec_id,
-         |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
-         |         THEN 1::BIGINT << pl.p ELSE 0 END AS bit
-         |  FROM embeddings e, planes pl),
-         |sigs AS (
-         |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig
-         |  FROM bits GROUP BY vec_id)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 20
-         |  AND (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0)
-         |ORDER BY vec_a, vec_b""".stripMargin,
+    "incremental_embedding_neardup" -> incrementalEmbeddingNearDupSql,
+
+    // identical contract through the persisted bucketed index
+    "incremental_embedding_neardup_indexed" ->
+      incrementalEmbeddingNearDupSql,
 
     // banded production twin: same closed-form plane/bucket machinery at
     // the near-dup-tuned 3 x 21 layout, exact-cosine verified — fully

@@ -1181,6 +1181,98 @@ object Dedup {
       embeddingSignatures(newEmb, totalPlanes, dim, idCol, vecCol),
       corpusSigs, maxHamming, numBands, totalPlanes, idCol, maxBucketSize)
 
+  /** (id, band, bucket) rows of a packed-signature table: `numBands`
+   * bit slices per signature. Shared by the in-memory, streaming, and
+   * bucketed-table incremental embedding paths. */
+  private def embeddingBandRows(sigs: DataFrame, numBands: Int,
+                                totalPlanes: Int, idCol: String): DataFrame = {
+    val r = totalPlanes / numBands
+    val mask = (1L << r) - 1
+    sigs.select(col(idCol), explode(array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"CAST(shiftright(sig, ${b * r}) & $mask AS INT)").as("bucket"))
+    }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /**
+   * Persist a hyperplane-signature index as the CO-LOCATED two-table
+   * layout — the embedding twin of [[writeBandedIndex]]:
+   * `<base>_bands` (idCol, band, bucket, bb) bucketed by the fused
+   * band-bucket key, `<base>_sigs` (idCol, sig) bucketed by id. Future
+   * batches join against both with NO Exchange on the index side
+   * ([[incrementalEmbeddingNearDupsAgainstIndex]]); the bucketing
+   * shuffle is paid once per corpus, not once per batch.
+   */
+  def writeEmbeddingBandedIndex(sigs: DataFrame, baseTable: String,
+                                numBands: Int = 21, totalPlanes: Int = 63,
+                                numBuckets: Int = 32,
+                                idCol: String = "vec_id"): Unit = {
+    require(totalPlanes % numBands == 0,
+      "totalPlanes must divide into numBands")
+    val banded = embeddingBandRows(sigs, numBands, totalPlanes, idCol)
+      .withColumn("bb", fusedBucket)
+    graft.tables.Tables.loadBucketed(banded, baseTable + "_bands", "bb",
+      numBuckets)
+    graft.tables.Tables.loadBucketed(sigs.select(col(idCol), col("sig")),
+      baseTable + "_sigs", idCol, numBuckets)
+  }
+
+  /**
+   * [[incrementalEmbeddingNearDupsFromSigs]] against a PERSISTED
+   * [[writeEmbeddingBandedIndex]] index — identical output contract
+   * (new x corpus plus new x new pairs, exact popcount verify,
+   * pigeonhole-exact banding), different physical plan: the corpus
+   * never re-bands and never shuffles. Plan shape mirrors
+   * [[incrementalNearDupsAgainstIndex]]: batch band rows join
+   * `<base>_bands` AT ITS BUCKETING on the fused `bb` key, candidate
+   * verify joins `<base>_sigs` co-located on the id; only batch-sized
+   * frames shuffle. The a != b guard shields a batch replayed after
+   * its vectors were folded into the index.
+   */
+  def incrementalEmbeddingNearDupsAgainstIndex(newSigs: DataFrame,
+                                               baseTable: String,
+                                               maxHamming: Int = 20,
+                                               numBands: Int = 21,
+                                               totalPlanes: Int = 63,
+                                               idCol: String = "vec_id"): DataFrame = {
+    require(totalPlanes % numBands == 0,
+      "totalPlanes must divide into numBands")
+    require(maxHamming < numBands,
+      s"pigeonhole exactness needs maxHamming < numBands " +
+      s"(got H=$maxHamming, bands=$numBands)")
+    val spark = newSigs.sparkSession
+    val idxBands = spark.table(baseTable + "_bands")
+    val idxSigs = spark.table(baseTable + "_sigs")
+    val newBands = embeddingBandRows(newSigs, numBands, totalPlanes, idCol)
+      .withColumn("bb", fusedBucket)
+    val verifyOk = expr(s"bit_count(sa ^ sb) <= $maxHamming")
+    val candCorpus = newBands.select(col(idCol).as("a"), col("bb"))
+      .join(idxBands.select(col(idCol).as("b"), col("bb")), "bb")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val vCorpus = candCorpus
+      .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
+        "a")
+      .join(idxSigs.select(col(idCol).as("b"), col("sig").as("sb")), "b")
+      .filter(verifyOk)
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"))
+    val candNew = newBands.select(col(idCol).as("a"), col("bb"))
+      .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vNew = candNew
+      .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
+        "a")
+      .join(broadcast(newSigs.select(col(idCol).as("b"), col("sig").as("sb"))),
+        "b")
+      .filter(verifyOk)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"))
+    vCorpus.union(vNew)
+  }
+
   /** [[incrementalEmbeddingNearDups]] with the batch already signed —
    * the streaming shape, where the sink signs once, persists, and reads
    * the signatures back (one signing pass per vector, ever). */
@@ -1196,17 +1288,9 @@ object Dedup {
     require(maxHamming < numBands,
       s"pigeonhole exactness needs maxHamming < numBands " +
       s"(got H=$maxHamming, bands=$numBands)")
-    val r = totalPlanes / numBands
-    val mask = (1L << r) - 1
-    def bandRows(sigs: DataFrame): DataFrame =
-      sigs.select(col(idCol), explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          expr(s"CAST(shiftright(sig, ${b * r}) & $mask AS INT)").as("bucket"))
-      }: _*)).as("bb"))
-        .select(col(idCol), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))
-    val nb = bandRows(newSigs)
-    val allBands = bandRows(corpusSigs).union(nb)
+    val nb = embeddingBandRows(newSigs, numBands, totalPlanes, idCol)
+    val allBands =
+      embeddingBandRows(corpusSigs, numBands, totalPlanes, idCol).union(nb)
     val newKept = maxBucketSize match {
       case None => nb
       case Some(c) =>

@@ -135,6 +135,51 @@ class DedupSpec extends SparkSpec {
       p(1).asInstanceOf[Long] % 7 == 0))
   }
 
+  test("incrementalEmbeddingNearDupsAgainstIndex: matches the in-memory " +
+      "path; index scans never sit under an Exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val corpusSigs = Dedup.embeddingSignatures(
+      emb.filter(col("vec_id") % 7 =!= 0))
+    val batchSigs = Dedup.embeddingSignatures(
+      emb.filter(col("vec_id") % 7 === 0))
+    graft.tables.Tables.dropTable(spark, "emb_nd_test_bands")
+    graft.tables.Tables.dropTable(spark, "emb_nd_test_sigs")
+    Dedup.writeEmbeddingBandedIndex(corpusSigs, "emb_nd_test", numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.incrementalEmbeddingNearDupsAgainstIndex(batchSigs,
+        "emb_nd_test")
+      val expected = rows(
+        Dedup.incrementalEmbeddingNearDupsFromSigs(batchSigs, corpusSigs)
+          .orderBy("vec_a", "vec_b"))
+      assert(rows(out.orderBy("vec_a", "vec_b")) == expected)
+      assert(expected.nonEmpty)
+      val plan = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def scanWithoutJoinBelow(p: SparkPlan): Boolean =
+        if (p.toString.linesIterator.next().contains("emb_nd_test_")) true
+        else if (p.children.length != 1) false
+        else scanWithoutJoinBelow(p.children.head)
+      val offending = plan.collect {
+        case e: SparkPlan with ShuffleExchangeLike
+            if scanWithoutJoinBelow(e.children.head) => e
+      }
+      assert(offending.isEmpty,
+        s"bucketed index side re-shuffled:\n${offending.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.tables.Tables.dropTable(spark, "emb_nd_test_bands")
+      graft.tables.Tables.dropTable(spark, "emb_nd_test_sigs")
+    }
+  }
+
   test("incrementalEmbeddingNearDups: identical vectors pair at hamming 0, " +
       "orthogonal ones never pair") {
     val corpus = Seq(
