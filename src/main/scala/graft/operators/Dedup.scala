@@ -1236,7 +1236,8 @@ object Dedup {
                                                maxHamming: Int = 20,
                                                numBands: Int = 21,
                                                totalPlanes: Int = 63,
-                                               idCol: String = "vec_id"): DataFrame = {
+                                               idCol: String = "vec_id",
+                                               includeNewPairs: Boolean = true): DataFrame = {
     require(totalPlanes % numBands == 0,
       "totalPlanes must divide into numBands")
     require(maxHamming < numBands,
@@ -1259,18 +1260,21 @@ object Dedup {
       .filter(verifyOk)
       .select(least(col("a"), col("b")).as("vec_a"),
         greatest(col("a"), col("b")).as("vec_b"))
-    val candNew = newBands.select(col(idCol).as("a"), col("bb"))
-      .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val vNew = candNew
-      .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
-        "a")
-      .join(broadcast(newSigs.select(col(idCol).as("b"), col("sig").as("sb"))),
-        "b")
-      .filter(verifyOk)
-      .select(col("a").as("vec_a"), col("b").as("vec_b"))
-    vCorpus.union(vNew)
+    if (!includeNewPairs) vCorpus
+    else {
+      val candNew = newBands.select(col(idCol).as("a"), col("bb"))
+        .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val vNew = candNew
+        .join(broadcast(newSigs.select(col(idCol).as("a"), col("sig").as("sa"))),
+          "a")
+        .join(broadcast(newSigs.select(col(idCol).as("b"), col("sig").as("sb"))),
+          "b")
+        .filter(verifyOk)
+        .select(col("a").as("vec_a"), col("b").as("vec_b"))
+      vCorpus.union(vNew)
+    }
   }
 
   /** [[incrementalEmbeddingNearDups]] with the batch already signed —

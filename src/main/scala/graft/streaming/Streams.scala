@@ -478,13 +478,44 @@ object Streams {
    * Compact the partition tree with [[compactIndex]] (distinct reduce)
    * on cadence like every other signature index.
    */
+  /** [[tieredPairs]] for the embedding signature index: delta tier =
+   * the `batch=<id>` sig partitions, bulk tier (when `bucketedBase` is
+   * set and folded via [[compactEmbeddingIndexBucketed]]) = the
+   * [[Dedup.writeEmbeddingBandedIndex]] tables joined at their
+   * bucketing. Same crash-window tolerance (a != b guard + batch-sized
+   * distinct over the tier union). */
+  private[streaming] def embeddingTieredPairs(s: SparkSession,
+                                              indexPath: String,
+                                              newSigs: DataFrame,
+                                              batchId: Long,
+                                              bucketedBase: Option[String],
+                                              maxHamming: Int, numBands: Int,
+                                              totalPlanes: Int, idCol: String,
+                                              maxBucketSize: Option[Int]): DataFrame = {
+    val corpus = s.read
+      .option("basePath", indexPath).parquet(indexPath)
+      .filter(col("batch") =!= batchId).drop("batch")
+    val deltaPairs = Dedup.incrementalEmbeddingNearDupsFromSigs(newSigs,
+      corpus, maxHamming, numBands, totalPlanes, idCol, maxBucketSize)
+    bucketedBase match {
+      case Some(base) if s.catalog.tableExists(base + "_bands") &&
+          s.catalog.tableExists(base + "_sigs") =>
+        val bulkPairs = Dedup.incrementalEmbeddingNearDupsAgainstIndex(
+          newSigs, base, maxHamming, numBands, totalPlanes, idCol,
+          includeNewPairs = false)
+        deltaPairs.union(bulkPairs).distinct()
+      case _ => deltaPairs
+    }
+  }
+
   def embeddingNearDupSink(stream: DataFrame, indexPath: String,
                            pairsPath: String, checkpointDir: String,
                            maxHamming: Int = 20, numBands: Int = 21,
                            totalPlanes: Int = 63, dim: Int = 64,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
-                           maxBucketSize: Option[Int] = None): StreamingQuery =
+                           maxBucketSize: Option[Int] = None,
+                           bucketedBase: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -495,10 +526,7 @@ object Streams {
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
           // read back: one signing pass per vector, ever
           val newSigs = s.read.parquet(s"$indexPath/batch=$batchId")
-          val corpus = s.read
-            .option("basePath", indexPath).parquet(indexPath)
-            .filter(col("batch") =!= batchId).drop("batch")
-          Dedup.incrementalEmbeddingNearDupsFromSigs(newSigs, corpus,
+          embeddingTieredPairs(s, indexPath, newSigs, batchId, bucketedBase,
             maxHamming, numBands, totalPlanes, idCol, maxBucketSize)
             .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
           ()
@@ -876,7 +904,37 @@ object Streams {
   def compactIndexBucketed(spark: SparkSession, indexPath: String,
                            baseTable: String, numHashes: Int = 128,
                            bands: Int = 32, numBuckets: Int = 32,
-                           idCol: String = "doc_id"): Unit = {
+                           idCol: String = "doc_id"): Unit =
+    foldSigIndexBucketed(spark, indexPath, baseTable, idCol,
+      pruneBandsTree = true)(staged =>
+      Dedup.writeBandedIndex(staged, baseTable, numHashes, bands,
+        numBuckets, idCol))
+
+  /** [[compactIndexBucketed]] for the EMBEDDING signature index
+   * ([[embeddingNearDupSink]]): folds the `batch=<id>` partitions (plus
+   * any previously-folded bulk) into the
+   * [[Dedup.writeEmbeddingBandedIndex]] two-table layout. Same crash
+   * protocol; the embedding sink keeps no separate band tree (bands
+   * derive from the 8-byte signatures), so only sig partitions prune. */
+  def compactEmbeddingIndexBucketed(spark: SparkSession, indexPath: String,
+                                    baseTable: String, numBands: Int = 21,
+                                    totalPlanes: Int = 63,
+                                    numBuckets: Int = 32,
+                                    idCol: String = "vec_id"): Unit =
+    foldSigIndexBucketed(spark, indexPath, baseTable, idCol,
+      pruneBandsTree = false)(staged =>
+      Dedup.writeEmbeddingBandedIndex(staged, baseTable, numBands,
+        totalPlanes, numBuckets, idCol))
+
+  /** Shared LSM fold: (idCol, sig) rows from the path tree plus the
+   * existing bulk `_sigs` table, distinct-reduced, staged to a scratch
+   * tree (the fold reads the bulk tables it is about to overwrite, and
+   * Spark refuses overwrite-while-read plans), handed to `writeIndex`,
+   * then marker write + delta-partition prune. */
+  private def foldSigIndexBucketed(spark: SparkSession, indexPath: String,
+                                   baseTable: String, idCol: String,
+                                   pruneBandsTree: Boolean)
+                                  (writeIndex: org.apache.spark.sql.DataFrame => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val main = new Path(indexPath)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -892,13 +950,10 @@ object Streams {
         spark.table(baseTable + "_sigs").select(col(idCol), col("sig"))
           .union(pathSigs)
       else pathSigs
-    // stage through a scratch tree: the fold reads the bulk tables it is
-    // about to overwrite, and Spark refuses overwrite-while-read plans
     val stage = new Path(indexPath + "__fold_tmp")
     fs.delete(stage, true)
     allSigs.distinct().write.parquet(stage.toString)
-    Dedup.writeBandedIndex(spark.read.parquet(stage.toString), baseTable,
-      numHashes, bands, numBuckets, idCol)
+    writeIndex(spark.read.parquet(stage.toString))
     fs.delete(stage, true)
     val mark = math.max(batchIds.max, compactedThrough(spark, indexPath))
     val out = fs.create(new Path(main, MarkerFile), true)
@@ -906,7 +961,7 @@ object Streams {
     val bnd = new Path(indexPath + "__bands")
     batchIds.foreach { b =>
       fs.delete(new Path(main, s"batch=$b"), true)
-      fs.delete(new Path(bnd, s"batch=$b"), true)
+      if (pruneBandsTree) fs.delete(new Path(bnd, s"batch=$b"), true)
     }
   }
 

@@ -453,6 +453,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingNearDupSink tiered: fold into bucketed tables, resumed " +
+      "batches pair against the bulk tier") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val idx = Files.createTempDirectory("etieridx").toString
+    val pairs = Files.createTempDirectory("etierpairs").toString
+    val cp = Files.createTempDirectory("etiercp").toString
+    Tables.dropTable(spark, "embulk_bands")
+    Tables.dropTable(spark, "embulk_sigs")
+    val ones = (0 until 64).map(_ => 1.0f)
+    val alt = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def start() = Streams.embeddingNearDupSink(
+      mem.toDF().toDF("vec_id", "embedding"),
+      idx, pairs, cp, maxHamming = 5, bucketedBase = Some("embulk"))
+    val q1 = start()
+    try {
+      mem.addData((1L, ones), (2L, alt))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // quiesced fold into the bucketed tier; delta partitions pruned
+    Streams.compactEmbeddingIndexBucketed(spark, idx, "embulk",
+      numBuckets = 4)
+    assert(spark.table("embulk_sigs").count() == 2L)
+    assert(!new java.io.File(idx).listFiles()
+      .exists(_.getName.startsWith("batch=")), "folded delta pruned")
+    // resume: a clone of bulk vector 1 must pair via the bucketed join
+    val q2 = start()
+    try {
+      mem.addData((3L, ones))
+      q2.processAllAvailable()
+      assert(rows(spark.read.parquet(pairs).select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")) == Seq(Seq(1L, 3L)))
+    } finally q2.stop()
+    Tables.dropTable(spark, "embulk_bands")
+    Tables.dropTable(spark, "embulk_sigs")
+  }
+
   test("tiered index crash window: docs in BOTH tiers produce no duplicate " +
       "pairs and the fold re-runs idempotently") {
     implicit val sqlCtx = spark.sqlContext
