@@ -51,6 +51,12 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // settle the JVM between phases: the warmup pass leaves a heap of
+    // short-lived garbage, and without a collection here the FIRST timed
+    // query absorbs the full-heap GC (observed as a 6x pass-1 spike on
+    // q1_agg — position-, not plan-dependent)
+    System.gc()
+    Thread.sleep(1000)
     // Failures are NOT swallowed: a failed query records ok=false and the
     // run exits non-zero, so a broken plan can never masquerade as a fast
     // time in an rc=0 bench.
