@@ -538,6 +538,33 @@ object PropertyLaws extends Properties("graft") {
       }
     }
 
+  property("weightedSample equals the naive ghost-copy computation on " +
+      "random weights") =
+    forAll(Gen.nonEmptyListOf(
+      for { id <- Gen.choose(1L, 30L); w <- Gen.choose(-2, 100) }
+        yield (id, w)), Gen.choose(1, 4)) { (raw, k) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      val data = raw.distinctBy(_._1) // ids unique by contract
+      def mix(id: Long, r: Int): Long = {
+        var acc = 0L
+        s"$id:$r".foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+        (1103515245L * acc + 12345L) % 1000000007L
+      }
+      val naive = data.map { case (id, w) =>
+        val wc = math.min(math.max(w, 1), 64)
+        (id, wc.toLong, (1 to wc).map(mix(id, _)).max)
+      }.sortBy { case (id, _, key) => (-key, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, wc, _), i) => Seq[Any]("g", id, wc, i + 1L) }
+      val out = Curation.weightedSample(
+        data.map { case (id, w) => (id, "g", w) }
+          .toDF("doc_id", "source", "w"),
+        k = k, weightCol = "w").orderBy("rank")
+        .collect().toSeq.map(r => (0 until r.length).map(i => r.get(i)))
+      out == naive
+    }
+
   property("classifierAuc equals the naive pairwise wins/ties count") =
     forAll(Gen.listOf(
       for { s <- Gen.choose(0L, 4L); y <- Gen.oneOf(true, false) }
