@@ -1699,6 +1699,17 @@ object SparkEntry {
        |      PARTITION BY vec_id, j ORDER BY sc DESC, cidx) AS rn
        |    FROM scores) WHERE rn = 1)""".stripMargin
 
+  /** DuckDB twin of Similarity.planeComponent's mixed LCG (two rounds
+   * with an xorshift between them — the mix decorrelates planes; see
+   * the scaladoc there), producing the raw 31-bit value BEFORE the
+   * `% 2001 - 1000) / 1000.0` range mapping. Every intermediate is
+   * nonnegative and < 2^31, so no abs and no HUGEINT is needed. */
+  private def mixLcgSql(seed: String): String = {
+    val x1 = s"((1103515245 * ($seed) + 12345) % 2147483647)"
+    s"((1103515245 * xor($x1, $x1 >> 13) + 12345) % 2147483647)"
+  }
+  private val planeMixSql = mixLcgSql("p * 131 + d + 1")
+
   /** DuckDB twin of the incremental embedding near-dup contract: the
    * closed-form 63-plane signature packing, then the DIRECT quadratic
    * hamming join (banding is pigeonhole-exact, so the banded paths must
@@ -1707,8 +1718,7 @@ object SparkEntry {
   private val incrementalEmbeddingNearDupSql =
     s"""WITH planes AS (
        |  SELECT p, list_transform(generate_series(0, 63), d ->
-       |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
-       |      % 2001 - 1000) / 1000.0) AS pv
+       |    ($planeMixSql % 2001 - 1000) / 1000.0) AS pv
        |  FROM generate_series(0, 62) t(p)),
        |bits AS (
        |  SELECT e.vec_id,
@@ -1828,8 +1838,7 @@ object SparkEntry {
     }
     s"""WITH planes AS (
        |  SELECT p, list_transform(generate_series(0, 63), d ->
-       |    (((1103515245 * (p * 131 + d + 1) + 12345) % 2147483647)
-       |      % 2001 - 1000) / 1000.0) AS pv
+       |    ($planeMixSql % 2001 - 1000) / 1000.0) AS pv
        |  FROM generate_series(0, ${numPlanes * numTables - 1}) t(p)),
        |bits AS (
        |  SELECT e.vec_id, pl.p // $numPlanes AS tbl,

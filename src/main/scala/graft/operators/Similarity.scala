@@ -98,15 +98,26 @@ object Similarity {
           .as("q"),
         col("scale"))
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1]: a pure
-   * arithmetic LCG over (plane, dim) so signatures are reproducible across
-   * runs, engines, and cluster sizes (no RNG state to ship). The same
-   * closed form lives in [[graft.plans.HyperplaneSig]] (the fused native
-   * signature used by [[hyperplaneLshPairs]]) and in the DuckDB oracle's
-   * generate_series recomputation — all three must stay identical. */
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]: pure
+   * arithmetic over (plane, dim) so signatures are reproducible across
+   * runs, engines, and cluster sizes (no RNG state to ship). Two LCG
+   * rounds with an xorshift mix between them — the mix is load-bearing:
+   * one LCG round alone is AFFINE in the seed `plane * 131 + dim + 1`,
+   * which correlates planes so strongly that multi-table recall lands
+   * far below the independent-plane model (measured 0.38 vs modeled
+   * 0.98 at 9 planes x 7 tables on planted cosine-0.96 near-dup
+   * pairs); with the mix, measured recall matches the model and the
+   * [[lshLayout]] derivation becomes trustworthy. Every intermediate
+   * stays in [0, 2^31), so no abs is needed and 64-bit products never
+   * overflow. The same closed form lives in
+   * [[graft.plans.HyperplaneSig]] (the fused native signature used by
+   * [[hyperplaneLshPairs]]) and in the DuckDB oracle's generate_series
+   * recomputation — all three must stay identical. */
   private[graft] def planeComponent(plane: Int, dim: Int): Double = {
-    val x = (1103515245L * (plane * 131L + dim + 1) + 12345L) % 2147483647L
-    ((if (x < 0) -x else x) % 2001L - 1000L) / 1000.0
+    val x1 = (1103515245L * (plane * 131L + dim + 1) + 12345L) % 2147483647L
+    val x2 = x1 ^ (x1 >> 13)
+    val x3 = (1103515245L * x2 + 12345L) % 2147483647L
+    (x3 % 2001L - 1000L) / 1000.0
   }
 
   /**
