@@ -44,10 +44,13 @@ object SparkEntry {
 
   /** Headline bench set: every registered query except the intentionally
    * quadratic / skew-exposed exact variants, which stay oracle-grade only:
-   *   - `embedding_near_dup` — all-pairs oracle twin of
-   *     `embedding_near_dup_lsh` (the benched banded production path);
-   *   - `embedding_near_dup_recall` — recall gate for the banded twin;
-   *     contains the exact quadratic side by definition;
+   *   - `embedding_near_dup` / `embedding_near_dup_tight` — all-pairs
+   *     oracle twins of `embedding_near_dup_lsh` /
+   *     `embedding_near_dup_lsh_tight` (the benched banded production
+   *     paths);
+   *   - `embedding_near_dup_recall` / `embedding_near_dup_tight_recall` —
+   *     recall gates for the banded twins; contain the exact quadratic
+   *     side by definition;
    *   - `ngram_jaccard` / `ngram_jaccard_exact` — Ω(Σ df²) candidate volume
    *     even DF-capped (measured 38× superlinear at 10× dup mass,
    *     BENCH_scaling.md); `minhash_lsh` is the near-dup pair default at
@@ -84,7 +87,7 @@ object SparkEntry {
     "incremental_embedding_neardup_indexed",
     "pagerank", "triangle_count",
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
-    "embedding_near_dup_lsh", "ivf_topk",
+    "embedding_near_dup_lsh", "embedding_near_dup_lsh_tight", "ivf_topk",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "matryoshka_topk",
     "quantize_int8", "embedding_centroids", "hard_negatives",
@@ -578,6 +581,37 @@ object SparkEntry {
       Similarity.annRecall(
         Dedup.embeddingNearDupLsh(emb, threshold = 0.4),
         Dedup.embeddingNearDupPairs(emb, threshold = 0.4))
+    }),
+
+    // TIGHT-contract near-dup over the recall-calibration corpus (every
+    // vector plus a planted perturbed twin at cosine ~0.95-0.97): the
+    // regime production near-dup actually runs in. The exact crossJoin
+    // twin is oracle-only ground truth...
+    "embedding_near_dup_tight" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        Similarity.plantNearDups(t(s, dir, "embeddings")), threshold = 0.9)
+        .orderBy("vec_a", "vec_b")),
+
+    // ...and the benched banded headliner derives its layout from the
+    // threshold (0.9 -> 9 planes x 7 tables, random-pair candidacy
+    // ~0.014 — this is where banding beats the exact crossJoin outright,
+    // measured in BENCH_scaling.md round 11) and guards skew with the
+    // occupancy-relative bucket cap (8x expected occupancy, floor 64 —
+    // cannot zero a wide layout, still culls degenerate buckets).
+    "embedding_near_dup_lsh_tight" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(
+        Similarity.plantNearDups(t(s, dir, "embeddings")), threshold = 0.9,
+        maxBucketLoad = Some(8))
+        .orderBy("vec_a", "vec_b")),
+
+    // recall gate of the tight banded path vs its exact twin —
+    // oracle-only (contains the O(n²) side by definition)
+    "embedding_near_dup_tight_recall" -> ((s, dir) => {
+      val corpus = Similarity.plantNearDups(t(s, dir, "embeddings"))
+      Similarity.annRecall(
+        Dedup.embeddingNearDupLsh(corpus, threshold = 0.9,
+          maxBucketLoad = Some(8)),
+        Dedup.embeddingNearDupPairs(corpus, threshold = 0.9))
     }),
 
     // ---- similarity search (embeddings) ----
@@ -1825,26 +1859,43 @@ object SparkEntry {
    * holding more than c vectors — mirroring Dedup.capBuckets — so the
    * recall-only pruning is itself hash-checked. */
   private def hyperplaneAnnSql(cap: Option[Int], numPlanes: Int = 4,
-                               numTables: Int = 16): String = {
-    val keptCte = cap match {
-      case Some(c) =>
+                               numTables: Int = 16, threshold: Double = 0.4,
+                               source: String = "embeddings",
+                               extraCte: String = "",
+                               loadMult: Option[Int] = None): String = {
+    val keptCte = (cap, loadMult) match {
+      case (Some(c), _) =>
         s"""kept AS (
            |  SELECT b.vec_id, b.tbl, b.bucket FROM buckets b
            |  JOIN (SELECT tbl, bucket FROM buckets
            |        GROUP BY tbl, bucket HAVING count(*) <= $c) ok
            |    ON b.tbl = ok.tbl AND b.bucket = ok.bucket),""".stripMargin
-      case None =>
+      case (None, Some(mult)) =>
+        // occupancy-relative cap mirroring hyperplaneLshPairs'
+        // maxBucketLoad: size <= max(64, ceil(mult * n / 2^planes)),
+        // integer-exact on both engines
+        val nb = 1L << numPlanes
+        s"""kept AS (
+           |  SELECT b.vec_id, b.tbl, b.bucket FROM buckets b
+           |  JOIN (SELECT tbl, bucket FROM (
+           |          SELECT tbl, bucket, count(*) AS bs,
+           |            sum(count(*)) OVER (PARTITION BY tbl) AS tot
+           |          FROM buckets GROUP BY tbl, bucket)
+           |        WHERE bs <= greatest(64, ($mult * tot + ${nb - 1}) // $nb)) ok
+           |    ON b.tbl = ok.tbl AND b.bucket = ok.bucket),""".stripMargin
+      case (None, None) =>
         "kept AS (SELECT vec_id, tbl, bucket FROM buckets),"
     }
     s"""WITH planes AS (
        |  SELECT p, list_transform(generate_series(0, 63), d ->
        |    ($planeMixSql % 2001 - 1000) / 1000.0) AS pv
        |  FROM generate_series(0, ${numPlanes * numTables - 1}) t(p)),
+       |$extraCte
        |bits AS (
        |  SELECT e.vec_id, pl.p // $numPlanes AS tbl,
        |    CASE WHEN ${dotSql("e.embedding", "pl.pv")} > 0
        |         THEN 1 << (pl.p % $numPlanes) ELSE 0 END AS bit
-       |  FROM embeddings e, planes pl),
+       |  FROM $source e, planes pl),
        |buckets AS (
        |  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
        |  FROM bits GROUP BY vec_id, tbl),
@@ -1854,14 +1905,31 @@ object SparkEntry {
        |  FROM kept a JOIN kept b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |n AS (SELECT vec_id, embedding,
-       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM $source)
        |SELECT c.va AS vec_a, c.vb AS vec_b
        |FROM cand c
        |JOIN n a ON a.vec_id = c.va
        |JOIN n b ON b.vec_id = c.vb
-       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** DuckDB twin of Similarity.plantNearDups at the default
+   * eps = 0.0625 / idOffset = 1000000: the recall-calibration corpus
+   * (every vector plus a closed-form perturbed near-dup twin at cosine
+   * ~0.95-0.97) as a `corpus` CTE fragment. Shared by the
+   * tight-contract near-dup queries. */
+  private val plantedCorpusCte =
+    s"""corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(generate_series(0, 63), d ->
+       |      CAST(embedding[d + 1] AS DOUBLE) +
+       |      0.0625 * ((${mixLcgSql("(vec_id * 8191 + d + 1) % 2147483647")}
+       |        % 2001) - 1000) / 1000.0) AS embedding
+       |  FROM embeddings),""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "normalize" ->
@@ -2319,10 +2387,57 @@ object SparkEntry {
       incrementalEmbeddingNearDupSql,
 
     // banded production twin: same closed-form plane/bucket machinery at
-    // the near-dup-tuned 3 x 21 layout, exact-cosine verified — fully
-    // hash-checked like hyperplane_ann
+    // the threshold-derived 3 x 21 layout (Similarity.lshLayout(0.4)),
+    // exact-cosine verified — fully hash-checked like hyperplane_ann
     "embedding_near_dup_lsh" ->
       hyperplaneAnnSql(cap = None, numPlanes = 3, numTables = 21),
+
+    // tight-contract exact twin over the planted recall-calibration
+    // corpus (closed-form perturbed clones, recomputed here) — the
+    // quadratic ground truth, oracle-only
+    "embedding_near_dup_tight" ->
+      s"""WITH $plantedCorpusCte
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM corpus)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.9
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // benched tight banded headliner: threshold-derived 9 x 7 layout
+    // (lshLayout(0.9)) + occupancy-relative bucket cap, all recomputed
+    // closed-form — hash-checked including the cap behavior
+    "embedding_near_dup_lsh_tight" ->
+      hyperplaneAnnSql(cap = None, numPlanes = 9, numTables = 7,
+        threshold = 0.9, source = "corpus", extraCte = plantedCorpusCte,
+        loadMult = Some(8)),
+
+    // recall gate of the tight banded path vs its exact twin — both
+    // sides deterministic, metrics hash-checked; oracle-only
+    "embedding_near_dup_tight_recall" ->
+      s"""WITH approx AS (SELECT * FROM (
+         |${hyperplaneAnnSql(cap = None, numPlanes = 9, numTables = 7,
+             threshold = 0.9, source = "corpus", extraCte = plantedCorpusCte,
+             loadMult = Some(8))})),
+         |ex AS (SELECT * FROM (
+         |WITH $plantedCorpusCte
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM corpus)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.9)),
+         |hit AS (SELECT count(*) AS c FROM approx a JOIN ex e
+         |  ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b)
+         |SELECT
+         |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+         |  CAST((SELECT c FROM hit) AS BIGINT) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM ex) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM ex)
+         |  END AS recall,
+         |  CASE WHEN (SELECT count(*) FROM approx) > 0 THEN
+         |    CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM approx)
+         |  END AS precision""".stripMargin,
 
     // recall gate of the banded twin vs the exact quadratic pair set —
     // both sides deterministic, so the metrics are hash-checked.

@@ -1086,39 +1086,47 @@ object Dedup {
    * exact cosine verify, so output pairs are always true positives and
    * banding trades recall only.
    *
-   * Parameters are tuned for the near-dup contract rather than
-   * general ANN: at a LOW cosine threshold wider bands are needed for
-   * recall, so this uses 3 planes x 21 tables (63 packed sign bits) vs
-   * `hyperplane_ann`'s 4 x 16. Under the iid-random-plane model a pair
-   * at cosine c collides per table with p = (1 - acos(c)/pi)^3 and in
-   * any of 21 tables with 1 - (1-p)^21 — near-total above c ~ 0.5; the
-   * fixed LCG planes realize ~0.9-1.0 recall at the 0.4 boundary
-   * (measured per-SF by the `embedding_near_dup_recall` gate; the only
-   * misses sit at cosine 0.40-0.45) vs ~0.7-0.8 for the 4 x 16 ANN
-   * layout. `maxBucketSize` is the skew guard when embeddings are
-   * correlated (recall-only, per-table drop).
+   * The (planes x tables) layout is DERIVED FROM THE THRESHOLD by
+   * [[Similarity.lshLayout]] unless overridden: the contract's cosine
+   * decides how deep banding can prune while keeping modeled recall
+   * >= 0.95 under the 63-bit signature budget — 3 x 21 at the loose
+   * 0.4 boundary (recall-protective; random-pair candidacy ~0.94, so
+   * banding prunes little and the exact crossJoin twin can win — see
+   * the scale note), 6 x 10 at 0.7, 9 x 7 at a tight 0.9 contract
+   * (candidacy ~L/2^9 ~ 0.014: the banded path beats the exact twin
+   * outright, measured in `BENCH_scaling.md` round 11). The model
+   * tracks measurement because the planes are decorrelated
+   * ([[Similarity.planeComponent]]'s mix step); recall stays gated
+   * per-SF by `embedding_near_dup_recall` / the tight-contract gate.
+   *
+   * `maxBucketSize` (absolute) or `maxBucketLoad` (occupancy-relative,
+   * the scale-safe default choice: cannot zero a wide layout, still
+   * culls degenerate buckets) guard correlated corpora; both are
+   * recall-only, per-table drops.
    *
    * Scale, honestly: banding selectivity is 2^-planes per table, so at
-   * this permissive layout a RANDOM pair is still a candidate with
-   * 1 - (1 - 1/8)^21 ~ 0.94 — the loose 0.4 contract buys little
-   * pruning on near-orthogonal corpora. Banding pays where near-dup
-   * thresholds really sit (c >= 0.7: raise planes, e.g. 6 x 10 keeps
-   * recall 1 - 3e-3 while cutting random-pair candidacy to ~0.15) or
-   * where the corpus actually clusters (bucket occupancy concentrates,
-   * and `maxBucketSize` bounds the worst cell). For clustered corpora at
+   * LOOSE thresholds (derived layouts keep planes low for recall) a
+   * random pair is still a candidate with high probability and the
+   * exact crossJoin twin can be the better plan on near-orthogonal
+   * corpora. Banding pays where near-dup contracts really sit
+   * (c >= 0.7) or where the corpus clusters. For clustered corpora at
    * loose thresholds prefer the IVF-cell route ([[Similarity.semanticDedup]],
    * `mutual_knn_ivf`). The candidate self-join here still beats the
-   * crossJoin twin structurally: O(n x 21) bucket rows, id-pair distinct
-   * BEFORE vectors re-attach, and the quadratic term is bucket-bounded
-   * rather than unconditional.
+   * crossJoin twin structurally: O(n x tables) bucket rows, id-pair
+   * distinct BEFORE vectors re-attach, and the quadratic term is
+   * bucket-bounded rather than unconditional.
    */
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double = 0.4,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding", dim: Int = 64,
-                          maxBucketSize: Option[Int] = None): DataFrame =
-    Similarity.hyperplaneLshPairs(emb, threshold, numPlanes = 3,
-      numTables = 21, dim = dim, idCol = idCol, vecCol = vecCol,
-      maxBucketSize = maxBucketSize)
+                          maxBucketSize: Option[Int] = None,
+                          maxBucketLoad: Option[Int] = None,
+                          layout: Option[(Int, Int)] = None): DataFrame = {
+    val (planes, tables) = layout.getOrElse(Similarity.lshLayout(threshold))
+    Similarity.hyperplaneLshPairs(emb, threshold, numPlanes = planes,
+      numTables = tables, dim = dim, idCol = idCol, vecCol = vecCol,
+      maxBucketSize = maxBucketSize, maxBucketLoad = maxBucketLoad)
+  }
 
   /**
    * (id, sig) packed hyperplane signature table — the PERSISTABLE

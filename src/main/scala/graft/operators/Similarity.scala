@@ -568,6 +568,87 @@ object Similarity {
   }
 
   /**
+   * Threshold-derived hyperplane-LSH layout: the (numPlanes, numTables)
+   * pair a near-dup contract at cosine `threshold` should band with,
+   * under a `totalBits` packed-signature budget.
+   *
+   * The rule: pick the LARGEST planes-per-table k (deepest pruning —
+   * random-pair candidacy is ~L/2^k) whose modeled recall
+   * `1 - (1 - q^k)^L` with `L = totalBits / k` still reaches
+   * `targetRecall`, where `q = 1 - acos(c_eval)/pi` is the per-plane
+   * collision probability. The evaluation cosine `c_eval` encodes what
+   * a near-dup CONTRACT means at each regime (measured on the fixture
+   * corpora, `BENCH_scaling.md` round 11):
+   *  - LOOSE thresholds (c < 0.6): pairs that qualify sit AT the
+   *    boundary (the sf fixtures' exact pairs at t=0.4 all lie in
+   *    0.40-0.60), so recall is evaluated at the threshold itself —
+   *    few planes, wide tables, banding prunes little (documented
+   *    honestly on [[graft.operators.Dedup.embeddingNearDupLsh]]).
+   *  - TIGHT thresholds (c >= 0.6): qualifying pairs are actual
+   *    near-copies whose cosines concentrate well above the boundary
+   *    (a perturbed-clone near-dup sits at 0.93-0.97), so recall is
+   *    evaluated at the midpoint (1 + c)/2 of the dup regime — more
+   *    planes, deep pruning.
+   * The model is trustworthy because the plane generator is mixed (see
+   * [[planeComponent]]): measured recall tracks modeled recall to
+   * ~0.001 at the layouts this returns. Derived layouts: 0.4 -> 3x21,
+   * 0.7 -> 6x10, 0.9 -> 9x7 (asserted in SimilaritySpec).
+   */
+  def lshLayout(threshold: Double, totalBits: Int = 63,
+                targetRecall: Double = 0.95): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"cosine threshold must be in (0, 1), got $threshold")
+    val cEval = if (threshold < 0.6) threshold else (1.0 + threshold) / 2.0
+    val q = 1.0 - math.acos(cEval) / math.Pi
+    var best = (1, totalBits)
+    var k = 1
+    while (k <= 16 && totalBits / k >= 1) {
+      val l = totalBits / k
+      val rec = 1.0 - math.pow(1.0 - math.pow(q, k), l)
+      if (rec >= targetRecall) best = (k, l)
+      k += 1
+    }
+    best
+  }
+
+  /**
+   * Recall-calibration corpus augmentation: every vector gets a
+   * deterministic near-duplicate twin — the vector plus `eps` times a
+   * closed-form pseudo-random perturbation, under `idCol + idOffset`.
+   * At the default `eps = 0.0625` on unit-norm 64-dim embeddings the
+   * planted pairs land at cosine ~0.95-0.97: solidly inside a tight
+   * near-dup contract (c >= 0.9) without being trivially identical
+   * (identical vectors share signatures and would measure recall 1.0
+   * at ANY layout — a useless gate). The perturbation is the same
+   * mixed-LCG closed form as [[planeComponent]] seeded by
+   * `(id * 8191 + d + 1) mod (2^31 - 1)`, so a DuckDB oracle
+   * recomputes the planted corpus bit-identically and recall gates
+   * over it stay hash-checked.
+   *
+   * Output is (idCol, vecCol) with the vector as ARRAY<DOUBLE> on both
+   * branches (the float corpus is cast exactly). Scale: one narrow
+   * projection per branch, no shuffle, no collect.
+   */
+  def plantNearDups(emb: DataFrame, eps: Double = 0.0625,
+                    idOffset: Long = 1000000L, dim: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val seed = s"(($idCol * 8191 + d + 1) % 2147483647)"
+    val x1 = s"((1103515245L * $seed + 12345L) % 2147483647L)"
+    val mix = s"((1103515245L * ($x1 ^ shiftright($x1, 13)) + 12345L) % 2147483647L)"
+    val orig = emb.select(col(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val planted = emb.select(
+      (col(idCol) + lit(idOffset)).as(idCol),
+      expr(
+        s"""transform(sequence(0, ${dim - 1}), d ->
+           |  CAST(element_at($vecCol, d + 1) AS DOUBLE) +
+           |  $eps * (($mix % 2001L) - 1000L) / 1000.0)""".stripMargin)
+        .as(vecCol))
+    orig.unionByName(planted)
+  }
+
+  /**
    * Multi-table hyperplane-LSH near-neighbor candidate pairs: `numTables`
    * independent plane sets of `numPlanes` each; vectors sharing any table's
    * bucket are compared exactly and filtered by cosine threshold.
@@ -585,13 +666,29 @@ object Similarity {
    * pair loses only its overflowed tables, and close pairs collide in many
    * tables. The cap is fully oracle-modelable (plane signs are a closed
    * form), so the capped contract stays hash-checkable.
+   *
+   * `maxBucketLoad` is the OCCUPANCY-RELATIVE form of the same guard —
+   * the one to reach for when n is not known up front: a bucket is
+   * dropped when it holds more than
+   * `max(64, ceil(load * n / 2^numPlanes))` vectors, i.e. `load` times
+   * the expected uniform occupancy (computed in-plan from the bucket
+   * sizes; integer-exact, so still oracle-modelable). Unlike a fixed
+   * cap, it cannot zero the output on a wide layout: with few planes
+   * the expected occupancy is large and the cap scales with it (a
+   * constant cap of 64 at a 3-plane/8-bucket layout culls EVERY bucket
+   * — measured round 10), while a genuinely degenerate bucket (a mass
+   * of identical or axis-aligned vectors) still gets dropped. The
+   * floor of 64 keeps small corpora exact.
    */
   def hyperplaneLshPairs(emb: DataFrame, threshold: Double = 0.4,
                          numPlanes: Int = 4, numTables: Int = 16, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         maxBucketSize: Option[Int] = None): DataFrame = {
+                         maxBucketSize: Option[Int] = None,
+                         maxBucketLoad: Option[Int] = None): DataFrame = {
     require(numTables * numPlanes <= 64,
       "numTables * numPlanes must fit a packed 64-bit signature")
+    require(maxBucketSize.isEmpty || maxBucketLoad.isEmpty,
+      "pick one of maxBucketSize (absolute) / maxBucketLoad (relative)")
     // All plane-sign bits packed into ONE BIGINT by the native
     // graft_hyperplane_sig expression — the whole plane matrix in one
     // fused codegen loop per vector (plane components are the same
@@ -603,15 +700,28 @@ object Similarity {
       .withColumn("__sig", expr(
         s"graft_hyperplane_sig($vecCol, ${numTables * numPlanes}, $dim)"))
     val mask = (1L << numPlanes) - 1
-    val base = Dedup.capBuckets(
-      bits.select(
-        col(idCol),
-        explode(array((0 until numTables).map { t =>
-          struct(lit(t).as("tbl"),
-            expr(s"CAST(shiftright(__sig, ${t * numPlanes}) & $mask AS INT)").as("bucket"))
-        }: _*)).as("tb"))
-        .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")),
-      Seq("tbl", "bucket"), maxBucketSize)
+    val bucketRows = bits.select(
+      col(idCol),
+      explode(array((0 until numTables).map { t =>
+        struct(lit(t).as("tbl"),
+          expr(s"CAST(shiftright(__sig, ${t * numPlanes}) & $mask AS INT)").as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val base = maxBucketLoad match {
+      case Some(load) =>
+        // relative cap: bucket size <= max(64, ceil(load * n / 2^planes)),
+        // all integer arithmetic so the DuckDB oracle mirrors it exactly
+        val nb = 1L << numPlanes
+        val kept = bucketRows.groupBy("tbl", "bucket")
+          .agg(count(lit(1)).as("__bs"))
+          .withColumn("__tot",
+            sum("__bs").over(Window.partitionBy("tbl")))
+          .filter(col("__bs") <=
+            greatest(lit(64L), expr(s"($load * __tot + ${nb - 1}) DIV $nb")))
+          .select("tbl", "bucket")
+        bucketRows.join(kept, Seq("tbl", "bucket"))
+      case None => Dedup.capBuckets(bucketRows, Seq("tbl", "bucket"), maxBucketSize)
+    }
     val a = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
     val b = base.select(col("tbl"), col("bucket"), col(idCol).as("b"))
     // dedup on the 16-byte id pair BEFORE re-attaching vectors: the distinct

@@ -205,6 +205,39 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(exact))
   }
 
+  test("embeddingNearDupLsh tight contract: derived 9x7 layout, " +
+      "recall >= 0.9, precision 1.0 on the planted calibration corpus") {
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val corpus = Similarity.plantNearDups(emb)
+    val exact = rows(Dedup.embeddingNearDupPairs(corpus, threshold = 0.9)).toSet
+    val lsh = rows(Dedup.embeddingNearDupLsh(corpus, threshold = 0.9,
+      maxBucketLoad = Some(8))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty)
+    assert(lsh.size >= exact.size * 9 / 10,
+      s"recall ${lsh.size}/${exact.size} below 0.9")
+  }
+
+  test("maxBucketLoad never zeroes a wide layout (the fixed-cap failure " +
+      "mode); still a precision-1.0 subset") {
+    // 3-plane tables have 8 buckets, so n=1000 rows mean ~125 per bucket:
+    // a FIXED cap of 64 culls every bucket and emits nothing (measured
+    // round 10), while the occupancy-relative cap scales with n/2^planes
+    // and keeps the layout productive
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val corpus = Similarity.plantNearDups(emb)
+    val fixed = rows(Dedup.embeddingNearDupLsh(corpus, threshold = 0.4,
+      maxBucketSize = Some(64), layout = Some((3, 21))))
+    val rel = rows(Dedup.embeddingNearDupLsh(corpus, threshold = 0.4,
+      maxBucketLoad = Some(8), layout = Some((3, 21)))).toSet
+    assert(fixed.isEmpty, "fixed cap unexpectedly kept buckets")
+    assert(rel.nonEmpty, "relative cap zeroed the layout")
+    val exact = rows(Dedup.embeddingNearDupPairs(corpus, threshold = 0.4)).toSet
+    assert(rel.subsetOf(exact))
+  }
+
   test("ngramJaccardPairs cap: prunes candidates via stop-shingles, keeps pre-cap denominators") {
     // 30 filler docs all contain the stop-shingle "x y z" (df = 32), which
     // is also 1 of the 4 shingles shared by near-dup docs A and B

@@ -264,6 +264,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out2.head == Seq(0L, 3L, 0L, null, 0.0))
   }
 
+  test("lshLayout: threshold-derived (planes, tables) under the bit budget") {
+    // the measured anchor layouts (see embeddingNearDupLsh scaladoc)
+    assert(Similarity.lshLayout(0.4) == ((3, 21)))
+    assert(Similarity.lshLayout(0.7) == ((6, 10)))
+    assert(Similarity.lshLayout(0.9) == ((9, 7)))
+    // tighter contracts never band shallower, and the budget holds
+    val layouts = Seq(0.3, 0.4, 0.5, 0.7, 0.8, 0.9, 0.95)
+      .map(Similarity.lshLayout(_))
+    assert(layouts.map(_._1) == layouts.map(_._1).sorted)
+    assert(layouts.forall { case (k, l) => k * l <= 63 && k >= 1 && l >= 1 })
+  }
+
+  test("plantNearDups: twins land in the tight near-dup cosine band, " +
+      "originals ride along exactly") {
+    val real = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val corpus = Similarity.plantNearDups(real)
+    assert(corpus.count() == 2 * real.count())
+    val a = corpus.filter(col("vec_id") < 1000000L)
+      .select(col("vec_id").as("id"), col("embedding").as("va"))
+    val b = corpus.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("id"), col("embedding").as("vb"))
+    val mm = a.join(b, "id")
+      .select((graft.functions.VectorFns.dot("va", "vb") /
+        (graft.functions.VectorFns.norm("va") *
+          graft.functions.VectorFns.norm("vb"))).as("cos"))
+      .agg(org.apache.spark.sql.functions.min("cos"),
+        org.apache.spark.sql.functions.max("cos")).head
+    assert(mm.getDouble(0) > 0.93, s"planted twin too far: ${mm.getDouble(0)}")
+    assert(mm.getDouble(1) < 0.99, s"planted twin trivially close: ${mm.getDouble(1)}")
+  }
+
   test("semanticDedup: lower-id neighbor in the same cell drops a vector") {
     // seeds (nlist=2) are vecs 1 and 2 -> cells along (1,0) and (0,1);
     // 3 is near 1 (cos ~0.99), 4 near 2 (cos ~0.995), 5 shares 1's cell
