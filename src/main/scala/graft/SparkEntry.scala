@@ -566,9 +566,9 @@ object SparkEntry {
     }),
 
     // production banded twin of embedding_near_dup: hyperplane-band
-    // candidates (3 planes x 21 tables — near-dup-tuned, ~99.8% recall at
-    // the 0.4 boundary) + exact cosine verify. Benched; recall gated by
-    // embedding_near_dup_recall.
+    // candidates (threshold-derived layout, 3 planes x 21 tables at 0.4)
+    // + exact cosine verify. Benched; >= 0.9 recall, gated by
+    // embedding_near_dup_recall (measured per-SF in that query's output).
     "embedding_near_dup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("vec_a", "vec_b")),

@@ -448,12 +448,18 @@ object Dedup {
    *     fused band-bucket key) — the candidate-join side;
    *   - `<base>_sigs`:  (idCol, sig) bucketed by `idCol` — the
    *     estimate-verify side.
-   * Both are hash-bucketed managed tables ([[graft.tables.Tables
-   * .loadBucketed]]), so every future batch joins against them with NO
-   * Exchange on the index side: the batch's band rows shuffle into the
-   * index's bucketing (batch-sized), the index itself — the 100 TB side —
-   * is read in place. Writing costs one shuffle per table; it is paid once
-   * per corpus, not once per batch.
+   * Both are hash-bucketed managed tables, so every future batch joins
+   * against them with NO Exchange on the index side: the batch's band
+   * rows shuffle into the index's bucketing (batch-sized), the index
+   * itself — the 100 TB side — is read in place. Writing costs one
+   * shuffle per table; it is paid once per corpus, not once per batch.
+   *
+   * Rewrites go through the staged swap ([[graft.tables.Tables
+   * .stageBucketedSwap]] both tables, then one [[graft.tables.Tables
+   * .commitSwaps]]): a crash can never leave either table missing or
+   * half-written, and the bands/sigs skew window shrinks to the
+   * metadata renames — recover with [[graft.tables.Tables.recoverSwap]]
+   * on both tables, then re-run the fold that called this.
    */
   def writeBandedIndex(sigs: DataFrame, baseTable: String,
                        numHashes: Int = 128, bands: Int = 32,
@@ -462,10 +468,13 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val banded = bandBuckets(sigs, bands, numHashes / bands, idCol)
       .withColumn("bb", fusedBucket)
-    graft.tables.Tables.loadBucketed(banded, baseTable + "_bands", "bb",
+    graft.tables.Tables.stageBucketedSwap(banded, baseTable + "_bands",
+      "bb", numBuckets)
+    graft.tables.Tables.stageBucketedSwap(
+      sigs.select(col(idCol), col("sig")), baseTable + "_sigs", idCol,
       numBuckets)
-    graft.tables.Tables.loadBucketed(sigs.select(col(idCol), col("sig")),
-      baseTable + "_sigs", idCol, numBuckets)
+    graft.tables.Tables.commitSwaps(sigs.sparkSession,
+      Seq(baseTable + "_bands", baseTable + "_sigs"))
   }
 
   /**
@@ -543,7 +552,13 @@ object Dedup {
       .filter(estOk)
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"))
-    if (!includeNewPairs) vCorpus
+    // replay shield part 2: when batch and index OVERLAP (the replayed-
+    // after-fold case the a != b guard targets), a pair with BOTH members
+    // in both tiers survives candCorpus in both orientations and collapses
+    // to duplicate rows after least/greatest — and can ALSO re-emit from
+    // the new x new branch. The final distinct makes the contract
+    // self-contained (batch-sized frame, callers need no extra dedup).
+    if (!includeNewPairs) vCorpus.distinct()
     else {
       val candNew = newBands.select(col(idCol).as("a"), col("bb"))
         .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
@@ -556,7 +571,7 @@ object Dedup {
           "b")
         .filter(estOk)
         .select(col("a").as("doc_a"), col("b").as("doc_b"))
-      vCorpus.union(vNew)
+      vCorpus.union(vNew).distinct()
     }
   }
 
@@ -1211,7 +1226,9 @@ object Dedup {
    * band-bucket key, `<base>_sigs` (idCol, sig) bucketed by id. Future
    * batches join against both with NO Exchange on the index side
    * ([[incrementalEmbeddingNearDupsAgainstIndex]]); the bucketing
-   * shuffle is paid once per corpus, not once per batch.
+   * shuffle is paid once per corpus, not once per batch. Rewrites go
+   * through the staged two-table swap — same crash protocol as
+   * [[writeBandedIndex]].
    */
   def writeEmbeddingBandedIndex(sigs: DataFrame, baseTable: String,
                                 numBands: Int = 21, totalPlanes: Int = 63,
@@ -1221,10 +1238,13 @@ object Dedup {
       "totalPlanes must divide into numBands")
     val banded = embeddingBandRows(sigs, numBands, totalPlanes, idCol)
       .withColumn("bb", fusedBucket)
-    graft.tables.Tables.loadBucketed(banded, baseTable + "_bands", "bb",
+    graft.tables.Tables.stageBucketedSwap(banded, baseTable + "_bands",
+      "bb", numBuckets)
+    graft.tables.Tables.stageBucketedSwap(
+      sigs.select(col(idCol), col("sig")), baseTable + "_sigs", idCol,
       numBuckets)
-    graft.tables.Tables.loadBucketed(sigs.select(col(idCol), col("sig")),
-      baseTable + "_sigs", idCol, numBuckets)
+    graft.tables.Tables.commitSwaps(sigs.sparkSession,
+      Seq(baseTable + "_bands", baseTable + "_sigs"))
   }
 
   /**
@@ -1268,7 +1288,9 @@ object Dedup {
       .filter(verifyOk)
       .select(least(col("a"), col("b")).as("vec_a"),
         greatest(col("a"), col("b")).as("vec_b"))
-    if (!includeNewPairs) vCorpus
+    // final distinct = self-contained replay shield for overlapping
+    // batch/index ids (see incrementalNearDupsAgainstIndex)
+    if (!includeNewPairs) vCorpus.distinct()
     else {
       val candNew = newBands.select(col(idCol).as("a"), col("bb"))
         .join(newBands.select(col(idCol).as("b"), col("bb")), "bb")
@@ -1281,7 +1303,7 @@ object Dedup {
           "b")
         .filter(verifyOk)
         .select(col("a").as("vec_a"), col("b").as("vec_b"))
-      vCorpus.union(vNew)
+      vCorpus.union(vNew).distinct()
     }
   }
 

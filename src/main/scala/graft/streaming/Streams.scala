@@ -411,14 +411,31 @@ object Streams {
     val deltaPairs = Dedup.incrementalNearDupsPrebanded(newSigs, newBands,
       corpus, corpusBands, estThreshold, numHashes, idCol, maxBucketSize)
     bucketedBase match {
-      case Some(base) if s.catalog.tableExists(base + "_bands") &&
-          s.catalog.tableExists(base + "_sigs") =>
-        val bulkPairs = Dedup.incrementalNearDupsAgainstIndex(newSigs, base,
-          estThreshold, numHashes, bands, idCol, maxBucketSize,
-          includeNewPairs = false)
-        deltaPairs.union(bulkPairs).distinct()
-      case _ => deltaPairs
+      case Some(base) =>
+        requireBulkPair(s, base)
+        if (s.catalog.tableExists(base + "_bands")) {
+          val bulkPairs = Dedup.incrementalNearDupsAgainstIndex(newSigs, base,
+            estThreshold, numHashes, bands, idCol, maxBucketSize,
+            includeNewPairs = false)
+          deltaPairs.union(bulkPairs).distinct()
+        } else deltaPairs
+      case None => deltaPairs
     }
+  }
+
+  /** The bulk tier is a two-table set (`_bands`/`_sigs`) replaced via the
+   * staged swap — after [[graft.tables.Tables.recoverSwap]] both exist or
+   * neither does. Exactly one existing means an unrecovered crash (or a
+   * foreign half-built layout); silently degrading to delta-only here
+   * would make the whole folded corpus vanish from admission, so FAIL. */
+  private def requireBulkPair(s: SparkSession, base: String): Unit = {
+    val hasBands = s.catalog.tableExists(base + "_bands")
+    val hasSigs = s.catalog.tableExists(base + "_sigs")
+    if (hasBands != hasSigs)
+      throw new IllegalStateException(
+        s"bulk index for '$base' is half-present (bands=$hasBands, " +
+          s"sigs=$hasSigs): run Tables.recoverSwap on both tables and " +
+          "re-run the bucketed fold before resuming the stream")
   }
 
   def nearDupSink(stream: DataFrame, indexPath: String, pairsPath: String,
@@ -498,13 +515,15 @@ object Streams {
     val deltaPairs = Dedup.incrementalEmbeddingNearDupsFromSigs(newSigs,
       corpus, maxHamming, numBands, totalPlanes, idCol, maxBucketSize)
     bucketedBase match {
-      case Some(base) if s.catalog.tableExists(base + "_bands") &&
-          s.catalog.tableExists(base + "_sigs") =>
-        val bulkPairs = Dedup.incrementalEmbeddingNearDupsAgainstIndex(
-          newSigs, base, maxHamming, numBands, totalPlanes, idCol,
-          includeNewPairs = false)
-        deltaPairs.union(bulkPairs).distinct()
-      case _ => deltaPairs
+      case Some(base) =>
+        requireBulkPair(s, base)
+        if (s.catalog.tableExists(base + "_bands")) {
+          val bulkPairs = Dedup.incrementalEmbeddingNearDupsAgainstIndex(
+            newSigs, base, maxHamming, numBands, totalPlanes, idCol,
+            includeNewPairs = false)
+          deltaPairs.union(bulkPairs).distinct()
+        } else deltaPairs
+      case None => deltaPairs
     }
   }
 
@@ -892,11 +911,21 @@ object Streams {
    * corpus, and every micro-batch in between reads the bulk in place.
    *
    * Run QUIESCED (stream stopped), like [[compactIndex]]. Crash safety:
-   * the bucketed tables are written FIRST (staged job commit), the
-   * `_compacted_through` marker and partition pruning follow — a crash
-   * in between leaves documents present in both tiers, which
-   * [[tieredPairs]] tolerates (a != b guard + final distinct), and
-   * re-running the fold is idempotent (distinct union of both tiers).
+   * the bulk tables are replaced via the staged two-table swap
+   * ([[graft.tables.Tables.stageBucketedSwap]] x2 + one
+   * [[graft.tables.Tables.commitSwaps]]), so a crash during the data
+   * writes leaves the mains untouched and a crash during the renames is
+   * one of the drilled [[graft.tables.Tables.recoverSwap]] windows —
+   * ON RESTART AFTER A CRASH HERE, run `recoverSwap` on both
+   * `<base>_bands`/`<base>_sigs`, then RE-RUN THE FOLD before resuming
+   * the stream (idempotent: the delta partitions it re-reads are pruned
+   * only after the commit, so the re-fold rebuilds the exact same
+   * corpus; until the re-fold, the tables may be one-generation
+   * skewed). [[tieredPairs]] refuses to run if only one bulk table
+   * exists rather than silently dropping the folded corpus from
+   * admission. A crash AFTER the commit but before marker/pruning
+   * leaves documents present in both tiers, which [[tieredPairs]]
+   * tolerates (a != b guard + final distinct).
    * Signature indexes are distinct-reduced, so the summing-index replay
    * hazard of [[compactIndex]] does not arise; the marker is still
    * written for observability and monotone bookkeeping.

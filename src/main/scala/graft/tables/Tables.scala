@@ -404,4 +404,63 @@ object Tables {
     // FILE_NOT_EXIST (observed under repeated foreachBatch upserts)
     spark.catalog.refreshTable(mainTable)
   }
+
+  /**
+   * Stage `df` as the swap-tmp of a BUCKETED table — step 1 of the
+   * two-phase [[commitSwaps]] protocol that replaces a SET of tables
+   * near-atomically. [[loadBucketed]] alone is a drop-and-recreate
+   * (`SaveMode.Overwrite` `saveAsTable`): a crash mid-write leaves the
+   * table missing or half-written, and for a multi-table layout like
+   * [[graft.operators.Dedup.writeBandedIndex]]'s `_bands`/`_sigs` pair a
+   * crash BETWEEN the two writes leaves them skewed. Staging writes every
+   * table's full replacement to `<table>__swap_tmp` first (mains
+   * untouched, crash here costs only a leftover tmp that [[recoverSwap]]
+   * drops), then [[commitSwaps]] promotes them all with back-to-back
+   * metadata renames.
+   */
+  def stageBucketedSwap(df: DataFrame, table: String, bucketCol: String,
+                        numBuckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val tmp = suffixed(table, "__swap_tmp")
+    val backup = suffixed(table, "__swap_backup")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(tmp)
+  }
+
+  /**
+   * Step 2 of the staged bucketed swap: promote every previously staged
+   * `<table>__swap_tmp` over its main via the [[writeSwapped]] rename
+   * protocol (rename main -> `backup`, tmp -> main, drop backup; bucket
+   * spec is catalog metadata and survives the rename). All data writes
+   * happened in [[stageBucketedSwap]], so the crash window here is a few
+   * metadata operations per table:
+   *   - within one table's swap: exactly the drilled [[recoverSwap]]
+   *     windows — run [[recoverSwap]] on each table on restart;
+   *   - BETWEEN tables: earlier tables new, later tables old — each
+   *     individually intact, but the set is skewed until the caller's
+   *     recovery (for the signature indexes: re-run the fold, which is
+   *     idempotent because delta partitions are pruned only after the
+   *     commit completes).
+   * Fails fast (before touching anything) if any staged tmp is missing.
+   * A missing main is fine — first build of the table set.
+   */
+  def commitSwaps(spark: SparkSession, tables: Seq[String]): Unit = {
+    tables.foreach { table =>
+      require(spark.catalog.tableExists(suffixed(table, "__swap_tmp")),
+        s"commitSwaps: no staged swap-tmp for $table — " +
+          "stageBucketedSwap every table before committing")
+    }
+    tables.foreach { table =>
+      val tmp = suffixed(table, "__swap_tmp")
+      val backup = suffixed(table, "__swap_backup")
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"ALTER TABLE ${q(table)} RENAME TO ${q(backup)}")
+      spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(table)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
+      spark.catalog.refreshTable(table)
+    }
+  }
 }

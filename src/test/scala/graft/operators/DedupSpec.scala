@@ -180,6 +180,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("AgainstIndex replay shield: a batch overlapping the index emits " +
+      "each pair exactly once") {
+    // the replayed-after-fold case: the SAME documents sit in both the
+    // batch and the persisted index. The a != b guard stops self-pairs;
+    // this asserts the other half of the shield — a genuine pair with
+    // both members in both tiers must not duplicate (it survives the
+    // directed candidate join in both orientations AND the new x new
+    // branch).
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no shared shingles at all ok"))
+      .toDF("doc_id", "body")
+    val sigs = Dedup.minhashSignatures(docsDf, textCol = "body")
+    graft.tables.Tables.dropTable(spark, "nd_replay_bands")
+    graft.tables.Tables.dropTable(spark, "nd_replay_sigs")
+    Dedup.writeBandedIndex(sigs, "nd_replay", numBuckets = 4)
+    try {
+      val out = rows(Dedup.incrementalNearDupsAgainstIndex(sigs, "nd_replay")
+        .orderBy("doc_a", "doc_b"))
+      assert(out == Seq(Seq(1L, 2L)), s"expected one (1,2) pair, got $out")
+    } finally {
+      graft.tables.Tables.dropTable(spark, "nd_replay_bands")
+      graft.tables.Tables.dropTable(spark, "nd_replay_sigs")
+    }
+    // embedding twin
+    val emb = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(1.0f)),
+      (3L, Array.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val esigs = Dedup.embeddingSignatures(emb)
+    graft.tables.Tables.dropTable(spark, "emb_replay_bands")
+    graft.tables.Tables.dropTable(spark, "emb_replay_sigs")
+    Dedup.writeEmbeddingBandedIndex(esigs, "emb_replay", numBuckets = 4)
+    try {
+      val out = rows(
+        Dedup.incrementalEmbeddingNearDupsAgainstIndex(esigs, "emb_replay")
+          .orderBy("vec_a", "vec_b"))
+      assert(out == Seq(Seq(1L, 2L)), s"expected one (1,2) pair, got $out")
+    } finally {
+      graft.tables.Tables.dropTable(spark, "emb_replay_bands")
+      graft.tables.Tables.dropTable(spark, "emb_replay_sigs")
+    }
+  }
+
   test("incrementalEmbeddingNearDups: identical vectors pair at hamming 0, " +
       "orthogonal ones never pair") {
     val corpus = Seq(

@@ -423,6 +423,40 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tieredPairs fails loudly on a half-present bulk index instead of " +
+      "silently dropping the folded corpus") {
+    // an unrecovered crash inside the bucketed fold could leave exactly
+    // one of the two bulk tables; degrading to delta-only there would
+    // make every folded document invisible to admission (intakeSink
+    // would admit near-dups of the whole corpus). The contract is: both
+    // tables, or neither, or refuse to run.
+    val idx = Files.createTempDirectory("halfidx").toString
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      Seq((1L, "some text about engines")).toDF("doc_id", "text"))
+    sigs.write.mode("overwrite").parquet(s"$idx/batch=0")
+    val newSigs = spark.read.parquet(s"$idx/batch=0")
+    val newBands = graft.operators.Dedup.minhashBandRows(newSigs)
+    newBands.write.mode("overwrite").parquet(s"${idx}__bands/batch=0")
+    def pairs() = Streams.tieredPairs(spark, idx, idx + "__bands", newSigs,
+      newBands, 0L, Some("ndhalf"), 0.5, 128, 32, "doc_id", None)
+    Tables.dropTable(spark, "ndhalf_bands")
+    Tables.dropTable(spark, "ndhalf_sigs")
+    // neither table: fine — delta-only is the pre-first-fold state
+    assert(rows(pairs()).isEmpty)
+    // exactly one table: refuse
+    Tables.loadBucketed(newBands
+      .withColumn("bb", org.apache.spark.sql.functions.expr(
+        "CAST(band AS BIGINT) * CAST(pow(2, 31) AS BIGINT) + bucket")),
+      "ndhalf_bands", "bb", 4)
+    intercept[IllegalStateException] { pairs() }
+    // both tables: runs
+    Tables.loadBucketed(newSigs.select("doc_id", "sig"), "ndhalf_sigs",
+      "doc_id", 4)
+    assert(rows(pairs()).isEmpty) // only self-copies, shielded
+    Tables.dropTable(spark, "ndhalf_bands")
+    Tables.dropTable(spark, "ndhalf_sigs")
+  }
+
   test("embeddingNearDupSink: batches pair against the grown 8-byte " +
       "signature index, corpus vectors never re-read") {
     implicit val sqlCtx = spark.sqlContext

@@ -264,4 +264,102 @@ class TablesSpec extends SparkSpec {
     assert(rows(spark.table("t_dup")) == Seq(Seq(1L, "a")))
     Tables.dropTable(spark, "t_dup")
   }
+
+  test("recoverSwap restores the compaction rename-swap crash windows") {
+    // compactTable on an unpartitioned table runs the same writeSwapped
+    // protocol as the upsert; drill its crash windows with COMPACTION
+    // state: tmp = the compacted rewrite (same rows, fewer files).
+    val data = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    val want = data.map { case (i, v) => Seq(i, v) }
+    def reset(): Unit = {
+      Seq("t_cc", "t_cc__swap_tmp", "t_cc__swap_backup")
+        .foreach(Tables.dropTable(spark, _))
+      // main written wide (one file per row-ish); tmp = 1-shard rewrite
+      Tables.loadOverwrite(data.toDF("id", "v").repartition(4), "t_cc")
+      Tables.loadOverwrite(data.toDF("id", "v").repartition(1),
+        "t_cc__swap_tmp")
+    }
+    // window 1: crash between the renames — roll FORWARD to the compacted
+    // rewrite (same rows, 1 file)
+    reset()
+    spark.sql("ALTER TABLE t_cc RENAME TO t_cc__swap_backup")
+    assert(Tables.recoverSwap(spark, "t_cc"))
+    assert(rows(spark.table("t_cc").orderBy("id")) == want)
+    assert(spark.table("t_cc").inputFiles.length == 1)
+    // window 2: rewrite lost with the crash — roll BACK to the
+    // uncompacted original (data safe, compaction simply un-applied)
+    reset()
+    spark.sql("ALTER TABLE t_cc RENAME TO t_cc__swap_backup")
+    Tables.dropTable(spark, "t_cc__swap_tmp")
+    assert(Tables.recoverSwap(spark, "t_cc"))
+    assert(rows(spark.table("t_cc").orderBy("id")) == want)
+    assert(spark.table("t_cc").inputFiles.length > 1)
+    // and the recovered table compacts cleanly on the retry
+    val (before, after) = Tables.compactTable(spark, "t_cc", 1)
+    assert(before > 1 && after == 1)
+    assert(rows(spark.table("t_cc").orderBy("id")) == want)
+    Tables.dropTable(spark, "t_cc")
+  }
+
+  test("staged bucketed swap: atomic two-table replace with crash windows") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def bucketSpec(t: String) =
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
+        .bucketSpec
+    def resetMains(): Unit = {
+      Seq("sw_a", "sw_b", "sw_a__swap_tmp", "sw_b__swap_tmp",
+        "sw_a__swap_backup", "sw_b__swap_backup")
+        .foreach(Tables.dropTable(spark, _))
+      Tables.loadBucketed(Seq((1L, 10L)).toDF("k", "v"), "sw_a", "k", 4)
+      Tables.loadBucketed(Seq((1L, 20L)).toDF("k", "v"), "sw_b", "k", 4)
+    }
+    val newA = Seq((2L, 11L)).toDF("k", "v")
+    val newB = Seq((2L, 21L)).toDF("k", "v")
+    // happy path: both tables replaced, bucket spec survives the rename
+    resetMains()
+    Tables.stageBucketedSwap(newA, "sw_a", "k", 4)
+    Tables.stageBucketedSwap(newB, "sw_b", "k", 4)
+    Tables.commitSwaps(spark, Seq("sw_a", "sw_b"))
+    assert(rows(spark.table("sw_a")) == Seq(Seq(2L, 11L)))
+    assert(rows(spark.table("sw_b")) == Seq(Seq(2L, 21L)))
+    assert(bucketSpec("sw_a").exists(b =>
+      b.numBuckets == 4 && b.bucketColumnNames == Seq("k")))
+    assert(bucketSpec("sw_b").exists(_.numBuckets == 4))
+    // crash during staging: mains untouched, recoverSwap drops the tmp
+    resetMains()
+    Tables.stageBucketedSwap(newA, "sw_a", "k", 4)
+    assert(rows(spark.table("sw_a")) == Seq(Seq(1L, 10L)))
+    assert(Tables.recoverSwap(spark, "sw_a"))
+    assert(!spark.catalog.tableExists("sw_a__swap_tmp"))
+    assert(rows(spark.table("sw_a")) == Seq(Seq(1L, 10L)))
+    // commit refuses a half-staged set BEFORE touching any main
+    resetMains()
+    Tables.stageBucketedSwap(newA, "sw_a", "k", 4)
+    intercept[IllegalArgumentException] {
+      Tables.commitSwaps(spark, Seq("sw_a", "sw_b"))
+    }
+    assert(rows(spark.table("sw_a")) == Seq(Seq(1L, 10L)))
+    // crash between the two tables' swaps: first new, second old —
+    // recoverSwap makes each individually clean; caller re-runs the fold
+    resetMains()
+    Tables.stageBucketedSwap(newA, "sw_a", "k", 4)
+    Tables.stageBucketedSwap(newB, "sw_b", "k", 4)
+    Tables.commitSwaps(spark, Seq("sw_a"))
+    assert(Tables.recoverSwap(spark, "sw_b")) // drops sw_b's staged tmp
+    assert(rows(spark.table("sw_a")) == Seq(Seq(2L, 11L)))
+    assert(rows(spark.table("sw_b")) == Seq(Seq(1L, 20L)))
+    // the re-run (re-stage + commit) converges the set
+    Tables.stageBucketedSwap(newA, "sw_a", "k", 4)
+    Tables.stageBucketedSwap(newB, "sw_b", "k", 4)
+    Tables.commitSwaps(spark, Seq("sw_a", "sw_b"))
+    assert(rows(spark.table("sw_b")) == Seq(Seq(2L, 21L)))
+    // first build: commit with no pre-existing mains
+    Seq("sw_a", "sw_b").foreach(Tables.dropTable(spark, _))
+    Tables.stageBucketedSwap(newA, "sw_a", "k", 4)
+    Tables.stageBucketedSwap(newB, "sw_b", "k", 4)
+    Tables.commitSwaps(spark, Seq("sw_a", "sw_b"))
+    assert(rows(spark.table("sw_a")) == Seq(Seq(2L, 11L)))
+    assert(bucketSpec("sw_a").exists(_.numBuckets == 4))
+    Seq("sw_a", "sw_b").foreach(Tables.dropTable(spark, _))
+  }
 }
