@@ -1265,7 +1265,8 @@ object Dedup {
                                                numBands: Int = 21,
                                                totalPlanes: Int = 63,
                                                idCol: String = "vec_id",
-                                               includeNewPairs: Boolean = true): DataFrame = {
+                                               includeNewPairs: Boolean = true,
+                                               maxBucketSize: Option[Int] = None): DataFrame = {
     require(totalPlanes % numBands == 0,
       "totalPlanes must divide into numBands")
     require(maxHamming < numBands,
@@ -1274,8 +1275,26 @@ object Dedup {
     val spark = newSigs.sparkSession
     val idxBands = spark.table(baseTable + "_bands")
     val idxSigs = spark.table(baseTable + "_sigs")
-    val newBands = embeddingBandRows(newSigs, numBands, totalPlanes, idCol)
+    val allNewBands = embeddingBandRows(newSigs, numBands, totalPlanes, idCol)
       .withColumn("bb", fusedBucket)
+    // same skew guard as the token-space AgainstIndex: cap a bucket's
+    // FULL post-batch population, sized only over buckets the batch
+    // touches (batch-sized broadcast semi-join — the index side still
+    // never shuffles). Dropping a bucket trades recall only, and BREAKS
+    // the pigeonhole-exactness contract — reach for it when an
+    // incoherent corpus floods the 3-bit bands, not by default.
+    val newBands = maxBucketSize match {
+      case None => allNewBands
+      case Some(c) =>
+        val touched = allNewBands.select("bb").distinct()
+        val idxSizes = idxBands.join(broadcast(touched), Seq("bb"), "left_semi")
+          .groupBy("bb").agg(count(lit(1)).as("__ni"))
+        val newSizes = allNewBands.groupBy("bb").agg(count(lit(1)).as("__nn"))
+        val kept = newSizes.join(idxSizes, Seq("bb"), "left_outer")
+          .filter(col("__nn") + coalesce(col("__ni"), lit(0L)) <= c)
+          .select("bb")
+        allNewBands.join(broadcast(kept), Seq("bb"), "left_semi")
+    }
     val verifyOk = expr(s"bit_count(sa ^ sb) <= $maxHamming")
     val candCorpus = newBands.select(col(idCol).as("a"), col("bb"))
       .join(idxBands.select(col(idCol).as("b"), col("bb")), "bb")

@@ -965,6 +965,12 @@ object Streams {
                                    pruneBandsTree: Boolean)
                                   (writeIndex: org.apache.spark.sql.DataFrame => Unit): Unit = {
     import org.apache.hadoop.fs.Path
+    // self-heal first: a crash in a previous fold's staged swap leaves
+    // recoverSwap-able states on either bulk table; running recovery at
+    // entry makes "crash -> re-run the fold" the complete procedure
+    // (same pattern as Main.run auto-recovering before the upsert)
+    graft.tables.Tables.recoverSwap(spark, baseTable + "_bands")
+    graft.tables.Tables.recoverSwap(spark, baseTable + "_sigs")
     val main = new Path(indexPath)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(main)) return

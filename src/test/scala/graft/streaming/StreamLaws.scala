@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+import graft.operators.{Dedup, TextAnalysis}
+
+/**
+ * Batch-equivalence laws for the streaming sinks: feeding a corpus
+ * through the sink in ARBITRARY batch splits must leave the cumulative
+ * sink output equal to the batch operator run once over the concatenated
+ * input. This is the property that makes the streaming tier a cache of
+ * the batch semantics rather than a second definition of them — the
+ * spec tests drill specific crash/replay windows, the laws here sweep
+ * random corpora and random split points.
+ *
+ * Each example runs real StreamingQuery lifecycles, so the example count
+ * is kept low (the fixed splits still vary per example via the generated
+ * corpus size).
+ */
+object StreamLaws extends Properties("graft.streams") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(4)
+
+  private lazy val spark = {
+    val s = SparkSpec.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  // ---- embeddingNearDupSink --------------------------------------------
+
+  private val Dim = 16
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(Dim, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
+
+  /** Corpora with planted near-dups: each vector is followed, with
+   * probability ~1/2, by an exact clone under a later id (hamming 0 —
+   * always inside the contract). */
+  private val embCorpus: Gen[List[Array[Float]]] = for {
+    base <- Gen.listOfN(4, vecGen)
+    clones <- Gen.listOfN(4, Gen.oneOf(true, false))
+  } yield base ++ base.zip(clones).collect { case (v, true) => v.clone() }
+
+  property("embeddingNearDupSink cumulative pairs = all-pairs hamming " +
+      "filter over the concatenated input, for any batch split") =
+    forAll(embCorpus, Gen.chooseNum(1, 6)) { (vecs, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val docs = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      val idx = Files.createTempDirectory("law-embidx").toString
+      val pairsDir = Files.createTempDirectory("law-embpairs").toString
+      val cp = Files.createTempDirectory("law-embcp").toString
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.embeddingNearDupSink(
+        mem.toDF().toDF("vec_id", "embedding"), idx, pairsDir, cp, dim = Dim)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(pairsDir).select("vec_a", "vec_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: sign everything once, exact all-pairs hamming join
+      val all = docs.toDF("vec_id", "embedding")
+      val sigs = Dedup.embeddingSignatures(all, dim = Dim)
+      val a = sigs.select(col("vec_id").as("vec_a"), col("sig").as("sa"))
+      val b = sigs.select(col("vec_id").as("vec_b"), col("sig").as("sb"))
+      val want = a.crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(expr("bit_count(sa ^ sb) <= 20"))
+        .select("vec_a", "vec_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == want
+    }
+
+  // ---- intakeSink ------------------------------------------------------
+
+  private val longText = "the quick brown fox jumps over the lazy dog " +
+    "again and again while the evening sun is setting over the quiet " +
+    "river valley"
+  private val otherText = "completely different words about spark query " +
+    "engines at scale with plenty of additional tokens to pass the gate"
+  private val docTextGen: Gen[String] = Gen.frequency(
+    3 -> Gen.const(longText),
+    2 -> Gen.const(longText + " with a small trailing edit"),
+    3 -> Gen.const(otherText),
+    2 -> Gen.const("tiny"))
+
+  private val MinQ = 250000L
+
+  property("intakeSink cumulative admissions = batch quality gate + " +
+      "first-seen near-dup rule over the concatenated input") =
+    forAll(Gen.listOfN(8, docTextGen), Gen.chooseNum(1, 7)) {
+      (texts, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      val idx = Files.createTempDirectory("law-inidx").toString
+      val outDir = Files.createTempDirectory("law-inout").toString
+      val cp = Files.createTempDirectory("law-incp").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.intakeSink(mem.toDF().toDF("doc_id", "text"),
+        idx, outDir, cp, minQualityMicro = MinQ)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch twin. The sink indexes every QUALITY-KEPT doc (admitted or
+      // not), so the admission rule over the full corpus is: reject a
+      // kept doc iff some SMALLER-id kept doc (admitted or rejected)
+      // est-pairs with it — not just admitted ones.
+      val all = docs.toDF("doc_id", "text")
+      val kept = all.join(
+        TextAnalysis.qualityScore(all)
+          .select(col("doc_id"),
+            expr("CAST(round(quality_score * 1000000) AS BIGINT)").as("qm"))
+          .filter(col("qm") >= MinQ).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val sigs = Dedup.minhashSignatures(kept)
+      val pairs = Dedup.incrementalNearDupsFromSigs(sigs, sigs.limit(0))
+      val rejected = pairs.select(col("doc_b").as("doc_id")).distinct()
+      val want = kept.join(rejected, Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      got == want
+    }
+}

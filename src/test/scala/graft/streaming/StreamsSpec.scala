@@ -423,6 +423,62 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compactIndexBucketed self-heals a crashed swap before folding") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val idx = Files.createTempDirectory("healidx").toString
+    val pairs = Files.createTempDirectory("healpairs").toString
+    val cp = Files.createTempDirectory("healcp").toString
+    Seq("ndheal_bands", "ndheal_sigs", "ndheal_sigs__swap_backup",
+      "ndheal_bands__swap_backup").foreach(Tables.dropTable(spark, _))
+    val q1 = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp, bucketedBase = Some("ndheal"))
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "completely different words about spark query engines at scale"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    Streams.compactIndexBucketed(spark, idx, "ndheal", numBuckets = 4)
+    // simulate the recoverSwap roll-back window on ONE of the two bulk
+    // tables (crash after `main -> backup`, tmp lost): sigs main gone
+    spark.sql("ALTER TABLE ndheal_sigs RENAME TO ndheal_sigs__swap_backup")
+    // the half-present state refuses to serve rather than degrade
+    // (write the probe batch's partitions first, as the sink always does)
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      Seq((9L, "whatever text")).toDF("doc_id", "text"))
+    sigs.write.mode("overwrite").parquet(s"$idx/batch=9")
+    graft.operators.Dedup.minhashBandRows(sigs)
+      .write.mode("overwrite").parquet(s"${idx}__bands/batch=9")
+    intercept[IllegalStateException] {
+      Streams.tieredPairs(spark, idx, idx + "__bands", sigs,
+        graft.operators.Dedup.minhashBandRows(sigs), 9L, Some("ndheal"),
+        0.5, 128, 32, "doc_id", None)
+    }
+    // drop the probe partitions so the re-fold sees only real batches
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "batch=9"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(idx + "__bands", "batch=9"), true)
+    // the documented recovery is just "re-run the fold": it recovers the
+    // swap, then folds idempotently
+    Streams.compactIndexBucketed(spark, idx, "ndheal", numBuckets = 4)
+    assert(spark.catalog.tableExists("ndheal_sigs") &&
+      spark.catalog.tableExists("ndheal_bands"))
+    assert(spark.table("ndheal_sigs").count() == 2L)
+    // resumed stream pairs against the healed bulk tier
+    val q2 = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, pairs, cp, bucketedBase = Some("ndheal"))
+    try {
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog again and again"))
+      q2.processAllAvailable()
+      assert(rows(spark.read.parquet(pairs).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")) == Seq(Seq(1L, 3L)))
+    } finally q2.stop()
+    Seq("ndheal_bands", "ndheal_sigs").foreach(Tables.dropTable(spark, _))
+  }
+
   test("tieredPairs fails loudly on a half-present bulk index instead of " +
       "silently dropping the folded corpus") {
     // an unrecovered crash inside the bucketed fold could leave exactly
