@@ -586,4 +586,25 @@ object PropertyLaws extends Properties("graft") {
           }
       }
     }
+
+  property("lshLayout: modeled recall clears the target at the evaluation " +
+      "point; planes never decrease with the threshold") =
+    forAll(Gen.choose(0.05, 0.95), Gen.choose(0.05, 0.95)) { (t1, t2) =>
+      import graft.operators.Similarity
+      def recallAt(threshold: Double, planes: Int, tables: Int): Double = {
+        val cEval = if (threshold < 0.6) threshold else (1.0 + threshold) / 2.0
+        val q = 1.0 - math.acos(cEval) / math.Pi
+        1.0 - math.pow(1.0 - math.pow(q, planes), tables)
+      }
+      val (lo, hi) = if (t1 <= t2) (t1, t2) else (t2, t1)
+      val (pLo, lLo) = Similarity.lshLayout(lo)
+      val (pHi, lHi) = Similarity.lshLayout(hi)
+      // within the 63-bit budget, the recall target holds at the layout's
+      // own evaluation point, and a tighter contract never gets SHALLOWER
+      // banding (more-similar pairs survive deeper pruning, so the
+      // derivation can only add planes as the threshold rises)
+      pLo * lLo <= 63 && pHi * lHi <= 63 &&
+        recallAt(lo, pLo, lLo) >= 0.95 && recallAt(hi, pHi, lHi) >= 0.95 &&
+        pLo <= pHi
+    }
 }
