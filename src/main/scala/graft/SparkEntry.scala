@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import scala.util.chaining._
 
 import graft.operators.{Curation, Dedup, Graph, Layout, Multimodal, Relational, Sessions, Similarity, TextAnalysis}
 import graft.schema.Normalize
@@ -88,6 +89,7 @@ object SparkEntry {
     "pagerank", "triangle_count",
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "embedding_near_dup_lsh", "embedding_near_dup_lsh_tight", "ivf_topk",
+    "ivf_topk_indexed",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "matryoshka_topk",
     "quantize_int8", "embedding_centroids", "hard_negatives",
@@ -696,6 +698,28 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nlist = 16, nprobe = 4, dim = 64).orderBy("query_id", "rank")
+    }),
+
+    // the PERSISTED-index variant of ivf_topk: cell assignment + norms
+    // are paid once at index-build time (memoized across bench passes,
+    // like incremental_neardup_indexed), the per-batch probe join reads
+    // the cells table at its bucketing (SimilaritySpec plan assertion).
+    // Same centroid/probe/tie-break contract, same oracle SQL.
+    "ivf_topk_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = "graft_ivf_idx_" + math.abs(dir.hashCode).toString
+      if (!s.catalog.tableExists(base + "_cells")) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("_cells", "_centroids").foreach { sfx =>
+          s.sql(s"DROP TABLE IF EXISTS `$base$sfx`")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, base + sfx), true)
+        }
+        Similarity.writeIvfIndex(emb, base, nlist = 16, dim = 64)
+      }
+      Similarity.ivfTopKAgainstIndex(emb.filter(col("vec_id") < 10), base,
+        k = 10, nprobe = 4, dim = 64).orderBy("query_id", "rank")
     }),
 
     // spherical k-means: seed centroids + one integer-mean Lloyd round,
@@ -4309,5 +4333,8 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-  )
+  ).pipe(m =>
+    // the persisted-IVF variant has the SAME output contract as ivf_topk
+    // (same seed centroids, probes, tie-breaks) — one oracle, two plans
+    m + ("ivf_topk_indexed" -> m("ivf_topk")))
 }

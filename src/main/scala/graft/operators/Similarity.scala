@@ -400,6 +400,88 @@ object Similarity {
   }
 
   /**
+   * Persist an IVF index as the CO-LOCATED two-table layout — the ANN
+   * twin of [[graft.operators.Dedup.writeBandedIndex]]:
+   *   - `<base>_cells`: (idCol, vec, nrm, cell) BUCKETED by `cell` —
+   *     the probe-join side, with the norm precomputed so query time
+   *     never touches `sqrt` over the corpus;
+   *   - `<base>_centroids`: (cell, centroid) — nlist rows, the tiny
+   *     routing table every query batch collects (the same
+   *     driver-bounded contract as [[trainIvfCentroids]]).
+   * Centroids are the DETERMINISTIC seed set (lowest-`nlist` ids,
+   * iters = 0 — the [[ivfTopK]] contract), so a DuckDB oracle
+   * recomputes the whole index closed-form. Replacements go through the
+   * staged two-table swap ([[graft.tables.Tables.stageBucketedSwap]] +
+   * one [[graft.tables.Tables.commitSwaps]]) — same crash protocol as
+   * the dedup indexes.
+   *
+   * What this buys at 100 TB over calling [[ivfTopK]] per batch: cell
+   * assignment (O(corpus × nlist) dot products) and norms are paid ONCE
+   * per corpus instead of once per query batch, and every batch's
+   * probe join reads the corpus AT ITS BUCKETING — zero Exchange on the
+   * index side (plan-asserted in SimilaritySpec).
+   */
+  def writeIvfIndex(corpus: DataFrame, baseTable: String, nlist: Int = 16,
+                    dim: Int = 64, numBuckets: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol,
+      vecCol)
+    val cells = withIvfCell(corpus, cents, vecCol)
+      .select(col(idCol), col(vecCol).as("vec"),
+        VectorFns.norm(vecCol).as("nrm"), col("__cell").as("cell"))
+    import spark.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i + 1, c) }.toDF("cell", "centroid")
+    graft.tables.Tables.stageBucketedSwap(cells, baseTable + "_cells",
+      "cell", numBuckets)
+    graft.tables.Tables.stageBucketedSwap(centDf, baseTable + "_centroids",
+      "cell", 1)
+    graft.tables.Tables.commitSwaps(spark,
+      Seq(baseTable + "_cells", baseTable + "_centroids"))
+  }
+
+  /**
+   * [[ivfTopK]] against a PERSISTED [[writeIvfIndex]] index — identical
+   * output contract (same centroids, same probes, same tie-breaks),
+   * different physical plan: the corpus is never re-assigned to cells,
+   * its norms are never recomputed, and the probe join reads
+   * `<base>_cells` at its bucketing (the query side broadcasts — only
+   * ever O(queries × nprobe) rows move).
+   */
+  def ivfTopKAgainstIndex(queries: DataFrame, baseTable: String,
+                          k: Int = 10, nprobe: Int = 4, dim: Int = 64,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    // nlist-bounded driver collect: the routing table IS the contract
+    val cents = spark.table(baseTable + "_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val c = spark.table(baseTable + "_cells")
+      .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
+        col("nrm").as("nc"), col("cell"))
+    val q = broadcast(withIvfCell(queries, cents, vecCol)
+      .withColumn("__probes", expr(
+        s"""slice(array_sort(
+           |  transform(sequence(1, ${cents.size}),
+           |            i -> struct(-element_at(__dists, i) AS d, i AS idx))),
+           |  1, $nprobe)""".stripMargin))
+      .select(col(idCol).as("query_id"), col(vecCol).as("vq"),
+        VectorFns.norm(vecCol).as("nq"),
+        explode(expr("transform(__probes, p -> p.idx)")).as("cell")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
    * IVF+PQ top-k — the FAISS IVFPQ architecture (Jégou et al., "Product
    * Quantization for Nearest Neighbor Search", TPAMI 2011, §V): the two
    * approximations compose multiplicatively. IVF cuts the CANDIDATE

@@ -388,4 +388,48 @@ class SimilaritySpec extends SparkSpec {
       outlierPermille = 250).orderBy("vec_id"))
     assert(rep == out)
   }
+
+  test("ivfTopKAgainstIndex: matches ivfTopK exactly; index side never " +
+      "shuffles; rebuild swaps atomically") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Seq("_cells", "_centroids").foreach(sfx =>
+      graft.tables.Tables.dropTable(spark, "ivf_idx_test" + sfx))
+    Similarity.writeIvfIndex(emb, "ivf_idx_test", nlist = 16, numBuckets = 4)
+    try {
+      val out = Similarity.ivfTopKAgainstIndex(queries, "ivf_idx_test",
+        k = 10, nprobe = 4)
+      val expected = rows(Similarity.ivfTopK(emb, queries, k = 10,
+        nlist = 16, nprobe = 4).orderBy("query_id", "rank"))
+      assert(rows(out.orderBy("query_id", "rank")) == expected)
+      assert(expected.nonEmpty)
+      val plan = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def scanWithoutJoinBelow(p: SparkPlan): Boolean =
+        if (p.toString.linesIterator.next().contains("ivf_idx_test_")) true
+        else if (p.children.length != 1) false
+        else scanWithoutJoinBelow(p.children.head)
+      val offending = plan.collect {
+        case e: SparkPlan with ShuffleExchangeLike
+            if e.children.exists(scanWithoutJoinBelow) => e
+      }
+      assert(offending.isEmpty,
+        s"cells table re-shuffled before its probe join:\n$offending")
+      // rebuild on a corpus subset goes through the staged swap and the
+      // probe sees the new generation
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "ivf_idx_test", nlist = 8, numBuckets = 4)
+      val rebuilt = Similarity.ivfTopKAgainstIndex(queries, "ivf_idx_test",
+        k = 5, nprobe = 2)
+      assert(rows(rebuilt.filter(col("neighbor_id") % 2 =!= 0)).isEmpty)
+      assert(rebuilt.count() > 0)
+    } finally Seq("_cells", "_centroids").foreach(sfx =>
+      graft.tables.Tables.dropTable(spark, "ivf_idx_test" + sfx))
+  }
 }
