@@ -116,6 +116,7 @@ object SparkEntry {
     "train_val_split", "kfold_split",
     "split_leakage",
     "top_ngrams", "zipf_audit", "heavy_hitters",
+    "ks_drift", "annotator_agreement", "k_anonymity",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
@@ -374,6 +375,36 @@ object SparkEntry {
 
     "fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---- drift / labeling / privacy audits ----
+    // two-sample KS drift between the even- and odd-user event streams
+    // on the milli-unit value metric: exact BIGINT cross statistic,
+    // corpus collapses to per-value counts before the ordered pass
+    "ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v_milli", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      Curation.ksDrift(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "v_milli")
+    }),
+
+    // Cohen's kappa between two deterministic length raters (same
+    // metric, different thresholds -> high but imperfect agreement);
+    // exact rational (kappa_num, kappa_den) + floored micro quotient
+    "annotator_agreement" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("r1",
+          when(col("n_chars") >= 300, "long").otherwise("short"))
+        .withColumn("r2",
+          when(length(col("text")) >= 280, "long").otherwise("short"))
+      Curation.annotatorAgreement(d, "r1", "r2")
+    }),
+
+    // k-anonymity over (event_type, user cohort) quasi-identifiers at
+    // k = 8: one hash-agg to groups, re-identifiable mass in permille
+    "k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymityAudit(
+        t(s, dir, "events").withColumn("cohort", col("user_id") % 200),
+        Seq("event_type", "cohort"), k = 8L)),
 
     // ---- dedup (documents) ----
     "exact_dedup" -> ((s, dir) =>
@@ -2262,6 +2293,73 @@ object SparkEntry {
          |       THEN CAST(num * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
          |  END AS auc_micro
          |FROM a""".stripMargin,
+
+    "ks_drift" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM ev
+        |       WHERE user_id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM ev
+        |       WHERE user_id % 2 = 1 GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca,
+        |        COALESCE(cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM m
+        |      WINDOW w AS (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS n_a,
+        |        CAST(COALESCE(sum(cb), 0) AS BIGINT) AS n_b,
+        |        CAST(count(*) AS BIGINT) AS n_values FROM m),
+        |agg AS (SELECT CAST(COALESCE(max(abs(
+        |          c.cuma * t.n_b - c.cumb * t.n_a)), 0) AS BIGINT)
+        |          AS d_cross FROM c, t)
+        |SELECT t.n_a, t.n_b, t.n_values, agg.d_cross,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+        |    CAST(agg.d_cross * 1000000 // (t.n_a * t.n_b) AS BIGINT)
+        |  END AS d_micro
+        |FROM t, agg""".stripMargin,
+
+    "annotator_agreement" ->
+      """WITH l AS (SELECT
+        |    CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS r1,
+        |    CASE WHEN length(text) >= 280 THEN 'long' ELSE 'short' END AS r2
+        |  FROM documents),
+        |cell AS (SELECT r1, r2, CAST(count(*) AS BIGINT) AS n
+        |         FROM l GROUP BY 1, 2),
+        |m1 AS (SELECT r1, CAST(sum(n) AS BIGINT) AS m1 FROM cell GROUP BY 1),
+        |m2 AS (SELECT r2, CAST(sum(n) AS BIGINT) AS m2 FROM cell GROUP BY 1),
+        |s AS (SELECT CAST(COALESCE(sum(m1.m1 * m2.m2), 0) AS BIGINT) AS S
+        |      FROM m1 JOIN m2 ON m1.r1 = m2.r2),
+        |t AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_items,
+        |        CAST(COALESCE(sum(CASE WHEN r1 = r2 THEN n ELSE 0 END), 0)
+        |          AS BIGINT) AS n_agree FROM cell)
+        |SELECT t.n_items, t.n_agree,
+        |  CASE WHEN t.n_items > 0
+        |       THEN CAST(t.n_agree * 1000000 // t.n_items AS BIGINT)
+        |  END AS po_micro,
+        |  CAST(t.n_agree * t.n_items - s.S AS BIGINT) AS kappa_num,
+        |  CAST(t.n_items * t.n_items - s.S AS BIGINT) AS kappa_den,
+        |  CASE WHEN t.n_items * t.n_items - s.S <> 0 THEN
+        |    CAST(floor(1000000.0 * (t.n_agree * t.n_items - s.S) /
+        |               (t.n_items * t.n_items - s.S)) AS BIGINT)
+        |  END AS kappa_micro
+        |FROM t, s""".stripMargin,
+
+    "k_anonymity" ->
+      """WITH g AS (SELECT event_type, user_id % 200 AS cohort,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |a AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(sum(CASE WHEN n < 8 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_below_k,
+        |    CAST(COALESCE(sum(CASE WHEN n < 8 THEN n ELSE 0 END), 0)
+        |      AS BIGINT) AS rows_at_risk FROM g)
+        |SELECT n_rows, n_groups, n_below_k, rows_at_risk,
+        |  CASE WHEN n_rows > 0
+        |       THEN CAST(rows_at_risk * 1000 // n_rows AS BIGINT)
+        |  END AS risk_permille
+        |FROM a""".stripMargin,
 
     "fingerprint" ->
       s"""SELECT doc_id,

@@ -863,4 +863,119 @@ object Curation {
       .withColumn("pos_permille", expr("n_pos * 1000 DIV n"))
       .select("bin", "score_lo", "score_hi", "n", "n_pos", "pos_permille")
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov drift statistic in exact integers —
+   * the distribution-shift monitor a corpus pipeline runs between
+   * ingest generations (did the length / quality / score distribution
+   * move?): D = max over x of |F_a(x) − F_b(x)| = `d_cross / (n_a·n_b)`
+   * where `d_cross = max |cum_a(x)·n_b − cum_b(x)·n_a|` is an exact
+   * BIGINT (no float CDFs, so the result is bit-stable across
+   * partitionings and engines); `d_micro` is the floored micro-unit D.
+   *
+   * Scale: one hash-aggregate per side collapses each corpus to
+   * per-VALUE counts — the only corpus-sized pass, map-side combined.
+   * The cumulative window then runs over DISTINCT values only; a
+   * drifting metric column is quantized (the caller passes an integer
+   * metric, e.g. micro-units), so the ordered pass is value-space-sized,
+   * not corpus-sized. Emits one row:
+   * (n_a, n_b, n_values, d_cross, d_micro).
+   */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(col(valueCol).cast("long").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as(as))
+    val merged = counts(a, "__ca").join(counts(b, "__cb"), Seq("__v"),
+        "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = merged.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(max(col("__na")).as("__na2"), max(col("__nb")).as("__nb2"),
+        count(lit(1)).as("n_values"),
+        coalesce(max(abs(col("__cuma") * col("__nb") -
+          col("__cumb") * col("__na"))), lit(0L)).as("d_cross"))
+      .select(coalesce(col("__na2"), lit(0L)).as("n_a"),
+        coalesce(col("__nb2"), lit(0L)).as("n_b"),
+        col("n_values"), col("d_cross"))
+      .withColumn("d_micro",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("d_cross * 1000000 DIV (n_a * n_b)")))
+  }
+
+  /**
+   * Inter-annotator agreement (Cohen's kappa) in exact rationals — the
+   * label-quality gate for labeled training data: observed agreement
+   * `po` against chance agreement `pe` from the raters' marginals.
+   * With n items, `agree` exact matches, and S = Σ_k m1_k·m2_k (the
+   * marginal product over the label space),
+   * kappa = (po − pe)/(1 − pe) = (agree·n − S)/(n² − S) — emitted as
+   * the exact BIGINT pair (kappa_num, kappa_den) plus a floored
+   * micro-unit quotient (floor is sign-correct for negative kappa,
+   * unlike truncating integer division). `kappa_micro` is null when
+   * the denominator is 0 (pe = 1: both raters constant — kappa is
+   * undefined there, not 0).
+   *
+   * Scale: one hash-aggregate to the label-space contingency cells
+   * (|labels|² rows — tiny), marginals and S derive from the cells,
+   * never from the corpus again.
+   */
+  def annotatorAgreement(labeled: DataFrame, rater1: String,
+                         rater2: String): DataFrame = {
+    val cell = labeled
+      .select(col(rater1).cast("string").as("__r1"),
+        col(rater2).cast("string").as("__r2"))
+      .groupBy("__r1", "__r2").agg(count(lit(1)).as("__n"))
+    val m1 = cell.groupBy("__r1").agg(sum(col("__n")).as("__m1"))
+    val m2 = cell.groupBy("__r2").agg(sum(col("__n")).as("__m2"))
+    val s = m1.join(m2, m1("__r1") === m2("__r2"))
+      .agg(coalesce(sum(col("__m1") * col("__m2")), lit(0L)).as("__S"))
+    cell
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_items"),
+        coalesce(sum(when(col("__r1") === col("__r2"), col("__n"))
+          .otherwise(lit(0L))), lit(0L)).as("n_agree"))
+      .crossJoin(broadcast(s))
+      .select(col("n_items"), col("n_agree"),
+        when(col("n_items") > 0,
+          expr("n_agree * 1000000 DIV n_items")).as("po_micro"),
+        (col("n_agree") * col("n_items") - col("__S")).as("kappa_num"),
+        (col("n_items") * col("n_items") - col("__S")).as("kappa_den"))
+      .withColumn("kappa_micro",
+        when(col("kappa_den") =!= 0,
+          floor(lit(1000000.0) * col("kappa_num") / col("kappa_den"))
+            .cast("long")))
+  }
+
+  /**
+   * k-anonymity audit over a quasi-identifier column set — the privacy
+   * gate before a corpus ships: every row whose quasi-identifier
+   * combination is shared by fewer than `k` rows is re-identifiable to
+   * a group smaller than k. Emits one row:
+   * (n_rows, n_groups, n_below_k, rows_at_risk, risk_permille).
+   *
+   * Scale: one hash-aggregate on the quasi-identifier columns (map-side
+   * combined), then a second aggregate over the group-count frame —
+   * the corpus is read once, nothing corpus-sized shuffles twice.
+   */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_below_k"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(0L)),
+          lit(0L)).as("rows_at_risk"))
+      .withColumn("risk_permille",
+        when(col("n_rows") > 0, expr("rows_at_risk * 1000 DIV n_rows")))
+  }
 }

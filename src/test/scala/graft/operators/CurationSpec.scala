@@ -457,4 +457,59 @@ class CurationSpec extends SparkSpec {
     val d = rows(Curation.classifierAuc(onlyPos, "score", "label"))
     assert(d.head.take(3) == Seq(2L, 0L, 0L) && d.head(3) == null)
   }
+
+  test("ksDrift: exact cross statistic on hand-computed samples") {
+    // a = {1,1,2,3}, b = {2,3,3,4}: at v=1 |2*4 - 0*4| = 8 (the max);
+    // D = 8/16 = 0.5
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 4L).toDF("v")
+    val out = rows(Curation.ksDrift(a, b, "v")).head
+    assert(out == Seq(4L, 4L, 4L, 8L, 500000L))
+    // identical samples: D = 0
+    assert(rows(Curation.ksDrift(a, a, "v")).head ==
+      Seq(4L, 4L, 3L, 0L, 0L))
+    // one side empty: d_micro null, counts still reported
+    val e = rows(Curation.ksDrift(a, b.limit(0), "v")).head
+    assert(e(0) == 4L && e(1) == 0L && e(4) == null)
+    // disjoint supports: D = 1
+    val c = Seq(10L, 11L).toDF("v")
+    assert(rows(Curation.ksDrift(a, c, "v")).head(4) == 1000000L)
+    // partition-invariance of the integer path
+    assert(rows(Curation.ksDrift(a.repartition(5), b.repartition(3), "v")) ==
+      rows(Curation.ksDrift(a, b, "v")))
+  }
+
+  test("annotatorAgreement: kappa matches the closed form, sign-correct") {
+    // 2x2: cells (y,y)=4, (y,n)=1, (n,y)=1, (n,n)=4 -> n=10, agree=8,
+    // m1 = (5,5), m2 = (5,5), S = 50; kappa = (80-50)/(100-50) = 0.6
+    val df = (Seq.fill(4)(("y", "y")) ++ Seq(("y", "n"), ("n", "y")) ++
+      Seq.fill(4)(("n", "n"))).toDF("r1", "r2")
+    val out = rows(Curation.annotatorAgreement(df, "r1", "r2")).head
+    assert(out == Seq(10L, 8L, 800000L, 30L, 50L, 600000L))
+    // systematic DISagreement: kappa negative, floored (not truncated)
+    val bad = (Seq.fill(4)(("y", "n")) ++ Seq.fill(4)(("n", "y")) ++
+      Seq(("y", "y"), ("n", "n"))).toDF("r1", "r2")
+    val o2 = rows(Curation.annotatorAgreement(bad, "r1", "r2")).head
+    // n=10, agree=2, S=50: kappa = (20-50)/(100-50) = -0.6
+    assert(o2(3) == -30L && o2(4) == 50L && o2(5) == -600000L)
+    // both raters constant: pe = 1, kappa undefined -> null
+    val const = Seq(("y", "y"), ("y", "y")).toDF("r1", "r2")
+    assert(rows(Curation.annotatorAgreement(const, "r1", "r2")).head(5) == null)
+  }
+
+  test("kAnonymityAudit: groups below k and rows at risk") {
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L), // group of 3: safe at k=2
+      ("b", 1L), ("b", 1L),            // group of 2: safe
+      ("c", 2L)                        // singleton: at risk
+    ).toDF("qt", "qz")
+    val out = rows(Curation.kAnonymityAudit(df, Seq("qt", "qz"), 2L)).head
+    assert(out == Seq(6L, 3L, 1L, 1L, 166L))
+    // k=4: every group (3, 2, 1) is below k
+    val o2 = rows(Curation.kAnonymityAudit(df, Seq("qt", "qz"), 4L)).head
+    assert(o2 == Seq(6L, 3L, 3L, 6L, 1000L))
+    // k=3 flags the 2- and 1-groups
+    val o3 = rows(Curation.kAnonymityAudit(df, Seq("qt", "qz"), 3L)).head
+    assert(o3 == Seq(6L, 3L, 2L, 3L, 500L))
+  }
 }
