@@ -881,12 +881,27 @@ object Curation {
    * not corpus-sized. Emits one row:
    * (n_a, n_b, n_values, d_cross, d_micro).
    */
-  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    def counts(df: DataFrame, as: String) =
-      df.select(col(valueCol).cast("long").as("__v"))
-        .groupBy("__v").agg(count(lit(1)).as(as))
-    val merged = counts(a, "__ca").join(counts(b, "__cb"), Seq("__v"),
-        "full_outer")
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    ksDriftFromCounts(valueCounts(a, valueCol), valueCounts(b, valueCol))
+
+  /** Per-value BIGINT counts of `valueCol` — the reduced form both
+   * [[ksDrift]] sides collapse to, and the PERSISTABLE reference state
+   * for the streaming drift monitor (aggregate the reference corpus
+   * once, compare every batch against the counts): (v, n). */
+  def valueCounts(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+
+  /** [[ksDrift]] with BOTH sides already reduced to [[valueCounts]]
+   * frames — the streaming shape, where the reference is a persisted
+   * counts table and the observed side accumulates per batch. */
+  def ksDriftFromCounts(aCounts: DataFrame,
+                        bCounts: DataFrame): DataFrame = {
+    def shape(df: DataFrame, as: String) =
+      df.select(col("v").cast("long").as("__v"),
+        col("n").cast("long").as(as))
+    val merged = shape(aCounts, "__ca").join(shape(bCounts, "__cb"),
+        Seq("__v"), "full_outer")
       .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
     val totals = merged.agg(

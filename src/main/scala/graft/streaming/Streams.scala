@@ -1077,4 +1077,55 @@ object Streams {
         }
       }
       .start()
+
+  /**
+   * Streaming distribution-drift monitor — the streaming twin of
+   * [[graft.operators.Curation.ksDrift]] for a live ingest: is the
+   * stream's value distribution drifting away from a fixed REFERENCE
+   * corpus (the distribution the model was trained on)? Each
+   * micro-batch contributes its per-value counts to a growing counts
+   * index, and the CUMULATIVE stream distribution re-tests against the
+   * reference — a persisted [[graft.operators.Curation.valueCounts]]
+   * parquet, aggregated once from the reference corpus, never re-read
+   * at corpus width. One verdict row per batch lands under
+   * `batch=<id>` in `driftPath`: (n_a, n_b, n_values, d_cross,
+   * d_micro) with the reference as side a — consumers read
+   * last-batch-wins; the verdict sequence converges to the batch
+   * [[graft.operators.Curation.ksDrift]] over the concatenated input
+   * (StreamLaws asserts final-verdict equality for arbitrary splits).
+   *
+   * Exactly-once under foreachBatch's at-least-once contract: counts
+   * and verdicts both land in `batch=<id>` partitions in overwrite
+   * mode, so a replayed micro-batch rewrites itself; this counts index
+   * SUMS (like [[anomalySink]]'s), so batches at or below the
+   * [[compactedThrough]] watermark are skipped after a
+   * [[compactIndex]] fold.
+   *
+   * Scale: per batch, one batch-sized aggregate plus a
+   * value-space-sized (not corpus-sized) merge against the reference
+   * counts — the ingest corpus itself is never re-read.
+   */
+  def driftSink(stream: DataFrame, refCountsPath: String,
+                countsPath: String, driftPath: String,
+                checkpointDir: String,
+                valueCol: String = "value"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, countsPath)) {
+          val s = batch.sparkSession
+          graft.operators.Curation.valueCounts(batch, valueCol)
+            .write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+          val observed = s.read
+            .option("basePath", countsPath).parquet(countsPath)
+            .groupBy("v").agg(sum("n").cast("long").as("n"))
+          graft.operators.Curation.ksDriftFromCounts(
+            s.read.parquet(refCountsPath), observed)
+            .write.mode("overwrite").parquet(s"$driftPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
 }

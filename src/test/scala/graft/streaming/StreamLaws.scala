@@ -139,4 +139,36 @@ object StreamLaws extends Properties("graft.streams") {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       got == want
     }
+
+  // ---- driftSink -------------------------------------------------------
+
+  property("driftSink final verdict = batch ksDrift over the concatenated " +
+      "input, for any batch split") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(0L, 5L)),
+      Gen.listOfN(6, Gen.chooseNum(0L, 5L)), Gen.chooseNum(1, 5)) {
+      (refVals, streamVals, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val cut = math.min(splitAt, streamVals.size - 1).max(1)
+      val (b0, b1) = streamVals.splitAt(cut)
+      val ref = Files.createTempDirectory("law-dref").toString + "/c"
+      val cnt = Files.createTempDirectory("law-dcnt").toString
+      val outDir = Files.createTempDirectory("law-dout").toString
+      val cp = Files.createTempDirectory("law-dcp").toString
+      val refDf = refVals.toDF("value")
+      graft.operators.Curation.valueCounts(refDf, "value").write.parquet(ref)
+      val mem = MemoryStream[Long]
+      val q = Streams.driftSink(mem.toDF().toDF("value"), ref, cnt, outDir,
+        cp)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1").collect().head.toSeq
+      val want = graft.operators.Curation.ksDrift(refDf,
+        streamVals.toDF("value"), "value").collect().head.toSeq
+      got == want
+    }
 }

@@ -423,6 +423,34 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("driftSink: cumulative KS verdict converges to the batch statistic") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val ref = Files.createTempDirectory("driftref").toString + "/counts"
+    val cnt = Files.createTempDirectory("driftcnt").toString
+    val out = Files.createTempDirectory("driftout").toString
+    val cp = Files.createTempDirectory("driftcp").toString
+    val refData = Seq(1L, 1L, 2L, 3L).toDF("value")
+    graft.operators.Curation.valueCounts(refData, "value")
+      .write.parquet(ref)
+    val q = Streams.driftSink(mem.toDF().toDF("value"), ref, cnt, out, cp)
+    try {
+      mem.addData(2L, 3L)
+      q.processAllAvailable()
+      // batch 0: observed {2,3} vs ref {1,1,2,3}: d_cross at v=1 is
+      // |2*2 - 0*4| = 4 -> d_micro = 4e6/8 = 500000
+      assert(rows(spark.read.parquet(s"$out/batch=0")).head ==
+        Seq(4L, 2L, 3L, 4L, 500000L))
+      mem.addData(3L, 4L)
+      q.processAllAvailable()
+      // cumulative {2,3,3,4}: the hand-computed ksDrift example
+      val last = rows(spark.read.parquet(s"$out/batch=1")).head
+      assert(last == Seq(4L, 4L, 4L, 8L, 500000L))
+      assert(last == rows(graft.operators.Curation.ksDrift(
+        refData, Seq(2L, 3L, 3L, 4L).toDF("value"), "value")).head)
+    } finally q.stop()
+  }
+
   test("compactIndexBucketed self-heals a crashed swap before folding") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
