@@ -29,6 +29,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Fixtures.table(s, dir, name)
 
+  /** One-time (per JVM) persisted-index build for the `*_indexed` bench
+   * queries. The default in-memory catalog starts empty in every JVM,
+   * but a previous JVM's warehouse DIRECTORY can outlive it — so before
+   * the build, clear any stale locations for ALL the index's tables
+   * (plus staged-swap leftovers), avoiding LOCATION_ALREADY_EXISTS.
+   * The index counts as present only when EVERY table exists: a
+   * half-present set (build crash) rebuilds instead of serving
+   * missing-table errors or generation skew. */
+  private def memoIndex(s: SparkSession, base: String,
+                        suffixes: Seq[String])(build: => Unit): Unit =
+    if (!suffixes.forall(sfx => s.catalog.tableExists(base + sfx))) {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (sfx <- suffixes;
+           full <- Seq(sfx, sfx + "__swap_tmp", sfx + "__swap_backup")) {
+        s.sql(s"DROP TABLE IF EXISTS `$base$full`")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, base + full), true)
+      }
+      build
+    }
+
   /** events with `ts` renamed to `created_at` — the fixture stand-in for the
    * reference's "deals" payload (SURVEY.md §5). */
   private def deals(s: SparkSession, dir: String): DataFrame =
@@ -538,18 +560,7 @@ object SparkEntry {
     "incremental_neardup_indexed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val base = "graft_nd_idx_" + math.abs(dir.hashCode).toString
-      if (!s.catalog.tableExists(base + "_sigs")) {
-        // a previous JVM's default warehouse dir can outlive its
-        // in-memory catalog: saveAsTable then fails with
-        // LOCATION_ALREADY_EXISTS on the orphaned directory — clear any
-        // stale locations before the one-time index build
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq("_bands", "_sigs").foreach { sfx =>
-          s.sql(s"DROP TABLE IF EXISTS `$base$sfx`")
-          fs.delete(new org.apache.hadoop.fs.Path(wh, base + sfx), true)
-        }
+      memoIndex(s, base, Seq("_bands", "_sigs")) {
         Dedup.writeBandedIndex(
           Dedup.minhashSignatures(docs.filter(col("doc_id") % 7 =!= 0)), base)
       }
@@ -581,14 +592,7 @@ object SparkEntry {
     "incremental_embedding_neardup_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val base = "graft_emb_idx_" + math.abs(dir.hashCode).toString
-      if (!s.catalog.tableExists(base + "_sigs")) {
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq("_bands", "_sigs").foreach { sfx =>
-          s.sql(s"DROP TABLE IF EXISTS `$base$sfx`")
-          fs.delete(new org.apache.hadoop.fs.Path(wh, base + sfx), true)
-        }
+      memoIndex(s, base, Seq("_bands", "_sigs")) {
         Dedup.writeEmbeddingBandedIndex(
           Dedup.embeddingSignatures(emb.filter(col("vec_id") % 7 =!= 0)),
           base)
@@ -739,14 +743,7 @@ object SparkEntry {
     "ivf_topk_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val base = "graft_ivf_idx_" + math.abs(dir.hashCode).toString
-      if (!s.catalog.tableExists(base + "_cells")) {
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq("_cells", "_centroids").foreach { sfx =>
-          s.sql(s"DROP TABLE IF EXISTS `$base$sfx`")
-          fs.delete(new org.apache.hadoop.fs.Path(wh, base + sfx), true)
-        }
+      memoIndex(s, base, Seq("_cells", "_centroids")) {
         Similarity.writeIvfIndex(emb, base, nlist = 16, dim = 64)
       }
       Similarity.ivfTopKAgainstIndex(emb.filter(col("vec_id") < 10), base,
@@ -2304,19 +2301,21 @@ object SparkEntry {
         |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca,
         |        COALESCE(cb, 0) AS cb
         |      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
-        |c AS (SELECT CAST(sum(ca) OVER w AS BIGINT) AS cuma,
-        |        CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM m
+        |c AS (SELECT CAST(sum(ca) OVER w AS HUGEINT) AS cuma,
+        |        CAST(sum(cb) OVER w AS HUGEINT) AS cumb FROM m
         |      WINDOW w AS (ORDER BY v
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |t AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS n_a,
         |        CAST(COALESCE(sum(cb), 0) AS BIGINT) AS n_b,
         |        CAST(count(*) AS BIGINT) AS n_values FROM m),
-        |agg AS (SELECT CAST(COALESCE(max(abs(
-        |          c.cuma * t.n_b - c.cumb * t.n_a)), 0) AS BIGINT)
-        |          AS d_cross FROM c, t)
-        |SELECT t.n_a, t.n_b, t.n_values, agg.d_cross,
+        |agg AS (SELECT COALESCE(max(abs(
+        |          c.cuma * t.n_b - c.cumb * t.n_a)), 0) AS dc
+        |        FROM c, t)
+        |SELECT t.n_a, t.n_b, t.n_values,
+        |  TRY_CAST(agg.dc AS BIGINT) AS d_cross,
         |  CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
-        |    CAST(agg.d_cross * 1000000 // (t.n_a * t.n_b) AS BIGINT)
+        |    CAST(agg.dc * 1000000 // (CAST(t.n_a AS HUGEINT) * t.n_b)
+        |      AS BIGINT)
         |  END AS d_micro
         |FROM t, agg""".stripMargin,
 
@@ -2329,22 +2328,26 @@ object SparkEntry {
         |         FROM l GROUP BY 1, 2),
         |m1 AS (SELECT r1, CAST(sum(n) AS BIGINT) AS m1 FROM cell GROUP BY 1),
         |m2 AS (SELECT r2, CAST(sum(n) AS BIGINT) AS m2 FROM cell GROUP BY 1),
-        |s AS (SELECT CAST(COALESCE(sum(m1.m1 * m2.m2), 0) AS BIGINT) AS S
-        |      FROM m1 JOIN m2 ON m1.r1 = m2.r2),
+        |s AS (SELECT COALESCE(sum(CAST(m1.m1 AS HUGEINT) * m2.m2), 0)
+        |        AS S FROM m1 JOIN m2 ON m1.r1 = m2.r2),
         |t AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_items,
         |        CAST(COALESCE(sum(CASE WHEN r1 = r2 THEN n ELSE 0 END), 0)
-        |          AS BIGINT) AS n_agree FROM cell)
-        |SELECT t.n_items, t.n_agree,
-        |  CASE WHEN t.n_items > 0
-        |       THEN CAST(t.n_agree * 1000000 // t.n_items AS BIGINT)
+        |          AS BIGINT) AS n_agree FROM cell),
+        |r AS (SELECT t.n_items, t.n_agree,
+        |        CAST(t.n_agree AS HUGEINT) * t.n_items - s.S AS numh,
+        |        CAST(t.n_items AS HUGEINT) * t.n_items - s.S AS denh
+        |      FROM t, s)
+        |SELECT n_items, n_agree,
+        |  CASE WHEN n_items > 0
+        |       THEN CAST(CAST(n_agree AS HUGEINT) * 1000000 // n_items
+        |         AS BIGINT)
         |  END AS po_micro,
-        |  CAST(t.n_agree * t.n_items - s.S AS BIGINT) AS kappa_num,
-        |  CAST(t.n_items * t.n_items - s.S AS BIGINT) AS kappa_den,
-        |  CASE WHEN t.n_items * t.n_items - s.S <> 0 THEN
-        |    CAST(floor(1000000.0 * (t.n_agree * t.n_items - s.S) /
-        |               (t.n_items * t.n_items - s.S)) AS BIGINT)
+        |  TRY_CAST(numh AS BIGINT) AS kappa_num,
+        |  TRY_CAST(denh AS BIGINT) AS kappa_den,
+        |  CASE WHEN denh <> 0 THEN
+        |    CAST(floor(1000000.0 * numh / denh) AS BIGINT)
         |  END AS kappa_micro
-        |FROM t, s""".stripMargin,
+        |FROM r""".stripMargin,
 
     "k_anonymity" ->
       """WITH g AS (SELECT event_type, user_id % 200 AS cohort,

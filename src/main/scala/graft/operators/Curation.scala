@@ -894,7 +894,17 @@ object Curation {
 
   /** [[ksDrift]] with BOTH sides already reduced to [[valueCounts]]
    * frames — the streaming shape, where the reference is a persisted
-   * counts table and the observed side accumulates per batch. */
+   * counts table and the observed side accumulates per batch.
+   *
+   * Overflow posture (the cross term reaches n_a·n_b, and corpora at
+   * 100 TB can push that and d_cross·10⁶ past BIGINT): the cross term
+   * and the micro quotient compute in DECIMAL(38,0) — exact to 10³⁸ —
+   * so `d_micro` (≤ 10⁶ by construction) is ALWAYS exact; `d_cross` is
+   * reported as BIGINT via try_cast and reads null, not garbage, in
+   * the (n_a·n_b > 2⁶³) regime where it cannot fit. One pass over the
+   * merged counts: totals ride a full-frame window on the same sort as
+   * the cumulative sums, no second scan, no crossJoin.
+   */
   def ksDriftFromCounts(aCounts: DataFrame,
                         bCounts: DataFrame): DataFrame = {
     def shape(df: DataFrame, as: String) =
@@ -904,25 +914,31 @@ object Curation {
         Seq("__v"), "full_outer")
       .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
-    val totals = merged.agg(
-      coalesce(sum(col("__ca")), lit(0L)).as("__na"),
-      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
-    val w = Window.orderBy("__v")
+    val wCum = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dec = "decimal(38,0)"
     merged
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      .crossJoin(broadcast(totals))
-      .agg(max(col("__na")).as("__na2"), max(col("__nb")).as("__nb2"),
+      .withColumn("__cuma", sum(col("__ca")).over(wCum).cast(dec))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum).cast(dec))
+      .withColumn("__na", sum(col("__ca")).over(wAll).cast(dec))
+      .withColumn("__nb", sum(col("__cb")).over(wAll).cast(dec))
+      .agg(max(col("__na")).as("__naM"), max(col("__nb")).as("__nbM"),
         count(lit(1)).as("n_values"),
         coalesce(max(abs(col("__cuma") * col("__nb") -
-          col("__cumb") * col("__na"))), lit(0L)).as("d_cross"))
-      .select(coalesce(col("__na2"), lit(0L)).as("n_a"),
-        coalesce(col("__nb2"), lit(0L)).as("n_b"),
-        col("n_values"), col("d_cross"))
+            col("__cumb") * col("__na"))),
+          lit(0L).cast(dec)).as("__dc"))
+      .select(
+        coalesce(col("__naM"), lit(0L).cast(dec)).cast("long").as("n_a"),
+        coalesce(col("__nbM"), lit(0L).cast(dec)).cast("long").as("n_b"),
+        col("n_values"), col("__dc"))
+      .withColumn("d_cross", expr("try_cast(__dc AS BIGINT)"))
       .withColumn("d_micro",
-        when(col("n_a") > 0 && col("n_b") > 0,
-          expr("d_cross * 1000000 DIV (n_a * n_b)")))
+        when(col("n_a") > 0 && col("n_b") > 0, expr(
+          "CAST((__dc * 1000000) DIV " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")))
+      .select("n_a", "n_b", "n_values", "d_cross", "d_micro")
   }
 
   /**
@@ -951,21 +967,31 @@ object Curation {
     val m1 = cell.groupBy("__r1").agg(sum(col("__n")).as("__m1"))
     val m2 = cell.groupBy("__r2").agg(sum(col("__n")).as("__m2"))
     val s = m1.join(m2, m1("__r1") === m2("__r2"))
-      .agg(coalesce(sum(col("__m1") * col("__m2")), lit(0L)).as("__S"))
+      .agg(coalesce(sum(col("__m1").cast("decimal(38,0)") * col("__m2")),
+        lit(0L).cast("decimal(38,0)")).as("__S"))
+    // n², S, and agree·n can pass BIGINT for corpora beyond ~3e9 labeled
+    // items: the rational computes in DECIMAL(38,0) (exact to 10³⁸);
+    // kappa_num/kappa_den read null via try_cast — never garbage — in
+    // the regime where they cannot fit BIGINT, while kappa_micro (a
+    // bounded quotient) stays valid throughout
     cell
       .agg(coalesce(sum(col("__n")), lit(0L)).as("n_items"),
         coalesce(sum(when(col("__r1") === col("__r2"), col("__n"))
           .otherwise(lit(0L))), lit(0L)).as("n_agree"))
       .crossJoin(broadcast(s))
+      .withColumn("__numD", expr(
+        "CAST(n_agree AS DECIMAL(38,0)) * n_items - CAST(__S AS DECIMAL(38,0))"))
+      .withColumn("__denD", expr(
+        "CAST(n_items AS DECIMAL(38,0)) * n_items - CAST(__S AS DECIMAL(38,0))"))
       .select(col("n_items"), col("n_agree"),
-        when(col("n_items") > 0,
-          expr("n_agree * 1000000 DIV n_items")).as("po_micro"),
-        (col("n_agree") * col("n_items") - col("__S")).as("kappa_num"),
-        (col("n_items") * col("n_items") - col("__S")).as("kappa_den"))
-      .withColumn("kappa_micro",
-        when(col("kappa_den") =!= 0,
-          floor(lit(1000000.0) * col("kappa_num") / col("kappa_den"))
-            .cast("long")))
+        when(col("n_items") > 0, expr(
+          "CAST(CAST(n_agree AS DECIMAL(38,0)) * 1000000 DIV n_items " +
+            "AS BIGINT)")).as("po_micro"),
+        expr("try_cast(__numD AS BIGINT)").as("kappa_num"),
+        expr("try_cast(__denD AS BIGINT)").as("kappa_den"),
+        when(col("__denD") =!= 0,
+          floor(lit(1000000.0) * col("__numD").cast("double") /
+            col("__denD").cast("double")).cast("long")).as("kappa_micro"))
   }
 
   /**

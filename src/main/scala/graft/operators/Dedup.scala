@@ -522,9 +522,15 @@ object Dedup {
       case Some(c) =>
         // pairs can only form in buckets the batch holds, so the cap only
         // needs sizes for those: count index members per touched bucket
-        // plus batch members per bucket = the full post-batch population
+        // plus batch members per bucket = the full post-batch population.
+        // Index members that ARE batch ids (replay-after-fold overlap)
+        // are excluded from the index count — they'd count twice and
+        // trip the cap at half its contract on exactly the replays the
+        // a != b shield protects.
         val touched = allNewBands.select("bb").distinct()
         val idxSizes = idxBands.join(broadcast(touched), Seq("bb"), "left_semi")
+          .join(broadcast(newSigs.select(col(idCol))), Seq(idCol),
+            "left_anti")
           .groupBy("bb").agg(count(lit(1)).as("__ni"))
         val newSizes = allNewBands.groupBy("bb").agg(count(lit(1)).as("__nn"))
         val kept = newSizes.join(idxSizes, Seq("bb"), "left_outer")
@@ -1154,6 +1160,15 @@ object Dedup {
    * acos(cos) / pi, so a hamming threshold IS a cosine threshold in
    * expectation (the estimate contract, like the MinHash-estimate
    * verify of [[incrementalNearDups]]).
+   *
+   * FORMAT VERSION: the plane family is the xorshift-mixed LCG
+   * (graft.plans.HyperplaneSig, since round 11 — the earlier plain-LCG
+   * planes were inter-correlated). Signatures from different formula
+   * versions are mutually random (hamming ~ totalPlanes/2), so an index
+   * persisted under the old formula silently stops matching new
+   * batches: REBUILD persisted signature indexes when this formula ever
+   * changes, and version the index base name if mixed deployments are
+   * possible.
    */
   def embeddingSignatures(emb: DataFrame, totalPlanes: Int = 63,
                           dim: Int = 64, idCol: String = "vec_id",
@@ -1286,8 +1301,12 @@ object Dedup {
     val newBands = maxBucketSize match {
       case None => allNewBands
       case Some(c) =>
+        // replay-overlap ids excluded from the index count, as in
+        // incrementalNearDupsAgainstIndex
         val touched = allNewBands.select("bb").distinct()
         val idxSizes = idxBands.join(broadcast(touched), Seq("bb"), "left_semi")
+          .join(broadcast(newSigs.select(col(idCol))), Seq(idCol),
+            "left_anti")
           .groupBy("bb").agg(count(lit(1)).as("__ni"))
         val newSizes = allNewBands.groupBy("bb").agg(count(lit(1)).as("__nn"))
         val kept = newSizes.join(idxSizes, Seq("bb"), "left_outer")

@@ -455,6 +455,18 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
+    // the index is a two-table set replaced via the staged swap — after
+    // Tables.recoverSwap both exist or neither does. Exactly one
+    // existing (or a generation-skewed pair after a crash between the
+    // commits) would silently route queries with the wrong centroids;
+    // fail loudly like the dedup bulk tier (Streams.requireBulkPair).
+    val hasCells = spark.catalog.tableExists(baseTable + "_cells")
+    val hasCents = spark.catalog.tableExists(baseTable + "_centroids")
+    if (!hasCells || !hasCents)
+      throw new IllegalStateException(
+        s"IVF index for '$baseTable' is incomplete (cells=$hasCells, " +
+          s"centroids=$hasCents): run Tables.recoverSwap on both tables " +
+          "and re-run writeIvfIndex before querying")
     // nlist-bounded driver collect: the routing table IS the contract
     val cents = spark.table(baseTable + "_centroids")
       .orderBy("cell").collect()

@@ -429,6 +429,12 @@ class SimilaritySpec extends SparkSpec {
         k = 5, nprobe = 2)
       assert(rows(rebuilt.filter(col("neighbor_id") % 2 =!= 0)).isEmpty)
       assert(rebuilt.count() > 0)
+      // half-present index (e.g. crash between the two swap commits):
+      // refuse rather than route with the wrong generation
+      graft.tables.Tables.dropTable(spark, "ivf_idx_test_centroids")
+      intercept[IllegalStateException] {
+        Similarity.ivfTopKAgainstIndex(queries, "ivf_idx_test")
+      }
     } finally Seq("_cells", "_centroids").foreach(sfx =>
       graft.tables.Tables.dropTable(spark, "ivf_idx_test" + sfx))
   }
