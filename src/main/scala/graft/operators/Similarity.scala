@@ -467,13 +467,33 @@ object Similarity {
         s"IVF index for '$baseTable' is incomplete (cells=$hasCells, " +
           s"centroids=$hasCents): run Tables.recoverSwap on both tables " +
           "and re-run writeIvfIndex before querying")
-    // nlist-bounded driver collect: the routing table IS the contract
-    val cents = spark.table(baseTable + "_centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    val cents = indexCentroids(spark, baseTable)
     val c = spark.table(baseTable + "_cells")
       .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
         col("nrm").as("nc"), col("cell"))
+    ivfProbeRank(c, queries, cents, k, nprobe, idCol, vecCol,
+      dedupCandidates = false)
+  }
+
+  /** nlist-bounded driver collect of the persisted routing table — the
+   * same driver contract as [[trainIvfCentroids]]. */
+  private def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+                             baseTable: String): Seq[Seq[Double]] =
+    spark.table(baseTable + "_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** Shared probe-and-rank tail of the persisted-index searches: the
+   * (small) query set broadcasts with its probe cells exploded, joins the
+   * cell-keyed corpus frame, exact-cosine ranks per query. Each corpus
+   * vector lives in exactly ONE cell, so (query, neighbor) rows are
+   * unique — `dedupCandidates` exists for the TIERED path, where a
+   * vector can transiently sit in both the bulk table and the delta
+   * tree (the fold's crash window). */
+  private def ivfProbeRank(corpusCells: DataFrame, queries: DataFrame,
+                           cents: Seq[Seq[Double]], k: Int, nprobe: Int,
+                           idCol: String, vecCol: String,
+                           dedupCandidates: Boolean): DataFrame = {
     val q = broadcast(withIvfCell(queries, cents, vecCol)
       .withColumn("__probes", expr(
         s"""slice(array_sort(
@@ -485,12 +505,74 @@ object Similarity {
         explode(expr("transform(__probes, p -> p.idx)")).as("cell")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(q, Seq("cell"))
+    val cand = corpusCells.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+    val deduped =
+      if (dedupCandidates) cand.dropDuplicates("query_id", "neighbor_id")
+      else cand
+    deduped
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
+   * Assign a batch of NEW vectors to the persisted index's cells — the
+   * incremental half of [[writeIvfIndex]]: the frozen routing table
+   * (nlist rows) classifies the batch in one narrow projection, emitting
+   * the `_cells` row shape (idCol, vec, nrm, cell). Centroids stay
+   * frozen between [[writeIvfIndex]] rebuilds — at 100 TB cell drift is
+   * handled by a periodic retrain/rebuild cadence, never per batch.
+   */
+  def ivfDeltaAssign(batch: DataFrame, baseTable: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = indexCentroids(batch.sparkSession, baseTable)
+    withIvfCell(batch, cents, vecCol)
+      .select(col(idCol), col(vecCol).as("vec"),
+        VectorFns.norm(vecCol).as("nrm"), col("__cell").as("cell"))
+  }
+
+  /**
+   * [[ivfTopKAgainstIndex]] over the TIERED corpus: the bucketed bulk
+   * `_cells` table plus the `batch=<id>` delta tree a
+   * [[graft.streaming.Streams.ivfIngestSink]] appends — the ANN twin
+   * of the dedup `tieredPairs`. The bulk side still reads at its
+   * bucketing under the broadcast probe join (a union leg keeps its own
+   * scan); the delta side is micro-batch-scale until the next
+   * [[graft.streaming.Streams.compactIvfDelta]] fold. Candidates dedup
+   * on (query, neighbor) before ranking, so a vector present in BOTH
+   * tiers (the fold's crash window) cannot double-rank.
+   */
+  def ivfTopKTiered(queries: DataFrame, baseTable: String,
+                    deltaPath: String, k: Int = 10, nprobe: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val hasCells = spark.catalog.tableExists(baseTable + "_cells")
+    val hasCents = spark.catalog.tableExists(baseTable + "_centroids")
+    if (!hasCells || !hasCents)
+      throw new IllegalStateException(
+        s"IVF index for '$baseTable' is incomplete (cells=$hasCells, " +
+          s"centroids=$hasCents): run Tables.recoverSwap on both tables " +
+          "and re-run writeIvfIndex before querying")
+    val cents = indexCentroids(spark, baseTable)
+    val bulk = spark.table(baseTable + "_cells")
+      .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
+        col("nrm").as("nc"), col("cell"))
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDelta = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    val corpus =
+      if (!hasDelta) bulk
+      else bulk.union(
+        spark.read.option("basePath", deltaPath).parquet(deltaPath)
+          .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
+            col("nrm").as("nc"), col("cell")))
+    ivfProbeRank(corpus, queries, cents, k, nprobe, idCol, vecCol,
+      dedupCandidates = hasDelta)
   }
 
   /**

@@ -1128,4 +1128,72 @@ object Streams {
         }
       }
       .start()
+
+  /**
+   * Streaming IVF ingest — grow a [[graft.operators.Similarity
+   * .writeIvfIndex]] ANN index from a live vector stream: each
+   * micro-batch is classified against the FROZEN routing table
+   * ([[graft.operators.Similarity.ivfDeltaAssign]], one narrow
+   * projection per batch) and lands as `_cells`-shaped rows under
+   * `deltaPath/batch=<id>` — the idempotent index-partition protocol,
+   * so a replayed micro-batch rewrites itself. Queries see the full
+   * tiered corpus through [[graft.operators.Similarity.ivfTopKTiered]];
+   * [[compactIvfDelta]] folds the delta tree into the bucketed bulk on
+   * cadence. Centroids never move per batch — cell drift is a periodic
+   * retrain/rebuild decision, like every index layout choice here.
+   */
+  def ivfIngestSink(stream: DataFrame, baseTable: String,
+                    deltaPath: String, checkpointDir: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Similarity.ivfDeltaAssign(batch, baseTable,
+            idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$deltaPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
+   * Quiesced fold of an [[ivfIngestSink]] delta tree into the bucketed
+   * bulk `_cells` table — the ANN sibling of [[compactIndexBucketed]]:
+   * bulk ∪ delta, deduped by id (covers the replayed-batch and
+   * crash-window overlaps), staged-swapped over `_cells` (centroids
+   * are immutable between rebuilds, so only one table swaps), then the
+   * folded delta partitions prune. Crash protocol: a crash during the
+   * stage leaves the bulk untouched; during the commit it is a drilled
+   * [[graft.tables.Tables.recoverSwap]] window (run at entry here, so
+   * "re-run the fold" is the complete recovery); after the commit but
+   * before pruning, vectors sit in both tiers — which
+   * [[graft.operators.Similarity.ivfTopKTiered]] tolerates by
+   * candidate dedup, and the re-run fold's id-dedup collapses.
+   */
+  def compactIvfDelta(spark: SparkSession, deltaPath: String,
+                      baseTable: String, numBuckets: Int = 8,
+                      idCol: String = "vec_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.tables.Tables.recoverSwap(spark, baseTable + "_cells")
+    graft.tables.Tables.recoverSwap(spark, baseTable + "_centroids")
+    val root = new Path(deltaPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val batchIds = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+    if (batchIds.isEmpty) return
+    val delta = spark.read.option("basePath", deltaPath).parquet(deltaPath)
+      .select(col(idCol), col("vec"), col("nrm"), col("cell"))
+    val all = spark.table(baseTable + "_cells")
+      .select(col(idCol), col("vec"), col("nrm"), col("cell"))
+      .union(delta)
+      .dropDuplicates(idCol)
+    graft.tables.Tables.stageBucketedSwap(all, baseTable + "_cells",
+      "cell", numBuckets)
+    graft.tables.Tables.commitSwaps(spark, Seq(baseTable + "_cells"))
+    batchIds.foreach(b => fs.delete(new Path(root, b), true))
+  }
 }

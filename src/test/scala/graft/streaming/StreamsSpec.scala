@@ -423,6 +423,64 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfIngestSink + ivfTopKTiered: streamed vectors are searchable; " +
+      "fold preserves results and prunes the delta") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    // initial corpus holds the lowest ids, so a full-corpus rebuild picks
+    // the SAME seed centroids — making the tiered result comparable to a
+    // one-shot index over everything
+    val initial = emb.filter(col("vec_id") < 100)
+    val later = emb.filter(col("vec_id") >= 100)
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("ivfstream", "ivffull").foreach(b =>
+      Seq("_cells", "_centroids").foreach(sfx =>
+        Tables.dropTable(spark, b + sfx)))
+    Similarity.writeIvfIndex(initial, "ivfstream", nlist = 16, numBuckets = 4)
+    val delta = Files.createTempDirectory("ivfdelta").toString
+    val cp = Files.createTempDirectory("ivfcp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "ivfstream", delta, cp)
+    try {
+      val rows2 = later.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (b0, b1) = rows2.splitAt(rows2.length / 2)
+      mem.addData(b0.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // reference: one-shot index over the full corpus (same seeds)
+    Similarity.writeIvfIndex(emb, "ivffull", nlist = 16, numBuckets = 4)
+    val want = rows(Similarity.ivfTopKAgainstIndex(queries, "ivffull")
+      .orderBy("query_id", "rank"))
+    val tiered = rows(Similarity.ivfTopKTiered(queries, "ivfstream", delta)
+      .orderBy("query_id", "rank"))
+    assert(tiered == want && want.nonEmpty)
+    // crash-window tolerance: plant a bulk vector in the delta too —
+    // results must not change (candidate dedup)
+    spark.table("ivfstream_cells").limit(3)
+      .write.mode("overwrite").parquet(s"$delta/batch=99")
+    assert(rows(Similarity.ivfTopKTiered(queries, "ivfstream", delta)
+      .orderBy("query_id", "rank")) == want)
+    // quiesced fold: delta pruned, bulk-only search preserves results
+    Streams.compactIvfDelta(spark, delta, "ivfstream", numBuckets = 4)
+    assert(!new java.io.File(delta).listFiles()
+      .exists(_.getName.startsWith("batch=")), "folded delta pruned")
+    assert(spark.table("ivfstream_cells").count() == emb.count())
+    assert(rows(Similarity.ivfTopKAgainstIndex(queries, "ivfstream")
+      .orderBy("query_id", "rank")) == want)
+    // tiered with an empty delta = plain bulk
+    assert(rows(Similarity.ivfTopKTiered(queries, "ivfstream", delta)
+      .orderBy("query_id", "rank")) == want)
+    Seq("ivfstream", "ivffull").foreach(b =>
+      Seq("_cells", "_centroids").foreach(sfx =>
+        Tables.dropTable(spark, b + sfx)))
+  }
+
   test("driftSink: cumulative KS verdict converges to the batch statistic") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
