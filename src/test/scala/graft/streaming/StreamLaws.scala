@@ -171,4 +171,54 @@ object StreamLaws extends Properties("graft.streams") {
         streamVals.toDF("value"), "value").collect().head.toSeq
       got == want
     }
+
+  // ---- ivfIngestSink ---------------------------------------------------
+
+  property("ivfIngestSink + tiered search = one-shot index over the " +
+      "concatenated corpus, for any batch split") =
+    forAll(Gen.listOfN(12, vecGen), Gen.chooseNum(1, 11)) {
+      (extra, splitAt) =>
+      import graft.operators.Similarity
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // ids 0..3 form the initial corpus (and the nlist=4 seed set, so
+      // the one-shot full rebuild derives the SAME centroids); the rest
+      // stream in two batches at an arbitrary split
+      val base = (0 until 4).map(i => (i.toLong, Seq.fill(Dim)(0.0f)
+        .updated(i % Dim, 1.0f)))
+      val docs = extra.zipWithIndex.map { case (v, i) =>
+        ((i + 4).toLong, v.toSeq) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      Seq("lawivf", "lawivf_full").foreach(b =>
+        Seq("_cells", "_centroids").foreach(sfx =>
+          graft.tables.Tables.dropTable(spark, b + sfx)))
+      Similarity.writeIvfIndex(base.toDF("vec_id", "embedding"), "lawivf",
+        nlist = 4, dim = Dim, numBuckets = 2)
+      val delta = Files.createTempDirectory("law-ivfd").toString
+      val cp = Files.createTempDirectory("law-ivfc").toString
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.ivfIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+        "lawivf", delta, cp)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val all = (base ++ docs).toDF("vec_id", "embedding")
+      Similarity.writeIvfIndex(all, "lawivf_full", nlist = 4, dim = Dim,
+        numBuckets = 2)
+      val queries = all.filter(col("vec_id") < 2)
+      val got = Similarity.ivfTopKTiered(queries, "lawivf", delta,
+        k = 5, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Similarity.ivfTopKAgainstIndex(queries, "lawivf_full",
+        k = 5, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Seq("lawivf", "lawivf_full").foreach(b =>
+        Seq("_cells", "_centroids").foreach(sfx =>
+          graft.tables.Tables.dropTable(spark, b + sfx)))
+      got == want
+    }
 }
