@@ -455,11 +455,23 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    // the index is a two-table set replaced via the staged swap — after
-    // Tables.recoverSwap both exist or neither does. Exactly one
-    // existing (or a generation-skewed pair after a crash between the
-    // commits) would silently route queries with the wrong centroids;
-    // fail loudly like the dedup bulk tier (Streams.requireBulkPair).
+    val cents = ivfRouting(spark, baseTable)
+    ivfProbeRank(bulkCells(spark, baseTable, idCol), queries, cents, k,
+      nprobe, idCol, vecCol, dedupCandidates = false)
+  }
+
+  /**
+   * The persisted index's frozen routing table as a driver value —
+   * the nlist-bounded collect every probe/assign path starts from (the
+   * same driver contract as [[trainIvfCentroids]]). Fails loudly when
+   * the two-table set is half-present: the index is replaced via the
+   * staged swap, so after [[graft.tables.Tables.recoverSwap]] both
+   * tables exist or neither does, and exactly one (or a
+   * generation-skewed pair after a crash between the commits) would
+   * silently route queries with the wrong centroids.
+   */
+  def ivfRouting(spark: org.apache.spark.sql.SparkSession,
+                 baseTable: String): Seq[Seq[Double]] = {
     val hasCells = spark.catalog.tableExists(baseTable + "_cells")
     val hasCents = spark.catalog.tableExists(baseTable + "_centroids")
     if (!hasCells || !hasCents)
@@ -467,21 +479,17 @@ object Similarity {
         s"IVF index for '$baseTable' is incomplete (cells=$hasCells, " +
           s"centroids=$hasCents): run Tables.recoverSwap on both tables " +
           "and re-run writeIvfIndex before querying")
-    val cents = indexCentroids(spark, baseTable)
-    val c = spark.table(baseTable + "_cells")
-      .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
-        col("nrm").as("nc"), col("cell"))
-    ivfProbeRank(c, queries, cents, k, nprobe, idCol, vecCol,
-      dedupCandidates = false)
-  }
-
-  /** nlist-bounded driver collect of the persisted routing table — the
-   * same driver contract as [[trainIvfCentroids]]. */
-  private def indexCentroids(spark: org.apache.spark.sql.SparkSession,
-                             baseTable: String): Seq[Seq[Double]] =
     spark.table(baseTable + "_centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** The bulk `_cells` table in the probe join's column shape. */
+  private def bulkCells(spark: org.apache.spark.sql.SparkSession,
+                        baseTable: String, idCol: String): DataFrame =
+    spark.table(baseTable + "_cells")
+      .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
+        col("nrm").as("nc"), col("cell"))
 
   /** Shared probe-and-rank tail of the persisted-index searches: the
    * (small) query set broadcasts with its probe cells exploded, joins the
@@ -520,19 +528,23 @@ object Similarity {
   /**
    * Assign a batch of NEW vectors to the persisted index's cells — the
    * incremental half of [[writeIvfIndex]]: the frozen routing table
-   * (nlist rows) classifies the batch in one narrow projection, emitting
-   * the `_cells` row shape (idCol, vec, nrm, cell). Centroids stay
-   * frozen between [[writeIvfIndex]] rebuilds — at 100 TB cell drift is
-   * handled by a periodic retrain/rebuild cadence, never per batch.
+   * (nlist rows, pass [[ivfRouting]]'s collect) classifies the batch in
+   * one narrow projection, emitting the `_cells` row shape (idCol, vec,
+   * nrm, cell). Centroids stay frozen between [[writeIvfIndex]]
+   * rebuilds — at 100 TB cell drift is handled by a periodic
+   * retrain/rebuild cadence, never per batch. REBUILD ORDER: fold and
+   * prune the delta tree ([[graft.streaming.Streams.compactIvfDelta]])
+   * BEFORE any [[writeIvfIndex]] retrain — delta rows carry the cell
+   * ids of the routing table that assigned them, and a rebuild under an
+   * unfolded delta leaves those assignments pointing into the wrong
+   * generation (silently wrong probes, no error).
    */
-  def ivfDeltaAssign(batch: DataFrame, baseTable: String,
+  def ivfDeltaAssign(batch: DataFrame, cents: Seq[Seq[Double]],
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val cents = indexCentroids(batch.sparkSession, baseTable)
+                     vecCol: String = "embedding"): DataFrame =
     withIvfCell(batch, cents, vecCol)
       .select(col(idCol), col(vecCol).as("vec"),
         VectorFns.norm(vecCol).as("nrm"), col("__cell").as("cell"))
-  }
 
   /**
    * [[ivfTopKAgainstIndex]] over the TIERED corpus: the bucketed bulk
@@ -544,31 +556,43 @@ object Similarity {
    * [[graft.streaming.Streams.compactIvfDelta]] fold. Candidates dedup
    * on (query, neighbor) before ranking, so a vector present in BOTH
    * tiers (the fold's crash window) cannot double-rank.
+   *
+   * Concurrency: safe alongside the RUNNING sink (an in-flight batch
+   * write is invisible until committed — see the committed-file check
+   * below), but quiesce tiered QUERIES during [[graft.streaming
+   * .Streams.compactIvfDelta]] and during a replayed batch's rewrite:
+   * both delete files a concurrently planned query may have already
+   * listed (FileNotFoundException at action time) — the same
+   * run-quiesced contract as every compaction here. And fold BEFORE
+   * any [[writeIvfIndex]] retrain (see [[ivfDeltaAssign]]'s REBUILD
+   * ORDER note).
    */
   def ivfTopKTiered(queries: DataFrame, baseTable: String,
                     deltaPath: String, k: Int = 10, nprobe: Int = 4,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    val hasCells = spark.catalog.tableExists(baseTable + "_cells")
-    val hasCents = spark.catalog.tableExists(baseTable + "_centroids")
-    if (!hasCells || !hasCents)
-      throw new IllegalStateException(
-        s"IVF index for '$baseTable' is incomplete (cells=$hasCells, " +
-          s"centroids=$hasCents): run Tables.recoverSwap on both tables " +
-          "and re-run writeIvfIndex before querying")
-    val cents = indexCentroids(spark, baseTable)
-    val bulk = spark.table(baseTable + "_cells")
-      .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
-        col("nrm").as("nc"), col("cell"))
+    val cents = ivfRouting(spark, baseTable)
+    val bulk = bulkCells(spark, baseTable, idCol)
     val p = new org.apache.hadoop.fs.Path(deltaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasDelta = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    // a batch= dir can exist with only an in-flight _temporary inside
+    // (mid-first-write, or a crash there): require a COMMITTED data
+    // file, and read with the bulk table's schema so an
+    // uncommitted-only tree yields empty rows, never a
+    // schema-inference error — the tiered path must keep serving
+    // DURING ingest
+    val hasDelta = fs.exists(p) && fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("batch="))
+      .exists(d => fs.listStatus(d.getPath).exists { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      })
     val corpus =
       if (!hasDelta) bulk
       else bulk.union(
-        spark.read.option("basePath", deltaPath).parquet(deltaPath)
+        spark.read.schema(spark.table(baseTable + "_cells").schema)
+          .option("basePath", deltaPath).parquet(deltaPath)
           .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
             col("nrm").as("nc"), col("cell")))
     ivfProbeRank(corpus, queries, cents, k, nprobe, idCol, vecCol,

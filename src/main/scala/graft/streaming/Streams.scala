@@ -1145,33 +1145,51 @@ object Streams {
   def ivfIngestSink(stream: DataFrame, baseTable: String,
                     deltaPath: String, checkpointDir: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): StreamingQuery =
+                    vecCol: String = "embedding"): StreamingQuery = {
+    // collect the frozen routing table ONCE at sink start (nlist rows,
+    // with the half-present-index guard) — not per micro-batch: the
+    // sink's own contract freezes centroids for its lifetime, and the
+    // captured value also pins one consistent generation even if a
+    // rebuild races the stream (the rebuild-order contract still says
+    // quiesce + fold first)
+    val cents = graft.operators.Similarity.ivfRouting(
+      stream.sparkSession, baseTable)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.Similarity.ivfDeltaAssign(batch, baseTable,
+          graft.operators.Similarity.ivfDeltaAssign(batch, cents,
             idCol, vecCol)
             .write.mode("overwrite").parquet(s"$deltaPath/batch=$batchId")
           ()
         }
       }
       .start()
+  }
 
   /**
    * Quiesced fold of an [[ivfIngestSink]] delta tree into the bucketed
    * bulk `_cells` table — the ANN sibling of [[compactIndexBucketed]]:
-   * bulk ∪ delta, deduped by id (covers the replayed-batch and
-   * crash-window overlaps), staged-swapped over `_cells` (centroids
-   * are immutable between rebuilds, so only one table swaps), then the
-   * folded delta partitions prune. Crash protocol: a crash during the
-   * stage leaves the bulk untouched; during the commit it is a drilled
+   * bulk ∪ delta deduped by id with DELTA precedence (the newer
+   * assignment deterministically wins when an id sits in both tiers —
+   * the replayed-batch and crash-window overlaps; a plain
+   * dropDuplicates would keep a plan-dependent arbitrary row),
+   * staged-swapped over `_cells` (centroids are immutable between
+   * rebuilds, so only one table swaps), then the folded delta
+   * partitions prune. Crash protocol: a crash during the stage leaves
+   * the bulk untouched; during the commit it is a drilled
    * [[graft.tables.Tables.recoverSwap]] window (run at entry here, so
    * "re-run the fold" is the complete recovery); after the commit but
    * before pruning, vectors sit in both tiers — which
    * [[graft.operators.Similarity.ivfTopKTiered]] tolerates by
    * candidate dedup, and the re-run fold's id-dedup collapses.
+   *
+   * Run QUIESCED — stream stopped AND no tiered queries in flight (the
+   * prune deletes files a planned query may have listed), like every
+   * compaction here. Run this BEFORE any [[graft.operators.Similarity
+   * .writeIvfIndex]] retrain: delta cell ids belong to the routing
+   * generation that assigned them.
    */
   def compactIvfDelta(spark: SparkSession, deltaPath: String,
                       baseTable: String, numBuckets: Int = 8,
@@ -1185,12 +1203,17 @@ object Streams {
     val batchIds = fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
     if (batchIds.isEmpty) return
+    val cols = Seq(col(idCol), col("vec"), col("nrm"), col("cell"))
     val delta = spark.read.option("basePath", deltaPath).parquet(deltaPath)
-      .select(col(idCol), col("vec"), col("nrm"), col("cell"))
+      .select(cols: _*).withColumn("__tier", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__tier").desc)
     val all = spark.table(baseTable + "_cells")
-      .select(col(idCol), col("vec"), col("nrm"), col("cell"))
+      .select(cols: _*).withColumn("__tier", lit(0))
       .union(delta)
-      .dropDuplicates(idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols: _*)
     graft.tables.Tables.stageBucketedSwap(all, baseTable + "_cells",
       "cell", numBuckets)
     graft.tables.Tables.commitSwaps(spark, Seq(baseTable + "_cells"))
