@@ -466,11 +466,43 @@ class StreamsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$delta/batch=99")
     assert(rows(Similarity.ivfTopKTiered(queries, "ivfstream", delta)
       .orderBy("query_id", "rank")) == want)
+    // in-flight-write tolerance: a batch dir holding only an
+    // uncommitted _temporary tree must not break the tiered query
+    val inflight = new java.io.File(s"$delta/batch=100/_temporary")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$delta/batch=100/_temporary/part-0"),
+      Array[Byte](1, 2, 3))
+    assert(rows(Similarity.ivfTopKTiered(queries, "ivfstream", delta)
+      .orderBy("query_id", "rank")) == want)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$delta/batch=100"))
+    // delta precedence: re-deliver bulk id 0 with a CHANGED row — the
+    // fold must deterministically keep the delta version
+    val changed = spark.table("ivfstream_cells")
+      .filter(col("vec_id") === 0L)
+      .withColumn("nrm", col("nrm") + 123.0)
+    changed.write.mode("overwrite").parquet(s"$delta/batch=101")
+    // collect the expectation NOW — the fold swaps the generation this
+    // plan reads from
+    val changedNrm = rows(changed.select("nrm"))
     // quiesced fold: delta pruned, bulk-only search preserves results
     Streams.compactIvfDelta(spark, delta, "ivfstream", numBuckets = 4)
     assert(!new java.io.File(delta).listFiles()
       .exists(_.getName.startsWith("batch=")), "folded delta pruned")
     assert(spark.table("ivfstream_cells").count() == emb.count())
+    assert(rows(spark.table("ivfstream_cells")
+      .filter(col("vec_id") === 0L).select("nrm")) == changedNrm,
+      "delta version won the fold")
+    // restore id 0 so the result-preservation checks below see the
+    // original corpus (materialize before folding — the fold swaps the
+    // generation this plan reads from)
+    spark.table("ivfstream_cells")
+      .withColumn("nrm",
+        when(col("vec_id") === 0L, col("nrm") - 123.0)
+          .otherwise(col("nrm")))
+      .write.mode("overwrite").parquet(s"$delta/batch=102")
+    Streams.compactIvfDelta(spark, delta, "ivfstream", numBuckets = 4)
     assert(rows(Similarity.ivfTopKAgainstIndex(queries, "ivfstream")
       .orderBy("query_id", "rank")) == want)
     // tiered with an empty delta = plain bulk
