@@ -429,6 +429,26 @@ class SimilaritySpec extends SparkSpec {
         k = 5, nprobe = 2)
       assert(rows(rebuilt.filter(col("neighbor_id") % 2 =!= 0)).isEmpty)
       assert(rebuilt.count() > 0)
+      // tiered plan over bulk + a committed delta: the bulk leg keeps
+      // its bucketed scan under the probe join — no shuffle with the
+      // cells scan below it on either union leg's path
+      val deltaDir = java.nio.file.Files
+        .createTempDirectory("ivfplan").toString
+      spark.table("ivf_idx_test_cells").limit(2)
+        .write.mode("overwrite").parquet(s"$deltaDir/batch=0")
+      val tiered = Similarity.ivfTopKTiered(queries, "ivf_idx_test",
+        deltaDir, k = 5, nprobe = 2)
+      tiered.write.format("noop").mode("overwrite").save()
+      val tplan = tiered.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val tOffending = tplan.collect {
+        case e: SparkPlan with ShuffleExchangeLike
+            if e.children.exists(scanWithoutJoinBelow) => e
+      }
+      assert(tOffending.isEmpty,
+        s"tiered bulk leg re-shuffled before the probe join:\n$tOffending")
       // half-present index (e.g. crash between the two swap commits):
       // refuse rather than route with the wrong generation
       graft.tables.Tables.dropTable(spark, "ivf_idx_test_centroids")
