@@ -607,4 +607,46 @@ object PropertyLaws extends Properties("graft") {
         recallAt(lo, pLo, lLo) >= 0.95 && recallAt(hi, pHi, lHi) >= 0.95 &&
         pLo <= pHi
     }
+
+  property("ksDrift equals the naive exact CDF computation") =
+    forAll(Gen.listOf(Gen.chooseNum(-3L, 3L)),
+      Gen.listOf(Gen.chooseNum(-3L, 3L))) { (a, b) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      val na = a.size.toLong
+      val nb = b.size.toLong
+      val values = (a ++ b).distinct.sorted
+      val naiveCross = values.map { v =>
+        val cumA = a.count(_ <= v).toLong
+        val cumB = b.count(_ <= v).toLong
+        (cumA * nb - cumB * na).abs
+      } match { case Nil => 0L; case xs => xs.max }
+      val out = Curation.ksDrift(a.toDF("v"), b.toDF("v"), "v")
+        .collect().head
+      out.getLong(0) == na && out.getLong(1) == nb &&
+        out.getLong(2) == values.size.toLong &&
+        out.getLong(3) == naiveCross && {
+          if (na == 0 || nb == 0) out.isNullAt(4)
+          else out.getLong(4) == naiveCross * 1000000L / (na * nb)
+        }
+    }
+
+  property("kAnonymityAudit equals the naive group census") =
+    forAll(Gen.listOf(for {
+      q1 <- Gen.oneOf("a", "b", "c"); q2 <- Gen.chooseNum(0L, 2L)
+    } yield (q1, q2)), Gen.chooseNum(1L, 5L)) { (rowsIn, k) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      rowsIn.nonEmpty ==> {
+        val groups = rowsIn.groupBy(identity).values.map(_.size.toLong)
+        val below = groups.filter(_ < k)
+        val out = Curation.kAnonymityAudit(
+          rowsIn.toDF("qt", "qz"), Seq("qt", "qz"), k).collect().head
+        out.getLong(0) == rowsIn.size.toLong &&
+          out.getLong(1) == groups.size.toLong &&
+          out.getLong(2) == below.size.toLong &&
+          out.getLong(3) == below.sum &&
+          out.getLong(4) == below.sum * 1000L / rowsIn.size
+      }
+    }
 }
