@@ -2295,9 +2295,9 @@ object SparkEntry {
       """WITH ev AS (SELECT user_id,
         |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
         |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM ev
-        |       WHERE user_id % 2 = 0 GROUP BY 1),
+        |       WHERE user_id % 2 = 0 AND v IS NOT NULL GROUP BY 1),
         |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM ev
-        |       WHERE user_id % 2 = 1 GROUP BY 1),
+        |       WHERE user_id % 2 = 1 AND v IS NOT NULL GROUP BY 1),
         |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca,
         |        COALESCE(cb, 0) AS cb
         |      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
@@ -2345,7 +2345,9 @@ object SparkEntry {
         |  TRY_CAST(numh AS BIGINT) AS kappa_num,
         |  TRY_CAST(denh AS BIGINT) AS kappa_den,
         |  CASE WHEN denh <> 0 THEN
-        |    CAST(floor(1000000.0 * numh / denh) AS BIGINT)
+        |    CAST(numh * 1000000 // denh -
+        |      (CASE WHEN numh < 0 AND (numh * 1000000) % denh <> 0
+        |       THEN 1 ELSE 0 END) AS BIGINT)
         |  END AS kappa_micro
         |FROM r""".stripMargin,
 

@@ -887,9 +887,17 @@ object Curation {
   /** Per-value BIGINT counts of `valueCol` — the reduced form both
    * [[ksDrift]] sides collapse to, and the PERSISTABLE reference state
    * for the streaming drift monitor (aggregate the reference corpus
-   * once, compare every batch against the counts): (v, n). */
+   * once, compare every batch against the counts): (v, n).
+   *
+   * Nulls (and values the long cast nulls out) are DROPPED: a KS
+   * statistic is over an ordered value domain, and a null bucket would
+   * silently sort first — entering the cumulative sums as "the
+   * smallest value" and skewing D. The drift statistic is therefore
+   * over NON-NULL values only; callers tracking null-rate drift should
+   * monitor it as its own counter, not smuggled into the CDF. */
   def valueCounts(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("n"))
 
   /** [[ksDrift]] with BOTH sides already reduced to [[valueCounts]]
@@ -989,9 +997,18 @@ object Curation {
             "AS BIGINT)")).as("po_micro"),
         expr("try_cast(__numD AS BIGINT)").as("kappa_num"),
         expr("try_cast(__denD AS BIGINT)").as("kappa_den"),
-        when(col("__denD") =!= 0,
-          floor(lit(1000000.0) * col("__numD").cast("double") /
-            col("__denD").cast("double")).cast("long")).as("kappa_micro"))
+        // exact DECIMAL floor division (the d_micro pattern): DIV
+        // truncates toward zero, so a negative kappa with a remainder
+        // needs the -1 floor correction — double math here could shift
+        // the floored quotient by one past ~2^53, under-delivering the
+        // exactness the DECIMAL(38,0) plumbing promises. __denD >= 0
+        // always (n² ≥ Σ m1·m2 by Cauchy–Schwarz), so only __numD's
+        // sign matters.
+        when(col("__denD") =!= 0, expr(
+          """CAST(__numD * 1000000 DIV __denD -
+            |  (CASE WHEN __numD < 0 AND (__numD * 1000000) % __denD <> 0
+            |   THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin))
+          .as("kappa_micro"))
   }
 
   /**

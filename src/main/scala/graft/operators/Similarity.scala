@@ -497,7 +497,14 @@ object Similarity {
    * vector lives in exactly ONE cell, so (query, neighbor) rows are
    * unique — `dedupCandidates` exists for the TIERED path, where a
    * vector can transiently sit in both the bulk table and the delta
-   * tree (the fold's crash window). */
+   * tree (the fold's crash window), or in two delta batches (an id
+   * updated twice between folds). The tiered caller tags every corpus
+   * leg with a `__prec` precedence column (bulk = -1, delta = batch
+   * id) and the dedup keeps the HIGHEST precedence row per
+   * (query, neighbor) — mirroring [[graft.streaming.Streams
+   * .compactIvfDelta]]'s fold precedence, so a query ranks against the
+   * vector the next fold would keep, never a plan-dependent arbitrary
+   * (possibly stale-bulk) row. */
   private def ivfProbeRank(corpusCells: DataFrame, queries: DataFrame,
                            cents: Seq[Seq[Double]], k: Int, nprobe: Int,
                            idCol: String, vecCol: String,
@@ -517,8 +524,12 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
     val deduped =
-      if (dedupCandidates) cand.dropDuplicates("query_id", "neighbor_id")
-      else cand
+      if (dedupCandidates) {
+        val wD = Window.partitionBy("query_id", "neighbor_id")
+          .orderBy(col("__prec").desc)
+        cand.withColumn("__dr", row_number().over(wD))
+          .filter(col("__dr") === 1)
+      } else cand
     deduped
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -588,13 +599,19 @@ object Similarity {
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       })
+    // precedence tags mirror compactIvfDelta's fold ordering: bulk = -1,
+    // delta = its batch id, so when an id sits in both tiers (the fold
+    // crash window) or in two delta batches (updated twice between
+    // folds) the query ranks against exactly the row the next fold
+    // keeps — the newest assignment — not a plan-dependent survivor
     val corpus =
       if (!hasDelta) bulk
-      else bulk.union(
+      else bulk.withColumn("__prec", lit(-1L)).union(
         spark.read.schema(spark.table(baseTable + "_cells").schema)
           .option("basePath", deltaPath).parquet(deltaPath)
           .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
-            col("nrm").as("nc"), col("cell")))
+            col("nrm").as("nc"), col("cell"),
+            col("batch").cast("long").as("__prec")))
     ivfProbeRank(corpus, queries, cents, k, nprobe, idCol, vecCol,
       dedupCandidates = hasDelta)
   }

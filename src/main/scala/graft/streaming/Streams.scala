@@ -1204,12 +1204,20 @@ object Streams {
       .filter(_.startsWith("batch="))
     if (batchIds.isEmpty) return
     val cols = Seq(col(idCol), col("vec"), col("nrm"), col("cell"))
+    // precedence is (tier, batch): delta beats bulk, and WITHIN the
+    // delta tier the highest batch id wins — an id updated in two
+    // batches between folds would otherwise tie at the tier level and
+    // row_number would keep a plan-dependent arbitrary row (the older
+    // vector could survive the fold). The bulk leg rides batch = -1 so
+    // one (__batch desc) ordering covers both comparisons; within one
+    // batch an id appears once (a duplicated id inside a single
+    // micro-batch is the caller's data bug, not a replay artifact).
     val delta = spark.read.option("basePath", deltaPath).parquet(deltaPath)
-      .select(cols: _*).withColumn("__tier", lit(1))
+      .select((cols :+ col("batch").cast("long").as("__batch")): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__tier").desc)
+      .partitionBy(idCol).orderBy(col("__batch").desc)
     val all = spark.table(baseTable + "_cells")
-      .select(cols: _*).withColumn("__tier", lit(0))
+      .select(cols: _*).withColumn("__batch", lit(-1L))
       .union(delta)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -477,6 +477,12 @@ class CurationSpec extends SparkSpec {
     // partition-invariance of the integer path
     assert(rows(Curation.ksDrift(a.repartition(5), b.repartition(3), "v")) ==
       rows(Curation.ksDrift(a, b, "v")))
+    // nulls in the metric column are DROPPED, not smuggled in as the
+    // smallest value (a null bucket would enter the CDF first and skew
+    // D): null-padded side with identical non-null content -> D = 0
+    val an = Seq[java.lang.Long](1L, 1L, 2L, 3L, null, null).toDF("v")
+    assert(rows(Curation.ksDrift(an, a, "v")).head ==
+      Seq(4L, 4L, 3L, 0L, 0L))
   }
 
   test("annotatorAgreement: kappa matches the closed form, sign-correct") {
@@ -492,6 +498,13 @@ class CurationSpec extends SparkSpec {
     val o2 = rows(Curation.annotatorAgreement(bad, "r1", "r2")).head
     // n=10, agree=2, S=50: kappa = (20-50)/(100-50) = -0.6
     assert(o2(3) == -30L && o2(4) == 50L && o2(5) == -600000L)
+    // negative kappa WITH a remainder: cells (y,y)=1,(n,n)=1,(y,n)=5,
+    // (n,y)=3 -> S=48, kappa = -28/52 = -7/13; the exact DECIMAL floor
+    // is -538462 where plain truncating DIV would give -538461
+    val rem = (Seq(("y", "y"), ("n", "n")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(3)(("n", "y"))).toDF("r1", "r2")
+    val o3 = rows(Curation.annotatorAgreement(rem, "r1", "r2")).head
+    assert(o3(3) == -28L && o3(4) == 52L && o3(5) == -538462L)
     // both raters constant: pe = 1, kappa undefined -> null
     val const = Seq(("y", "y"), ("y", "y")).toDF("r1", "r2")
     assert(rows(Curation.annotatorAgreement(const, "r1", "r2")).head(5) == null)

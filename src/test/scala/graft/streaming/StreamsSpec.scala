@@ -479,29 +479,42 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(s"$delta/batch=100"))
     // delta precedence: re-deliver bulk id 0 with a CHANGED row — the
     // fold must deterministically keep the delta version
+    val orig0 = spark.table("ivfstream_cells")
+      .filter(col("vec_id") === 0L).collect().toSeq
     val changed = spark.table("ivfstream_cells")
       .filter(col("vec_id") === 0L)
       .withColumn("nrm", col("nrm") + 123.0)
     changed.write.mode("overwrite").parquet(s"$delta/batch=101")
-    // collect the expectation NOW — the fold swaps the generation this
-    // plan reads from
-    val changedNrm = rows(changed.select("nrm"))
+    // a SECOND update of the same id in a NEWER batch: id 0 becomes an
+    // exact clone of id 1's vector. The highest batch id must win —
+    // within-tier ties at __tier would otherwise keep a plan-dependent
+    // arbitrary row (the round-11 ADVICE hazard)
+    val clone0 = spark.table("ivfstream_cells")
+      .filter(col("vec_id") === 1L).withColumn("vec_id", lit(0L))
+    clone0.write.mode("overwrite").parquet(s"$delta/batch=103")
+    val cloneNrm = rows(clone0.select("nrm"))
+    // tiered-QUERY precedence before any fold: query 1 must rank
+    // neighbor 0 first (cos = 1 against the batch=103 clone of its own
+    // vector) — ranking against the stale bulk row or the batch=101 row
+    // would not produce cos = 1
+    val top1 = rows(Similarity.ivfTopKTiered(
+        queries.filter(col("vec_id") === 1L), "ivfstream", delta)
+      .filter(col("rank") === 1L).select("neighbor_id"))
+    assert(top1 == Seq(Seq(0L)),
+      s"tiered query must rank the newest delta vector first, got $top1")
     // quiesced fold: delta pruned, bulk-only search preserves results
     Streams.compactIvfDelta(spark, delta, "ivfstream", numBuckets = 4)
     assert(!new java.io.File(delta).listFiles()
       .exists(_.getName.startsWith("batch=")), "folded delta pruned")
     assert(spark.table("ivfstream_cells").count() == emb.count())
     assert(rows(spark.table("ivfstream_cells")
-      .filter(col("vec_id") === 0L).select("nrm")) == changedNrm,
-      "delta version won the fold")
+      .filter(col("vec_id") === 0L).select("nrm")) == cloneNrm,
+      "the NEWEST delta batch won the fold")
     // restore id 0 so the result-preservation checks below see the
-    // original corpus (materialize before folding — the fold swaps the
-    // generation this plan reads from)
-    spark.table("ivfstream_cells")
-      .withColumn("nrm",
-        when(col("vec_id") === 0L, col("nrm") - 123.0)
-          .otherwise(col("nrm")))
-      .write.mode("overwrite").parquet(s"$delta/batch=102")
+    // original corpus
+    spark.createDataFrame(spark.sparkContext.parallelize(orig0),
+        spark.table("ivfstream_cells").schema)
+      .write.mode("overwrite").parquet(s"$delta/batch=104")
     Streams.compactIvfDelta(spark, delta, "ivfstream", numBuckets = 4)
     assert(rows(Similarity.ivfTopKAgainstIndex(queries, "ivfstream")
       .orderBy("query_id", "rank")) == want)
