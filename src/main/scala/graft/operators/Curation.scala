@@ -798,13 +798,15 @@ object Curation {
    *
    * Scale: one hash-aggregate collapses the corpus to its DISTINCT score
    * values (p = positives, q = negatives per score); the cumulative
-   * negatives-below window then runs over that collapsed frame. The
-   * single-partition window is bounded by SCORE CARDINALITY, not corpus
-   * size — integer heuristic scores have domains in the hundreds
-   * (marker counts, permille ratios), so the windowed frame is KB-sized
-   * at any corpus scale. A continuous-score classifier must be bucketed
-   * (micro-units) before this operator — which its caller already does,
-   * because floats crossing an engine boundary are banned corpus-wide.
+   * negatives-below pass then runs over that collapsed frame via
+   * [[graft.operators.Relational.rangedCumSums]] (range-partitioned
+   * per-partition sums + broadcast offsets) — NO single-task window, so
+   * a caller passing raw high-cardinality scores degrades to a normal
+   * shuffle, not a one-task funnel. Integer heuristic scores keep the
+   * frame KB-sized anyway; a continuous-score classifier must be
+   * bucketed (micro-units) before this operator — which its caller
+   * already does, because floats crossing an engine boundary are banned
+   * corpus-wide.
    */
   def classifierAuc(scored: DataFrame, scoreCol: String,
                     labelCol: String): DataFrame = {
@@ -814,9 +816,10 @@ object Curation {
       .groupBy("__s")
       .agg(sum(col("__y")).as("__p"),
         sum(lit(1L) - col("__y")).as("__q"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("__cq", coalesce(sum(col("__q")).over(w), lit(0L)))
+    // negatives STRICTLY below = inclusive running sum minus own count
+    graft.operators.Relational.rangedCumSums(g, Nil, Seq(col("__s").asc),
+        Seq(("__q", "__cqi", "__qt")))
+      .withColumn("__cq", col("__cqi") - col("__q"))
       .agg(sum(col("__p")).as("n_pos"),
         sum(col("__q")).as("n_neg"),
         sum(col("__p") * col("__q")).as("n_tie_pairs"),
@@ -909,9 +912,15 @@ object Curation {
    * and the micro quotient compute in DECIMAL(38,0) — exact to 10³⁸ —
    * so `d_micro` (≤ 10⁶ by construction) is ALWAYS exact; `d_cross` is
    * reported as BIGINT via try_cast and reads null, not garbage, in
-   * the (n_a·n_b > 2⁶³) regime where it cannot fit. One pass over the
-   * merged counts: totals ride a full-frame window on the same sort as
-   * the cumulative sums, no second scan, no crossJoin.
+   * the (n_a·n_b > 2⁶³) regime where it cannot fit.
+   *
+   * The cumulative sums ride [[graft.operators.Relational
+   * .rangedCumSums]] — range-partitioned per-partition sums with
+   * broadcast offsets — NOT an unpartitioned window: the operator
+   * accepts any long-castable column, and a caller passing raw
+   * (unquantized) values would otherwise funnel corpus-cardinality
+   * distinct values through one task. Totals fall out of the same
+   * offsets frame, so there is still no second scan and no crossJoin.
    */
   def ksDriftFromCounts(aCounts: DataFrame,
                         bCounts: DataFrame): DataFrame = {
@@ -922,16 +931,15 @@ object Curation {
         Seq("__v"), "full_outer")
       .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
-    val wCum = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val dec = "decimal(38,0)"
-    merged
-      .withColumn("__cuma", sum(col("__ca")).over(wCum).cast(dec))
-      .withColumn("__cumb", sum(col("__cb")).over(wCum).cast(dec))
-      .withColumn("__na", sum(col("__ca")).over(wAll).cast(dec))
-      .withColumn("__nb", sum(col("__cb")).over(wAll).cast(dec))
+    graft.operators.Relational.rangedCumSums(merged, Nil,
+        Seq(col("__v").asc),
+        Seq(("__ca", "__cumaL", "__naL"), ("__cb", "__cumbL", "__nbL")))
+      .select(
+        col("__cumaL").cast(dec).as("__cuma"),
+        col("__cumbL").cast(dec).as("__cumb"),
+        col("__naL").cast(dec).as("__na"),
+        col("__nbL").cast(dec).as("__nb"))
       .agg(max(col("__na")).as("__naM"), max(col("__nb")).as("__nbM"),
         count(lit(1)).as("n_values"),
         coalesce(max(abs(col("__cuma") * col("__nb") -

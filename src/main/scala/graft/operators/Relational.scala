@@ -401,6 +401,67 @@ object Relational {
   }
 
   /**
+   * Assembled range-partitioned cumulative sums — the scale-safe
+   * replacement for an unpartitioned `Window.orderBy(...)` running sum
+   * (which funnels the whole frame through ONE task): the
+   * [[groupedRanks]] pattern applied to sums. Range-exchange on
+   * (`grpCols`, `orderCols`), compute each partition's running sums
+   * locally, aggregate per-(partition, group) totals into a TINY
+   * offsets frame (≤ shuffle-partitions × |groups| rows — the only
+   * unpartitioned window runs over THAT), and broadcast the prefix
+   * offsets back. Exactly the same integers as the single-task window,
+   * no single-task stage, at any input cardinality.
+   *
+   * For each `(inCol, cumCol, totCol)` spec this appends `cumCol` (the
+   * group-wide running BIGINT sum of `inCol` over rows ≤ current in
+   * `orderCols` order, current row INCLUSIVE) and `totCol` (the group
+   * grand total — read off the offsets frame, so consumers needing
+   * totals-per-row pay no extra scan). Rows must be unique per
+   * (`grpCols`, `orderCols`) for the running sum to be well-defined —
+   * both consumers ([[graft.operators.Curation.ksDriftFromCounts]],
+   * [[graft.operators.Curation.classifierAuc]]) pass distinct-value
+   * frames. `grpCols` empty = one global cumulative pass.
+   *
+   * The eager localCheckpoint pins ONE physical range partitioning for
+   * the two consumers of `__pid` (running-sum side and offsets side) —
+   * same reasoning as [[groupedRanks]]'s pin.
+   */
+  def rangedCumSums(df: DataFrame, grpCols: Seq[String],
+                    orderCols: Seq[Column],
+                    specs: Seq[(String, String, String)]): DataFrame = {
+    require(specs.nonEmpty && orderCols.nonEmpty,
+      "rangedCumSums needs at least one order column and one sum spec")
+    val grpC = grpCols.map(col)
+    val ranged = df
+      .repartitionByRange((grpC.map(_.asc) ++ orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPart = Window.partitionBy((col("__pid") +: grpC): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perGrp = Window.partitionBy(grpC: _*).orderBy("__pid")
+    val offsets = ranged.groupBy((col("__pid") +: grpC): _*)
+      .agg(sum(col(specs.head._1)).as(s"__t_${specs.head._1}"),
+        specs.tail.map(s => sum(col(s._1)).as(s"__t_${s._1}")): _*)
+      .select((col("__pid") +: grpC) ++ specs.flatMap {
+        case (in, _, tot) => Seq(
+          coalesce(sum(col(s"__t_$in")).over(perGrp
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as(s"__ofs_$in"),
+          sum(col(s"__t_$in")).over(perGrp
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as(tot))
+      }: _*)
+    specs.foldLeft(
+        ranged.join(broadcast(offsets), "__pid" +: grpCols)) {
+        case (acc, (in, cum, _)) =>
+          acc.withColumn(cum,
+            col(s"__ofs_$in") + sum(col(in)).over(perPart))
+      }
+      .drop("__pid" +: specs.map(s => s"__ofs_${s._1}"): _*)
+  }
+
+  /**
    * Robust (trimmed) per-group statistics of a numeric column: drop the
    * lowest `lowPermille`‰ and highest `highPermille`‰ of each group by
    * value, then report the mean of the surviving middle — the

@@ -347,4 +347,38 @@ class RelationalSpec extends SparkSpec {
     assert(s(4) == "salted_shuffle" && s(2) == 500L)
     assert(advise(big, big)(4) == "shuffle")
   }
+
+  test("rangedCumSums: matches the single-task window exactly, grouped " +
+      "and global, any partitioning; empty input stays empty") {
+    import org.apache.spark.sql.expressions.Window
+    // unique per (g, v): lcm(7, 211) = 1477 > 500
+    val df = (1 to 500)
+      .map(i => ((i % 7).toString, ((i * 37) % 211).toLong, (i % 13).toLong))
+      .toDF("g", "v", "n")
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val want = rows(df
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("tot", sum("n").over(wTot))
+      .orderBy("g", "v"))
+    val got = rows(Relational
+      .rangedCumSums(df.repartition(11), Seq("g"), Seq(col("v").asc),
+        Seq(("n", "cum", "tot")))
+      .select("g", "v", "n", "cum", "tot").orderBy("g", "v"))
+    assert(got == want)
+    // global (no group) variant against the one-task window
+    val wG = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dfg = df.filter(col("g") === "3")
+    val wantG = rows(dfg.withColumn("cum", sum("n").over(wG))
+      .orderBy("v").select("v", "cum"))
+    val gotG = rows(Relational
+      .rangedCumSums(dfg, Nil, Seq(col("v").asc), Seq(("n", "cum", "t")))
+      .orderBy("v").select("v", "cum"))
+    assert(gotG == wantG)
+    assert(Relational.rangedCumSums(df.limit(0), Nil, Seq(col("v").asc),
+      Seq(("n", "cum", "t"))).count() == 0)
+  }
 }

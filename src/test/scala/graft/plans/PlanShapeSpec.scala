@@ -149,6 +149,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "partial_count") >= 2, s"map-side combine lost:\n$p")
   }
 
+  test("ks_drift / classifier_auc: the cumulative pass is range-" +
+      "partitioned — the only unpartitioned Window runs over the tiny " +
+      "__pid offsets frame, never the value frame") {
+    // split a `Window [exprs], [partition], [order]` plan line into its
+    // top-level bracket groups: 2 groups = unpartitioned window
+    def topGroups(line: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      line.dropWhile(_ != '[').foreach {
+        case '[' => depth += 1; if (depth > 1) cur += '['
+        case ']' =>
+          depth -= 1
+          if (depth == 0) { out += cur.toString; cur.clear() }
+          else cur += ']'
+        case c => if (depth >= 1) cur += c
+      }
+      out.toSeq
+    }
+    Seq("ks_drift", "classifier_auc").foreach { name =>
+      val p = executedPlan(name)
+      val windows = p.linesIterator
+        .filter(_.matches(""".*\bWindow \[.*""")).toSeq
+      assert(windows.nonEmpty, s"$name lost its window pass:\n$p")
+      val offending = windows.filter { l =>
+        val g = topGroups(l)
+        g.size == 2 && !g(1).contains("__pid")
+      }
+      assert(offending.isEmpty,
+        s"$name runs an unpartitioned window over the VALUE frame " +
+          s"(single-task cumulative pass):\n${offending.mkString("\n")}")
+    }
+  }
+
   test("hilbertCompact write: ONE range exchange on the hilbert index + " +
       "in-partition sort (the envelope-clustering plan)") {
     import scala.jdk.CollectionConverters._
