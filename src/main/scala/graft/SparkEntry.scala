@@ -138,7 +138,7 @@ object SparkEntry {
     "train_val_split", "kfold_split",
     "split_leakage",
     "top_ngrams", "zipf_audit", "heavy_hitters",
-    "ks_drift", "annotator_agreement", "k_anonymity",
+    "ks_drift", "ks_drift_by_source", "annotator_agreement", "k_anonymity",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
@@ -407,6 +407,17 @@ object SparkEntry {
         .withColumn("v_milli", expr("CAST(floor(value * 1000) AS BIGINT)"))
       Curation.ksDrift(ev.filter(col("user_id") % 2 === 0),
         ev.filter(col("user_id") % 2 === 1), "v_milli")
+    }),
+
+    // the same drift statistic sliced per event_type — the per-source
+    // monitor shape (one bad feed hides inside the corpus-wide number);
+    // grouped assembled cumulative pass, no single-task window
+    "ks_drift_by_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v_milli", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      Curation.ksDriftByGroup(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "v_milli", "event_type")
+        .orderBy("event_type")
     }),
 
     // Cohen's kappa between two deterministic length raters (same
@@ -2318,6 +2329,38 @@ object SparkEntry {
         |      AS BIGINT)
         |  END AS d_micro
         |FROM t, agg""".stripMargin,
+
+    "ks_drift_by_source" ->
+      """WITH ev AS (SELECT event_type AS g, user_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |ca AS (SELECT g, v, CAST(count(*) AS BIGINT) AS ca FROM ev
+        |       WHERE user_id % 2 = 0 AND v IS NOT NULL GROUP BY 1, 2),
+        |cb AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cb FROM ev
+        |       WHERE user_id % 2 = 1 AND v IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT COALESCE(ca.g, cb.g) AS g,
+        |        COALESCE(ca.v, cb.v) AS v,
+        |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb
+        |        ON ca.g = cb.g AND ca.v = cb.v),
+        |c AS (SELECT g, CAST(sum(ca) OVER w AS HUGEINT) AS cuma,
+        |        CAST(sum(cb) OVER w AS HUGEINT) AS cumb,
+        |        CAST(sum(ca) OVER wg AS HUGEINT) AS na,
+        |        CAST(sum(cb) OVER wg AS HUGEINT) AS nb FROM m
+        |      WINDOW w AS (PARTITION BY g ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      wg AS (PARTITION BY g ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND UNBOUNDED FOLLOWING)),
+        |agg AS (SELECT g, CAST(max(na) AS BIGINT) AS n_a,
+        |        CAST(max(nb) AS BIGINT) AS n_b,
+        |        CAST(count(*) AS BIGINT) AS n_values,
+        |        COALESCE(max(abs(cuma * nb - cumb * na)), 0) AS dc
+        |        FROM c GROUP BY g)
+        |SELECT g AS event_type, n_a, n_b, n_values,
+        |  TRY_CAST(dc AS BIGINT) AS d_cross,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(dc * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |  END AS d_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "annotator_agreement" ->
       """WITH l AS (SELECT

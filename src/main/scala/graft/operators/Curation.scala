@@ -958,6 +958,54 @@ object Curation {
   }
 
   /**
+   * Per-group two-sample KS drift — [[ksDrift]] sliced by a group
+   * column: real pipelines watch distribution shift PER SOURCE or per
+   * slice, not only corpus-wide (one upstream feed going bad hides
+   * inside a whole-corpus statistic). Emits one row per group present
+   * in EITHER side: (grpCol, n_a, n_b, n_values, d_cross, d_micro),
+   * each group's statistic identical to what [[ksDrift]] would report
+   * on that group's rows alone; a group present in only one side reads
+   * d_cross = 0 and d_micro = null (the statistic is undefined there —
+   * callers should treat a one-sided group as maximal drift).
+   *
+   * Scale: one hash-aggregate per side to (group, value, n), then the
+   * grouped assembled cumulative pass of [[graft.operators.Relational
+   * .rangedCumSums]] — no single-task window at ANY group/value
+   * cardinality, and the whole statistic is one shuffle deeper than
+   * the per-side aggregates. Same DECIMAL(38,0) overflow posture as
+   * [[ksDriftFromCounts]].
+   */
+  def ksDriftByGroup(a: DataFrame, b: DataFrame, valueCol: String,
+                     grpCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(col(grpCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy("__g", "__v").agg(count(lit(1)).as(as))
+    val merged = counts(a, "__ca")
+      .join(counts(b, "__cb"), Seq("__g", "__v"), "full_outer")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val dec = "decimal(38,0)"
+    graft.operators.Relational.rangedCumSums(merged, Seq("__g"),
+        Seq(col("__v").asc),
+        Seq(("__ca", "__cuma", "__na"), ("__cb", "__cumb", "__nb")))
+      .withColumn("__dcr", abs(col("__cuma").cast(dec) * col("__nb") -
+        col("__cumb").cast(dec) * col("__na")))
+      .groupBy("__g")
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_values"), max(col("__dcr")).as("__dc"))
+      .select(col("__g").as(grpCol), col("n_a"), col("n_b"),
+        col("n_values"),
+        expr("try_cast(__dc AS BIGINT)").as("d_cross"),
+        when(col("n_a") > 0 && col("n_b") > 0, expr(
+          "CAST((__dc * 1000000) DIV " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+          .as("d_micro"))
+  }
+
+  /**
    * Inter-annotator agreement (Cohen's kappa) in exact rationals — the
    * label-quality gate for labeled training data: observed agreement
    * `po` against chance agreement `pe` from the raters' marginals.

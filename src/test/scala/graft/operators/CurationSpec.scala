@@ -485,6 +485,27 @@ class CurationSpec extends SparkSpec {
       Seq(4L, 4L, 3L, 0L, 0L))
   }
 
+  test("ksDriftByGroup: each group's statistic equals ksDrift on that " +
+      "slice; one-sided groups read d_micro null") {
+    val a = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("x", 3L), ("y", 5L),
+      ("y", 6L), ("z", 1L)).toDF("g", "v")
+    val b = Seq(("x", 2L), ("x", 3L), ("x", 3L), ("x", 4L), ("y", 5L),
+      ("y", 7L)).toDF("g", "v")
+    val got = rows(Curation.ksDriftByGroup(a, b, "v", "g").orderBy("g"))
+    // group x mirrors the ksDrift hand-computed case: D = 8/16
+    assert(got.find(_.head == "x").get.tail == Seq(4L, 4L, 4L, 8L, 500000L))
+    // per-group equality with the ungrouped operator
+    Seq("x", "y").foreach { gv =>
+      val want = rows(Curation.ksDrift(
+        a.filter(col("g") === gv).select("v"),
+        b.filter(col("g") === gv).select("v"), "v")).head
+      assert(got.find(_.head == gv).get.tail == want, s"group $gv")
+    }
+    // group only in side a: zero cross statistic, undefined d_micro
+    val z = got.find(_.head == "z").get
+    assert(z(1) == 1L && z(2) == 0L && z(4) == 0L && z(5) == null)
+  }
+
   test("annotatorAgreement: kappa matches the closed form, sign-correct") {
     // 2x2: cells (y,y)=4, (y,n)=1, (n,y)=1, (n,n)=4 -> n=10, agree=8,
     // m1 = (5,5), m2 = (5,5), S = 50; kappa = (80-50)/(100-50) = 0.6
