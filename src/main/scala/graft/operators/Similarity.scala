@@ -424,22 +424,85 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, baseTable: String, nlist: Int = 16,
                     dim: Int = 64, numBuckets: Int = 8,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding",
+                    iters: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol,
+    val cents = trainIvfCentroids(corpus, nlist, dim, iters, idCol,
       vecCol)
     val cells = withIvfCell(corpus, cents, vecCol)
       .select(col(idCol), col(vecCol).as("vec"),
         VectorFns.norm(vecCol).as("nrm"), col("__cell").as("cell"))
     import spark.implicits._
+    // generation marker: every rebuild bumps `gen`, so ingest sinks and
+    // delta folds that captured the PREVIOUS routing table can detect
+    // staleness and fail loudly instead of silently writing/folding
+    // cell assignments that belong to a dead centroid generation
+    val gen =
+      if (spark.catalog.tableExists(baseTable + "_centroids"))
+        ivfGeneration(spark, baseTable) + 1
+      else 0L
     val centDf = cents.zipWithIndex
       .map { case (c, i) => (i + 1, c) }.toDF("cell", "centroid")
+      .withColumn("gen", lit(gen))
     graft.tables.Tables.stageBucketedSwap(cells, baseTable + "_cells",
       "cell", numBuckets)
     graft.tables.Tables.stageBucketedSwap(centDf, baseTable + "_centroids",
       "cell", 1)
     graft.tables.Tables.commitSwaps(spark,
       Seq(baseTable + "_cells", baseTable + "_centroids"))
+  }
+
+  /** The persisted index's routing-table generation — bumped by every
+   * [[writeIvfIndex]] rebuild (including [[retrainIvfIndex]]). A
+   * [[graft.streaming.Streams.ivfIngestSink]] captures this at start
+   * and re-checks per batch; [[graft.streaming.Streams
+   * .compactIvfDelta]] refuses a delta tree assigned under a different
+   * generation. Pre-generation indexes (no `gen` column) read 0. */
+  def ivfGeneration(spark: org.apache.spark.sql.SparkSession,
+                    baseTable: String): Long = {
+    val t = spark.table(baseTable + "_centroids")
+    if (!t.columns.contains("gen")) 0L
+    else t.agg(max(col("gen"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+  }
+
+  /**
+   * Periodic retrain/rebuild of a persisted [[writeIvfIndex]] index
+   * that has grown through a [[graft.streaming.Streams.ivfIngestSink]]
+   * delta tree — the generation protocol the streaming docs promise:
+   *
+   *   1. fold the outstanding delta into the bulk
+   *      ([[graft.streaming.Streams.compactIvfDelta]] — delta cell ids
+   *      belong to the CURRENT routing generation, so the fold must
+   *      land before centroids move);
+   *   2. retrain centroids from the full folded bulk (`iters` rounds
+   *      of the integer-exact k-means; 0 = the deterministic seed-set
+   *      contract every oracle twin recomputes) and rebuild
+   *      `_cells`/`_centroids` through the same staged two-table swap
+   *      as a cold build — crash windows inherit
+   *      [[graft.tables.Tables.recoverSwap]]'s drill;
+   *   3. the rebuild bumps the `gen` marker, so any STILL-RUNNING sink
+   *      started against the old routing table fails loudly on its
+   *      next batch instead of appending assignments into the wrong
+   *      generation.
+   *
+   * Run QUIESCED (stream stopped, no tiered queries in flight) — the
+   * same contract as the fold itself. After this, restart the sink so
+   * it captures the new routing table.
+   */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      baseTable: String, deltaPath: String,
+                      nlist: Int = 16, dim: Int = 64, numBuckets: Int = 8,
+                      iters: Int = 0, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    graft.streaming.Streams.compactIvfDelta(spark, deltaPath, baseTable,
+      numBuckets, idCol)
+    val corpus = spark.table(baseTable + "_cells")
+      .select(col(idCol), col("vec").as(vecCol))
+    writeIvfIndex(corpus, baseTable, nlist, dim, numBuckets, idCol, vecCol,
+      iters = iters)
   }
 
   /**

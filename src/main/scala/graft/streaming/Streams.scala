@@ -1148,17 +1148,31 @@ object Streams {
                     vecCol: String = "embedding"): StreamingQuery = {
     // collect the frozen routing table ONCE at sink start (nlist rows,
     // with the half-present-index guard) — not per micro-batch: the
-    // sink's own contract freezes centroids for its lifetime, and the
-    // captured value also pins one consistent generation even if a
-    // rebuild races the stream (the rebuild-order contract still says
-    // quiesce + fold first)
-    val cents = graft.operators.Similarity.ivfRouting(
-      stream.sparkSession, baseTable)
+    // sink's own contract freezes centroids for its lifetime. The
+    // captured GENERATION is re-checked per batch: a writeIvfIndex /
+    // retrainIvfIndex rebuild under a running sink bumps `gen`, and the
+    // sink must fail loudly rather than keep appending assignments that
+    // point into the dead centroid generation (silently wrong probes).
+    val spark0 = stream.sparkSession
+    val cents = graft.operators.Similarity.ivfRouting(spark0, baseTable)
+    val gen0 = graft.operators.Similarity.ivfGeneration(spark0, baseTable)
+    // name-encoded marker (underscore prefix = invisible to parquet
+    // readers): records which routing generation assigned this delta
+    // tree, so compactIvfDelta can refuse a stale fold even after the
+    // sink that wrote it is gone
+    writeRoutingGenMarker(spark0, deltaPath, gen0)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val g = graft.operators.Similarity.ivfGeneration(
+            batch.sparkSession, baseTable)
+          if (g != gen0) throw new IllegalStateException(
+            s"IVF index '$baseTable' was rebuilt under this sink " +
+              s"(routing generation $gen0 -> $g): this sink's cell " +
+              "assignments belong to a dead centroid generation. " +
+              "Stop the sink, run retrainIvfIndex quiesced, restart.")
           graft.operators.Similarity.ivfDeltaAssign(batch, cents,
             idCol, vecCol)
             .write.mode("overwrite").parquet(s"$deltaPath/batch=$batchId")
@@ -1166,6 +1180,38 @@ object Streams {
         }
       }
       .start()
+  }
+
+  // NOTE: no "=" in the name — Spark's hidden-file filter keeps
+  // underscore-prefixed paths that contain "=" (partition-dir lookalikes),
+  // and the schema-merge pass would then try to read the marker as parquet
+  private val RoutingGenPrefix = "_routing_gen."
+
+  /** Write (replacing any prior) the `_routing_gen.<n>` marker file in
+   * the delta root. */
+  private def writeRoutingGenMarker(
+      spark: SparkSession, deltaPath: String, gen: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(deltaPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    readRoutingGenMarker(spark, deltaPath).foreach(g =>
+      fs.delete(new Path(root, s"$RoutingGenPrefix$g"), false))
+    fs.create(new Path(root, s"$RoutingGenPrefix$gen"), true).close()
+  }
+
+  /** The delta tree's recorded routing generation, if any sink stamped
+   * one. */
+  private[graft] def readRoutingGenMarker(
+      spark: SparkSession, deltaPath: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(deltaPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(RoutingGenPrefix))
+      .map(_.stripPrefix(RoutingGenPrefix).toLong)
+      .sorted.lastOption
   }
 
   /**
@@ -1203,6 +1249,19 @@ object Streams {
     val batchIds = fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
     if (batchIds.isEmpty) return
+    // generation guard: delta cell ids are meaningful only under the
+    // routing table that assigned them. A fold after a rebuild would
+    // merge assignments from a dead generation into the new bulk —
+    // silently wrong probes, no error — so refuse loudly instead.
+    readRoutingGenMarker(spark, deltaPath).foreach { dg =>
+      val g = graft.operators.Similarity.ivfGeneration(spark, baseTable)
+      if (dg != g) throw new IllegalStateException(
+        s"delta tree at '$deltaPath' was assigned under routing " +
+          s"generation $dg but index '$baseTable' is at generation $g: " +
+          "these cell ids belong to dead centroids. Re-assign the delta " +
+          "vectors against the current routing table (ivfDeltaAssign) " +
+          "or drop the tree; never fold across a rebuild.")
+    }
     val cols = Seq(col(idCol), col("vec"), col("nrm"), col("cell"))
     // precedence is (tier, batch): delta beats bulk, and WITHIN the
     // delta tier the highest batch id wins — an id updated in two

@@ -526,6 +526,76 @@ class StreamsSpec extends SparkSpec {
         Tables.dropTable(spark, b + sfx)))
   }
 
+  test("retrainIvfIndex: fold + rebuild bumps the generation; a stale " +
+      "sink and a stale fold both fail loudly; retrained tiered search " +
+      "= one-shot over the grown corpus") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    val initial = emb.filter(col("vec_id") < 100)
+    val grown = emb.filter(col("vec_id") < 200)
+    val later = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("ivfgen", "ivfgenfull").foreach(b =>
+      Seq("_cells", "_centroids").foreach(sfx =>
+        Tables.dropTable(spark, b + sfx)))
+    Similarity.writeIvfIndex(initial, "ivfgen", nlist = 16, numBuckets = 4)
+    assert(Similarity.ivfGeneration(spark, "ivfgen") == 0L)
+    val delta = Files.createTempDirectory("ivfgendelta").toString
+    val cp = Files.createTempDirectory("ivfgencp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val laterRows = later.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val q = Streams.ivfIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "ivfgen", delta, cp)
+    try { mem.addData(laterRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    // quiesced retrain: outstanding delta folds first, then the rebuild
+    // bumps the generation and prunes nothing it shouldn't
+    Similarity.retrainIvfIndex(spark, "ivfgen", delta, nlist = 16,
+      numBuckets = 4)
+    assert(Similarity.ivfGeneration(spark, "ivfgen") == 1L)
+    assert(!new java.io.File(delta).listFiles()
+      .exists(_.getName.startsWith("batch=")), "delta folded before retrain")
+    // retrained index answers exactly like a one-shot build over the
+    // concatenated corpus (same deterministic seeds, same iters)
+    Similarity.writeIvfIndex(grown, "ivfgenfull", nlist = 16,
+      numBuckets = 4)
+    val want = rows(Similarity.ivfTopKAgainstIndex(queries, "ivfgenfull")
+      .orderBy("query_id", "rank"))
+    assert(want.nonEmpty && rows(
+      Similarity.ivfTopKTiered(queries, "ivfgen", delta)
+        .orderBy("query_id", "rank")) == want)
+    // STALE SINK: a rebuild under a running sink must fail its next
+    // batch loudly (the assignments would point into dead centroids)
+    val cp2 = Files.createTempDirectory("ivfgencp2").toString
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = Streams.ivfIngestSink(mem2.toDF().toDF("vec_id", "embedding"),
+      "ivfgen", delta, cp2)
+    try {
+      Similarity.writeIvfIndex(grown, "ivfgen", nlist = 16, numBuckets = 4)
+      assert(Similarity.ivfGeneration(spark, "ivfgen") == 2L)
+      mem2.addData(laterRows.head)
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      assert(ex.toString.contains("dead centroid generation"),
+        s"expected the stale-sink refusal, got: $ex")
+    } finally q2.stop()
+    // STALE FOLD: the delta tree is stamped with the generation that
+    // assigned it (gen 1 at q2 start) — folding it into the gen-2 index
+    // must refuse
+    spark.table("ivfgen_cells").limit(2)
+      .write.mode("overwrite").parquet(s"$delta/batch=7")
+    val ex2 = intercept[IllegalStateException] {
+      Streams.compactIvfDelta(spark, delta, "ivfgen", numBuckets = 4)
+    }
+    assert(ex2.getMessage.contains("dead centroids"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+    Seq("ivfgen", "ivfgenfull").foreach(b =>
+      Seq("_cells", "_centroids").foreach(sfx =>
+        Tables.dropTable(spark, b + sfx)))
+  }
+
   test("driftSink: cumulative KS verdict converges to the batch statistic") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
