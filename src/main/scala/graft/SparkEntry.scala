@@ -116,7 +116,8 @@ object SparkEntry {
     "ivf_pq_topk", "matryoshka_topk",
     "quantize_int8", "embedding_centroids", "hard_negatives",
     "embedding_outliers",
-    "payload_meta", "decode_batch", "media_ops", "feature_extract",
+    "payload_meta", "decode_batch", "media_resize", "media_ops",
+    "feature_extract",
     "media_fingerprint",
     "sample_stratified", "weighted_sample", "pack_sequences", "curate",
     "cap_per_group",
@@ -820,6 +821,13 @@ object SparkEntry {
 
     "media_ops" -> ((s, dir) =>
       Multimodal.mediaOps(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // EXECUTED raster resize: decode + nearest-neighbor resample to
+    // 24x24, channel sums over the RESIZED pixels; the oracle predicts
+    // the resampled sums closed-form (floor source mapping)
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resizeBatch(s, t(s, dir, "documents")).toDF()
+        .orderBy("doc_id")),
 
     // the mapPartitions feature-extraction surface, scalarized for the
     // driver compare: integer bin counts ride as a comma-joined string
@@ -3808,6 +3816,26 @@ object SparkEntry {
         |  CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
         |  CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
         |  CAST(w * h * (doc_id % 256) AS BIGINT) AS sum_b
+        |FROM (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // media_resize twin: nearest-neighbor with the floor mapping
+    // src = tgt * srcDim // tgtDim means resized pixel (tx, ty) is
+    // RGB(tx*w//24, ty*h//24, id % 256) — sums are list-folds over the
+    // 24-wide target range
+    "media_resize" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS src_w,
+        |  CAST(h AS BIGINT) AS src_h,
+        |  CAST(24 AS BIGINT) AS width,
+        |  CAST(24 AS BIGINT) AS height,
+        |  CAST(576 AS BIGINT) AS n_pixels,
+        |  CAST(24 * list_sum(list_transform(range(0, 24),
+        |    tx -> (tx * w) // 24)) AS BIGINT) AS sum_r,
+        |  CAST(24 * list_sum(list_transform(range(0, 24),
+        |    ty -> (ty * h) // 24)) AS BIGINT) AS sum_g,
+        |  CAST(576 * (doc_id % 256) AS BIGINT) AS sum_b
         |FROM (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,

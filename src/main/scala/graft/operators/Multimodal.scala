@@ -44,8 +44,10 @@ object Multimodal {
       lit(3L).as("channels"))
 
   /**
-   * Resize planning + frame sampling over the payload — the two remaining
-   * media transforms of a training pipeline, as pure expressions. The
+   * Resize planning + frame sampling over the payload, as pure
+   * expressions ([[resizeBatch]] is the EXECUTED raster resize; this
+   * stays the zero-codec planning path for payloads whose codec isn't
+   * available — audio/video byte stand-ins). The
    * "native" dimensions are the deterministic stub of [[payloadMeta]]; the
    * real outputs of this operator (scale factors, sampled byte offsets)
    * are the plumbing a codec-backed implementation feeds its decoder:
@@ -215,6 +217,73 @@ object Multimodal {
           }
           DecodedImage(id, w.toLong, h.toLong,
             img.getRaster.getNumBands.toLong, w.toLong * h, sr, sg, sb)
+        }
+      }
+  }
+
+  /** Typed resize result: source geometry read from the DECODED raster,
+   * target geometry + channel sums computed over the RESIZED raster. */
+  case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long,
+                          width: Long, height: Long, n_pixels: Long,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /**
+   * EXECUTED raster resize — the codec-backed half [[mediaOps]] only
+   * plans: decode the PNG payload, nearest-neighbor resample to
+   * (`targetW`, `targetH`) with the floor mapping
+   * `src = tgt · srcDim DIV tgtDim` (handles up- and down-sampling), and
+   * report the channel sums of the RESIZED raster. With the closed-form
+   * source pattern pixel(x, y) = RGB(x, y, id mod 256), every resized
+   * pixel is RGB(sx, sy, id mod 256), so the SQL oracle predicts the
+   * sums exactly:
+   *   sum_r = targetH · Σ_tx floor(tx·w/targetW),
+   *   sum_g = targetW · Σ_ty floor(ty·h/targetH),
+   *   sum_b = targetW·targetH·(id mod 256)
+   * — a hash match proves the decode → resample loop touched every
+   * target pixel correctly, not just that the metadata survived.
+   *
+   * Same scale shape as [[decodeBatch]]: `mapPartitions`, one codec
+   * context per partition, resample cost O(targetW·targetH) per image
+   * with no intermediate full-size copy beyond the decode itself.
+   */
+  def resizeBatch(spark: SparkSession, docs: DataFrame,
+                  idCol: String = "doc_id", targetW: Int = 24,
+                  targetH: Int = 24): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    imagePayload(spark, docs, idCol)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        rows.map { case (id, bytes) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var ty = 0
+          while (ty < targetH) {
+            val sy = ty * h / targetH
+            var tx = 0
+            while (tx < targetW) {
+              val sx = tx * w / targetW
+              val rgb = px(sy * w + sx)
+              sr += (rgb >>> 16) & 0xff
+              sg += (rgb >>> 8) & 0xff
+              sb += rgb & 0xff
+              tx += 1
+            }
+            ty += 1
+          }
+          ResizedImage(id, w.toLong, h.toLong, targetW.toLong,
+            targetH.toLong, targetW.toLong * targetH, sr, sg, sb)
         }
       }
   }

@@ -67,4 +67,25 @@ class MultimodalSpec extends SparkSpec {
     // fingerprints of the copies are equal, the outsider's differs
     assert(out(0)(1) == out(1)(1) && out(0)(1) != out(2)(1))
   }
+
+  test("resizeBatch: resampled channel sums match the closed form for " +
+      "up- and down-sampled sources") {
+    import spark.implicits._
+    // id 1 -> 17x17 (upsample to 24), id 16 -> 32x19 (downsample width,
+    // upsample height), id 300 -> 21x19 with blue 300 % 256 = 44
+    val docs = Seq(1L, 16L, 300L).toDF("doc_id")
+    val out = rows(Multimodal.resizeBatch(spark, docs).toDF()
+      .orderBy("doc_id"))
+    def expect(id: Long): Seq[Any] = {
+      val w = 16 + (id % 17); val h = 16 + (id % 13)
+      val sr = 24 * (0 until 24).map(tx => tx * w / 24).sum
+      val sg = 24 * (0 until 24).map(ty => ty * h / 24).sum
+      Seq(id, w, h, 24L, 24L, 576L, sr, sg, 576 * (id % 256))
+    }
+    assert(out == Seq(1L, 16L, 300L).map(expect))
+    // non-square target: dimensions land where asked
+    val nq = rows(Multimodal.resizeBatch(spark, Seq(1L).toDF("doc_id"),
+      targetW = 8, targetH = 30).toDF())
+    assert(nq.head(3) == 8L && nq.head(4) == 30L && nq.head(5) == 240L)
+  }
 }
