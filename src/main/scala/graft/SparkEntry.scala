@@ -122,7 +122,8 @@ object SparkEntry {
     "sample_stratified", "weighted_sample", "pack_sequences", "curate",
     "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card", "corpus_mix", "mix_planner", "chunk_documents",
+    "dataset_card", "dataset_card_sketch", "corpus_mix", "mix_planner",
+    "chunk_documents",
     "cdc_chunks",
     "cdc_dedup", "upsample",
     "sessionize", "window_agg", "sliding_window", "funnel", "attribution",
@@ -1100,6 +1101,12 @@ object SparkEntry {
     // one-row dataset card (docs/tokens/vocab/dup-rate/lang mix)
     "dataset_card" -> ((s, dir) =>
       Curation.datasetCard(t(s, dir, "documents"))),
+
+    // the 100 TB card: vocab via the KMV sketch (k=256) — no token
+    // shuffle, <= k-long aggregation buffers, deterministic estimate
+    // the oracle recomputes from the k smallest distinct hashes
+    "dataset_card_sketch" -> ((s, dir) =>
+      Curation.datasetCardSketch(t(s, dir, "documents"))),
 
     // recipe-feasibility report: can each source hit its budget share
     // under the repeat cap? (the audit run before corpus_mix)
@@ -3539,6 +3546,37 @@ object SparkEntry {
          |                    ORDER BY lang) AS lang_counts
          |  FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang))
          |SELECT n_docs, n_tokens, vocab,
+         |  n_docs - n_distinct AS n_dup_docs,
+         |  CASE WHEN n_docs > 0
+         |    THEN CAST(n_docs - n_distinct AS DOUBLE) / n_docs
+         |    ELSE 0.0 END AS dup_rate,
+         |  CASE WHEN n_docs > 0
+         |    THEN CAST(n_tokens AS DOUBLE) / n_docs ELSE 0.0 END
+         |    AS mean_tokens,
+         |  lang_counts
+         |FROM base, voc, lg""".stripMargin,
+
+    // dataset_card_sketch twin: identical card, vocab re-estimated from
+    // the 256 smallest distinct reproducible hashes (the KMV closed form)
+    "dataset_card_sketch" ->
+      s"""WITH base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(sum(len($toksSql)), 0) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |h AS (SELECT DISTINCT ${duckPolyFragment("tok", 31, 1000000007L)}
+         |    AS h
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
+         |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+         |voc AS (SELECT count(*) AS nd,
+         |    max(CASE WHEN rn <= 256 THEN h END) AS kth FROM r),
+         |lg AS (
+         |  SELECT string_agg(lang || ':' || CAST(c AS VARCHAR), ','
+         |                    ORDER BY lang) AS lang_counts
+         |  FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang))
+         |SELECT n_docs, n_tokens,
+         |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+         |       ELSE 255.0 * 1000000007 / kth END AS vocab_estimate,
          |  n_docs - n_distinct AS n_dup_docs,
          |  CASE WHEN n_docs > 0
          |    THEN CAST(n_docs - n_distinct AS DOUBLE) / n_docs

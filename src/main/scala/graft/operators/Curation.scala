@@ -565,7 +565,49 @@ object Curation {
   def datasetCard(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   langCol: String = "lang"): DataFrame = {
-    val base = docs
+    val vocab = docs
+      .select(explode(TextFns.tokens(textCol)).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("vocab"))
+    cardBase(docs, textCol).crossJoin(vocab)
+      .crossJoin(cardLangs(docs, langCol))
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        col("n_dup_docs"), col("dup_rate"), col("mean_tokens"),
+        col("lang_counts"))
+  }
+
+  /**
+   * [[datasetCard]] with the vocabulary measured by the KMV sketch
+   * instead of an exact countDistinct — the 100 TB variant the exact
+   * card's scaladoc promises. The exact vocab is one shuffle of the
+   * full distinct token stream; the sketch replaces it with a single
+   * aggregate whose partial buffers never exceed `k` longs (map-side
+   * combined — NO token shuffle: only ≤ k-long buffers move), at a
+   * relative error ~1/√(k−2) (~6% at k = 256, Beyer et al. SIGMOD'07).
+   * The hashes are the reproducible polynomial, so the estimate is
+   * bit-deterministic across partitionings and engines and the oracle
+   * recomputes it closed-form (the k smallest distinct hashes). All
+   * other card figures stay exact; `vocab_estimate` is DOUBLE by
+   * contract (it is an estimate, not a count).
+   */
+  def datasetCardSketch(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        langCol: String = "lang",
+                        k: Int = 256): DataFrame = {
+    val kmv = graft.functions.KmvSketch.udaf(k)
+    val vocab = docs
+      .select(explode(TextFns.tokens(textCol)).as("__tok"))
+      .select(TextFns.polyHash("__tok").as("__h"))
+      .agg(kmv(col("__h")).as("vocab_estimate"))
+    cardBase(docs, textCol).crossJoin(vocab)
+      .crossJoin(cardLangs(docs, langCol))
+      .select(col("n_docs"), col("n_tokens"), col("vocab_estimate"),
+        col("n_dup_docs"), col("dup_rate"), col("mean_tokens"),
+        col("lang_counts"))
+  }
+
+  /** Shared 1-row doc-stats aggregate of the dataset cards. */
+  private def cardBase(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .withColumn("__n", size(TextFns.tokens(textCol)).cast("long"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -580,20 +622,15 @@ object Curation {
         when(col("n_docs") > 0,
           col("n_tokens").cast("double") / col("n_docs"))
           .otherwise(lit(0.0)))
-    val vocab = docs
-      .select(explode(TextFns.tokens(textCol)).as("__tok"))
-      .agg(countDistinct(col("__tok")).as("vocab"))
-    val langs = docs.groupBy(col(langCol).as("__lang"))
+
+  /** Shared 1-row sorted `lang:count` rollup of the dataset cards. */
+  private def cardLangs(docs: DataFrame, langCol: String): DataFrame =
+    docs.groupBy(col(langCol).as("__lang"))
       .agg(count(lit(1)).as("__c"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__lang"), col("__c")))),
         s => concat(s("__lang"), lit(":"), s("__c").cast("string"))), ",")
         .as("lang_counts"))
-    base.crossJoin(vocab).crossJoin(langs)
-      .select(col("n_docs"), col("n_tokens"), col("vocab"),
-        col("n_dup_docs"), col("dup_rate"), col("mean_tokens"),
-        col("lang_counts"))
-  }
 
   /**
    * Snapshot diff for dataset versioning: which documents were added,

@@ -485,6 +485,18 @@ class CurationSpec extends SparkSpec {
       Seq(4L, 4L, 3L, 0L, 0L))
   }
 
+  test("datasetCardSketch: below-k vocab is exact and every other card " +
+      "field matches the exact card") {
+    val d = Seq((1L, "alpha beta gamma", "en"), (2L, "alpha beta", "fr"),
+      (3L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+    val ex = rows(Curation.datasetCard(d)).head
+    val sk = rows(Curation.datasetCardSketch(d)).head
+    // 3 distinct tokens < k = 256: the sketch IS the exact count
+    assert(sk(2) == ex(2).asInstanceOf[Long].toDouble)
+    // all non-vocab fields identical to the exact card
+    assert(sk.patch(2, Nil, 1) == ex.patch(2, Nil, 1))
+  }
+
   test("ksDriftByGroup: each group's statistic equals ksDrift on that " +
       "slice; one-sided groups read d_micro null") {
     val a = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("x", 3L), ("y", 5L),
