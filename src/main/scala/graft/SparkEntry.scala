@@ -140,7 +140,8 @@ object SparkEntry {
     "train_val_split", "kfold_split",
     "split_leakage",
     "top_ngrams", "zipf_audit", "heavy_hitters",
-    "ks_drift", "ks_drift_by_source", "annotator_agreement", "k_anonymity",
+    "ks_drift", "ks_drift_by_source", "classifier_auc_by_source",
+    "annotator_agreement", "k_anonymity",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
@@ -383,6 +384,19 @@ object SparkEntry {
         .join(docs.select(col("doc_id"),
           (col("lang") === lit("en")).as("is_en")), "doc_id")
       Curation.classifierAuc(scored, "c_en", "is_en")
+    }),
+
+    // the same scorer evaluated PER SOURCE — deployment gates check the
+    // worst slice, not the corpus average; grouped assembled cumulative
+    // pass, no single-task window
+    "classifier_auc_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("c_en"))
+        .join(docs.select(col("doc_id"), col("source"),
+          (col("lang") === lit("en")).as("is_en")), "doc_id")
+      Curation.classifierAucByGroup(scored, "c_en", "is_en", "source")
+        .orderBy("source")
     }),
 
     // reliability diagram for the same scorer: per-bin positive rates in
@@ -2316,6 +2330,33 @@ object SparkEntry {
          |       THEN CAST(num * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
          |  END AS auc_micro
          |FROM a""".stripMargin,
+
+    "classifier_auc_by_source" ->
+      s"""WITH sc AS (
+         |  SELECT source AS g,
+         |    CAST(len(list_filter($toksSql,
+         |      w -> list_contains(['the','and','of','is'], w))) AS BIGINT) AS s,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM documents),
+         |gr AS (SELECT g, s, CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(sum(1 - y) AS BIGINT) AS q
+         |  FROM sc GROUP BY 1, 2),
+         |c AS (SELECT g, p, q,
+         |    CAST(COALESCE(sum(q) OVER (PARTITION BY g ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cq
+         |  FROM gr),
+         |a AS (SELECT g, CAST(sum(p) AS BIGINT) AS n_pos,
+         |    CAST(sum(q) AS BIGINT) AS n_neg,
+         |    CAST(sum(p * q) AS BIGINT) AS n_tie_pairs,
+         |    CAST(sum(p * (2 * cq + q)) AS BIGINT) AS num
+         |  FROM c GROUP BY g)
+         |SELECT g AS source, n_pos, n_neg, n_tie_pairs,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN CAST(num * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+         |  END AS auc_micro
+         |FROM a ORDER BY source""".stripMargin,
 
     "ks_drift" ->
       """WITH ev AS (SELECT user_id,

@@ -870,6 +870,43 @@ object Curation {
   }
 
   /**
+   * Per-group [[classifierAuc]] — the scorer eval sliced by
+   * source/slice: a classifier can rank well corpus-wide while being
+   * no better than chance on one source (exactly the slice whose mass
+   * it then mis-drops), so deployment gates check the WORST slice, not
+   * the average. One row per group with the same exact-integer
+   * Mann–Whitney statistic [[classifierAuc]] reports on that group's
+   * rows alone; single-class groups read auc_micro = null.
+   *
+   * Scale: one hash-aggregate to (group, score) cells, then the grouped
+   * assembled cumulative pass ([[graft.operators.Relational
+   * .rangedCumSums]]) — no single-task window at any group/score
+   * cardinality.
+   */
+  def classifierAucByGroup(scored: DataFrame, scoreCol: String,
+                           labelCol: String, grpCol: String): DataFrame = {
+    val g = scored
+      .select(col(grpCol).as("__g"), col(scoreCol).cast("long").as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .groupBy("__g", "__s")
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__q"))
+    graft.operators.Relational.rangedCumSums(g, Seq("__g"),
+        Seq(col("__s").asc), Seq(("__q", "__cqi", "__qt")))
+      .withColumn("__cq", col("__cqi") - col("__q"))
+      .groupBy("__g")
+      .agg(sum(col("__p")).as("n_pos"),
+        sum(col("__q")).as("n_neg"),
+        sum(col("__p") * col("__q")).as("n_tie_pairs"),
+        sum(col("__p") * (lit(2L) * col("__cq") + col("__q"))).as("__num"))
+      .select(col("__g").as(grpCol), col("n_pos"), col("n_neg"),
+        col("n_tie_pairs"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("__num * 1000000 DIV (2 * n_pos * n_neg)"))
+          .as("auc_micro"))
+  }
+
+  /**
    * Calibration curve (reliability diagram) in exact integers: bucket
    * the integer score range into `buckets` equal-width bins over the
    * observed [min, max] and report each bin's size and positive rate —

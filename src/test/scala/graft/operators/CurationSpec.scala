@@ -485,6 +485,24 @@ class CurationSpec extends SparkSpec {
       Seq(4L, 4L, 3L, 0L, 0L))
   }
 
+  test("classifierAucByGroup: each group's statistic equals " +
+      "classifierAuc on that slice; single-class groups read null") {
+    val d = Seq(
+      ("x", 3L, true), ("x", 1L, false), ("x", 2L, true), ("x", 2L, false),
+      ("y", 5L, true), ("y", 4L, false), ("y", 6L, true),
+      ("z", 9L, true), ("z", 8L, true)).toDF("g", "s", "y")
+    val got = rows(Curation.classifierAucByGroup(d, "s", "y", "g")
+      .orderBy("g"))
+    Seq("x", "y").foreach { gv =>
+      val want = rows(
+        Curation.classifierAuc(d.filter(col("g") === gv), "s", "y")).head
+      assert(got.find(_.head == gv).get.tail == want, s"group $gv")
+    }
+    // only positives in z: AUC undefined, counts still reported
+    val z = got.find(_.head == "z").get
+    assert(z(1) == 2L && z(2) == 0L && z(4) == null)
+  }
+
   test("datasetCardSketch: below-k vocab is exact and every other card " +
       "field matches the exact card") {
     val d = Seq((1L, "alpha beta gamma", "en"), (2L, "alpha beta", "fr"),

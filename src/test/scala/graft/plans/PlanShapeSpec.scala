@@ -168,7 +168,8 @@ class PlanShapeSpec extends SparkSpec {
       }
       out.toSeq
     }
-    Seq("ks_drift", "classifier_auc").foreach { name =>
+    Seq("ks_drift", "classifier_auc", "ks_drift_by_source",
+        "classifier_auc_by_source").foreach { name =>
       val p = executedPlan(name)
       val windows = p.linesIterator
         .filter(_.matches(""".*\bWindow \[.*""")).toSeq
