@@ -98,6 +98,7 @@ object SparkEntry {
     "key_skew", "benford_audit", "zorder_layout", "hilbert_layout",
     "join_cardinality", "join_advisor",
     "robust_stats", "winsorized_stats", "value_percentiles",
+    "group_percentiles",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
@@ -964,6 +965,13 @@ object SparkEntry {
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
           expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"))
         .orderBy("event_type")),
+
+    // exact AND memory-bounded percentiles: assembled integer ranks (no
+    // per-group aggregation buffer, no single-task sort), arbitrary
+    // permille set, micro-unit values
+    "group_percentiles" -> ((s, dir) =>
+      Relational.groupedPercentiles(t(s, dir, "events"))
+        .orderBy("event_type", "permille")),
 
     // hash-sample percentiles — the scale path: the reproducible id-hash
     // sample is recomputed exactly by the oracle, so even the "estimate"
@@ -3129,6 +3137,24 @@ object SparkEntry {
         |WHERE rk > CAST(floor(n * 100 / 1000) AS BIGINT)
         |  AND rk <= n - CAST(floor(n * 100 / 1000) AS BIGINT)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // group_percentiles twin: the SAME rank arithmetic, not DuckDB's
+    // quantile built-in (engines disagree on quantile conventions)
+    "group_percentiles" ->
+      """WITH m AS (SELECT event_type AS g,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm,
+        |    event_id AS tie FROM events),
+        |r AS (SELECT g, vm,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY vm, tie)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM m),
+        |p AS (SELECT CAST(unnest([0, 50, 500, 950, 990, 1000]) AS BIGINT)
+        |        AS permille)
+        |SELECT r.g AS event_type, p.permille, r.vm AS value_micro,
+        |  r.rk AS rank, r.n AS n
+        |FROM r JOIN p
+        |  ON r.rk = greatest(1, (p.permille * r.n + 999) // 1000)
+        |ORDER BY event_type, permille""".stripMargin,
 
     // same rank CTE as robust_stats; boundary values from the kept band,
     // all rows clamped into it, same floored micro-mean

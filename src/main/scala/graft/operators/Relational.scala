@@ -543,6 +543,58 @@ object Relational {
   }
 
   /**
+   * Exact per-group percentiles by integer rank — the third cell of the
+   * percentile matrix: `percentile_disc` (the `value_percentiles`
+   * query) is exact but buffers every group's values inside one
+   * aggregation buffer (group-cardinality memory — the thing that dies
+   * first at 100 TB), and [[sampledPercentiles]] is bounded but a 1%
+   * estimate. This one is exact AND bounded: values quantize to
+   * micro-unit BIGINTs, ranks come from the assembled [[groupedRanks]]
+   * pass (range exchange + per-partition ranks — no group ever sits in
+   * one buffer or one task), and
+   * each requested permille `p` reads the value at rank
+   * `max(1, ceil(p·n/1000))` (p = 0 → the minimum, p = 1000 → the
+   * maximum — the "lower discrete quantile" convention, stated here
+   * because engines disagree on it). Emits one row per
+   * (group, permille): (grpCol, permille, value_micro, rank, n); the
+   * integer definition makes the result partition-, run- and
+   * engine-invariant, so the oracle recomputes it with the same rank
+   * arithmetic rather than its own quantile built-in.
+   *
+   * Scale: one range exchange + per-partition ranks ([[groupedRanks]]),
+   * then a narrow membership filter — the |permilles|-way explode runs
+   * only on rows whose rank IS a requested target, never on the corpus.
+   */
+  def groupedPercentiles(df: DataFrame, grpCol: String = "event_type",
+                         valCol: String = "value",
+                         tieCol: String = "event_id",
+                         permilles: Seq[Int] =
+                           Seq(0, 50, 500, 950, 990, 1000)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 0 && p <= 1000),
+      "permilles must be in [0, 1000]")
+    val pSql = permilles.distinct.sorted.mkString("array(", ", ", ")")
+    val m = df.select(col(grpCol),
+      expr(s"CAST(round($valCol * 1000000) AS BIGINT)").as("__vm"),
+      col(tieCol))
+    groupedRanks(m, grpCol, Seq(col("__vm").asc, col(tieCol).asc),
+      "__rk", "__n")
+      .withColumn("__tg", expr(
+        s"""transform($pSql, p ->
+           |  greatest(CAST(1 AS BIGINT),
+           |           (CAST(p AS BIGINT) * __n + 999) DIV 1000))"""
+          .stripMargin))
+      .filter(expr("array_contains(__tg, __rk)"))
+      .select(col(grpCol), col("__vm"), col("__rk"), col("__n"),
+        posexplode(col("__tg")))
+      .filter(col("col") === col("__rk"))
+      .withColumn("permille",
+        element_at(expr(pSql), col("pos").cast("int") + 1).cast("long"))
+      .select(col(grpCol), col("permille"),
+        col("__vm").as("value_micro"), col("__rk").as("rank"),
+        col("__n").as("n"))
+  }
+
+  /**
    * Benford first-significant-digit audit: per group, the observed
    * distribution of the leading nonzero digit of |value| against
    * Benford's law — the classic fabricated-/synthetic-data and

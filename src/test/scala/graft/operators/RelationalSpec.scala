@@ -348,6 +348,26 @@ class RelationalSpec extends SparkSpec {
     assert(advise(big, big)(4) == "shuffle")
   }
 
+  test("groupedPercentiles: rank-exact values at each permille, " +
+      "min/max at the ends, one row per (group, permille)") {
+    val df = Seq(("a", 5.0, 1L), ("a", 1.0, 2L), ("a", 3.0, 3L),
+      ("a", 2.0, 4L), ("b", 10.0, 5L))
+      .toDF("event_type", "value", "event_id")
+    val out = rows(Relational
+      .groupedPercentiles(df, permilles = Seq(0, 500, 1000))
+      .orderBy("event_type", "permille"))
+    // group a sorted micro values [1e6, 2e6, 3e6, 5e6]: p500 rank =
+    // ceil(0.5*4) = 2 -> 2e6; p0 -> min, p1000 -> max. Singleton b
+    // serves all three permilles from its single rank-1 row.
+    assert(out == Seq(
+      Seq("a", 0L, 1000000L, 1L, 4L),
+      Seq("a", 500L, 2000000L, 2L, 4L),
+      Seq("a", 1000L, 5000000L, 4L, 4L),
+      Seq("b", 0L, 10000000L, 1L, 1L),
+      Seq("b", 500L, 10000000L, 1L, 1L),
+      Seq("b", 1000L, 10000000L, 1L, 1L)))
+  }
+
   test("rangedCumSums: matches the single-task window exactly, grouped " +
       "and global, any partitioning; empty input stays empty") {
     import org.apache.spark.sql.expressions.Window
