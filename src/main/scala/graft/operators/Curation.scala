@@ -1050,14 +1050,31 @@ object Curation {
    * [[ksDriftFromCounts]].
    */
   def ksDriftByGroup(a: DataFrame, b: DataFrame, valueCol: String,
-                     grpCol: String): DataFrame = {
-    def counts(df: DataFrame, as: String) =
-      df.select(col(grpCol).as("__g"),
-        col(valueCol).cast("long").as("__v"))
-        .filter(col("__v").isNotNull)
-        .groupBy("__g", "__v").agg(count(lit(1)).as(as))
-    val merged = counts(a, "__ca")
-      .join(counts(b, "__cb"), Seq("__g", "__v"), "full_outer")
+                     grpCol: String): DataFrame =
+    ksDriftByGroupFromCounts(valueCountsByGroup(a, valueCol, grpCol),
+      valueCountsByGroup(b, valueCol, grpCol), grpCol)
+
+  /** Per-(group, value) BIGINT counts — the grouped [[valueCounts]]:
+   * the reduced form both [[ksDriftByGroup]] sides collapse to, and
+   * the persistable reference state for the per-group streaming drift
+   * monitor ([[graft.streaming.Streams.driftByGroupSink]]). Nulls drop
+   * under the same contract as [[valueCounts]]. Emits (grpCol, v, n). */
+  def valueCountsByGroup(df: DataFrame, valueCol: String,
+                         grpCol: String): DataFrame =
+    df.select(col(grpCol), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(grpCol, "v").agg(count(lit(1)).as("n"))
+
+  /** [[ksDriftByGroup]] with both sides already reduced to
+   * [[valueCountsByGroup]] frames (grpCol, v, n) — the streaming shape,
+   * mirroring [[ksDriftFromCounts]]. */
+  def ksDriftByGroupFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+                               grpCol: String): DataFrame = {
+    def shape(df: DataFrame, as: String) =
+      df.select(col(grpCol).as("__g"), col("v").cast("long").as("__v"),
+        col("n").cast("long").as(as))
+    val merged = shape(aCounts, "__ca")
+      .join(shape(bCounts, "__cb"), Seq("__g", "__v"), "full_outer")
       .select(col("__g"), col("__v"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))

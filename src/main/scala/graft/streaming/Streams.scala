@@ -1130,6 +1130,49 @@ object Streams {
       .start()
 
   /**
+   * Per-group streaming drift monitor — [[driftSink]] sliced by a group
+   * column ([[graft.operators.Curation.ksDriftByGroup]]'s streaming
+   * twin): each micro-batch lands as per-(group, value) counts, the
+   * cumulative observed counts compare against a persisted per-group
+   * reference, and one KS verdict row PER GROUP writes under
+   * `driftPath/batch=<id>` — the shape that catches one upstream feed
+   * going bad while the corpus-wide statistic still looks healthy.
+   * Same idempotent batch-partition protocol and [[compactedThrough]]
+   * watermark as [[driftSink]]; same null-drop contract as
+   * [[graft.operators.Curation.valueCounts]].
+   *
+   * Scale: per batch, one batch-sized aggregate plus a
+   * (group × value-space)-sized merge against the reference counts —
+   * the grouped assembled cumulative pass, so no single-task window at
+   * any group or value cardinality.
+   */
+  def driftByGroupSink(stream: DataFrame, refCountsPath: String,
+                       countsPath: String, driftPath: String,
+                       checkpointDir: String,
+                       valueCol: String = "value",
+                       grpCol: String = "source"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, countsPath)) {
+          val s = batch.sparkSession
+          graft.operators.Curation
+            .valueCountsByGroup(batch, valueCol, grpCol)
+            .write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+          val observed = s.read
+            .option("basePath", countsPath).parquet(countsPath)
+            .groupBy(grpCol, "v").agg(sum("n").cast("long").as("n"))
+          graft.operators.Curation.ksDriftByGroupFromCounts(
+            s.read.parquet(refCountsPath), observed, grpCol)
+            .write.mode("overwrite").parquet(s"$driftPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming IVF ingest — grow a [[graft.operators.Similarity
    * .writeIvfIndex]] ANN index from a live vector stream: each
    * micro-batch is classified against the FROZEN routing table

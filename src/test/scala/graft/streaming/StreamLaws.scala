@@ -172,6 +172,40 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("driftByGroupSink final verdicts = batch ksDriftByGroup over " +
+      "the concatenated input, for any batch split") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 5L))),
+      Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 5L))),
+      Gen.chooseNum(1, 7)) { (refRows, streamRows, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val cut = math.min(splitAt, streamRows.size - 1).max(1)
+      val (b0, b1) = streamRows.splitAt(cut)
+      val ref = Files.createTempDirectory("law-gdref").toString + "/c"
+      val cnt = Files.createTempDirectory("law-gdcnt").toString
+      val outDir = Files.createTempDirectory("law-gdout").toString
+      val cp = Files.createTempDirectory("law-gdcp").toString
+      val refDf = refRows.toDF("source", "value")
+      graft.operators.Curation.valueCountsByGroup(refDf, "value", "source")
+        .write.parquet(ref)
+      val mem = MemoryStream[(String, Long)]
+      val q = Streams.driftByGroupSink(mem.toDF().toDF("source", "value"),
+        ref, cnt, outDir, cp)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .orderBy("source").collect().toSeq.map(_.toSeq)
+      val want = graft.operators.Curation.ksDriftByGroup(refDf,
+        streamRows.toDF("source", "value"), "value", "source")
+        .orderBy("source").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   // ---- ivfIngestSink ---------------------------------------------------
 
   property("ivfIngestSink + tiered search = one-shot index over the " +

@@ -624,6 +624,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftByGroupSink: per-group KS verdicts converge to the grouped " +
+      "batch statistic") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val ref = Files.createTempDirectory("gdriftref").toString + "/counts"
+    val cnt = Files.createTempDirectory("gdriftcnt").toString
+    val out = Files.createTempDirectory("gdriftout").toString
+    val cp = Files.createTempDirectory("gdriftcp").toString
+    val refData = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("x", 3L),
+      ("y", 7L)).toDF("source", "value")
+    graft.operators.Curation.valueCountsByGroup(refData, "value", "source")
+      .write.parquet(ref)
+    val q = Streams.driftByGroupSink(mem.toDF().toDF("source", "value"),
+      ref, cnt, out, cp)
+    try {
+      mem.addData(("x", 2L), ("x", 3L), ("y", 7L))
+      q.processAllAvailable()
+      mem.addData(("x", 3L), ("x", 4L))
+      q.processAllAvailable()
+      // cumulative observed: x -> {2,3,3,4} (the hand-computed ksDrift
+      // example vs ref {1,1,2,3}), y -> {7} (identical to ref: D = 0)
+      val got = rows(spark.read.parquet(s"$out/batch=1")
+        .orderBy("source"))
+      assert(got == Seq(
+        Seq("x", 4L, 4L, 4L, 8L, 500000L),
+        Seq("y", 1L, 1L, 1L, 0L, 0L)))
+      // equals the batch operator over the concatenated observed input
+      val observed = Seq(("x", 2L), ("x", 3L), ("x", 3L), ("x", 4L),
+        ("y", 7L)).toDF("source", "value")
+      assert(got == rows(graft.operators.Curation.ksDriftByGroup(
+        refData, observed, "value", "source").orderBy("source")))
+    } finally q.stop()
+  }
+
   test("compactIndexBucketed self-heals a crashed swap before folding") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
