@@ -241,27 +241,31 @@ object Dedup {
           .select("tok")
         pref0.join(small, Seq("tok"), "left_semi")
     }
-    // positional filter (PPJoin proper — Xiao et al., "Efficient
-    // Similarity Joins for Near Duplicate Detection", WWW 2008, §3.2 —
-    // adapted to set semantics): a shared prefix token at 0-based
-    // positions (pa, pb) bounds the overlap by
+    // positional filter (PPJoin — Xiao et al., "Efficient Similarity
+    // Joins for Near Duplicate Detection", WWW 2008, §3.2 — adapted to
+    // set semantics): a shared prefix token at 0-based positions
+    // (pa, pb) bounds the overlap by
     //   least(pa, pb)            common tokens possible strictly before
     // + 1                        the shared token itself
-    // + least(sza-pa-1, szb-pb-1) common tokens possible after,
-    // and the overlap must satisfy EVERY shared token's bound — so the
-    // dedup-to-pairs aggregate takes the MINIMUM bound and prunes pairs
-    // that cannot reach alpha = ceil(t/(1+t)·(sza+szb)), the overlap a
-    // Jaccard >= t pair needs. Exact: bounds are sound, so no true pair
-    // is lost; it replaces the plain .distinct() with the same-shuffle
-    // groupBy and cuts the exact-verify join's input instead.
-    // MEASURED (sf0.1 documents, t=0.5, n=3 — BENCH_scaling.md round
-    // 12): prunes 1 295 of 310 057 candidate pairs (0.4%) — this corpus
-    // generates ~1.06 candidate ROWS per pair (most pairs share exactly
-    // one prefix token, usually early in both prefixes, where the bound
-    // is loosest), so the filter is bench-neutral here; it pays on
-    // long-document / high-threshold distributions where pairs surface
-    // deep in the prefix. Kept because it is output-neutral and adds no
-    // exchange.
+    // + least(sza-pa-1, szb-pb-1) common tokens possible after.
+    // Every row of a TRUE pair satisfies bound >= overlap >=
+    // alpha = ceil(t/(1+t)·(sza+szb)), so filtering candidate ROWS by
+    // their own bound is sound (a pair survives iff ANY of its rows
+    // passes — the max-bound semantics) and the pair set is unchanged.
+    // This row-level form runs as a narrow codegen predicate BEFORE the
+    // pair-dedup shuffle; the stronger min-bound form (aggregate the
+    // MINIMUM bound per pair, prune before verify) was built and
+    // MEASURED FIRST (BENCH_scaling.md round 12): it pruned only 1 295
+    // of 310 057 pairs (0.4%) on this corpus — near-dup pairs share
+    // their RAREST shingles, which the (df asc) order puts at prefix
+    // position ~0 where the bound is loosest — while its 3-column
+    // groupBy cost ~0.6 s over the plain distinct (isolated 6.4 s vs
+    // 5.8 s). The row form keeps the paper's filter at zero plan cost;
+    // revisit the min-bound aggregate on long-document / high-threshold
+    // distributions where candidates surface deep in the prefix.
+    // The 1e-9 slack keeps the double ceil SOUND at exact-integer
+    // boundaries (a too-tight alpha would lose true pairs; slack only
+    // weakens pruning).
     val cand = pref
       .select(col(idCol).as("a"), col("sz").as("sza"),
         col("pos").as("pa"), col("tok"))
@@ -270,18 +274,12 @@ object Dedup {
       .filter(col("a") < col("b"))
       .filter(least(col("sza"), col("szb")).cast("double") >=
         lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
-      .groupBy("a", "b")
-      .agg(max(col("sza")).as("sza"), max(col("szb")).as("szb"),
-        min(least(col("pa"), col("pb")) + lit(1) +
-          least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1))
-          .as("__ub"))
-      // the 1e-9 slack keeps the double ceil SOUND at exact-integer
-      // boundaries (a too-tight alpha would lose true pairs; slack only
-      // weakens pruning)
-      .filter(col("__ub").cast("double") >= ceil(
-        lit(threshold / (1.0 + threshold)) *
-          (col("sza") + col("szb")).cast("double") - lit(1e-9)))
-      .select("a", "b")
+      .filter((least(col("pa"), col("pb")) + lit(1) +
+        least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1))
+        .cast("double") >= ceil(
+          lit(threshold / (1.0 + threshold)) *
+            (col("sza") + col("szb")).cast("double") - lit(1e-9)))
+      .select("a", "b").distinct()
     jaccardFilter(cand, ordered, idCol, threshold)
   }
 
