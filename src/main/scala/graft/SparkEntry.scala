@@ -123,7 +123,8 @@ object SparkEntry {
     "sample_stratified", "weighted_sample", "pack_sequences", "curate",
     "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
-    "dataset_card", "dataset_card_sketch", "corpus_mix", "mix_planner",
+    "dataset_card", "dataset_card_sketch", "content_fingerprint",
+    "corpus_mix", "mix_planner",
     "chunk_documents",
     "cdc_chunks",
     "cdc_dedup", "upsample",
@@ -142,7 +143,7 @@ object SparkEntry {
     "split_leakage",
     "top_ngrams", "zipf_audit", "heavy_hitters",
     "ks_drift", "ks_drift_by_source", "classifier_auc_by_source",
-    "annotator_agreement", "k_anonymity",
+    "annotator_agreement", "k_anonymity", "l_diversity",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
@@ -455,6 +456,16 @@ object SparkEntry {
       Curation.kAnonymityAudit(
         t(s, dir, "events").withColumn("cohort", col("user_id") % 200),
         Seq("event_type", "cohort"), k = 8L)),
+
+    // l-diversity over (lang, 100-char length band) with `source` as the
+    // sensitive attribute at l = 3: the homogeneity-attack companion to
+    // k_anonymity (a big group whose rows all share one source still
+    // leaks membership)
+    "l_diversity" -> ((s, dir) =>
+      Curation.lDiversityAudit(
+        t(s, dir, "documents")
+          .withColumn("len_band", expr("n_chars DIV 100")),
+        Seq("lang", "len_band"), "source", l = 3L)),
 
     // ---- dedup (documents) ----
     "exact_dedup" -> ((s, dir) =>
@@ -1123,6 +1134,12 @@ object SparkEntry {
     // one-row dataset card (docs/tokens/vocab/dup-rate/lang mix)
     "dataset_card" -> ((s, dir) =>
       Curation.datasetCard(t(s, dir, "documents"))),
+
+    // order-invariant snapshot checksum: sum of reproducible row hashes
+    // mod p — replica / swap / upsert verification by one row per side
+    "content_fingerprint" -> ((s, dir) =>
+      Relational.contentFingerprint(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
 
     // the 100 TB card: vocab via the KMV sketch (k=256) — no token
     // shuffle, <= k-long aggregation buffers, deterministic estimate
@@ -2473,6 +2490,23 @@ object SparkEntry {
         |  END AS risk_permille
         |FROM a""".stripMargin,
 
+    "l_diversity" ->
+      """WITH g AS (SELECT lang, n_chars // 100 AS len_band,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS d
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_below_l,
+        |    CAST(COALESCE(sum(CASE WHEN d < 3 THEN n ELSE 0 END), 0)
+        |      AS BIGINT) AS rows_at_risk FROM g)
+        |SELECT n_rows, n_groups, n_below_l, rows_at_risk,
+        |  CASE WHEN n_rows > 0
+        |       THEN CAST(rows_at_risk * 1000 // n_rows AS BIGINT)
+        |  END AS risk_permille
+        |FROM a""".stripMargin,
+
     "fingerprint" ->
       s"""SELECT doc_id,
          |  ${polyHashSql("text")} AS fp_text,
@@ -3622,6 +3656,18 @@ object SparkEntry {
          |    AS mean_tokens,
          |  lang_counts
          |FROM base, voc, lg""".stripMargin,
+
+    // content_fingerprint twin: identical canonicalization (chr(1)
+    // separator, chr(2) null sentinel) and the same sum-mod arithmetic
+    "content_fingerprint" ->
+      s"""WITH h AS (SELECT ${duckPolyFragment(
+             "concat_ws(chr(1), CAST(doc_id AS VARCHAR), lang, source, " +
+               "CAST(n_chars AS VARCHAR))", 31, 1000000007L)} AS h
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(sum(CAST(h AS HUGEINT)), 0) % 1000000007
+         |    AS BIGINT) AS fingerprint
+         |FROM h""".stripMargin,
 
     // dataset_card_sketch twin: identical card, vocab re-estimated from
     // the 256 smallest distinct reproducible hashes (the KMV closed form)

@@ -1159,6 +1159,38 @@ object Curation {
   }
 
   /**
+   * l-diversity audit — [[kAnonymityAudit]]'s companion gate: a group
+   * can be k-anonymous (big enough) yet still leak when every row in it
+   * shares the SAME sensitive value (the homogeneity attack — knowing
+   * someone is in the group reveals their attribute). A group is
+   * l-diverse when its rows carry at least `l` DISTINCT sensitive
+   * values; this reports the groups and row mass below that bar. Emits
+   * one row: (n_rows, n_groups, n_below_l, rows_at_risk,
+   * risk_permille).
+   *
+   * Scale: one hash-aggregate on (quasi columns) with a distinct count
+   * of the sensitive column per group, then a second aggregate over the
+   * group frame — the corpus is read once, same shape as
+   * [[kAnonymityAudit]].
+   */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__d"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__d") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_below_l"),
+        coalesce(sum(when(col("__d") < l, col("__n")).otherwise(0L)),
+          lit(0L)).as("rows_at_risk"))
+      .withColumn("risk_permille",
+        when(col("n_rows") > 0, expr("rows_at_risk * 1000 DIV n_rows")))
+  }
+
+  /**
    * k-anonymity audit over a quasi-identifier column set — the privacy
    * gate before a corpus ships: every row whose quasi-identifier
    * combination is shared by fewer than `k` rows is re-identifiable to

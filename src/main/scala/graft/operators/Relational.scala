@@ -595,6 +595,42 @@ object Relational {
   }
 
   /**
+   * Order-invariant content fingerprint over chosen columns — the
+   * snapshot-equality checksum for 100 TB table management: two
+   * replicas, a table before/after a rename-swap, or an upsert target
+   * vs its recomputed expectation compare by ONE row each, with no
+   * sort and no join. Per row, the reproducible polynomial hash of the
+   * `\u0001`-joined canonical column strings (nulls encoded as a
+   * `\u0002` sentinel so ("a", null) ≠ (null, "a")); the fingerprint
+   * is the SUM of row hashes mod the hash modulus plus the row count —
+   * associative, so partition-, order- and engine-invariant, and the
+   * DuckDB twin recomputes the identical arithmetic.
+   *
+   * Contract: pass integer/string-typed columns only (double and
+   * timestamp string forms diverge across engines — quantize first,
+   * the corpus-wide rule). This is a CHECKSUM, not a proof: any
+   * single-row insert/delete/change flips it unless the hash delta is
+   * ≡ 0 mod p (~1e-9); adversarial collisions are out of scope. Emits
+   * (n_rows, fingerprint).
+   *
+   * Scale: one narrow projection + one 1-row aggregate — the cheapest
+   * possible full-scan verification, strictly cheaper than the
+   * sort-based alternatives and embarrassingly partition-parallel.
+   */
+  def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to fingerprint")
+    val canon = cols
+      .map(c => s"coalesce(CAST(`$c` AS STRING), '\u0002')")
+      .mkString(", ")
+    df.select(TextFns.polyHash(s"concat_ws('\u0001', $canon)").as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(
+          expr(s"CAST(sum(CAST(__h AS DECIMAL(38,0))) % " +
+            s"${TextFns.HashMod} AS BIGINT)"), lit(0L))
+          .as("fingerprint"))
+  }
+
+  /**
    * Benford first-significant-digit audit: per group, the observed
    * distribution of the leading nonzero digit of |value| against
    * Benford's law — the classic fabricated-/synthetic-data and

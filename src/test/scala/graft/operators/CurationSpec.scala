@@ -561,6 +561,23 @@ class CurationSpec extends SparkSpec {
     assert(rows(Curation.annotatorAgreement(const, "r1", "r2")).head(5) == null)
   }
 
+  test("lDiversityAudit: homogeneous groups flagged with their row mass") {
+    // group (a,1): 3 rows, 1 distinct sensitive -> below l=2;
+    // group (b,2): 2 rows, 2 distinct -> diverse
+    val d = Seq(("a", 1L, "s1"), ("a", 1L, "s1"), ("a", 1L, "s1"),
+      ("b", 2L, "s1"), ("b", 2L, "s2")).toDF("q1", "q2", "sv")
+    val out = rows(Curation.lDiversityAudit(d, Seq("q1", "q2"), "sv", 2L))
+      .head
+    assert(out == Seq(5L, 2L, 1L, 3L, 600L))
+    // l = 1 is always satisfied by a non-empty group
+    assert(rows(Curation.lDiversityAudit(d, Seq("q1"), "sv", 1L))
+      .head(4) == 0L)
+    // empty input: zero counts, undefined permille
+    val e = rows(Curation.lDiversityAudit(d.limit(0), Seq("q1"), "sv", 2L))
+      .head
+    assert(e(0) == 0L && e(4) == null)
+  }
+
   test("kAnonymityAudit: groups below k and rows at risk") {
     val df = Seq(
       ("a", 1L), ("a", 1L), ("a", 1L), // group of 3: safe at k=2

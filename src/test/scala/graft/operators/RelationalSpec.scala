@@ -348,6 +348,25 @@ class RelationalSpec extends SparkSpec {
     assert(advise(big, big)(4) == "shuffle")
   }
 
+  test("contentFingerprint: order/partition-invariant, flips on any row " +
+      "change, null position encoded, empty = (0, 0)") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val f1 = rows(Relational.contentFingerprint(df, Seq("id", "v"))).head
+    val f2 = rows(Relational.contentFingerprint(
+      df.repartition(7).orderBy(desc("id")), Seq("id", "v"))).head
+    assert(f1 == f2 && f1(0) == 3L)
+    val changed = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v")
+    assert(rows(Relational.contentFingerprint(changed, Seq("id", "v")))
+      .head != f1)
+    // null SENTINEL keeps the column position: ("a", null) != (null, "a")
+    val n1 = Seq(("a", null.asInstanceOf[String])).toDF("x", "y")
+    val n2 = Seq((null.asInstanceOf[String], "a")).toDF("x", "y")
+    assert(rows(Relational.contentFingerprint(n1, Seq("x", "y"))) !=
+      rows(Relational.contentFingerprint(n2, Seq("x", "y"))))
+    assert(rows(Relational.contentFingerprint(df.limit(0), Seq("id")))
+      .head == Seq(0L, 0L))
+  }
+
   test("groupedPercentiles: rank-exact values at each permille, " +
       "min/max at the ends, one row per (group, permille)") {
     val df = Seq(("a", 5.0, 1L), ("a", 1.0, 2L), ("a", 3.0, 3L),
