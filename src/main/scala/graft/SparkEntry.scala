@@ -74,10 +74,12 @@ object SparkEntry {
    *   - `embedding_near_dup_recall` / `embedding_near_dup_tight_recall` —
    *     recall gates for the banded twins; contain the exact quadratic
    *     side by definition;
-   *   - `ngram_jaccard` / `ngram_jaccard_exact` — Ω(Σ df²) candidate volume
+   *   - `ngram_jaccard` / `ngram_jaccard_exact` / `containment_pairs` —
+   *     Ω(Σ df²) candidate volume
    *     even DF-capped (measured 38× superlinear at 10× dup mass,
    *     BENCH_scaling.md); `minhash_lsh` is the near-dup pair default at
-   *     scale (same pair set to 0.014% recall, 15× faster);
+   *     scale (same pair set to 0.014% recall, 15× faster), and the
+   *     containment variant shares the same counted-intersection frame;
    *   - `simhash` (uncapped) — band-bucket self-join on biased sign bits is
    *     skew-prone (12.5 s driver-bench outlier, round 6); `simhash_capped`
    *     (maxBucketSize = 64) is the production headline;
@@ -492,6 +494,15 @@ object SparkEntry {
     "ngram_jaccard_exact" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5,
         maxShingleDF = None).orderBy("doc_a", "doc_b")),
+
+    // asymmetric containment (quote/boilerplate/subset detection):
+    // C(inner->outer) = |inner ∩ outer| / |inner| >= 0.8, both
+    // directions from one counted intersection; Jaccard-invisible
+    // short-in-long embeddings surface here
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), n = 3,
+        threshold = 0.8, maxShingleDF = Some(20))
+        .orderBy("doc_inner", "doc_outer")),
 
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 128,
@@ -2633,6 +2644,35 @@ object SparkEntry {
          |JOIN sizes sb ON inter.doc_b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // containment_pairs twin: same capped intersections + pre-cap sizes,
+    // each direction tested against its own inner size
+    "containment_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |dfreq AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+         |capped AS (SELECT sh.doc_id, sh.s FROM sh
+         |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.c <= 20),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT da AS doc_inner, db AS doc_outer, i, sa.sz AS szi
+         |  FROM inter JOIN sizes sa ON inter.da = sa.doc_id
+         |  UNION ALL
+         |  SELECT db AS doc_inner, da AS doc_outer, i, sb.sz AS szi
+         |  FROM inter JOIN sizes sb ON inter.db = sb.doc_id)
+         |SELECT doc_inner, doc_outer,
+         |  CAST(i * 1000 // szi AS BIGINT) AS containment_permille
+         |FROM dirs
+         |WHERE CAST(i AS DOUBLE) >= 0.8 * szi
+         |ORDER BY doc_inner, doc_outer""".stripMargin,
 
     // incremental ingest: sign-once corpus index + per-batch banding,
     // verified by the signature-estimated Jaccard — the whole chain is

@@ -128,11 +128,21 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxShingleDF: Option[Int] = Some(1000)): DataFrame = {
+                        maxShingleDF: Option[Int] = Some(1000)): DataFrame =
+    pairIntersections(docs, n, idCol, textCol, maxShingleDF)
+      .filter(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+
+  /** Shared counted-intersection frame of the shingle pair operators:
+   * (a, b, inter, sza, szb) with a < b, intersections from (optionally
+   * df-capped) candidate counts, sizes always PRE-cap. */
+  private def pairIntersections(docs: DataFrame, n: Int, idCol: String,
+                                textCol: String,
+                                maxShingleDF: Option[Int]): DataFrame = {
     val sh0 = docShingles(docs, idCol, n, textCol)
     // true set sizes (pre-cap): the denominator must not shrink with the
     // cap. A plain count over the (already distinct) shingle rows — no
-    // collect_set array build; this operator never needs the sets
+    // collect_set array build; these operators never need the sets
     // themselves (intersections come from the candidate counts).
     // NOTE the groupBy exchange here is LOAD-BEARING: `sizes` is joined
     // twice below (doc_a and doc_b sides) and ReuseExchange computes the
@@ -163,9 +173,45 @@ object Dedup {
     counted
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
-      .filter(col("inter") / (col("sza") + col("szb") - col("inter")).cast("double") >= threshold)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"))
   }
+
+  /**
+   * Asymmetric near-dup: shingle-set CONTAINMENT pairs — the quote /
+   * boilerplate / subset detector that symmetric Jaccard misses by
+   * construction: a 50-token license block pasted into a 5 000-token
+   * document has Jaccard ≈ 0.01 but containment ≈ 1.0 from the block's
+   * side, so a Jaccard threshold can NEVER surface it. Emits one row
+   * per ORDERED qualifying direction
+   * (doc_inner, doc_outer, containment_permille) with
+   * C(inner→outer) = |S_inner ∩ S_outer| / |S_inner| ≥ `threshold`;
+   * both directions of a pair are tested independently from ONE
+   * counted intersection (mutual containment — exact near-dups — emits
+   * both rows). `containment_permille` is the exact BIGINT floor
+   * permille, engine-invariant.
+   *
+   * Scale: identical candidate machinery, df-cap semantics, and
+   * superlinearity caveat as [[ngramJaccardPairs]] (the cap prunes
+   * candidate generation only; denominators stay pre-cap, so capped
+   * intersections undercount — recall trade, never precision). The
+   * asymmetric threshold admits pairs with tiny `inner` sets, so a
+   * sensible `n` and threshold matter more here: a 1-shingle document
+   * is "contained" anywhere its single shingle appears.
+   */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxShingleDF: Option[Int] = Some(1000)): DataFrame =
+    pairIntersections(docs, n, idCol, textCol, maxShingleDF)
+      .select(explode(array(
+        struct(col("a").as("doc_inner"), col("b").as("doc_outer"),
+          col("sza").as("szi")),
+        struct(col("b").as("doc_inner"), col("a").as("doc_outer"),
+          col("szb").as("szi")))).as("p"), col("inter"))
+      .select(col("p.doc_inner").as("doc_inner"),
+        col("p.doc_outer").as("doc_outer"), col("inter"), col("p.szi").as("szi"))
+      .filter(col("inter").cast("double") >=
+        lit(threshold) * col("szi").cast("double"))
+      .withColumn("containment_permille", expr("inter * 1000 DIV szi"))
+      .select("doc_inner", "doc_outer", "containment_permille")
 
   /**
    * EXACT set-similarity self-join via prefix + positional filtering

@@ -36,6 +36,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("containmentPairs: short-in-long embedding surfaces one-directionally " +
+      "where Jaccard misses it; identical docs contain mutually") {
+    import spark.implicits._
+    val block = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val outer = block + " one two three four five six seven eight nine " +
+      "ten eleven twelve thirteen fourteen fifteen sixteen"
+    val d = Seq((1L, block), (2L, outer),
+      (3L, "completely unrelated text about spark engines and parquet " +
+        "files today"), (4L, block)).toDF("doc_id", "text")
+    val out = rows(Dedup.containmentPairs(d, n = 3, threshold = 0.8,
+      maxShingleDF = None).orderBy("doc_inner", "doc_outer"))
+    // 1 ⊂ 2 (all 8 shingles, permille 1000) but NOT 2 ⊂ 1 (8/24);
+    // 1 ≡ 4 contain each other (both directions emitted)
+    assert(out == Seq(Seq(1L, 2L, 1000L), Seq(1L, 4L, 1000L),
+      Seq(4L, 1L, 1000L), Seq(4L, 2L, 1000L)))
+    // the symmetric operator at 0.5 cannot see the 1-in-2 embedding
+    // (Jaccard 8/24) — only the identical pair
+    assert(rows(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5,
+      maxShingleDF = None).orderBy("doc_a", "doc_b")) == Seq(Seq(1L, 4L)))
+  }
+
   test("ppjoinPairs equals the brute-force exact operator") {
     val exact = rows(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
       textCol = "body", maxShingleDF = None).orderBy("doc_a", "doc_b"))
