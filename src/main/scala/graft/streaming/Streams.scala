@@ -1173,6 +1173,103 @@ object Streams {
       .start()
 
   /**
+   * Streaming dataset card — maintain the corpus release summary
+   * ([[graft.operators.Curation.datasetCardSketch]]'s shape) over a
+   * live document stream with BOUNDED state: each micro-batch lands
+   * three partial frames under `partialsPath` —
+   *   - `langs/batch=<id>`: per-language (n_docs, n_tokens), additive;
+   *   - `vocab/batch=<id>`: the batch's `k` smallest distinct token
+   *     hashes ([[graft.functions.MinKLongs]] — ≤ k rows per batch);
+   *   - `texts/batch=<id>`: the `k` smallest distinct text hashes —
+   * and the cumulative card re-derives from the partial tree
+   * ([[cardFromPartials]]) into `cardPath/batch=<id>`. The KMV merge
+   * property makes this exact *as a sketch*: the k smallest distinct
+   * hashes of a union are found inside the union of per-batch k-min
+   * sets, so the folded estimate equals the one-shot
+   * [[graft.operators.Curation.datasetCardSketch]] estimate over the
+   * concatenated corpus (StreamLaws pins it). Distinct texts are
+   * likewise a KMV ESTIMATE here — exact streaming dup-rate would need
+   * unbounded distinct state, precisely what this sink refuses to hold.
+   *
+   * Emits per batch: (n_docs, n_tokens, vocab_estimate,
+   * distinct_texts_estimate, lang_counts). Idempotent batch-partition
+   * protocol (replays rewrite their own dirs), same as every sink here.
+   *
+   * Scale: per batch, one batch-sized aggregate per partial; the card
+   * re-derive reads (languages × batches) + (k × batches) rows — never
+   * the corpus.
+   */
+  def cardSink(stream: DataFrame, partialsPath: String, cardPath: String,
+               checkpointDir: String, k: Int = 256,
+               textCol: String = "text",
+               langCol: String = "lang"): StreamingQuery = {
+    import graft.functions.TextFns
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val mink = graft.functions.MinKLongs.udaf(k)
+          batch
+            .withColumn("__n", size(TextFns.tokens(textCol)).cast("long"))
+            .groupBy(col(langCol).as("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("__n")), lit(0L)).as("n_tokens"))
+            .write.mode("overwrite")
+            .parquet(s"$partialsPath/langs/batch=$batchId")
+          batch.select(explode(TextFns.tokens(textCol)).as("__tok"))
+            .select(TextFns.polyHash("__tok").as("h"))
+            .agg(mink(col("h")).as("hs"))
+            .select(explode(col("hs")).as("h"))
+            .write.mode("overwrite")
+            .parquet(s"$partialsPath/vocab/batch=$batchId")
+          batch.select(TextFns.polyHash(textCol).as("h"))
+            .agg(mink(col("h")).as("hs"))
+            .select(explode(col("hs")).as("h"))
+            .write.mode("overwrite")
+            .parquet(s"$partialsPath/texts/batch=$batchId")
+          cardFromPartials(s, partialsPath, k)
+            .write.mode("overwrite").parquet(s"$cardPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Fold a [[cardSink]] partial tree into the one-row cumulative card —
+   * also the recovery path: the card for ANY point in time re-derives
+   * from the partials alone. */
+  def cardFromPartials(spark: SparkSession, partialsPath: String,
+                       k: Int = 256): org.apache.spark.sql.DataFrame = {
+    val kmv = graft.functions.KmvSketch.udaf(k)
+    val langs = spark.read
+      .option("basePath", s"$partialsPath/langs")
+      .parquet(s"$partialsPath/langs")
+      .groupBy("lang")
+      .agg(sum("n_docs").cast("long").as("__c"),
+        sum("n_tokens").cast("long").as("__t"))
+    val totals = langs.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_docs"),
+      coalesce(sum(col("__t")), lit(0L)).as("n_tokens"))
+    val langStr = langs.agg(array_join(transform(
+      array_sort(collect_list(struct(col("lang"), col("__c")))),
+      x => concat(x("lang"), lit(":"), x("__c").cast("string"))), ",")
+      .as("lang_counts"))
+    val vocab = spark.read
+      .option("basePath", s"$partialsPath/vocab")
+      .parquet(s"$partialsPath/vocab")
+      .agg(kmv(col("h")).as("vocab_estimate"))
+    val texts = spark.read
+      .option("basePath", s"$partialsPath/texts")
+      .parquet(s"$partialsPath/texts")
+      .agg(kmv(col("h")).as("distinct_texts_estimate"))
+    totals.crossJoin(vocab).crossJoin(texts).crossJoin(langStr)
+      .select(col("n_docs"), col("n_tokens"), col("vocab_estimate"),
+        col("distinct_texts_estimate"), col("lang_counts"))
+  }
+
+  /**
    * Streaming IVF ingest — grow a [[graft.operators.Similarity
    * .writeIvfIndex]] ANN index from a live vector stream: each
    * micro-batch is classified against the FROZEN routing table

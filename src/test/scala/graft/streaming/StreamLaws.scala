@@ -206,6 +206,49 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("cardSink cumulative card = datasetCardSketch over the " +
+      "concatenated corpus (shared fields), for any batch split") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("en", "fr"),
+        Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta",
+          "epsilon", "zeta", "eta", "theta")))),
+      Gen.chooseNum(1, 9)) { (docsRaw, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val k = 8 // small k so the ESTIMATE branch (not below-k exact) runs
+      val docs = docsRaw.zipWithIndex.map { case ((lang, toks), i) =>
+        (i.toLong, toks.mkString(" "), lang) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      val parts = Files.createTempDirectory("law-cardp").toString
+      val cards = Files.createTempDirectory("law-cardc").toString
+      val cp = Files.createTempDirectory("law-cardcp").toString
+      val mem = MemoryStream[(Long, String, String)]
+      val q = Streams.cardSink(mem.toDF().toDF("doc_id", "text", "lang"),
+        parts, cards, cp, k = k)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$cards/batch=1")
+        .select("n_docs", "n_tokens", "vocab_estimate", "lang_counts")
+        .collect().head.toSeq
+      val all = docs.toDF("doc_id", "text", "lang")
+      val want = graft.operators.Curation.datasetCardSketch(all, k = k)
+        .select("n_docs", "n_tokens", "vocab_estimate", "lang_counts")
+        .collect().head.toSeq
+      // distinct-texts estimate = one-shot KMV over the text hashes
+      val gotTexts = spark.read.parquet(s"$cards/batch=1")
+        .select("distinct_texts_estimate").collect().head.getDouble(0)
+      val kmv = graft.functions.KmvSketch.udaf(k)
+      val wantTexts = all
+        .select(graft.functions.TextFns.polyHash("text").as("h"))
+        .agg(kmv(col("h"))).collect().head.getDouble(0)
+      got == want && gotTexts == wantTexts
+    }
+
   // ---- ivfIngestSink ---------------------------------------------------
 
   property("ivfIngestSink + tiered search = one-shot index over the " +
