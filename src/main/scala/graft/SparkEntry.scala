@@ -135,7 +135,8 @@ object SparkEntry {
     "event_transitions", "count_anomaly", "resample_ffill", "event_lift",
     "neardup_clusters", "neardup_dedup", "neardup_dedup_quality",
     "tfidf_topterms",
-    "clean_text", "pii_redact", "nfc_normalize", "quality_band", "pivot_counts", "union_ragged", "cube_agg",
+    "clean_text", "pii_redact", "nfc_normalize", "encoding_audit",
+    "quality_band", "pivot_counts", "union_ragged", "cube_agg",
     "repetition_score", "simpson_score", "lm_score", "gopher_rules",
     "bpe_merges",
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
@@ -1104,6 +1105,13 @@ object SparkEntry {
     "nfc_normalize" -> ((s, dir) =>
       TextAnalysis.normalizeUnicode(t(s, dir, "documents"))
         .orderBy("doc_id")),
+
+    // per-source encoding health: non-ASCII mass, surviving U+FFFD
+    // replacement chars, leaked C0 controls — the transcoding-break
+    // alarm (a non-ASCII spike in an ASCII source = upstream breakage)
+    "encoding_audit" -> ((s, dir) =>
+      TextAnalysis.encodingAudit(t(s, dir, "documents"))
+        .orderBy("source")),
 
     // exact heavy hitters (tokens over n/(k+1) of all occurrences) via a
     // Misra-Gries candidate pass + exact recount of candidates only
@@ -3550,6 +3558,29 @@ object SparkEntry {
       """SELECT doc_id, nfc_normalize(text) AS text_nfc,
         |  nfc_normalize(text) <> text AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // encoding_audit twin: RE2 classes are code-point-exact over UTF-8,
+    // mirroring the Spark BMP counting
+    "encoding_audit" ->
+      """WITH m AS (SELECT source, length(text) AS len,
+        |    length(text) - length(regexp_replace(text,
+        |      '[^\x00-\x7F]', '', 'g')) AS na,
+        |    length(text) - length(regexp_replace(text,
+        |      '\x{FFFD}', '', 'g')) AS re,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ct
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(sum(len), 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS non_ascii_docs,
+        |  CAST(COALESCE(sum(na), 0) AS BIGINT) AS non_ascii_chars,
+        |  CAST(COALESCE(sum(re), 0) AS BIGINT) AS replacement_chars,
+        |  CAST(COALESCE(sum(ct), 0) AS BIGINT) AS control_chars,
+        |  CASE WHEN sum(len) > 0 THEN
+        |    CAST((sum(len) - sum(na)) * 1000 // sum(len) AS BIGINT)
+        |  END AS ascii_permille
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // heavy_hitters: the sketch is candidates-only, so the ground truth
     // is the plain GROUP BY / HAVING at threshold n/(k+1), k=30

@@ -829,4 +829,54 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
   }
+
+  /**
+   * Per-source encoding health audit — the bookkeeping a web-scale
+   * ingest runs before any text transform: how much of each source is
+   * non-ASCII (expected for non-English sources; a SPIKE in an English
+   * one means an encoding break upstream), how many U+FFFD replacement
+   * characters survived transcoding (each one is a destroyed byte
+   * sequence), and how many C0 control characters (excluding
+   * tab/newline/CR) leaked through. Emits one row per source:
+   * (srcCol, n_docs, n_chars, non_ascii_docs, non_ascii_chars,
+   * replacement_chars, control_chars, ascii_permille) — counts exact
+   * BIGINT, permille floor division.
+   *
+   * Counting is `length(text) − length(regexp_replace(text, class,
+   * ''))` — one narrow codegen projection, no explode; BMP-accurate
+   * (an astral code point counts once in `length` but twice as UTF-16
+   * units in Java regex classes — quantify astral-heavy corpora with a
+   * dedicated pass).
+   *
+   * Scale: one projection + one hash-aggregate on the source key,
+   * map-side combined; nothing corpus-sized shuffles.
+   */
+  def encodingAudit(docs: DataFrame, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    def removed(pattern: String) =
+      length(col(textCol)) -
+        length(regexp_replace(col(textCol), pattern, ""))
+    docs
+      .select(col(srcCol),
+        length(col(textCol)).cast("long").as("__len"),
+        removed("[^\\x00-\\x7F]").cast("long").as("__na"),
+        removed("�").cast("long").as("__re"),
+        removed("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").cast("long")
+          .as("__ct"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__len")), lit(0L)).as("n_chars"),
+        coalesce(sum(when(col("__na") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("non_ascii_docs"),
+        coalesce(sum(col("__na")), lit(0L)).as("non_ascii_chars"),
+        coalesce(sum(col("__re")), lit(0L)).as("replacement_chars"),
+        coalesce(sum(col("__ct")), lit(0L)).as("control_chars"))
+      .withColumn("ascii_permille",
+        when(col("n_chars") > 0,
+          expr("(n_chars - non_ascii_chars) * 1000 DIV n_chars")))
+      .select(col(srcCol), col("n_docs"), col("n_chars"),
+        col("non_ascii_docs"), col("non_ascii_chars"),
+        col("replacement_chars"), col("control_chars"),
+        col("ascii_permille"))
+  }
 }

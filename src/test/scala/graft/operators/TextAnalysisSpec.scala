@@ -305,4 +305,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(TextAnalysis.simpsonScore(docs.repartition(3))
       .orderBy("doc_id")) == out)
   }
+
+  test("encodingAudit: non-ASCII, replacement and control chars per " +
+      "source; tab/newline are not controls") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "pure ascii text"),
+      ("a", "café touché"),
+      ("b", "broken �� here\u0001"),
+      ("b", "tab\tand\nnewline ok")).toDF("source", "text")
+    val out = rows(TextAnalysis.encodingAudit(d).orderBy("source"))
+    // a: 15 + 11 chars, one doc with 2 accented chars
+    assert(out.head == Seq("a", 2L, 26L, 1L, 2L, 0L, 0L, 923L))
+    // b: U+FFFD counts as BOTH non-ascii and replacement; U+0001 is a
+    // control; \t and \n are not
+    assert(out(1) == Seq("b", 2L, 33L, 1L, 2L, 2L, 1L, 939L))
+  }
 }
