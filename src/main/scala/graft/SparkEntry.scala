@@ -79,7 +79,9 @@ object SparkEntry {
    *     even DF-capped (measured 38× superlinear at 10× dup mass,
    *     BENCH_scaling.md); `minhash_lsh` is the near-dup pair default at
    *     scale (same pair set to 0.014% recall, 15× faster), and the
-   *     containment variant shares the same counted-intersection frame;
+   *     capped containment variant shares the same counted-intersection
+   *     frame (`containment_exact` — one-sided prefix filter + exact
+   *     verify — is its benched scale path, the ppjoin relationship);
    *   - `simhash` (uncapped) — band-bucket self-join on biased sign bits is
    *     skew-prone (12.5 s driver-bench outlier, round 6); `simhash_capped`
    *     (maxBucketSize = 64) is the production headline;
@@ -134,6 +136,7 @@ object SparkEntry {
     "retention",
     "event_transitions", "count_anomaly", "resample_ffill", "event_lift",
     "neardup_clusters", "neardup_dedup", "neardup_dedup_quality",
+    "containment_exact",
     "tfidf_topterms",
     "clean_text", "pii_redact", "nfc_normalize", "encoding_audit",
     "quality_band", "pivot_counts", "union_ragged", "cube_agg",
@@ -504,6 +507,13 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, dir, "documents"), n = 3,
         threshold = 0.8, maxShingleDF = Some(20))
         .orderBy("doc_inner", "doc_outer")),
+
+    // the SCALE path for containment: one-sided prefix filter (inner's
+    // rarest tokens vs all tokens) + exact array-intersect verify — no
+    // recall loss, candidates track the output instead of Σ df²
+    "containment_exact" -> ((s, dir) =>
+      Dedup.containmentPairsExact(t(s, dir, "documents"), n = 3,
+        threshold = 0.8).orderBy("doc_inner", "doc_outer")),
 
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 128,
@@ -2669,6 +2679,32 @@ object SparkEntry {
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
          |    CAST(count(*) AS BIGINT) AS i
          |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT da AS doc_inner, db AS doc_outer, i, sa.sz AS szi
+         |  FROM inter JOIN sizes sa ON inter.da = sa.doc_id
+         |  UNION ALL
+         |  SELECT db AS doc_inner, da AS doc_outer, i, sb.sz AS szi
+         |  FROM inter JOIN sizes sb ON inter.db = sb.doc_id)
+         |SELECT doc_inner, doc_outer,
+         |  CAST(i * 1000 // szi AS BIGINT) AS containment_permille
+         |FROM dirs
+         |WHERE CAST(i AS DOUBLE) >= 0.8 * szi
+         |ORDER BY doc_inner, doc_outer""".stripMargin,
+
+    // containment_exact twin: UNCAPPED intersections (the Spark side's
+    // prefix filter is lossless, so the ground truth is the full join)
+    "containment_exact" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |dirs AS (
          |  SELECT da AS doc_inner, db AS doc_outer, i, sa.sz AS szi

@@ -255,16 +255,7 @@ object Dedup {
                   maxPrefixDF: Option[Int] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val sh0 = docShingles(docs, idCol, n, textCol)
-    val dfreq = sh0.groupBy("sh").agg(count(lit(1)).as("__df"))
-    // per-doc shingle array in the global (df asc, sh asc) order; this
-    // frame is referenced three times (prefix explode + both verify
-    // sides) and ReuseExchange computes the aggregate once
-    val ordered = sh0.join(dfreq, "sh")
-      .groupBy(idCol)
-      .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__o"))
-      .select(col(idCol), expr("transform(__o, x -> x.sh)").as("hs"),
-        size(col("__o")).as("sz"))
+    val ordered = dfOrderedSets(docs, n, idCol, textCol)
     // prefix length p = sz - ceil(t·sz) + 1 (>= 1 for t <= 1);
     // posexplode carries each token's 0-based position for the
     // positional filter below
@@ -327,6 +318,69 @@ object Dedup {
             (col("sza") + col("szb")).cast("double") - lit(1e-9)))
       .select("a", "b").distinct()
     jaccardFilter(cand, ordered, idCol, threshold)
+  }
+
+  /** Per-doc shingle array in the global (df asc, sh asc) order —
+   * rarest tokens first — plus the set size: the frame every
+   * prefix-filtered operator builds its prefixes and exact verifies
+   * from. Referenced several times per query (prefix explode + verify
+   * sides) and ReuseExchange computes the aggregate once. */
+  private def dfOrderedSets(docs: DataFrame, n: Int, idCol: String,
+                            textCol: String): DataFrame = {
+    val sh0 = docShingles(docs, idCol, n, textCol)
+    val dfreq = sh0.groupBy("sh").agg(count(lit(1)).as("__df"))
+    sh0.join(dfreq, "sh")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__o"))
+      .select(col(idCol), expr("transform(__o, x -> x.sh)").as("hs"),
+        size(col("__o")).as("sz"))
+  }
+
+  /**
+   * The SCALE path for asymmetric containment — [[containmentPairs]]
+   * with prefix filtering instead of the df-capped all-candidates
+   * join, and NO recall loss: if C(A→B) = |A∩B|/|A| ≥ t then
+   * |A∩B| ≥ ceil(t·|A|), so by pigeonhole the first
+   * |A| − ceil(t·|A|) + 1 tokens of A's df-ascending order — its
+   * RAREST tokens — must contain one shared with B (the prefix-filter
+   * principle, one-sided: B contributes its FULL set, because
+   * containment has no length filter — |B| may be anything). Candidates
+   * join A-prefix tokens against all tokens; rare-first ordering keeps
+   * stop shingles out of prefixes, so the join volume is
+   * Σ over prefix tokens of df_prefix·df_all — output-tracking on
+   * replica corpora, never the Ω(Σ df²) of the capped variant's
+   * uncapped twin. Verification is the exact array intersection on the
+   * ordered sets, so the emitted rows (and permilles) are IDENTICAL to
+   * [[containmentPairs]] with `maxShingleDF = None`.
+   */
+  def containmentPairsExact(docs: DataFrame, n: Int = 3,
+                            threshold: Double = 0.8,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val ordered = dfOrderedSets(docs, n, idCol, textCol)
+    val innerPref = ordered.select(col(idCol).as("__i"),
+      explode(expr(
+        s"slice(hs, 1, size(hs) - CAST(ceil($threshold * size(hs)) AS INT) + 1)"))
+        .as("tok"))
+    val outerAll = ordered.select(col(idCol).as("__o"),
+      explode(col("hs")).as("tok"))
+    val cand = innerPref.join(outerAll, "tok")
+      .filter(col("__i") =!= col("__o"))
+      .select("__i", "__o").distinct()
+    cand
+      .join(ordered.select(col(idCol).as("__i"), col("hs").as("hsi"),
+        col("sz").as("szi")), "__i")
+      .join(ordered.select(col(idCol).as("__o"), col("hs").as("hso")),
+        "__o")
+      .withColumn("inter",
+        size(array_intersect(col("hsi"), col("hso"))).cast("long"))
+      .filter(col("inter").cast("double") >=
+        lit(threshold) * col("szi").cast("double"))
+      .withColumn("containment_permille", expr("inter * 1000 DIV szi"))
+      .select(col("__i").as("doc_inner"), col("__o").as("doc_outer"),
+        col("containment_permille"))
   }
 
   /**

@@ -57,6 +57,17 @@ class DedupSpec extends SparkSpec {
       maxShingleDF = None).orderBy("doc_a", "doc_b")) == Seq(Seq(1L, 4L)))
   }
 
+  test("containmentPairsExact equals the all-candidates containment " +
+      "operator on the shared fixture") {
+    val exact = rows(Dedup.containmentPairs(docs, n = 3, threshold = 0.5,
+      textCol = "body", maxShingleDF = None)
+      .orderBy("doc_inner", "doc_outer"))
+    val pref = rows(Dedup.containmentPairsExact(docs, n = 3,
+      threshold = 0.5, textCol = "body")
+      .orderBy("doc_inner", "doc_outer"))
+    assert(pref == exact && pref.nonEmpty)
+  }
+
   test("ppjoinPairs equals the brute-force exact operator") {
     val exact = rows(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
       textCol = "body", maxShingleDF = None).orderBy("doc_a", "doc_b"))
