@@ -102,7 +102,7 @@ object SparkEntry {
     "key_skew", "benford_audit", "zorder_layout", "hilbert_layout",
     "join_cardinality", "join_advisor",
     "robust_stats", "winsorized_stats", "value_percentiles",
-    "group_percentiles",
+    "group_percentiles", "iqr_outliers",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
@@ -1005,6 +1005,12 @@ object SparkEntry {
     "group_percentiles" -> ((s, dir) =>
       Relational.groupedPercentiles(t(s, dir, "events"))
         .orderBy("event_type", "permille")),
+
+    // Tukey-fence outliers per group off exact integer quartiles:
+    // the boxplot monitor, sparse output (flagged rows only)
+    "iqr_outliers" -> ((s, dir) =>
+      Relational.iqrOutliers(t(s, dir, "events"))
+        .orderBy("event_type", "event_id")),
 
     // hash-sample percentiles — the scale path: the reproducible id-hash
     // sample is recomputed exactly by the oracle, so even the "estimate"
@@ -3255,6 +3261,29 @@ object SparkEntry {
         |WHERE rk > CAST(floor(n * 100 / 1000) AS BIGINT)
         |  AND rk <= n - CAST(floor(n * 100 / 1000) AS BIGINT)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // iqr_outliers twin: quartiles by the SAME rank arithmetic, fences
+    // by the same truncating integer division
+    "iqr_outliers" ->
+      """WITH m AS (SELECT event_type AS g, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+        |r AS (SELECT g, vm,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY vm, event_id)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM m),
+        |q AS (SELECT g,
+        |    max(CASE WHEN rk = greatest(1, (250 * n + 999) // 1000)
+        |        THEN vm END) AS q1,
+        |    max(CASE WHEN rk = greatest(1, (750 * n + 999) // 1000)
+        |        THEN vm END) AS q3
+        |  FROM r GROUP BY g),
+        |f AS (SELECT g, q1 - (1500 * (q3 - q1)) // 1000 AS lo,
+        |    q3 + (1500 * (q3 - q1)) // 1000 AS hi FROM q)
+        |SELECT m.g AS event_type, m.event_id,
+        |  m.vm AS value_micro, f.lo AS lo_micro, f.hi AS hi_micro
+        |FROM m JOIN f ON m.g = f.g
+        |WHERE m.vm < f.lo OR m.vm > f.hi
+        |ORDER BY event_type, event_id""".stripMargin,
 
     // group_percentiles twin: the SAME rank arithmetic, not DuckDB's
     // quantile built-in (engines disagree on quantile conventions)

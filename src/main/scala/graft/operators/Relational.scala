@@ -595,6 +595,47 @@ object Relational {
   }
 
   /**
+   * Per-group IQR (Tukey fence) outlier flags — the boxplot monitor
+   * run over every metric column before its rows are trusted: values
+   * outside `[q1 − f·IQR, q3 + f·IQR]` (f = `fencePermille`/1000,
+   * default the classic 1.5) are flagged per group. Composes
+   * [[groupedPercentiles]] for exact integer quartiles (micro-unit
+   * rank values — no estimation, no per-group buffer), so the fences —
+   * and therefore the flagged set — are partition-, run- and
+   * engine-invariant; fence arithmetic is BIGINT with truncating DIV
+   * on the (non-negative) IQR. Emits ONLY the outlier rows, sparse by
+   * contract: (grpCol, tieCol, value_micro, lo_micro, hi_micro).
+   *
+   * Scale: one assembled-rank pass over the corpus + a broadcast join
+   * of the group-cardinality fence frame back onto a narrow
+   * projection. Groups where IQR = 0 flag everything off the single
+   * point — the statistically honest reading of a degenerate box.
+   */
+  def iqrOutliers(df: DataFrame, grpCol: String = "event_type",
+                  valCol: String = "value", tieCol: String = "event_id",
+                  fencePermille: Long = 1500L): DataFrame = {
+    require(fencePermille >= 0, "fencePermille must be >= 0")
+    val q = groupedPercentiles(df, grpCol, valCol, tieCol,
+        permilles = Seq(250, 750))
+      .groupBy(grpCol)
+      .agg(
+        max(when(col("permille") === 250, col("value_micro"))).as("__q1"),
+        max(when(col("permille") === 750, col("value_micro"))).as("__q3"))
+      .withColumn("lo_micro", expr(
+        s"__q1 - ($fencePermille * (__q3 - __q1)) DIV 1000"))
+      .withColumn("hi_micro", expr(
+        s"__q3 + ($fencePermille * (__q3 - __q1)) DIV 1000"))
+      .select(grpCol, "lo_micro", "hi_micro")
+    df.select(col(grpCol), col(tieCol),
+        expr(s"CAST(round($valCol * 1000000) AS BIGINT)").as("value_micro"))
+      .join(broadcast(q), grpCol)
+      .filter(col("value_micro") < col("lo_micro") ||
+        col("value_micro") > col("hi_micro"))
+      .select(col(grpCol), col(tieCol), col("value_micro"),
+        col("lo_micro"), col("hi_micro"))
+  }
+
+  /**
    * Order-invariant content fingerprint over chosen columns — the
    * snapshot-equality checksum for 100 TB table management: two
    * replicas, a table before/after a rename-swap, or an upsert target

@@ -348,6 +348,19 @@ class RelationalSpec extends SparkSpec {
     assert(advise(big, big)(4) == "shuffle")
   }
 
+  test("iqrOutliers: exact integer fences, only out-of-fence rows flagged") {
+    // group a = 1..9 plus outlier 100 (n = 10): q1 rank 3 -> 3e6,
+    // q3 rank 8 -> 8e6, IQR 5e6, fences [-4.5e6, 15.5e6]
+    val df = ((1 to 9).map(i => ("a", i.toDouble, i.toLong)) :+
+      (("a", 100.0, 10L))).toDF("event_type", "value", "event_id")
+    assert(rows(Relational.iqrOutliers(df)) ==
+      Seq(Seq("a", 10L, 100000000L, -4500000L, 15500000L)))
+    // fence 0: everything strictly outside [q1, q3] flags
+    val z = rows(Relational.iqrOutliers(df, fencePermille = 0L)
+      .orderBy("event_id"))
+    assert(z.map(_(1)) == Seq(1L, 2L, 9L, 10L))
+  }
+
   test("contentFingerprint: order/partition-invariant, flips on any row " +
       "change, null position encoded, empty = (0, 0)") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
