@@ -1173,6 +1173,52 @@ object Streams {
       .start()
 
   /**
+   * Streaming encoding-health monitor — [[graft.operators.TextAnalysis
+   * .encodingAudit]]'s streaming twin: every counter in the audit is
+   * ADDITIVE (doc counts, char counts, non-ASCII/replacement/control
+   * totals), so each micro-batch lands its per-source partial counters
+   * under `partialsPath/batch=<id>` and the cumulative audit — with
+   * `ascii_permille` recomputed from the folded totals, never averaged
+   * across batches — writes to `auditPath/batch=<id>`. This is the
+   * transcoding-break ALARM shape: an upstream encoding break shows up
+   * as a non-ASCII/replacement-char jump in the affected source within
+   * one batch of landing. Idempotent batch-partition protocol.
+   *
+   * Scale: per batch, one batch-sized narrow projection + aggregate;
+   * the fold reads (sources × batches) counter rows, never text.
+   */
+  def encodingAuditSink(stream: DataFrame, partialsPath: String,
+                        auditPath: String, checkpointDir: String,
+                        srcCol: String = "source",
+                        textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.operators.TextAnalysis.encodingAudit(batch, srcCol, textCol)
+            .drop("ascii_permille")
+            .write.mode("overwrite")
+            .parquet(s"$partialsPath/batch=$batchId")
+          s.read.option("basePath", partialsPath).parquet(partialsPath)
+            .groupBy(srcCol)
+            .agg(sum("n_docs").cast("long").as("n_docs"),
+              sum("n_chars").cast("long").as("n_chars"),
+              sum("non_ascii_docs").cast("long").as("non_ascii_docs"),
+              sum("non_ascii_chars").cast("long").as("non_ascii_chars"),
+              sum("replacement_chars").cast("long").as("replacement_chars"),
+              sum("control_chars").cast("long").as("control_chars"))
+            .withColumn("ascii_permille",
+              when(col("n_chars") > 0,
+                expr("(n_chars - non_ascii_chars) * 1000 DIV n_chars")))
+            .write.mode("overwrite").parquet(s"$auditPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming dataset card — maintain the corpus release summary
    * ([[graft.operators.Curation.datasetCardSketch]]'s shape) over a
    * live document stream with BOUNDED state: each micro-batch lands

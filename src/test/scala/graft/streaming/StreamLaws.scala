@@ -206,6 +206,39 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("encodingAuditSink cumulative audit = batch encodingAudit " +
+      "over the concatenated input, for any batch split") =
+    forAll(
+      Gen.listOfN(9, Gen.zip(Gen.oneOf("a", "b"),
+        Gen.oneOf("plain ascii", "café touché", "broken � here",
+          "ctrl\u0001char", "tab\tand\nnewline"))),
+      Gen.chooseNum(1, 8)) { (docsRaw, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val docs = docsRaw.zipWithIndex.map { case ((src, text), i) =>
+        (i.toLong, src, text) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      val parts = Files.createTempDirectory("law-encp").toString
+      val outDir = Files.createTempDirectory("law-enco").toString
+      val cp = Files.createTempDirectory("law-enccp").toString
+      val mem = MemoryStream[(Long, String, String)]
+      val q = Streams.encodingAuditSink(
+        mem.toDF().toDF("doc_id", "source", "text"), parts, outDir, cp)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .orderBy("source").collect().toSeq.map(_.toSeq)
+      val want = graft.operators.TextAnalysis.encodingAudit(
+        docs.toDF("doc_id", "source", "text"))
+        .orderBy("source").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("cardSink cumulative card = datasetCardSketch over the " +
       "concatenated corpus (shared fields), for any batch split") =
     forAll(
