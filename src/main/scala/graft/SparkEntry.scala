@@ -102,7 +102,7 @@ object SparkEntry {
     "key_skew", "benford_audit", "zorder_layout", "hilbert_layout",
     "join_cardinality", "join_advisor",
     "robust_stats", "winsorized_stats", "value_percentiles",
-    "group_percentiles", "iqr_outliers",
+    "group_percentiles", "iqr_outliers", "mad_outliers",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "dedupe_latest", "count_rows", "props_extract",
@@ -148,7 +148,8 @@ object SparkEntry {
     "train_val_split", "kfold_split",
     "split_leakage",
     "top_ngrams", "zipf_audit", "heavy_hitters",
-    "ks_drift", "ks_drift_by_source", "classifier_auc_by_source",
+    "ks_drift", "ks_drift_by_source", "chi2_drift", "chi2_drift_by_source",
+    "classifier_auc_by_source",
     "annotator_agreement", "k_anonymity", "l_diversity",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
@@ -442,6 +443,24 @@ object SparkEntry {
       Curation.ksDriftByGroup(ev.filter(col("user_id") % 2 === 0),
         ev.filter(col("user_id") % 2 === 1), "v_milli", "event_type")
         .orderBy("event_type")
+    }),
+
+    // chi-square drift over a CATEGORICAL domain — the language-mix
+    // monitor (KS needs an ordered domain; the category mix doesn't
+    // have one); exact integer cells, DECIMAL micro statistic
+    "chi2_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.chi2Drift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+
+    // the same category-mix statistic sliced per source — one upstream
+    // feed's language mix going bad hides inside the corpus-wide number
+    "chi2_drift_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.chi2DriftByGroup(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang", "source")
+        .orderBy("source")
     }),
 
     // Cohen's kappa between two deterministic length raters (same
@@ -1010,6 +1029,13 @@ object SparkEntry {
     // the boxplot monitor, sparse output (flagged rows only)
     "iqr_outliers" -> ((s, dir) =>
       Relational.iqrOutliers(t(s, dir, "events"))
+        .orderBy("event_type", "event_id")),
+
+    // median/MAD robust outlier flags (|modified z| > 3.5): the
+    // 50%-breakdown companion to the Tukey fences, both medians off
+    // the same assembled exact integer ranks
+    "mad_outliers" -> ((s, dir) =>
+      Relational.madOutliers(t(s, dir, "events"))
         .orderBy("event_type", "event_id")),
 
     // hash-sample percentiles — the scale path: the reproducible id-hash
@@ -2478,6 +2504,64 @@ object SparkEntry {
         |  END AS d_micro
         |FROM agg ORDER BY event_type""".stripMargin,
 
+    // chi2_drift twin: same exact integer cells, same per-cell floor
+    // then micro-floor quantization (HUGEINT mirrors DECIMAL(38,0))
+    "chi2_drift" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents
+        |           WHERE lang IS NOT NULL),
+        |ca AS (SELECT lang AS c, CAST(count(*) AS HUGEINT) AS ca FROM d
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT lang AS c, CAST(count(*) AS HUGEINT) AS cb FROM d
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.c, cb.c) AS c,
+        |        COALESCE(ca, CAST(0 AS HUGEINT)) AS ca,
+        |        COALESCE(cb, CAST(0 AS HUGEINT)) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.c = cb.c),
+        |t AS (SELECT CAST(COALESCE(sum(ca), 0) AS HUGEINT) AS na,
+        |        CAST(COALESCE(sum(cb), 0) AS HUGEINT) AS nb,
+        |        CAST(count(*) AS BIGINT) AS n_cells FROM m),
+        |s AS (SELECT COALESCE(sum(
+        |        ((m.ca * t.nb - m.cb * t.na) * (m.ca * t.nb - m.cb * t.na))
+        |          // (m.ca + m.cb)), 0) AS ss
+        |      FROM m, t)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  t.n_cells,
+        |  CASE WHEN t.na > 0 AND t.nb > 0 THEN
+        |    CAST((s.ss * 1000000) // (t.na * t.nb) AS BIGINT)
+        |  END AS chi2_micro
+        |FROM t, s""".stripMargin,
+
+    // chi2_drift_by_source twin: per-group totals joined back, same
+    // per-cell arithmetic within each group
+    "chi2_drift_by_source" ->
+      """WITH d AS (SELECT doc_id, source, lang FROM documents
+        |           WHERE lang IS NOT NULL),
+        |ca AS (SELECT source AS g, lang AS c,
+        |         CAST(count(*) AS HUGEINT) AS ca FROM d
+        |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |cb AS (SELECT source AS g, lang AS c,
+        |         CAST(count(*) AS HUGEINT) AS cb FROM d
+        |       WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |m AS (SELECT COALESCE(ca.g, cb.g) AS g, COALESCE(ca.c, cb.c) AS c,
+        |        COALESCE(ca, CAST(0 AS HUGEINT)) AS ca,
+        |        COALESCE(cb, CAST(0 AS HUGEINT)) AS cb
+        |      FROM ca FULL OUTER JOIN cb
+        |        ON ca.g = cb.g AND ca.c = cb.c),
+        |t AS (SELECT g, CAST(sum(ca) AS HUGEINT) AS na,
+        |        CAST(sum(cb) AS HUGEINT) AS nb FROM m GROUP BY g),
+        |s AS (SELECT m.g, CAST(count(*) AS BIGINT) AS n_cells,
+        |        max(t.na) AS na, max(t.nb) AS nb,
+        |        COALESCE(sum(
+        |          ((m.ca * t.nb - m.cb * t.na) *
+        |           (m.ca * t.nb - m.cb * t.na)) // (m.ca + m.cb)), 0) AS ss
+        |      FROM m JOIN t ON m.g = t.g GROUP BY m.g)
+        |SELECT g AS source, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b, n_cells,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST((ss * 1000000) // (na * nb) AS BIGINT)
+        |  END AS chi2_micro
+        |FROM s ORDER BY source""".stripMargin,
+
     "annotator_agreement" ->
       """WITH l AS (SELECT
         |    CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS r1,
@@ -3283,6 +3367,37 @@ object SparkEntry {
         |  m.vm AS value_micro, f.lo AS lo_micro, f.hi AS hi_micro
         |FROM m JOIN f ON m.g = f.g
         |WHERE m.vm < f.lo OR m.vm > f.hi
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // mad_outliers twin: both medians by the SAME rank arithmetic
+    // (second pass over the deviations, ties by event_id), fence by
+    // the same BIGINT multiply — no division anywhere
+    "mad_outliers" ->
+      """WITH m AS (SELECT event_type AS g, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+        |r AS (SELECT g, vm,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY vm, event_id)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM m),
+        |med AS (SELECT g,
+        |    max(CASE WHEN rk = greatest(1, (500 * n + 999) // 1000)
+        |        THEN vm END) AS med
+        |  FROM r GROUP BY g),
+        |d AS (SELECT m.g, m.event_id, m.vm, med.med,
+        |    abs(m.vm - med.med) AS dev
+        |  FROM m JOIN med ON m.g = med.g),
+        |r2 AS (SELECT g, event_id, dev,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY dev, event_id)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM d),
+        |mad AS (SELECT g,
+        |    max(CASE WHEN rk = greatest(1, (500 * n + 999) // 1000)
+        |        THEN dev END) AS mad
+        |  FROM r2 GROUP BY g)
+        |SELECT d.g AS event_type, d.event_id, d.vm AS value_micro,
+        |  d.med AS med_micro, mad.mad AS mad_micro
+        |FROM d JOIN mad ON d.g = mad.g
+        |WHERE d.dev * 1000 > 5190 * mad.mad
         |ORDER BY event_type, event_id""".stripMargin,
 
     // group_percentiles twin: the SAME rank arithmetic, not DuckDB's

@@ -1097,6 +1097,136 @@ object Curation {
   }
 
   /**
+   * Two-sample chi-square drift over a CATEGORICAL column — the
+   * companion to [[ksDrift]]: KS watches an ORDERED value domain (a
+   * CDF has to exist), this watches the category MIX (language, source,
+   * event type, topic label — the columns a corpus pipeline actually
+   * slices by). X² = Σ_cells d_c²/(n_a·n_b·(a_c+b_c)) with
+   * d_c = a_c·n_b − b_c·n_a, over every category observed in EITHER
+   * side (a one-sided category contributes its full imbalance — that
+   * IS the drift signal).
+   *
+   * Exactness contract: d_c and d_c² DIV (a_c+b_c) compute in
+   * DECIMAL(38,0) — exact while d_c² ≤ 10³⁸, i.e. per-side totals up
+   * to ~3·10⁹ rows (a monitoring slice, not a whole 100 TB corpus —
+   * beyond that the square fails loudly under ANSI rather than
+   * silently rounding; pre-aggregate or sample the slice first). The
+   * emitted `chi2_micro` = floor(Σ_c floor(d_c²/(a_c+b_c)) · 10⁶ /
+   * (n_a·n_b)) is a deterministic, engine-invariant quantization of
+   * X²·10⁶, within n_cells/(n_a·n_b) · 10⁶ micro-units of the
+   * real-valued statistic (the per-cell floor loses < 1 per cell);
+   * null when either side is empty. Nulls in the category column drop
+   * under the [[valueCounts]] contract (monitor null-rate as its own
+   * counter).
+   *
+   * Scale: one hash-aggregate per side to (category, n) — the only
+   * corpus-sized passes, map-side combined — then a
+   * category-cardinality full-outer merge and a 1-row aggregate.
+   * Emits (n_a, n_b, n_cells, chi2_micro).
+   */
+  def chi2Drift(a: DataFrame, b: DataFrame, catCol: String): DataFrame =
+    chi2DriftFromCounts(catCounts(a, catCol), catCounts(b, catCol))
+
+  /** Per-category BIGINT counts of `catCol` as a STRING domain — the
+   * reduced form both [[chi2Drift]] sides collapse to, and the
+   * persistable reference state for a streaming category-mix monitor.
+   * Nulls drop (same contract as [[valueCounts]]): (cat, n). */
+  def catCounts(df: DataFrame, catCol: String): DataFrame =
+    df.select(col(catCol).cast("string").as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy("cat").agg(count(lit(1)).as("n"))
+
+  /** [[chi2Drift]] with both sides already reduced to [[catCounts]]
+   * frames — the streaming shape (persisted reference counts vs
+   * accumulated observed counts). */
+  def chi2DriftFromCounts(aCounts: DataFrame,
+                          bCounts: DataFrame): DataFrame = {
+    def shape(df: DataFrame, as: String) =
+      df.select(col("cat").cast("string").as("__c"),
+        col("n").cast("long").as(as))
+    val dec = "decimal(38,0)"
+    val merged = shape(aCounts, "__ca").join(shape(bCounts, "__cb"),
+        Seq("__c"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).cast(dec).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).cast(dec).as("__cb"))
+    val totals = merged.agg(
+      coalesce(sum(col("__ca")), lit(0L).cast(dec)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L).cast(dec)).as("__nb"))
+    merged.crossJoin(broadcast(totals))
+      .withColumn("__d", col("__ca") * col("__nb") -
+        col("__cb") * col("__na"))
+      .withColumn("__s", expr("(__d * __d) DIV (__ca + __cb)"))
+      .agg(max(col("__na")).as("__naM"), max(col("__nb")).as("__nbM"),
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(col("__s")), lit(0L).cast(dec)).as("__ss"))
+      .select(
+        coalesce(col("__naM"), lit(0L).cast(dec)).cast("long").as("n_a"),
+        coalesce(col("__nbM"), lit(0L).cast(dec)).cast("long").as("n_b"),
+        col("n_cells"), col("__ss"))
+      .withColumn("chi2_micro",
+        when(col("n_a") > 0 && col("n_b") > 0, expr(
+          "CAST((__ss * 1000000) DIV " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")))
+      .select("n_a", "n_b", "n_cells", "chi2_micro")
+  }
+
+  /** Per-group [[chi2Drift]] — category-mix drift sliced by a group
+   * column (the per-source monitor shape, mirroring
+   * [[ksDriftByGroup]]): one row per group present in either side,
+   * each group's statistic identical to [[chi2Drift]] on that group's
+   * rows alone; a group present in only one side reads
+   * chi2_micro = null (undefined — treat as maximal drift). Emits
+   * (grpCol, n_a, n_b, n_cells, chi2_micro).
+   *
+   * Scale: per-side hash-aggregates to (group, cat, n), a
+   * (group, cat)-cardinality merge, per-group totals joined back on
+   * the group key — no window, no single-task stage at any group or
+   * category cardinality.
+   */
+  def chi2DriftByGroup(a: DataFrame, b: DataFrame, catCol: String,
+                       grpCol: String): DataFrame =
+    chi2DriftByGroupFromCounts(catCountsByGroup(a, catCol, grpCol),
+      catCountsByGroup(b, catCol, grpCol), grpCol)
+
+  /** Grouped [[catCounts]]: (grpCol, cat, n), nulls dropped. */
+  def catCountsByGroup(df: DataFrame, catCol: String,
+                       grpCol: String): DataFrame =
+    df.select(col(grpCol), col(catCol).cast("string").as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy(grpCol, "cat").agg(count(lit(1)).as("n"))
+
+  /** [[chi2DriftByGroup]] with both sides already reduced to
+   * [[catCountsByGroup]] frames (grpCol, cat, n). */
+  def chi2DriftByGroupFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+                                 grpCol: String): DataFrame = {
+    def shape(df: DataFrame, as: String) =
+      df.select(col(grpCol).as("__g"), col("cat").cast("string").as("__c"),
+        col("n").cast("long").as(as))
+    val dec = "decimal(38,0)"
+    val merged = shape(aCounts, "__ca")
+      .join(shape(bCounts, "__cb"), Seq("__g", "__c"), "full_outer")
+      .select(col("__g"),
+        coalesce(col("__ca"), lit(0L)).cast(dec).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).cast(dec).as("__cb"))
+    val totals = merged.groupBy("__g").agg(
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    merged.join(totals, Seq("__g"))
+      .withColumn("__d", col("__ca") * col("__nb") -
+        col("__cb") * col("__na"))
+      .withColumn("__s", expr("(__d * __d) DIV (__ca + __cb)"))
+      .groupBy("__g")
+      .agg(max(col("__na")).as("__naD"), max(col("__nb")).as("__nbD"),
+        count(lit(1)).as("n_cells"), sum(col("__s")).as("__ss"))
+      .select(col("__g").as(grpCol),
+        col("__naD").cast("long").as("n_a"),
+        col("__nbD").cast("long").as("n_b"),
+        col("n_cells"),
+        when(col("__naD") > 0 && col("__nbD") > 0, expr(
+          "CAST((__ss * 1000000) DIV (__naD * __nbD) AS BIGINT)"))
+          .as("chi2_micro"))
+  }
+
+  /**
    * Inter-annotator agreement (Cohen's kappa) in exact rationals — the
    * label-quality gate for labeled training data: observed agreement
    * `po` against chance agreement `pe` from the raters' marginals.

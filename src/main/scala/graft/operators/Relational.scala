@@ -569,12 +569,25 @@ object Relational {
                          valCol: String = "value",
                          tieCol: String = "event_id",
                          permilles: Seq[Int] =
-                           Seq(0, 50, 500, 950, 990, 1000)): DataFrame = {
+                           Seq(0, 50, 500, 950, 990, 1000)): DataFrame =
+    groupedPercentilesMicro(
+      df.select(col(grpCol),
+        expr(s"CAST(round($valCol * 1000000) AS BIGINT)").as("__vm"),
+        col(tieCol)),
+      grpCol, "__vm", tieCol, permilles)
+
+  /** [[groupedPercentiles]] over an ALREADY-quantized BIGINT column —
+   * the composition shape: a second percentile pass over values that
+   * are themselves micro-units (e.g. [[madOutliers]]'s absolute
+   * deviations) must not re-quantize through a double round-trip.
+   * Same rank arithmetic, same output columns. */
+  def groupedPercentilesMicro(df: DataFrame, grpCol: String,
+                              microCol: String, tieCol: String,
+                              permilles: Seq[Int]): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(p => p >= 0 && p <= 1000),
       "permilles must be in [0, 1000]")
     val pSql = permilles.distinct.sorted.mkString("array(", ", ", ")")
-    val m = df.select(col(grpCol),
-      expr(s"CAST(round($valCol * 1000000) AS BIGINT)").as("__vm"),
+    val m = df.select(col(grpCol), col(microCol).cast("long").as("__vm"),
       col(tieCol))
     groupedRanks(m, grpCol, Seq(col("__vm").asc, col(tieCol).asc),
       "__rk", "__n")
@@ -633,6 +646,54 @@ object Relational {
         col("value_micro") > col("hi_micro"))
       .select(col(grpCol), col(tieCol), col("value_micro"),
         col("lo_micro"), col("hi_micro"))
+  }
+
+  /**
+   * Median/MAD robust outlier flags per group — the modified-z-score
+   * monitor (Iglewicz–Hoaglin): rows whose absolute deviation from the
+   * group median exceeds `kPermille/1000 × MAD` are flagged, where MAD
+   * is the median of the absolute deviations. The default 5190 ≈
+   * 3.5/0.6745 in permille — the classic |modified z| > 3.5 rule.
+   * Complements [[iqrOutliers]]: Tukey fences use the quartile box
+   * (breaks down under 25% contamination per tail), MAD tolerates up
+   * to 50% contamination — the robust pick when a feed can go MOSTLY
+   * bad.
+   *
+   * Both medians ride the exact integer rank machinery
+   * ([[groupedPercentilesMicro]], lower-discrete-quantile convention,
+   * ties broken by `tieCol`) — no per-group buffer, no single-task
+   * window, partition-/run-/engine-invariant. The fence compares
+   * `|v − med| · 1000 > kPermille · MAD` in BIGINT (no division; both
+   * sides stay under 2⁶³ for micro values within ±10¹⁵ and kPermille
+   * ≤ ~9000 — the operating range). Groups where MAD = 0 (over half
+   * the group at one value) flag every off-median row — the honest
+   * reading of a degenerate scale estimate, same posture as
+   * [[iqrOutliers]]'s zero-IQR box. Emits ONLY the flagged rows:
+   * (grpCol, tieCol, value_micro, med_micro, mad_micro).
+   *
+   * Scale: two assembled-rank passes (corpus → medians, deviations →
+   * MADs) + broadcast joins of the group-cardinality stats frames back
+   * onto narrow projections.
+   */
+  def madOutliers(df: DataFrame, grpCol: String = "event_type",
+                  valCol: String = "value", tieCol: String = "event_id",
+                  kPermille: Long = 5190L): DataFrame = {
+    require(kPermille >= 0, "kPermille must be >= 0")
+    val m = df.select(col(grpCol), col(tieCol),
+      expr(s"CAST(round($valCol * 1000000) AS BIGINT)").as("value_micro"))
+    val med = groupedPercentilesMicro(m, grpCol, "value_micro", tieCol,
+        permilles = Seq(500))
+      .select(col(grpCol), col("value_micro").as("med_micro"))
+    val dev = m.join(broadcast(med), Seq(grpCol))
+      .withColumn("__dev", abs(col("value_micro") - col("med_micro")))
+    val mad = groupedPercentilesMicro(
+        dev.select(col(grpCol), col("__dev"), col(tieCol)),
+        grpCol, "__dev", tieCol, permilles = Seq(500))
+      .select(col(grpCol), col("value_micro").as("mad_micro"))
+    dev.join(broadcast(mad), Seq(grpCol))
+      .filter(col("__dev") * 1000L > lit(kPermille) * col("mad_micro"))
+      .select(col(grpCol), col(tieCol), col("value_micro"),
+        col("med_micro"), col("mad_micro"))
   }
 
   /**

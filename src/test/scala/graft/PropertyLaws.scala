@@ -631,6 +631,58 @@ object PropertyLaws extends Properties("graft") {
         }
     }
 
+  property("chi2Drift equals the naive exact cell computation") =
+    forAll(Gen.listOf(Gen.oneOf("x", "y", "z")),
+      Gen.listOf(Gen.oneOf("x", "y", "z", "w"))) { (a, b) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      val na = BigInt(a.size)
+      val nb = BigInt(b.size)
+      val cats = (a ++ b).distinct
+      val ss = cats.map { c =>
+        val ca = BigInt(a.count(_ == c))
+        val cb = BigInt(b.count(_ == c))
+        val d = ca * nb - cb * na
+        (d * d) / (ca + cb)
+      }.sum
+      val out = Curation.chi2Drift(a.toDF("c"), b.toDF("c"), "c")
+        .collect().head
+      out.getLong(0) == a.size.toLong && out.getLong(1) == b.size.toLong &&
+        out.getLong(2) == cats.size.toLong && {
+          if (a.isEmpty || b.isEmpty) out.isNullAt(3)
+          else BigInt(out.getLong(3)) == (ss * 1000000) / (na * nb)
+        }
+    }
+
+  property("madOutliers equals the naive two-pass median computation") =
+    forAll(Gen.listOf(for {
+      g <- Gen.oneOf("p", "q"); v <- Gen.chooseNum(-3L, 3L)
+    } yield (g, v))) { rowsIn =>
+      import graft.operators.Relational
+      import spark.implicits._
+      val idx = rowsIn.zipWithIndex.map { case ((g, v), i) =>
+        (g, i.toLong, v * 1000000L)
+      }
+      def medAt(sorted: Seq[Long]): Long = {
+        val n = sorted.size.toLong
+        val rk = math.max(1L, (500L * n + 999L) / 1000L)
+        sorted((rk - 1).toInt)
+      }
+      val expected = idx.groupBy(_._1).flatMap { case (g, rs) =>
+        val med = medAt(rs.sortBy(r => (r._3, r._2)).map(_._3))
+        val devs = rs.map(r => (r._2, (r._3 - med).abs))
+        val mad = medAt(devs.sortBy(d => (d._2, d._1)).map(_._2))
+        rs.filter(r => (r._3 - med).abs * 1000L > 5190L * mad)
+          .map(r => (g, r._2, r._3, med, mad))
+      }.toSet
+      val df = idx.map { case (g, i, vm) => (g, i, vm / 1000000.0) }
+        .toDF("g", "id", "v")
+      val got = Relational.madOutliers(df, "g", "v", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      got == expected
+    }
+
   property("kAnonymityAudit equals the naive group census") =
     forAll(Gen.listOf(for {
       q1 <- Gen.oneOf("a", "b", "c"); q2 <- Gen.chooseNum(0L, 2L)
