@@ -105,6 +105,7 @@ object SparkEntry {
     "group_percentiles", "iqr_outliers", "mad_outliers",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
+    "rollup_serve",
     "dedupe_latest", "count_rows", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
@@ -183,6 +184,28 @@ object SparkEntry {
     "dedupe_latest" -> ((s, dir) =>
       Relational.dedupeLatest(t(s, dir, "events"), "user_id", "ts",
         tieBreak = Seq("event_id")).orderBy("user_id")),
+
+    // materialized additive rollup: build from the base slice, fold the
+    // delta via incremental maintenance (no fact rescan), serve from the
+    // key-cardinality bucketed table — oracle = direct aggregate over
+    // ALL rows, proving base+delta additivity end-to-end
+    "rollup_serve" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v_milli", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      val base = "graft_rollup_" + math.abs(dir.hashCode).toString
+      memoIndex(s, base, Seq("")) {
+        graft.tables.Tables.writeAggTable(
+          ev.filter(col("event_id") % 4 =!= 0), base,
+          Seq("event_type"), Seq("v_milli"))
+        graft.tables.Tables.refreshAggTable(s,
+          ev.filter(col("event_id") % 4 === 0), base,
+          Seq("event_type"), Seq("v_milli"))
+      }
+      s.table(base).select(col("event_type"),
+        col("n").cast("long").as("n"),
+        expr("try_cast(sum_v_milli AS BIGINT)").as("sum_v_milli"))
+        .orderBy("event_type")
+    }),
 
     "count_rows" -> ((s, dir) =>
       t(s, dir, "events").agg(count(lit(1)).as("n"))),
@@ -2152,6 +2175,16 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    // rollup_serve twin: the DIRECT aggregate over all rows — the serve
+    // path reads only the maintained base+delta rollup, so equality here
+    // proves the incremental additive fold
+    "rollup_serve" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_milli
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "count_rows" -> "SELECT count(*) AS n FROM events",
 

@@ -1,8 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, min,
-  pmod, round, shiftleft, shiftright, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
+  max, min, pmod, round, shiftleft, shiftright, sum, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Relational
@@ -342,6 +342,71 @@ object Tables {
       .drop("__cx", "__cy", "__h")
     writeSwapped(spark, shaped, table)
     (before, spark.table(table).inputFiles.length)
+  }
+
+  /**
+   * Additive aggregate partials of `df` — the persistable shape of a
+   * MATERIALIZED ROLLUP: one row per key tuple carrying the row count
+   * `n` and exact DECIMAL(38,0) sums (`sum_<col>`) of each value
+   * column. The value columns must be INTEGRAL (pre-quantized — the
+   * corpus-wide micro/milli-unit rule): integer partials from disjoint
+   * row sets merge by plain addition, which is what makes the rollup
+   * incrementally maintainable; float sums would drift with merge
+   * order. Nulls sum as 0 but still count into `n`.
+   */
+  def aggPartials(df: DataFrame, keyCols: Seq[String],
+                  sumCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "aggPartials needs at least one key column")
+    val dec = "decimal(38,0)"
+    val aggs = count(lit(1)).cast(dec).as("n") +: sumCols.map(c =>
+      coalesce(sum(col(c).cast(dec)), lit(0).cast(dec)).as(s"sum_$c"))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Build (or rebuild) a materialized additive rollup of `df` as a
+   * bucketed table — the serve-from-preaggregate pattern that makes a
+   * 100 TB metric dashboard a key-cardinality scan instead of a fact
+   * scan. Bucketed by the first key column, so serving joins/groupBys
+   * on that key read the table exchange-free at the bucket layout.
+   * Written via the staged swap ([[stageBucketedSwap]] +
+   * [[commitSwaps]]): a crash never leaves a half-written main.
+   */
+  def writeAggTable(df: DataFrame, table: String, keyCols: Seq[String],
+                    sumCols: Seq[String], numBuckets: Int = 8): Unit = {
+    stageBucketedSwap(aggPartials(df, keyCols, sumCols), table,
+      keyCols.head, numBuckets)
+    commitSwaps(df.sparkSession, Seq(table))
+  }
+
+  /**
+   * Fold a DELTA batch into a materialized rollup — incremental view
+   * maintenance for the additive aggregate class: the delta reduces to
+   * its own partials, unions with the CURRENT key-cardinality table,
+   * and re-merges by key. Cost is O(|rollup| + |delta|) — the base
+   * FACT rows are never rescanned, which is the entire point versus
+   * recomputing the aggregate. Runs [[recoverSwap]] at entry (the
+   * drilled crash-window protocol), then replaces the table via the
+   * staged swap.
+   *
+   * NOT idempotent per delta (addition double-counts a replayed
+   * batch): callers must track delta consumption transactionally —
+   * e.g. drive it from a streaming checkpoint, or prune consumed delta
+   * partitions only after [[commitSwaps]] returns, the
+   * [[graft.streaming.Streams]] fold pattern. Single-writer, like
+   * every swap-protocol table.
+   */
+  def refreshAggTable(spark: SparkSession, delta: DataFrame, table: String,
+                      keyCols: Seq[String], sumCols: Seq[String],
+                      numBuckets: Int = 8): Unit = {
+    recoverSwap(spark, table)
+    val merged = spark.table(table)
+      .unionByName(aggPartials(delta, keyCols, sumCols))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+    stageBucketedSwap(merged, table, keyCols.head, numBuckets)
+    commitSwaps(spark, Seq(table))
   }
 
   /**

@@ -362,4 +362,44 @@ class TablesSpec extends SparkSpec {
     assert(bucketSpec("sw_a").exists(_.numBuckets == 4))
     Seq("sw_a", "sw_b").foreach(Tables.dropTable(spark, _))
   }
+
+  test("materialized rollup: build + incremental refresh = direct aggregate") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    Seq("agg_t", "agg_t__swap_tmp", "agg_t__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+    val d1 = Seq(("a", 10L), ("c", 7L)).toDF("k", "v")
+    val d2 = Seq(("b", 100L), ("c", -7L)).toDF("k", "v")
+    Tables.writeAggTable(base, "agg_t", Seq("k"), Seq("v"))
+    Tables.refreshAggTable(spark, d1, "agg_t", Seq("k"), Seq("v"))
+    Tables.refreshAggTable(spark, d2, "agg_t", Seq("k"), Seq("v"))
+    def served = spark.table("agg_t")
+      .selectExpr("k", "CAST(n AS BIGINT) AS n",
+        "CAST(sum_v AS BIGINT) AS sum_v").orderBy("k")
+    // serve == one-shot aggregate over the concatenated corpus
+    val want = Tables.aggPartials(base.unionByName(d1).unionByName(d2),
+        Seq("k"), Seq("v"))
+      .selectExpr("k", "CAST(n AS BIGINT) AS n",
+        "CAST(sum_v AS BIGINT) AS sum_v").orderBy("k")
+    assert(rows(served) == rows(want))
+    assert(rows(served) == Seq(Seq("a", 3L, 13L), Seq("b", 2L, 105L),
+      Seq("c", 2L, 0L)))
+    // the rollup stays bucketed on the serve key across refreshes
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = spark.sessionState.catalog
+    assert(cat.getTableMetadata(TableIdentifier("agg_t"))
+      .bucketSpec.exists(_.bucketColumnNames == Seq("k")))
+    // crash window: a leftover staged tmp from an aborted refresh is
+    // cleaned by the recoverSwap at refresh entry, then the fold lands
+    Tables.stageBucketedSwap(Seq(("x", 1L)).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sum_v")),
+      "agg_t", "k", 8)
+    Tables.refreshAggTable(spark,
+      Seq(("a", 1L)).toDF("k", "v"), "agg_t", Seq("k"), Seq("v"))
+    assert(rows(served.filter(col("k") === "a")) == Seq(Seq("a", 4L, 14L)))
+    assert(rows(served).size == 3) // no phantom "x" key from the leftover
+    Seq("agg_t", "agg_t__swap_tmp", "agg_t__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+  }
 }
