@@ -1173,6 +1173,48 @@ object Streams {
       .start()
 
   /**
+   * Streaming materialized-rollup sink — the streaming twin of
+   * [[graft.tables.Tables.writeAggTable]]/[[graft.tables.Tables
+   * .refreshAggTable]]: each micro-batch lands its additive partials
+   * under `partialsPath/batch=<id>` (overwrite mode + the
+   * [[compactedThrough]] watermark make replayed batches idempotent —
+   * this IS the transactional delta consumption the batch refresh
+   * documents as caller responsibility), then the SERVED rollup table
+   * rebuilds from the key-cardinality partial tree via the staged
+   * bucketed swap, so readers always see a complete consistent
+   * generation. Per-batch cost: one batch-sized aggregate + a
+   * partials-sized merge — base fact rows are never rescanned. Compact
+   * the partial tree on a cadence (quiesced) with
+   * [[compactIndex]]`(partialsPath)(additive groupBy-sum reduce)`; the
+   * summing replay hazard compactIndex documents is exactly what the
+   * watermark guard here closes.
+   */
+  def rollupSink(stream: DataFrame, table: String, partialsPath: String,
+                 checkpointDir: String, keyCols: Seq[String],
+                 sumCols: Seq[String], numBuckets: Int = 8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
+          val s = batch.sparkSession
+          graft.tables.Tables.aggPartials(batch, keyCols, sumCols)
+            .write.mode("overwrite").parquet(s"$partialsPath/batch=$batchId")
+          val merged = s.read
+            .option("basePath", partialsPath).parquet(partialsPath)
+            .groupBy(keyCols.map(col): _*)
+            .agg(sum(col("n")).as("n"),
+              sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+          graft.tables.Tables.stageBucketedSwap(merged, table,
+            keyCols.head, numBuckets)
+          graft.tables.Tables.commitSwaps(s, Seq(table))
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming encoding-health monitor — [[graft.operators.TextAnalysis
    * .encodingAudit]]'s streaming twin: every counter in the audit is
    * ADDITIVE (doc counts, char counts, non-ASCII/replacement/control

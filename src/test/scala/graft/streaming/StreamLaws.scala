@@ -206,6 +206,43 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("rollupSink served table = one-shot aggPartials over the " +
+      "concatenated input, for any batch split") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(-5L, 5L))),
+      Gen.chooseNum(1, 9)) { (rowsIn, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-rollp").toString
+      val cp = Files.createTempDirectory("law-rollcp").toString
+      Seq("law_rollup", "law_rollup__swap_tmp", "law_rollup__swap_backup")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+      val mem = MemoryStream[(String, Long)]
+      val q = Streams.rollupSink(mem.toDF().toDF("k", "v"), "law_rollup",
+        partials, cp, Seq("k"), Seq("v"))
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("law_rollup")
+        .selectExpr("k", "CAST(n AS BIGINT) AS n",
+          "CAST(sum_v AS BIGINT) AS sum_v")
+        .orderBy("k").collect().toSeq.map(_.toSeq)
+      val want = graft.tables.Tables.aggPartials(rowsIn.toDF("k", "v"),
+          Seq("k"), Seq("v"))
+        .selectExpr("k", "CAST(n AS BIGINT) AS n",
+          "CAST(sum_v AS BIGINT) AS sum_v")
+        .orderBy("k").collect().toSeq.map(_.toSeq)
+      Seq("law_rollup", "law_rollup__swap_tmp", "law_rollup__swap_backup")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+      got == want
+    }
+
   property("encodingAuditSink cumulative audit = batch encodingAudit " +
       "over the concatenated input, for any batch split") =
     forAll(
