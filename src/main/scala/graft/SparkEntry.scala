@@ -150,7 +150,7 @@ object SparkEntry {
     "split_leakage",
     "top_ngrams", "zipf_audit", "heavy_hitters",
     "ks_drift", "ks_drift_by_source", "chi2_drift", "chi2_drift_by_source",
-    "classifier_auc_by_source",
+    "chi2_cells", "classifier_auc_by_source",
     "annotator_agreement", "k_anonymity", "l_diversity",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
@@ -475,6 +475,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Curation.chi2Drift(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+
+    // per-category attribution frame behind the chi2 scalar — WHICH
+    // category moved, with exact cell counts and micro contributions
+    "chi2_cells" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.chi2Cells(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+        .orderBy("cat")
     }),
 
     // the same category-mix statistic sliced per source — one upstream
@@ -2563,6 +2572,30 @@ object SparkEntry {
         |    CAST((s.ss * 1000000) // (t.na * t.nb) AS BIGINT)
         |  END AS chi2_micro
         |FROM t, s""".stripMargin,
+
+    // chi2_cells twin: same merged cells and per-cell floored term,
+    // emitted per category instead of summed
+    "chi2_cells" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents
+        |           WHERE lang IS NOT NULL),
+        |ca AS (SELECT lang AS c, CAST(count(*) AS HUGEINT) AS ca FROM d
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT lang AS c, CAST(count(*) AS HUGEINT) AS cb FROM d
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.c, cb.c) AS c,
+        |        COALESCE(ca, CAST(0 AS HUGEINT)) AS ca,
+        |        COALESCE(cb, CAST(0 AS HUGEINT)) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.c = cb.c),
+        |t AS (SELECT CAST(COALESCE(sum(ca), 0) AS HUGEINT) AS na,
+        |        CAST(COALESCE(sum(cb), 0) AS HUGEINT) AS nb FROM m)
+        |SELECT m.c AS cat, CAST(m.ca AS BIGINT) AS n_a_cat,
+        |  CAST(m.cb AS BIGINT) AS n_b_cat,
+        |  CASE WHEN t.na > 0 AND t.nb > 0 THEN
+        |    CAST((((m.ca * t.nb - m.cb * t.na) *
+        |           (m.ca * t.nb - m.cb * t.na) // (m.ca + m.cb))
+        |          * 1000000) // (t.na * t.nb) AS BIGINT)
+        |  END AS contrib_micro
+        |FROM m, t ORDER BY cat""".stripMargin,
 
     // chi2_drift_by_source twin: per-group totals joined back, same
     // per-cell arithmetic within each group

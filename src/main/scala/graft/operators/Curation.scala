@@ -1170,6 +1170,42 @@ object Curation {
       .select("n_a", "n_b", "n_cells", "chi2_micro")
   }
 
+  /**
+   * Per-category drift ATTRIBUTION — the frame behind [[chi2Drift]]'s
+   * scalar: one row per category with its exact cell counts and its
+   * micro-unit contribution to X², so the monitor can answer "WHICH
+   * category moved" the moment the corpus-wide statistic trips.
+   * `contrib_micro` floors each cell's term independently
+   * (floor(floor(d²/(a+b)) · 10⁶ / (n_a·n_b))), so the contributions
+   * sum to within n_cells micro-units of [[chi2Drift]]'s `chi2_micro`
+   * — attribution, not a second definition of the statistic. Null when
+   * either side is empty. Same exactness bound and null-drop contract
+   * as [[chi2Drift]]. Emits (cat, n_a_cat, n_b_cat, contrib_micro).
+   */
+  def chi2Cells(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    def shape(df: DataFrame, as: String) =
+      catCounts(df, catCol).select(col("cat").as("__c"),
+        col("n").cast("long").as(as))
+    val dec = "decimal(38,0)"
+    val merged = shape(a, "__ca").join(shape(b, "__cb"),
+        Seq("__c"), "full_outer")
+      .select(col("__c"),
+        coalesce(col("__ca"), lit(0L)).cast(dec).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).cast(dec).as("__cb"))
+    val totals = merged.agg(
+      coalesce(sum(col("__ca")), lit(0L).cast(dec)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L).cast(dec)).as("__nb"))
+    merged.crossJoin(broadcast(totals))
+      .withColumn("__d", col("__ca") * col("__nb") -
+        col("__cb") * col("__na"))
+      .select(col("__c").as("cat"),
+        col("__ca").cast("long").as("n_a_cat"),
+        col("__cb").cast("long").as("n_b_cat"),
+        when(col("__na") > 0 && col("__nb") > 0, expr(
+          "CAST((((__d * __d) DIV (__ca + __cb)) * 1000000) DIV " +
+            "(__na * __nb) AS BIGINT)")).as("contrib_micro"))
+  }
+
   /** Per-group [[chi2Drift]] — category-mix drift sliced by a group
    * column (the per-source monitor shape, mirroring
    * [[ksDriftByGroup]]): one row per group present in either side,

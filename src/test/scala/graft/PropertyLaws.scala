@@ -654,6 +654,25 @@ object PropertyLaws extends Properties("graft") {
         }
     }
 
+  property("chi2Cells contributions bracket chi2Drift within the " +
+      "documented n_cells floor loss") =
+    forAll(Gen.listOf(Gen.oneOf("x", "y", "z")),
+      Gen.listOf(Gen.oneOf("x", "y", "z", "w"))) { (a, b) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      val cells = Curation.chi2Cells(a.toDF("c"), b.toDF("c"), "c")
+        .collect()
+      val drift = Curation.chi2Drift(a.toDF("c"), b.toDF("c"), "c")
+        .collect().head
+      if (a.isEmpty || b.isEmpty) cells.forall(_.isNullAt(3))
+      else {
+        // per-cell floors can only lose: Σ floors <= chi2 <= Σ + n_cells
+        val sumC = cells.map(_.getLong(3)).sum
+        val chi = drift.getLong(3)
+        sumC <= chi && chi <= sumC + cells.length
+      }
+    }
+
   property("madOutliers equals the naive two-pass median computation") =
     forAll(Gen.listOf(for {
       g <- Gen.oneOf("p", "q"); v <- Gen.chooseNum(-3L, 3L)
