@@ -106,7 +106,7 @@ object SparkEntry {
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "rollup_serve",
-    "dedupe_latest", "count_rows", "props_extract",
+    "dedupe_latest", "count_rows", "profile_columns", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
@@ -209,6 +209,12 @@ object SparkEntry {
 
     "count_rows" -> ((s, dir) =>
       t(s, dir, "events").agg(count(lit(1)).as("n"))),
+
+    // schema-dynamic per-column quality census: nulls, exact distincts,
+    // canonical-string min/max — one narrow columnar pass per column
+    "profile_columns" -> ((s, dir) =>
+      Relational.profileColumns(t(s, dir, "events"),
+        Seq("event_type", "user_id", "props")).orderBy("col_name")),
 
     "props_extract" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -2196,6 +2202,25 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
 
     "count_rows" -> "SELECT count(*) AS n FROM events",
+
+    // profile_columns twin: same canonical-string census per column
+    "profile_columns" ->
+      """WITH a AS (SELECT CAST(event_type AS VARCHAR) AS v FROM events),
+        |b AS (SELECT CAST(props AS VARCHAR) AS v FROM events),
+        |c AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events)
+        |SELECT 'event_type' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  min(v) AS min_s, max(v) AS max_s FROM a
+        |UNION ALL
+        |SELECT 'props', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(v) AS BIGINT),
+        |  CAST(count(DISTINCT v) AS BIGINT), min(v), max(v) FROM b
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(v) AS BIGINT),
+        |  CAST(count(DISTINCT v) AS BIGINT), min(v), max(v) FROM c
+        |ORDER BY col_name""".stripMargin,
 
     "props_extract" ->
       """SELECT event_id,

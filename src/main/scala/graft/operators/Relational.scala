@@ -733,6 +733,40 @@ object Relational {
   }
 
   /**
+   * Per-column data profile — the schema-dynamic quality census run
+   * before a table is trusted: one row per profiled column with row
+   * count, null count, exact distinct count, and lexicographic min/max
+   * over the canonical STRING form (the contract that keeps the
+   * profile engine-invariant for string/integer columns; doubles and
+   * timestamps format differently across engines — quantize or
+   * stringify them first, the corpus-wide rule). Emits
+   * (col_name, n_rows, n_null, n_distinct, min_s, max_s).
+   *
+   * Scale: one NARROW pass per column — columnar formats read only
+   * that column, which is exactly the profiler access pattern; each
+   * pass is a map-side-combined aggregate plus one single-distinct
+   * hash-aggregate (no Expand — that appears only with MULTIPLE
+   * distinct aggregates in one agg). The exact distinct shuffles each
+   * column's value space once; swap in [[graft.functions.KmvSketch]]
+   * (the `distinct_estimate` pattern) when a column's cardinality
+   * approaches corpus size.
+   */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    cols.map { c =>
+      df.select(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("__v")).as("__nn"),
+          countDistinct(col("__v")).as("n_distinct"),
+          min(col("__v")).as("min_s"),
+          max(col("__v")).as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col("__nn")).as("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Benford first-significant-digit audit: per group, the observed
    * distribution of the leading nonzero digit of |value| against
    * Benford's law — the classic fabricated-/synthetic-data and

@@ -1173,6 +1173,45 @@ object Streams {
       .start()
 
   /**
+   * Streaming category-MIX drift monitor — [[driftSink]]'s categorical
+   * twin ([[graft.operators.Curation.chi2Drift]] streaming): each
+   * micro-batch lands its per-category counts under
+   * `countsPath/batch=<id>`, the cumulative observed mix compares
+   * against a persisted [[graft.operators.Curation.catCounts]]
+   * reference, and one chi-square verdict row writes under
+   * `driftPath/batch=<id>` — the language/source-mix alarm KS cannot
+   * express (no ordered domain). Same idempotent batch-partition
+   * protocol and [[compactedThrough]] watermark as [[driftSink]]; same
+   * null-drop contract as [[graft.operators.Curation.catCounts]].
+   *
+   * Scale: per batch, one batch-sized aggregate + a category-space
+   * merge — no window anywhere in the statistic.
+   */
+  def mixDriftSink(stream: DataFrame, refCountsPath: String,
+                   countsPath: String, driftPath: String,
+                   checkpointDir: String,
+                   catCol: String = "lang"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, countsPath)) {
+          val s = batch.sparkSession
+          graft.operators.Curation.catCounts(batch, catCol)
+            .write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+          val observed = s.read
+            .option("basePath", countsPath).parquet(countsPath)
+            .groupBy("cat").agg(sum("n").cast("long").as("n"))
+          graft.operators.Curation.chi2DriftFromCounts(
+            s.read.parquet(refCountsPath), observed)
+            .write.mode("overwrite").parquet(s"$driftPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming materialized-rollup sink — the streaming twin of
    * [[graft.tables.Tables.writeAggTable]]/[[graft.tables.Tables
    * .refreshAggTable]]: each micro-batch lands its additive partials

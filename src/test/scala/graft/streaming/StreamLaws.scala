@@ -206,6 +206,36 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("mixDriftSink final verdict = batch chi2Drift over the " +
+      "concatenated input, for any batch split") =
+    forAll(Gen.listOfN(8, Gen.oneOf("x", "y", "z")),
+      Gen.listOfN(6, Gen.oneOf("x", "y", "w")), Gen.chooseNum(1, 5)) {
+      (refVals, streamVals, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val cut = math.min(splitAt, streamVals.size - 1).max(1)
+      val (b0, b1) = streamVals.splitAt(cut)
+      val ref = Files.createTempDirectory("law-mref").toString + "/c"
+      val cnt = Files.createTempDirectory("law-mcnt").toString
+      val outDir = Files.createTempDirectory("law-mout").toString
+      val cp = Files.createTempDirectory("law-mcp").toString
+      val refDf = refVals.toDF("lang")
+      graft.operators.Curation.catCounts(refDf, "lang").write.parquet(ref)
+      val mem = MemoryStream[String]
+      val q = Streams.mixDriftSink(mem.toDF().toDF("lang"), ref, cnt,
+        outDir, cp)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1").collect().head.toSeq
+      val want = graft.operators.Curation.chi2Drift(refDf,
+        streamVals.toDF("lang"), "lang").collect().head.toSeq
+      got == want
+    }
+
   property("rollupSink served table = one-shot aggPartials over the " +
       "concatenated input, for any batch split") =
     forAll(
