@@ -106,7 +106,8 @@ object SparkEntry {
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "rollup_serve",
-    "dedupe_latest", "count_rows", "profile_columns", "props_extract",
+    "dedupe_latest", "count_rows", "profile_columns",
+    "profile_columns_sketch", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
@@ -214,6 +215,12 @@ object SparkEntry {
     // canonical-string min/max — one narrow columnar pass per column
     "profile_columns" -> ((s, dir) =>
       Relational.profileColumns(t(s, dir, "events"),
+        Seq("event_type", "user_id", "props")).orderBy("col_name")),
+
+    // the profiler's cardinality column at KMV sketch cost — even the
+    // estimate is hash-checked (k smallest reproducible hashes)
+    "profile_columns_sketch" -> ((s, dir) =>
+      Relational.profileColumnsSketch(t(s, dir, "events"),
         Seq("event_type", "user_id", "props")).orderBy("col_name")),
 
     "props_extract" -> ((s, dir) =>
@@ -1720,6 +1727,23 @@ object SparkEntry {
     s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), " +
     s"(acc, x) -> (acc * $mult + x) % $mod)"
 
+  /** DuckDB fragment: one column's KMV cardinality profile (mirrors
+   * Relational.profileColumnsSketch — k = 64 smallest distinct
+   * polynomial hashes over the non-null canonical strings). */
+  private def duckKmvColumnProfile(colName: String): String =
+    s"""SELECT '$colName' AS col_name,
+       |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+       |       ELSE 63.0 * 1000000007 / kth END AS kmv_estimate,
+       |  CAST(nd AS BIGINT) AS n_hashes
+       |FROM (SELECT count(*) AS nd,
+       |        max(CASE WHEN rn <= 64 THEN h END) AS kth
+       |      FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |            FROM (SELECT DISTINCT
+       |                ${duckPolyFragment("v", 31, 1000000007L)} AS h
+       |              FROM (SELECT DISTINCT CAST($colName AS VARCHAR) AS v
+       |                    FROM events
+       |                    WHERE $colName IS NOT NULL))))""".stripMargin
+
   /** DuckDB fragment: 63-bit token hash (mirrors TextFns.token63Fragment). */
   private def duckToken63(v: String): String =
     s"(${duckPolyFragment(v, 31, 1000000007L)} " +
@@ -2221,6 +2245,16 @@ object SparkEntry {
         |  CAST(count(*) - count(v) AS BIGINT),
         |  CAST(count(DISTINCT v) AS BIGINT), min(v), max(v) FROM c
         |ORDER BY col_name""".stripMargin,
+
+    // profile_columns_sketch twin: the same k smallest reproducible
+    // hashes per column, so even the estimate hash-matches
+    "profile_columns_sketch" ->
+      s"""${duckKmvColumnProfile("event_type")}
+         |UNION ALL
+         |${duckKmvColumnProfile("props")}
+         |UNION ALL
+         |${duckKmvColumnProfile("user_id")}
+         |ORDER BY col_name""".stripMargin,
 
     "props_extract" ->
       """SELECT event_id,

@@ -767,6 +767,35 @@ object Relational {
   }
 
   /**
+   * [[profileColumns]]'s cardinality column at sketch cost — the
+   * 100 TB swap the exact profiler documents: per column, the KMV
+   * distinct estimate ([[graft.functions.KmvSketch]], k reproducible
+   * minimum polynomial hashes — deterministic, engine-recomputable)
+   * over the hash-deduped canonical strings. `n_hashes` counts the
+   * DISTINCT HASHES (a polynomial-hash collision merges two values —
+   * the documented sketch-domain caveat, shared with
+   * `distinct_estimate`). Hash-dedup runs FIRST (map-side combine) so
+   * the sketch aggregates already-distinct hashes — one narrow pass +
+   * one hash-space aggregate per column, ≤ k longs of state per
+   * buffer. Emits (col_name, kmv_estimate, n_hashes).
+   */
+  def profileColumnsSketch(df: DataFrame, cols: Seq[String],
+                           k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "profileColumnsSketch needs at least one column")
+    val kmv = graft.functions.KmvSketch.udaf(k)
+    cols.map { c =>
+      df.select(col(c).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+        .select(TextFns.polyHash("__v").as("__h"))
+        .distinct()
+        .agg(kmv(col("__h")).as("kmv_estimate"),
+          count(lit(1)).as("n_hashes"))
+        .select(lit(c).as("col_name"), col("kmv_estimate"),
+          col("n_hashes"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Benford first-significant-digit audit: per group, the observed
    * distribution of the leading nonzero digit of |value| against
    * Benford's law — the classic fabricated-/synthetic-data and
