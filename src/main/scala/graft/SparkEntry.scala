@@ -107,7 +107,8 @@ object SparkEntry {
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
     "rollup_serve",
     "dedupe_latest", "count_rows", "profile_columns",
-    "profile_columns_sketch", "props_extract",
+    "profile_columns_sketch", "constraint_audit", "lateness_audit",
+    "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
@@ -222,6 +223,24 @@ object SparkEntry {
     "profile_columns_sketch" -> ((s, dir) =>
       Relational.profileColumnsSketch(t(s, dir, "events"),
         Seq("event_type", "user_id", "props")).orderBy("col_name")),
+
+    // CHECK-constraint census in ONE narrow scan (all predicates share
+    // the aggregate); SQL CHECK null semantics — FALSE violates, NULL
+    // passes. value_under_100 is the intentionally-violated one.
+    "constraint_audit" -> ((s, dir) =>
+      Relational.constraintAudit(t(s, dir, "events"), Seq(
+        "value_nonnegative" -> "value >= 0",
+        "known_event_type" ->
+          "event_type IN ('click','error','purchase','signup','view')",
+        "user_id_present" -> "user_id IS NOT NULL",
+        "value_under_100" -> "value < 100"))
+        .orderBy("constraint")),
+
+    // per-source event-time freshness: newest event per feed vs the
+    // corpus newest, integer microseconds — the stopped-feed alarm
+    "lateness_audit" -> ((s, dir) =>
+      Sessions.latenessAudit(t(s, dir, "events"))
+        .orderBy("event_type")),
 
     "props_extract" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -2255,6 +2274,40 @@ object SparkEntry {
          |UNION ALL
          |${duckKmvColumnProfile("user_id")}
          |ORDER BY col_name""".stripMargin,
+
+    // constraint_audit twin: one row per CHECK predicate, FALSE
+    // violates / NULL passes, same truncating permille
+    "constraint_audit" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(sum(CASE WHEN (value >= 0) = false
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1,
+        |  CAST(COALESCE(sum(CASE WHEN (event_type IN
+        |    ('click','error','purchase','signup','view')) = false
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2,
+        |  CAST(COALESCE(sum(CASE WHEN (user_id IS NOT NULL) = false
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3,
+        |  CAST(COALESCE(sum(CASE WHEN (value < 100) = false
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4
+        |  FROM events)
+        |SELECT c.constraint, t.n_rows, c.n_violations,
+        |  CASE WHEN t.n_rows > 0
+        |    THEN n_violations * 1000 // t.n_rows END AS violations_permille
+        |FROM t, LATERAL (VALUES
+        |  ('value_nonnegative', v1), ('known_event_type', v2),
+        |  ('user_id_present', v3), ('value_under_100', v4))
+        |  AS c("constraint", n_violations)
+        |ORDER BY c.constraint""".stripMargin,
+
+    // lateness_audit twin: per-source max event time vs the corpus
+    // max, integer microseconds
+    "lateness_audit" ->
+      """WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |  FROM events GROUP BY event_type),
+        |top AS (SELECT max(max_ts_us) AS t FROM per)
+        |SELECT per.event_type, per.n, per.max_ts_us,
+        |  CAST(top.t - per.max_ts_us AS BIGINT) AS lag_us
+        |FROM per, top ORDER BY event_type""".stripMargin,
 
     "props_extract" ->
       """SELECT event_id,

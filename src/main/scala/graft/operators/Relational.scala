@@ -779,6 +779,41 @@ object Relational {
    * one hash-space aggregate per column, ≤ k longs of state per
    * buffer. Emits (col_name, kmv_estimate, n_hashes).
    */
+  /**
+   * Constraint (expectations) audit — the CHECK-constraint census a
+   * pipeline runs before promoting a table: each named SQL predicate is
+   * evaluated over every row in ONE narrow scan (all constraints share
+   * the single aggregate — no per-constraint pass), and one row per
+   * constraint reports the violation mass. SQL CHECK semantics: a row
+   * violates only when the predicate is FALSE — a NULL predicate
+   * passes, as in the standard (track null-rate with
+   * [[profileColumns]], not by smuggling it into a CHECK). Emits
+   * (constraint, n_rows, n_violations, violations_permille), permille
+   * by truncating integer division, null on an empty frame.
+   *
+   * Scale: one map-side-combined aggregate over the referenced
+   * columns; the long-format explode runs on the 1-row result.
+   */
+  def constraintAudit(df: DataFrame,
+                      constraints: Seq[(String, String)]): DataFrame = {
+    require(constraints.nonEmpty, "constraintAudit needs constraints")
+    val aggs = count(lit(1)).as("__n") +:
+      constraints.zipWithIndex.map { case ((_, sql), i) =>
+        coalesce(sum(when(expr(sql) === false, 1L).otherwise(0L)), lit(0L))
+          .as(s"__v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = constraints.zipWithIndex.map { case ((name, _), i) =>
+      s"'${name.replace("'", "''")}', __v$i"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${constraints.size}, $stacked) AS (constraint, n_violations)"),
+        col("__n").as("n_rows"))
+      .select(col("constraint"), col("n_rows"), col("n_violations"),
+        when(col("n_rows") > 0,
+          expr("n_violations * 1000 DIV n_rows")).as("violations_permille"))
+  }
+
   def profileColumnsSketch(df: DataFrame, cols: Seq[String],
                            k: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profileColumnsSketch needs at least one column")

@@ -379,4 +379,26 @@ object Sessions {
         when(col("__ok"), tsUs(col(tsCol)) - col("__last.t"))
           .as("gap_us"))
   }
+
+  /**
+   * Event-time lateness audit per source — the feed-freshness monitor:
+   * each source's newest event against the corpus's newest, in integer
+   * microseconds (a feed that stopped sending shows up as a growing
+   * lag long before its absence skews a statistic). Emits one row per
+   * source: (grpCol, n, max_ts_us, lag_us) — lag 0 for the freshest
+   * feed by construction.
+   *
+   * Scale: one map-side-combined per-source aggregate; the corpus max
+   * derives from the same group frame (group-cardinality), broadcast
+   * back — the fact rows are scanned once.
+   */
+  def latenessAudit(events: DataFrame, grpCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    val per = events.groupBy(grpCol)
+      .agg(count(lit(1)).as("n"), max(tsUs(col(tsCol))).as("max_ts_us"))
+    val top = per.agg(max(col("max_ts_us")).as("__top"))
+    per.crossJoin(broadcast(top))
+      .select(col(grpCol), col("n"), col("max_ts_us"),
+        (col("__top") - col("max_ts_us")).as("lag_us"))
+  }
 }
