@@ -108,7 +108,7 @@ object SparkEntry {
     "rollup_serve",
     "dedupe_latest", "count_rows", "profile_columns",
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
-    "props_extract",
+    "trend_by_type", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
@@ -241,6 +241,17 @@ object SparkEntry {
     "lateness_audit" -> ((s, dir) =>
       Sessions.latenessAudit(t(s, dir, "events"))
         .orderBy("event_type")),
+
+    // per-group OLS slope of a metric over event time, exact DECIMAL
+    // moment sums + sign-correct floored micro quotient — the
+    // is-this-metric-drifting trend monitor
+    "trend_by_type" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("x_s", expr("CAST(ts AS LONG)"))
+        .withColumn("v_milli", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      Relational.groupedTrend(ev, "event_type", "x_s", "v_milli")
+        .orderBy("event_type")
+    }),
 
     "props_extract" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -2297,6 +2308,25 @@ object SparkEntry {
         |  ('user_id_present', v3), ('value_under_100', v4))
         |  AS c("constraint", n_violations)
         |ORDER BY c.constraint""".stripMargin,
+
+    // trend_by_type twin: same HUGEINT moment sums, same sign-correct
+    // floor division
+    "trend_by_type" ->
+      """WITH m AS (SELECT event_type AS g,
+        |    CAST(epoch_us(ts) // 1000000 AS HUGEINT) AS x,
+        |    CAST(CAST(floor(value * 1000) AS BIGINT) AS HUGEINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM m GROUP BY g),
+        |d AS (SELECT g, n, CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS den FROM a)
+        |SELECT g AS event_type, n, TRY_CAST(den AS BIGINT) AS slope_den,
+        |  CASE WHEN den > 0 THEN CAST(num * 1000000 // den -
+        |    (CASE WHEN num < 0 AND (num * 1000000) % den <> 0
+        |     THEN 1 ELSE 0 END) AS BIGINT) END AS slope_micro
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // lateness_audit twin: per-source max event time vs the corpus
     // max, integer microseconds

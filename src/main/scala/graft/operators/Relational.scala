@@ -780,6 +780,50 @@ object Relational {
    * buffer. Emits (col_name, kmv_estimate, n_hashes).
    */
   /**
+   * Per-group OLS trend in exact integers — the is-this-metric-drifting
+   * monitor: for each group, the least-squares slope of y over x from
+   * the moment sums, slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), computed
+   * entirely in DECIMAL(38,0) (exact arithmetic has no float
+   * cancellation, so the textbook uncentered form is safe here) with a
+   * floored micro-unit quotient. Contract: x and y are INTEGRAL
+   * (pre-quantized — epoch seconds, milli-units); with epoch-seconds x
+   * the n·Σx² term stays inside 38 digits to ~10⁹ rows per group —
+   * rebase x (days, or minus a constant) to extend, and past the bound
+   * the DECIMAL fails loudly under ANSI rather than rounding. Emits
+   * one row per group: (grpCol, n, slope_den, slope_micro) —
+   * slope_micro null when x is constant in the group (den = 0, no
+   * trend defined) and slope_den as BIGINT via try_cast (null, not
+   * garbage, past 2⁶³).
+   *
+   * Scale: one map-side-combined hash-aggregate to the five moment
+   * sums per group — nothing downstream ever sees a fact row.
+   */
+  def groupedTrend(df: DataFrame, grpCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(grpCol), col(xCol).cast("long").cast(dec).as("__x"),
+        col(yCol).cast("long").cast(dec).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(grpCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .withColumn("__num", expr(s"CAST(n AS $dec) * __sxy - __sx * __sy"))
+      .withColumn("__den", expr(s"CAST(n AS $dec) * __sxx - __sx * __sx"))
+      .select(col(grpCol), col("n"),
+        expr("try_cast(__den AS BIGINT)").as("slope_den"),
+        // sign-correct DECIMAL floor (the kappa_micro pattern): DIV
+        // truncates toward zero, a negative slope with remainder needs
+        // the -1 correction; __den > 0 here so only __num's sign matters
+        when(col("__den") > 0, expr(
+          """CAST(__num * 1000000 DIV __den -
+            |  (CASE WHEN __num < 0 AND (__num * 1000000) % __den <> 0
+            |   THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin))
+          .as("slope_micro"))
+  }
+
+  /**
    * Constraint (expectations) audit — the CHECK-constraint census a
    * pipeline runs before promoting a table: each named SQL predicate is
    * evaluated over every row in ONE narrow scan (all constraints share

@@ -673,6 +673,35 @@ object PropertyLaws extends Properties("graft") {
       }
     }
 
+  property("groupedTrend equals the naive exact least-squares slope") =
+    forAll(Gen.listOf(for {
+      g <- Gen.oneOf("p", "q"); x <- Gen.chooseNum(0L, 9L)
+      y <- Gen.chooseNum(-9L, 9L)
+    } yield (g, x, y))) { rowsIn =>
+      import graft.operators.Relational
+      import spark.implicits._
+      def fdiv(a: BigInt, b: BigInt): BigInt = {
+        val q = a / b
+        if (a.signum * b.signum < 0 && q * b != a) q - 1 else q
+      }
+      val expected = rowsIn.groupBy(_._1).map { case (g, rs) =>
+        val n = BigInt(rs.size)
+        val sx = rs.map(r => BigInt(r._2)).sum
+        val sy = rs.map(r => BigInt(r._3)).sum
+        val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+        val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        (g, rs.size.toLong, den.toLong,
+          if (den > 0) Some(fdiv(num * 1000000, den).toLong) else None)
+      }.toSet
+      val got = Relational
+        .groupedTrend(rowsIn.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      got == expected
+    }
+
   property("madOutliers equals the naive two-pass median computation") =
     forAll(Gen.listOf(for {
       g <- Gen.oneOf("p", "q"); v <- Gen.chooseNum(-3L, 3L)
