@@ -226,4 +226,38 @@ class PlanShapeSpec extends SparkSpec {
       graft.tables.Tables.dropTable(spark, t)
     }
   }
+
+  test("profile_columns: every per-column scan reads ONLY its column " +
+      "(ReadSchema pruned to one field)") {
+    val p = executedPlan("profile_columns")
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("events")).toSeq
+    assert(scans.size == 3, s"expected one scan per profiled column:\n$p")
+    scans.foreach { l =>
+      val schema = l.split("ReadSchema: ").last
+      assert(!schema.contains(","),
+        s"scan reads more than one column: $l")
+    }
+  }
+
+  test("constraint_audit: ALL predicates share ONE events scan") {
+    val p = executedPlan("constraint_audit")
+    assert(scanCount(p, "events") == 1,
+      s"constraints must share a single pass:\n$p")
+  }
+
+  test("trend_by_type: one events scan, no window, no single-partition " +
+      "exchange (moment sums are one hash-aggregate)") {
+    val p = executedPlan("trend_by_type")
+    assert(scanCount(p, "events") == 1, s"fact rescanned:\n$p")
+    assert(count(p, "Window") == 0, s"unexpected window:\n$p")
+  }
+
+  test("mad_outliers: no single-partition exchange — both medians ride " +
+      "the assembled range-partitioned ranks") {
+    val p = executedPlan("mad_outliers")
+    assert(count(p, "Exchange SinglePartition") == 0,
+      s"single-task stage in the rank pass:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
 }
