@@ -35,6 +35,51 @@ object Tables {
   def tableSchema(spark: SparkSession, table: String): StructType =
     spark.table(table).schema
 
+  /**
+   * Schema diff between two frames — the evolution gate run before an
+   * upsert or a snapshot promotion: one row per column that was added,
+   * removed, or changed type, `(col_name, change, old_type, new_type)`
+   * with `change ∈ {added, removed, type_changed}`. Empty result =
+   * schemas compatible by name and type (column ORDER is not a change:
+   * the merge paths align by name). Driver-side over the two schema
+   * objects — no data is read.
+   */
+  def schemaDiff(oldSchema: StructType, newSchema: StructType)
+                (spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val o = oldSchema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val n = newSchema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c =>
+        (c, "removed", o(c), null: String)) ++
+      (o.keySet & n.keySet).toSeq.sorted
+        .filter(c => o(c) != n(c))
+        .map(c => (c, "type_changed", o(c), n(c)))
+    rows.toDF("col_name", "change", "old_type", "new_type")
+  }
+
+  /**
+   * Backfill planner for a partitioned table: which of the `expected`
+   * partition values are MISSING — the hole census an incremental
+   * date-partitioned load runs before deciding what to backfill.
+   * Reads only the catalog's partition listing (metadata, bounded by
+   * the table's partition count), never the data. Returns the missing
+   * values sorted.
+   */
+  def missingPartitions(spark: SparkSession, table: String,
+                        partitionCol: String,
+                        expected: Seq[String]): Seq[String] = {
+    val have = spark.sql(s"SHOW PARTITIONS ${q(table)}")
+      .collect()
+      .map(_.getString(0))
+      .flatMap(_.split('/').find(_.startsWith(partitionCol + "="))
+        .map(_.substring(partitionCol.length + 1)))
+      .toSet
+    expected.filterNot(have.contains).sorted
+  }
+
   /** Drop-if-exists (reference: omnichannel_to_bq.py:193-201). Returns
    * whether the table existed. */
   def dropTable(spark: SparkSession, table: String): Boolean = {

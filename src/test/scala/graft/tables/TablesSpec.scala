@@ -363,6 +363,36 @@ class TablesSpec extends SparkSpec {
     Seq("sw_a", "sw_b").foreach(Tables.dropTable(spark, _))
   }
 
+  test("schemaDiff reports added/removed/type-changed columns by name") {
+    import org.apache.spark.sql.types._
+    val oldS = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("gone", IntegerType)))
+    val newS = StructType(Seq(StructField("v", StringType),
+      StructField("id", StringType), StructField("fresh", DoubleType)))
+    val got = rows(Tables.schemaDiff(oldS, newS)(spark)
+      .orderBy("change", "col_name"))
+    assert(got == Seq(
+      Seq("fresh", "added", null, "DOUBLE"),
+      Seq("gone", "removed", "INT", null),
+      Seq("id", "type_changed", "BIGINT", "STRING")))
+    // reordering alone is NOT a change
+    val reordered = org.apache.spark.sql.types.StructType(oldS.fields.reverse)
+    assert(Tables.schemaDiff(oldS, reordered)(spark).count() == 0)
+  }
+
+  test("missingPartitions lists only the absent expected values") {
+    import org.apache.spark.sql.functions.col
+    Tables.dropTable(spark, "t_backfill")
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-03")).toDF("id", "d")
+    Tables.loadPartitioned(df, "t_backfill", "d")
+    assert(Tables.missingPartitions(spark, "t_backfill", "d",
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")) ==
+      Seq("2024-01-02", "2024-01-04"))
+    assert(Tables.missingPartitions(spark, "t_backfill", "d",
+      Seq("2024-01-01")).isEmpty)
+    Tables.dropTable(spark, "t_backfill")
+  }
+
   test("materialized rollup: build + incremental refresh = direct aggregate") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     Seq("agg_t", "agg_t__swap_tmp", "agg_t__swap_backup")
