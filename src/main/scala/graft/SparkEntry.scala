@@ -122,7 +122,8 @@ object SparkEntry {
     "ivf_topk_indexed",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "matryoshka_topk",
-    "quantize_int8", "embedding_centroids", "hard_negatives",
+    "quantize_int8", "embedding_centroids", "embedding_drift",
+    "hard_negatives",
     "embedding_outliers",
     "payload_meta", "decode_batch", "media_resize", "media_ops",
     "feature_extract",
@@ -872,6 +873,15 @@ object SparkEntry {
     "embedding_centroids" -> ((s, dir) =>
       Similarity.embeddingCentroids(t(s, dir, "embeddings"))
         .orderBy("label")),
+
+    // representation drift between two corpus generations: cosine of
+    // the mean vectors as sign + cos2 micro — sqrt-free, so the whole
+    // statistic stays exact integers on both engines
+    "embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }),
 
     // LSH parameter eval: recall/precision of the capped hyperplane path
     // vs the exact quadratic ground truth. Oracle-only (never benched) —
@@ -3876,6 +3886,37 @@ object SparkEntry {
         |  string_agg(CAST(CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT)
         |    AS VARCHAR), ',' ORDER BY pos) AS centroid_micro
         |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    // embedding_drift twin: same floored micro centroids, same
+    // sqrt-free cos2 rational
+    "embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |ca AS (SELECT pos,
+        |    CAST(floor(sum(CAST(round(CAST(x AS DOUBLE) * 1000000)
+        |      AS BIGINT)) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS am,
+        |    CAST(count(*) AS BIGINT) AS an
+        |  FROM ex WHERE vec_id % 2 = 0 GROUP BY pos),
+        |cb AS (SELECT pos,
+        |    CAST(floor(sum(CAST(round(CAST(x AS DOUBLE) * 1000000)
+        |      AS BIGINT)) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS bm,
+        |    CAST(count(*) AS BIGINT) AS bn
+        |  FROM ex WHERE vec_id % 2 = 1 GROUP BY pos),
+        |agg AS (SELECT CAST(max(an) AS BIGINT) AS n_a,
+        |    CAST(max(bn) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS dim,
+        |    CAST(sum(am * bm) AS BIGINT) AS dot_ab,
+        |    CAST(sum(am * am) AS HUGEINT) AS aa,
+        |    CAST(sum(bm * bm) AS HUGEINT) AS bb
+        |  FROM ca JOIN cb USING (pos))
+        |SELECT n_a, n_b, dim, dot_ab,
+        |  CAST(sign(dot_ab) AS BIGINT) AS cos_sign,
+        |  CASE WHEN aa > 0 AND bb > 0 THEN
+        |    CAST((CAST(dot_ab AS HUGEINT) * dot_ab * 1000000) // (aa * bb)
+        |      AS BIGINT) END AS cos2_micro
+        |FROM agg""".stripMargin,
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_event_id

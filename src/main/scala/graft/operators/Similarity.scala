@@ -75,6 +75,54 @@ object Similarity {
       .select(col("label"), col("n_vectors"), col("centroid_micro"))
 
   /**
+   * Embedding-space corpus drift — did the REPRESENTATION of the
+   * corpus move between two generations: cosine between the two sides'
+   * mean vectors, kept integer-exact by never taking a square root —
+   * the emitted statistic is cos2·10⁶ (floored) plus the dot-product
+   * sign, which together carry the same decision information as cos
+   * without an irrational value crossing an engine boundary. Centroids
+   * are the per-dimension floored micro means ([[embeddingCentroids]]'
+   * quantization); dot products of micro centroids stay well under
+   * 2⁶³ for any realistic dim (dim·10¹² — ANSI throws rather than
+   * wrapping if a pathological input exceeds it), and the squares ride
+   * DECIMAL(38,0). `cos2_micro` is null when either centroid is the
+   * zero vector (cosine undefined). Sides must share the embedding
+   * dimension (the inner join on pos enforces it structurally). Emits
+   * one row: (n_a, n_b, dim, dot_ab, cos_sign, cos2_micro).
+   *
+   * Scale: one posexplode hash-aggregate per side down to (pos, sum,
+   * n) — dimension-sized frames; everything after the two corpus
+   * passes is dim-cardinality.
+   */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def cent(df: DataFrame, m: String, n: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)))
+        .groupBy("pos")
+        .agg(sum(expr(
+            "CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)"))
+            .as("__s"),
+          count(lit(1)).as(n))
+        .select(col("pos"),
+          floor(col("__s").cast("double") / col(n)).cast("long").as(m),
+          col(n))
+    val dec = "decimal(38,0)"
+    cent(a, "__am", "__an").join(cent(b, "__bm", "__bn"), Seq("pos"))
+      .agg(max(col("__an")).as("n_a"), max(col("__bn")).as("n_b"),
+        count(lit(1)).as("dim"),
+        sum(col("__am") * col("__bm")).as("__ab"),
+        sum(col("__am") * col("__am")).as("__aa"),
+        sum(col("__bm") * col("__bm")).as("__bb"))
+      .select(col("n_a"), col("n_b"), col("dim"),
+        col("__ab").as("dot_ab"),
+        signum(col("__ab")).cast("long").as("cos_sign"),
+        when(col("__aa") > 0 && col("__bb") > 0, expr(
+          s"CAST((CAST(__ab AS $dec) * __ab * 1000000) DIV " +
+            s"(CAST(__aa AS $dec) * __bb) AS BIGINT)")).as("cos2_micro"))
+  }
+
+  /**
    * Symmetric int8 quantization of the embedding column: per-vector scale
    * = 127 / max(|x|), q_i = round(x_i * scale) — the standard 4x storage
    * compression for embedding corpora. One narrow projection; the max
