@@ -149,7 +149,7 @@ object SparkEntry {
     "inverted_index", "topic_classify", "hash_embed", "decontaminate",
     "quality_calibrate", "source_overlap", "ngram_novelty", "bm25_topk",
     "semantic_decontaminate", "oov_rate", "hybrid_topk",
-    "train_val_split", "kfold_split",
+    "train_val_split", "kfold_split", "fold_balance",
     "split_leakage",
     "top_ngrams", "zipf_audit", "heavy_hitters",
     "ks_drift", "ks_drift_by_source", "chi2_drift", "chi2_drift_by_source",
@@ -1201,6 +1201,13 @@ object SparkEntry {
     "kfold_split" -> ((s, dir) =>
       Curation.kfoldSplit(t(s, dir, "documents"), k = 5)
         .select("doc_id", "fold").orderBy("doc_id")),
+
+    // stratification QA of the fold assignment: per (fold, lang), the
+    // within-fold class share vs the corpus share in integer permille
+    "fold_balance" -> ((s, dir) =>
+      Curation.foldBalance(
+        Curation.kfoldSplit(t(s, dir, "documents"), k = 5),
+        "fold", "lang").orderBy("fold", "lang")),
 
     // leakage-free split (assign whole near-dup clusters to one side);
     // oracle-grade only: its cost IS neardup_clusters (already benched)
@@ -4263,6 +4270,27 @@ object SparkEntry {
          |  CAST(${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
          |    % 5 AS BIGINT) AS fold
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fold_balance twin: same hash fold assignment, same truncating
+    // permille arithmetic over the cell frame
+    "fold_balance" ->
+      s"""WITH f AS (SELECT
+         |    CAST(${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |      % 5 AS BIGINT) AS fold, lang FROM documents),
+         |cell AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM f GROUP BY 1, 2),
+         |ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fn
+         |  FROM cell GROUP BY 1),
+         |ct AS (SELECT lang, CAST(sum(n) AS BIGINT) AS cn
+         |  FROM cell GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM cell)
+         |SELECT cell.fold, cell.lang, cell.n,
+         |  CAST(cell.n * 1000 // ft.fn AS BIGINT) AS fold_permille,
+         |  CAST(ct.cn * 1000 // t.tn AS BIGINT) AS corpus_permille,
+         |  CAST(cell.n * 1000 // ft.fn - ct.cn * 1000 // t.tn AS BIGINT)
+         |    AS dev_permille
+         |FROM cell JOIN ft USING (fold) JOIN ct USING (lang), t
+         |ORDER BY fold, lang""".stripMargin,
 
     "train_val_split" ->
       s"""SELECT doc_id,

@@ -158,6 +158,37 @@ object Curation {
   }
 
   /**
+   * Stratification-balance audit of a fold assignment — is every fold
+   * a faithful miniature of the corpus class mix (a skewed fold makes
+   * its validation round unrepresentative, the quiet way k-fold
+   * numbers go wrong): per (fold, class), the class's permille share
+   * WITHIN the fold against its corpus-wide share, and the signed
+   * deviation. All integer permilles by truncating division. Emits
+   * (foldCol, classCol, n, fold_permille, corpus_permille,
+   * dev_permille).
+   *
+   * Scale: one corpus pass to the (folds × classes) cell frame; fold,
+   * class, and corpus totals all derive from the cells — nothing
+   * downstream rescans rows.
+   */
+  def foldBalance(df: DataFrame, foldCol: String = "fold",
+                  classCol: String = "lang"): DataFrame = {
+    val cell = df.groupBy(col(foldCol), col(classCol))
+      .agg(count(lit(1)).as("n"))
+    val foldTot = cell.groupBy(foldCol).agg(sum("n").as("__fn"))
+    val clsTot = cell.groupBy(classCol).agg(sum("n").as("__cn"))
+    val tot = cell.agg(sum("n").as("__tn"))
+    cell.join(foldTot, Seq(foldCol))
+      .join(broadcast(clsTot), Seq(classCol))
+      .crossJoin(broadcast(tot))
+      .select(col(foldCol), col(classCol), col("n"),
+        expr("n * 1000 DIV __fn").as("fold_permille"),
+        expr("__cn * 1000 DIV __tn").as("corpus_permille"),
+        expr("n * 1000 DIV __fn - __cn * 1000 DIV __tn")
+          .as("dev_permille"))
+  }
+
+  /**
    * Leakage-FREE train/validation split: hash the near-dup CLUSTER id
    * instead of the document id, so every member of a connected near-dup
    * cluster lands on the same side of the boundary — by construction,
