@@ -174,7 +174,20 @@ object Tables {
       import scala.jdk.CollectionConverters._
       val partCols = spark.catalog.listColumns(mainTable).collectAsList()
         .asScala.filter(_.isPartition).map(_.name).toSeq
-      if (partCols.isEmpty) writeSwapped(spark, merged, mainTable)
+      replaceWith(spark, merged, mainTable, partCols)
+    }
+    spark.table(mainTable).count()
+  }
+
+  /** Write a fully-merged replacement frame over a managed main:
+   * rename swap for unpartitioned mains; for partitioned mains, dynamic
+   * overwrite of the present partitions plus an explicit drop of
+   * VACATED partitions (values the replacement no longer contains) —
+   * shared by [[upsertIntoTable]] and [[deleteKeys]]. */
+  private def replaceWith(spark: SparkSession, merged: DataFrame,
+                          mainTable: String,
+                          partCols: Seq[String]): Unit = {
+    if (partCols.isEmpty) writeSwapped(spark, merged, mainTable)
       else {
         // partitioned main: rename swap corrupts HMS partition locations
         // (see compactTable) — materialize the merge to a staging table,
@@ -208,8 +221,65 @@ object Tables {
         spark.sql(s"DROP TABLE ${q(tmp)}")
         spark.catalog.refreshTable(mainTable)
       }
-    }
+  }
+
+  /**
+   * Staged key DELETION — the retraction half of the merge surface
+   * (GDPR erasure, takedown feeds, bad-batch rollback): anti-join the
+   * main table against the key set and replace it via the same
+   * crash-safe protocol as [[upsertIntoTable]] ([[replaceWith]]:
+   * rename swap, or dynamic overwrite with vacated-partition drop on
+   * partitioned mains — a partition whose every row is deleted is
+   * DROPPED, not left stale). Returns the remaining row count so the
+   * caller can assert `before - |keys ∩ table|`. Run [[recoverSwap]]
+   * on restart, as with every swap-protocol write.
+   *
+   * Scale: one anti-join shuffled on the key (broadcast when the key
+   * set is small — the usual erasure-request shape) plus the rewrite;
+   * on partitioned mains only partitions that still hold rows are
+   * rewritten.
+   */
+  def deleteKeys(spark: SparkSession, keys: DataFrame, mainTable: String,
+                 key: String): Long = {
+    val remaining = spark.table(mainTable)
+      .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
+      // anti-join puts the key column first; realign to the table schema
+      .select(spark.table(mainTable).schema.fieldNames.map(col): _*)
+    import scala.jdk.CollectionConverters._
+    val partCols = spark.catalog.listColumns(mainTable).collectAsList()
+      .asScala.filter(_.isPartition).map(_.name).toSeq
+    replaceWith(spark, remaining, mainTable, partCols)
     spark.table(mainTable).count()
+  }
+
+  /**
+   * Retention enforcement for a partitioned table: drop every
+   * partition whose value sorts strictly BELOW `keepFrom` — a
+   * metadata-only operation (no data scan, no rewrite), which is why
+   * retention policies at 100 TB partition by date in the first place.
+   * Comparison is lexicographic over the partition VALUE string: use
+   * ISO date values (`yyyy-MM-dd`), where lexicographic =
+   * chronological. Returns the dropped values, sorted. Rows inside the
+   * boundary partition are kept whole — partition-granular retention
+   * by contract (delete row-level stragglers with [[deleteKeys]]).
+   */
+  def expirePartitions(spark: SparkSession, table: String,
+                       partitionCol: String,
+                       keepFrom: String): Seq[String] = {
+    val values = spark.sql(s"SHOW PARTITIONS ${q(table)}")
+      .collect()
+      .map(_.getString(0))
+      .flatMap(_.split('/').find(_.startsWith(partitionCol + "="))
+        .map(_.substring(partitionCol.length + 1)))
+      .toSeq.distinct
+    val expired = values.filter(_ < keepFrom).sorted
+    expired.foreach { v =>
+      val esc = v.replace("\\", "\\\\").replace("'", "\\'")
+      spark.sql(s"ALTER TABLE ${q(table)} DROP IF EXISTS " +
+        s"PARTITION (`$partitionCol` = '$esc')")
+    }
+    if (expired.nonEmpty) spark.catalog.refreshTable(table)
+    expired
   }
 
   /**

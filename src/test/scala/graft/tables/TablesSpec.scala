@@ -363,6 +363,41 @@ class TablesSpec extends SparkSpec {
     Seq("sw_a", "sw_b").foreach(Tables.dropTable(spark, _))
   }
 
+  test("deleteKeys erases rows on plain and partitioned mains, dropping " +
+      "fully-vacated partitions") {
+    Tables.dropTable(spark, "t_del")
+    Tables.loadOverwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "t_del")
+    assert(Tables.deleteKeys(spark,
+      Seq(2L, 9L).toDF("id"), "t_del", "id") == 2L)
+    assert(rows(spark.table("t_del").orderBy("id")) ==
+      Seq(Seq(1L, "a"), Seq(3L, "c")))
+    Tables.dropTable(spark, "t_del")
+    // partitioned main: deleting every row of a partition drops it
+    Tables.dropTable(spark, "t_delp")
+    Tables.loadPartitioned(
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "d"),
+      "t_delp", "d")
+    assert(Tables.deleteKeys(spark, Seq(3L).toDF("id"), "t_delp", "id") == 2L)
+    val partsLeft = spark.sql("SHOW PARTITIONS t_delp")
+      .collect().map(_.getString(0)).toSeq
+    assert(partsLeft == Seq("d=d1"), s"vacated partition not dropped: $partsLeft")
+    Tables.dropTable(spark, "t_delp")
+  }
+
+  test("expirePartitions drops only values below keepFrom, metadata-only") {
+    Tables.dropTable(spark, "t_exp")
+    Tables.loadPartitioned(
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+        .toDF("id", "d"), "t_exp", "d")
+    assert(Tables.expirePartitions(spark, "t_exp", "d", "2024-01-03") ==
+      Seq("2024-01-01", "2024-01-02"))
+    assert(rows(spark.table("t_exp").select("id")) == Seq(Seq(3L)))
+    // idempotent: nothing left below the cutoff
+    assert(Tables.expirePartitions(spark, "t_exp", "d", "2024-01-03").isEmpty)
+    Tables.dropTable(spark, "t_exp")
+  }
+
   test("schemaDiff reports added/removed/type-changed columns by name") {
     import org.apache.spark.sql.types._
     val oldS = StructType(Seq(StructField("id", LongType),
