@@ -108,7 +108,7 @@ object SparkEntry {
     "rollup_serve",
     "dedupe_latest", "count_rows", "profile_columns",
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
-    "trend_by_type", "props_extract",
+    "trend_by_type", "cumulative_users", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
@@ -242,6 +242,13 @@ object SparkEntry {
     "lateness_audit" -> ((s, dir) =>
       Sessions.latenessAudit(t(s, dir, "events"))
         .orderBy("event_type")),
+
+    // unique-users-to-date curve at sketch cost: per-day k-min hash
+    // pre-reduction (lossless for the estimate by the KMV merge
+    // property), triangular day union — state is k longs per day
+    "cumulative_users" -> ((s, dir) =>
+      Sessions.cumulativeDistinct(t(s, dir, "events"))
+        .orderBy("day")),
 
     // per-group OLS slope of a metric over event time, exact DECIMAL
     // moment sums + sign-correct floored micro quotient — the
@@ -2344,6 +2351,28 @@ object SparkEntry {
         |    (CASE WHEN num < 0 AND (num * 1000000) % den <> 0
         |     THEN 1 ELSE 0 END) AS BIGINT) END AS slope_micro
         |FROM d ORDER BY event_type""".stripMargin,
+
+    // cumulative_users twin: the k smallest hashes over the RAW union
+    // of days <= d — equal to the per-day-reduced union by the KMV
+    // merge property, so the estimates hash-match
+    "cumulative_users" ->
+      s"""WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    ${duckPolyFragment("CAST(user_id AS VARCHAR)", 31, 1000000007L)}
+         |      AS h
+         |  FROM events),
+         |tri AS (SELECT DISTINCT d.day AS day, x.h
+         |  FROM (SELECT DISTINCT day FROM dh) d
+         |  JOIN dh x ON x.day <= d.day),
+         |r AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |  FROM tri),
+         |agg AS (SELECT day, count(*) AS nd,
+         |    max(CASE WHEN rn <= 64 THEN h END) AS kth
+         |  FROM r GROUP BY day)
+         |SELECT day,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE 63.0 * 1000000007 / kth END AS kmv_estimate
+         |FROM agg ORDER BY day""".stripMargin,
 
     // lateness_audit twin: per-source max event time vs the corpus
     // max, integer microseconds

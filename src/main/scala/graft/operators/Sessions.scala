@@ -392,6 +392,41 @@ object Sessions {
    * derives from the same group frame (group-cardinality), broadcast
    * back — the fact rows are scanned once.
    */
+  /**
+   * Cumulative distinct users TO DATE per day — the "unique users so
+   * far" dashboard curve, at sketch cost: each day reduces to its k
+   * smallest reproducible id hashes ([[graft.functions.MinKLongs]]),
+   * and day d's cumulative estimate is the KMV estimate over the UNION
+   * of days ≤ d. The pre-reduction is lossless for the estimate: the k
+   * smallest of a union equal the k smallest of the per-day k-smallest
+   * sets (the KMV merge property), so the triangular day-join runs
+   * over at most days·k hash rows — never over user rows — and the
+   * estimate still hash-matches an oracle that takes the k smallest
+   * over the raw union. Emits (day, kmv_estimate) per active day.
+   *
+   * Scale: one corpus pass to (day, hash) distinct, one per-day k-min
+   * aggregate (≤ k longs of state), then the days²·k/2 triangular
+   * explode — days are calendar-bounded, so the quadratic term is
+   * noise. Exact-count alternative: a cumulative `count(DISTINCT)`
+   * holds every id in state forever; this holds k longs per day.
+   */
+  def cumulativeDistinct(events: DataFrame, tsCol: String = "ts",
+                         idCol: String = "user_id",
+                         k: Int = 64): DataFrame = {
+    val mink = graft.functions.MinKLongs.udaf(k)
+    val kmv = graft.functions.KmvSketch.udaf(k)
+    val dayH = events
+      .select(to_date(col(tsCol)).as("day"),
+        graft.functions.TextFns.polyHash(s"CAST($idCol AS STRING)").as("h"))
+      .distinct()
+    val perDay = dayH.groupBy("day").agg(mink(col("h")).as("__hs"))
+    val ex = perDay.select(col("day").as("__src"), explode(col("__hs")).as("h"))
+    perDay.select(col("day"))
+      .join(ex, col("__src") <= col("day"))
+      .groupBy("day")
+      .agg(kmv(col("h")).as("kmv_estimate"))
+  }
+
   def latenessAudit(events: DataFrame, grpCol: String = "event_type",
                     tsCol: String = "ts"): DataFrame = {
     val per = events.groupBy(grpCol)
