@@ -1173,6 +1173,88 @@ object Streams {
       .start()
 
   /**
+   * Streaming feed-freshness monitor — [[graft.operators.Sessions
+   * .latenessAudit]]'s streaming twin: each micro-batch lands its
+   * per-source (n, max_ts_us) partials under `partialsPath/batch=<id>`
+   * (count is a sum, newest-event is a max — both associative, so the
+   * fold is exact for any batch split and replay-idempotent under the
+   * overwrite + [[compactedThrough]] watermark protocol), and the
+   * cumulative audit — lag against the corpus-wide newest — rewrites
+   * to `auditPath/batch=<id>`. A feed that stops sending shows a
+   * growing lag within one batch of everyone else advancing.
+   *
+   * Scale: per batch, one batch-sized aggregate; the fold reads
+   * (sources × batches) counter rows, never events.
+   */
+  def latenessSink(stream: DataFrame, partialsPath: String,
+                   auditPath: String, checkpointDir: String,
+                   grpCol: String = "event_type",
+                   tsCol: String = "ts"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
+          val s = batch.sparkSession
+          batch.groupBy(grpCol)
+            .agg(count(lit(1)).as("n"),
+              max(unix_micros(col(tsCol))).as("max_ts_us"))
+            .write.mode("overwrite").parquet(s"$partialsPath/batch=$batchId")
+          val folded = s.read
+            .option("basePath", partialsPath).parquet(partialsPath)
+            .groupBy(grpCol)
+            .agg(sum("n").cast("long").as("n"),
+              max("max_ts_us").cast("long").as("max_ts_us"))
+          val top = folded.agg(max(col("max_ts_us")).as("__top"))
+          folded.crossJoin(broadcast(top))
+            .select(col(grpCol), col("n"), col("max_ts_us"),
+              (col("__top") - col("max_ts_us")).as("lag_us"))
+            .write.mode("overwrite").parquet(s"$auditPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
+   * Streaming CHECK-constraint monitor — [[graft.operators.Relational
+   * .constraintAudit]]'s streaming twin: per batch, the per-constraint
+   * violation counters (pure sums — additive, replay-idempotent under
+   * the batch-partition protocol) land under `partialsPath/batch=<id>`
+   * and the cumulative audit — with `violations_permille` recomputed
+   * from folded totals, never averaged across batches — rewrites to
+   * `auditPath/batch=<id>`. The bad-deploy alarm: an upstream change
+   * that starts violating an expectation moves the cumulative permille
+   * within one batch.
+   */
+  def constraintSink(stream: DataFrame, partialsPath: String,
+                     auditPath: String, checkpointDir: String,
+                     constraints: Seq[(String, String)]): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
+          val s = batch.sparkSession
+          graft.operators.Relational.constraintAudit(batch, constraints)
+            .select("constraint", "n_rows", "n_violations")
+            .write.mode("overwrite").parquet(s"$partialsPath/batch=$batchId")
+          s.read.option("basePath", partialsPath).parquet(partialsPath)
+            .groupBy("constraint")
+            .agg(sum("n_rows").cast("long").as("n_rows"),
+              sum("n_violations").cast("long").as("n_violations"))
+            .select(col("constraint"), col("n_rows"), col("n_violations"),
+              when(col("n_rows") > 0,
+                expr("n_violations * 1000 DIV n_rows"))
+                .as("violations_permille"))
+            .write.mode("overwrite").parquet(s"$auditPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming category-MIX drift monitor — [[driftSink]]'s categorical
    * twin ([[graft.operators.Curation.chi2Drift]] streaming): each
    * micro-batch lands its per-category counts under

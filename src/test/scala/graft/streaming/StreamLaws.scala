@@ -206,6 +206,67 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("latenessSink final audit = batch latenessAudit over the " +
+      "concatenated input, for any batch split") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.chooseNum(0L, 100000L))), Gen.chooseNum(1, 7)) {
+      (rowsIn0, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rowsIn = rowsIn0.map { case (g, us) =>
+        (g, new java.sql.Timestamp(1700000000000L + us))
+      }
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-latp").toString
+      val outDir = Files.createTempDirectory("law-lato").toString
+      val cp = Files.createTempDirectory("law-latcp").toString
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val q = Streams.latenessSink(mem.toDF().toDF("event_type", "ts"),
+        partials, outDir, cp)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .orderBy("event_type").collect().toSeq.map(_.toSeq)
+      val want = graft.operators.Sessions.latenessAudit(
+          rowsIn.toDF("event_type", "ts"))
+        .orderBy("event_type").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
+  property("constraintSink final audit = batch constraintAudit over the " +
+      "concatenated input, for any batch split") =
+    forAll(Gen.listOfN(9, Gen.chooseNum(-5L, 5L)), Gen.chooseNum(1, 8)) {
+      (vals, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val cs = Seq("nonneg" -> "v >= 0", "small" -> "v < 3")
+      val cut = math.min(splitAt, vals.size - 1).max(1)
+      val (b0, b1) = vals.splitAt(cut)
+      val partials = Files.createTempDirectory("law-conp").toString
+      val outDir = Files.createTempDirectory("law-cono").toString
+      val cp = Files.createTempDirectory("law-concp").toString
+      val mem = MemoryStream[Long]
+      val q = Streams.constraintSink(mem.toDF().toDF("v"),
+        partials, outDir, cp, cs)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .orderBy("constraint").collect().toSeq.map(_.toSeq)
+      val want = graft.operators.Relational.constraintAudit(
+          vals.toDF("v"), cs)
+        .orderBy("constraint").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("mixDriftSink final verdict = batch chi2Drift over the " +
       "concatenated input, for any batch split") =
     forAll(Gen.listOfN(8, Gen.oneOf("x", "y", "z")),
