@@ -125,7 +125,8 @@ object SparkEntry {
     "quantize_int8", "embedding_centroids", "embedding_drift",
     "hard_negatives",
     "embedding_outliers",
-    "payload_meta", "decode_batch", "media_resize", "media_ops",
+    "payload_meta", "decode_batch", "media_resize", "frame_sample",
+    "media_ops",
     "feature_extract",
     "media_fingerprint",
     "sample_stratified", "weighted_sample", "pack_sequences", "curate",
@@ -988,6 +989,14 @@ object SparkEntry {
     "media_resize" -> ((s, dir) =>
       Multimodal.resizeBatch(s, t(s, dir, "documents")).toDF()
         .orderBy("doc_id")),
+
+    // EXECUTED frame sampling over real concatenated-PNG containers:
+    // chunk-walk split, every 2nd of 6 frames decoded; the oracle
+    // predicts each sampled frame's raster in closed form
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.frameSampleBatch(s, t(s, dir, "documents"),
+        nFrames = 6, step = 2).toDF()
+        .orderBy("doc_id", "frame_idx")),
 
     // the mapPartitions feature-extraction surface, scalarized for the
     // driver compare: integer bin counts ride as a comma-joined string
@@ -4527,6 +4536,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // frame_sample twin: sampled frames f in (0,2,4) of 6, blue plane
+    // advanced to (doc_id + f) mod 256 — same closed-form raster
+    // prediction as decode_batch, per frame
+    "frame_sample" ->
+      """SELECT doc_id, f AS frame_idx,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
+        |  CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+        |  CAST(w * h * ((doc_id + f) % 256) AS BIGINT) AS sum_b
+        |FROM (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
+        |        CAST(unnest([0, 2, 4]) AS BIGINT) AS f
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // media_resize twin: nearest-neighbor with the floor mapping
     // src = tgt * srcDim // tgtDim means resized pixel (tx, ty) is

@@ -288,6 +288,146 @@ object Multimodal {
       }
   }
 
+  /** Typed frame-sample result: geometry and channel sums from the
+   * DECODED raster of each sampled frame. */
+  case class SampledFrame(doc_id: Long, frame_idx: Long, width: Long,
+                          height: Long, sum_r: Long, sum_g: Long,
+                          sum_b: Long)
+
+  /**
+   * REAL multi-frame containers: `nFrames` genuine PNGs per doc
+   * concatenated back-to-back (the simplest honest stand-in for a video
+   * container this JDK can author) — frame f repeats the doc's
+   * [[imagePayload]] pattern with the blue plane advanced to
+   * `(id + f) mod 256`, so every frame's channel sums stay closed-form
+   * predictable. One encoder context per partition, as everywhere in
+   * this family.
+   */
+  def videoPayload(spark: SparkSession, docs: DataFrame,
+                   idCol: String = "doc_id",
+                   nFrames: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(nFrames >= 1, "need at least one frame")
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        ids.map { id =>
+          val (w, h) = imageDims(id)
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val blue = math.floorMod(id + f, 256).toInt
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) = (x << 16) | (y << 8) | blue
+                x += 1
+              }
+              y += 1
+            }
+            img.setRGB(0, 0, w, h, px, 0, w)
+            val ios =
+              new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+            writer.setOutput(ios)
+            writer.write(null,
+              new javax.imageio.IIOImage(img, null, null), null)
+            ios.close()
+            f += 1
+          }
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Frame boundaries of a concatenated-PNG container by WALKING THE
+   * CHUNK STRUCTURE (8-byte signature, then length+type+data+crc chunks
+   * to IEND) — exact, unlike a signature scan, which can false-positive
+   * inside compressed IDAT bytes. Returns (start, end) offsets. */
+  private[operators] def pngFrameBounds(
+      bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      require(bytes.length - pos >= 8 &&
+        (bytes(pos) & 0xff) == 0x89 && bytes(pos + 1) == 'P' &&
+        bytes(pos + 2) == 'N' && bytes(pos + 3) == 'G',
+        s"not a PNG frame boundary at offset $pos")
+      pos += 8
+      var done = false
+      while (!done) {
+        require(bytes.length - pos >= 12, "truncated PNG chunk")
+        val len = ((bytes(pos) & 0xff) << 24) |
+          ((bytes(pos + 1) & 0xff) << 16) |
+          ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        val isEnd = bytes(pos + 4) == 'I' && bytes(pos + 5) == 'E' &&
+          bytes(pos + 6) == 'N' && bytes(pos + 7) == 'D'
+        pos += 12 + len
+        if (isEnd) done = true
+      }
+      out += ((start, pos))
+    }
+    out.toSeq
+  }
+
+  /**
+   * EXECUTED frame sampling — the codec-backed completion of
+   * [[mediaOps]]' planning-only frame-sample: the container splits into
+   * real frames by walking the PNG chunk structure
+   * ([[pngFrameBounds]]), every `step`-th frame decodes through the
+   * real `javax.imageio` reader, and the emitted channel sums come from
+   * the DECODED rasters. The SQL oracle predicts each sampled frame in
+   * closed form, so a hash match proves container authoring, chunk-walk
+   * splitting, and the per-frame codec round-trip all reproduced every
+   * pixel. One reader context per partition; unsampled frames are never
+   * decoded — the point of sampling.
+   */
+  def frameSampleBatch(spark: SparkSession, docs: DataFrame,
+                       idCol: String = "doc_id", nFrames: Int = 6,
+                       step: Int = 2): Dataset[SampledFrame] = {
+    import spark.implicits._
+    require(step >= 1, "step must be >= 1")
+    videoPayload(spark, docs, idCol, nFrames)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        rows.flatMap { case (id, bytes) =>
+          pngFrameBounds(bytes).zipWithIndex.collect {
+            case ((s, e), f) if f % step == 0 =>
+              val iis =
+                new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(
+                    java.util.Arrays.copyOfRange(bytes, s, e)))
+              reader.setInput(iis)
+              val img = reader.read(0)
+              iis.close()
+              require(img != null, s"doc $id frame $f: not decodable")
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                val rgb = px(i)
+                sr += (rgb >>> 16) & 0xff
+                sg += (rgb >>> 8) & 0xff
+                sb += rgb & 0xff
+                i += 1
+              }
+              SampledFrame(id, f.toLong, w.toLong, h.toLong, sr, sg, sb)
+          }
+        }
+      }
+  }
+
   /**
    * Cheap-feature media dedup BEFORE any codec: group binary payloads by
    * a quantized byte-histogram fingerprint — each bin's count reduced to
