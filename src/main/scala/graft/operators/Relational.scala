@@ -799,16 +799,36 @@ object Relational {
    * sums per group — nothing downstream ever sees a fact row.
    */
   def groupedTrend(df: DataFrame, grpCol: String, xCol: String,
-                   yCol: String): DataFrame = {
+                   yCol: String): DataFrame =
+    trendFromPartials(trendPartials(df, grpCol, xCol, yCol), grpCol)
+
+  /** The five ADDITIVE moment sums behind [[groupedTrend]] — the
+   * persistable/streamable shape (every field is a plain sum, so
+   * partials from disjoint row sets merge by addition): (grpCol, n,
+   * sx, sy, sxx, sxy), sums in DECIMAL(38,0). */
+  def trendPartials(df: DataFrame, grpCol: String, xCol: String,
+                    yCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     df.select(col(grpCol), col(xCol).cast("long").cast(dec).as("__x"),
         col(yCol).cast("long").cast(dec).as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(grpCol)
       .agg(count(lit(1)).as("n"),
-        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-        sum(col("__x") * col("__x")).as("__sxx"),
-        sum(col("__x") * col("__y")).as("__sxy"))
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__y")).as("sxy"))
+  }
+
+  /** [[groupedTrend]] from already-reduced [[trendPartials]] frames
+   * (possibly several, unioned — the streaming fold shape): re-merge
+   * by group, then the same exact slope arithmetic. */
+  def trendFromPartials(partials: DataFrame, grpCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    partials
+      .groupBy(grpCol)
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sx")).as("__sx"), sum(col("sy")).as("__sy"),
+        sum(col("sxx")).as("__sxx"), sum(col("sxy")).as("__sxy"))
       .withColumn("__num", expr(s"CAST(n AS $dec) * __sxy - __sx * __sy"))
       .withColumn("__den", expr(s"CAST(n AS $dec) * __sxx - __sx * __sx"))
       .select(col(grpCol), col("n"),

@@ -1173,6 +1173,40 @@ object Streams {
       .start()
 
   /**
+   * Streaming metric-TREND monitor — [[graft.operators.Relational
+   * .groupedTrend]]'s streaming twin: the five moment sums are plain
+   * sums, so each micro-batch lands its [[graft.operators.Relational
+   * .trendPartials]] under `partialsPath/batch=<id>` (additive,
+   * replay-idempotent under the batch-partition + watermark protocol)
+   * and the cumulative per-group OLS slope — recomputed from folded
+   * sums with the same exact DECIMAL arithmetic, never averaged across
+   * batches — rewrites to `auditPath/batch=<id>`. A metric that starts
+   * drifting bends the cumulative slope within a batch of landing.
+   */
+  def trendSink(stream: DataFrame, partialsPath: String,
+                auditPath: String, checkpointDir: String,
+                grpCol: String = "event_type", xCol: String = "x_s",
+                yCol: String = "v_milli"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
+          val s = batch.sparkSession
+          graft.operators.Relational
+            .trendPartials(batch, grpCol, xCol, yCol)
+            .write.mode("overwrite").parquet(s"$partialsPath/batch=$batchId")
+          graft.operators.Relational.trendFromPartials(
+            s.read.option("basePath", partialsPath).parquet(partialsPath),
+            grpCol)
+            .write.mode("overwrite").parquet(s"$auditPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming feed-freshness monitor — [[graft.operators.Sessions
    * .latenessAudit]]'s streaming twin: each micro-batch lands its
    * per-source (n, max_ts_us) partials under `partialsPath/batch=<id>`

@@ -206,6 +206,36 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("trendSink final audit = batch groupedTrend over the " +
+      "concatenated input, for any batch split") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(-9L, 9L)))),
+      Gen.chooseNum(1, 7)) { (rowsIn0, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rowsIn = rowsIn0.map { case (g, (x, y)) => (g, x, y) }
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-trp").toString
+      val outDir = Files.createTempDirectory("law-tro").toString
+      val cp = Files.createTempDirectory("law-trcp").toString
+      val mem = MemoryStream[(String, Long, Long)]
+      val q = Streams.trendSink(mem.toDF().toDF("g", "x", "y"),
+        partials, outDir, cp, "g", "x", "y")
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .orderBy("g").collect().toSeq.map(_.toSeq)
+      val want = graft.operators.Relational.groupedTrend(
+          rowsIn.toDF("g", "x", "y"), "g", "x", "y")
+        .orderBy("g").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("latenessSink final audit = batch latenessAudit over the " +
       "concatenated input, for any batch split") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"),
