@@ -108,7 +108,7 @@ object SparkEntry {
     "rollup_serve",
     "dedupe_latest", "count_rows", "profile_columns",
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
-    "trend_by_type", "cumulative_users", "props_extract",
+    "trend_by_type", "cumulative_users", "hash_sample", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
@@ -243,6 +243,12 @@ object SparkEntry {
     "lateness_audit" -> ((s, dir) =>
       Sessions.latenessAudit(t(s, dir, "events"))
         .orderBy("event_type")),
+
+    // deterministic mergeable uniform sample: the k smallest
+    // reproducible id hashes — shard/batch samples combine exactly
+    "hash_sample" -> ((s, dir) =>
+      Relational.hashSample(t(s, dir, "documents"), "doc_id", 50)
+        .orderBy("doc_id")),
 
     // unique-users-to-date curve at sketch cost: per-day k-min hash
     // pre-reduction (lossless for the estimate by the KMV merge
@@ -2360,6 +2366,15 @@ object SparkEntry {
         |    (CASE WHEN num < 0 AND (num * 1000000) % den <> 0
         |     THEN 1 ELSE 0 END) AS BIGINT) END AS slope_micro
         |FROM d ORDER BY event_type""".stripMargin,
+
+    // hash_sample twin: same k smallest reproducible hashes
+    "hash_sample" ->
+      s"""SELECT doc_id, text, lang, source, n_chars, h AS sample_hash
+         |FROM (SELECT *,
+         |    ${duckPolyFragment("CAST(doc_id AS VARCHAR)", 31, 1000000007L)}
+         |      AS h
+         |  FROM documents ORDER BY h, doc_id LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
 
     // cumulative_users twin: the k smallest hashes over the RAW union
     // of days <= d — equal to the per-day-reduced union by the KMV

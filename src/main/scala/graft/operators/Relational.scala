@@ -780,6 +780,30 @@ object Relational {
    * buffer. Emits (col_name, kmv_estimate, n_hashes).
    */
   /**
+   * Deterministic uniform sample: the `k` rows whose reproducible id
+   * hash is smallest — the mergeable sample (the k smallest of a union
+   * are the k smallest of the parts' k-smallest sets, the same
+   * property as the KMV sketch), so samples from shards, snapshots, or
+   * micro-batches combine EXACTLY, unlike `TABLESAMPLE`/RNG sampling
+   * which is partition- and run-dependent. Ties impossible on a unique
+   * id; the id itself is the documented tiebreak anyway. Emits the
+   * sampled rows with their `sample_hash` (callers re-merging samples
+   * need it).
+   *
+   * Scale: top-k by hash is Spark's TakeOrdered — per-partition heaps
+   * of k, one k-row merge on the driver side of the exchange; no
+   * global sort.
+   */
+  def hashSample(df: DataFrame, idCol: String = "doc_id",
+                 k: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.withColumn("sample_hash",
+        TextFns.polyHash(s"CAST(`$idCol` AS STRING)"))
+      .orderBy(col("sample_hash"), col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Per-group OLS trend in exact integers — the is-this-metric-drifting
    * monitor: for each group, the least-squares slope of y over x from
    * the moment sums, slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), computed

@@ -1173,6 +1173,40 @@ object Streams {
       .start()
 
   /**
+   * Streaming bounded-state uniform sample — [[graft.operators
+   * .Relational.hashSample]]'s streaming twin: each micro-batch lands
+   * its OWN k-smallest-hash rows under `partialsPath/batch=<id>`
+   * (k rows per batch — bounded, replay-idempotent under the
+   * batch-partition + watermark protocol), and the cumulative sample —
+   * the k smallest over all batch partials, EXACTLY the batch sample
+   * of the concatenated input by the min-k merge property — rewrites
+   * to `samplePath/batch=<id>`. The always-fresh debugging/telemetry
+   * sample every pipeline wants, at k rows per batch of state instead
+   * of a growing reservoir.
+   */
+  def sampleSink(stream: DataFrame, partialsPath: String,
+                 samplePath: String, checkpointDir: String,
+                 idCol: String = "doc_id", k: Int = 50): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
+          val s = batch.sparkSession
+          graft.operators.Relational.hashSample(batch, idCol, k)
+            .write.mode("overwrite").parquet(s"$partialsPath/batch=$batchId")
+          val all = s.read
+            .option("basePath", partialsPath).parquet(partialsPath)
+            .drop("batch")
+          all.orderBy(col("sample_hash"), col(idCol)).limit(k)
+            .write.mode("overwrite").parquet(s"$samplePath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming metric-TREND monitor — [[graft.operators.Relational
    * .groupedTrend]]'s streaming twin: the five moment sums are plain
    * sums, so each micro-batch lands its [[graft.operators.Relational

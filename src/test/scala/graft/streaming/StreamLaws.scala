@@ -206,6 +206,34 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("sampleSink final sample = batch hashSample over the " +
+      "concatenated input, for any batch split") =
+    forAll(Gen.chooseNum(4, 20), Gen.chooseNum(1, 19)) { (nIds, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rowsIn = (0L until nIds.toLong).map(i => (i, s"doc$i"))
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-smp").toString
+      val outDir = Files.createTempDirectory("law-smo").toString
+      val cp = Files.createTempDirectory("law-smcp").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.sampleSink(mem.toDF().toDF("doc_id", "text"),
+        partials, outDir, cp, "doc_id", k = 5)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      val want = graft.operators.Relational.hashSample(
+          rowsIn.toDF("doc_id", "text"), "doc_id", 5)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("trendSink final audit = batch groupedTrend over the " +
       "concatenated input, for any batch split") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"),
