@@ -108,7 +108,8 @@ object SparkEntry {
     "rollup_serve",
     "dedupe_latest", "count_rows", "profile_columns",
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
-    "trend_by_type", "cumulative_users", "hash_sample", "props_extract",
+    "trend_by_type", "cumulative_users", "cumulative_users_by_type",
+    "hash_sample", "props_extract",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
@@ -256,6 +257,12 @@ object SparkEntry {
     "cumulative_users" -> ((s, dir) =>
       Sessions.cumulativeDistinct(t(s, dir, "events"))
         .orderBy("day")),
+
+    // the same curve per source — one feed's audience going flat hides
+    // inside the corpus-wide curve
+    "cumulative_users_by_type" -> ((s, dir) =>
+      Sessions.cumulativeDistinctByGroup(t(s, dir, "events"))
+        .orderBy("event_type", "day")),
 
     // per-group OLS slope of a metric over event time, exact DECIMAL
     // moment sums + sign-correct floored micro quotient — the
@@ -2397,6 +2404,27 @@ object SparkEntry {
          |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
          |       ELSE 63.0 * 1000000007 / kth END AS kmv_estimate
          |FROM agg ORDER BY day""".stripMargin,
+
+    // cumulative_users_by_type twin: the grouped triangular union
+    "cumulative_users_by_type" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type AS g,
+         |    CAST(ts AS DATE) AS day,
+         |    ${duckPolyFragment("CAST(user_id AS VARCHAR)", 31, 1000000007L)}
+         |      AS h
+         |  FROM events),
+         |tri AS (SELECT DISTINCT d.g AS g, d.day AS day, x.h
+         |  FROM (SELECT DISTINCT g, day FROM dh) d
+         |  JOIN dh x ON x.g = d.g AND x.day <= d.day),
+         |r AS (SELECT g, day, h,
+         |    row_number() OVER (PARTITION BY g, day ORDER BY h) AS rn
+         |  FROM tri),
+         |agg AS (SELECT g, day, count(*) AS nd,
+         |    max(CASE WHEN rn <= 64 THEN h END) AS kth
+         |  FROM r GROUP BY g, day)
+         |SELECT g AS event_type, day,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE 63.0 * 1000000007 / kth END AS kmv_estimate
+         |FROM agg ORDER BY event_type, day""".stripMargin,
 
     // lateness_audit twin: per-source max event time vs the corpus
     // max, integer microseconds

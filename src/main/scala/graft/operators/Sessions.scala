@@ -427,6 +427,32 @@ object Sessions {
       .agg(kmv(col("h")).as("kmv_estimate"))
   }
 
+  /** [[cumulativeDistinct]] sliced per group — the per-source
+   * unique-users-to-date curves (one feed's audience going flat hides
+   * inside the corpus-wide curve). Same per-day k-min pre-reduction
+   * and triangular union, within each group. Emits
+   * (grpCol, day, kmv_estimate). */
+  def cumulativeDistinctByGroup(events: DataFrame, tsCol: String = "ts",
+                                idCol: String = "user_id",
+                                grpCol: String = "event_type",
+                                k: Int = 64): DataFrame = {
+    val mink = graft.functions.MinKLongs.udaf(k)
+    val kmv = graft.functions.KmvSketch.udaf(k)
+    val dayH = events
+      .select(col(grpCol).as("__g"), to_date(col(tsCol)).as("day"),
+        graft.functions.TextFns.polyHash(s"CAST($idCol AS STRING)").as("h"))
+      .distinct()
+    val perDay = dayH.groupBy("__g", "day").agg(mink(col("h")).as("__hs"))
+    val ex = perDay.select(col("__g"), col("day").as("__src"),
+      explode(col("__hs")).as("h"))
+    perDay.select(col("__g"), col("day"))
+      .join(ex, Seq("__g"))
+      .filter(col("__src") <= col("day"))
+      .groupBy(col("__g"), col("day"))
+      .agg(kmv(col("h")).as("kmv_estimate"))
+      .withColumnRenamed("__g", grpCol)
+  }
+
   def latenessAudit(events: DataFrame, grpCol: String = "event_type",
                     tsCol: String = "ts"): DataFrame = {
     val per = events.groupBy(grpCol)
