@@ -253,6 +253,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window") == 0, s"unexpected window:\n$p")
   }
 
+  test("hash_sample: top-k rides TakeOrdered (per-partition heaps), " +
+      "never a global sort of the corpus") {
+    val p = executedPlan("hash_sample")
+    assert(count(p, "TakeOrderedAndProject") >= 1,
+      s"sample no longer a TakeOrdered top-k:\n$p")
+    assert(scanCount(p, "documents") == 1, s"corpus rescanned:\n$p")
+  }
+
   test("mad_outliers: no single-partition exchange — both medians ride " +
       "the assembled range-partitioned ranks") {
     val p = executedPlan("mad_outliers")
