@@ -105,7 +105,7 @@ object SparkEntry {
     "group_percentiles", "iqr_outliers", "mad_outliers",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
-    "rollup_serve",
+    "rollup_serve", "scd2_upsert",
     "dedupe_latest", "count_rows", "profile_columns",
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
     "trend_by_type", "cumulative_users", "cumulative_users_by_type",
@@ -189,6 +189,28 @@ object SparkEntry {
     "dedupe_latest" -> ((s, dir) =>
       Relational.dedupeLatest(t(s, dir, "events"), "user_id", "ts",
         tieBreak = Seq("event_id")).orderBy("user_id")),
+
+    // SCD Type 2 versioned upsert: changed attributes close the current
+    // version and open a new one; identical rows are no-ops; history
+    // accumulates with (valid_from, valid_to) ranges
+    "scd2_upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "event_type", "value")
+      val staging = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), lit("updated").as("event_type"),
+          (col("value") + 100).as("value"))
+      val tbl = "graft_scd2_" + math.abs(dir.hashCode).toString
+      val t0 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-01T00:00:00Z"))
+      val t1 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-02T00:00:00Z"))
+      memoIndex(s, tbl, Seq("")) {
+        graft.tables.Tables.loadScd2(base, tbl, t0)
+        graft.tables.Tables.upsertScd2(s, staging, tbl, "event_id", t1)
+      }
+      s.table(tbl).orderBy("event_id", "valid_from")
+    }),
 
     // materialized additive rollup: build from the base slice, fold the
     // delta via incremental maintenance (no fact rescan), serve from the
@@ -2290,6 +2312,33 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    // scd2_upsert twin: closed/kept/opened versions in closed form from
+    // the same base/staging slices and null-safe change test
+    "scd2_upsert" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events
+        |              WHERE event_id % 2 = 0),
+        |stg AS (SELECT event_id, 'updated' AS event_type,
+        |          value + 100 AS value
+        |        FROM events WHERE event_id % 3 = 0),
+        |chg AS (SELECT b.event_id FROM base b JOIN stg s USING (event_id)
+        |        WHERE b.event_type IS DISTINCT FROM s.event_type
+        |           OR b.value IS DISTINCT FROM s.value)
+        |SELECT b.event_id, b.event_type, b.value,
+        |  TIMESTAMP '2030-01-01 00:00:00' AS valid_from,
+        |  TIMESTAMP '2030-01-02 00:00:00' AS valid_to
+        |FROM base b JOIN chg USING (event_id)
+        |UNION ALL
+        |SELECT b.event_id, b.event_type, b.value,
+        |  TIMESTAMP '2030-01-01 00:00:00', NULL
+        |FROM base b LEFT JOIN chg ON b.event_id = chg.event_id
+        |WHERE chg.event_id IS NULL
+        |UNION ALL
+        |SELECT s.event_id, s.event_type, s.value,
+        |  TIMESTAMP '2030-01-02 00:00:00', NULL
+        |FROM stg s LEFT JOIN base b USING (event_id)
+        |WHERE b.event_id IS NULL OR s.event_id IN (SELECT event_id FROM chg)
+        |ORDER BY event_id, valid_from""".stripMargin,
 
     // rollup_serve twin: the DIRECT aggregate over all rows — the serve
     // path reads only the maintained base+delta rollup, so equality here

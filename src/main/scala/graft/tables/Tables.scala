@@ -224,6 +224,82 @@ object Tables {
   }
 
   /**
+   * Initial load of an SCD Type 2 (history-keeping) dimension table:
+   * every row becomes the CURRENT version — `valid_from = effectiveTs`,
+   * `valid_to = null`. See [[upsertScd2]] for the versioned merge.
+   */
+  def loadScd2(df: DataFrame, table: String,
+               effectiveTs: java.sql.Timestamp): Unit =
+    loadOverwrite(df
+      .withColumn("valid_from", lit(effectiveTs))
+      .withColumn("valid_to", lit(null).cast("timestamp")), table)
+
+  /**
+   * SCD Type 2 upsert — the history-keeping dimension merge (Kimball's
+   * slowly-changing-dimension type 2): a staged row whose attributes
+   * CHANGED closes the key's current version (`valid_to = effectiveTs`)
+   * and opens a new one (`valid_from = effectiveTs, valid_to = null`);
+   * an identical staged row is a no-op (no phantom versions); a new key
+   * opens its first version. Attribute comparison is null-safe
+   * column-wise equality over every non-key attribute, so the change
+   * test is exact and engine-invariant. Staging must carry exactly the
+   * key + attribute columns; duplicate staging keys are rejected (the
+   * [[upsertIntoTable]] guard). The table is replaced via the same
+   * crash-safe [[replaceWith]] protocol. Returns the post-merge row
+   * count (versions, not keys).
+   *
+   * Scale: ONE full-outer join between the CURRENT tier and staging —
+   * closed, kept, and opened versions all derive from that single
+   * joined frame; the history tier rides through untouched as a union
+   * leg. The rewrite is table-sized; at 100 TB partition the table on
+   * a `valid_to` date so closed history lands in stable partitions and
+   * the dynamic-overwrite path rewrites only the touched ones.
+   */
+  def upsertScd2(spark: SparkSession, staging: DataFrame,
+                 table: String, key: String,
+                 effectiveTs: java.sql.Timestamp): Long = {
+    val full = spark.table(table)
+    val attrCols = full.columns
+      .filterNot(c => c == key || c == "valid_from" || c == "valid_to")
+      .toSeq
+    require(staging.columns.toSet == (attrCols.toSet + key),
+      s"staging must carry exactly the key + attribute columns " +
+        s"(${(attrCols.toSet + key).toSeq.sorted.mkString(", ")})")
+    Relational.assertUniqueKeys(staging, key)
+    val cur = full.filter(col("valid_to").isNull)
+    val hist = full.filter(col("valid_to").isNotNull)
+    val o = cur.select((key +: attrCols).map(c => col(c).as(s"o_$c")) :+
+      col("valid_from").as("o_valid_from"): _*)
+    val n = staging.select((key +: attrCols).map(c => col(c).as(s"n_$c")): _*)
+    val j = o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+    val changed = attrCols
+      .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    val oPresent = col(s"o_$key").isNotNull
+    val nPresent = col(s"n_$key").isNotNull
+    def oRow(validTo: Column) = (col(s"o_$key").as(key) +:
+      attrCols.map(c => col(s"o_$c").as(c))) :+
+      col("o_valid_from").as("valid_from") :+ validTo.as("valid_to")
+    val closed = j.filter(oPresent && nPresent && changed)
+      .select(oRow(lit(effectiveTs)): _*)
+    val kept = j.filter(oPresent && (!nPresent || !changed))
+      .select(oRow(lit(null).cast("timestamp")): _*)
+    val opened = j.filter(nPresent && (!oPresent || changed))
+      .select((col(s"n_$key").as(key) +:
+        attrCols.map(c => col(s"n_$c").as(c))) :+
+        lit(effectiveTs).as("valid_from") :+
+        lit(null).cast("timestamp").as("valid_to"): _*)
+    val ordered = full.schema.fieldNames.toSeq
+    val merged = hist.select(ordered.map(col): _*)
+      .unionByName(closed).unionByName(kept).unionByName(opened)
+    import scala.jdk.CollectionConverters._
+    val partCols = spark.catalog.listColumns(table).collectAsList()
+      .asScala.filter(_.isPartition).map(_.name).toSeq
+    replaceWith(spark, merged, table, partCols)
+    spark.table(table).count()
+  }
+
+  /**
    * Staged key DELETION — the retraction half of the merge surface
    * (GDPR erasure, takedown feeds, bad-batch rollback): anti-join the
    * main table against the key set and replace it via the same

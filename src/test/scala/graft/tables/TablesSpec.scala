@@ -363,6 +363,40 @@ class TablesSpec extends SparkSpec {
     Seq("sw_a", "sw_b").foreach(Tables.dropTable(spark, _))
   }
 
+  test("upsertScd2 versions changed keys, no-ops identical rows, opens " +
+      "new keys across rounds") {
+    def ts(s: String) = java.sql.Timestamp.from(
+      java.time.Instant.parse(s))
+    val (t0, t1, t2) =
+      (ts("2030-01-01T00:00:00Z"), ts("2030-01-02T00:00:00Z"),
+        ts("2030-01-03T00:00:00Z"))
+    Seq("t_scd", "t_scd__swap_tmp", "t_scd__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    Tables.loadScd2(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t_scd", t0)
+    // round 1: identical (no-op), changed, new
+    assert(Tables.upsertScd2(spark,
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"),
+      "t_scd", "id", t1) == 4L)
+    assert(rows(spark.table("t_scd").orderBy("id", "valid_from")) == Seq(
+      Seq(1L, "a", t0, null), Seq(2L, "b", t0, t1),
+      Seq(2L, "B", t1, null), Seq(3L, "c", t1, null)))
+    // round 2: re-change key 1; key 2's current is identical (no-op);
+    // key 3 unstaged (kept)
+    assert(Tables.upsertScd2(spark,
+      Seq((1L, "A"), (2L, "B")).toDF("id", "v"), "t_scd", "id", t2) == 5L)
+    assert(rows(spark.table("t_scd").orderBy("id", "valid_from")) == Seq(
+      Seq(1L, "a", t0, t2), Seq(1L, "A", t2, null),
+      Seq(2L, "b", t0, t1), Seq(2L, "B", t1, null),
+      Seq(3L, "c", t1, null)))
+    // staging with a duplicate key is rejected before any write
+    intercept[IllegalArgumentException] {
+      Tables.upsertScd2(spark,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "v"), "t_scd", "id", t2)
+    }
+    Seq("t_scd", "t_scd__swap_tmp", "t_scd__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+  }
+
   test("deleteKeys erases rows on plain and partitioned mains, dropping " +
       "fully-vacated partitions") {
     Tables.dropTable(spark, "t_del")
