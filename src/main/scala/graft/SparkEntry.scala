@@ -105,7 +105,7 @@ object SparkEntry {
     "group_percentiles", "iqr_outliers", "mad_outliers",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
-    "rollup_serve", "scd2_upsert",
+    "rollup_serve", "scd2_upsert", "scd2_snapshot",
     "dedupe_latest", "count_rows", "profile_columns",
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
     "trend_by_type", "cumulative_users", "cumulative_users_by_type",
@@ -210,6 +210,35 @@ object SparkEntry {
         graft.tables.Tables.upsertScd2(s, staging, tbl, "event_id", t1)
       }
       s.table(tbl).orderBy("event_id", "valid_from")
+    }),
+
+    // time-travel reads of the SCD2 table: the dimension exactly as it
+    // stood at two probe instants straddling the versioned upsert
+    "scd2_snapshot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "event_type", "value")
+      val staging = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), lit("updated").as("event_type"),
+          (col("value") + 100).as("value"))
+      val tbl = "graft_scd2_" + math.abs(dir.hashCode).toString
+      val t0 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-01T00:00:00Z"))
+      val t1 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-02T00:00:00Z"))
+      memoIndex(s, tbl, Seq("")) {
+        graft.tables.Tables.loadScd2(base, tbl, t0)
+        graft.tables.Tables.upsertScd2(s, staging, tbl, "event_id", t1)
+      }
+      val p1 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-01T12:00:00Z"))
+      val p2 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-02T12:00:00Z"))
+      graft.tables.Tables.scd2Snapshot(s, tbl, p1)
+        .withColumn("probe", lit("t0"))
+        .unionByName(graft.tables.Tables.scd2Snapshot(s, tbl, p2)
+          .withColumn("probe", lit("t1")))
+        .orderBy("probe", "event_id")
     }),
 
     // materialized additive rollup: build from the base slice, fold the
@@ -2339,6 +2368,28 @@ object SparkEntry {
         |FROM stg s LEFT JOIN base b USING (event_id)
         |WHERE b.event_id IS NULL OR s.event_id IN (SELECT event_id FROM chg)
         |ORDER BY event_id, valid_from""".stripMargin,
+
+    // scd2_snapshot twin: the t0 probe sees every base row (closed
+    // versions still valid then); the t1 probe sees the merged current
+    "scd2_snapshot" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events
+        |              WHERE event_id % 2 = 0),
+        |stg AS (SELECT event_id, 'updated' AS event_type,
+        |          value + 100 AS value
+        |        FROM events WHERE event_id % 3 = 0),
+        |chg AS (SELECT b.event_id FROM base b JOIN stg s USING (event_id)
+        |        WHERE b.event_type IS DISTINCT FROM s.event_type
+        |           OR b.value IS DISTINCT FROM s.value)
+        |SELECT event_id, event_type, value, 't0' AS probe FROM base
+        |UNION ALL
+        |SELECT b.event_id, b.event_type, b.value, 't1'
+        |FROM base b LEFT JOIN chg ON b.event_id = chg.event_id
+        |WHERE chg.event_id IS NULL
+        |UNION ALL
+        |SELECT s.event_id, s.event_type, s.value, 't1'
+        |FROM stg s LEFT JOIN base b USING (event_id)
+        |WHERE b.event_id IS NULL OR s.event_id IN (SELECT event_id FROM chg)
+        |ORDER BY probe, event_id""".stripMargin,
 
     // rollup_serve twin: the DIRECT aggregate over all rows — the serve
     // path reads only the maintained base+delta rollup, so equality here

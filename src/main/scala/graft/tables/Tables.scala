@@ -300,6 +300,21 @@ object Tables {
   }
 
   /**
+   * Time-travel read of an SCD Type 2 table: the dimension EXACTLY as
+   * it stood at `asOf` — the version whose `[valid_from, valid_to)`
+   * range covers the instant, per key. This is what the history tier
+   * buys: any past state reconstructs with one partition-prunable
+   * filter, no snapshots kept around. Version columns drop from the
+   * output (the snapshot IS a plain dimension frame).
+   */
+  def scd2Snapshot(spark: SparkSession, table: String,
+                   asOf: java.sql.Timestamp): DataFrame =
+    spark.table(table)
+      .filter(col("valid_from") <= lit(asOf) &&
+        (col("valid_to").isNull || col("valid_to") > lit(asOf)))
+      .drop("valid_from", "valid_to")
+
+  /**
    * Staged key DELETION — the retraction half of the merge surface
    * (GDPR erasure, takedown feeds, bad-batch rollback): anti-join the
    * main table against the key set and replace it via the same
