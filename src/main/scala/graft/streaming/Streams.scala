@@ -1173,6 +1173,51 @@ object Streams {
       .start()
 
   /**
+   * Streaming SCD Type 2 dimension maintenance — a CDC/attribute feed
+   * folds into the history-keeping table per micro-batch: the batch
+   * dedupes to latest-per-key by its event-time column (satisfying the
+   * unique-staging guard), its effective timestamp is the batch's MAX
+   * event time (event-time, so replay-stable — never the wall clock),
+   * and [[graft.tables.Tables.upsertScd2]] applies the versioned
+   * merge. At-least-once safety comes from the merge itself: a
+   * replayed batch re-stages identical attributes, and the null-safe
+   * change test makes every row a no-op — no phantom versions, no
+   * watermark file needed. Run [[graft.tables.Tables.recoverSwap]] on
+   * restart, as with every swap-protocol table.
+   */
+  def scd2Sink(stream: DataFrame, table: String, checkpointDir: String,
+               key: String, tsCol: String = "ts"): StreamingQuery = {
+    // cloned-session refresh rule (see upsertSink): invalidate the
+    // OWNER session's relation cache after each swap
+    val owner = stream.sparkSession
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val effective = batch.agg(max(col(tsCol))).head()
+            .getTimestamp(0)
+          // latest-per-key by event time; ties break over the attribute
+          // columns so the staged row is deterministic under replay
+          val staging = graft.operators.Relational
+            .dedupeLatest(batch, key, tsCol,
+              tieBreak = batch.columns.toSeq
+                .filterNot(c => c == key || c == tsCol))
+            .drop(tsCol)
+          if (!s.catalog.tableExists(table))
+            graft.tables.Tables.loadScd2(staging, table, effective)
+          else
+            graft.tables.Tables.upsertScd2(s, staging, table, key,
+              effective)
+          owner.catalog.refreshTable(table)
+          ()
+        }
+      }
+      .start()
+  }
+
+  /**
    * Streaming bounded-state uniform sample — [[graft.operators
    * .Relational.hashSample]]'s streaming twin: each micro-batch lands
    * its OWN k-smallest-hash rows under `partialsPath/batch=<id>`

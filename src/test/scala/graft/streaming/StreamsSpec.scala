@@ -1137,4 +1137,46 @@ class StreamsSpec extends SparkSpec {
       assert(b1.size == 2)
     } finally q.stop()
   }
+
+  test("scd2Sink: versions accrue per batch at event-time; in-batch " +
+      "duplicates stage latest-per-key") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("scd_s", "scd_s__swap_tmp", "scd_s__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    val cp = Files.createTempDirectory("scdcp").toString
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.scd2Sink(mem.toDF().toDF("id", "v", "ts"),
+      "scd_s", cp, "id", "ts")
+    try {
+      // batch 0: first sight of keys 1, 2 — key 1 appears twice, the
+      // later row must win the staging
+      mem.addData((1L, "a0", ts("2030-01-01 00:00:00")),
+        (1L, "a1", ts("2030-01-01 06:00:00")),
+        (2L, "b", ts("2030-01-01 06:00:00")))
+      q.processAllAvailable()
+      assert(rows(spark.table("scd_s").orderBy("id", "valid_from")) == Seq(
+        Seq(1L, "a1", ts("2030-01-01 06:00:00"), null),
+        Seq(2L, "b", ts("2030-01-01 06:00:00"), null)))
+      // batch 1: key 1 changes, key 2 identical (no-op), key 3 new
+      mem.addData((1L, "a2", ts("2030-01-02 00:00:00")),
+        (2L, "b", ts("2030-01-02 00:00:00")),
+        (3L, "c", ts("2030-01-02 00:00:00")))
+      q.processAllAvailable()
+      assert(rows(spark.table("scd_s").orderBy("id", "valid_from")) == Seq(
+        Seq(1L, "a1", ts("2030-01-01 06:00:00"),
+          ts("2030-01-02 00:00:00")),
+        Seq(1L, "a2", ts("2030-01-02 00:00:00"), null),
+        Seq(2L, "b", ts("2030-01-01 06:00:00"), null),
+        Seq(3L, "c", ts("2030-01-02 00:00:00"), null)))
+    } finally q.stop()
+    // replay safety: re-applying the last staging directly is a no-op
+    // (the merge's change test — this is what makes at-least-once safe)
+    val before = rows(spark.table("scd_s").orderBy("id", "valid_from"))
+    Tables.upsertScd2(spark,
+      Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      "scd_s", "id", ts("2030-01-02 00:00:00"))
+    assert(rows(spark.table("scd_s").orderBy("id", "valid_from")) == before)
+    Seq("scd_s", "scd_s__swap_tmp", "scd_s__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+  }
 }
