@@ -80,6 +80,58 @@ object Tables {
     expected.filterNot(have.contains).sorted
   }
 
+  /**
+   * Backfill EXECUTION on top of [[missingPartitions]]: load exactly
+   * the missing `expected` partition values from `source` into the
+   * table (dynamic overwrite — present partitions untouched). Source
+   * rows for partitions that already exist are never written, so a
+   * re-run after a partial failure resumes where it stopped
+   * (idempotent per partition). Returns the values actually
+   * backfilled, sorted.
+   */
+  def backfillPartitions(spark: SparkSession, source: DataFrame,
+                         table: String, partitionCol: String,
+                         expected: Seq[String]): Seq[String] = {
+    val missing = missingPartitions(spark, table, partitionCol, expected)
+    if (missing.nonEmpty) {
+      loadPartitioned(
+        source.filter(col(partitionCol).cast("string").isin(missing: _*)),
+        table, partitionCol)
+      spark.catalog.refreshTable(table)
+    }
+    missing
+  }
+
+  /**
+   * Small-file audit of a managed table: per partition directory (or
+   * the table root when unpartitioned), the file count, total bytes,
+   * and average file size — the census that decides WHERE
+   * [[compactTable]] is worth running (a streaming sink accretes one
+   * file per micro-batch; open/footer costs dominate once files are
+   * KB-sized). Metadata-only: one filesystem listing per partition
+   * directory, no data read. Emits (partition, n_files, total_bytes,
+   * avg_bytes) as a local Seq, bounded by the partition count.
+   */
+  def smallFileAudit(spark: SparkSession, table: String)
+      : Seq[(String, Long, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val files = spark.table(table).inputFiles
+    val byDir = files.groupBy { f =>
+      val p = new Path(f).getParent.toString
+      val i = p.indexOf('=')
+      if (i >= 0) p.substring(p.lastIndexOf('/', i) + 1) else "<root>"
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    byDir.toSeq.map { case (part, fs) =>
+      val sizes = fs.map { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }
+      val total = sizes.sum
+      (part, fs.length.toLong, total, total / fs.length)
+    }.sortBy(_._1)
+  }
+
   /** Drop-if-exists (reference: omnichannel_to_bq.py:193-201). Returns
    * whether the table existed. */
   def dropTable(spark: SparkSession, table: String): Boolean = {

@@ -449,6 +449,39 @@ class TablesSpec extends SparkSpec {
     assert(Tables.schemaDiff(oldS, reordered)(spark).count() == 0)
   }
 
+  test("backfillPartitions loads exactly the missing values, idempotent") {
+    import org.apache.spark.sql.functions.col
+    Tables.dropTable(spark, "t_bf")
+    val source = Seq((1L, "2024-01-01"), (2L, "2024-01-02"),
+      (3L, "2024-01-03"), (4L, "2024-01-04")).toDF("id", "d")
+    Tables.loadPartitioned(
+      source.filter(col("d") === "2024-01-01"), "t_bf", "d")
+    val expected = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    assert(Tables.backfillPartitions(spark, source, "t_bf", "d",
+      expected) == Seq("2024-01-02", "2024-01-03"))
+    // 2024-01-04 was not expected — never loaded
+    assert(rows(spark.table("t_bf").select("id").orderBy("id")) ==
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    // re-run: nothing missing, nothing written
+    assert(Tables.backfillPartitions(spark, source, "t_bf", "d",
+      expected).isEmpty)
+    Tables.dropTable(spark, "t_bf")
+  }
+
+  test("smallFileAudit reports per-partition file census") {
+    Tables.dropTable(spark, "t_sfa")
+    val df = spark.range(100).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p")
+      .repartition(4)
+    df.write.partitionBy("p").format("parquet").saveAsTable("t_sfa")
+    val audit = Tables.smallFileAudit(spark, "t_sfa")
+    assert(audit.map(_._1) == Seq("p=a", "p=b"))
+    audit.foreach { case (_, n, total, avg) =>
+      assert(n >= 1 && total > 0 && avg > 0 && avg <= total)
+    }
+    Tables.dropTable(spark, "t_sfa")
+  }
+
   test("missingPartitions lists only the absent expected values") {
     import org.apache.spark.sql.functions.col
     Tables.dropTable(spark, "t_backfill")
