@@ -105,7 +105,7 @@ object SparkEntry {
     "group_percentiles", "iqr_outliers", "mad_outliers",
     "sampled_percentiles", "rank_stats", "group_concat",
     "normalize", "sort_created_at", "time_range", "preview", "upsert",
-    "rollup_serve", "scd2_upsert", "scd2_snapshot",
+    "rollup_serve", "scd2_upsert", "scd2_snapshot", "scd2_asof",
     "dedupe_latest", "count_rows", "profile_columns",
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
     "trend_by_type", "cumulative_users", "cumulative_users_by_type",
@@ -239,6 +239,34 @@ object SparkEntry {
         .unionByName(graft.tables.Tables.scd2Snapshot(s, tbl, p2)
           .withColumn("probe", lit("t1")))
         .orderBy("probe", "event_id")
+    }),
+
+    // point-in-time lookup: each fact joins the dimension version valid
+    // AT ITS OWN event time — the anti-leakage feature-store join
+    "scd2_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "event_type", "value")
+      val staging = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), lit("updated").as("event_type"),
+          (col("value") + 100).as("value"))
+      val tbl = "graft_scd2_" + math.abs(dir.hashCode).toString
+      val t0 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-01T00:00:00Z"))
+      val t1 = java.sql.Timestamp.from(
+        java.time.Instant.parse("2030-01-02T00:00:00Z"))
+      memoIndex(s, tbl, Seq("")) {
+        graft.tables.Tables.loadScd2(base, tbl, t0)
+        graft.tables.Tables.upsertScd2(s, staging, tbl, "event_id", t1)
+      }
+      val facts = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"),
+          when(col("event_id") % 4 === 0,
+            lit("2030-01-02 12:00:00").cast("timestamp"))
+            .otherwise(lit("2030-01-01 12:00:00").cast("timestamp"))
+            .as("probe_ts"))
+      graft.tables.Tables.scd2Lookup(s, facts, tbl, "event_id",
+        "probe_ts").orderBy("event_id")
     }),
 
     // materialized additive rollup: build from the base slice, fold the
@@ -2390,6 +2418,44 @@ object SparkEntry {
         |FROM stg s LEFT JOIN base b USING (event_id)
         |WHERE b.event_id IS NULL OR s.event_id IN (SELECT event_id FROM chg)
         |ORDER BY probe, event_id""".stripMargin,
+
+    // scd2_asof twin: the same closed-form version set, each fact
+    // joined to the version covering its own probe instant
+    "scd2_asof" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events
+        |              WHERE event_id % 2 = 0),
+        |stg AS (SELECT event_id, 'updated' AS event_type,
+        |          value + 100 AS value
+        |        FROM events WHERE event_id % 3 = 0),
+        |chg AS (SELECT b.event_id FROM base b JOIN stg s USING (event_id)
+        |        WHERE b.event_type IS DISTINCT FROM s.event_type
+        |           OR b.value IS DISTINCT FROM s.value),
+        |dim AS (
+        |  SELECT b.event_id, b.event_type, b.value,
+        |    TIMESTAMP '2030-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2030-01-02 00:00:00' AS valid_to
+        |  FROM base b JOIN chg USING (event_id)
+        |  UNION ALL
+        |  SELECT b.event_id, b.event_type, b.value,
+        |    TIMESTAMP '2030-01-01 00:00:00', NULL
+        |  FROM base b LEFT JOIN chg ON b.event_id = chg.event_id
+        |  WHERE chg.event_id IS NULL
+        |  UNION ALL
+        |  SELECT s.event_id, s.event_type, s.value,
+        |    TIMESTAMP '2030-01-02 00:00:00', NULL
+        |  FROM stg s LEFT JOIN base b USING (event_id)
+        |  WHERE b.event_id IS NULL
+        |     OR s.event_id IN (SELECT event_id FROM chg)),
+        |facts AS (SELECT event_id,
+        |    CASE WHEN event_id % 4 = 0
+        |      THEN TIMESTAMP '2030-01-02 12:00:00'
+        |      ELSE TIMESTAMP '2030-01-01 12:00:00' END AS probe_ts
+        |  FROM events WHERE event_id % 2 = 0)
+        |SELECT f.event_id, f.probe_ts, d.event_type, d.value
+        |FROM facts f LEFT JOIN dim d ON d.event_id = f.event_id
+        |  AND d.valid_from <= f.probe_ts
+        |  AND (d.valid_to IS NULL OR d.valid_to > f.probe_ts)
+        |ORDER BY f.event_id""".stripMargin,
 
     // rollup_serve twin: the DIRECT aggregate over all rows — the serve
     // path reads only the maintained base+delta rollup, so equality here

@@ -367,6 +367,36 @@ object Tables {
       .drop("valid_from", "valid_to")
 
   /**
+   * Point-in-time dimension lookup over an SCD Type 2 table — the
+   * feature-store join that prevents training-data leakage: each fact
+   * row joins the dimension version that was valid AT ITS OWN event
+   * time (`valid_from <= ts < valid_to`), never today's attributes.
+   * Left join: a fact before the key's first version (or with no key)
+   * keeps null attributes — visible, not silently dropped. Emits the
+   * fact columns plus the dimension's attribute columns.
+   *
+   * Scale: an equi hash join on the key with the validity range as a
+   * residual filter — versions per key are few, so the residual is
+   * cheap; the fact side is never range-exploded.
+   */
+  def scd2Lookup(spark: SparkSession, facts: DataFrame, table: String,
+                 key: String, factTs: String): DataFrame = {
+    val dim = spark.table(table)
+    val attrCols = dim.columns
+      .filterNot(c => c == key || c == "valid_from" || c == "valid_to")
+      .toSeq
+    val d = dim.select((key +: attrCols).map(c => col(c).as(s"__d_$c")) ++
+      Seq(col("valid_from").as("__vf"), col("valid_to").as("__vt")): _*)
+    facts.join(d,
+        facts(key) === col(s"__d_$key") &&
+          col("__vf") <= facts(factTs) &&
+          (col("__vt").isNull || col("__vt") > facts(factTs)),
+        "left")
+      .select(facts.columns.map(facts(_)) ++
+        attrCols.map(c => col(s"__d_$c").as(c)): _*)
+  }
+
+  /**
    * Staged key DELETION — the retraction half of the merge surface
    * (GDPR erasure, takedown feeds, bad-batch rollback): anti-join the
    * main table against the key set and replace it via the same
