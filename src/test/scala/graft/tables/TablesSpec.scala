@@ -393,6 +393,20 @@ class TablesSpec extends SparkSpec {
       Tables.upsertScd2(spark,
         Seq((1L, "x"), (1L, "y")).toDF("id", "v"), "t_scd", "id", t2)
     }
+    // point-in-time lookup: pre-history and unknown-key facts keep
+    // null attributes (left join), others get their epoch's version
+    val facts = Seq(
+      (1L, ts("2029-12-31T00:00:00Z")), // before any version
+      (1L, ts("2030-01-01T12:00:00Z")), // first version epoch
+      (1L, ts("2030-01-03T12:00:00Z")), // after the re-change
+      (9L, ts("2030-01-03T12:00:00Z"))  // key never in the dimension
+    ).toDF("id", "probe")
+    assert(rows(Tables.scd2Lookup(spark, facts, "t_scd", "id", "probe")
+        .orderBy("id", "probe")) == Seq(
+      Seq(1L, ts("2029-12-31T00:00:00Z"), null),
+      Seq(1L, ts("2030-01-01T12:00:00Z"), "a"),
+      Seq(1L, ts("2030-01-03T12:00:00Z"), "A"),
+      Seq(9L, ts("2030-01-03T12:00:00Z"), null)))
     Seq("t_scd", "t_scd__swap_tmp", "t_scd__swap_backup")
       .foreach(Tables.dropTable(spark, _))
   }
