@@ -580,15 +580,20 @@ object Relational {
    * the composition shape: a second percentile pass over values that
    * are themselves micro-units (e.g. [[madOutliers]]'s absolute
    * deviations) must not re-quantize through a double round-trip.
-   * Same rank arithmetic, same output columns. */
+   * Same rank arithmetic, same output columns. NULL values DROP before
+   * ranking (the [[graft.operators.Curation.valueCounts]] contract):
+   * Spark's nulls-first ascending sort would otherwise rank nulls
+   * below every real value, skewing every percentile and diverging
+   * from SQL engines' NULLS-LAST / null-skipping quantile defaults. */
   def groupedPercentilesMicro(df: DataFrame, grpCol: String,
                               microCol: String, tieCol: String,
                               permilles: Seq[Int]): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(p => p >= 0 && p <= 1000),
       "permilles must be in [0, 1000]")
     val pSql = permilles.distinct.sorted.mkString("array(", ", ", ")")
-    val m = df.select(col(grpCol), col(microCol).cast("long").as("__vm"),
-      col(tieCol))
+    val m = df.filter(col(microCol).isNotNull)
+      .select(col(grpCol), col(microCol).cast("long").as("__vm"),
+        col(tieCol))
     groupedRanks(m, grpCol, Seq(col("__vm").asc, col(tieCol).asc),
       "__rk", "__n")
       .withColumn("__tg", expr(

@@ -1184,6 +1184,15 @@ object Streams {
    * change test makes every row a no-op — no phantom versions, no
    * watermark file needed. Run [[graft.tables.Tables.recoverSwap]] on
    * restart, as with every swap-protocol table.
+   *
+   * Event-time monotonicity: the effective timestamp is assumed
+   * non-decreasing across micro-batches. A batch of pure late
+   * stragglers (max event time EARLIER than the table's newest
+   * `valid_from`) would otherwise close versions with
+   * `valid_to < valid_from` and show attributes at instants before
+   * they applied — so the effective timestamp is CLAMPED up to the
+   * table's current `max(valid_from)`: the late change applies "as of
+   * now in table time", never retroactively rewriting history.
    */
   def scd2Sink(stream: DataFrame, table: String, checkpointDir: String,
                key: String, tsCol: String = "ts"): StreamingQuery = {
@@ -1196,8 +1205,18 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val effective = batch.agg(max(col(tsCol))).head()
+          val batchMax = batch.agg(max(col(tsCol))).head()
             .getTimestamp(0)
+          // monotonicity clamp (see scaladoc): never regress below the
+          // table's newest version boundary
+          val effective =
+            if (!s.catalog.tableExists(table)) batchMax
+            else {
+              val tblMax = s.table(table).agg(max(col("valid_from")))
+                .head().getTimestamp(0)
+              if (tblMax != null && batchMax.before(tblMax)) tblMax
+              else batchMax
+            }
           // latest-per-key by event time; ties break over the attribute
           // columns so the staged row is deterministic under replay
           val staging = graft.operators.Relational
@@ -1621,7 +1640,22 @@ object Streams {
     // name-encoded marker (underscore prefix = invisible to parquet
     // readers): records which routing generation assigned this delta
     // tree, so compactIvfDelta can refuse a stale fold even after the
-    // sink that wrote it is gone
+    // sink that wrote it is gone. Stamping is NOT unconditional: if a
+    // prior sink left unfolded batch dirs under an OLDER generation,
+    // re-stamping the new gen over them would launder those stale
+    // assignments straight past compactIvfDelta's generation guard —
+    // the exact hazard the marker exists to catch. Only an empty (or
+    // same-generation) tree may be (re)stamped.
+    readRoutingGenMarker(spark0, deltaPath).foreach { prior =>
+      if (prior != gen0 && deltaBatchDirsExist(spark0, deltaPath))
+        throw new IllegalStateException(
+          s"delta tree at '$deltaPath' holds unfolded batches assigned " +
+            s"under routing generation $prior but index '$baseTable' is " +
+            s"now at generation $gen0: restamping would let " +
+            "compactIvfDelta fold dead-generation cell assignments into " +
+            "the new bulk. Fold or drop the old tree before restarting " +
+            "the sink.")
+    }
     writeRoutingGenMarker(spark0, deltaPath, gen0)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1660,6 +1694,16 @@ object Streams {
     readRoutingGenMarker(spark, deltaPath).foreach(g =>
       fs.delete(new Path(root, s"$RoutingGenPrefix$g"), false))
     fs.create(new Path(root, s"$RoutingGenPrefix$gen"), true).close()
+  }
+
+  /** Whether the delta tree holds any unfolded `batch=<id>` dirs. */
+  private def deltaBatchDirsExist(
+      spark: SparkSession, deltaPath: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(deltaPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists(
+      _.getPath.getName.startsWith("batch="))
   }
 
   /** The delta tree's recorded routing generation, if any sink stamped

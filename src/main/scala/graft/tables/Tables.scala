@@ -71,14 +71,45 @@ object Tables {
   def missingPartitions(spark: SparkSession, table: String,
                         partitionCol: String,
                         expected: Seq[String]): Seq[String] = {
+    // SHOW PARTITIONS emits Hive path-escaped values (space -> %20,
+    // ':' -> %3A, ...); unescape before comparing against the caller's
+    // raw values or a special-char partition would read as permanently
+    // missing and re-backfill (rewrite-churn) on every run
     val have = spark.sql(s"SHOW PARTITIONS ${q(table)}")
       .collect()
       .map(_.getString(0))
       .flatMap(_.split('/').find(_.startsWith(partitionCol + "="))
-        .map(_.substring(partitionCol.length + 1)))
+        .map(s => unescapePathName(s.substring(partitionCol.length + 1))))
       .toSet
     expected.filterNot(have.contains).sorted
   }
+
+  /** Inverse of Hive's partition-path escaping: decode `%XX` byte
+   * sequences (UTF-8) back to the raw partition value. Malformed
+   * escapes pass through literally, matching Hive's lenient decoder. */
+  private[graft] def unescapePathName(path: String): String = {
+    if (!path.contains('%')) return path
+    val bytes = new java.io.ByteArrayOutputStream(path.length)
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (c == '%' && i + 2 < path.length &&
+          isHex(path.charAt(i + 1)) && isHex(path.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(path.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        bytes.write(c.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    new String(bytes.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F')
 
   /**
    * Backfill EXECUTION on top of [[missingPartitions]]: load exactly
@@ -314,6 +345,10 @@ object Tables {
     val attrCols = full.columns
       .filterNot(c => c == key || c == "valid_from" || c == "valid_to")
       .toSeq
+    require(attrCols.nonEmpty,
+      s"SCD2 table '$table' has no attribute columns beyond the key + " +
+        "version columns: there is nothing to version (the change test " +
+        "is a reduction over attributes and would be vacuous)")
     require(staging.columns.toSet == (attrCols.toSet + key),
       s"staging must carry exactly the key + attribute columns " +
         s"(${(attrCols.toSet + key).toSeq.sorted.mkString(", ")})")

@@ -398,6 +398,16 @@ class RelationalSpec extends SparkSpec {
       Seq("b", 0L, 10000000L, 1L, 1L),
       Seq("b", 500L, 10000000L, 1L, 1L),
       Seq("b", 1000L, 10000000L, 1L, 1L)))
+    // null values DROP before ranking (the documented contract): with
+    // nulls-first sorting they would otherwise claim rank 1 and skew
+    // every percentile — adding nulls must not change the result
+    val withNulls = Seq(("a", Some(5.0), 1L), ("a", None, 9L),
+      ("a", Some(1.0), 2L), ("a", Some(3.0), 3L), ("a", Some(2.0), 4L),
+      ("b", Some(10.0), 5L), ("b", None, 8L))
+      .toDF("event_type", "value", "event_id")
+    assert(rows(Relational
+      .groupedPercentiles(withNulls, permilles = Seq(0, 500, 1000))
+      .orderBy("event_type", "permille")) == out)
   }
 
   test("rangedCumSums: matches the single-task window exactly, grouped " +

@@ -596,6 +596,82 @@ class StreamsSpec extends SparkSpec {
         Tables.dropTable(spark, b + sfx)))
   }
 
+  test("ivfIngestSink: restarting over a stale-generation delta tree " +
+      "with unfolded batches refuses to restamp the marker") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    Seq("_cells", "_centroids").foreach(sfx =>
+      Tables.dropTable(spark, "ivfstale" + sfx))
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 100), "ivfstale",
+      nlist = 16, numBuckets = 4)
+    val delta = Files.createTempDirectory("ivfstaledelta").toString
+    val cp = Files.createTempDirectory("ivfstalecp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val someRows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // sink under gen 0 leaves an UNFOLDED batch in the tree
+    val q = Streams.ivfIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "ivfstale", delta, cp)
+    try { mem.addData(someRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(new java.io.File(delta).listFiles()
+      .exists(_.getName.startsWith("batch=")))
+    // rebuild bumps the generation while the old batch still sits there
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 100), "ivfstale",
+      nlist = 16, numBuckets = 4)
+    assert(Similarity.ivfGeneration(spark, "ivfstale") == 1L)
+    // a restarted sink must NOT stamp gen 1 over the gen-0 tree — that
+    // would launder the stale assignments past compactIvfDelta's guard
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val cp2 = Files.createTempDirectory("ivfstalecp2").toString
+    val ex = intercept[IllegalStateException] {
+      Streams.ivfIngestSink(mem2.toDF().toDF("vec_id", "embedding"),
+        "ivfstale", delta, cp2)
+    }
+    assert(ex.getMessage.contains("unfolded batches"))
+    // and the compaction guard still sees the ORIGINAL generation
+    val ex2 = intercept[IllegalStateException] {
+      Streams.compactIvfDelta(spark, delta, "ivfstale", numBuckets = 4)
+    }
+    assert(ex2.getMessage.contains("dead centroids"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+    Seq("_cells", "_centroids").foreach(sfx =>
+      Tables.dropTable(spark, "ivfstale" + sfx))
+  }
+
+  test("scd2Sink: a pure-late-straggler batch clamps to the table's " +
+      "newest version boundary — no valid_to < valid_from rows") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("scd_l", "scd_l__swap_tmp", "scd_l__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    val cp = Files.createTempDirectory("scdlcp").toString
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.scd2Sink(mem.toDF().toDF("id", "v", "ts"),
+      "scd_l", cp, "id", "ts")
+    try {
+      mem.addData((1L, "a", ts("2030-01-05 00:00:00")))
+      q.processAllAvailable()
+      // batch 1 is ONLY late events (event time before the open
+      // version's valid_from) and key 1 changes: effective clamps to
+      // 2030-01-05, so the closed row has valid_to == valid_from (zero
+      // duration), never negative
+      mem.addData((1L, "b", ts("2030-01-03 00:00:00")),
+        (2L, "c", ts("2030-01-02 00:00:00")))
+      q.processAllAvailable()
+      val t = spark.table("scd_l")
+      assert(t.filter(col("valid_to") < col("valid_from")).isEmpty,
+        "clamp must prevent inverted validity ranges")
+      assert(rows(t.orderBy("id", "valid_from")) == Seq(
+        Seq(1L, "a", ts("2030-01-05 00:00:00"), ts("2030-01-05 00:00:00")),
+        Seq(1L, "b", ts("2030-01-05 00:00:00"), null),
+        Seq(2L, "c", ts("2030-01-05 00:00:00"), null)))
+    } finally q.stop()
+    Seq("scd_l", "scd_l__swap_tmp", "scd_l__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+  }
+
   test("driftSink: cumulative KS verdict converges to the batch statistic") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]

@@ -509,6 +509,45 @@ class TablesSpec extends SparkSpec {
     Tables.dropTable(spark, "t_backfill")
   }
 
+  test("missingPartitions unescapes Hive path-escaped values — a " +
+      "special-char partition is never re-backfilled") {
+    import org.apache.spark.sql.functions.col
+    Tables.dropTable(spark, "t_esc")
+    // space and ':' both escape in partition paths (%20, %3A)
+    val special = "2024-01-01 08:30:00"
+    val df = Seq((1L, special), (2L, "plain")).toDF("id", "d")
+    Tables.loadPartitioned(df, "t_esc", "d")
+    assert(Tables.missingPartitions(spark, "t_esc", "d",
+      Seq(special, "plain", "absent")) == Seq("absent"))
+    // backfill over an already-present special value writes nothing
+    assert(Tables.backfillPartitions(spark, df, "t_esc", "d",
+      Seq(special, "plain")).isEmpty)
+    Tables.dropTable(spark, "t_esc")
+    // decoder unit behavior: UTF-8 multi-byte + malformed passthrough
+    assert(Tables.unescapePathName("a%20b%3Ac") == "a b:c")
+    assert(Tables.unescapePathName("caf%C3%A9") == "café")
+    assert(Tables.unescapePathName("100%") == "100%")
+    assert(Tables.unescapePathName("%zz") == "%zz")
+  }
+
+  test("upsertScd2 rejects a degenerate dimension with no attribute " +
+      "columns") {
+    Seq("scd_deg", "scd_deg__swap_tmp", "scd_deg__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    import org.apache.spark.sql.functions.lit
+    spark.range(3).selectExpr("id",
+        "CAST('2030-01-01' AS TIMESTAMP) AS valid_from",
+        "CAST(NULL AS TIMESTAMP) AS valid_to")
+      .write.format("parquet").saveAsTable("scd_deg")
+    val ex = intercept[IllegalArgumentException] {
+      Tables.upsertScd2(spark, spark.range(2).toDF("id"), "scd_deg",
+        "id", java.sql.Timestamp.from(
+          java.time.Instant.parse("2030-01-02T00:00:00Z")))
+    }
+    assert(ex.getMessage.contains("no attribute columns"))
+    Tables.dropTable(spark, "scd_deg")
+  }
+
   test("materialized rollup: build + incremental refresh = direct aggregate") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     Seq("agg_t", "agg_t__swap_tmp", "agg_t__swap_backup")
