@@ -200,16 +200,17 @@ object SparkEntry {
       val staging = ev.filter(col("event_id") % 3 === 0)
         .select(col("event_id"), lit("updated").as("event_type"),
           (col("value") + 100).as("value"))
-      val tbl = "graft_scd2_" + math.abs(dir.hashCode).toString
+      val tbl = "graft_scd2p_" + math.abs(dir.hashCode).toString
       val t0 = java.sql.Timestamp.from(
         java.time.Instant.parse("2030-01-01T00:00:00Z"))
       val t1 = java.sql.Timestamp.from(
         java.time.Instant.parse("2030-01-02T00:00:00Z"))
       memoIndex(s, tbl, Seq("")) {
-        graft.tables.Tables.loadScd2(base, tbl, t0)
+        graft.tables.Tables.loadScd2(base, tbl, t0, partitioned = true)
         graft.tables.Tables.upsertScd2(s, staging, tbl, "event_id", t1)
       }
-      s.table(tbl).orderBy("event_id", "valid_from")
+      s.table(tbl).drop("valid_to_date")
+        .orderBy("event_id", "valid_from")
     }),
 
     // time-travel reads of the SCD2 table: the dimension exactly as it
@@ -221,13 +222,13 @@ object SparkEntry {
       val staging = ev.filter(col("event_id") % 3 === 0)
         .select(col("event_id"), lit("updated").as("event_type"),
           (col("value") + 100).as("value"))
-      val tbl = "graft_scd2_" + math.abs(dir.hashCode).toString
+      val tbl = "graft_scd2p_" + math.abs(dir.hashCode).toString
       val t0 = java.sql.Timestamp.from(
         java.time.Instant.parse("2030-01-01T00:00:00Z"))
       val t1 = java.sql.Timestamp.from(
         java.time.Instant.parse("2030-01-02T00:00:00Z"))
       memoIndex(s, tbl, Seq("")) {
-        graft.tables.Tables.loadScd2(base, tbl, t0)
+        graft.tables.Tables.loadScd2(base, tbl, t0, partitioned = true)
         graft.tables.Tables.upsertScd2(s, staging, tbl, "event_id", t1)
       }
       val p1 = java.sql.Timestamp.from(
@@ -250,13 +251,13 @@ object SparkEntry {
       val staging = ev.filter(col("event_id") % 3 === 0)
         .select(col("event_id"), lit("updated").as("event_type"),
           (col("value") + 100).as("value"))
-      val tbl = "graft_scd2_" + math.abs(dir.hashCode).toString
+      val tbl = "graft_scd2p_" + math.abs(dir.hashCode).toString
       val t0 = java.sql.Timestamp.from(
         java.time.Instant.parse("2030-01-01T00:00:00Z"))
       val t1 = java.sql.Timestamp.from(
         java.time.Instant.parse("2030-01-02T00:00:00Z"))
       memoIndex(s, tbl, Seq("")) {
-        graft.tables.Tables.loadScd2(base, tbl, t0)
+        graft.tables.Tables.loadScd2(base, tbl, t0, partitioned = true)
         graft.tables.Tables.upsertScd2(s, staging, tbl, "event_id", t1)
       }
       val facts = ev.filter(col("event_id") % 2 === 0)

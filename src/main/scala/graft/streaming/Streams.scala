@@ -1193,12 +1193,26 @@ object Streams {
    * they applied — so the effective timestamp is CLAMPED up to the
    * table's current `max(valid_from)`: the late change applies "as of
    * now in table time", never retroactively rewriting history.
+   *
+   * The clamp boundary is CACHED in driver state, not re-aggregated
+   * per micro-batch: `max(valid_from)` only advances through this
+   * sink's own merges (single-writer — the swap-protocol contract),
+   * so the dimension is read once at the first non-empty batch and
+   * the boundary then carries forward as each batch's `effective` —
+   * a possibly-large dimension never pays a table-sized aggregate per
+   * batch. A restarted sink re-initializes from the table, so a
+   * replayed batch clamps against at-least the boundary it saw before
+   * the crash.
    */
   def scd2Sink(stream: DataFrame, table: String, checkpointDir: String,
                key: String, tsCol: String = "ts"): StreamingQuery = {
     // cloned-session refresh rule (see upsertSink): invalidate the
     // OWNER session's relation cache after each swap
     val owner = stream.sparkSession
+    // boundary cache (see scaladoc); None = not yet initialized,
+    // Some(null) = table absent/empty at init (no clamp floor yet)
+    val boundary = new java.util.concurrent.atomic.AtomicReference[
+      Option[java.sql.Timestamp]](None)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -1207,16 +1221,28 @@ object Streams {
           val s = batch.sparkSession
           val batchMax = batch.agg(max(col(tsCol))).head()
             .getTimestamp(0)
+          // a non-empty batch whose every event timestamp is null has
+          // no event time to version by: fail with the column named
+          // rather than NPE inside the clamp comparison
+          if (batchMax == null) throw new IllegalStateException(
+            s"scd2Sink: non-empty micro-batch has all-null '$tsCol' " +
+              "values — every row needs an event timestamp to place " +
+              "its version on the validity timeline")
+          if (boundary.get.isEmpty) {
+            boundary.set(Some(
+              if (!s.catalog.tableExists(table)) null
+              else {
+                scd2BoundaryReads.incrementAndGet()
+                s.table(table).agg(max(col("valid_from")))
+                  .head().getTimestamp(0)
+              }))
+          }
           // monotonicity clamp (see scaladoc): never regress below the
           // table's newest version boundary
+          val tblMax = boundary.get.orNull
           val effective =
-            if (!s.catalog.tableExists(table)) batchMax
-            else {
-              val tblMax = s.table(table).agg(max(col("valid_from")))
-                .head().getTimestamp(0)
-              if (tblMax != null && batchMax.before(tblMax)) tblMax
-              else batchMax
-            }
+            if (tblMax != null && batchMax.before(tblMax)) tblMax
+            else batchMax
           // latest-per-key by event time; ties break over the attribute
           // columns so the staged row is deterministic under replay
           val staging = graft.operators.Relational
@@ -1229,12 +1255,21 @@ object Streams {
           else
             graft.tables.Tables.upsertScd2(s, staging, table, key,
               effective)
+          // the merge's valid_from values are all `effective`, so the
+          // new boundary is known without re-reading the table
+          boundary.set(Some(effective))
           owner.catalog.refreshTable(table)
           ()
         }
       }
       .start()
   }
+
+  /** Test pin for [[scd2Sink]]'s boundary cache: counts the clamp
+   * boundary's table reads — exactly one per sink lifetime (outside
+   * the merge itself), never one per micro-batch. */
+  private[graft] val scd2BoundaryReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /**
    * Streaming bounded-state uniform sample — [[graft.operators
@@ -1646,15 +1681,27 @@ object Streams {
     // assignments straight past compactIvfDelta's generation guard —
     // the exact hazard the marker exists to catch. Only an empty (or
     // same-generation) tree may be (re)stamped.
-    readRoutingGenMarker(spark0, deltaPath).foreach { prior =>
-      if (prior != gen0 && deltaBatchDirsExist(spark0, deltaPath))
-        throw new IllegalStateException(
-          s"delta tree at '$deltaPath' holds unfolded batches assigned " +
-            s"under routing generation $prior but index '$baseTable' is " +
-            s"now at generation $gen0: restamping would let " +
-            "compactIvfDelta fold dead-generation cell assignments into " +
-            "the new bulk. Fold or drop the old tree before restarting " +
-            "the sink.")
+    readRoutingGenMarker(spark0, deltaPath) match {
+      case Some(prior) =>
+        if (prior != gen0 && deltaBatchDirsExist(spark0, deltaPath))
+          throw new IllegalStateException(
+            s"delta tree at '$deltaPath' holds unfolded batches assigned " +
+              s"under routing generation $prior but index '$baseTable' is " +
+              s"now at generation $gen0: restamping would let " +
+              "compactIvfDelta fold dead-generation cell assignments into " +
+              "the new bulk. Fold or drop the old tree before restarting " +
+              "the sink.")
+      case None =>
+        // unfolded batches with NO marker (marker deleted, or a
+        // partially-cleaned tree): their assigning generation is
+        // unknowable — stamping the current gen would launder them
+        // past compactIvfDelta's guard just as surely as a restamp
+        if (deltaBatchDirsExist(spark0, deltaPath))
+          throw new IllegalStateException(
+            s"delta tree at '$deltaPath' holds unfolded batches but no " +
+              "routing-generation marker: their assigning generation is " +
+              "unknown, so they cannot be safely folded or restamped. " +
+              "Fold or drop the orphan tree before restarting the sink.")
     }
     writeRoutingGenMarker(spark0, deltaPath, gen0)
     stream.writeStream

@@ -86,10 +86,23 @@ object Tables {
 
   /** Inverse of Hive's partition-path escaping: decode `%XX` byte
    * sequences (UTF-8) back to the raw partition value. Malformed
-   * escapes pass through literally, matching Hive's lenient decoder. */
+   * escapes pass through literally, matching Hive's lenient decoder.
+   * Non-escape chars append as CHARS (never through a per-char byte
+   * round-trip): a surrogate half encoded alone is U+FFFD, so an emoji
+   * in a partition value — which the escaper passes through raw —
+   * would decode as "??" and read as permanently missing, the exact
+   * re-backfill churn this decoder exists to prevent. Only maximal
+   * consecutive `%XX` runs go through the byte decoder, so multi-byte
+   * UTF-8 sequences split across several escapes still reassemble. */
   private[graft] def unescapePathName(path: String): String = {
     if (!path.contains('%')) return path
+    val sb = new java.lang.StringBuilder(path.length)
     val bytes = new java.io.ByteArrayOutputStream(path.length)
+    def flush(): Unit = if (bytes.size > 0) {
+      sb.append(new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
     var i = 0
     while (i < path.length) {
       val c = path.charAt(i)
@@ -98,13 +111,13 @@ object Tables {
         bytes.write(Integer.parseInt(path.substring(i + 1, i + 3), 16))
         i += 3
       } else {
-        bytes.write(c.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
+        flush()
+        sb.append(c)
         i += 1
       }
     }
-    new String(bytes.toByteArray,
-      java.nio.charset.StandardCharsets.UTF_8)
+    flush()
+    sb.toString
   }
 
   private def isHex(c: Char): Boolean =
@@ -233,6 +246,45 @@ object Tables {
   }
 
   /**
+   * Literal MERGE-statement text generation — the reference's SQL-text
+   * half of the upsert (omnichannel_to_bq.py:170-182), kept as a
+   * first-class artifact for the ONLINE seam: a deployment that still
+   * lands the merge in an external warehouse (the reference submits
+   * this text to BigQuery) ships exactly this string, while the local
+   * execution path runs the equivalent [[graft.operators.Relational
+   * .upsertPlan]]. Shape mirrors the reference exactly: introspect the
+   * STAGING table's schema, update every non-key column from `S`,
+   * insert all columns —
+   * {{{
+   * MERGE `main` T
+   * USING `staging` S
+   * ON T.key = S.key
+   * WHEN MATCHED THEN UPDATE SET c1 = S.c1, ...
+   * WHEN NOT MATCHED THEN INSERT (key, c1, ...) VALUES (S.key, S.c1, ...)
+   * }}}
+   * Table names are backtick-quoted like the reference's
+   * `` `project.dataset.table` `` interpolation; column names come from
+   * the catalog, not the caller, so the text cannot smuggle injected
+   * identifiers beyond what the schema already holds.
+   */
+  def mergeSqlText(spark: SparkSession, stagingTable: String,
+                   mainTable: String, keyField: String = "id"): String = {
+    val allCols = tableSchema(spark, stagingTable).fieldNames.toSeq
+    require(allCols.contains(keyField),
+      s"staging table '$stagingTable' has no key column '$keyField'")
+    val updateCols = allCols.filterNot(_ == keyField)
+    val setClause = updateCols.map(c => s"$c = S.$c").mkString(", ")
+    val insertCols = allCols.mkString(", ")
+    val insertVals = allCols.map(c => s"S.$c").mkString(", ")
+    s"""MERGE `$mainTable` T
+       |USING `$stagingTable` S
+       |ON T.$keyField = S.$keyField
+       |WHEN MATCHED THEN UPDATE SET $setClause
+       |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
+      .stripMargin
+  }
+
+  /**
    * Staged upsert into a managed table (reference "update" path,
    * omnichannel_to_bq.py:280-304): duplicate-staging-key guard (mirrors
    * BigQuery MERGE's error), anti-join + union plan, then write-new +
@@ -306,16 +358,47 @@ object Tables {
       }
   }
 
+  /** The SCD2 partition column: `date_format(valid_to, 'yyyy-MM-dd')`
+   * in the session timezone — null (the Hive default partition) for
+   * CURRENT versions, the closing date for history. */
+  private[graft] val Scd2PartCol = "valid_to_date"
+
+  /** `effectiveTs` rendered as the partition-value string, with the
+   * same session-timezone semantics as `date_format(ts, 'yyyy-MM-dd')`
+   * — driver-side, no job. */
+  private def scd2PartValue(spark: SparkSession,
+                            ts: java.sql.Timestamp): String =
+    java.time.Instant.ofEpochMilli(ts.getTime)
+      .atZone(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      .toLocalDate.toString
+
   /**
    * Initial load of an SCD Type 2 (history-keeping) dimension table:
    * every row becomes the CURRENT version — `valid_from = effectiveTs`,
    * `valid_to = null`. See [[upsertScd2]] for the versioned merge.
+   *
+   * `partitioned = true` lays the table out by a derived
+   * `valid_to_date` column (`date_format(valid_to, 'yyyy-MM-dd')`,
+   * null for current versions) — the 100 TB layout: closed history
+   * lands in stable per-date partitions that later merges NEVER
+   * rewrite (the [[upsertScd2]] pruned path), and the current tier is
+   * one partition-pruned scan.
    */
   def loadScd2(df: DataFrame, table: String,
-               effectiveTs: java.sql.Timestamp): Unit =
-    loadOverwrite(df
+               effectiveTs: java.sql.Timestamp,
+               partitioned: Boolean = false): Unit = {
+    val versioned = df
       .withColumn("valid_from", lit(effectiveTs))
-      .withColumn("valid_to", lit(null).cast("timestamp")), table)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    if (!partitioned) loadOverwrite(versioned, table)
+    else versioned
+      .withColumn(Scd2PartCol,
+        org.apache.spark.sql.functions.date_format(
+          col("valid_to"), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(Scd2PartCol).saveAsTable(table)
+  }
 
   /**
    * SCD Type 2 upsert — the history-keeping dimension merge (Kimball's
@@ -333,17 +416,25 @@ object Tables {
    *
    * Scale: ONE full-outer join between the CURRENT tier and staging —
    * closed, kept, and opened versions all derive from that single
-   * joined frame; the history tier rides through untouched as a union
-   * leg. The rewrite is table-sized; at 100 TB partition the table on
-   * a `valid_to` date so closed history lands in stable partitions and
-   * the dynamic-overwrite path rewrites only the touched ones.
+   * joined frame. On a `valid_to_date`-partitioned table (the
+   * [[loadScd2]] `partitioned = true` layout) the merge is PRUNED end
+   * to end: the current tier reads one partition (the null
+   * `valid_to_date`), the only partitions WRITTEN are the null one and
+   * `date(effectiveTs)` (where newly closed versions land, unioned
+   * with any versions already closed that date), and every other
+   * closed-history partition is never read or rewritten — at 100 TB
+   * the merge cost tracks the CURRENT tier plus one day of closures,
+   * not table size (file-listing-pinned in TablesSpec). Unpartitioned
+   * tables keep the full-rewrite path with the history tier riding
+   * through as a union leg.
    */
   def upsertScd2(spark: SparkSession, staging: DataFrame,
                  table: String, key: String,
                  effectiveTs: java.sql.Timestamp): Long = {
     val full = spark.table(table)
     val attrCols = full.columns
-      .filterNot(c => c == key || c == "valid_from" || c == "valid_to")
+      .filterNot(c => c == key || c == "valid_from" || c == "valid_to" ||
+        c == Scd2PartCol)
       .toSeq
     require(attrCols.nonEmpty,
       s"SCD2 table '$table' has no attribute columns beyond the key + " +
@@ -353,8 +444,15 @@ object Tables {
       s"staging must carry exactly the key + attribute columns " +
         s"(${(attrCols.toSet + key).toSeq.sorted.mkString(", ")})")
     Relational.assertUniqueKeys(staging, key)
-    val cur = full.filter(col("valid_to").isNull)
-    val hist = full.filter(col("valid_to").isNotNull)
+    import scala.jdk.CollectionConverters._
+    val partCols = spark.catalog.listColumns(table).collectAsList()
+      .asScala.filter(_.isPartition).map(_.name).toSeq
+    val pruned = partCols == Seq(Scd2PartCol)
+    // on the partitioned layout, filter on the PARTITION column so the
+    // current tier is one pruned directory, not a full-table scan
+    val cur =
+      if (pruned) full.filter(col(Scd2PartCol).isNull)
+      else full.filter(col("valid_to").isNull)
     val o = cur.select((key +: attrCols).map(c => col(c).as(s"o_$c")) :+
       col("valid_from").as("o_valid_from"): _*)
     val n = staging.select((key +: attrCols).map(c => col(c).as(s"n_$c")): _*)
@@ -377,12 +475,41 @@ object Tables {
         lit(effectiveTs).as("valid_from") :+
         lit(null).cast("timestamp").as("valid_to"): _*)
     val ordered = full.schema.fieldNames.toSeq
-    val merged = hist.select(ordered.map(col): _*)
-      .unionByName(closed).unionByName(kept).unionByName(opened)
-    import scala.jdk.CollectionConverters._
-    val partCols = spark.catalog.listColumns(table).collectAsList()
-      .asScala.filter(_.isPartition).map(_.name).toSeq
-    replaceWith(spark, merged, table, partCols)
+    if (!pruned) {
+      val hist = full.filter(col("valid_to").isNotNull)
+      val merged = hist.select(ordered.map(col): _*)
+        .unionByName(closed).unionByName(kept).unionByName(opened)
+      replaceWith(spark, merged, table, partCols)
+    } else {
+      // PRUNED path: only two partitions change — null (current tier:
+      // kept + opened) and date(effectiveTs) (newly closed versions,
+      // plus whatever already closed that date — same-date history
+      // must union in because dynamic overwrite REPLACES the
+      // partition). Every other history partition is never touched.
+      // SCD2 never vacates a partition (versions only move from the
+      // null partition into a date partition), so no vacated-drop pass
+      // is needed, unlike replaceWith's general branch.
+      val effDate = scd2PartValue(spark, effectiveTs)
+      val sameDate = full.filter(col(Scd2PartCol) === effDate)
+        .select(ordered.map(col): _*)
+      def withPart(df: DataFrame) = df
+        .withColumn(Scd2PartCol,
+          org.apache.spark.sql.functions.date_format(
+            col("valid_to"), "yyyy-MM-dd"))
+        .select(ordered.map(col): _*)
+      val touched = sameDate.unionByName(withPart(closed))
+        .unionByName(withPart(kept)).unionByName(withPart(opened))
+      // the touched frame READS the main table (cur + sameDate), so it
+      // must materialize to a stage before the dynamic overwrite — a
+      // crash mid-stage leaves the main untouched
+      val tmp = suffixed(table, "__scd2_stage")
+      spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
+      touched.write.mode(SaveMode.Overwrite).format("parquet")
+        .partitionBy(Scd2PartCol).saveAsTable(tmp)
+      loadPartitioned(spark.table(tmp), table, Scd2PartCol)
+      spark.sql(s"DROP TABLE ${q(tmp)}")
+      spark.catalog.refreshTable(table)
+    }
     spark.table(table).count()
   }
 
@@ -395,11 +522,22 @@ object Tables {
    * output (the snapshot IS a plain dimension frame).
    */
   def scd2Snapshot(spark: SparkSession, table: String,
-                   asOf: java.sql.Timestamp): DataFrame =
-    spark.table(table)
+                   asOf: java.sql.Timestamp): DataFrame = {
+    val t = spark.table(table)
+    // on the partitioned layout, `valid_to > asOf` implies
+    // `valid_to_date >= date(asOf)` — add the coarse twin on the
+    // PARTITION column so history closed before the probe date prunes
+    // at the directory listing, never the row filter
+    val base =
+      if (t.columns.contains(Scd2PartCol))
+        t.filter(col(Scd2PartCol).isNull ||
+          col(Scd2PartCol) >= lit(scd2PartValue(spark, asOf)))
+      else t
+    base
       .filter(col("valid_from") <= lit(asOf) &&
         (col("valid_to").isNull || col("valid_to") > lit(asOf)))
-      .drop("valid_from", "valid_to")
+      .drop("valid_from", "valid_to", Scd2PartCol)
+  }
 
   /**
    * Point-in-time dimension lookup over an SCD Type 2 table — the
@@ -418,7 +556,8 @@ object Tables {
                  key: String, factTs: String): DataFrame = {
     val dim = spark.table(table)
     val attrCols = dim.columns
-      .filterNot(c => c == key || c == "valid_from" || c == "valid_to")
+      .filterNot(c => c == key || c == "valid_from" || c == "valid_to" ||
+        c == Scd2PartCol)
       .toSeq
     val d = dim.select((key +: attrCols).map(c => col(c).as(s"__d_$c")) ++
       Seq(col("valid_from").as("__vf"), col("valid_to").as("__vt")): _*)

@@ -587,4 +587,126 @@ class TablesSpec extends SparkSpec {
     Seq("agg_t", "agg_t__swap_tmp", "agg_t__swap_backup")
       .foreach(Tables.dropTable(spark, _))
   }
+
+  test("upsertScd2 on the valid_to_date-partitioned layout rewrites only " +
+      "the current + effective-date partitions; closed history untouched") {
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val (t0, t1, t2, t3) =
+      (ts("2030-01-01T00:00:00Z"), ts("2030-01-02T00:00:00Z"),
+        ts("2030-01-03T00:00:00Z"), ts("2030-01-04T00:00:00Z"))
+    Seq("t_scdp", "t_scdp__scd2_stage", "t_scdu", "t_scdu__swap_tmp",
+      "t_scdu__swap_backup").foreach(Tables.dropTable(spark, _))
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    Tables.loadScd2(base, "t_scdp", t0, partitioned = true)
+    Tables.loadScd2(base, "t_scdu", t0)
+    def merge(tbl: String, st: Seq[(Long, String)], at: java.sql.Timestamp) =
+      Tables.upsertScd2(spark, st.toDF("id", "v"), tbl, "id", at)
+    // two merges accrete closed history on two distinct dates
+    for (tbl <- Seq("t_scdp", "t_scdu")) {
+      merge(tbl, Seq((1L, "a2")), t1) // closes id 1 -> valid_to_date=01-02
+      merge(tbl, Seq((2L, "b2")), t2) // closes id 2 -> valid_to_date=01-03
+    }
+    // census the CLOSED-history partition files: (path, mtime, length)
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def census(dates: Seq[String]): Seq[(String, Long, Long)] =
+      spark.table("t_scdp").inputFiles.toSeq
+        .filter(f => dates.exists(d => f.contains(s"valid_to_date=$d")))
+        .sorted.map { f =>
+          val st = new Path(f).getFileSystem(conf)
+            .getFileStatus(new Path(f))
+          (f, st.getModificationTime, st.getLen)
+        }
+    val closedDates = Seq("2030-01-02", "2030-01-03")
+    val before = census(closedDates)
+    assert(before.nonEmpty, "drill needs real closed-history files")
+    Thread.sleep(1100) // mtime granularity can be 1 s on some filesystems
+    // third merge: closes id 3 on 01-04, reopens it
+    for (tbl <- Seq("t_scdp", "t_scdu")) merge(tbl, Seq((3L, "c2")), t3)
+    assert(census(closedDates) == before,
+      "closed-history partitions must not be rewritten by a later merge")
+    // and the new date's partition did appear
+    assert(census(Seq("2030-01-04")).nonEmpty)
+    // pruned layout == unpartitioned semantics, version for version
+    val p = spark.table("t_scdp").drop("valid_to_date")
+      .orderBy("id", "valid_from")
+    val u = spark.table("t_scdu").orderBy("id", "valid_from")
+    assert(rows(p) == rows(u))
+    assert(rows(p) == Seq(
+      Seq(1L, "a", t0, t1), Seq(1L, "a2", t1, null),
+      Seq(2L, "b", t0, t2), Seq(2L, "b2", t2, null),
+      Seq(3L, "c", t0, t3), Seq(3L, "c2", t3, null)))
+    // snapshot and point-in-time lookup agree across layouts (the
+    // partition column never leaks into either output)
+    val probe = ts("2030-01-02T12:00:00Z")
+    assert(rows(Tables.scd2Snapshot(spark, "t_scdp", probe).orderBy("id")) ==
+      rows(Tables.scd2Snapshot(spark, "t_scdu", probe).orderBy("id")))
+    val facts = Seq((1L, probe), (3L, ts("2030-01-04T12:00:00Z")))
+      .toDF("id", "probe")
+    assert(rows(Tables.scd2Lookup(spark, facts, "t_scdp", "id", "probe")
+        .orderBy("id")) ==
+      rows(Tables.scd2Lookup(spark, facts, "t_scdu", "id", "probe")
+        .orderBy("id")))
+    // the snapshot's partition filter PRUNES: a probe after every
+    // closure date must not read the closed-history directories
+    val snapFiles = Tables.scd2Snapshot(spark, "t_scdp",
+      ts("2030-06-01T00:00:00Z")).inputFiles.toSeq
+    assert(snapFiles.nonEmpty &&
+      !snapFiles.exists(f => closedDates.exists(d =>
+        f.contains(s"valid_to_date=$d"))),
+      "snapshot after all closures must prune closed-history partitions")
+    Seq("t_scdp", "t_scdp__scd2_stage", "t_scdu", "t_scdu__swap_tmp",
+      "t_scdu__swap_backup").foreach(Tables.dropTable(spark, _))
+  }
+
+  test("unescapePathName keeps surrogate pairs intact and reassembles " +
+      "split multi-byte escapes") {
+    // escaped emoji: 4 UTF-8 bytes across 4 escapes
+    assert(Tables.unescapePathName("%F0%9F%98%80") == "\ud83d\ude00")
+    // raw emoji passes through untouched (the escaper leaves it raw) —
+    // the old per-char byte round-trip mangled each surrogate half to ?
+    assert(Tables.unescapePathName("a\ud83d\ude00b%20c") ==
+      "a\ud83d\ude00b c")
+    // escape run split by a raw char still decodes per byte
+    assert(Tables.unescapePathName("%E2%82%ACx%3A") == "\u20acx:")
+    // malformed escapes pass through literally
+    assert(Tables.unescapePathName("100%fun%2") == "100%fun%2")
+  }
+
+  test("unescapePathName on the SHOW PARTITIONS shape of an emoji " +
+      "partition value — raw surrogate pair + escapes decode losslessly") {
+    // Hive/Spark path-escaping leaves non-ASCII RAW and escapes the
+    // special chars around it, so a partition value like "\ud83d\ude00:x 1"
+    // lists as "\ud83d\ude00%3Ax%201". The old per-char byte round-trip
+    // mangled the surrogate pair to "??" and the value read as
+    // permanently missing (re-backfill churn). This container's
+    // POSIX-locale JVM cannot write emoji PATHS at all, so the pin
+    // drives the decoder on the exact listed string rather than a
+    // filesystem round-trip.
+    val value = "\ud83d\ude00:x 1"
+    val listed = "\ud83d\ude00%3Ax%201"
+    assert(Tables.unescapePathName(listed) == value)
+    // identity on a fully-raw value (no escapes at all)
+    assert(Tables.unescapePathName("\ud83d\ude00") == "\ud83d\ude00")
+  }
+
+  test("mergeSqlText mirrors the reference MERGE shape from the staging " +
+      "schema") {
+    Tables.dropTable(spark, "t_msql_stage")
+    Tables.loadOverwrite(
+      Seq((1L, "a", 2.0)).toDF("id", "name", "score"), "t_msql_stage")
+    val got = Tables.mergeSqlText(spark, "t_msql_stage", "t_msql_main", "id")
+    assert(got ==
+      """MERGE `t_msql_main` T
+        |USING `t_msql_stage` S
+        |ON T.id = S.id
+        |WHEN MATCHED THEN UPDATE SET name = S.name, score = S.score
+        |WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (S.id, S.name, S.score)"""
+        .stripMargin)
+    intercept[IllegalArgumentException] {
+      Tables.mergeSqlText(spark, "t_msql_stage", "t_msql_main", "nope")
+    }
+    Tables.dropTable(spark, "t_msql_stage")
+  }
 }
