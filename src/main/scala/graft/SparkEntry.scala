@@ -122,7 +122,7 @@ object SparkEntry {
     "embedding_near_dup_lsh", "embedding_near_dup_lsh_tight", "ivf_topk",
     "ivf_topk_indexed",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
-    "ivf_pq_topk", "matryoshka_topk",
+    "ivf_pq_topk", "ivf_pq_topk_indexed", "matryoshka_topk",
     "quantize_int8", "embedding_centroids", "embedding_drift",
     "hard_negatives",
     "embedding_outliers",
@@ -1044,6 +1044,22 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nlist = 16, nprobe = 4, m = 4, kcent = 16, dim = 64)
         .orderBy("query_id", "rank")
+    }),
+
+    // the PERSISTED-index variant of ivf_pq_topk: codebooks train and
+    // the corpus encodes ONCE at writePqIndex time (memoized across
+    // bench passes); each batch collects only the nlist + m*kcent meta
+    // rows and joins the bucketed codes table. Same contract + shared
+    // ranking tail, same oracle SQL.
+    "ivf_pq_topk_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = "graft_pq_idx_" + math.abs(dir.hashCode).toString
+      memoIndex(s, base, Seq("_pqcodes", "_pqmeta")) {
+        Similarity.writePqIndex(emb, base, nlist = 16, m = 4, kcent = 16,
+          dim = 64)
+      }
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 10), base,
+        k = 10, nprobe = 4, dim = 64).orderBy("query_id", "rank")
     }),
 
     // MRL two-stage retrieval: prefix-16 cosine shortlist of 40, exact
@@ -5450,7 +5466,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
   ).pipe(m =>
-    // the persisted-IVF variant has the SAME output contract as ivf_topk
-    // (same seed centroids, probes, tie-breaks) — one oracle, two plans
-    m + ("ivf_topk_indexed" -> m("ivf_topk")))
+    // the persisted-index variants have the SAME output contract as
+    // their direct twins (same seeds, probes, tie-breaks, shared
+    // ranking tails) — one oracle, two plans
+    m + ("ivf_topk_indexed" -> m("ivf_topk")) +
+      ("ivf_pq_topk_indexed" -> m("ivf_pq_topk")))
 }

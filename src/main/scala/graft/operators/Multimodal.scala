@@ -135,7 +135,14 @@ object Multimodal {
   def imagePayload(spark: SparkSession, docs: DataFrame,
                    idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
+    // Codec work is CPU-bound per row: pin the partition count to the
+    // cluster's parallelism BEFORE the mapPartitions, or the encode AND
+    // every downstream decode inherit the upstream layout — one fat
+    // upstream partition (a coalesced scan, a small dim) would serialize
+    // the whole codec pass on one core at 100×. Shuffling bare longs is
+    // noise next to one PNG encode (PlanShapeSpec pins the count).
     docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         // ONE codec context per partition: a fresh ImageIO.write per row
         // pays a writer-registry lookup + stream setup per image
@@ -308,7 +315,10 @@ object Multimodal {
                    nFrames: Int = 6): DataFrame = {
     import spark.implicits._
     require(nFrames >= 1, "need at least one frame")
+    // same parallelism pin as imagePayload: per-row codec cost must
+    // never serialize behind a fat upstream partition
     docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("png").next()

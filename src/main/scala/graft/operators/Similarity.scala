@@ -767,6 +767,22 @@ object Similarity {
     val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books, dsub, vecCol)
       .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
         (0 until m).map(j => col(s"__code$j")): _*)
+    ivfPqAdcRank(coded, queries, cents, books, k, nprobe, dsub, idCol,
+      vecCol)
+  }
+
+  /** The shared query-side tail of [[ivfPqTopK]] and
+   * [[ivfPqTopKIndexed]]: broadcast each query's probe cells × m
+   * micro-floored integer LUTs against a `(neighbor_id, cell,
+   * __code0..__code{m-1})` corpus frame, rank by the associative ADC
+   * sum with id tie-breaks. One code path = the two entry points are
+   * hash-identical by construction. */
+  private def ivfPqAdcRank(coded: DataFrame, queries: DataFrame,
+                           cents: Seq[Seq[Double]],
+                           books: Seq[(Seq[Seq[Double]], Seq[Double])],
+                           k: Int, nprobe: Int, dsub: Int,
+                           idCol: String, vecCol: String): DataFrame = {
+    val m = books.size
     val qlut = books.zipWithIndex.foldLeft(
       withIvfCell(queries, cents, vecCol)
         .withColumn("__probes", expr(
@@ -796,6 +812,112 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
+   * Persist an IVF+PQ index — the [[writeIvfIndex]] protocol extended
+   * with product-quantization codes, so [[ivfPqTopKIndexed]] never
+   * re-trains codebooks or re-encodes the corpus per query batch
+   * (which is what [[ivfPqTopK]] pays every run):
+   *   - `<base>_pqcodes`: (idCol, cell, __code0..__code{m-1}) BUCKETED
+   *     by `cell` — the probe-join side; the raw vectors are read once
+   *     here at build time and never again at query time;
+   *   - `<base>_pqmeta`: the routing table AND the m codebooks in one
+   *     tiny frame — (kind ∈ {cent, book}, i, j, vec, gen): `cent`
+   *     rows carry (cell = i, centroid = vec); `book` rows carry
+   *     (subspace = i, centroid index = j, subvector = vec). Bounded
+   *     by nlist + m·kcent rows — the per-batch driver collect
+   *     contract of [[trainIvfCentroids]].
+   * Centroids and codebooks are the deterministic seed sets
+   * ([[ivfPqTopK]]'s contract), so the DuckDB oracle recomputes the
+   * index closed-form. Replacement goes through the staged two-table
+   * swap + generation bump, exactly like [[writeIvfIndex]].
+   */
+  def writePqIndex(corpus: DataFrame, baseTable: String, nlist: Int = 16,
+                   m: Int = 4, kcent: Int = 16, dim: Int = 64,
+                   numBuckets: Int = 8, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val dsub = dim / m
+    val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol,
+      vecCol)
+    val books = pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
+    require(cents.nonEmpty && books.head._1.nonEmpty,
+      "writePqIndex needs a non-empty corpus to seed centroids/codebooks")
+    val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books,
+      dsub, vecCol)
+      .select(col(idCol) +: col("__cell").as("cell") +:
+        (0 until m).map(j => col(s"__code$j")): _*)
+    val gen =
+      if (spark.catalog.tableExists(baseTable + "_pqmeta"))
+        pqGeneration(spark, baseTable) + 1
+      else 0L
+    import spark.implicits._
+    val meta = (cents.zipWithIndex.map { case (c, i) =>
+      ("cent", i + 1, 0, c) } ++
+      books.zipWithIndex.flatMap { case ((cb, _), j) =>
+        cb.zipWithIndex.map { case (c, i) => ("book", j, i + 1, c) } })
+      .toDF("kind", "i", "j", "vec")
+      .withColumn("gen", lit(gen))
+    graft.tables.Tables.stageBucketedSwap(coded, baseTable + "_pqcodes",
+      "cell", numBuckets)
+    graft.tables.Tables.stageBucketedSwap(meta, baseTable + "_pqmeta",
+      "kind", 1)
+    graft.tables.Tables.commitSwaps(spark,
+      Seq(baseTable + "_pqcodes", baseTable + "_pqmeta"))
+  }
+
+  /** The persisted PQ index's generation — the [[ivfGeneration]]
+   * contract over `<base>_pqmeta`. */
+  def pqGeneration(spark: org.apache.spark.sql.SparkSession,
+                   baseTable: String): Long = {
+    val t = spark.table(baseTable + "_pqmeta")
+    t.agg(max(col("gen"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+  }
+
+  /**
+   * [[ivfPqTopK]] against a PERSISTED [[writePqIndex]] index —
+   * identical output contract (same seed centroids, codebooks, probes,
+   * micro-floored ADC, tie-breaks; one shared ranking code path),
+   * different physical plan: codebooks never retrain, the corpus is
+   * never re-encoded, and the candidate join reads `<base>_pqcodes` at
+   * its bucketing — per query batch only the nlist + m·kcent meta rows
+   * collect and O(queries × nprobe) LUT rows move.
+   */
+  def ivfPqTopKIndexed(queries: DataFrame, baseTable: String,
+                       k: Int = 10, nprobe: Int = 4, dim: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val hasCodes = spark.catalog.tableExists(baseTable + "_pqcodes")
+    val hasMeta = spark.catalog.tableExists(baseTable + "_pqmeta")
+    if (!hasCodes || !hasMeta)
+      throw new IllegalStateException(
+        s"PQ index for '$baseTable' is incomplete (codes=$hasCodes, " +
+          s"meta=$hasMeta): run Tables.recoverSwap on both tables and " +
+          "re-run writePqIndex before querying")
+    val meta = spark.table(baseTable + "_pqmeta")
+      .select("kind", "i", "j", "vec").collect()
+    val cents = meta.filter(_.getString(0) == "cent")
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](3).toSeq).toSeq
+    // rebuild (codebook, bias) per subspace; the bias fold is the SAME
+    // index-order fold as pqCodebook's, so biases are bit-identical
+    val books = meta.filter(_.getString(0) == "book")
+      .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        val cb = rows.sortBy(_.getInt(2)).map(_.getSeq[Double](3).toSeq)
+          .toSeq
+        (cb, cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5))
+      }
+    val m = books.size
+    val coded = spark.table(baseTable + "_pqcodes")
+      .select(col(idCol).as("neighbor_id") +: col("cell") +:
+        (0 until m).map(j => col(s"__code$j")): _*)
+    ivfPqAdcRank(coded, queries, cents, books, k, nprobe, dim / m, idCol,
+      vecCol)
   }
 
   /**

@@ -1272,6 +1272,45 @@ object Streams {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /**
+   * Streaming point-in-time enrichment — [[graft.tables.Tables
+   * .scd2Lookup]]'s streaming twin: each micro-batch of facts joins
+   * the SCD2 dimension version that was valid AT EACH FACT'S OWN event
+   * time (never today's attributes — the anti-leakage feature-store
+   * join), landing under `outPath/batch=<id>`. Replay-idempotent
+   * under the batch-partition + [[compactedThrough]] watermark
+   * protocol: a replayed batch rewrites its own directory.
+   *
+   * The dimension is read AS OF each batch's processing — facts enrich
+   * against the versions the dimension held when the batch landed,
+   * which is exactly the batch-`scd2Lookup`-over-concatenated-input
+   * semantics when the dimension is maintained by a quiesced
+   * [[scd2Sink]] (StreamLaws pins the equality). A dimension merge
+   * racing a batch is the usual single-writer caveat, not a new one.
+   *
+   * Scale: per batch, one equi hash join on the key with the validity
+   * range as a residual — the batch side is micro-batch-sized, so the
+   * join broadcasts it; the dimension is read through whatever layout
+   * it has (the [[graft.tables.Tables.loadScd2]] partitioned layout
+   * scans only partitions a version filter keeps).
+   */
+  def scd2EnrichSink(stream: DataFrame, table: String, outPath: String,
+                     checkpointDir: String, key: String,
+                     factTs: String = "ts"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, outPath)) {
+          graft.tables.Tables.scd2Lookup(batch.sparkSession, batch,
+            table, key, factTs)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming bounded-state uniform sample — [[graft.operators
    * .Relational.hashSample]]'s streaming twin: each micro-batch lands
    * its OWN k-smallest-hash rows under `partialsPath/batch=<id>`

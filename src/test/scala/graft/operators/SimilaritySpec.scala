@@ -458,4 +458,60 @@ class SimilaritySpec extends SparkSpec {
     } finally Seq("_cells", "_centroids").foreach(sfx =>
       graft.tables.Tables.dropTable(spark, "ivf_idx_test" + sfx))
   }
+
+  test("ivfPqTopKIndexed: matches ivfPqTopK exactly; codes table never " +
+      "shuffles; rebuild bumps the generation; half-present refuses") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      graft.tables.Tables.dropTable(spark, "pq_idx_test" + sfx))
+    Similarity.writePqIndex(emb, "pq_idx_test", nlist = 16, m = 4,
+      kcent = 16, dim = 64, numBuckets = 4)
+    try {
+      assert(Similarity.pqGeneration(spark, "pq_idx_test") == 0L)
+      val out = Similarity.ivfPqTopKIndexed(queries, "pq_idx_test",
+        k = 10, nprobe = 4, dim = 64)
+      val expected = rows(Similarity.ivfPqTopK(emb, queries, k = 10,
+        nlist = 16, nprobe = 4, m = 4, kcent = 16, dim = 64)
+        .orderBy("query_id", "rank"))
+      assert(expected.nonEmpty)
+      assert(rows(out.orderBy("query_id", "rank")) == expected)
+      // the bucketed codes table reads at its layout: no shuffle with
+      // the codes scan directly below it (the same pin as the IVF index)
+      val plan = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def scanWithoutJoinBelow(p: SparkPlan): Boolean =
+        if (p.toString.linesIterator.next().contains("pq_idx_test_")) true
+        else if (p.children.length != 1) false
+        else scanWithoutJoinBelow(p.children.head)
+      val offending = plan.collect {
+        case e: SparkPlan with ShuffleExchangeLike
+            if e.children.exists(scanWithoutJoinBelow) => e
+      }
+      assert(offending.isEmpty,
+        s"pqcodes table re-shuffled before its candidate join:\n$offending")
+      // rebuild on a corpus subset: staged swap + generation bump, and
+      // queries see only the new corpus
+      Similarity.writePqIndex(emb.filter(col("vec_id") % 2 === 0),
+        "pq_idx_test", nlist = 8, m = 4, kcent = 8, dim = 64,
+        numBuckets = 4)
+      assert(Similarity.pqGeneration(spark, "pq_idx_test") == 1L)
+      val rebuilt = Similarity.ivfPqTopKIndexed(queries, "pq_idx_test",
+        k = 5, nprobe = 2, dim = 64)
+      assert(rows(rebuilt.filter(col("neighbor_id") % 2 =!= 0)).isEmpty)
+      assert(rebuilt.count() > 0)
+      // half-present index (crash between the two swap commits): refuse
+      graft.tables.Tables.dropTable(spark, "pq_idx_test_pqmeta")
+      intercept[IllegalStateException] {
+        Similarity.ivfPqTopKIndexed(queries, "pq_idx_test")
+      }
+    } finally Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      graft.tables.Tables.dropTable(spark, "pq_idx_test" + sfx))
+  }
 }

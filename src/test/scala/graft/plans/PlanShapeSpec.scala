@@ -268,4 +268,20 @@ class PlanShapeSpec extends SparkSpec {
       s"single-task stage in the rank pass:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  test("frame_sample / media_resize: the codec mapPartitions runs at " +
+      "cluster parallelism, never one fat upstream partition") {
+    import graft.operators.Multimodal
+    val docs = graft.sources.Fixtures.table(spark, dir, "documents")
+      .coalesce(1) // the adversarial upstream layout
+    val par = spark.sparkContext.defaultParallelism
+    assert(Multimodal.imagePayload(spark, docs).rdd.getNumPartitions >= par,
+      "image payload/codec pass must not inherit a serialized layout")
+    assert(Multimodal.videoPayload(spark, docs).rdd.getNumPartitions >= par,
+      "video payload/codec pass must not inherit a serialized layout")
+    assert(Multimodal.frameSampleBatch(spark, docs.limit(32)).toDF()
+      .rdd.getNumPartitions >= par)
+    assert(Multimodal.resizeBatch(spark, docs.limit(32)).toDF()
+      .rdd.getNumPartitions >= par)
+  }
 }

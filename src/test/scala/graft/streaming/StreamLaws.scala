@@ -517,4 +517,54 @@ object StreamLaws extends Properties("graft.streams") {
           graft.tables.Tables.dropTable(spark, b + sfx)))
       got == want
     }
+
+  // ---- scd2EnrichSink ----------------------------------------------------
+
+  property("scd2EnrichSink cumulative output = batch scd2Lookup over the " +
+      "concatenated facts, for any batch split") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(0, 3))),
+      Gen.chooseNum(1, 9)) { (factSpecs, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.tables.Tables
+      def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      // dimension: 4 keys versioned at 01-01, two re-versioned at 01-03;
+      // probes straddle pre-history, both epochs, and unknown keys 5/6
+      Seq("law_scd_dim", "law_scd_dim__swap_tmp", "law_scd_dim__swap_backup")
+        .foreach(Tables.dropTable(spark, _))
+      Tables.loadScd2(
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"),
+        "law_scd_dim", ts("2030-01-01T00:00:00Z"))
+      Tables.upsertScd2(spark, Seq((2L, "B"), (3L, "C")).toDF("id", "v"),
+        "law_scd_dim", "id", ts("2030-01-03T00:00:00Z"))
+      val probes = Vector("2029-12-31T12:00:00Z", "2030-01-01T12:00:00Z",
+        "2030-01-02T12:00:00Z", "2030-01-03T12:00:00Z").map(ts)
+      val facts = factSpecs.map { case (k, d) => (k, probes(d)) }
+      val cut = math.min(splitAt, facts.size - 1).max(1)
+      val (b0, b1) = facts.splitAt(cut)
+      val outDir = Files.createTempDirectory("law-scdeout").toString
+      val cp = Files.createTempDirectory("law-scdecp").toString
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = Streams.scd2EnrichSink(mem.toDF().toDF("id", "pts"),
+        "law_scd_dim", outDir, cp, "id", "pts")
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.option("basePath", outDir).parquet(outDir)
+        .drop("batch").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          String.valueOf(r.getString(2))))
+        .sorted.toSeq
+      val want = Tables.scd2Lookup(spark, facts.toDF("id", "pts"),
+        "law_scd_dim", "id", "pts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          String.valueOf(r.getString(2))))
+        .sorted.toSeq
+      Seq("law_scd_dim").foreach(Tables.dropTable(spark, _))
+      got == want
+    }
 }

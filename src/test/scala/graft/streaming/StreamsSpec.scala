@@ -1255,4 +1255,102 @@ class StreamsSpec extends SparkSpec {
     Seq("scd_s", "scd_s__swap_tmp", "scd_s__swap_backup")
       .foreach(Tables.dropTable(spark, _))
   }
+
+  test("scd2Sink: the clamp boundary reads the dimension exactly once " +
+      "per sink lifetime, then carries forward in driver state") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("scd_bc", "scd_bc__swap_tmp", "scd_bc__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    // pre-existing dimension, so the first batch must initialize the
+    // boundary from the TABLE (one read), not the batch
+    Tables.loadScd2(Seq((1L, "a")).toDF("id", "v"), "scd_bc",
+      ts("2030-01-01 00:00:00"))
+    val cp = Files.createTempDirectory("scdbccp").toString
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val before = Streams.scd2BoundaryReads.get
+    val q = Streams.scd2Sink(mem.toDF().toDF("id", "v", "ts"),
+      "scd_bc", cp, "id", "ts")
+    try {
+      mem.addData((1L, "b", ts("2030-01-02 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, "c", ts("2030-01-03 00:00:00")))
+      q.processAllAvailable()
+      // a late batch still clamps correctly against the CACHED boundary
+      mem.addData((2L, "d", ts("2030-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streams.scd2BoundaryReads.get - before == 1L,
+      "boundary must be read from the dimension once per sink lifetime")
+    val t = spark.table("scd_bc")
+    assert(t.filter(col("valid_to") < col("valid_from")).isEmpty)
+    // the late change applied at the cached boundary (2030-01-03)
+    assert(rows(t.orderBy("id", "valid_from")) == Seq(
+      Seq(1L, "a", ts("2030-01-01 00:00:00"), ts("2030-01-02 00:00:00")),
+      Seq(1L, "b", ts("2030-01-02 00:00:00"), null),
+      Seq(2L, "c", ts("2030-01-03 00:00:00"), ts("2030-01-03 00:00:00")),
+      Seq(2L, "d", ts("2030-01-03 00:00:00"), null)))
+    Seq("scd_bc", "scd_bc__swap_tmp", "scd_bc__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+  }
+
+  test("scd2Sink: a non-empty batch with all-null event timestamps " +
+      "fails loudly naming the column, not with an NPE") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("scd_nt", "scd_nt__swap_tmp", "scd_nt__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    val cp = Files.createTempDirectory("scdntcp").toString
+    val mem = MemoryStream[(Long, String, Option[Timestamp])]
+    val q = Streams.scd2Sink(mem.toDF().toDF("id", "v", "ts"),
+      "scd_nt", cp, "id", "ts")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        mem.addData((1L, "a", None))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("all-null 'ts'")))
+    Seq("scd_nt", "scd_nt__swap_tmp", "scd_nt__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+  }
+
+  test("ivfIngestSink refuses an orphan delta tree: unfolded batches " +
+      "with no routing-generation marker") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    Seq("_cells", "_centroids").foreach(sfx =>
+      Tables.dropTable(spark, "ivforphan" + sfx))
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 100), "ivforphan",
+      nlist = 16, numBuckets = 4)
+    val delta = Files.createTempDirectory("ivforphandelta").toString
+    val cp = Files.createTempDirectory("ivforphancp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val someRows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val q = Streams.ivfIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "ivforphan", delta, cp)
+    try { mem.addData(someRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    // delete the marker, leaving the unfolded batch dirs orphaned
+    new java.io.File(delta).listFiles()
+      .filter(_.getName.startsWith("_routing_gen."))
+      .foreach(f => assert(f.delete()))
+    assert(new java.io.File(delta).listFiles()
+      .exists(_.getName.startsWith("batch=")))
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val cp2 = Files.createTempDirectory("ivforphancp2").toString
+    val ex = intercept[IllegalStateException] {
+      Streams.ivfIngestSink(mem2.toDF().toDF("vec_id", "embedding"),
+        "ivforphan", delta, cp2)
+    }
+    assert(ex.getMessage.contains("no routing-generation marker"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+    Seq("_cells", "_centroids").foreach(sfx =>
+      Tables.dropTable(spark, "ivforphan" + sfx))
+  }
 }
