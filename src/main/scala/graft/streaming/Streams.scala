@@ -1289,9 +1289,13 @@ object Streams {
    *
    * Scale: per batch, one equi hash join on the key with the validity
    * range as a residual — the batch side is micro-batch-sized, so the
-   * join broadcasts it; the dimension is read through whatever layout
-   * it has (the [[graft.tables.Tables.loadScd2]] partitioned layout
-   * scans only partitions a version filter keeps).
+   * join broadcasts it. The batch's MIN event time (one batch-sized
+   * aggregate) feeds [[graft.tables.Tables.scd2Lookup]]'s
+   * validity-horizon hint: versions closed before the batch's oldest
+   * fact can never match, so on the [[graft.tables.Tables.loadScd2]]
+   * partitioned layout each batch joins only the current tier plus the
+   * history partitions its own lateness window can reach — never all
+   * history.
    */
   def scd2EnrichSink(stream: DataFrame, table: String, outPath: String,
                      checkpointDir: String, key: String,
@@ -1302,8 +1306,10 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty &&
             batchId > compactedThrough(batch.sparkSession, outPath)) {
+          val horizon = Option(
+            batch.agg(min(col(factTs))).head().getTimestamp(0))
           graft.tables.Tables.scd2Lookup(batch.sparkSession, batch,
-            table, key, factTs)
+            table, key, factTs, noFactsBefore = horizon)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()
         }

@@ -551,10 +551,34 @@ object Tables {
    * Scale: an equi hash join on the key with the validity range as a
    * residual filter — versions per key are few, so the residual is
    * cheap; the fact side is never range-exploded.
+   *
+   * `noFactsBefore` is the validity-horizon pruning hint: when the
+   * CALLER guarantees every fact's `factTs >= t`, versions closed
+   * before `t` (`valid_to <= t`) can never satisfy `valid_to > factTs`
+   * and are filtered out of the dimension side up front — on the
+   * [[loadScd2]] partitioned layout that is a PARTITION filter
+   * (`valid_to_date >= date(t)` — closed history behind the horizon is
+   * never even listed), and on any layout it is a parquet
+   * min/max-skippable row filter. An incremental enrichment job whose
+   * facts trail the present by hours joins a current-tier-sized
+   * dimension slice instead of all history. Output is identical with
+   * or without the hint (TablesSpec pin) — it only removes versions
+   * that could not match under the caller's guarantee.
    */
   def scd2Lookup(spark: SparkSession, facts: DataFrame, table: String,
-                 key: String, factTs: String): DataFrame = {
-    val dim = spark.table(table)
+                 key: String, factTs: String,
+                 noFactsBefore: Option[java.sql.Timestamp] = None)
+      : DataFrame = {
+    val dim0 = spark.table(table)
+    val dim = noFactsBefore.fold(dim0) { t =>
+      val coarse =
+        if (dim0.columns.contains(Scd2PartCol))
+          col(Scd2PartCol).isNull ||
+            col(Scd2PartCol) >= lit(scd2PartValue(spark, t))
+        else lit(true)
+      dim0.filter(coarse &&
+        (col("valid_to").isNull || col("valid_to") > lit(t)))
+    }
     val attrCols = dim.columns
       .filterNot(c => c == key || c == "valid_from" || c == "valid_to" ||
         c == Scd2PartCol)

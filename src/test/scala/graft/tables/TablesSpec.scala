@@ -709,4 +709,37 @@ class TablesSpec extends SparkSpec {
     }
     Tables.dropTable(spark, "t_msql_stage")
   }
+
+  test("scd2Lookup validity-horizon hint: identical output, and closed " +
+      "history behind the horizon prunes at the partition listing") {
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    Seq("t_scdh", "t_scdh__scd2_stage").foreach(Tables.dropTable(spark, _))
+    Tables.loadScd2(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t_scdh",
+      ts("2030-01-01T00:00:00Z"), partitioned = true)
+    Tables.upsertScd2(spark, Seq((1L, "a2")).toDF("id", "v"), "t_scdh",
+      "id", ts("2030-01-02T00:00:00Z"))
+    Tables.upsertScd2(spark, Seq((2L, "b2")).toDF("id", "v"), "t_scdh",
+      "id", ts("2030-01-04T00:00:00Z"))
+    // facts all at/after 01-03: the 01-02-closed version can never match
+    val facts = Seq(
+      (1L, ts("2030-01-03T12:00:00Z")),
+      (2L, ts("2030-01-03T12:00:00Z")), // still version "b" (closed 01-04)
+      (2L, ts("2030-01-04T12:00:00Z"))).toDF("id", "probe")
+    val plain = Tables.scd2Lookup(spark, facts, "t_scdh", "id", "probe")
+    val hinted = Tables.scd2Lookup(spark, facts, "t_scdh", "id", "probe",
+      noFactsBefore = Some(ts("2030-01-03T00:00:00Z")))
+    assert(rows(hinted.orderBy("id", "probe")) ==
+      rows(plain.orderBy("id", "probe")))
+    assert(rows(hinted.orderBy("id", "probe")) == Seq(
+      Seq(1L, ts("2030-01-03T12:00:00Z"), "a2"),
+      Seq(2L, ts("2030-01-03T12:00:00Z"), "b"),
+      Seq(2L, ts("2030-01-04T12:00:00Z"), "b2")))
+    // the hinted plan never lists the 01-02 partition; the 01-04
+    // partition (reachable by the lateness window) stays
+    val files = hinted.inputFiles.toSeq
+    assert(!files.exists(_.contains("valid_to_date=2030-01-02")),
+      "history behind the horizon must prune at the directory listing")
+    assert(files.exists(_.contains("valid_to_date=2030-01-04")))
+    Seq("t_scdh", "t_scdh__scd2_stage").foreach(Tables.dropTable(spark, _))
+  }
 }
