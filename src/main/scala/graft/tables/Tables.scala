@@ -298,6 +298,17 @@ object Tables {
    * result (`tmp`) and the original (`backup`) on disk; recovery = rename
    * whichever is present back to `mainTable`. At no point is the only copy
    * of the data mid-overwrite.
+   *
+   * Scale: on a SINGLE-column-partitioned main, the merge is PRUNED —
+   * the only partitions read and rewritten are those the staging rows
+   * land in plus those the staged keys' CURRENT rows live in (both
+   * discoverable for the cost of one semi join + two partition-count-
+   * bounded distincts). Untouched partitions are never read or
+   * rewritten (file-listing-pinned in TablesSpec), so a daily
+   * incremental merge into a date-partitioned 100 TB fact table costs
+   * the touched days, not the table. Falls back to the full
+   * [[replaceWith]] rewrite for multi-column layouts and null
+   * partition values (whose DROP-PARTITION DDL is engine-ambiguous).
    */
   def upsertIntoTable(spark: SparkSession, staging: DataFrame,
                       mainTable: String, key: String): Long = {
@@ -305,13 +316,71 @@ object Tables {
       loadOverwrite(staging, mainTable)
     } else {
       Relational.assertUniqueKeys(staging, key)
-      val merged = Relational.upsertPlan(spark.table(mainTable), staging, key)
+      val main = spark.table(mainTable)
       import scala.jdk.CollectionConverters._
       val partCols = spark.catalog.listColumns(mainTable).collectAsList()
         .asScala.filter(_.isPartition).map(_.name).toSeq
-      replaceWith(spark, merged, mainTable, partCols)
+      val pruned: Option[Seq[Any]] =
+        if (partCols.size != 1) None
+        else {
+          val pc = partCols.head
+          // partitions holding the staged keys' current rows (they may
+          // vacate) ∪ partitions the staging rows land in
+          val vals = main
+            .join(staging.select(col(key)).distinct(), Seq(key),
+              "left_semi")
+            .select(col(pc))
+            .union(staging.select(col(pc)))
+            .distinct().collect().map(_.get(0)).toSeq
+          if (vals.contains(null)) None else Some(vals)
+        }
+      pruned match {
+        case Some(vals) if vals.isEmpty => () // empty staging: no-op
+        case Some(vals) =>
+          val pc = partCols.head
+          val inTouched = main.filter(col(pc).isin(vals: _*))
+          prunedPartitionedReplace(spark,
+            Relational.upsertPlan(inTouched, staging, key), mainTable,
+            pc, vals)
+        case None =>
+          replaceWith(spark, Relational.upsertPlan(main, staging, key),
+            mainTable, partCols)
+      }
     }
     spark.table(mainTable).count()
+  }
+
+  /** Rewrite ONLY the `touched` partition values (all non-null) of a
+   * single-column-partitioned main with `mergedTouched` — the pruned
+   * sibling of [[replaceWith]]'s partitioned branch, shared by
+   * [[upsertIntoTable]] and [[deleteKeys]]: stage the touched rows
+   * (the frame reads the main it replaces), dynamic-overwrite the
+   * partitions present, then DROP touched values the replacement no
+   * longer contains (fully-vacated partitions — leaving them would
+   * resurrect their old rows). Crash between the overwrite and the
+   * drops leaves vacated partitions stale; re-running the same
+   * upsert/delete heals (their keys are still present and re-resolve
+   * to the same touched set) — the same rerun-heals window as
+   * [[replaceWith]]'s vacated pass. */
+  private def prunedPartitionedReplace(spark: SparkSession,
+                                       mergedTouched: DataFrame,
+                                       mainTable: String, partCol: String,
+                                       touched: Seq[Any]): Unit = {
+    val tmp = suffixed(mainTable, "__prune_stage")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
+    mergedTouched.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(partCol).saveAsTable(tmp)
+    loadPartitioned(spark.table(tmp), mainTable, partCol)
+    val present = spark.table(tmp).select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    touched.filterNot(present.contains).foreach { v =>
+      val esc = String.valueOf(v)
+        .replace("\\", "\\\\").replace("'", "\\'")
+      spark.sql(s"ALTER TABLE ${q(mainTable)} DROP IF EXISTS " +
+        s"PARTITION (`$partCol` = '$esc')")
+    }
+    spark.sql(s"DROP TABLE ${q(tmp)}")
+    spark.catalog.refreshTable(mainTable)
   }
 
   /** Write a fully-merged replacement frame over a managed main:
@@ -606,20 +675,45 @@ object Tables {
    * on restart, as with every swap-protocol write.
    *
    * Scale: one anti-join shuffled on the key (broadcast when the key
-   * set is small — the usual erasure-request shape) plus the rewrite;
-   * on partitioned mains only partitions that still hold rows are
-   * rewritten.
+   * set is small — the usual erasure-request shape) plus the rewrite.
+   * On a single-column-partitioned main the rewrite is PRUNED to the
+   * partitions that actually HOLD the doomed keys (one semi join +
+   * a partition-count-bounded distinct to find them) — a GDPR erasure
+   * of a handful of users rewrites the days those users touched, not
+   * the 100 TB table. Fully-vacated partitions drop; untouched
+   * partitions are never read or rewritten (file-listing-pinned).
+   * Multi-column layouts and null partition values fall back to the
+   * full [[replaceWith]] rewrite.
    */
   def deleteKeys(spark: SparkSession, keys: DataFrame, mainTable: String,
                  key: String): Long = {
-    val remaining = spark.table(mainTable)
-      .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
-      // anti-join puts the key column first; realign to the table schema
-      .select(spark.table(mainTable).schema.fieldNames.map(col): _*)
+    val main = spark.table(mainTable)
+    val keySet = keys.select(col(key)).distinct()
     import scala.jdk.CollectionConverters._
     val partCols = spark.catalog.listColumns(mainTable).collectAsList()
       .asScala.filter(_.isPartition).map(_.name).toSeq
-    replaceWith(spark, remaining, mainTable, partCols)
+    def remainingOf(df: DataFrame) = df
+      .join(keySet, Seq(key), "left_anti")
+      // anti-join puts the key column first; realign to the table schema
+      .select(main.schema.fieldNames.map(col): _*)
+    val pruned: Option[Seq[Any]] =
+      if (partCols.size != 1) None
+      else {
+        val vals = main.join(keySet, Seq(key), "left_semi")
+          .select(col(partCols.head)).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (vals.contains(null)) None else Some(vals)
+      }
+    pruned match {
+      case Some(vals) if vals.isEmpty => () // no doomed keys: no-op
+      case Some(vals) =>
+        val pc = partCols.head
+        prunedPartitionedReplace(spark,
+          remainingOf(main.filter(col(pc).isin(vals: _*))), mainTable,
+          pc, vals)
+      case None =>
+        replaceWith(spark, remainingOf(main), mainTable, partCols)
+    }
     spark.table(mainTable).count()
   }
 

@@ -742,4 +742,69 @@ class TablesSpec extends SparkSpec {
     assert(files.exists(_.contains("valid_to_date=2030-01-04")))
     Seq("t_scdh", "t_scdh__scd2_stage").foreach(Tables.dropTable(spark, _))
   }
+
+  test("upsertIntoTable / deleteKeys on a partitioned main rewrite only " +
+      "the touched partitions — untouched partition files identical") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.hadoop.fs.Path
+    Seq("t_prune", "t_prune__prune_stage", "t_prune__upsert_stage")
+      .foreach(Tables.dropTable(spark, _))
+    // four date partitions, two keys each
+    val rowsIn = for (d <- 1 to 4; i <- 0 to 1)
+      yield (d * 10L + i, s"v$d$i", s"2030-01-0$d")
+    Tables.loadPartitioned(rowsIn.toDF("id", "v", "day"), "t_prune", "day")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def census(days: Seq[String]): Seq[(String, Long, Long)] =
+      spark.table("t_prune").inputFiles.toSeq
+        .filter(f => days.exists(d => f.contains(s"day=$d")))
+        .sorted.map { f =>
+          val st = new Path(f).getFileSystem(conf).getFileStatus(new Path(f))
+          (f, st.getModificationTime, st.getLen)
+        }
+    val untouched = Seq("2030-01-01", "2030-01-02")
+    val before = census(untouched)
+    assert(before.nonEmpty)
+    Thread.sleep(1100)
+    // upsert: update a key in day 3, insert a new key into day 4 —
+    // days 1 and 2 are neither read targets nor write targets
+    assert(Tables.upsertIntoTable(spark,
+      Seq((30L, "V30", "2030-01-03"), (45L, "v45", "2030-01-04"))
+        .toDF("id", "v", "day"), "t_prune", "id") == 9L)
+    assert(census(untouched) == before,
+      "upsert must not rewrite partitions its keys never touch")
+    assert(rows(spark.table("t_prune")
+        .filter(col("id").isin(30L, 45L)).orderBy("id")) ==
+      Seq(Seq(30L, "V30", "2030-01-03"), Seq(45L, "v45", "2030-01-04")))
+    // a key MOVING partitions still vacates its old one when alone:
+    // move both day-3 keys to day 4 — day 3 must drop, days 1/2 intact
+    Thread.sleep(1100)
+    val before2 = census(untouched)
+    assert(Tables.upsertIntoTable(spark,
+      Seq((30L, "V30", "2030-01-04"), (31L, "v31", "2030-01-04"))
+        .toDF("id", "v", "day"), "t_prune", "id") == 9L)
+    assert(census(untouched) == before2)
+    assert(spark.table("t_prune")
+      .filter(col("day") === "2030-01-03").isEmpty)
+    assert(!spark.sql("SHOW PARTITIONS `t_prune`").collect()
+      .map(_.getString(0)).exists(_.contains("2030-01-03")),
+      "fully-vacated partition must be dropped, not left stale")
+    // delete: erase the day-4 keys — days 1/2 files still untouched,
+    // day 4 fully vacates and drops
+    Thread.sleep(1100)
+    val before3 = census(untouched)
+    assert(Tables.deleteKeys(spark,
+      Seq(30L, 31L, 40L, 41L, 45L).toDF("id"), "t_prune", "id") == 4L)
+    assert(census(untouched) == before3,
+      "delete must not rewrite partitions holding none of the keys")
+    assert(!spark.sql("SHOW PARTITIONS `t_prune`").collect()
+      .map(_.getString(0)).exists(_.contains("2030-01-04")))
+    assert(rows(spark.table("t_prune").orderBy("id")) == Seq(
+      Seq(10L, "v10", "2030-01-01"), Seq(11L, "v11", "2030-01-01"),
+      Seq(20L, "v20", "2030-01-02"), Seq(21L, "v21", "2030-01-02")))
+    // deleting keys that exist nowhere is a no-op (empty touched set)
+    assert(Tables.deleteKeys(spark, Seq(999L).toDF("id"), "t_prune",
+      "id") == 4L)
+    Seq("t_prune", "t_prune__prune_stage", "t_prune__upsert_stage")
+      .foreach(Tables.dropTable(spark, _))
+  }
 }
