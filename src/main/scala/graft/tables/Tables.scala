@@ -301,17 +301,27 @@ object Tables {
    *
    * Scale: on a SINGLE-column-partitioned main, the merge is PRUNED —
    * the only partitions read and rewritten are those the staging rows
-   * land in plus those the staged keys' CURRENT rows live in (both
-   * discoverable for the cost of one semi join + two partition-count-
-   * bounded distincts). Untouched partitions are never read or
-   * rewritten (file-listing-pinned in TablesSpec), so a daily
-   * incremental merge into a date-partitioned 100 TB fact table costs
-   * the touched days, not the table. Falls back to the full
+   * land in plus those the staged keys' CURRENT rows live in. Untouched
+   * partitions are never read or rewritten (file-listing-pinned in
+   * TablesSpec), so a daily incremental merge into a date-partitioned
+   * 100 TB fact table WRITES the touched days, not the table. Finding
+   * where the staged keys currently live still READS the main's
+   * (key, partition) columns table-wide — a column-pruned scan, far
+   * cheaper than a rewrite but not partition-bounded. When the caller
+   * can promise `stablePartitions` — a key's partition value never
+   * changes, the natural contract for event-date-partitioned facts —
+   * that discovery scan is skipped entirely and the merge reads AND
+   * writes only the partitions present in staging (measured: flat in
+   * table size, BENCH_scaling.md round-14 entry). Under that promise a
+   * staged key whose current row actually lives elsewhere would be
+   * INSERTED alongside its old row instead of moved — the flag is an
+   * explicit contract, not a heuristic. Falls back to the full
    * [[replaceWith]] rewrite for multi-column layouts and null
    * partition values (whose DROP-PARTITION DDL is engine-ambiguous).
    */
   def upsertIntoTable(spark: SparkSession, staging: DataFrame,
-                      mainTable: String, key: String): Long = {
+                      mainTable: String, key: String,
+                      stablePartitions: Boolean = false): Long = {
     if (!spark.catalog.tableExists(mainTable)) {
       loadOverwrite(staging, mainTable)
     } else {
@@ -325,13 +335,17 @@ object Tables {
         else {
           val pc = partCols.head
           // partitions holding the staged keys' current rows (they may
-          // vacate) ∪ partitions the staging rows land in
-          val vals = main
-            .join(staging.select(col(key)).distinct(), Seq(key),
-              "left_semi")
-            .select(col(pc))
-            .union(staging.select(col(pc)))
-            .distinct().collect().map(_.get(0)).toSeq
+          // vacate) ∪ partitions the staging rows land in; under the
+          // stablePartitions contract the former ⊆ the latter, so the
+          // table-wide discovery semi join is skipped
+          val touchedDf =
+            if (stablePartitions) staging.select(col(pc))
+            else main
+              .join(staging.select(col(key)).distinct(), Seq(key),
+                "left_semi")
+              .select(col(pc))
+              .union(staging.select(col(pc)))
+          val vals = touchedDf.distinct().collect().map(_.get(0)).toSeq
           if (vals.contains(null)) None else Some(vals)
         }
       pruned match {

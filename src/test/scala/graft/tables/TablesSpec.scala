@@ -807,4 +807,45 @@ class TablesSpec extends SparkSpec {
     Seq("t_prune", "t_prune__prune_stage", "t_prune__upsert_stage")
       .foreach(Tables.dropTable(spark, _))
   }
+
+  test("upsertIntoTable stablePartitions: reads AND writes only the " +
+      "staging partitions; the contract violation is the documented one") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.hadoop.fs.Path
+    Seq("t_stab", "t_stab__prune_stage")
+      .foreach(Tables.dropTable(spark, _))
+    val rowsIn = for (d <- 1 to 3; i <- 0 to 1)
+      yield (d * 10L + i, s"v$d$i", s"2030-01-0$d")
+    Tables.loadPartitioned(rowsIn.toDF("id", "v", "day"), "t_stab", "day")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def census(days: Seq[String]): Seq[(String, Long, Long)] =
+      spark.table("t_stab").inputFiles.toSeq
+        .filter(f => days.exists(d => f.contains(s"day=$d")))
+        .sorted.map { f =>
+          val st = new Path(f).getFileSystem(conf).getFileStatus(new Path(f))
+          (f, st.getModificationTime, st.getLen)
+        }
+    val before = census(Seq("2030-01-01", "2030-01-02"))
+    Thread.sleep(1100)
+    // correct use: staged keys stay in their partition — same result as
+    // the default path, untouched partitions byte-identical
+    assert(Tables.upsertIntoTable(spark,
+      Seq((30L, "V30", "2030-01-03"), (35L, "v35", "2030-01-03"))
+        .toDF("id", "v", "day"), "t_stab", "id",
+      stablePartitions = true) == 7L)
+    assert(census(Seq("2030-01-01", "2030-01-02")) == before)
+    assert(rows(spark.table("t_stab")
+        .filter(col("day") === "2030-01-03").orderBy("id")) ==
+      Seq(Seq(30L, "V30", "2030-01-03"), Seq(31L, "v31", "2030-01-03"),
+        Seq(35L, "v35", "2030-01-03")))
+    // contract violation: key 10 actually lives in day 1 but is staged
+    // into day 2 under the promise — documented outcome is an INSERT
+    // alongside the old row, not a move (why the flag is opt-in)
+    Tables.upsertIntoTable(spark,
+      Seq((10L, "MOVED", "2030-01-02")).toDF("id", "v", "day"),
+      "t_stab", "id", stablePartitions = true)
+    assert(spark.table("t_stab").filter(col("id") === 10L).count() == 2L)
+    Seq("t_stab", "t_stab__prune_stage")
+      .foreach(Tables.dropTable(spark, _))
+  }
 }
