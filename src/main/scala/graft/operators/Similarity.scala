@@ -775,13 +775,17 @@ object Similarity {
    * [[ivfPqTopKIndexed]]: broadcast each query's probe cells × m
    * micro-floored integer LUTs against a `(neighbor_id, cell,
    * __code0..__code{m-1})` corpus frame, rank by the associative ADC
-   * sum with id tie-breaks. One code path = the two entry points are
-   * hash-identical by construction. */
+   * sum with id tie-breaks. One code path = the entry points are
+   * hash-identical by construction. `dedupCandidates` is the
+   * [[ivfProbeRank]] tiered contract: `coded` then carries a `__prec`
+   * column and each (query, neighbor) keeps its highest-precedence
+   * row before ranking. */
   private def ivfPqAdcRank(coded: DataFrame, queries: DataFrame,
                            cents: Seq[Seq[Double]],
                            books: Seq[(Seq[Seq[Double]], Seq[Double])],
                            k: Int, nprobe: Int, dsub: Int,
-                           idCol: String, vecCol: String): DataFrame = {
+                           idCol: String, vecCol: String,
+                           dedupCandidates: Boolean = false): DataFrame = {
     val m = books.size
     val qlut = books.zipWithIndex.foldLeft(
       withIvfCell(queries, cents, vecCol)
@@ -806,8 +810,16 @@ object Similarity {
       .map(j => s"element_at(__qs$j, __code$j)").mkString(" + ")
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
-    coded.join(broadcast(qlut), Seq("cell"))
+    val cand = coded.join(broadcast(qlut), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    val deduped =
+      if (dedupCandidates) {
+        val wD = Window.partitionBy("query_id", "neighbor_id")
+          .orderBy(col("__prec").desc)
+        cand.withColumn("__dr", row_number().over(wD))
+          .filter(col("__dr") === 1)
+      } else cand
+    deduped
       .withColumn("adc", expr(adc))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -892,6 +904,26 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
+    val (cents, books) = pqRouting(spark, baseTable)
+    val m = books.size
+    val coded = spark.table(baseTable + "_pqcodes")
+      .select(col(idCol).as("neighbor_id") +: col("cell") +:
+        (0 until m).map(j => col(s"__code$j")): _*)
+    ivfPqAdcRank(coded, queries, cents, books, k, nprobe, dim / m, idCol,
+      vecCol)
+  }
+
+  /**
+   * The persisted PQ index's frozen routing table + codebooks as driver
+   * values — (centroids, per-subspace (codebook, biases)), the
+   * nlist + m·kcent-bounded collect every PQ probe/assign path starts
+   * from (the [[ivfRouting]] contract). Biases rebuild with the SAME
+   * index-order fold as [[pqCodebook]]'s, so they are bit-identical to
+   * a cold build's. Fails loudly on a half-present table pair.
+   */
+  def pqRouting(spark: org.apache.spark.sql.SparkSession,
+                baseTable: String)
+      : (Seq[Seq[Double]], Seq[(Seq[Seq[Double]], Seq[Double])]) = {
     val hasCodes = spark.catalog.tableExists(baseTable + "_pqcodes")
     val hasMeta = spark.catalog.tableExists(baseTable + "_pqmeta")
     if (!hasCodes || !hasMeta)
@@ -903,8 +935,6 @@ object Similarity {
       .select("kind", "i", "j", "vec").collect()
     val cents = meta.filter(_.getString(0) == "cent")
       .sortBy(_.getInt(1)).map(_.getSeq[Double](3).toSeq).toSeq
-    // rebuild (codebook, bias) per subspace; the bias fold is the SAME
-    // index-order fold as pqCodebook's, so biases are bit-identical
     val books = meta.filter(_.getString(0) == "book")
       .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
@@ -912,12 +942,65 @@ object Similarity {
           .toSeq
         (cb, cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5))
       }
+    (cents, books)
+  }
+
+  /**
+   * Encode a batch of NEW vectors against the persisted PQ index's
+   * FROZEN centroids + codebooks — the incremental half of
+   * [[writePqIndex]], mirroring [[ivfDeltaAssign]]: one narrow
+   * projection emits the `_pqcodes` row shape (idCol, cell,
+   * __code0..__code{m-1}). Codebooks and centroids stay frozen between
+   * rebuilds; the REBUILD ORDER contract is [[ivfDeltaAssign]]'s —
+   * fold the delta ([[graft.streaming.Streams.compactPqDelta]]) before
+   * any [[writePqIndex]] retrain.
+   */
+  def pqDeltaAssign(batch: DataFrame, cents: Seq[Seq[Double]],
+                    books: Seq[(Seq[Seq[Double]], Seq[Double])],
+                    dim: Int = 64, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
     val m = books.size
-    val coded = spark.table(baseTable + "_pqcodes")
-      .select(col(idCol).as("neighbor_id") +: col("cell") +:
+    withPqCodes(withIvfCell(batch, cents, vecCol), books, dim / m, vecCol)
+      .select(col(idCol) +: col("__cell").as("cell") +:
         (0 until m).map(j => col(s"__code$j")): _*)
-    ivfPqAdcRank(coded, queries, cents, books, k, nprobe, dim / m, idCol,
-      vecCol)
+  }
+
+  /**
+   * [[ivfPqTopKIndexed]] over the TIERED corpus: the bucketed bulk
+   * `_pqcodes` table plus the `batch=<id>` delta tree a
+   * [[graft.streaming.Streams.pqIngestSink]] appends — the PQ twin of
+   * [[ivfTopKTiered]], same committed-file visibility rule, same
+   * precedence contract (bulk = -1, delta = batch id; a vector in both
+   * tiers or two batches ranks as the row the next fold keeps), same
+   * run-quiesced compaction caveat.
+   */
+  def ivfPqTopKTiered(queries: DataFrame, baseTable: String,
+                      deltaPath: String, k: Int = 10, nprobe: Int = 4,
+                      dim: Int = 64, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, books) = pqRouting(spark, baseTable)
+    val m = books.size
+    val codeCols = (0 until m).map(j => col(s"__code$j"))
+    val bulk = spark.table(baseTable + "_pqcodes")
+      .select(col(idCol).as("neighbor_id") +: col("cell") +: codeCols: _*)
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDelta = fs.exists(p) && fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("batch="))
+      .exists(d => fs.listStatus(d.getPath).exists { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      })
+    val corpus =
+      if (!hasDelta) bulk
+      else bulk.withColumn("__prec", lit(-1L)).union(
+        spark.read.schema(spark.table(baseTable + "_pqcodes").schema)
+          .option("basePath", deltaPath).parquet(deltaPath)
+          .select(col(idCol).as("neighbor_id") +: col("cell") +:
+            codeCols :+ col("batch").cast("long").as("__prec"): _*))
+    ivfPqAdcRank(corpus, queries, cents, books, k, nprobe, dim / m,
+      idCol, vecCol, dedupCandidates = hasDelta)
   }
 
   /**

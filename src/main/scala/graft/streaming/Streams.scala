@@ -1884,4 +1884,107 @@ object Streams {
     graft.tables.Tables.commitSwaps(spark, Seq(baseTable + "_cells"))
     batchIds.foreach(b => fs.delete(new Path(root, b), true))
   }
+
+  /**
+   * Streaming PQ ingest — [[ivfIngestSink]]'s twin for the
+   * [[graft.operators.Similarity.writePqIndex]] index: each micro-batch
+   * encodes against the FROZEN centroids + codebooks
+   * ([[graft.operators.Similarity.pqDeltaAssign]], one narrow
+   * projection) and lands as `_pqcodes`-shaped rows under
+   * `deltaPath/batch=<id>`. Queries see the tiered corpus through
+   * [[graft.operators.Similarity.ivfPqTopKTiered]];
+   * [[compactPqDelta]] folds on cadence. All of [[ivfIngestSink]]'s
+   * generation contracts apply verbatim: the captured generation
+   * re-checks per batch, a marker records the assigning generation,
+   * and a stale or orphan delta tree refuses the restart.
+   */
+  def pqIngestSink(stream: DataFrame, baseTable: String,
+                   deltaPath: String, checkpointDir: String,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): StreamingQuery = {
+    val spark0 = stream.sparkSession
+    val (cents, books) =
+      graft.operators.Similarity.pqRouting(spark0, baseTable)
+    val gen0 = graft.operators.Similarity.pqGeneration(spark0, baseTable)
+    readRoutingGenMarker(spark0, deltaPath) match {
+      case Some(prior) =>
+        if (prior != gen0 && deltaBatchDirsExist(spark0, deltaPath))
+          throw new IllegalStateException(
+            s"delta tree at '$deltaPath' holds unfolded batches encoded " +
+              s"under PQ generation $prior but index '$baseTable' is now " +
+              s"at generation $gen0: fold or drop the old tree before " +
+              "restarting the sink.")
+      case None =>
+        if (deltaBatchDirsExist(spark0, deltaPath))
+          throw new IllegalStateException(
+            s"delta tree at '$deltaPath' holds unfolded batches but no " +
+              "routing-generation marker: fold or drop the orphan tree " +
+              "before restarting the sink.")
+    }
+    writeRoutingGenMarker(spark0, deltaPath, gen0)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val g = graft.operators.Similarity.pqGeneration(
+            batch.sparkSession, baseTable)
+          if (g != gen0) throw new IllegalStateException(
+            s"PQ index '$baseTable' was rebuilt under this sink " +
+              s"(generation $gen0 -> $g): stop the sink, fold the delta, " +
+              "rebuild quiesced, restart.")
+          graft.operators.Similarity.pqDeltaAssign(batch, cents, books,
+            dim, idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$deltaPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /**
+   * Fold a [[pqIngestSink]] delta tree into the bulk `_pqcodes` table —
+   * [[compactIvfDelta]]'s contract verbatim: run QUIESCED, refuse a
+   * tree assigned under a different generation, precedence
+   * (bulk = -1) < batch id with the highest batch winning per id, one
+   * staged bucketed swap, prune batch dirs only after the commit.
+   */
+  def compactPqDelta(spark: SparkSession, deltaPath: String,
+                     baseTable: String, numBuckets: Int = 8,
+                     idCol: String = "vec_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.tables.Tables.recoverSwap(spark, baseTable + "_pqcodes")
+    graft.tables.Tables.recoverSwap(spark, baseTable + "_pqmeta")
+    val root = new Path(deltaPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val batchIds = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+    if (batchIds.isEmpty) return
+    readRoutingGenMarker(spark, deltaPath).foreach { dg =>
+      val g = graft.operators.Similarity.pqGeneration(spark, baseTable)
+      if (dg != g) throw new IllegalStateException(
+        s"delta tree at '$deltaPath' was encoded under PQ generation " +
+          s"$dg but index '$baseTable' is at generation $g: these codes " +
+          "belong to dead centroids/codebooks. Re-encode the delta " +
+          "vectors (pqDeltaAssign) or drop the tree; never fold across " +
+          "a rebuild.")
+    }
+    val bulk = spark.table(baseTable + "_pqcodes")
+    val cols = bulk.schema.fieldNames.toSeq.map(col)
+    val delta = spark.read.option("basePath", deltaPath).parquet(deltaPath)
+      .select(cols :+ col("batch").cast("long").as("__batch"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__batch").desc)
+    val all = bulk
+      .select(cols: _*).withColumn("__batch", lit(-1L))
+      .union(delta)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols: _*)
+    graft.tables.Tables.stageBucketedSwap(all, baseTable + "_pqcodes",
+      "cell", numBuckets)
+    graft.tables.Tables.commitSwaps(spark, Seq(baseTable + "_pqcodes"))
+    batchIds.foreach(b => fs.delete(new Path(root, b), true))
+  }
 }

@@ -567,4 +567,60 @@ object StreamLaws extends Properties("graft.streams") {
       Seq("law_scd_dim").foreach(Tables.dropTable(spark, _))
       got == want
     }
+
+  // ---- pqIngestSink ------------------------------------------------------
+
+  property("pqIngestSink + tiered ADC search = one-shot PQ index over the " +
+      "concatenated corpus, for any batch split") =
+    forAll(Gen.listOfN(12, vecGen), Gen.chooseNum(1, 11)) {
+      (extra, splitAt) =>
+      import graft.operators.Similarity
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // ids 0..3 are both the nlist=4 centroid seeds AND the kcent=4
+      // codebook seeds, so the one-shot full rebuild derives the SAME
+      // frozen meta as the streamed index
+      val base = (0 until 4).map(i => (i.toLong, Seq.fill(Dim)(0.0f)
+        .updated(i % Dim, 1.0f)))
+      val docs = extra.zipWithIndex.map { case (v, i) =>
+        ((i + 4).toLong, v.toSeq) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      Seq("lawpq", "lawpq_full").foreach(b =>
+        Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+          graft.tables.Tables.dropTable(spark, b + sfx)))
+      Similarity.writePqIndex(base.toDF("vec_id", "embedding"), "lawpq",
+        nlist = 4, m = 4, kcent = 4, dim = Dim, numBuckets = 2)
+      val delta = Files.createTempDirectory("law-pqd").toString
+      val cp = Files.createTempDirectory("law-pqc").toString
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.pqIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+        "lawpq", delta, cp, dim = Dim)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val all = (base ++ docs).toDF("vec_id", "embedding")
+      Similarity.writePqIndex(all, "lawpq_full", nlist = 4, m = 4,
+        kcent = 4, dim = Dim, numBuckets = 2)
+      val queries = all.filter(col("vec_id") < 2)
+      val got = Similarity.ivfPqTopKTiered(queries, "lawpq", delta,
+        k = 5, nprobe = 2, dim = Dim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // fold the delta and re-query: the compacted index answers
+      // identically (fold-invariance), and the tree is pruned
+      Streams.compactPqDelta(spark, delta, "lawpq", numBuckets = 2)
+      val folded = Similarity.ivfPqTopKIndexed(queries, "lawpq",
+        k = 5, nprobe = 2, dim = Dim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Similarity.ivfPqTopKIndexed(queries, "lawpq_full",
+        k = 5, nprobe = 2, dim = Dim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Seq("lawpq", "lawpq_full").foreach(b =>
+        Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+          graft.tables.Tables.dropTable(spark, b + sfx)))
+      got == want && folded == want
+    }
 }

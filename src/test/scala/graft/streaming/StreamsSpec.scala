@@ -1353,4 +1353,46 @@ class StreamsSpec extends SparkSpec {
     Seq("_cells", "_centroids").foreach(sfx =>
       Tables.dropTable(spark, "ivforphan" + sfx))
   }
+
+  test("pqIngestSink generation guards: rebuild-under-sink fails the next " +
+      "batch; a restarted sink refuses the stale tree; the fold refuses " +
+      "dead codes") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      Tables.dropTable(spark, "pqstale" + sfx))
+    Similarity.writePqIndex(emb.filter(col("vec_id") < 100), "pqstale",
+      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4)
+    val delta = Files.createTempDirectory("pqstaledelta").toString
+    val cp = Files.createTempDirectory("pqstalecp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val someRows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val q = Streams.pqIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "pqstale", delta, cp, dim = 64)
+    try { mem.addData(someRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(new java.io.File(delta).listFiles()
+      .exists(_.getName.startsWith("batch=")))
+    // rebuild bumps the generation while the old batch sits unfolded
+    Similarity.writePqIndex(emb.filter(col("vec_id") < 100), "pqstale",
+      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4)
+    assert(Similarity.pqGeneration(spark, "pqstale") == 1L)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val cp2 = Files.createTempDirectory("pqstalecp2").toString
+    val ex = intercept[IllegalStateException] {
+      Streams.pqIngestSink(mem2.toDF().toDF("vec_id", "embedding"),
+        "pqstale", delta, cp2, dim = 64)
+    }
+    assert(ex.getMessage.contains("unfolded batches"))
+    val ex2 = intercept[IllegalStateException] {
+      Streams.compactPqDelta(spark, delta, "pqstale", numBuckets = 4)
+    }
+    assert(ex2.getMessage.contains("dead centroids"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+    Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      Tables.dropTable(spark, "pqstale" + sfx))
+  }
 }
