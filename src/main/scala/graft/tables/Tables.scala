@@ -315,9 +315,11 @@ object Tables {
    * table size, BENCH_scaling.md round-14 entry). Under that promise a
    * staged key whose current row actually lives elsewhere would be
    * INSERTED alongside its old row instead of moved — the flag is an
-   * explicit contract, not a heuristic. Falls back to the full
-   * [[replaceWith]] rewrite for multi-column layouts and null
-   * partition values (whose DROP-PARTITION DDL is engine-ambiguous).
+   * explicit contract, not a heuristic. Null partition values prune
+   * like any other (the null partition reads via `IS NULL` and drops
+   * via `PARTITION (col = null)` — measured supported); only
+   * multi-column layouts fall back to the full [[replaceWith]]
+   * rewrite.
    */
   def upsertIntoTable(spark: SparkSession, staging: DataFrame,
                       mainTable: String, key: String,
@@ -345,14 +347,13 @@ object Tables {
                 "left_semi")
               .select(col(pc))
               .union(staging.select(col(pc)))
-          val vals = touchedDf.distinct().collect().map(_.get(0)).toSeq
-          if (vals.contains(null)) None else Some(vals)
+          Some(touchedDf.distinct().collect().map(_.get(0)).toSeq)
         }
       pruned match {
         case Some(vals) if vals.isEmpty => () // empty staging: no-op
         case Some(vals) =>
           val pc = partCols.head
-          val inTouched = main.filter(col(pc).isin(vals: _*))
+          val inTouched = main.filter(partValuesFilter(pc, vals))
           prunedPartitionedReplace(spark,
             Relational.upsertPlan(inTouched, staging, key), mainTable,
             pc, vals)
@@ -388,13 +389,28 @@ object Tables {
     val present = spark.table(tmp).select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSet
     touched.filterNot(present.contains).foreach { v =>
-      val esc = String.valueOf(v)
-        .replace("\\", "\\\\").replace("'", "\\'")
+      val spec =
+        if (v == null) s"`$partCol` = null" // the Hive default partition
+        else {
+          val esc = String.valueOf(v)
+            .replace("\\", "\\\\").replace("'", "\\'")
+          s"`$partCol` = '$esc'"
+        }
       spark.sql(s"ALTER TABLE ${q(mainTable)} DROP IF EXISTS " +
-        s"PARTITION (`$partCol` = '$esc')")
+        s"PARTITION ($spec)")
     }
     spark.sql(s"DROP TABLE ${q(tmp)}")
     spark.catalog.refreshTable(mainTable)
+  }
+
+  /** `partCol ∈ vals` with null-aware semantics: a plain `isin` never
+   * matches null, so a null touched value (the Hive default partition)
+   * adds an explicit `IS NULL` leg. */
+  private def partValuesFilter(pc: String, vals: Seq[Any]): Column = {
+    val nonNull = vals.filter(_ != null)
+    val base =
+      if (nonNull.isEmpty) lit(false) else col(pc).isin(nonNull: _*)
+    if (vals.exists(_ == null)) base || col(pc).isNull else base
   }
 
   /** Write a fully-merged replacement frame over a managed main:
@@ -696,8 +712,11 @@ object Tables {
    * of a handful of users rewrites the days those users touched, not
    * the 100 TB table. Fully-vacated partitions drop; untouched
    * partitions are never read or rewritten (file-listing-pinned).
-   * Multi-column layouts and null partition values fall back to the
-   * full [[replaceWith]] rewrite.
+   * Null partition values prune like any other (see
+   * [[upsertIntoTable]]) — erasing a key from a [[loadScd2]]
+   * partitioned dimension rewrites the current tier plus only the
+   * dates holding that key's closed versions. Multi-column layouts
+   * fall back to the full [[replaceWith]] rewrite.
    */
   def deleteKeys(spark: SparkSession, keys: DataFrame, mainTable: String,
                  key: String): Long = {
@@ -712,19 +731,16 @@ object Tables {
       .select(main.schema.fieldNames.map(col): _*)
     val pruned: Option[Seq[Any]] =
       if (partCols.size != 1) None
-      else {
-        val vals = main.join(keySet, Seq(key), "left_semi")
-          .select(col(partCols.head)).distinct()
-          .collect().map(_.get(0)).toSeq
-        if (vals.contains(null)) None else Some(vals)
-      }
+      else Some(main.join(keySet, Seq(key), "left_semi")
+        .select(col(partCols.head)).distinct()
+        .collect().map(_.get(0)).toSeq)
     pruned match {
       case Some(vals) if vals.isEmpty => () // no doomed keys: no-op
       case Some(vals) =>
         val pc = partCols.head
         prunedPartitionedReplace(spark,
-          remainingOf(main.filter(col(pc).isin(vals: _*))), mainTable,
-          pc, vals)
+          remainingOf(main.filter(partValuesFilter(pc, vals))),
+          mainTable, pc, vals)
       case None =>
         replaceWith(spark, remainingOf(main), mainTable, partCols)
     }

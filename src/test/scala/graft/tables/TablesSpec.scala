@@ -848,4 +848,54 @@ class TablesSpec extends SparkSpec {
     Seq("t_stab", "t_stab__prune_stage")
       .foreach(Tables.dropTable(spark, _))
   }
+
+  test("SCD2 partitioned layout composes with retention and erasure: " +
+      "expirePartitions drops old history metadata-only; deleteKeys " +
+      "erases a key's full version history pruned") {
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    Seq("t_scdr", "t_scdr__scd2_stage", "t_scdr__prune_stage")
+      .foreach(Tables.dropTable(spark, _))
+    Tables.loadScd2(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t_scdr",
+      ts("2030-01-01T00:00:00Z"), partitioned = true)
+    Tables.upsertScd2(spark, Seq((1L, "a2")).toDF("id", "v"), "t_scdr",
+      "id", ts("2030-01-02T00:00:00Z"))
+    Tables.upsertScd2(spark, Seq((1L, "a3"), (2L, "b2")).toDF("id", "v"),
+      "t_scdr", "id", ts("2030-03-05T00:00:00Z"))
+    // retention: drop history closed before 2030-02 — metadata-only,
+    // current tier (null partition) untouched by the lexicographic test
+    assert(Tables.expirePartitions(spark, "t_scdr", "valid_to_date",
+      keepFrom = "2030-02-01") == Seq("2030-01-02"))
+    assert(rows(spark.table("t_scdr").orderBy("id", "valid_from")
+        .select("id", "v")) == Seq(
+      Seq(1L, "a2"), Seq(1L, "a3"), Seq(2L, "b"), Seq(2L, "b2")))
+    // GDPR: erase key 1's ENTIRE version history (current + closed)
+    // through the pruned delete — key 2's versions survive, and the
+    // date partition key 1 never touched (2030-04-07, closed by key
+    // 2's second re-version) is not rewritten: the null partition
+    // prunes like any other, no full-rewrite fallback
+    import org.apache.hadoop.fs.Path
+    Tables.upsertScd2(spark, Seq((2L, "b3")).toDF("id", "v"), "t_scdr",
+      "id", ts("2030-04-07T00:00:00Z"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def census(): Seq[(String, Long, Long)] =
+      spark.table("t_scdr").inputFiles.toSeq
+        .filter(_.contains("valid_to_date=2030-04-07"))
+        .sorted.map { f =>
+          val st = new Path(f).getFileSystem(conf).getFileStatus(new Path(f))
+          (f, st.getModificationTime, st.getLen)
+        }
+    val before = census()
+    assert(before.nonEmpty)
+    Thread.sleep(1100)
+    assert(Tables.deleteKeys(spark, Seq(1L).toDF("id"), "t_scdr",
+      "id") == 3L)
+    assert(census() == before,
+      "a history partition without the erased key must not be rewritten")
+    assert(rows(spark.table("t_scdr").orderBy("id", "valid_from")
+        .select("id", "v")) ==
+      Seq(Seq(2L, "b"), Seq(2L, "b2"), Seq(2L, "b3")))
+    Seq("t_scdr", "t_scdr__scd2_stage", "t_scdr__prune_stage")
+      .foreach(Tables.dropTable(spark, _))
+  }
 }
