@@ -132,8 +132,15 @@ object Main {
             s"[graft] recovered ${c.table} from an interrupted swap")
         // reference update path: stage, merge, drop staging even on failure
         Tables.loadOverwrite(df, c.staging)
-        try Tables.upsertIntoTable(spark, spark.table(c.staging), c.table, c.key)
-        finally Tables.dropTable(spark, c.staging)
+        try {
+          // the reference prints its generated MERGE before running it
+          // (omnichannel_to_bq.py:183) — same artifact here, and the
+          // string IS what an online-warehouse deployment would submit
+          println("[graft] merge SQL:\n" +
+            Tables.mergeSqlText(spark, c.staging, c.table, c.key))
+          Tables.upsertIntoTable(spark, spark.table(c.staging), c.table,
+            c.key)
+        } finally Tables.dropTable(spark, c.staging)
     }
   }
 

@@ -82,11 +82,26 @@ class MainSpec extends SparkSpec {
     val cfg = Main.Config(action = "upsert", input = url, table = "app_up",
       key = "id", staging = "app_up_stg")
     assert(Main.run(spark, cfg) == 2L)
-    // second run with an updated page: id=2 updated, id=3 inserted
+    // second run with an updated page: id=2 updated, id=3 inserted.
+    // The update path PRINTS its generated MERGE statement before the
+    // merge (the reference prints merge_sql the same way,
+    // omnichannel_to_bq.py:183) — pin the exact text from the staged
+    // schema (normalized column order: created_at, id, v)
     Files.writeString(dir.resolve("page-1.json"),
       """{"deals": [{"id": 2, "created_at": "2024-01-02 00:00:00", "v": "B"},
         |           {"id": 3, "created_at": "2024-01-03 00:00:00", "v": "c"}]}""".stripMargin)
-    assert(Main.run(spark, cfg) == 3L)
+    val out = new java.io.ByteArrayOutputStream()
+    val n = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.run(spark, cfg)
+    }
+    assert(n == 3L)
+    assert(out.toString("UTF-8").contains(
+      """MERGE `app_up` T
+        |USING `app_up_stg` S
+        |ON T.id = S.id
+        |WHEN MATCHED THEN UPDATE SET created_at = S.created_at, v = S.v
+        |WHEN NOT MATCHED THEN INSERT (created_at, id, v) VALUES (S.created_at, S.id, S.v)"""
+        .stripMargin))
     // id is on the reference INT list -> normalized to LONG; v -> string
     assert(rows(spark.table("app_up").select("id", "v").orderBy("id")) ==
       Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
