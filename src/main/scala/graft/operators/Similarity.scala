@@ -844,6 +844,16 @@ object Similarity {
    * ([[ivfPqTopK]]'s contract), so the DuckDB oracle recomputes the
    * index closed-form. Replacement goes through the staged two-table
    * swap + generation bump, exactly like [[writeIvfIndex]].
+   *
+   * Rebuild contract: PQ codes are LOSSY — unlike the IVF `_cells`
+   * table there are no raw vectors to retrain from, so a rebuild
+   * always re-encodes from the SOURCE corpus. The streaming retrain
+   * cadence is therefore: fold the delta
+   * ([[graft.streaming.Streams.compactPqDelta]], so queries stay
+   * complete), rebuild via this method from the full corpus (which
+   * must include the streamed vectors — it is the source of truth),
+   * then drop the (now superseded) delta tree; the generation bump
+   * makes a sink or fold that missed the memo fail loudly.
    */
   def writePqIndex(corpus: DataFrame, baseTable: String, nlist: Int = 16,
                    m: Int = 4, kcent: Int = 16, dim: Int = 64,

@@ -898,4 +898,21 @@ class TablesSpec extends SparkSpec {
     Seq("t_scdr", "t_scdr__scd2_stage", "t_scdr__prune_stage")
       .foreach(Tables.dropTable(spark, _))
   }
+
+  test("upsertIntoTable pruned path creates a brand-new partition for " +
+      "staging rows whose value the table has never seen") {
+    import org.apache.spark.sql.functions.col
+    Seq("t_newp", "t_newp__prune_stage").foreach(Tables.dropTable(spark, _))
+    Tables.loadPartitioned(
+      Seq((1L, "a", "2030-01-01")).toDF("id", "v", "day"), "t_newp", "day")
+    assert(Tables.upsertIntoTable(spark,
+      Seq((2L, "b", "2030-06-30")).toDF("id", "v", "day"), "t_newp",
+      "id", stablePartitions = true) == 2L)
+    assert(rows(spark.table("t_newp").orderBy("id")) ==
+      Seq(Seq(1L, "a", "2030-01-01"), Seq(2L, "b", "2030-06-30")))
+    assert(spark.sql("SHOW PARTITIONS `t_newp`").collect()
+      .map(_.getString(0)).toSet ==
+      Set("day=2030-01-01", "day=2030-06-30"))
+    Seq("t_newp", "t_newp__prune_stage").foreach(Tables.dropTable(spark, _))
+  }
 }
