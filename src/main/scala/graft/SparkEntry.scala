@@ -153,7 +153,7 @@ object SparkEntry {
     "semantic_decontaminate", "oov_rate", "hybrid_topk",
     "train_val_split", "kfold_split", "fold_balance",
     "split_leakage",
-    "top_ngrams", "zipf_audit", "heavy_hitters",
+    "top_ngrams", "dsir_weights", "zipf_audit", "heavy_hitters",
     "ks_drift", "ks_drift_by_source", "chi2_drift", "chi2_drift_by_source",
     "chi2_cells", "classifier_auc_by_source",
     "annotator_agreement", "k_anonymity", "l_diversity",
@@ -1343,6 +1343,19 @@ object SparkEntry {
 
     "top_ngrams" -> ((s, dir) =>
       Curation.topNgrams(t(s, dir, "documents"), n = 3, k = 20)),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // LLR of each doc against a target domain — here the corpus's
+    // lowest-named source stands in as the target, so the oracle can
+    // recompute the whole thing closed-form (micro-floored per-bucket
+    // LLRs make every weight an associative BIGINT sum)
+    "dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tgtSource = docs.agg(min("source")).head().getString(0)
+      Curation.dsirWeights(docs,
+        docs.filter(col("source") === tgtSource), buckets = 1024)
+        .orderBy("doc_id")
+    }),
 
     // Zipf rank-frequency: integer ratio vs the n_top/rank law — corpus
     // health sibling of benford_audit, no log-log fit anywhere
@@ -4723,6 +4736,52 @@ object SparkEntry {
          |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
          |  WHERE len(t) >= 3)
          |GROUP BY s ORDER BY df DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    // dsir_weights: unigram+bigram buckets via the shared polynomial
+    // hash; per-bucket add-1 LLR micro-floored once, per-doc BIGINT sum
+    "dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |rawg AS (
+         |  SELECT doc_id, unnest(t) AS g FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM tk WHERE len(t) >= 2),
+         |tgtk AS (SELECT $toksSql AS t FROM documents
+         |         WHERE source = (SELECT min(source) FROM documents)),
+         |tgtg AS (
+         |  SELECT unnest(t) AS g FROM tgtk
+         |  UNION ALL
+         |  SELECT unnest(list_transform(
+         |      generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM tgtk WHERE len(t) >= 2),
+         |rb AS (SELECT doc_id,
+         |    CAST(${duckPolyFragment("g", 31, 1000000007L)} % 1024 AS INT)
+         |      AS b FROM rawg),
+         |tb AS (SELECT
+         |    CAST(${duckPolyFragment("g", 31, 1000000007L)} % 1024 AS INT)
+         |      AS b FROM tgtg),
+         |rc AS (SELECT b, count(*) AS rc FROM rb GROUP BY b),
+         |tc AS (SELECT b, count(*) AS tc FROM tb GROUP BY b),
+         |tot AS (SELECT (SELECT count(*) FROM rb) AS r_tot,
+         |               (SELECT count(*) FROM tb) AS t_tot),
+         |llr AS (SELECT gb.b,
+         |    CAST(floor((ln((COALESCE(tc.tc, 0) + 1) * (tot.r_tot + 1024))
+         |              - ln((COALESCE(rc.rc, 0) + 1) * (tot.t_tot + 1024)))
+         |         * 1000000) AS BIGINT) AS w
+         |  FROM (SELECT unnest(generate_series(0, 1023)) AS b) gb
+         |  CROSS JOIN tot
+         |  LEFT JOIN rc ON rc.b = gb.b
+         |  LEFT JOIN tc ON tc.b = gb.b),
+         |per AS (SELECT rb.doc_id, count(*) AS n_grams, sum(llr.w) AS w
+         |  FROM rb JOIN llr ON llr.b = rb.b GROUP BY rb.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(per.w, 0) AS BIGINT) AS dsir_weight_micro
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "pack_sequences" ->
       s"""SELECT source, doc_id, n_tokens,

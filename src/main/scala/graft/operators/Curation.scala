@@ -302,6 +302,71 @@ object Curation {
    * string, so top-k is deterministic. One hash-aggregate over exploded
    * distinct-per-doc shingles + a global top-k (TakeOrderedAndProject).
    */
+  /**
+   * DSIR importance weights (Xie et al., "Data Selection for Language
+   * Models via Importance Resampling", NeurIPS 2023): score each RAW
+   * document by how much more likely its hashed n-gram profile is under
+   * the TARGET corpus's bucket distribution than under the raw corpus's
+   * own — the published recipe for selecting in-domain pre-training
+   * data without a trained classifier. Features are the paper's
+   * unigrams + bigrams, hashed into `buckets` buckets (the
+   * oracle-checkable polynomial hash, not a seeded hasher); each
+   * bucket's log-likelihood ratio uses add-1 smoothing and is floored
+   * to integer micro-units ONCE per bucket, so every document weight
+   * is an associative BIGINT sum — engine-exact, like every scoring
+   * path here. Emits (idCol, n_grams, dsir_weight_micro); a document
+   * with no grams carries weight 0. Selection composes downstream:
+   * top-k by weight, [[weightedSample]], or [[capPerGroup]].
+   *
+   * Scale: two corpus-side gram explosions reduce to bucket counts
+   * (map-side partial aggregation, `buckets`-bounded frames); the
+   * per-bucket LLR table is tiny and BROADCASTS into the per-document
+   * sum — the raw corpus never shuffles on anything wider than the
+   * final per-id aggregate.
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    def grams(df: DataFrame, keepId: Boolean): DataFrame = {
+      val t = df.withColumn("__t", TextFns.tokens(textCol))
+      val idCols = if (keepId) Seq(col(idCol)) else Seq.empty
+      val uni = t.select(idCols :+ explode(col("__t")).as("g"): _*)
+      val bi = t.filter(size(col("__t")) >= 2)
+        .select(idCols :+ explode(TextFns.shingles("__t", 2)).as("g"): _*)
+      uni.unionByName(bi)
+    }
+    val h = s"graft_poly_hash(g, 31, ${TextFns.HashMod})"
+    def bucketed(df: DataFrame) =
+      df.withColumn("b", expr(s"CAST($h % $buckets AS INT)")).drop("g")
+    val rawG = bucketed(grams(raw, keepId = true))
+    val tgtB = bucketed(grams(target, keepId = false))
+    val rawCnt = rawG.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgtCnt = tgtB.groupBy("b").agg(count(lit(1)).as("tc"))
+    val totals = rawCnt.agg(coalesce(sum("rc"), lit(0L)).as("R"))
+      .crossJoin(tgtCnt.agg(coalesce(sum("tc"), lit(0L)).as("T")))
+    // per-bucket LLR with add-1 smoothing, floored to micro-units ONCE:
+    // ln((tc+1)·(R+B)) − ln((rc+1)·(T+B)) — both ln arguments are exact
+    // integer-valued doubles (< 2^53), so the only rounding is the two
+    // lns and the final floor, identical on the DuckDB side
+    val llr = raw.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("b"))
+      .join(rawCnt, Seq("b"), "left").join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"""CAST(floor((ln((coalesce(tc, 0L) + 1L) * (R + $buckets))
+           |          - ln((coalesce(rc, 0L) + 1L) * (T + $buckets)))
+           |          * 1000000) AS BIGINT)""".stripMargin).as("w"))
+    val per = rawG.join(broadcast(llr), Seq("b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum("w").as("w"))
+    raw.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("w"), lit(0L)).as("dsir_weight_micro"))
+  }
+
   def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs

@@ -593,4 +593,30 @@ class CurationSpec extends SparkSpec {
     val o3 = rows(Curation.kAnonymityAudit(df, Seq("qt", "qz"), 3L)).head
     assert(o3 == Seq(6L, 3L, 2L, 3L, 500L))
   }
+
+  test("dsirWeights: in-domain documents outweigh out-of-domain; " +
+      "gram counts include unigrams + bigrams; empty docs weigh 0") {
+    import org.apache.spark.sql.functions.col
+    val raw = Seq(
+      (1L, "spark shuffle exchange plan"),
+      (2L, "spark shuffle partition"),
+      (3L, "banana smoothie recipe blender"),
+      (4L, "")).toDF("doc_id", "text")
+    val target = Seq((10L, "spark shuffle exchange"),
+      (11L, "shuffle plan exchange")).toDF("doc_id", "text")
+    val out = Curation.dsirWeights(raw, target, buckets = 64)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // unigrams + bigrams: "spark shuffle exchange plan" = 4 + 3 grams
+    assert(out(0).getLong(1) == 7L)
+    assert(out(3).getLong(1) == 0L && out(3).getLong(2) == 0L)
+    // per-gram in-domain score beats out-of-domain (doc 3 shares no
+    // vocabulary with the target, so its grams only pay the raw-side
+    // denominator)
+    val perGram = out.map(r =>
+      if (r.getLong(1) == 0) 0.0 else r.getLong(2).toDouble / r.getLong(1))
+    assert(perGram(0) > perGram(2),
+      s"in-domain doc must outweigh out-of-domain: ${perGram.toSeq}")
+    assert(perGram(1) > perGram(2))
+  }
 }
