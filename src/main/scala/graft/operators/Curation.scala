@@ -336,27 +336,10 @@ object Curation {
         .select(idCols :+ explode(TextFns.shingles("__t", 2)).as("g"): _*)
       uni.unionByName(bi)
     }
-    val h = s"graft_poly_hash(g, 31, ${TextFns.HashMod})"
-    def bucketed(df: DataFrame) =
-      df.withColumn("b", expr(s"CAST($h % $buckets AS INT)")).drop("g")
-    val rawG = bucketed(grams(raw, keepId = true))
-    val tgtB = bucketed(grams(target, keepId = false))
-    val rawCnt = rawG.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tgtCnt = tgtB.groupBy("b").agg(count(lit(1)).as("tc"))
-    val totals = rawCnt.agg(coalesce(sum("rc"), lit(0L)).as("R"))
-      .crossJoin(tgtCnt.agg(coalesce(sum("tc"), lit(0L)).as("T")))
-    // per-bucket LLR with add-1 smoothing, floored to micro-units ONCE:
-    // ln((tc+1)·(R+B)) − ln((rc+1)·(T+B)) — both ln arguments are exact
-    // integer-valued doubles (< 2^53), so the only rounding is the two
-    // lns and the final floor, identical on the DuckDB side
-    val llr = raw.sparkSession.range(buckets)
-      .select(col("id").cast("int").as("b"))
-      .join(rawCnt, Seq("b"), "left").join(tgtCnt, Seq("b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("b"), expr(
-        s"""CAST(floor((ln((coalesce(tc, 0L) + 1L) * (R + $buckets))
-           |          - ln((coalesce(rc, 0L) + 1L) * (T + $buckets)))
-           |          * 1000000) AS BIGINT)""".stripMargin).as("w"))
+    val rawG = dsirGramBuckets(grams(raw, keepId = true), buckets)
+    val rawCnt = rawG.groupBy("b").agg(count(lit(1)).as("n"))
+    val tgtCnt = dsirBucketCounts(target, buckets, textCol)
+    val llr = dsirLlrFromCounts(rawCnt, tgtCnt, buckets)
     val per = rawG.join(broadcast(llr), Seq("b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), sum("w").as("w"))
@@ -365,6 +348,54 @@ object Curation {
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("w"), lit(0L)).as("dsir_weight_micro"))
+  }
+
+  /** Attach the DSIR bucket id to a gram frame: the oracle-checkable
+   * polynomial hash mod `buckets`. */
+  private def dsirGramBuckets(gramsDf: DataFrame, buckets: Int): DataFrame =
+    gramsDf.withColumn("b", expr(
+      s"CAST(graft_poly_hash(g, 31, ${TextFns.HashMod}) % $buckets AS INT)"))
+      .drop("g")
+
+  /**
+   * One corpus's DSIR bucket-count profile — (b, n) over the hashed
+   * unigram+bigram stream. ADDITIVE: profiles of disjoint corpus slices
+   * merge by plain summation per bucket, which is what makes the LLR
+   * table incrementally maintainable (the [[graft.streaming.Streams
+   * .dsirSink]] partials protocol).
+   */
+  def dsirBucketCounts(df: DataFrame, buckets: Int = 1024,
+                       textCol: String = "text"): DataFrame = {
+    val t = df.withColumn("__t", TextFns.tokens(textCol))
+    val uni = t.select(explode(col("__t")).as("g"))
+    val bi = t.filter(size(col("__t")) >= 2)
+      .select(explode(TextFns.shingles("__t", 2)).as("g"))
+    dsirGramBuckets(uni.unionByName(bi), buckets)
+      .groupBy("b").agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * The per-bucket DSIR log-likelihood-ratio table from two
+   * [[dsirBucketCounts]] profiles — (b, w) for every bucket in
+   * [0, buckets): `floor((ln((tc+1)·(R+B)) − ln((rc+1)·(T+B))) · 1e6)`
+   * with add-1 smoothing. Both ln arguments are exact integer-valued
+   * doubles (< 2^53), so the only rounding is the two lns and the
+   * final floor — identical on the DuckDB side, which is what makes
+   * every downstream document weight engine-exact.
+   */
+  def dsirLlrFromCounts(rawCounts: DataFrame, tgtCounts: DataFrame,
+                        buckets: Int = 1024): DataFrame = {
+    val totals = rawCounts.agg(coalesce(sum("n"), lit(0L)).as("R"))
+      .crossJoin(tgtCounts.agg(coalesce(sum("n"), lit(0L)).as("T")))
+    rawCounts.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("b"))
+      .join(rawCounts.withColumnRenamed("n", "rc"), Seq("b"), "left")
+      .join(tgtCounts.withColumnRenamed("n", "tc"), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"""CAST(floor((ln((coalesce(tc, 0L) + 1L) * (R + $buckets))
+           |          - ln((coalesce(rc, 0L) + 1L) * (T + $buckets)))
+           |          * 1000000) AS BIGINT)""".stripMargin).as("w"))
   }
 
   def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20,

@@ -1173,6 +1173,55 @@ object Streams {
       .start()
 
   /**
+   * Streaming DSIR profile maintenance — [[graft.operators.Curation
+   * .dsirWeights]]'s distribution half as a live sink: the stream
+   * carries documents tagged `corpus ∈ {raw, target}`, each micro-batch
+   * lands its per-corpus bucket-count partials under
+   * `partialsPath/batch=<id>` (bucket counts are plain sums —
+   * additive, replay-idempotent under the batch-partition +
+   * [[compactedThrough]] watermark protocol), and the cumulative
+   * per-bucket LLR table — recomputed from folded counts with the same
+   * micro-floored arithmetic as the batch operator, never averaged —
+   * rewrites to `llrPath/batch=<id>`. Downstream selection reads the
+   * newest LLR table and scores candidate documents with one broadcast
+   * join; as the target domain's sample grows, the selection
+   * distribution sharpens within a batch of landing.
+   *
+   * Scale: per batch, one batch-sized gram explosion reduced to
+   * `buckets`-bounded partials; the fold reads (2 × buckets × batches)
+   * counter rows, never documents.
+   */
+  def dsirSink(stream: DataFrame, partialsPath: String, llrPath: String,
+               checkpointDir: String, buckets: Int = 1024,
+               corpusCol: String = "corpus",
+               textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
+          val s = batch.sparkSession
+          Seq("raw", "target").map { c =>
+            graft.operators.Curation.dsirBucketCounts(
+              batch.filter(col(corpusCol) === c), buckets, textCol)
+              .withColumn("corpus", lit(c))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$partialsPath/batch=$batchId")
+          val all = s.read
+            .option("basePath", partialsPath).parquet(partialsPath)
+            .groupBy("corpus", "b").agg(sum("n").as("n"))
+          graft.operators.Curation.dsirLlrFromCounts(
+            all.filter(col("corpus") === "raw").select("b", "n"),
+            all.filter(col("corpus") === "target").select("b", "n"),
+            buckets)
+            .write.mode("overwrite").parquet(s"$llrPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming SCD Type 2 dimension maintenance — a CDC/attribute feed
    * folds into the history-keeping table per micro-batch: the batch
    * dedupes to latest-per-key by its event-time column (satisfying the

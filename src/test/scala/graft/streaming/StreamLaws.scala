@@ -623,4 +623,42 @@ object StreamLaws extends Properties("graft.streams") {
           graft.tables.Tables.dropTable(spark, b + sfx)))
       got == want && folded == want
     }
+
+  // ---- dsirSink ----------------------------------------------------------
+
+  property("dsirSink cumulative LLR table = batch dsirLlrFromCounts over " +
+      "the concatenated corpora, for any batch split") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("raw", "target"),
+        Gen.listOfN(3, Gen.oneOf("alpha", "beta", "gamma", "delta")))),
+      Gen.chooseNum(1, 9)) { (docs, splitAt) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows0 = docs.map { case (c, ws) => (c, ws.mkString(" ")) }
+      val cut = math.min(splitAt, rows0.size - 1).max(1)
+      val (b0, b1) = rows0.splitAt(cut)
+      val partials = Files.createTempDirectory("law-dsirp").toString
+      val llrDir = Files.createTempDirectory("law-dsirl").toString
+      val cp = Files.createTempDirectory("law-dsirc").toString
+      val B = 32
+      val mem = MemoryStream[(String, String)]
+      val q = Streams.dsirSink(mem.toDF().toDF("corpus", "text"),
+        partials, llrDir, cp, buckets = B)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val allDf = rows0.toDF("corpus", "text")
+      val want = Curation.dsirLlrFromCounts(
+        Curation.dsirBucketCounts(allDf.filter(col("corpus") === "raw"), B),
+        Curation.dsirBucketCounts(
+          allDf.filter(col("corpus") === "target"), B), B)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val got = spark.read.parquet(s"$llrDir/batch=1")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      got == want && want.size == B
+    }
 }
