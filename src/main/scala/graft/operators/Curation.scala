@@ -336,13 +336,19 @@ object Curation {
         .select(idCols :+ explode(TextFns.shingles("__t", 2)).as("g"): _*)
       uni.unionByName(bi)
     }
-    val rawG = dsirGramBuckets(grams(raw, keepId = true), buckets)
-    val rawCnt = rawG.groupBy("b").agg(count(lit(1)).as("n"))
+    // ONE gram explosion: reduce to (id, bucket, multiplicity) first —
+    // both the corpus-wide bucket counts and the per-doc weights hang
+    // off this aggregate, so ReuseExchange computes the explode +
+    // shuffle once (two direct consumers of the raw gram stream would
+    // each re-scan and re-hash the corpus — measured 2x)
+    val docB = dsirGramBuckets(grams(raw, keepId = true), buckets)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val rawCnt = docB.groupBy("b").agg(sum("c").as("n"))
     val tgtCnt = dsirBucketCounts(target, buckets, textCol)
     val llr = dsirLlrFromCounts(rawCnt, tgtCnt, buckets)
-    val per = rawG.join(broadcast(llr), Seq("b"))
+    val per = docB.join(broadcast(llr), Seq("b"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"), sum("w").as("w"))
+      .agg(sum("c").as("n_grams"), sum(col("c") * col("w")).as("w"))
     raw.select(col(idCol))
       .join(per, Seq(idCol), "left")
       .select(col(idCol),
