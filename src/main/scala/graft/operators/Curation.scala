@@ -328,23 +328,23 @@ object Curation {
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(buckets >= 2, "buckets >= 2")
-    def grams(df: DataFrame, keepId: Boolean): DataFrame = {
-      val t = df.withColumn("__t", TextFns.tokens(textCol))
-      val idCols = if (keepId) Seq(col(idCol)) else Seq.empty
-      val uni = t.select(idCols :+ explode(col("__t")).as("g"): _*)
-      val bi = t.filter(size(col("__t")) >= 2)
-        .select(idCols :+ explode(TextFns.shingles("__t", 2)).as("g"): _*)
-      uni.unionByName(bi)
-    }
-    // ONE gram explosion: reduce to (id, bucket, multiplicity) first —
-    // both the corpus-wide bucket counts and the per-doc weights hang
-    // off this aggregate, so ReuseExchange computes the explode +
-    // shuffle once (two direct consumers of the raw gram stream would
-    // each re-scan and re-hash the corpus — measured 2x)
-    val docB = dsirGramBuckets(grams(raw, keepId = true), buckets)
+
+    // Inherently two-pass over raw (pass 1: global bucket counts;
+    // pass 2: per-doc scoring against the finished LLR table), each
+    // pass ONE scan + ONE explode (unigrams and bigrams concat into a
+    // single array — a union of two explodes would scan the corpus
+    // twice per pass). The bucket-bounded count frames localCheckpoint
+    // (the repo's small-frame/expensive-lineage pin rule): without it,
+    // every consumer of the counts — the two totals and the two LLR
+    // join legs — re-executes the whole corpus subtree, because HOF
+    // lambdas defeat exchange-reuse canonicalization (measured: 10
+    // documents scans in the executed plan; 4 after this shape).
+    val docB = dsirGramBuckets(gramStream(raw, textCol, Seq(col(idCol))),
+      buckets)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-    val rawCnt = docB.groupBy("b").agg(sum("c").as("n"))
+    val rawCnt = docB.groupBy("b").agg(sum("c").as("n")).localCheckpoint()
     val tgtCnt = dsirBucketCounts(target, buckets, textCol)
+      .localCheckpoint()
     val llr = dsirLlrFromCounts(rawCnt, tgtCnt, buckets)
     val per = docB.join(broadcast(llr), Seq("b"))
       .groupBy(idCol)
@@ -371,14 +371,19 @@ object Curation {
    * .dsirSink]] partials protocol).
    */
   def dsirBucketCounts(df: DataFrame, buckets: Int = 1024,
-                       textCol: String = "text"): DataFrame = {
-    val t = df.withColumn("__t", TextFns.tokens(textCol))
-    val uni = t.select(explode(col("__t")).as("g"))
-    val bi = t.filter(size(col("__t")) >= 2)
-      .select(explode(TextFns.shingles("__t", 2)).as("g"))
-    dsirGramBuckets(uni.unionByName(bi), buckets)
+                       textCol: String = "text"): DataFrame =
+    dsirGramBuckets(gramStream(df, textCol, Seq.empty), buckets)
       .groupBy("b").agg(count(lit(1)).as("n"))
-  }
+
+  /** The DSIR feature stream: unigrams + bigrams in ONE explode per
+   * scan (`concat` of the token array and its 2-shingles — a union of
+   * two explodes would read the corpus twice). Empty docs contribute
+   * no grams. */
+  private def gramStream(df: DataFrame, textCol: String,
+                         idCols: Seq[Column]): DataFrame =
+    df.withColumn("__t", TextFns.tokens(textCol))
+      .select(idCols :+ explode(
+        concat(col("__t"), TextFns.shingles("__t", 2))).as("g"): _*)
 
   /**
    * The per-bucket DSIR log-likelihood-ratio table from two

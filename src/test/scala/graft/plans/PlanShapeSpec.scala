@@ -284,4 +284,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(Multimodal.resizeBatch(spark, docs.limit(32)).toDF()
       .rdd.getNumPartitions >= par)
   }
+
+  test("dsir_weights: <= 2 documents scans (raw + target legs) — the " +
+      "gram explosion rides one shared (doc, bucket) exchange") {
+    val p = executedPlan("dsir_weights")
+    // 2 raw text passes (counts, scoring) + 1 target pass + 1 id-only
+    // left-join scan = 4; the pre-checkpoint shape measured 10
+    assert(scanCount(p, "documents") <= 4,
+      s"dsir corpus subtree re-executed beyond the two-pass floor:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
 }
