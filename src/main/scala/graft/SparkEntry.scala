@@ -110,7 +110,8 @@ object SparkEntry {
     "profile_columns_sketch", "constraint_audit", "lateness_audit",
     "trend_by_type", "cumulative_users", "cumulative_users_by_type",
     "hash_sample", "props_extract",
-    "token_stats", "bpe_token_stats", "quality_score", "lang_id",
+    "token_stats", "bpe_token_stats", "quality_score", "char_entropy",
+    "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans",
@@ -123,8 +124,8 @@ object SparkEntry {
     "ivf_topk_indexed",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "ivf_pq_topk_indexed", "matryoshka_topk",
-    "quantize_int8", "embedding_centroids", "embedding_drift",
-    "hard_negatives",
+    "quantize_int8", "ndcg_quantized", "embedding_centroids",
+    "embedding_drift", "hard_negatives",
     "embedding_outliers",
     "payload_meta", "decode_batch", "media_resize", "frame_sample",
     "media_ops",
@@ -156,7 +157,7 @@ object SparkEntry {
     "top_ngrams", "dsir_weights", "zipf_audit", "heavy_hitters",
     "ks_drift", "ks_drift_by_source", "chi2_drift", "chi2_drift_by_source",
     "chi2_cells", "classifier_auc_by_source",
-    "annotator_agreement", "k_anonymity", "l_diversity",
+    "annotator_agreement", "k_anonymity", "l_diversity", "t_closeness",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
@@ -548,6 +549,12 @@ object SparkEntry {
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // character-distribution Shannon entropy (micro-bits) per document —
+    // the two-tailed junk filter, computed by the native codegen'd
+    // graft_char_entropy expression inside the scan projection
+    "char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents")).orderBy("doc_id")),
+
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -668,6 +675,16 @@ object SparkEntry {
         t(s, dir, "documents")
           .withColumn("len_band", expr("n_chars DIV 100")),
         Seq("lang", "len_band"), "source", l = 3L)),
+
+    // t-closeness over the same quasi-identifier frame: variational
+    // distance of each class's source distribution from the global one,
+    // integer-exact (cross-multiplied |·| numerators, DECIMAL DIV).
+    // t = 0.45 splits the sf0.01 class population ~16/14 flagged/clear
+    "t_closeness" -> ((s, dir) =>
+      Curation.tClosenessAudit(
+        t(s, dir, "documents")
+          .withColumn("len_band", expr("n_chars DIV 100")),
+        Seq("lang", "len_band"), "source", tMicro = 450000L)),
 
     // ---- dedup (documents) ----
     "exact_dedup" -> ((s, dir) =>
@@ -957,6 +974,21 @@ object SparkEntry {
 
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings")).orderBy("vec_id")),
+
+    // ranking-eval of an aggressively quantized serving tier (int3,
+    // levels=7 — int8 is measured lossless on this corpus) vs the exact
+    // float ranking: per-query hits, MRR, DCG/IDCG and nDCG — metrics
+    // all integer-exact, the discount table shared verbatim with the
+    // oracle
+    "ndcg_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      Similarity.rankingEval(
+        Similarity.bruteForceTopK(emb, qs, k = 10),
+        Similarity.quantizedCosineTopK(emb, qs, k = 10, levels = 7),
+        k = 10)
+        .orderBy("query_id")
+    }),
 
     // contrastive hard-negative mining: nearest different-label vectors
     "hard_negatives" -> ((s, dir) => {
@@ -2805,6 +2837,30 @@ object SparkEntry {
     "quality_score" ->
       s"$qualityScoreSql\nORDER BY doc_id",
 
+    // char_entropy: per-codepoint-class micro-floored ln terms, BIGINT
+    // sums — the same expression association as the native
+    // graft_char_entropy expression ((1e6 · (cnt/n)) · (ln(n/cnt)/ln 2))
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, len(text))) AS i
+        |  FROM documents)),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+        |        FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n
+        |        FROM cnt GROUP BY doc_id),
+        |term AS (SELECT cnt.doc_id,
+        |    CAST(floor((1000000 * (CAST(k AS DOUBLE) / n))
+        |               * (ln(CAST(n AS DOUBLE) / k) / ln(2.0)))
+        |      AS BIGINT) AS t
+        |  FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_cps,
+        |  CAST(COALESCE(s.e, 0) AS BIGINT) AS entropy_micro
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, sum(t) AS e FROM term GROUP BY doc_id) s
+        |  ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // quality_band: percentile of the same score, (score, id) ordering
     "quality_band" ->
       s"""WITH qs AS ($qualityScoreSql),
@@ -3127,6 +3183,43 @@ object SparkEntry {
         |       THEN CAST(rows_at_risk * 1000 // n_rows AS BIGINT)
         |  END AS risk_permille
         |FROM a""".stripMargin,
+
+    // t_closeness: the same integer-exact variational-distance identity
+    // as the Scala twin — per class Σ|n_cs·N − n_s·N_c| over present
+    // sources plus (N − Σ_present n_s)·N_c for the absent remainder,
+    // dist_micro = num·1e6 // (2·N_c·N) in HUGEINT, no doubles anywhere
+    "t_closeness" ->
+      """WITH cs AS (SELECT lang, n_chars // 100 AS len_band, source,
+        |    CAST(count(*) AS BIGINT) AS ncs
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT source, CAST(sum(ncs) AS BIGINT) AS ns
+        |      FROM cs GROUP BY source),
+        |tot AS (SELECT CAST(COALESCE(sum(ns), 0) AS BIGINT) AS N FROM g),
+        |cw AS (SELECT cs.*, CAST(sum(ncs) OVER (
+        |         PARTITION BY lang, len_band) AS BIGINT) AS nc FROM cs),
+        |cls AS (SELECT cw.lang, cw.len_band,
+        |    max(cw.nc) AS nc, max(tot.N) AS N,
+        |    sum(abs(CAST(cw.ncs AS HUGEINT) * tot.N
+        |            - CAST(g.ns AS HUGEINT) * cw.nc)) AS pres,
+        |    CAST(sum(g.ns) AS BIGINT) AS gsum
+        |  FROM cw JOIN g USING (source) CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |d AS (SELECT nc,
+        |    CAST((pres + CAST(N - gsum AS HUGEINT) * nc) * 1000000
+        |         // (2 * CAST(nc AS HUGEINT) * N) AS BIGINT) AS dist_micro
+        |  FROM cls)
+        |SELECT CAST(COALESCE(sum(nc), 0) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(COALESCE(sum(CASE WHEN dist_micro > 450000 THEN 1
+        |    ELSE 0 END), 0) AS BIGINT) AS n_above_t,
+        |  CAST(COALESCE(sum(CASE WHEN dist_micro > 450000 THEN nc
+        |    ELSE 0 END), 0) AS BIGINT) AS rows_at_risk,
+        |  CASE WHEN COALESCE(sum(nc), 0) > 0
+        |       THEN CAST(COALESCE(sum(CASE WHEN dist_micro > 450000
+        |         THEN nc ELSE 0 END), 0) * 1000 // sum(nc) AS BIGINT)
+        |  END AS risk_permille,
+        |  CAST(max(dist_micro) AS BIGINT) AS max_dist_micro
+        |FROM d""".stripMargin,
 
     "fingerprint" ->
       s"""SELECT doc_id,
@@ -4152,6 +4245,68 @@ object SparkEntry {
         |                                x -> abs(CAST(x AS DOUBLE)))) AS m
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+
+    // ndcg_quantized: truth = the exact float cosine top-10 (the
+    // topk_cosine body); candidate = cosine top-10 over the int8 codes
+    // (exact-integer inputs, correctly-rounded sqrt/divide — ranking
+    // engine-invariant); every metric downstream is BIGINT arithmetic
+    // over a discount table interpolated VERBATIM from
+    // Similarity.ndcgDiscountMicro, the single source of float truth
+    "ndcg_quantized" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id) AS rank
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |  WHERE rank <= 10),
+         |q8 AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(CAST(round(CAST(x AS DOUBLE) *
+         |      (CASE WHEN m > 0 THEN 7.0 / m ELSE 0.0 END)) AS INT)
+         |      AS DOUBLE)) AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding,
+         |                                  x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings)),
+         |qn AS (SELECT vec_id, qv, sqrt(${dotSql("qv", "qv")}) AS nrm FROM q8),
+         |cand AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |        THEN ${dotSql("q.qv", "c.qv")} / (q.nrm * c.nrm)
+         |        ELSE -2.0 END) DESC, c.vec_id) AS rank
+         |  FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |  WHERE rank <= 10),
+         |disc(r, d) AS (VALUES ${(1 to 10).map(r =>
+             s"(${r}, ${graft.operators.Similarity.ndcgDiscountMicro(r)})")
+             .mkString(", ")}),
+         |cum(m, cd) AS (VALUES ${(0 to 10).map(m =>
+             s"(${m}, ${(1 to m).map(
+               graft.operators.Similarity.ndcgDiscountMicro).sum})")
+             .mkString(", ")}),
+         |hits AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    min(c.rank) AS first_r, CAST(sum(disc.d) AS BIGINT) AS dcg
+         |  FROM cand c
+         |  JOIN truth t ON t.query_id = c.query_id
+         |             AND t.neighbor_id = c.neighbor_id
+         |  JOIN disc ON disc.r = c.rank
+         |  GROUP BY c.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM truth)
+         |SELECT qs.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(1000000 // h.first_r, 0) AS BIGINT) AS mrr_micro,
+         |  CAST(COALESCE(h.dcg, 0) AS BIGINT) AS dcg_micro,
+         |  CAST(cum.cd AS BIGINT) AS idcg_micro,
+         |  CASE WHEN cum.cd > 0
+         |       THEN CAST(COALESCE(h.dcg, 0) * 1000 // cum.cd AS BIGINT)
+         |  END AS ndcg_permille
+         |FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
+         |JOIN cum ON cum.m = COALESCE(h.n_hits, 0)
+         |ORDER BY qs.query_id""".stripMargin,
 
     // embedding_centroids: same micro-unit integer sums (associative,
     // engine-invariant), floor of the exact double quotient

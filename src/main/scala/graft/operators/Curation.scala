@@ -1519,4 +1519,74 @@ object Curation {
       .withColumn("risk_permille",
         when(col("n_rows") > 0, expr("rows_at_risk * 1000 DIV n_rows")))
   }
+
+  /**
+   * t-closeness audit (Li et al., ICDE 2007) — the third privacy gate
+   * after [[kAnonymityAudit]] and [[lDiversityAudit]]: a group can be
+   * big (k-anonymous) and varied (l-diverse) yet still leak when its
+   * sensitive-value DISTRIBUTION differs sharply from the corpus-wide
+   * one (the skewness attack — "90% of this group has value X" is a
+   * disclosure even with 3 distinct values present). Per equivalence
+   * class c the distance is the variational distance (EMD under the
+   * uniform ground metric on a categorical sensitive attribute):
+   * d(c) = ½ · Σ_s |n_cs/N_c − n_s/N|; the class fails when
+   * d(c) · 1e6 > tMicro. Emits one row: (n_rows, n_groups, n_above_t,
+   * rows_at_risk, risk_permille, max_dist_micro).
+   *
+   * Integer-exact throughout: the per-class numerator is
+   * Σ_s |n_cs·N − n_s·N_c| over present values plus (N − Σ_present n_s)
+   * · N_c for the absent remainder of the domain (each absent value
+   * contributes n_s/N exactly), and d_micro = num · 1e6 DIV (2·N_c·N)
+   * in DECIMAL(38,0) — no doubles anywhere, so the audit is
+   * partition-invariant and oracle-checkable bit-for-bit.
+   *
+   * Scale: one hash-aggregate on (quasi, sensitive) — map-side
+   * combined, state bounded by |classes|·|domain| not by rows — then a
+   * broadcast join against the |domain|-row global frame and a
+   * per-class aggregate; the corpus is read once and nothing
+   * corpus-sized shuffles twice. The absent-remainder identity is what
+   * keeps the plan off a classes × domain cross join.
+   */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMicro >= 0, s"tMicro must be >= 0, got $tMicro")
+    val dec = "decimal(38,0)"
+    val cs = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__ncs"))
+    val glob = cs.groupBy(col(sensitiveCol))
+      .agg(sum(col("__ncs")).as("__ns"))
+    val tot = glob.agg(coalesce(sum(col("__ns")), lit(0L)).as("__N"))
+    // __ncsum (the class size) must be visible inside the per-class
+    // |·| sum, so compute it in a window over the pre-aggregated
+    // (class, sensitive) frame — |classes|·|domain| rows, never corpus
+    // rows.
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    val classed = cs.withColumn("__ncsum", sum(col("__ncs")).over(w))
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__ncsum")).as("__nc"),
+        max(col("__N")).as("__N"),
+        sum(expr(s"abs(CAST(__ncs AS $dec) * __N - " +
+          s"CAST(__ns AS $dec) * __ncsum)")).as("__presAbs"),
+        sum(col("__ns")).as("__gsum"))
+      .withColumn("__num", expr(
+        s"__presAbs + CAST(__N - __gsum AS $dec) * __nc"))
+      .withColumn("dist_micro", expr(
+        s"try_cast(__num * 1000000 DIV (CAST(2 AS $dec) * __nc * __N) " +
+          "AS BIGINT)"))
+    classed
+      .agg(coalesce(sum(col("__nc")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("dist_micro") > tMicro, 1L).otherwise(0L)),
+          lit(0L)).as("n_above_t"),
+        coalesce(sum(when(col("dist_micro") > tMicro, col("__nc"))
+          .otherwise(0L)), lit(0L)).as("rows_at_risk"),
+        max(col("dist_micro")).as("max_dist_micro"))
+      .withColumn("risk_permille",
+        when(col("n_rows") > 0, expr("rows_at_risk * 1000 DIV n_rows")))
+      .select("n_rows", "n_groups", "n_above_t", "rows_at_risk",
+        "risk_permille", "max_dist_micro")
+  }
 }

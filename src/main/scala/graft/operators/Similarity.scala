@@ -1505,4 +1505,119 @@ object Similarity {
       .select(col("f.query_id").as("vec_a"),
         col("f.neighbor_id").as("vec_b"))
   }
+
+  /**
+   * Exact cosine top-k over the integer-QUANTIZED vectors — the ranking
+   * a compressed serving tier actually produces, and the canonical
+   * degraded candidate for [[rankingEval]]. Same quantization law as
+   * [[quantizeInt8]] (per-vector scale `levels`/max|x|, round-to-int;
+   * levels=127 is int8, 7 is int3/aggressive), but the codes stay an
+   * integer array and the score is the cosine of the code vectors.
+   * Every score input is an exact small integer, and dot/sqrt/divide
+   * are correctly-rounded IEEE ops on exact values, so the ranking is
+   * bit-identical across engines and partitionings — no micro-flooring
+   * needed for determinism.
+   *
+   * Scale: identical shape to [[bruteForceTopK]] — corpus scan +
+   * broadcast queries + per-query window; the corpus side never
+   * shuffles. Emits (query_id, neighbor_id, rank).
+   */
+  def quantizedCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                          levels: Int = 127, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    def codes(df: DataFrame, id: String, v: String): DataFrame =
+      df.withColumn("__maxabs",
+          expr(s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"))
+        .select(col(idCol).as(id),
+          expr(s"""transform($vecCol, x -> CAST(CAST(round(CAST(x AS DOUBLE) *
+                  |  (CASE WHEN __maxabs > 0 THEN $levels.0 / __maxabs
+                  |        ELSE 0.0 END)) AS INT) AS DOUBLE))""".stripMargin)
+            .as(v))
+    val c = codes(corpus, "neighbor_id", "vc")
+      .withColumn("nc", VectorFns.norm("vc"))
+    val q = codes(queries, "query_id", "vq")
+      .withColumn("nq", VectorFns.norm("vq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        when(col("nq") > 0 && col("nc") > 0,
+          VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+          .otherwise(lit(-2.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Integer nDCG discount in micro-units for 1-based rank `r`:
+   * floor(1e6 / log2(r + 1)). Exposed so the oracle twin can inline the
+   * SAME constants instead of re-deriving them with its own libm —
+   * the discount table is the single source of float truth for
+   * [[rankingEval]]; everything downstream of it is integer-exact. */
+  def ndcgDiscountMicro(r: Int): Long = {
+    require(r >= 1, s"rank must be >= 1, got $r")
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong
+  }
+
+  /**
+   * Ranking-quality evaluation of a candidate top-k list against an
+   * exact ground-truth top-k list (binary relevance: a candidate
+   * neighbor is relevant iff it appears in the truth list) — the
+   * standard eval harness for a quantized / IVF / PQ serving tier.
+   * Emits per query, ordered metrics all integer-exact BIGINT:
+   * (query_id, n_hits, mrr_micro, dcg_micro, idcg_micro,
+   * ndcg_permille) where
+   *  - mrr_micro  = 1e6 DIV (rank of first relevant candidate), 0 if none
+   *  - dcg_micro  = Σ over relevant candidates of the micro discount
+   *                 [[ndcgDiscountMicro]] at their CANDIDATE rank
+   *  - idcg_micro = Σ of the first n_hits discounts (ideal ordering)
+   *  - ndcg_permille = dcg · 1000 DIV idcg (null when n_hits = 0)
+   * The float boundary is confined to the k-row discount table (shared
+   * verbatim with the oracle); sums of BIGINT are associative, so the
+   * result is partition-invariant and hash-checkable.
+   *
+   * Scale: truth and candidate are top-k frames (k rows per query —
+   * output-bounded, tiny next to the corpus that produced them); one
+   * hash join on (query, neighbor) + one per-query aggregate + a
+   * broadcast k-row discount lookup. Queries with zero hits survive
+   * via the left join from the truth side's query set.
+   */
+  def rankingEval(truth: DataFrame, candidate: DataFrame, k: Int,
+                  queryCol: String = "query_id",
+                  neighborCol: String = "neighbor_id",
+                  rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = truth.sparkSession
+    import spark.implicits._
+    val disc = (1 to k).map(r => (r.toLong, ndcgDiscountMicro(r)))
+      .toDF("__r", "__disc")
+    val cum = (0 to k).map(m =>
+        (m.toLong, (1 to m).map(ndcgDiscountMicro).sum))
+      .toDF("__m", "__cum")
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(neighborCol).as("__n"))
+    val cand = candidate.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(neighborCol).as("__n"),
+        col(rankCol).cast("long").as("__cr"))
+    val hits = cand.join(t, Seq("query_id", "__n"))
+      .join(broadcast(disc), col("__cr") === col("__r"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__cr")).as("__first"),
+        sum(col("__disc")).as("dcg_micro"))
+    t.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("mrr_micro",
+        coalesce(expr("1000000 DIV __first"), lit(0L)))
+      .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
+      .join(broadcast(cum), col("n_hits") === col("__m"))
+      .withColumn("idcg_micro", col("__cum"))
+      .withColumn("ndcg_permille",
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 1000 DIV idcg_micro")))
+      .select("query_id", "n_hits", "mrr_micro", "dcg_micro",
+        "idcg_micro", "ndcg_permille")
+  }
 }

@@ -879,4 +879,23 @@ object TextAnalysis {
         col("replacement_chars"), col("control_chars"),
         col("ascii_permille"))
   }
+
+  /**
+   * Character-distribution Shannon entropy per document, in micro-bits
+   * — the cheap quality tail-filter (low entropy = repeated-char /
+   * boilerplate junk, near-max = random-string noise; published rule
+   * sets gate on both tails). Emits (idCol, n_cps, entropy_micro).
+   *
+   * Backed by the native codegen'd [[graft.plans.CharEntropyMicro]]
+   * expression: the whole signal is computed inside the scan
+   * projection, no explode and no shuffle — at 100 TB the alternative
+   * explode-per-character formulation shuffles one row per character
+   * of the corpus. Determinism per the dsir_weights precedent: one
+   * micro-floored ln term per distinct codepoint, BIGINT sums.
+   */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_cps"),
+      expr(s"graft_char_entropy($textCol)").as("entropy_micro"))
 }

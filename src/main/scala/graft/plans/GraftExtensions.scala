@@ -93,5 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_minhash expects (shingleHashArray, numHashes)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyMicro].getName,
+        "graft_char_entropy"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CharEntropyMicro(s)
+        case _ => throw new IllegalArgumentException(
+          "graft_char_entropy expects (str)")
+      }))
   }
 }

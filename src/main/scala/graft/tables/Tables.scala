@@ -185,14 +185,41 @@ object Tables {
   }
 
   /**
+   * Delete an ORPHAN managed-table directory: `table` has no catalog
+   * entry, but its default warehouse location exists on disk. Such a
+   * directory is garbage from a dead former process — a crash after the
+   * filesystem write but before the metastore commit, or a metastore
+   * that died with its process (observed concretely: two JVMs reusing
+   * one warehouse path, where the second's empty catalog makes
+   * `DROP TABLE IF EXISTS` a no-op that leaves the first's directory
+   * to break every subsequent `CREATE`/`RENAME` at that location with
+   * LOCATION_ALREADY_EXISTS). Under the engine's single-writer contract
+   * for managed tables the deletion is safe: no live catalog entry
+   * means no live reader can resolve the path. No-op when the table
+   * exists (its location is then owned by the catalog) or the
+   * directory is absent.
+   */
+  private def clearOrphanLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val loc = new Path(
+        spark.sessionState.catalog.defaultTablePath(TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
+  /**
    * Full overwrite load — the reference's WRITE_TRUNCATE path
    * (omnichannel_to_bq.py:143-165). Parquet managed table; Spark's
    * insert-overwrite commits via a staged job-commit protocol, so a failed
    * load never leaves a truncated table (fixes the reference's
    * truncate-then-load non-atomicity, SURVEY.md §4.2).
    */
-  def loadOverwrite(df: DataFrame, table: String): Unit =
+  def loadOverwrite(df: DataFrame, table: String): Unit = {
+    clearOrphanLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
 
   /**
    * Overwrite load into a BUCKETED managed table: rows are hash-bucketed
@@ -205,6 +232,7 @@ object Tables {
    */
   def loadBucketed(df: DataFrame, table: String, bucketCol: String,
                    numBuckets: Int, sorted: Boolean = true): Unit = {
+    clearOrphanLocation(df.sparkSession, table)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
@@ -1070,6 +1098,10 @@ object Tables {
     val backup = suffixed(mainTable, "__swap_backup")
     spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
     spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
+    // orphan dirs at either scratch location (no catalog entry, dead
+    // former process) would fail the CTAS / rename below
+    clearOrphanLocation(spark, tmp)
+    clearOrphanLocation(spark, backup)
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
     spark.sql(s"ALTER TABLE ${q(mainTable)} RENAME TO ${q(backup)}")
     spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(mainTable)}")
@@ -1100,6 +1132,8 @@ object Tables {
     val backup = suffixed(table, "__swap_backup")
     spark.sql(s"DROP TABLE IF EXISTS ${q(tmp)}")
     spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
+    clearOrphanLocation(spark, tmp)
+    clearOrphanLocation(spark, backup)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(tmp)
@@ -1133,6 +1167,10 @@ object Tables {
       val backup = suffixed(table, "__swap_backup")
       if (spark.catalog.tableExists(table))
         spark.sql(s"ALTER TABLE ${q(table)} RENAME TO ${q(backup)}")
+      // first build (no main to rename away): an orphan dir at the main
+      // location — dead former process, see clearOrphanLocation — would
+      // fail the promote rename with LOCATION_ALREADY_EXISTS
+      else clearOrphanLocation(spark, table)
       spark.sql(s"ALTER TABLE ${q(tmp)} RENAME TO ${q(table)}")
       spark.sql(s"DROP TABLE IF EXISTS ${q(backup)}")
       spark.catalog.refreshTable(table)

@@ -749,4 +749,62 @@ object PropertyLaws extends Properties("graft") {
           out.getLong(4) == below.sum * 1000L / rowsIn.size
       }
     }
+
+  property("tClosenessAudit equals the naive variational-distance census") =
+    forAll(Gen.listOf(for {
+      q <- Gen.oneOf("a", "b"); s <- Gen.oneOf("x", "y", "z")
+    } yield (q, s)), Gen.chooseNum(0L, 600000L)) { (rowsIn, t) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      rowsIn.nonEmpty ==> {
+        val n = rowsIn.size.toLong
+        val glob = rowsIn.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val classes = rowsIn.groupBy(_._1)
+        val dists = classes.values.map { rs =>
+          val nc = rs.size.toLong
+          val cs = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+          val num = glob.map { case (sv, ns) =>
+            (BigInt(cs.getOrElse(sv, 0L)) * n - BigInt(ns) * nc).abs }.sum
+          ((num * 1000000 / (BigInt(2) * nc * n)).toLong, nc)
+        }.toSeq
+        val above = dists.filter(_._1 > t)
+        val out = Curation.tClosenessAudit(
+          rowsIn.toDF("q", "s"), Seq("q"), "s", t).collect().head
+        out.getLong(0) == n &&
+          out.getLong(1) == classes.size.toLong &&
+          out.getLong(2) == above.size.toLong &&
+          out.getLong(3) == above.map(_._2).sum &&
+          out.getLong(4) == above.map(_._2).sum * 1000L / n &&
+          out.getLong(5) == dists.map(_._1).max
+      }
+    }
+
+  property("charEntropyMicro is invariant under permutation and " +
+      "replication") =
+    forAll(Gen.alphaNumStr.map(_.take(12)), Gen.chooseNum(1, 4)) { (s, k) =>
+      import graft.plans.CharEntropyMicro.entropyMicro
+      // permutation: counts are order-free. replication: (k·c)/(k·n) and
+      // ln((k·n)/(k·c)) hit the SAME rational values, and IEEE rounds a
+      // rational identically however it is written — so even the floored
+      // micro terms match exactly, not just approximately.
+      val e = entropyMicro(s)
+      entropyMicro(s.reverse) == e &&
+        entropyMicro(new String(s.toArray.sorted)) == e &&
+        entropyMicro(s * k) == e
+    }
+
+  property("rankingEval of any ranking against itself is perfect") =
+    forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 3)) { (k, nq) =>
+      import graft.operators.Similarity
+      import spark.implicits._
+      val r = (1 to nq).flatMap(q => (1 to k).map(rk =>
+        (q.toLong, q * 100L + rk, rk.toLong)))
+        .toDF("query_id", "neighbor_id", "rank")
+      val idcg = (1 to k).map(Similarity.ndcgDiscountMicro).sum
+      Similarity.rankingEval(r, r, k).collect().forall { row =>
+        row.getLong(1) == k.toLong && row.getLong(2) == 1000000L &&
+          row.getLong(3) == idcg && row.getLong(4) == idcg &&
+          row.getLong(5) == 1000L
+      }
+    }
 }

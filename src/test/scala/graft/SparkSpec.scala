@@ -12,7 +12,12 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.warehouse.dir", s"/tmp/graft-test-warehouse-${ProcessHandle.current().pid()}")
+    // pid ALONE is not unique across runs — pids recycle, and a recycled
+    // pid hands this JVM a warehouse full of a dead run's managed-table
+    // dirs with no catalog entries (DROP TABLE no-ops, renames then die
+    // with LOCATION_ALREADY_EXISTS). nanoTime disambiguates.
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-test-warehouse-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

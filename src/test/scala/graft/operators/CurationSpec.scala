@@ -619,4 +619,29 @@ class CurationSpec extends SparkSpec {
       s"in-domain doc must outweigh out-of-domain: ${perGram.toSeq}")
     assert(perGram(1) > perGram(2))
   }
+
+  test("tClosenessAudit: variational distance matches the closed form; " +
+      "absent sensitive values charge the full global mass") {
+    // A: x,x,x,y  B: x,y,y,y — global x:4 y:4 N:8
+    // d(A) = d(B) = ½(|3/4−½| + |1/4−½|) = 0.25 → 250000 micro
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x")) ++ Seq.fill(3)(("B", "y"))).toDF("q", "s")
+    val flagged = rows(Curation.tClosenessAudit(df, Seq("q"), "s",
+      tMicro = 200000L)).head
+    assert(flagged == Seq(8L, 2L, 2L, 8L, 1000L, 250000L))
+    // strict inequality: t exactly at the max distance flags nothing
+    val clear = rows(Curation.tClosenessAudit(df, Seq("q"), "s",
+      tMicro = 250000L)).head
+    assert(clear == Seq(8L, 2L, 0L, 0L, 0L, 250000L))
+    // disjoint supports: A holds only x, B only y — each class is
+    // missing half the global mass, d = ½(½ + ½) = 0.5. The absent
+    // value's |0 − n_s/N| term comes from the (N − Σ_present n_s)·N_c
+    // remainder, the identity that keeps the plan off a classes ×
+    // domain cross join.
+    val dj = (Seq.fill(2)(("A", "x")) ++ Seq.fill(2)(("B", "y")))
+      .toDF("q", "s")
+    val out = rows(Curation.tClosenessAudit(dj, Seq("q"), "s",
+      tMicro = 499999L)).head
+    assert(out == Seq(4L, 2L, 2L, 4L, 1000L, 500000L))
+  }
 }

@@ -514,4 +514,41 @@ class SimilaritySpec extends SparkSpec {
     } finally Seq("_pqcodes", "_pqmeta").foreach(sfx =>
       graft.tables.Tables.dropTable(spark, "pq_idx_test" + sfx))
   }
+
+  test("quantizedCosineTopK: ranks like brute force on clean vectors; " +
+      "zero vectors sink to the bottom") {
+    val corpus = emb.union(Seq((5L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val q = emb.filter($"vec_id" === 1)
+    val out = rows(Similarity.quantizedCosineTopK(corpus, q, k = 4)
+      .orderBy("rank"))
+    // int8 codes preserve the cosine order here: 2 (cos .8) > 3 (0) >
+    // 4 (−1) > 5 (zero vector, −2 sentinel — NEVER NaN-first)
+    assert(out == Seq(Seq(1L, 2L, 1L), Seq(1L, 3L, 2L),
+      Seq(1L, 4L, 3L), Seq(1L, 5L, 4L)))
+  }
+
+  test("ndcgDiscountMicro: exact micro discounts, rank 1 undiscounted") {
+    assert(Similarity.ndcgDiscountMicro(1) == 1000000L)
+    assert(Similarity.ndcgDiscountMicro(3) == 500000L) // 1e6 / log2(4)
+    assert(Similarity.ndcgDiscountMicro(2) == 630929L) // floor(1e6/log2 3)
+  }
+
+  test("rankingEval: hand-computed MRR/DCG/nDCG; zero-hit queries kept") {
+    val truth = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val cand = Seq(
+      (1L, 20L, 1L), (1L, 99L, 2L), (1L, 30L, 3L),
+      (2L, 40L, 1L), (2L, 50L, 2L), (2L, 60L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = rows(Similarity.rankingEval(truth, cand, k = 3)
+      .orderBy("query_id"))
+    // q1: hits at candidate ranks 1 and 3 → mrr 1e6,
+    //     dcg = 1000000 + 500000, idcg = 1000000 + 630929,
+    //     ndcg = 1500000·1000 DIV 1630929 = 919
+    assert(out(0) == Seq(1L, 2L, 1000000L, 1500000L, 1630929L, 919L))
+    // q2: no hits → zeros, idcg 0, ndcg null
+    assert(out(1) == Seq(2L, 0L, 0L, 0L, 0L, null))
+  }
 }

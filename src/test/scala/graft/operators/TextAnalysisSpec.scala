@@ -321,4 +321,31 @@ class TextAnalysisSpec extends SparkSpec {
     // control; \t and \n are not
     assert(out(1) == Seq("b", 2L, 33L, 1L, 2L, 2L, 1L, 939L))
   }
+
+  test("charEntropy: closed-form values, codepoint classes, empty = 0") {
+    import graft.plans.CharEntropyMicro.entropyMicro
+    // degenerate single-class string carries zero bits
+    assert(entropyMicro("aaaa") == 0L)
+    assert(entropyMicro("") == 0L)
+    // two equiprobable classes = exactly 1 bit (each term is an exact
+    // 500000·log2(2) = 500000, no floor loss)
+    assert(entropyMicro("ab") == 1000000L)
+    assert(entropyMicro("aabb") == 1000000L)
+    // four equiprobable classes = 2 bits
+    assert(entropyMicro("abcd") == 2000000L)
+    // surrogate pairs are ONE codepoint class: 😀 + a = two classes =
+    // 1 bit, not the three UTF-16-unit classes a char loop would count
+    assert(entropyMicro("😀a") == 1000000L)
+    assert(entropyMicro("😀😀") == 0L)
+    // the DataFrame wrapper rides the native expression
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val out = rows(TextAnalysis.charEntropy(docs).orderBy("doc_id"))
+    assert(out == Seq(Seq(1L, 4L, 0L), Seq(2L, 4L, 1000000L),
+      Seq(3L, 4L, 2000000L)))
+    // and through SQL with codegen: same value as the interpreted path
+    val sqlOut = rows(spark.sql(
+      "SELECT graft_char_entropy('abcdabcd') AS e"))
+    assert(sqlOut == Seq(Seq(2000000L)))
+  }
 }

@@ -294,4 +294,31 @@ class PlanShapeSpec extends SparkSpec {
       s"dsir corpus subtree re-executed beyond the two-pass floor:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  test("char_entropy: ONE documents scan, the entropy rides the scan " +
+      "projection (native expression, no explode, no aggregate)") {
+    val p = executedPlan("char_entropy")
+    assert(scanCount(p, "documents") == 1, s"documents rescanned:\n$p")
+    assert(p.contains("graft_char_entropy"),
+      s"native expression missing from the projection:\n$p")
+    // the per-character explode-and-regroup formulation would show here
+    assert(count(p, "Generate") == 0 && count(p, "HashAggregate") == 0,
+      s"entropy left the scan projection:\n$p")
+  }
+
+  test("t_closeness: <= 3 documents scans (class, global, total legs), " +
+      "tiny frames broadcast, no cartesian product") {
+    val p = executedPlan("t_closeness")
+    assert(scanCount(p, "documents") <= 3, s"documents rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("ndcg_quantized: <= 6 embedding scans (exact + quantized leg, " +
+      "corpus/query sides), query sides broadcast, no cartesian product") {
+    val p = executedPlan("ndcg_quantized")
+    assert(scanCount(p, "embeddings") <= 6, s"embeddings rescanned:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") >= 2,
+      s"a ranking leg lost its broadcast query side:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
 }

@@ -915,4 +915,38 @@ class TablesSpec extends SparkSpec {
       Set("day=2030-01-01", "day=2030-06-30"))
     Seq("t_newp", "t_newp__prune_stage").foreach(Tables.dropTable(spark, _))
   }
+
+  test("orphan managed-table dirs (dead former process, no catalog " +
+      "entry) are cleared: loads and staged swaps succeed, not " +
+      "LOCATION_ALREADY_EXISTS") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    // simulate a dead run's leftovers: dirs at the default locations of
+    // tables this catalog has never heard of — DROP TABLE IF EXISTS
+    // no-ops on them, so only location-aware clearing can recover
+    def plantOrphan(table: String): Path = {
+      val loc = new Path(
+        spark.sessionState.catalog.defaultTablePath(TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(loc, "part-orphan"))
+      loc
+    }
+    val names = Seq("t_orph", "t_orphb", "t_orphb__swap_tmp",
+      "t_orphb__swap_backup")
+    names.foreach(Tables.dropTable(spark, _))
+    try {
+      plantOrphan("t_orph")
+      Tables.loadOverwrite(Seq((1L, "a")).toDF("id", "v"), "t_orph")
+      assert(rows(spark.table("t_orph")) == Seq(Seq(1L, "a")))
+      // first build of a staged bucketed swap with orphans at BOTH the
+      // scratch locations and the main — the exact poisoned-warehouse
+      // state that killed the tiered folds under a recycled pid
+      Seq("t_orphb", "t_orphb__swap_tmp", "t_orphb__swap_backup")
+        .foreach(plantOrphan)
+      Tables.stageBucketedSwap(Seq((2L, "b")).toDF("id", "v"), "t_orphb",
+        "id", numBuckets = 2)
+      Tables.commitSwaps(spark, Seq("t_orphb"))
+      assert(rows(spark.table("t_orphb")) == Seq(Seq(2L, "b")))
+    } finally names.foreach(Tables.dropTable(spark, _))
+  }
 }
