@@ -158,6 +158,7 @@ object SparkEntry {
     "ks_drift", "ks_drift_by_source", "chi2_drift", "chi2_drift_by_source",
     "chi2_cells", "classifier_auc_by_source",
     "annotator_agreement", "k_anonymity", "l_diversity", "t_closeness",
+    "privacy_audit",
     "rolling_counts", "interval_overlap", "distinct_estimate",
     "intake_pipeline", "intake_pipeline_v2", "intake_pipeline_v3")
 
@@ -685,6 +686,19 @@ object SparkEntry {
         t(s, dir, "documents")
           .withColumn("len_band", expr("n_chars DIV 100")),
         Seq("lang", "len_band"), "source", tMicro = 450000L)),
+
+    // the combined k/l/t privacy gate re-derived from the
+    // (classes × domain)-bounded counts frame — the exact computation
+    // the streaming privacyAuditSink folds per micro-batch
+    "privacy_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("len_band", expr("n_chars DIV 100"))
+      Curation.privacyAuditFromCounts(
+        docs.groupBy(col("lang"), col("len_band"), col("source"))
+          .agg(count(lit(1)).as("n")),
+        Seq("lang", "len_band"), "source", "n",
+        k = 8L, l = 3L, tMicro = 450000L)
+    }),
 
     // ---- dedup (documents) ----
     "exact_dedup" -> ((s, dir) =>
@@ -3218,6 +3232,48 @@ object SparkEntry {
         |       THEN CAST(COALESCE(sum(CASE WHEN dist_micro > 450000
         |         THEN nc ELSE 0 END), 0) * 1000 // sum(nc) AS BIGINT)
         |  END AS risk_permille,
+        |  CAST(max(dist_micro) AS BIGINT) AS max_dist_micro
+        |FROM d""".stripMargin,
+
+    // privacy_audit: the combined k/l/t gate over the same counts frame
+    // — k-anonymity (class size), l-diversity (distinct sensitive), and
+    // the t-closeness distance of the t_closeness oracle, one row
+    "privacy_audit" ->
+      """WITH cs AS (SELECT lang, n_chars // 100 AS len_band, source,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+        |      FROM cs GROUP BY source),
+        |tot AS (SELECT CAST(COALESCE(sum(ns), 0) AS BIGINT) AS N FROM g),
+        |cw AS (SELECT cs.*, CAST(sum(n) OVER (
+        |         PARTITION BY lang, len_band) AS BIGINT) AS nc FROM cs),
+        |cls AS (SELECT cw.lang, cw.len_band,
+        |    max(cw.nc) AS nc,
+        |    CAST(count(DISTINCT cw.source) AS BIGINT) AS dv,
+        |    max(tot.N) AS N,
+        |    sum(abs(CAST(cw.n AS HUGEINT) * tot.N
+        |            - CAST(g.ns AS HUGEINT) * cw.nc)) AS pres,
+        |    CAST(sum(g.ns) AS BIGINT) AS gsum
+        |  FROM cw JOIN g USING (source) CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |d AS (SELECT nc, dv,
+        |    CAST((pres + CAST(N - gsum AS HUGEINT) * nc) * 1000000
+        |         // (2 * CAST(nc AS HUGEINT) * N) AS BIGINT) AS dist_micro
+        |  FROM cls)
+        |SELECT CAST(COALESCE(sum(nc), 0) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(COALESCE(sum(CASE WHEN nc < 8 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_below_k,
+        |  CAST(COALESCE(sum(CASE WHEN nc < 8 THEN nc ELSE 0 END), 0)
+        |    AS BIGINT) AS rows_below_k,
+        |  CAST(COALESCE(sum(CASE WHEN dv < 3 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_below_l,
+        |  CAST(COALESCE(sum(CASE WHEN dv < 3 THEN nc ELSE 0 END), 0)
+        |    AS BIGINT) AS rows_below_l,
+        |  CAST(COALESCE(sum(CASE WHEN dist_micro > 450000 THEN 1
+        |    ELSE 0 END), 0) AS BIGINT) AS n_above_t,
+        |  CAST(COALESCE(sum(CASE WHEN dist_micro > 450000 THEN nc
+        |    ELSE 0 END), 0) AS BIGINT) AS rows_above_t,
         |  CAST(max(dist_micro) AS BIGINT) AS max_dist_micro
         |FROM d""".stripMargin,
 

@@ -1551,32 +1551,10 @@ object Curation {
                       sensitiveCol: String, tMicro: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(tMicro >= 0, s"tMicro must be >= 0, got $tMicro")
-    val dec = "decimal(38,0)"
-    val cs = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
-      .agg(count(lit(1)).as("__ncs"))
-    val glob = cs.groupBy(col(sensitiveCol))
-      .agg(sum(col("__ncs")).as("__ns"))
-    val tot = glob.agg(coalesce(sum(col("__ns")), lit(0L)).as("__N"))
-    // __ncsum (the class size) must be visible inside the per-class
-    // |·| sum, so compute it in a window over the pre-aggregated
-    // (class, sensitive) frame — |classes|·|domain| rows, never corpus
-    // rows.
-    val w = Window.partitionBy(quasiCols.map(col): _*)
-    val classed = cs.withColumn("__ncsum", sum(col("__ncs")).over(w))
-      .join(broadcast(glob), Seq(sensitiveCol))
-      .crossJoin(broadcast(tot))
-      .groupBy(quasiCols.map(col): _*)
-      .agg(max(col("__ncsum")).as("__nc"),
-        max(col("__N")).as("__N"),
-        sum(expr(s"abs(CAST(__ncs AS $dec) * __N - " +
-          s"CAST(__ns AS $dec) * __ncsum)")).as("__presAbs"),
-        sum(col("__ns")).as("__gsum"))
-      .withColumn("__num", expr(
-        s"__presAbs + CAST(__N - __gsum AS $dec) * __nc"))
-      .withColumn("dist_micro", expr(
-        s"try_cast(__num * 1000000 DIV (CAST(2 AS $dec) * __nc * __N) " +
-          "AS BIGINT)"))
-    classed
+    classDistanceFrame(
+      df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+        .agg(count(lit(1)).as("__ncs")),
+      quasiCols, sensitiveCol, "__ncs")
       .agg(coalesce(sum(col("__nc")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_groups"),
         coalesce(sum(when(col("dist_micro") > tMicro, 1L).otherwise(0L)),
@@ -1588,5 +1566,87 @@ object Curation {
         when(col("n_rows") > 0, expr("rows_at_risk * 1000 DIV n_rows")))
       .select("n_rows", "n_groups", "n_above_t", "rows_at_risk",
         "risk_permille", "max_dist_micro")
+  }
+
+  /**
+   * Per-class frame behind the privacy audits, computed from a
+   * PRE-AGGREGATED counts frame — one row per (quasi…, sensitive) with
+   * its positive row count in `nCol`. Emits one row per equivalence
+   * class: (quasi…, __nc class size, __d distinct sensitive values,
+   * dist_micro t-closeness variational distance). Shared by
+   * [[tClosenessAudit]] (counts = one groupBy of the rows) and
+   * [[privacyAuditFromCounts]] (counts = additive partials a streaming
+   * sink folded — the whole point: every audit re-derives from
+   * (classes × domain)-bounded counters, never from the corpus).
+   *
+   * __ncsum (the class size) must be visible inside the per-class |·|
+   * sum, so it rides a window over the counts frame —
+   * |classes|·|domain| rows, never corpus rows.
+   */
+  private def classDistanceFrame(counts: DataFrame, quasiCols: Seq[String],
+                                 sensitiveCol: String,
+                                 nCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val glob = counts.groupBy(col(sensitiveCol))
+      .agg(sum(col(nCol)).as("__ns"))
+    val tot = glob.agg(coalesce(sum(col("__ns")), lit(0L)).as("__N"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    counts.withColumn("__ncsum", sum(col(nCol)).over(w))
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__ncsum")).as("__nc"),
+        countDistinct(col(sensitiveCol)).as("__d"),
+        max(col("__N")).as("__N"),
+        sum(expr(s"abs(CAST($nCol AS $dec) * __N - " +
+          s"CAST(__ns AS $dec) * __ncsum)")).as("__presAbs"),
+        sum(col("__ns")).as("__gsum"))
+      .withColumn("__num", expr(
+        s"__presAbs + CAST(__N - __gsum AS $dec) * __nc"))
+      .withColumn("dist_micro", expr(
+        s"try_cast(__num * 1000000 DIV (CAST(2 AS $dec) * __nc * __N) " +
+          "AS BIGINT)"))
+  }
+
+  /**
+   * The COMBINED privacy gate from a pre-aggregated counts frame: one
+   * row with the k-anonymity, l-diversity, and t-closeness verdicts —
+   * (n_rows, n_groups, n_below_k, rows_below_k, n_below_l,
+   * rows_below_l, n_above_t, rows_above_t, max_dist_micro) — each
+   * field equal to the corresponding row-level audit over the rows the
+   * counts summarize ([[kAnonymityAudit]] / [[lDiversityAudit]] /
+   * [[tClosenessAudit]]; CurationSpec pins the equality, StreamLaws
+   * pins it for the streaming fold). Counts rows must be unique per
+   * (quasi…, sensitive) with `nCol` > 0 — the shape a groupBy-count or
+   * a sum-folded partial tree produces.
+   *
+   * Scale: the input is already (classes × domain)-bounded; everything
+   * here is one window + one broadcast join + two aggregates over it.
+   * This is what lets a STREAMING privacy monitor re-derive the full
+   * verdict per micro-batch without ever re-reading the corpus.
+   */
+  def privacyAuditFromCounts(counts: DataFrame, quasiCols: Seq[String],
+                             sensitiveCol: String, nCol: String,
+                             k: Long, l: Long, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(tMicro >= 0, s"tMicro must be >= 0, got $tMicro")
+    classDistanceFrame(counts, quasiCols, sensitiveCol, nCol)
+      .agg(coalesce(sum(col("__nc")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__nc") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_below_k"),
+        coalesce(sum(when(col("__nc") < k, col("__nc")).otherwise(0L)),
+          lit(0L)).as("rows_below_k"),
+        coalesce(sum(when(col("__d") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_below_l"),
+        coalesce(sum(when(col("__d") < l, col("__nc")).otherwise(0L)),
+          lit(0L)).as("rows_below_l"),
+        coalesce(sum(when(col("dist_micro") > tMicro, 1L).otherwise(0L)),
+          lit(0L)).as("n_above_t"),
+        coalesce(sum(when(col("dist_micro") > tMicro, col("__nc"))
+          .otherwise(0L)), lit(0L)).as("rows_above_t"),
+        max(col("dist_micro")).as("max_dist_micro"))
   }
 }

@@ -1643,6 +1643,56 @@ object Streams {
       .start()
 
   /**
+   * Streaming privacy gate — maintain the combined k-anonymity /
+   * l-diversity / t-closeness verdict
+   * ([[graft.operators.Curation.privacyAuditFromCounts]]) over a live
+   * corpus with BOUNDED state: each micro-batch lands its
+   * (quasi…, sensitive) row counts under `partialsPath/batch=<id>`
+   * (additive partials — counts of a union are sums of counts), and the
+   * cumulative verdict re-derives from the folded partial tree into
+   * `auditPath/batch=<id>`. State is (classes × domain) counter rows,
+   * never documents; the corpus is read exactly once, as it streams by.
+   * The verdict is the one the batch audits would emit over the
+   * concatenated input for ANY batch split (StreamLaws pins it — all
+   * arithmetic is the same integer/DECIMAL math, folded counts in place
+   * of grouped rows). Idempotent batch-partition protocol: a replayed
+   * batch overwrites its own partial dir, so counts never double.
+   *
+   * This is the monitor a release pipeline wants: the k/l/t gate stays
+   * current per micro-batch, and a breach (a quasi-identifier
+   * combination going re-identifiable, homogeneous, or skewed as data
+   * accumulates) surfaces one batch after it happens instead of at the
+   * next full-corpus audit.
+   */
+  def privacyAuditSink(stream: DataFrame, partialsPath: String,
+                       auditPath: String, checkpointDir: String,
+                       quasiCols: Seq[String], sensitiveCol: String,
+                       k: Long, l: Long, tMicro: Long): StreamingQuery = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          batch.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite")
+            .parquet(s"$partialsPath/batch=$batchId")
+          val folded = s.read.option("basePath", partialsPath)
+            .parquet(partialsPath)
+            .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+            .agg(sum(col("n")).as("n"))
+          graft.operators.Curation.privacyAuditFromCounts(folded,
+              quasiCols, sensitiveCol, "n", k, l, tMicro)
+            .write.mode("overwrite").parquet(s"$auditPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /**
    * Streaming dataset card — maintain the corpus release summary
    * ([[graft.operators.Curation.datasetCardSketch]]'s shape) over a
    * live document stream with BOUNDED state: each micro-batch lands

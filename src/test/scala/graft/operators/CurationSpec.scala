@@ -644,4 +644,26 @@ class CurationSpec extends SparkSpec {
       tMicro = 499999L)).head
     assert(out == Seq(4L, 2L, 2L, 4L, 1000L, 500000L))
   }
+
+  test("privacyAuditFromCounts = the three row-level audits over the " +
+      "rows the counts summarize") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val df = (Seq.fill(5)(("A", 0L, "x")) ++ Seq(("A", 0L, "y")) ++
+      Seq(("B", 1L, "x"), ("B", 1L, "y"), ("B", 1L, "z")) ++
+      Seq.fill(2)(("C", 2L, "z"))).toDF("qt", "qz", "s")
+    val counts = df.groupBy(col("qt"), col("qz"), col("s"))
+      .agg(count(lit(1)).as("n"))
+    val got = rows(Curation.privacyAuditFromCounts(counts,
+      Seq("qt", "qz"), "s", "n", k = 3L, l = 2L, tMicro = 300000L)).head
+    val ka = rows(Curation.kAnonymityAudit(df, Seq("qt", "qz"), 3L)).head
+    val ld = rows(Curation.lDiversityAudit(df, Seq("qt", "qz"), "s",
+      2L)).head
+    val tc = rows(Curation.tClosenessAudit(df, Seq("qt", "qz"), "s",
+      300000L)).head
+    assert(got == Seq(ka(0), ka(1), ka(2), ka(3), ld(2), ld(3),
+      tc(2), tc(3), tc(5)))
+    // and the combined gate actually discriminates on this fixture
+    assert(got(2).asInstanceOf[Long] > 0L &&
+      got(2).asInstanceOf[Long] < got(1).asInstanceOf[Long])
+  }
 }

@@ -425,6 +425,42 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("privacyAuditSink cumulative verdict = the three batch " +
+      "privacy audits over the concatenated input, for any batch split") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.oneOf("x", "y", "z"))),
+      Gen.chooseNum(1, 11)) { (rowsIn, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val parts = Files.createTempDirectory("law-privp").toString
+      val outDir = Files.createTempDirectory("law-privo").toString
+      val cp = Files.createTempDirectory("law-privcp").toString
+      val mem = MemoryStream[(String, String)]
+      val q = Streams.privacyAuditSink(mem.toDF().toDF("qt", "s"),
+        parts, outDir, cp, Seq("qt"), "s", k = 3L, l = 2L,
+        tMicro = 250000L)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .collect().head.toSeq
+      val df = rowsIn.toDF("qt", "s")
+      import graft.operators.Curation
+      val ka = Curation.kAnonymityAudit(df, Seq("qt"), 3L).collect().head
+      val ld = Curation.lDiversityAudit(df, Seq("qt"), "s", 2L)
+        .collect().head
+      val tc = Curation.tClosenessAudit(df, Seq("qt"), "s", 250000L)
+        .collect().head
+      got == Seq(ka.get(0), ka.get(1), ka.get(2), ka.get(3),
+        ld.get(2), ld.get(3), tc.get(2), tc.get(3), tc.get(5))
+    }
+
   property("cardSink cumulative card = datasetCardSketch over the " +
       "concatenated corpus (shared fields), for any batch split") =
     forAll(
