@@ -114,7 +114,7 @@ object SparkEntry {
     "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
-    "duplicated_spans",
+    "duplicated_spans", "dedup_spans",
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed", "incremental_embedding_neardup",
     "incremental_embedding_neardup_indexed",
@@ -1664,6 +1664,13 @@ object SparkEntry {
     // global suffix array)
     "duplicated_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(t(s, dir, "documents"), w = 8)
+        .orderBy("doc_id")),
+
+    // the REWRITE of the same exact-substring semantics: later docs drop
+    // token positions covered by windows a lower doc id owns; emits the
+    // cleaned canonical text for every document
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), w = 8)
         .orderBy("doc_id")),
 
     "tfidf_topterms" -> ((s, dir) =>
@@ -3344,6 +3351,36 @@ object SparkEntry {
          |    THEN round(CAST(s.dup_windows AS DOUBLE) / s.n_windows, 6)
          |    ELSE 0.0 END AS dup_fraction
          |FROM toks tk LEFT JOIN stats s ON tk.doc_id = s.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // dedup_spans: same window hashes; lowest doc id owns a duplicated
+    // window, every other holder drops the covered 1-based positions
+    // (DuckDB list lambdas index 1-based, matching directly)
+    "dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+         |      list_transform(generate_series(1, len(t) - 7),
+         |        j -> {'i': j,
+         |              'h': ${polyHashSql(
+             "array_to_string(array_slice(t, j, j + 7), ' ')")}})
+         |    ELSE CAST([] AS STRUCT(i BIGINT, h BIGINT)[]) END) AS s
+         |  FROM toks),
+         |w2 AS (SELECT doc_id, s.i AS i, s.h AS h FROM wins),
+         |own AS (SELECT h, min(doc_id) AS own FROM w2 GROUP BY h
+         |        HAVING min(doc_id) <> max(doc_id)),
+         |rem AS (SELECT w2.doc_id,
+         |    list(DISTINCT p) AS rem
+         |  FROM w2 JOIN own ON own.h = w2.h AND w2.doc_id <> own.own,
+         |    unnest(generate_series(w2.i, w2.i + 7)) AS u(p)
+         |  GROUP BY w2.doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(len(r.rem), 0) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_filter(tk.t, (tok, j) ->
+         |    NOT list_contains(COALESCE(r.rem, CAST([] AS BIGINT[])), j)),
+         |    ' '), '') AS clean_text
+         |FROM toks tk LEFT JOIN rem r ON r.doc_id = tk.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
 
     "ngram_jaccard_exact" -> jaccardPairsSql,

@@ -1236,6 +1236,64 @@ object Dedup {
   }
 
   /**
+   * Exact-substring dedup REWRITE — the action to [[duplicatedSpans]]'s
+   * detection, after Lee et al. 2022 ("Deduplicating Training Data
+   * Makes Language Models Better"): any `w`-token window appearing in
+   * ≥ 2 distinct documents is owned by the LOWEST doc id holding it;
+   * every other document drops the token positions that window covers.
+   * Emits for EVERY document (idCol, n_tokens, n_removed, clean_text)
+   * where clean_text is the surviving tokens joined by single spaces —
+   * note the join normalizes whitespace for unchanged documents too,
+   * so the output text column is one consistent canonical form.
+   *
+   * Deterministic by construction: ownership is a min over ids,
+   * removal is position-set membership (order-free), and the window
+   * hash is the shared reproducible polynomial — no RNG, no float.
+   *
+   * Scale: the window explode is one row per token (the same volume
+   * [[duplicatedSpans]] pays, twice — once for ownership, once for the
+   * flagged join, both hash-shuffled on the 8-byte window hash with
+   * map-side combine on the ownership side); removed-position state is
+   * bounded by duplicated token mass, not corpus mass, and the rebuild
+   * is a narrow per-row HOF filter inside codegen. The O(corpus) suffix
+   * array of the paper is replaced by the hash-window equivalent that
+   * actually distributes.
+   */
+  def removeDuplicatedSpans(docs: DataFrame, w: Int = 8,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val winHash = TextFns.polyHashFragment(s"concat_ws(' ', slice(t, i, $w))",
+      31, TextFns.HashMod)
+    val toks = docs.select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
+    val wins = toks.select(col("id"), explode(expr(
+        s"""CASE WHEN size(t) >= $w THEN
+           |  transform(sequence(1, size(t) - ${w - 1}),
+           |            i -> struct(i AS i, $winHash AS h))
+           |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
+          .stripMargin)).as("s"))
+      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
+    val owned = wins.groupBy("h")
+      .agg(min("id").as("__own"), max("id").as("__mx"))
+      .filter(col("__own") =!= col("__mx"))
+      .select(col("h"), col("__own"))
+    val removed = wins.join(owned, Seq("h"))
+      .filter(col("id") =!= col("__own"))
+      .select(col("id"),
+        explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .groupBy("id")
+      .agg(collect_set(col("p")).as("__rem"))
+    toks.join(removed, Seq("id"), "left")
+      .withColumn("__rem",
+        coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("id").as(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("__rem")).cast("long").as("n_removed"),
+        expr("concat_ws(' ', filter(t, (tok, j) -> " +
+          "NOT array_contains(__rem, j + 1)))").as("clean_text"))
+  }
+
+  /**
    * PRODUCTION embedding-space near-dup pairs — the banded scale twin of
    * [[embeddingNearDupPairs]], giving embedding space what token space
    * has in [[minhashLshPairs]]: hyperplane-band candidate generation +

@@ -569,6 +569,41 @@ class DedupSpec extends SparkSpec {
       Seq(4L, 9L, 0L, 0.0)))
   }
 
+  test("removeDuplicatedSpans: the min-id owner keeps the span, later " +
+      "holders drop exactly the covered positions, short docs pass " +
+      "through") {
+    val docs = Seq(
+      // doc 1 owns the shared window "a..h" (lowest id) — unchanged
+      (1L, "a b c d e f g h x y"),
+      // doc 2 holds the same window at positions 2-9 -> those 8 tokens
+      // go, the surrounding "z" and tail survive
+      (2L, "z a b c d e f g h tail"),
+      // doc 3: shorter than the window — no windows, untouched
+      (3L, "short text"),
+      // doc 4: within-doc repeat only — not cross-doc, keeps everything
+      (4L, "p q r s t u v w p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.removeDuplicatedSpans(docs, w = 8)
+      .orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 10L, 0L, "a b c d e f g h x y"),
+      Seq(2L, 10L, 8L, "z tail"),
+      Seq(3L, 2L, 0L, "short text"),
+      Seq(4L, 16L, 0L, "p q r s t u v w p q r s t u v w")))
+    // overlapping duplicated windows: doc 6 shares a 9-token run with
+    // doc 5 -> two overlapping 8-windows whose position sets UNION (9
+    // tokens removed, not 16)
+    val overlap = Seq(
+      (5L, "a b c d e f g h i"),
+      (6L, "a b c d e f g h i k"))
+      .toDF("doc_id", "text")
+    val out2 = rows(Dedup.removeDuplicatedSpans(overlap, w = 8)
+      .orderBy("doc_id"))
+    assert(out2 == Seq(
+      Seq(5L, 9L, 0L, "a b c d e f g h i"),
+      Seq(6L, 10L, 9L, "k")))
+  }
+
   test("nearDupDedup: representatives keep their absorbed counts") {
     // docs 1-3 near-dup each other (shared shingles), 9 is a singleton
     val base = "alpha beta gamma delta epsilon zeta"
