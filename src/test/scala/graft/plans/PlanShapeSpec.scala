@@ -313,6 +313,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("dedup_spans: <= 3 documents scans (ownership, flagged join, " +
+      "rebuild), window hashes hash-joined, no cartesian product") {
+    val p = executedPlan("dedup_spans")
+    assert(scanCount(p, "documents") <= 3, s"documents rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("privacy_audit: <= 2 documents scans — every verdict re-derives " +
+      "from the (classes x domain) counts frame, never the corpus") {
+    val p = executedPlan("privacy_audit")
+    assert(scanCount(p, "documents") <= 2, s"documents rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
   test("ndcg_quantized: <= 6 embedding scans (exact + quantized leg, " +
       "corpus/query sides), query sides broadcast, no cartesian product") {
     val p = executedPlan("ndcg_quantized")
