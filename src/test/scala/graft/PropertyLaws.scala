@@ -793,6 +793,34 @@ object PropertyLaws extends Properties("graft") {
         entropyMicro(s * k) == e
     }
 
+  property("removeDuplicatedSpans: clean tokens are a subsequence of " +
+      "the original, the globally-lowest id never loses tokens, and " +
+      "counts reconcile") =
+    forAll(Gen.listOfN(5, Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d"))),
+      Gen.chooseNum(2, 4)) { (docToks, w) =>
+      import graft.operators.Dedup
+      import spark.implicits._
+      val docs = docToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" ")) }
+      val out = Dedup.removeDuplicatedSpans(docs.toDF("doc_id", "text"),
+        w = w).orderBy("doc_id").collect()
+      def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+        var i = 0
+        for (t <- sup if i < sub.size && sub(i) == t) i += 1
+        i == sub.size
+      }
+      out.forall { r =>
+        val orig = docToks(r.getLong(0).toInt)
+        val clean = r.getString(3).split(" ").filter(_.nonEmpty).toSeq
+        r.getLong(1) == orig.size.toLong &&
+          r.getLong(2) == (orig.size - clean.size).toLong &&
+          isSubseq(clean, orig)
+      } &&
+        // doc 0 is the global min id: it owns every duplicated window
+        // it holds, so the rewrite never touches it
+        out.head.getLong(2) == 0L
+    }
+
   property("rankingEval of any ranking against itself is perfect") =
     forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 3)) { (k, nq) =>
       import graft.operators.Similarity
