@@ -715,6 +715,91 @@ object Streams {
       .start()
 
   /**
+   * Streaming exact-substring span REMOVAL over a growing corpus — the
+   * streaming twin of [[Dedup.removeDuplicatedSpans]] (Lee et al.
+   * ACL'22 semantics) for continuously-crawled ingest: each
+   * micro-batch's documents drop every `w`-token window already held
+   * by an earlier batch (earlier arrival owns) or by a lower doc id
+   * within the batch, the cleaned documents land under
+   * `outPath/batch=<id>` as (idCol, n_tokens, n_removed, clean_text),
+   * and the batch's distinct window hashes join the index.
+   *
+   * Ownership rule: within a batch, lowest doc id (the batch
+   * operator's rule); across batches, earlier arrival wins — so when
+   * doc ids are assigned monotonically with arrival (the natural crawl
+   * ingest shape), the union of batch outputs equals
+   * [[Dedup.removeDuplicatedSpans]] over the concatenated corpus for
+   * ANY batch split (StreamLaws pins it).
+   *
+   * Exactly-once under foreachBatch's at-least-once contract: both
+   * writes go to `batch=<id>` partitions in overwrite mode, and the
+   * index read EXCLUDES the current batch id, so a replayed
+   * micro-batch rewrites its own partitions and never removes against
+   * its own windows.
+   *
+   * Scale: the index holds 8-byte window hashes, never text — one row
+   * per distinct window per batch that carried it; compact it
+   * periodically with a distinct rewrite (or fold it into a bucketed
+   * table with the [[compactIndexBucketed]] LSM pattern when the
+   * per-batch join shuffle on the index side starts to dominate). The
+   * window explode is linear in batch tokens, paid twice (index write
+   * + flag join), exactly the batch operator's cost profile.
+   */
+  def spanDedupSink(stream: DataFrame, indexPath: String, outPath: String,
+                    checkpointDir: String, w: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): StreamingQuery = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val winHash = TextFns.polyHashFragment(
+            s"concat_ws(' ', slice(t, i, $w))", 31, TextFns.HashMod)
+          def toks = batch.select(col(idCol).as("id"),
+            TextFns.tokens(textCol).as("t"))
+          def wins = toks.select(col("id"), explode(expr(
+              s"""CASE WHEN size(t) >= $w THEN
+                 |  transform(sequence(1, size(t) - ${w - 1}),
+                 |            i -> struct(i AS i, $winHash AS h))
+                 |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
+                .stripMargin)).as("s"))
+            .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
+          wins.select("h").distinct()
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          val seen = s.read.option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId).select("h").distinct()
+          val ownedInBatch = wins.groupBy("h")
+            .agg(min("id").as("__own"), max("id").as("__mx"))
+            .filter(col("__own") =!= col("__mx"))
+            .select(col("h"), col("__own"))
+          val removed = wins
+            .join(seen.withColumn("__seen", lit(1)), Seq("h"), "left")
+            .join(ownedInBatch, Seq("h"), "left")
+            .filter(col("__seen").isNotNull ||
+              (col("__own").isNotNull && col("id") =!= col("__own")))
+            .select(col("id"),
+              explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+            .groupBy("id")
+            .agg(collect_set(col("p")).as("__rem"))
+          toks.join(removed, Seq("id"), "left")
+            .withColumn("__rem",
+              coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))
+            .select(col("id").as(idCol),
+              size(col("t")).cast("long").as("n_tokens"),
+              size(col("__rem")).cast("long").as("n_removed"),
+              expr("concat_ws(' ', filter(t, (tok, j) -> " +
+                "NOT array_contains(__rem, j + 1)))").as("clean_text"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /**
    * Stream–static enrichment: join a stream against a batch dimension
    * frame (user profiles, rate tables, allow-lists). Stream–static joins
    * need no watermark and no stream-side state — each micro-batch joins

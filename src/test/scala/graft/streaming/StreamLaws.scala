@@ -425,6 +425,39 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("spanDedupSink union of batch outputs = batch " +
+      "removeDuplicatedSpans over the concatenated corpus, for any " +
+      "batch split (monotone ids)") =
+    forAll(
+      Gen.listOfN(6, Gen.listOfN(7, Gen.oneOf("a", "b", "c"))),
+      Gen.chooseNum(1, 5), Gen.chooseNum(2, 4)) { (docToks, splitAt, w) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val docs = docToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" ")) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      val idx = Files.createTempDirectory("law-spidx").toString
+      val outDir = Files.createTempDirectory("law-spout").toString
+      val cp = Files.createTempDirectory("law-spcp").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.spanDedupSink(mem.toDF().toDF("doc_id", "text"),
+        idx, outDir, cp, w = w)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      val want = Dedup.removeDuplicatedSpans(
+          docs.toDF("doc_id", "text"), w = w)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("privacyAuditSink cumulative verdict = the three batch " +
       "privacy audits over the concatenated input, for any batch split") =
     forAll(
