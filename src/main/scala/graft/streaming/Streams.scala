@@ -747,8 +747,8 @@ object Streams {
    */
   def spanDedupSink(stream: DataFrame, indexPath: String, outPath: String,
                     checkpointDir: String, w: Int = 8,
-                    idCol: String = "doc_id",
-                    textCol: String = "text"): StreamingQuery = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    bucketedBase: Option[String] = None): StreamingQuery = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -756,6 +756,19 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // a replayed batch whose windows were already FOLDED into the
+          // bulk would flag its own singletons as duplicates (the index
+          // is membership-only — no id to tell self from other). The
+          // fold is quiesced, so this only happens when the operator
+          // folded over an uncommitted batch; fail loudly, don't
+          // silently empty documents.
+          val folded = compactedThrough(s, indexPath)
+          if (batchId <= folded) throw new IllegalStateException(
+            s"spanDedupSink batch $batchId was already folded into the " +
+              s"bulk tier (compacted through $folded): re-cleaning it " +
+              "against its own windows would remove every token. Fold " +
+              "only over a fully-committed checkpoint (stop the stream, " +
+              "processAllAvailable, then compactSpanIndex).")
           val winHash = TextFns.polyHashFragment(
             s"concat_ws(' ', slice(t, i, $w))", 31, TextFns.HashMod)
           def toks = batch.select(col(idCol).as("id"),
@@ -769,16 +782,28 @@ object Streams {
             .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
           wins.select("h").distinct()
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-          val seen = s.read.option("basePath", indexPath).parquet(indexPath)
+          val delta = s.read.option("basePath", indexPath).parquet(indexPath)
             .filter(col("batch") =!= batchId).select("h").distinct()
           val ownedInBatch = wins.groupBy("h")
             .agg(min("id").as("__own"), max("id").as("__mx"))
             .filter(col("__own") =!= col("__mx"))
             .select(col("h"), col("__own"))
-          val removed = wins
-            .join(seen.withColumn("__seen", lit(1)), Seq("h"), "left")
+          // bulk tier joins SEPARATELY so it joins at its own bucketing
+          // (batch side shuffles to the buckets, bulk side never moves —
+          // a union with the delta would destroy that); the bulk is
+          // distinct-folded, the delta distinct per batch, and any
+          // cross-batch duplicate flag rows are absorbed by the position
+          // collect_set
+          val withBulk = bucketedBase match {
+            case Some(base) if s.catalog.tableExists(base + "_winhash") =>
+              wins.join(s.table(base + "_winhash").select(col("h"))
+                .withColumn("__seenb", lit(1)), Seq("h"), "left")
+            case _ => wins.withColumn("__seenb", lit(null).cast("int"))
+          }
+          val removed = withBulk
+            .join(delta.withColumn("__seen", lit(1)), Seq("h"), "left")
             .join(ownedInBatch, Seq("h"), "left")
-            .filter(col("__seen").isNotNull ||
+            .filter(col("__seen").isNotNull || col("__seenb").isNotNull ||
               (col("__own").isNotNull && col("id") =!= col("__own")))
             .select(col("id"),
               explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
@@ -1039,6 +1064,59 @@ object Streams {
       pruneBandsTree = false)(staged =>
       Dedup.writeEmbeddingBandedIndex(staged, baseTable, numBands,
         totalPlanes, numBuckets, idCol))
+
+  /**
+   * Compaction of a [[spanDedupSink]] window-hash index into its
+   * BUCKETED bulk tier: folds every `batch=<id>` partition (plus any
+   * previously-folded bulk) through distinct into `<base>_winhash`,
+   * bucketed on `h`, then prunes the folded delta partitions — the same
+   * LSM shape as [[compactIndexBucketed]], single-column edition. After
+   * this runs, the sink's flag join reads the corpus-scale window set
+   * AT ITS BUCKETING (only the batch side shuffles) and the path tree
+   * only holds batches since the last fold.
+   *
+   * Run QUIESCED (stream stopped). Crash safety: the bulk replaces via
+   * the staged swap ([[graft.tables.Tables.stageBucketedSwap]] +
+   * [[graft.tables.Tables.commitSwaps]]); recovery on restart =
+   * `recoverSwap` on `<base>_winhash` (run here at entry as self-heal)
+   * then RE-RUN THE FOLD — idempotent because delta partitions are
+   * pruned only after the commit, and the fold is a distinct (replay
+   * cannot double anything). A crash after commit but before pruning
+   * leaves windows in both tiers, which the sink's membership-only flag
+   * join tolerates (duplicate flag rows collapse in the position set).
+   */
+  def compactSpanIndex(spark: SparkSession, indexPath: String,
+                       baseTable: String, numBuckets: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.tables.Tables.recoverSwap(spark, baseTable + "_winhash")
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(main)) return
+    val batchIds = fs.listStatus(main).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    if (batchIds.isEmpty) return
+    val pathH = spark.read.option("basePath", indexPath)
+      .parquet(indexPath).select("h")
+    val allH =
+      if (spark.catalog.tableExists(baseTable + "_winhash"))
+        spark.table(baseTable + "_winhash").select("h").union(pathH)
+      else pathH
+    // stage through a scratch tree: the fold reads the bulk it is about
+    // to overwrite, and Spark refuses overwrite-while-read plans
+    val stage = new Path(indexPath + "__fold_tmp")
+    fs.delete(stage, true)
+    allH.distinct().write.parquet(stage.toString)
+    graft.tables.Tables.stageBucketedSwap(
+      spark.read.parquet(stage.toString), baseTable + "_winhash", "h",
+      numBuckets)
+    graft.tables.Tables.commitSwaps(spark, Seq(baseTable + "_winhash"))
+    fs.delete(stage, true)
+    val mark = math.max(batchIds.max, compactedThrough(spark, indexPath))
+    val out = fs.create(new Path(main, MarkerFile), true)
+    try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
+    batchIds.foreach(b => fs.delete(new Path(main, s"batch=$b"), true))
+  }
 
   /** Shared LSM fold: (idCol, sig) rows from the path tree plus the
    * existing bulk `_sigs` table, distinct-reduced, staged to a scratch

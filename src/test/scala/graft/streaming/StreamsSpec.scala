@@ -1030,6 +1030,59 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spanDedupSink tiered: fold into the bucketed winhash table, " +
+      "resumed batches drop folded spans; a folded-batch replay fails " +
+      "loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("spbulk_winhash", "spbulk_winhash__swap_tmp",
+      "spbulk_winhash__swap_backup").foreach(Tables.dropTable(spark, _))
+    val idx = Files.createTempDirectory("spidx").toString
+    val out = Files.createTempDirectory("spout").toString
+    val cp = Files.createTempDirectory("spcp").toString
+    val shared = "a b c d e f g h"
+    val mem = MemoryStream[(Long, String)]
+    def start() = Streams.spanDedupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, w = 8, bucketedBase = Some("spbulk"))
+    val q1 = start()
+    try {
+      mem.addData((1L, shared + " x y"), (2L, "totally different words " +
+        "about engines and planners over eight tokens"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // quiesced fold: the whole window set moves to the bucketed tier
+    // and the delta tree is pruned
+    Streams.compactSpanIndex(spark, idx, "spbulk", numBuckets = 4)
+    assert(spark.table("spbulk_winhash").count() > 0)
+    assert(!new java.io.File(idx).listFiles()
+      .exists(_.getName.startsWith("batch=")))
+    // resumed stream: doc 3 repeats doc 1's span -> dropped via the
+    // bulk join; its novel tail survives
+    val q2 = start()
+    try {
+      mem.addData((3L, shared + " fresh tail entirely new"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val b = rows(spark.read.parquet(out).filter(col("doc_id") === 3L))
+    assert(b.head(2) == 8L && b.head(3) == "fresh tail entirely new",
+      s"got ${b.head}")
+    // replay guard: folding over an uncommitted batch would make the
+    // next (replayed) batch clean against its own windows — the sink
+    // refuses batch ids at or below the fold watermark
+    val cp2 = Files.createTempDirectory("spcp2").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q3 = Streams.spanDedupSink(mem2.toDF().toDF("doc_id", "text"),
+      idx, out, cp2, w = 8, bucketedBase = Some("spbulk"))
+    try {
+      mem2.addData((9L, shared))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(e.getCause.getMessage.contains("already folded"), e.getCause)
+    } finally q3.stop()
+    Seq("spbulk_winhash", "spbulk_winhash__swap_tmp",
+      "spbulk_winhash__swap_backup").foreach(Tables.dropTable(spark, _))
+  }
+
   test("topTokensSink: finalized windows emit their exact top-k once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
