@@ -1540,6 +1540,12 @@ object Curation {
    * in DECIMAL(38,0) — no doubles anywhere, so the audit is
    * partition-invariant and oracle-checkable bit-for-bit.
    *
+   * NULL sensitive values: rows with a NULL sensitive column count
+   * toward class sizes and the global total but carry no distribution
+   * mass (the equality join drops NULL keys — identically in both
+   * engines, so the oracle twin agrees). Pre-coalesce NULLs to a
+   * sentinel value when missingness itself is the sensitive signal.
+   *
    * Scale: one hash-aggregate on (quasi, sensitive) — map-side
    * combined, state bounded by |classes|·|domain| not by rows — then a
    * broadcast join against the |domain|-row global frame and a
@@ -1618,7 +1624,9 @@ object Curation {
    * [[tClosenessAudit]]; CurationSpec pins the equality, StreamLaws
    * pins it for the streaming fold). Counts rows must be unique per
    * (quasi…, sensitive) with `nCol` > 0 — the shape a groupBy-count or
-   * a sum-folded partial tree produces.
+   * a sum-folded partial tree produces. NULL sensitive values follow
+   * [[tClosenessAudit]]'s contract (class/total mass only, no
+   * distribution mass; coalesce to a sentinel to change that).
    *
    * Scale: the input is already (classes × domain)-bounded; everything
    * here is one window + one broadcast join + two aggregates over it.
