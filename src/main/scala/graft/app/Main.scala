@@ -151,11 +151,8 @@ object Main {
         System.err.println(s"[graft] ${e.getMessage}")
         sys.exit(2)
       }
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
