@@ -135,7 +135,7 @@ object SparkEntry {
     "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "dataset_card_sketch", "content_fingerprint",
-    "corpus_mix", "mix_planner",
+    "corpus_mix", "mix_planner", "budget_select",
     "chunk_documents",
     "cdc_chunks",
     "cdc_dedup", "upsample",
@@ -1492,6 +1492,19 @@ object SparkEntry {
         defaultPermille = 25, tokenBudget = 100000L,
         maxEpochsMilli = 4000L)
         .orderBy("source")),
+
+    // the pick itself: best documents per source by quality score until
+    // 800 tokens per source — greedy prefix, total order (score desc,
+    // id asc), no partial documents
+    "budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs)
+        .select("doc_id", "n_tokens", "quality_score")
+      Curation.budgetSelect(
+        docs.select("doc_id", "source").join(scored, "doc_id"),
+        "source", "quality_score", "n_tokens", budget = 800L)
+        .orderBy("source", "pick_rank")
+    }),
 
     // snapshot diff: old = docs minus id%17==0; new = docs minus
     // id%11==0 with id%13==0 texts edited -> added/removed/changed
@@ -4646,6 +4659,24 @@ object SparkEntry {
          |  needed_epochs_milli IS NOT NULL AND needed_epochs_milli <= 4000
          |    AS feasible
          |FROM q ORDER BY source""".stripMargin,
+
+    // budget_select: greedy best-first prefix per source under a token
+    // budget — same quality score CTE, same (score desc, id) total order
+    "budget_select" ->
+      s"""WITH qs AS ($qualityScoreSql),
+         |j AS (SELECT d.doc_id, d.source, qs.n_tokens, qs.quality_score
+         |      FROM documents d JOIN qs ON qs.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, source, n_tokens, quality_score,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS pick_rank,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+         |  FROM j)
+         |SELECT doc_id, source, n_tokens, quality_score, pick_rank,
+         |  cum_cost
+         |FROM r WHERE cum_cost <= 800
+         |ORDER BY source, pick_rank""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH tok AS (

@@ -1575,6 +1575,41 @@ object Curation {
   }
 
   /**
+   * Best-first selection under a per-group additive budget — the step
+   * that turns a mix PLAN ([[mixPlanner]]) into an actual document
+   * pick: within each `groupCol` (source/domain), rows are taken in
+   * descending `orderCol` order (ties broken by ascending `idCol`, so
+   * the pick is total and reproducible) while the running sum of
+   * `costCol` stays within `budget`. The web-pipeline shape: "keep the
+   * best documents of every domain up to N tokens each". Emits the
+   * kept rows with (pick_rank, cum_cost) appended.
+   *
+   * Greedy prefix semantics: the first row whose cost would cross the
+   * budget is EXCLUDED (cum_cost ≤ budget), as is everything after it
+   * in that group — no partial documents.
+   *
+   * Scale: one hash partition per group + an in-partition sort (the
+   * classic per-group window); groups are domains — thousands, not
+   * corpus-sized — but a single pathological mega-group serializes its
+   * own sort. For that shape, pre-thin with an approximate quality
+   * threshold (percentile_approx on orderCol) before the exact pass,
+   * the same escape documented on [[capPerGroup]].
+   */
+  def budgetSelect(df: DataFrame, groupCol: String, orderCol: String,
+                   costCol: String, budget: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cost",
+        sum(col(costCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .filter(col("cum_cost") <= budget)
+  }
+
+  /**
    * Per-class frame behind the privacy audits, computed from a
    * PRE-AGGREGATED counts frame — one row per (quasi…, sensitive) with
    * its positive row count in `nCol`. Emits one row per equivalence

@@ -645,6 +645,25 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq(4L, 2L, 2L, 4L, 1000L, 500000L))
   }
 
+  test("budgetSelect: greedy best-first prefix per group, crossing doc " +
+      "excluded, zero budget keeps nothing") {
+    val df = Seq(
+      // group a: quality order 3 (0.9), 1 (0.8), 2 (0.5); costs 5, 4, 2
+      ("a", 1L, 0.8, 4L), ("a", 2L, 0.5, 2L), ("a", 3L, 0.9, 5L),
+      // group b: one doc bigger than the budget -> excluded, next fits
+      ("b", 4L, 0.9, 20L), ("b", 5L, 0.1, 6L))
+      .toDF("grp", "doc_id", "score", "cost")
+    val out = rows(Curation.budgetSelect(df, "grp", "score", "cost",
+      budget = 9L).orderBy("grp", "pick_rank"))
+    // a: 3 (cum 5), 1 (cum 9); 2 would make 11 -> cut
+    // b: 4 crosses at 20 -> cut, AND everything after it (prefix rule)
+    assert(out == Seq(
+      Seq("a", 3L, 0.9, 5L, 1L, 5L),
+      Seq("a", 1L, 0.8, 4L, 2L, 9L)))
+    assert(Curation.budgetSelect(df, "grp", "score", "cost", 0L)
+      .count() == 0L)
+  }
+
   test("privacyAuditFromCounts = the three row-level audits over the " +
       "rows the counts summarize") {
     import org.apache.spark.sql.functions.{col, count, lit}
