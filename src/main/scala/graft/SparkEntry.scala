@@ -4401,18 +4401,19 @@ object SparkEntry {
          |             AND t.neighbor_id = c.neighbor_id
          |  JOIN disc ON disc.r = c.rank
          |  GROUP BY c.query_id),
-         |qs AS (SELECT DISTINCT query_id FROM truth)
-         |SELECT qs.query_id,
+         |rel AS (SELECT query_id, LEAST(count(*), 10) AS nrel
+         |        FROM truth GROUP BY query_id)
+         |SELECT rel.query_id,
          |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(COALESCE(1000000 // h.first_r, 0) AS BIGINT) AS mrr_micro,
          |  CAST(COALESCE(h.dcg, 0) AS BIGINT) AS dcg_micro,
          |  CAST(cum.cd AS BIGINT) AS idcg_micro,
          |  CASE WHEN cum.cd > 0
          |       THEN CAST(COALESCE(h.dcg, 0) * 1000 // cum.cd AS BIGINT)
-         |  END AS ndcg_permille
-         |FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
-         |JOIN cum ON cum.m = COALESCE(h.n_hits, 0)
-         |ORDER BY qs.query_id""".stripMargin,
+         |       ELSE 0 END AS ndcg_permille
+         |FROM rel LEFT JOIN hits h ON h.query_id = rel.query_id
+         |JOIN cum ON cum.m = rel.nrel
+         |ORDER BY rel.query_id""".stripMargin,
 
     // embedding_centroids: same micro-unit integer sums (associative,
     // engine-invariant), floor of the exact double quotient

@@ -1571,8 +1571,12 @@ object Similarity {
    *  - mrr_micro  = 1e6 DIV (rank of first relevant candidate), 0 if none
    *  - dcg_micro  = Σ over relevant candidates of the micro discount
    *                 [[ndcgDiscountMicro]] at their CANDIDATE rank
-   *  - idcg_micro = Σ of the first n_hits discounts (ideal ordering)
-   *  - ndcg_permille = dcg · 1000 DIV idcg (null when n_hits = 0)
+   *  - idcg_micro = Σ of the first min(k, |truth list|) discounts — the
+   *                 STANDARD ideal: every relevant item ranked first,
+   *                 so a low-recall candidate scores low (an n_hits
+   *                 normalizer would hand a 1-hit candidate a perfect
+   *                 score)
+   *  - ndcg_permille = dcg · 1000 DIV idcg (0 when nothing was found)
    * The float boundary is confined to the k-row discount table (shared
    * verbatim with the oracle); sums of BIGINT are associative, so the
    * result is partition-invariant and hash-checkable.
@@ -1606,17 +1610,18 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"),
         min(col("__cr")).as("__first"),
         sum(col("__disc")).as("dcg_micro"))
-    t.select("query_id").distinct()
+    t.groupBy("query_id")
+      .agg(least(count(lit(1)), lit(k.toLong)).as("__nrel"))
       .join(hits, Seq("query_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("mrr_micro",
         coalesce(expr("1000000 DIV __first"), lit(0L)))
       .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
-      .join(broadcast(cum), col("n_hits") === col("__m"))
+      .join(broadcast(cum), col("__nrel") === col("__m"))
       .withColumn("idcg_micro", col("__cum"))
       .withColumn("ndcg_permille",
         when(col("idcg_micro") > 0,
-          expr("dcg_micro * 1000 DIV idcg_micro")))
+          expr("dcg_micro * 1000 DIV idcg_micro")).otherwise(lit(0L)))
       .select("query_id", "n_hits", "mrr_micro", "dcg_micro",
         "idcg_micro", "ndcg_permille")
   }

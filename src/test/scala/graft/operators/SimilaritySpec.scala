@@ -545,10 +545,12 @@ class SimilaritySpec extends SparkSpec {
     val out = rows(Similarity.rankingEval(truth, cand, k = 3)
       .orderBy("query_id"))
     // q1: hits at candidate ranks 1 and 3 → mrr 1e6,
-    //     dcg = 1000000 + 500000, idcg = 1000000 + 630929,
-    //     ndcg = 1500000·1000 DIV 1630929 = 919
-    assert(out(0) == Seq(1L, 2L, 1000000L, 1500000L, 1630929L, 919L))
-    // q2: no hits → zeros, idcg 0, ndcg null
-    assert(out(1) == Seq(2L, 0L, 0L, 0L, 0L, null))
+    //     dcg = 1000000 + 500000; idcg is the STANDARD ideal over the
+    //     full truth list (3 relevant): 1000000 + 630929 + 500000,
+    //     ndcg = 1500000·1000 DIV 2130929 = 703 — a 2-of-3 recall
+    //     candidate must NOT score a perfect 1000
+    assert(out(0) == Seq(1L, 2L, 1000000L, 1500000L, 2130929L, 703L))
+    // q2: no hits → zeros against the same nonzero ideal
+    assert(out(1) == Seq(2L, 0L, 0L, 0L, 2130929L, 0L))
   }
 }
