@@ -1856,6 +1856,57 @@ object Streams {
   }
 
   /**
+   * Streaming budget-capped best-first selection — the live twin of
+   * [[graft.operators.Curation.budgetSelect]]: as documents stream in,
+   * maintain per group the CURRENT best-first pick under the budget.
+   * Selection is not append-only (a better late document evicts a
+   * worse early pick), so the sink persists per-document selection
+   * METADATA — (group, id, order, cost), three scalars per document,
+   * never text — as additive `batch=<id>` partials and recomputes the
+   * exact window pass over the folded metadata each batch into
+   * `outPath/batch=<id>`. The latest batch dir is therefore always the
+   * one-shot [[graft.operators.Curation.budgetSelect]] over everything
+   * seen (StreamLaws pins it for any batch split).
+   *
+   * Idempotent batch-partition protocol (replays rewrite their own
+   * partial dir); doc ids must be unique across batches — a
+   * re-delivered id under a NEW batch id would double-count, the same
+   * single-delivery contract every metadata-fold sink here carries.
+   *
+   * Scale: state is 3 scalars per document seen — the same order as a
+   * dedup signature index; the per-batch recompute is one window pass
+   * over metadata, not over text. When even metadata-scale recompute
+   * is too hot per batch, run the same fold on a cadence instead (the
+   * pick only needs to be current when someone reads it).
+   */
+  def budgetSelectSink(stream: DataFrame, partialsPath: String,
+                       outPath: String, checkpointDir: String,
+                       groupCol: String, orderCol: String,
+                       costCol: String, budget: Long,
+                       idCol: String = "doc_id"): StreamingQuery = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          batch.select(col(groupCol), col(idCol), col(orderCol),
+              col(costCol))
+            .write.mode("overwrite")
+            .parquet(s"$partialsPath/batch=$batchId")
+          graft.operators.Curation.budgetSelect(
+              s.read.option("basePath", partialsPath)
+                .parquet(partialsPath).drop("batch"),
+              groupCol, orderCol, costCol, budget, idCol)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /**
    * Streaming dataset card — maintain the corpus release summary
    * ([[graft.operators.Curation.datasetCardSketch]]'s shape) over a
    * live document stream with BOUNDED state: each micro-batch lands

@@ -425,6 +425,41 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("budgetSelectSink latest pick = batch budgetSelect over " +
+      "everything seen, for any batch split (late evictions included)") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("a", "b"),
+        Gen.chooseNum(0L, 100L), Gen.chooseNum(1L, 9L))),
+      Gen.chooseNum(1, 9)) { (rowsRaw, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val docs = rowsRaw.zipWithIndex.map { case ((g, sc, c), i) =>
+        (i.toLong, g, sc, c) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      val parts = Files.createTempDirectory("law-bsp").toString
+      val outDir = Files.createTempDirectory("law-bso").toString
+      val cp = Files.createTempDirectory("law-bscp").toString
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      val q = Streams.budgetSelectSink(
+        mem.toDF().toDF("doc_id", "grp", "score", "cost"),
+        parts, outDir, cp, "grp", "score", "cost", budget = 12L)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
+      val want = graft.operators.Curation.budgetSelect(
+          docs.toDF("doc_id", "grp", "score", "cost"),
+          "grp", "score", "cost", budget = 12L)
+        .select("grp", "doc_id", "score", "cost", "pick_rank", "cum_cost")
+        .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("spanDedupSink union of batch outputs = batch " +
       "removeDuplicatedSpans over the concatenated corpus, for any " +
       "batch split (monotone ids)") =
