@@ -327,6 +327,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("budget_select: <= 2 documents scans (doc frame + quality " +
+      "frame), one per-source window pass, no cartesian product") {
+    val p = executedPlan("budget_select")
+    assert(scanCount(p, "documents") <= 2, s"documents rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
   test("ndcg_quantized: <= 6 embedding scans (exact + quantized leg, " +
       "corpus/query sides), query sides broadcast, no cartesian product") {
     val p = executedPlan("ndcg_quantized")
