@@ -1065,6 +1065,38 @@ class StreamsSpec extends SparkSpec {
     val b = rows(spark.read.parquet(out).filter(col("doc_id") === 3L))
     assert(b.head(2) == 8L && b.head(3) == "fresh tail entirely new",
       s"got ${b.head}")
+    // plan proof on the sink's bulk flag-join shape: batch windows
+    // against the bucketed winhash table must not re-shuffle the
+    // bucketed (100 TB) side — it reads AT its bucketing
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val batchWins = Seq((7L, 42L), (8L, 43L)).toDF("id", "h")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val frame = batchWins.join(
+          spark.table("spbulk_winhash").withColumn("__seenb", lit(1)),
+          Seq("h"), "left")
+        frame.collect()
+        val plan = frame.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        def scanWithoutJoinBelow(p: SparkPlan): Boolean =
+          if (p.toString.linesIterator.next().contains("spbulk_")) true
+          else if (p.children.length != 1) false
+          else scanWithoutJoinBelow(p.children.head)
+        val offending = plan.collect {
+          case e: SparkPlan with ShuffleExchangeLike
+              if scanWithoutJoinBelow(e.children.head) => e
+        }
+        assert(offending.isEmpty,
+          s"bucketed winhash side re-shuffled:\n${offending.mkString("\n")}")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
     // replay guard: folding over an uncommitted batch would make the
     // next (replayed) batch clean against its own windows — the sink
     // refuses batch ids at or below the fold watermark
