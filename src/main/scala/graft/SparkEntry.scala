@@ -3366,25 +3366,27 @@ object SparkEntry {
          |FROM toks tk LEFT JOIN stats s ON tk.doc_id = s.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
 
-    // dedup_spans: same window hashes; lowest doc id owns a duplicated
-    // window, every other holder drops the covered 1-based positions
-    // (DuckDB list lambdas index 1-based, matching directly)
+    // dedup_spans: unlike detection, the REWRITE's contract is the
+    // actual WINDOW TEXT (the Spark side uses hashes only as a
+    // candidate filter and verifies text before removing) — so the
+    // oracle groups ownership by the window string itself: lowest doc
+    // id owns a duplicated window text, every other holder drops the
+    // covered 1-based positions (DuckDB list lambdas index 1-based)
     "dedup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |wins AS (
          |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
          |      list_transform(generate_series(1, len(t) - 7),
          |        j -> {'i': j,
-         |              'h': ${polyHashSql(
-             "array_to_string(array_slice(t, j, j + 7), ' ')")}})
-         |    ELSE CAST([] AS STRUCT(i BIGINT, h BIGINT)[]) END) AS s
+         |              'w': array_to_string(array_slice(t, j, j + 7), ' ')})
+         |    ELSE CAST([] AS STRUCT(i BIGINT, w VARCHAR)[]) END) AS s
          |  FROM toks),
-         |w2 AS (SELECT doc_id, s.i AS i, s.h AS h FROM wins),
-         |own AS (SELECT h, min(doc_id) AS own FROM w2 GROUP BY h
+         |w2 AS (SELECT doc_id, s.i AS i, s.w AS w FROM wins),
+         |own AS (SELECT w, min(doc_id) AS own FROM w2 GROUP BY w
          |        HAVING min(doc_id) <> max(doc_id)),
          |rem AS (SELECT w2.doc_id,
          |    list(DISTINCT p) AS rem
-         |  FROM w2 JOIN own ON own.h = w2.h AND w2.doc_id <> own.own,
+         |  FROM w2 JOIN own ON own.w = w2.w AND w2.doc_id <> own.own,
          |    unnest(generate_series(w2.i, w2.i + 7)) AS u(p)
          |  GROUP BY w2.doc_id)
          |SELECT tk.doc_id,

@@ -1542,9 +1542,12 @@ object Curation {
    *
    * NULL sensitive values: rows with a NULL sensitive column count
    * toward class sizes and the global total but carry no distribution
-   * mass (the equality join drops NULL keys — identically in both
-   * engines, so the oracle twin agrees). Pre-coalesce NULLs to a
-   * sentinel value when missingness itself is the sensitive signal.
+   * mass, and a class whose rows are ALL null-sensitive still counts
+   * as an equivalence class (class size/existence come from the full
+   * counts frame; only the distribution legs drop null keys — so the
+   * audits agree with [[kAnonymityAudit]] over the same rows).
+   * Pre-coalesce NULLs to a sentinel value when missingness itself is
+   * the sensitive signal.
    *
    * Scale: one hash-aggregate on (quasi, sensitive) — map-side
    * combined, state bounded by |classes|·|domain| not by rows — then a
@@ -1584,16 +1587,24 @@ object Curation {
    * best documents of every domain up to N tokens each". Emits the
    * kept rows with (pick_rank, cum_cost) appended.
    *
-   * Greedy prefix semantics: the first row whose cost would cross the
-   * budget is EXCLUDED (cum_cost ≤ budget), as is everything after it
-   * in that group — no partial documents.
+   * Greedy prefix semantics, ENFORCED literally: a row survives only
+   * when every cumulative cost up to and including it stays within the
+   * budget (max of the running sum over the prefix) — so the first row
+   * crossing the budget is excluded AND everything after it in that
+   * group, even if a later negative cost pulled the running sum back
+   * under. For the normal non-negative-cost corpus the prefix max IS
+   * the running sum and the check is the plain `cum_cost <= budget`.
+   * A NULL cost is an unknown document size — summing it as 0 would
+   * silently admit the row — so it fails loudly (raise_error inside
+   * the same window pass; no separate validation scan).
    *
    * Scale: one hash partition per group + an in-partition sort (the
-   * classic per-group window); groups are domains — thousands, not
-   * corpus-sized — but a single pathological mega-group serializes its
-   * own sort. For that shape, pre-thin with an approximate quality
-   * threshold (percentile_approx on orderCol) before the exact pass,
-   * the same escape documented on [[capPerGroup]].
+   * classic per-group window; all three window columns share the one
+   * sort); groups are domains — thousands, not corpus-sized — but a
+   * single pathological mega-group serializes its own sort. For that
+   * shape, pre-thin with an approximate quality threshold
+   * (percentile_approx on orderCol) before the exact pass, the same
+   * escape documented on [[capPerGroup]].
    */
   def budgetSelect(df: DataFrame, groupCol: String, orderCol: String,
                    costCol: String, budget: Long,
@@ -1601,12 +1612,17 @@ object Curation {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val w = Window.partitionBy(groupCol)
       .orderBy(col(orderCol).desc, col(idCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val safeCost = when(col(costCol).isNull,
+        expr(s"raise_error('budgetSelect: null $costCol — every " +
+          "candidate row needs a cost (a null would silently count " +
+          "as 0 toward the budget)')"))
+      .otherwise(col(costCol))
     df.withColumn("pick_rank", row_number().over(w).cast("long"))
-      .withColumn("cum_cost",
-        sum(col(costCol)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
-      .filter(col("cum_cost") <= budget)
+      .withColumn("cum_cost", sum(safeCost).over(run).cast("long"))
+      .withColumn("__pfx_max", max(col("cum_cost")).over(run))
+      .filter(col("__pfx_max") <= budget)
+      .drop("__pfx_max")
   }
 
   /**
@@ -1623,6 +1639,18 @@ object Curation {
    * __ncsum (the class size) must be visible inside the per-class |·|
    * sum, so it rides a window over the counts frame —
    * |classes|·|domain| rows, never corpus rows.
+   *
+   * Class EXISTENCE survives null-sensitive rows: the glob attach is a
+   * LEFT join, so an equivalence class whose rows are ALL
+   * null-sensitive still emits (it would vanish from every field under
+   * an inner join's NULL-key drop, diverging from [[kAnonymityAudit]],
+   * which groups by the quasi columns alone and counts such classes).
+   * The distribution legs (__presAbs, __gsum) sum only the matched
+   * (non-null sensitive) rows — null sensitive values carry no
+   * distribution mass — so an all-null class gets __presAbs = 0,
+   * __gsum = 0 and the formula degenerates to
+   * dist = N·N_c / (2·N_c·N) = ½ (the whole domain is "absent"),
+   * exactly the formula's extension to an empty present set.
    */
   private def classDistanceFrame(counts: DataFrame, quasiCols: Seq[String],
                                  sensitiveCol: String,
@@ -1633,15 +1661,18 @@ object Curation {
     val tot = glob.agg(coalesce(sum(col("__ns")), lit(0L)).as("__N"))
     val w = Window.partitionBy(quasiCols.map(col): _*)
     counts.withColumn("__ncsum", sum(col(nCol)).over(w))
-      .join(broadcast(glob), Seq(sensitiveCol))
+      .join(broadcast(glob), Seq(sensitiveCol), "left")
       .crossJoin(broadcast(tot))
       .groupBy(quasiCols.map(col): _*)
       .agg(max(col("__ncsum")).as("__nc"),
         countDistinct(col(sensitiveCol)).as("__d"),
         max(col("__N")).as("__N"),
-        sum(expr(s"abs(CAST($nCol AS $dec) * __N - " +
-          s"CAST(__ns AS $dec) * __ncsum)")).as("__presAbs"),
-        sum(col("__ns")).as("__gsum"))
+        coalesce(sum(expr(
+          s"CASE WHEN __ns IS NOT NULL THEN abs(CAST($nCol AS $dec) " +
+            s"* __N - CAST(__ns AS $dec) * __ncsum) " +
+            s"ELSE CAST(0 AS $dec) END")), expr(s"CAST(0 AS $dec)"))
+          .as("__presAbs"),
+        coalesce(sum(col("__ns")), lit(0L)).as("__gsum"))
       .withColumn("__num", expr(
         s"__presAbs + CAST(__N - __gsum AS $dec) * __nc"))
       .withColumn("dist_micro", expr(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFns, VectorFns}
@@ -1246,25 +1247,46 @@ object Dedup {
    * note the join normalizes whitespace for unchanged documents too,
    * so the output text column is one consistent canonical form.
    *
-   * Deterministic by construction: ownership is a min over ids,
-   * removal is position-set membership (order-free), and the window
-   * hash is the shared reproducible polynomial — no RNG, no float.
+   * Removal is decided on ACTUAL WINDOW TEXT, never on a hash alone:
+   * unlike [[duplicatedSpans]] (detection, where the window hash is the
+   * documented contract), a destructive rewrite must not delete real
+   * tokens on a hash collision — the same reasoning that makes
+   * [[decontaminate]] join raw shingle strings. The hash here is purely
+   * a candidate filter: windows are first grouped by xxhash64 of the
+   * window text (8 bytes on the wire, one native hash per window — the
+   * oracle no longer computes a hash at all, so the reproducible-poly
+   * family is not needed here and its 3-fold cost is saved;
+   * min(doc) != max(doc) is the 2-distinct test — a SUPERSET of the
+   * truly-duplicated texts, since a hash group unions its texts' doc
+   * sets, so no false negatives), and only the flagged occurrences
+   * re-attach their window text for the exact per-text ownership pass.
+   * Two colliding texts each held by one document survive the
+   * candidate filter and are rejected by the text group (min = max per
+   * text).
    *
-   * Scale: the window explode is one row per token (the same volume
-   * [[duplicatedSpans]] pays, twice — once for ownership, once for the
-   * flagged join, both hash-shuffled on the 8-byte window hash with
-   * map-side combine on the ownership side); removed-position state is
-   * bounded by duplicated token mass, not corpus mass, and the rebuild
-   * is a narrow per-row HOF filter inside codegen. The O(corpus) suffix
-   * array of the paper is replaced by the hash-window equivalent that
-   * actually distributes.
+   * Deterministic by construction: ownership is a min over ids and
+   * removal is position-set membership (order-free) — no RNG, no float.
+   *
+   * Scale: the window explode is one row per token, hash-shuffled on
+   * the 8-byte window hash with map-side combine on the candidate side;
+   * window STRINGS ship only for hash-flagged occurrences (bounded by
+   * duplicated token mass x w, plus ~0 false candidates at 64 bits),
+   * and the one corpus-text move is the flagged-side re-attach join on
+   * the doc id — each flagged document's token array moves once,
+   * unamplified. Removed-position state is bounded by duplicated token
+   * mass, not corpus mass, and the rebuild is the O(len + removed)
+   * sorted-merge pass of [[graft.plans.DropPositions]] (codegen'd) —
+   * not an O(len x removed) membership scan, so one fully-duplicated
+   * 100k-token document rebuilds in a linear pass instead of ~10^10
+   * comparisons on a single task. The O(corpus) suffix array of the
+   * paper is replaced by the hash-candidate + text-verify equivalent
+   * that actually distributes.
    */
   def removeDuplicatedSpans(docs: DataFrame, w: Int = 8,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val winHash = TextFns.polyHashFragment(s"concat_ws(' ', slice(t, i, $w))",
-      31, TextFns.HashMod)
+    val winHash = s"xxhash64(concat_ws(' ', slice(t, i, $w)))"
     val toks = docs.select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
     val wins = toks.select(col("id"), explode(expr(
         s"""CASE WHEN size(t) >= $w THEN
@@ -1273,24 +1295,39 @@ object Dedup {
            |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
           .stripMargin)).as("s"))
       .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
-    val owned = wins.groupBy("h")
-      .agg(min("id").as("__own"), max("id").as("__mx"))
-      .filter(col("__own") =!= col("__mx"))
-      .select(col("h"), col("__own"))
-    val removed = wins.join(owned, Seq("h"))
-      .filter(col("id") =!= col("__own"))
+    val cand = wins.groupBy("h")
+      .agg(min("id").as("__mn"), max("id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+    // flagged occurrences re-attach their window text (one by-id join —
+    // each flagged doc's token array moves once), then ownership is
+    // decided per ACTUAL text with ONE window pass over (h, __wtxt):
+    // a collision's texts get their own min/max over their own doc
+    // sets and drop out unless really shared. A window (not agg+join)
+    // keeps the flagged frame in the plan ONCE — the lineage would
+    // otherwise recompute the corpus-side joins twice — and WindowExec
+    // spills per partition-key group, so one pathologically hot window
+    // text degrades to a slow (serialized) key, never an OOM.
+    val ownW = Window.partitionBy("h", "__wtxt")
+    val removed = wins.join(cand, Seq("h"))
+      .join(toks, Seq("id"))
+      .select(col("id"), col("i"), col("h"),
+        expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"))
+      .withColumn("__own", min("id").over(ownW))
+      .withColumn("__mx", max("id").over(ownW))
+      .filter(col("__own") =!= col("__mx") && col("id") =!= col("__own"))
       .select(col("id"),
         explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
       .groupBy("id")
-      .agg(collect_set(col("p")).as("__rem"))
+      .agg(array_sort(collect_set(col("p"))).as("__rem"))
     toks.join(removed, Seq("id"), "left")
       .withColumn("__rem",
         coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))
       .select(col("id").as(idCol),
         size(col("t")).cast("long").as("n_tokens"),
         size(col("__rem")).cast("long").as("n_removed"),
-        expr("concat_ws(' ', filter(t, (tok, j) -> " +
-          "NOT array_contains(__rem, j + 1)))").as("clean_text"))
+        coalesce(expr("graft_drop_positions(t, __rem)"), lit(""))
+          .as("clean_text"))
   }
 
   /**

@@ -102,5 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_char_entropy expects (str)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_drop_positions"),
+      new ExpressionInfo(classOf[DropPositions].getName,
+        "graft_drop_positions"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, pos) => DropPositions(toks, pos)
+        case _ => throw new IllegalArgumentException(
+          "graft_drop_positions expects (tokenArray, sortedPositionArray)")
+      }))
   }
 }

@@ -737,13 +737,34 @@ object Streams {
    * micro-batch rewrites its own partitions and never removes against
    * its own windows.
    *
-   * Scale: the index holds 8-byte window hashes, never text — one row
-   * per distinct window per batch that carried it; compact it
+   * Hash contract (FORMAT VERSION — since round 15): the index stores
+   * TWO independent window hashes per distinct window, `h` = xxhash64
+   * of the window text (the join/bucket key) and `h2` = xxhash64 of
+   * the REVERSED window text (reverse is a bijection, so h2 is a full
+   * second 64-bit hash over distinct inputs, structurally unrelated to
+   * h; both are one cheap native hash, not the 3-fold reproducible
+   * poly family the oracle-checked operators need). A window is
+   * flagged only when BOTH match — a 128-bit composite, false-removal
+   * probability ~n²/2^129 (~10^-12 even at 10^13 windows). This is the
+   * documented divergence from the batch
+   * [[Dedup.removeDuplicatedSpans]], which verifies ACTUAL window text:
+   * cross-batch text verification would require storing window strings
+   * in the index, defeating the bounded-state design, so the streaming
+   * twin accepts the negligible composite-hash residual instead.
+   * Indexes persisted under the pre-round-15 single 30-bit hash are
+   * incompatible — REBUILD them (the [[Dedup.embeddingSignatures]]
+   * format-version precedent).
+   *
+   * Scale: the index holds 16 bytes per distinct window, never text —
+   * one row per distinct window per batch that carried it; compact it
    * periodically with a distinct rewrite (or fold it into a bucketed
    * table with the [[compactIndexBucketed]] LSM pattern when the
    * per-batch join shuffle on the index side starts to dominate). The
    * window explode is linear in batch tokens, paid twice (index write
-   * + flag join), exactly the batch operator's cost profile.
+   * + flag join), exactly the batch operator's cost profile; the
+   * survivor rebuild is the O(len + removed) sorted-merge of
+   * [[graft.plans.DropPositions]], linear even for one fully-duplicated
+   * mega-document.
    */
   def spanDedupSink(stream: DataFrame, indexPath: String, outPath: String,
                     checkpointDir: String, w: Int = 8,
@@ -769,54 +790,57 @@ object Streams {
               "against its own windows would remove every token. Fold " +
               "only over a fully-committed checkpoint (stop the stream, " +
               "processAllAvailable, then compactSpanIndex).")
-          val winHash = TextFns.polyHashFragment(
-            s"concat_ws(' ', slice(t, i, $w))", 31, TextFns.HashMod)
+          val winTxt = s"concat_ws(' ', slice(t, i, $w))"
           def toks = batch.select(col(idCol).as("id"),
             TextFns.tokens(textCol).as("t"))
           def wins = toks.select(col("id"), explode(expr(
               s"""CASE WHEN size(t) >= $w THEN
                  |  transform(sequence(1, size(t) - ${w - 1}),
-                 |            i -> struct(i AS i, $winHash AS h))
-                 |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
+                 |            i -> struct(i AS i, xxhash64($winTxt) AS h,
+                 |                        xxhash64(reverse($winTxt)) AS h2))
+                 |ELSE CAST(array()
+                 |  AS ARRAY<STRUCT<i: INT, h: BIGINT, h2: BIGINT>>) END"""
                 .stripMargin)).as("s"))
-            .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
-          wins.select("h").distinct()
+            .select(col("id"), col("s.i").as("i"), col("s.h").as("h"),
+              col("s.h2").as("h2"))
+          wins.select("h", "h2").distinct()
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
           val delta = s.read.option("basePath", indexPath).parquet(indexPath)
-            .filter(col("batch") =!= batchId).select("h").distinct()
-          val ownedInBatch = wins.groupBy("h")
+            .filter(col("batch") =!= batchId).select("h", "h2").distinct()
+          val ownedInBatch = wins.groupBy("h", "h2")
             .agg(min("id").as("__own"), max("id").as("__mx"))
             .filter(col("__own") =!= col("__mx"))
-            .select(col("h"), col("__own"))
+            .select(col("h"), col("h2"), col("__own"))
           // bulk tier joins SEPARATELY so it joins at its own bucketing
           // (batch side shuffles to the buckets, bulk side never moves —
-          // a union with the delta would destroy that); the bulk is
-          // distinct-folded, the delta distinct per batch, and any
-          // cross-batch duplicate flag rows are absorbed by the position
-          // collect_set
+          // a union with the delta would destroy that). The bulk join
+          // key stays the single bucket column `h`; the h2 verify is a
+          // post-join filter, so a 63-bit collision inside the bulk
+          // (two h2 rows under one h) merely multiplies rows whose
+          // identical positions the collect_set absorbs.
           val withBulk = bucketedBase match {
             case Some(base) if s.catalog.tableExists(base + "_winhash") =>
-              wins.join(s.table(base + "_winhash").select(col("h"))
-                .withColumn("__seenb", lit(1)), Seq("h"), "left")
-            case _ => wins.withColumn("__seenb", lit(null).cast("int"))
+              wins.join(s.table(base + "_winhash")
+                .select(col("h"), col("h2").as("__h2b")), Seq("h"), "left")
+            case _ => wins.withColumn("__h2b", lit(null).cast("bigint"))
           }
           val removed = withBulk
-            .join(delta.withColumn("__seen", lit(1)), Seq("h"), "left")
-            .join(ownedInBatch, Seq("h"), "left")
-            .filter(col("__seen").isNotNull || col("__seenb").isNotNull ||
+            .join(delta.withColumn("__seen", lit(1)), Seq("h", "h2"), "left")
+            .join(ownedInBatch, Seq("h", "h2"), "left")
+            .filter(col("__seen").isNotNull || col("__h2b") === col("h2") ||
               (col("__own").isNotNull && col("id") =!= col("__own")))
             .select(col("id"),
               explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
             .groupBy("id")
-            .agg(collect_set(col("p")).as("__rem"))
+            .agg(array_sort(collect_set(col("p"))).as("__rem"))
           toks.join(removed, Seq("id"), "left")
             .withColumn("__rem",
               coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))
             .select(col("id").as(idCol),
               size(col("t")).cast("long").as("n_tokens"),
               size(col("__rem")).cast("long").as("n_removed"),
-              expr("concat_ws(' ', filter(t, (tok, j) -> " +
-                "NOT array_contains(__rem, j + 1)))").as("clean_text"))
+              coalesce(expr("graft_drop_positions(t, __rem)"), lit(""))
+                .as("clean_text"))
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()
         }
@@ -1008,6 +1032,120 @@ object Streams {
   }
 
   /**
+   * Generic compaction for the COUNTER/metadata-fold sinks
+   * ([[dsirSink]], [[privacyAuditSink]], [[trendSink]], [[driftSink]] /
+   * [[driftByGroupSink]] / [[mixDriftSink]] counts, [[latenessSink]],
+   * [[constraintSink]], [[cardSink]]'s langs leg): without it, every
+   * micro-batch adds a `batch=<id>` dir FOREVER and the per-batch fold
+   * reads O(n_batches) dirs — O(n²) cumulative over a sink's lifetime
+   * (a 10 s trigger for a month is ~260k dirs). This folds the whole
+   * tree into one `batch=-1` partition via group-by-key partial sums
+   * (plus optional max columns for high-watermark fields like
+   * [[latenessSink]]'s `max_ts_us`), stamps the `_compacted_through`
+   * marker, and prunes — [[compactIndex]]'s swap protocol verbatim, so
+   * crash recovery is "re-run the fold". The sinks keep working
+   * unchanged: their folds re-aggregate over `batch=-1` plus the
+   * batches since, and their `compactedThrough` replay guard refuses
+   * any batch id at or below the marker (the summing-index
+   * double-count hazard documented on [[compactIndex]]).
+   *
+   * Run QUIESCED over a fully-committed checkpoint (stop the stream,
+   * processAllAvailable first), like every compaction here.
+   *
+   * Scale: the fold input is (key-space × batches) counter rows,
+   * never corpus rows; after it, per-batch fold input is key-space +
+   * O(batches since last fold) — bounded by compaction cadence instead
+   * of stream lifetime.
+   */
+  def compactCounterPartials(spark: SparkSession, partialsPath: String,
+                             keyCols: Seq[String], sumCols: Seq[String],
+                             maxCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(sumCols.nonEmpty || maxCols.nonEmpty,
+      "need at least one sum or max column")
+    compactIndex(spark, partialsPath) { df =>
+      val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+        maxCols.map(c => max(col(c)).as(c))
+      df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        // restore the tree's column order so batch=-1 parquet matches
+        // the per-batch partials' schema exactly
+        .select(df.columns.map(col): _*)
+    }
+  }
+
+  /**
+   * Compaction for [[budgetSelectSink]]'s metadata partials — and the
+   * state-size win counters cannot have: the fold keeps, per group,
+   * only the DECISION PREFIX — the sorted rows up to AND INCLUDING the
+   * first budget-crossing row — so persisted state becomes
+   * budget-bounded (kept rows + one crossing row per group, for
+   * positive costs) instead of stream-length-bounded.
+   *
+   * Why the prefix and not the bare kept set: an unpicked row's cost
+   * still sits inside every later row's cumulative prefix. Dropping
+   * the crossing row would let a future lower-score arrival read a
+   * cumulative cost the true history never had — e.g. budget 12 with
+   * A(cost 2) picked and B(cost 11) crossing at 13: prune B away and a
+   * later C(cost 8) folds to cum 10 ≤ 12 and is wrongly admitted,
+   * where full history rejects it at 21. KEEPING the crossing row is
+   * exact: any row sorting after it — now or in any future batch —
+   * inherits a prefix max already over budget and is excluded either
+   * way, and such a row's own cost only influences rows after itself,
+   * all equally doomed, so dropping THOSE loses nothing (costs
+   * non-negative — the sink's documented contract; null costs already
+   * fail loudly in [[graft.operators.Curation.budgetSelect]]).
+   * StreamLaws pins pruned-state pick = full-history pick for any
+   * batch split, late evictions included.
+   *
+   * Same [[compactIndex]] swap + `_compacted_through` marker protocol;
+   * run QUIESCED over a fully-committed checkpoint. The sink's replay
+   * guard refuses folded batch ids — a replayed folded batch would
+   * re-add rows whose survivors are already inside `batch=-1`.
+   */
+  def compactBudgetSelectPartials(spark: SparkSession, partialsPath: String,
+                                  groupCol: String, orderCol: String,
+                                  costCol: String, budget: Long,
+                                  idCol: String = "doc_id"): Unit =
+    compactIndex(spark, partialsPath) { df =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol)
+        .orderBy(col(orderCol).desc, col(idCol).asc)
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val pre = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      // keep a row iff no STRICT predecessor already crossed — this
+      // retains the first crossing row itself and drops everything
+      // after it
+      df.withColumn("__cum", sum(col(costCol)).over(run))
+        .withColumn("__preMax", max(col("__cum")).over(pre))
+        .filter(col("__preMax").isNull || col("__preMax") <= budget)
+        .select(df.columns.map(col): _*)
+    }
+
+  /**
+   * Compaction for [[cardSink]]'s three partial legs: `langs` sum-folds
+   * per language, `vocab`/`texts` keep only the k smallest DISTINCT
+   * hashes (the KMV merge property: the k-min of a union lives inside
+   * the union of per-batch k-min sets, so dropping everything beyond
+   * the global k-min loses nothing). Each leg gets its own `batch=-1` +
+   * marker via [[compactIndex]]; the sink's replay guard checks the
+   * `langs` leg (all three are compacted together here, and langs is
+   * the summing leg where a replay would double-count — the k-min legs
+   * are distinct-reduced and immune).
+   */
+  def compactCardPartials(spark: SparkSession, partialsPath: String,
+                          k: Int = 256): Unit = {
+    compactCounterPartials(spark, s"$partialsPath/langs",
+      keyCols = Seq("lang"), sumCols = Seq("n_docs", "n_tokens"))
+    Seq("vocab", "texts").foreach { leg =>
+      compactIndex(spark, s"$partialsPath/$leg")(
+        _.select("h").distinct().orderBy(col("h")).limit(k))
+    }
+  }
+
+  /**
    * Compaction of a [[nearDupSink]]/[[intakeSink]]/[[clustersSink]]
    * signature index into the BUCKETED bulk tier: folds every `batch=<id>`
    * partition (plus any previously-folded bulk) through distinct into the
@@ -1068,9 +1206,10 @@ object Streams {
   /**
    * Compaction of a [[spanDedupSink]] window-hash index into its
    * BUCKETED bulk tier: folds every `batch=<id>` partition (plus any
-   * previously-folded bulk) through distinct into `<base>_winhash`,
-   * bucketed on `h`, then prunes the folded delta partitions — the same
-   * LSM shape as [[compactIndexBucketed]], single-column edition. After
+   * previously-folded bulk) through distinct into `<base>_winhash`
+   * ((h, h2) rows — the sink's composite-hash format), bucketed on `h`,
+   * then prunes the folded delta partitions — the same LSM shape as
+   * [[compactIndexBucketed]]. After
    * this runs, the sink's flag join reads the corpus-scale window set
    * AT ITS BUCKETING (only the batch side shuffles) and the path tree
    * only holds batches since the last fold.
@@ -1097,10 +1236,10 @@ object Streams {
       .map(_.stripPrefix("batch=").toLong)
     if (batchIds.isEmpty) return
     val pathH = spark.read.option("basePath", indexPath)
-      .parquet(indexPath).select("h")
+      .parquet(indexPath).select("h", "h2")
     val allH =
       if (spark.catalog.tableExists(baseTable + "_winhash"))
-        spark.table(baseTable + "_winhash").select("h").union(pathH)
+        spark.table(baseTable + "_winhash").select("h", "h2").union(pathH)
       else pathH
     // stage through a scratch tree: the fold reads the bulk it is about
     // to overwrite, and Spark refuses overwrite-while-read plans
@@ -1385,6 +1524,62 @@ object Streams {
       .start()
 
   /**
+   * Streaming ranking-quality monitor — [[graft.operators.Similarity
+   * .rankingEval]]'s live twin for a serving tier: the stream carries
+   * top-k rows tagged `side ∈ {truth, candidate}` (ground-truth rows
+   * from an exact offline pass, candidate rows from the quantized/IVF/
+   * PQ serving path), each micro-batch lands its rows under
+   * `partialsPath/batch=<id>`, and the cumulative per-query
+   * nDCG/MRR verdict — recomputed by the exact batch operator over the
+   * folded rows, never averaged across batches — rewrites to
+   * `evalPath/batch=<id>`. A quantization regression or an index gone
+   * stale moves the cumulative ndcg_permille within one batch of the
+   * affected queries landing.
+   *
+   * State is top-k rows per (query, side) — OUTPUT-bounded, tiny next
+   * to the corpora that produced them, the same order as the frames
+   * [[graft.operators.Similarity.rankingEval]] already joins. Same
+   * idempotent batch-partition + [[compactedThrough]] watermark
+   * protocol as every fold sink here; compact the tree on cadence with
+   * `compactIndex(spark, partialsPath)(identity)` (rows are facts, not
+   * sums — the fold is small-file hygiene, and the watermark guard
+   * makes a replayed folded batch refuse rather than double its rows).
+   *
+   * Scale: per batch, one tree fold of (k × queries-seen × 2) rows +
+   * the batch operator's output-bounded joins — corpora are never read.
+   */
+  def rankingEvalSink(stream: DataFrame, partialsPath: String,
+                      evalPath: String, checkpointDir: String,
+                      k: Int, sideCol: String = "side",
+                      queryCol: String = "query_id",
+                      neighborCol: String = "neighbor_id",
+                      rankCol: String = "rank"): StreamingQuery = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
+          val s = batch.sparkSession
+          batch.select(col(sideCol), col(queryCol), col(neighborCol),
+              col(rankCol).cast("long").as(rankCol))
+            .write.mode("overwrite")
+            .parquet(s"$partialsPath/batch=$batchId")
+          val all = s.read.option("basePath", partialsPath)
+            .parquet(partialsPath).drop("batch")
+          graft.operators.Similarity.rankingEval(
+              all.filter(col(sideCol) === "truth").drop(sideCol),
+              all.filter(col(sideCol) === "candidate").drop(sideCol),
+              k, queryCol, neighborCol, rankCol)
+            .write.mode("overwrite").parquet(s"$evalPath/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /**
    * Streaming SCD Type 2 dimension maintenance — a CDC/attribute feed
    * folds into the history-keeping table per micro-batch: the batch
    * dedupes to latest-per-key by its event-time column (satisfying the
@@ -1410,11 +1605,21 @@ object Streams {
    * per micro-batch: `max(valid_from)` only advances through this
    * sink's own merges (single-writer — the swap-protocol contract),
    * so the dimension is read once at the first non-empty batch and
-   * the boundary then carries forward as each batch's `effective` —
-   * a possibly-large dimension never pays a table-sized aggregate per
-   * batch. A restarted sink re-initializes from the table, so a
-   * replayed batch clamps against at-least the boundary it saw before
-   * the crash.
+   * the boundary then carries forward — a possibly-large dimension
+   * never pays a table-sized aggregate per batch. The cached boundary
+   * advances to a batch's `effective` ONLY when the merge actually
+   * wrote versions at it: a no-change batch (nothing opened, nothing
+   * closed) leaves no `valid_from = effective` row in the table, so
+   * advancing on it would cache a boundary the table never held and a
+   * restart (which re-derives from the table) would clamp differently
+   * than the no-crash path. "Wrote versions" is read off the merge's
+   * own return value — every opened version adds exactly one row (a
+   * closed version keeps its old row and opens a replacement), so the
+   * post-merge row count grows iff the merge opened versions at
+   * `effective`; the sink tracks the count in the same driver state.
+   * A restarted sink re-initializes from the table, so a replayed
+   * batch clamps against at-least the boundary it saw before the
+   * crash.
    */
   def scd2Sink(stream: DataFrame, table: String, checkpointDir: String,
                key: String, tsCol: String = "ts"): StreamingQuery = {
@@ -1425,6 +1630,9 @@ object Streams {
     // Some(null) = table absent/empty at init (no clamp floor yet)
     val boundary = new java.util.concurrent.atomic.AtomicReference[
       Option[java.sql.Timestamp]](None)
+    // post-merge row count, tracked alongside: the boundary advances
+    // only when a merge GREW the table (= opened versions at effective)
+    val rowCount = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -1441,13 +1649,16 @@ object Streams {
               "values — every row needs an event timestamp to place " +
               "its version on the validity timeline")
           if (boundary.get.isEmpty) {
-            boundary.set(Some(
-              if (!s.catalog.tableExists(table)) null
-              else {
-                scd2BoundaryReads.incrementAndGet()
-                s.table(table).agg(max(col("valid_from")))
-                  .head().getTimestamp(0)
-              }))
+            if (!s.catalog.tableExists(table)) {
+              boundary.set(Some(null))
+              rowCount.set(0L)
+            } else {
+              scd2BoundaryReads.incrementAndGet()
+              val init = s.table(table)
+                .agg(max(col("valid_from")), count(lit(1))).head()
+              boundary.set(Some(init.getTimestamp(0)))
+              rowCount.set(init.getLong(1))
+            }
           }
           // monotonicity clamp (see scaladoc): never regress below the
           // table's newest version boundary
@@ -1462,14 +1673,20 @@ object Streams {
               tieBreak = batch.columns.toSeq
                 .filterNot(c => c == key || c == tsCol))
             .drop(tsCol)
-          if (!s.catalog.tableExists(table))
+          if (!s.catalog.tableExists(table)) {
             graft.tables.Tables.loadScd2(staging, table, effective)
-          else
-            graft.tables.Tables.upsertScd2(s, staging, table, key,
-              effective)
-          // the merge's valid_from values are all `effective`, so the
-          // new boundary is known without re-reading the table
-          boundary.set(Some(effective))
+            // initial load: every row's valid_from IS effective
+            boundary.set(Some(effective))
+            rowCount.set(s.table(table).count())
+          } else {
+            val newCount = graft.tables.Tables.upsertScd2(s, staging,
+              table, key, effective)
+            // advance only if the merge opened versions (count grew) —
+            // a no-change batch leaves no valid_from = effective row,
+            // so the boundary must keep the table's real maximum
+            if (newCount > rowCount.get) boundary.set(Some(effective))
+            rowCount.set(newCount)
+          }
           owner.catalog.refreshTable(table)
           ()
         }
@@ -1836,7 +2053,8 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
           val s = batch.sparkSession
           batch.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
             .agg(count(lit(1)).as("n"))
@@ -1889,7 +2107,8 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty &&
+            batchId > compactedThrough(batch.sparkSession, partialsPath)) {
           val s = batch.sparkSession
           batch.select(col(groupCol), col(idCol), col(orderCol),
               col(costCol))
@@ -1942,7 +2161,10 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // replay guard on the langs leg (the summing leg — see
+        // compactCardPartials): a folded batch must not re-contribute
+        if (!batch.isEmpty && batchId > compactedThrough(
+            batch.sparkSession, s"$partialsPath/langs")) {
           val s = batch.sparkSession
           val mink = graft.functions.MinKLongs.udaf(k)
           batch
@@ -2163,15 +2385,26 @@ object Streams {
     // generation guard: delta cell ids are meaningful only under the
     // routing table that assigned them. A fold after a rebuild would
     // merge assignments from a dead generation into the new bulk —
-    // silently wrong probes, no error — so refuse loudly instead.
-    readRoutingGenMarker(spark, deltaPath).foreach { dg =>
-      val g = graft.operators.Similarity.ivfGeneration(spark, baseTable)
-      if (dg != g) throw new IllegalStateException(
-        s"delta tree at '$deltaPath' was assigned under routing " +
-          s"generation $dg but index '$baseTable' is at generation $g: " +
-          "these cell ids belong to dead centroids. Re-assign the delta " +
-          "vectors against the current routing table (ivfDeltaAssign) " +
-          "or drop the tree; never fold across a rebuild.")
+    // silently wrong probes, no error — so refuse loudly instead. A
+    // MARKER-LESS tree with batch dirs (the partially-cleaned/orphan
+    // state the sink's restart guard also refuses) is equally unsafe:
+    // its assigning generation is unknown, so folding it could bake
+    // dead-generation cells into the bulk permanently.
+    readRoutingGenMarker(spark, deltaPath) match {
+      case Some(dg) =>
+        val g = graft.operators.Similarity.ivfGeneration(spark, baseTable)
+        if (dg != g) throw new IllegalStateException(
+          s"delta tree at '$deltaPath' was assigned under routing " +
+            s"generation $dg but index '$baseTable' is at generation $g: " +
+            "these cell ids belong to dead centroids. Re-assign the delta " +
+            "vectors against the current routing table (ivfDeltaAssign) " +
+            "or drop the tree; never fold across a rebuild.")
+      case None => throw new IllegalStateException(
+        s"delta tree at '$deltaPath' holds batch dirs but no " +
+          "routing-generation marker: its assigning generation is " +
+          "unknown, and folding it could merge dead-generation cells " +
+          "into the bulk. Re-assign the vectors (ivfDeltaAssign) or " +
+          "drop the orphan tree.")
     }
     val cols = Seq(col(idCol), col("vec"), col("nrm"), col("cell"))
     // precedence is (tier, batch): delta beats bulk, and WITHIN the
@@ -2274,14 +2507,24 @@ object Streams {
     val batchIds = fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
     if (batchIds.isEmpty) return
-    readRoutingGenMarker(spark, deltaPath).foreach { dg =>
-      val g = graft.operators.Similarity.pqGeneration(spark, baseTable)
-      if (dg != g) throw new IllegalStateException(
-        s"delta tree at '$deltaPath' was encoded under PQ generation " +
-          s"$dg but index '$baseTable' is at generation $g: these codes " +
-          "belong to dead centroids/codebooks. Re-encode the delta " +
-          "vectors (pqDeltaAssign) or drop the tree; never fold across " +
-          "a rebuild.")
+    // same None-case rule as compactIvfDelta: a marker-less tree with
+    // batch dirs has an UNKNOWN assigning generation — folding it could
+    // bake dead-generation codes into the bulk permanently
+    readRoutingGenMarker(spark, deltaPath) match {
+      case Some(dg) =>
+        val g = graft.operators.Similarity.pqGeneration(spark, baseTable)
+        if (dg != g) throw new IllegalStateException(
+          s"delta tree at '$deltaPath' was encoded under PQ generation " +
+            s"$dg but index '$baseTable' is at generation $g: these codes " +
+            "belong to dead centroids/codebooks. Re-encode the delta " +
+            "vectors (pqDeltaAssign) or drop the tree; never fold across " +
+            "a rebuild.")
+      case None => throw new IllegalStateException(
+        s"delta tree at '$deltaPath' holds batch dirs but no " +
+          "routing-generation marker: its assigning generation is " +
+          "unknown, and folding it could merge dead-generation codes " +
+          "into the bulk. Re-encode the vectors (pqDeltaAssign) or " +
+          "drop the orphan tree.")
     }
     val bulk = spark.table(baseTable + "_pqcodes")
     val cols = bulk.schema.fieldNames.toSeq.map(col)

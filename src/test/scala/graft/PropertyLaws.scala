@@ -821,6 +821,41 @@ object PropertyLaws extends Properties("graft") {
         out.head.getLong(2) == 0L
     }
 
+  property("removeDuplicatedSpans equals the in-memory text-exact " +
+      "reference (ownership by actual window string, lowest id wins)") =
+    forAll(Gen.listOfN(6, Gen.listOfN(9, Gen.oneOf("a", "b", "c"))),
+      Gen.chooseNum(2, 4)) { (docToks, w) =>
+      import graft.operators.Dedup
+      import spark.implicits._
+      val docs = docToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" ")) }
+      // reference: group windows by their TEXT, min/max doc id per text
+      val owners = scala.collection.mutable.Map[String, (Long, Long)]()
+      for ((id, ts) <- docs.map(d => (d._1, docToks(d._1.toInt)));
+           i <- 0 to ts.size - w) {
+        val key = ts.slice(i, i + w).mkString(" ")
+        owners(key) = owners.get(key) match {
+          case None => (id, id)
+          case Some((a, b)) => (math.min(a, id), math.max(b, id))
+        }
+      }
+      val want = docs.map { case (id, _) =>
+        val ts = docToks(id.toInt)
+        val rem = (for {
+          i <- 0 to ts.size - w
+          (mn, mx) = owners(ts.slice(i, i + w).mkString(" "))
+          if mn != mx && id != mn
+          p <- i until i + w
+        } yield p).toSet
+        val clean = ts.zipWithIndex.collect {
+          case (t, j) if !rem(j) => t }.mkString(" ")
+        Seq(id, ts.size.toLong, rem.size.toLong, clean)
+      }
+      val got = Dedup.removeDuplicatedSpans(docs.toDF("doc_id", "text"),
+          w = w).orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("rankingEval of any ranking against itself is perfect") =
     forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 3)) { (k, nq) =>
       import graft.operators.Similarity

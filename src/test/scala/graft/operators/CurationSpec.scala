@@ -685,4 +685,57 @@ class CurationSpec extends SparkSpec {
     assert(got(2).asInstanceOf[Long] > 0L &&
       got(2).asInstanceOf[Long] < got(1).asInstanceOf[Long])
   }
+
+  test("privacy audits: an ALL-null-sensitive class still counts as an " +
+      "equivalence class (agrees with kAnonymityAudit), null rows " +
+      "carry no distribution mass") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // class A: 3 rows, all null-sensitive; class B: 2 x, 1 y; class C:
+    // 2 rows with one null (mixed)
+    val df = (Seq.fill(3)(("A", null: String)) ++
+      Seq(("B", "x"), ("B", "x"), ("B", "y")) ++
+      Seq(("C", "x"), ("C", null: String))).toDF("q", "s")
+    val ka = rows(Curation.kAnonymityAudit(df, Seq("q"), 3L)).head
+    // k-anonymity sees 3 classes of sizes 3, 3, 2 -> one below k = 3
+    assert(ka == Seq(8L, 3L, 1L, 2L, 250L))
+    val counts = df.groupBy(col("q"), col("s"))
+      .agg(count(lit(1)).as("n"))
+    val got = rows(Curation.privacyAuditFromCounts(counts, Seq("q"),
+      "s", "n", k = 3L, l = 2L, tMicro = 999999L)).head
+    // n_rows and the k fields must MATCH the row-level k audit — the
+    // all-null class A must not vanish from the counts-derived gate
+    assert(got(0) == ka(0) && got(1) == ka(1) &&
+      got(2) == ka(2) && got(3) == ka(3), s"got $got vs ka $ka")
+    // l-diversity: A has 0 distinct sensitive values, C has 1 -> both
+    // below l = 2; B has 2
+    assert(got(4) == 2L && got(5) == 5L, s"got $got")
+    // t-closeness of the all-null class is the empty-present-set
+    // degenerate: dist = 1/2 exactly (500000 micro); global x:3 y:1
+    // (nulls excluded from the distribution), N = 8
+    val tc = rows(Curation.tClosenessAudit(df, Seq("q"), "s",
+      tMicro = 499999L)).head
+    assert(tc(1) == 3L, s"all-null class dropped from t-closeness: $tc")
+    assert(tc.last.asInstanceOf[Long] >= 500000L)
+  }
+
+  test("budgetSelect: literal prefix semantics under a negative cost " +
+      "(no re-entry after the crossing row); null cost fails loudly") {
+    // cum costs: 5, 25 (crosses 10), 7 (dips back under) — the prefix
+    // rule excludes the crossing row AND the dip-back row
+    val df = Seq(("g", 1L, 0.9, 5L), ("g", 2L, 0.8, 20L),
+      ("g", 3L, 0.7, -18L)).toDF("grp", "doc_id", "score", "cost")
+    val out = rows(Curation.budgetSelect(df, "grp", "score", "cost",
+      budget = 10L).orderBy("pick_rank"))
+    assert(out == Seq(Seq("g", 1L, 0.9, 5L, 1L, 5L)),
+      s"post-crossing rows must stay excluded, got $out")
+    val withNull = Seq(("g", 1L, 0.9, Some(5L)), ("g", 2L, 0.8, None))
+      .toDF("grp", "doc_id", "score", "cost")
+    val e = intercept[Exception] {
+      Curation.budgetSelect(withNull, "grp", "score", "cost", 10L)
+        .collect()
+    }
+    assert(e.toString.contains("budgetSelect") ||
+      Option(e.getCause).exists(_.toString.contains("budgetSelect")),
+      s"expected the null-cost raise_error, got $e")
+  }
 }

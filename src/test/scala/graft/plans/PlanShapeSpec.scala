@@ -313,10 +313,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
-  test("dedup_spans: <= 3 documents scans (ownership, flagged join, " +
-      "rebuild), window hashes hash-joined, no cartesian product") {
+  test("dedup_spans: <= 4 documents scans (candidate agg, flagged join, " +
+      "text re-attach, rebuild), window hashes hash-joined, no " +
+      "cartesian product") {
     val p = executedPlan("dedup_spans")
-    assert(scanCount(p, "documents") <= 3, s"documents rescanned:\n$p")
+    assert(scanCount(p, "documents") <= 4, s"documents rescanned:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
 

@@ -765,4 +765,223 @@ object StreamLaws extends Properties("graft.streams") {
         .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
       got == want && want.size == B
     }
+
+  property("rankingEvalSink cumulative verdict = batch rankingEval over " +
+      "the concatenated top-k rows, for any batch split") =
+    forAll(
+      Gen.chooseNum(1, 3), Gen.chooseNum(2, 4),
+      Gen.listOfN(3, Gen.zip(Gen.pick(4, 1 to 6), Gen.pick(4, 1 to 6))),
+      Gen.chooseNum(1, 20)) { (nq, k, perms, splitAt) =>
+      import graft.operators.Similarity
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rowsIn = (1 to nq).flatMap { q =>
+        val (tp, cp0) = perms(q - 1)
+        tp.take(k).zipWithIndex.map { case (n, i) =>
+          ("truth", q.toLong, n.toLong * 10 + q, (i + 1).toLong) } ++
+        cp0.take(k).zipWithIndex.map { case (n, i) =>
+          ("candidate", q.toLong, n.toLong * 10 + q, (i + 1).toLong) }
+      }
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-rep").toString
+      val evalDir = Files.createTempDirectory("law-ree").toString
+      val cp = Files.createTempDirectory("law-rec").toString
+      val mem = MemoryStream[(String, Long, Long, Long)]
+      val q = Streams.rankingEvalSink(
+        mem.toDF().toDF("side", "query_id", "neighbor_id", "rank"),
+        partials, evalDir, cp, k = k)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val allDf = rowsIn.toDF("side", "query_id", "neighbor_id", "rank")
+      val want = Similarity.rankingEval(
+          allDf.filter(col("side") === "truth").drop("side"),
+          allDf.filter(col("side") === "candidate").drop("side"), k)
+        .orderBy("query_id").collect().toSeq.map(_.toSeq)
+      val got = spark.read.parquet(s"$evalDir/batch=1")
+        .orderBy("query_id").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
+  // ---- counter-partials compaction -------------------------------------
+
+  property("dsirSink + compactCounterPartials mid-stream = batch " +
+      "dsirLlrFromCounts over the concatenated corpora (fold after " +
+      "compaction reads batch=-1 + new batches only)") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("raw", "target"),
+        Gen.listOfN(3, Gen.oneOf("alpha", "beta", "gamma", "delta")))),
+      Gen.chooseNum(1, 9)) { (docs, splitAt) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows0 = docs.map { case (c, ws) => (c, ws.mkString(" ")) }
+      val cut = math.min(splitAt, rows0.size - 1).max(1)
+      val (b0, b1) = rows0.splitAt(cut)
+      val partials = Files.createTempDirectory("law-dsircp").toString
+      val llrDir = Files.createTempDirectory("law-dsircl").toString
+      val cp = Files.createTempDirectory("law-dsircc").toString
+      val B = 32
+      val mem = MemoryStream[(String, String)]
+      def start() = Streams.dsirSink(mem.toDF().toDF("corpus", "text"),
+        partials, llrDir, cp, buckets = B)
+      val q = start()
+      try { mem.addData(b0: _*); q.processAllAvailable() }
+      finally q.stop()
+      // quiesced fold: the whole tree moves into batch=-1 and the
+      // per-batch dirs prune
+      Streams.compactCounterPartials(spark, partials,
+        keyCols = Seq("corpus", "b"), sumCols = Seq("n"))
+      val onlyCompacted = new java.io.File(partials).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+      val q2 = start()
+      try { mem.addData(b1: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      val allDf = rows0.toDF("corpus", "text")
+      val want = Curation.dsirLlrFromCounts(
+        Curation.dsirBucketCounts(allDf.filter(col("corpus") === "raw"), B),
+        Curation.dsirBucketCounts(
+          allDf.filter(col("corpus") === "target"), B), B)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val got = spark.read.parquet(s"$llrDir/batch=1")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      got == want && onlyCompacted == Seq("batch=-1")
+    }
+
+  property("privacyAuditSink + compactCounterPartials mid-stream = the " +
+      "three batch privacy audits over the concatenated input") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.oneOf("x", "y", "z"))),
+      Gen.chooseNum(1, 11)) { (rowsIn, splitAt) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-pvcp").toString
+      val auditDir = Files.createTempDirectory("law-pvca").toString
+      val cp = Files.createTempDirectory("law-pvcc").toString
+      val mem = MemoryStream[(String, String)]
+      def start() = Streams.privacyAuditSink(mem.toDF().toDF("q", "s"),
+        partials, auditDir, cp, Seq("q"), "s", k = 3L, l = 2L,
+        tMicro = 300000L)
+      val q = start()
+      try { mem.addData(b0: _*); q.processAllAvailable() }
+      finally q.stop()
+      Streams.compactCounterPartials(spark, partials,
+        keyCols = Seq("q", "s"), sumCols = Seq("n"))
+      val q2 = start()
+      try { mem.addData(b1: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      val allDf = rowsIn.toDF("q", "s")
+      val want = Curation.privacyAuditFromCounts(
+        allDf.groupBy(col("q"), col("s")).agg(count(lit(1)).as("n")),
+        Seq("q"), "s", "n", 3L, 2L, 300000L)
+        .collect().head.toSeq
+      val got = spark.read.parquet(s"$auditDir/batch=1")
+        .collect().head.toSeq
+      got == want
+    }
+
+  property("budgetSelectSink + compactBudgetSelectPartials: pruned " +
+      "(decision-prefix) state still yields the batch budgetSelect " +
+      "pick, and state is budget-bounded after the fold") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("g1", "g2"),
+        Gen.chooseNum(1, 100), Gen.chooseNum(1L, 8L))),
+      Gen.chooseNum(1, 9)) { (rowsIn0, splitAt) =>
+      import graft.operators.Curation
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // unique ids + scores derived from them (deterministic order)
+      val rowsIn = rowsIn0.zipWithIndex.map { case ((g, sc, c), i) =>
+        (g, i.toLong, sc.toDouble, c) }
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-bscp").toString
+      val outDir = Files.createTempDirectory("law-bsco").toString
+      val cp = Files.createTempDirectory("law-bscc").toString
+      val budget = 12L
+      val mem = MemoryStream[(String, Long, Double, Long)]
+      def start() = Streams.budgetSelectSink(
+        mem.toDF().toDF("grp", "doc_id", "score", "cost"),
+        partials, outDir, cp, "grp", "score", "cost", budget)
+      val q = start()
+      try { mem.addData(b0: _*); q.processAllAvailable() }
+      finally q.stop()
+      Streams.compactBudgetSelectPartials(spark, partials,
+        "grp", "score", "cost", budget)
+      // state pin: after the fold, persisted rows = the decision
+      // prefix — the kept set plus AT MOST one crossing row per group
+      // (the crossing row must stay: its cost seals every later row's
+      // prefix; see compactBudgetSelectPartials)
+      val keptAfterB0 = Curation.budgetSelect(
+        b0.toDF("grp", "doc_id", "score", "cost"),
+        "grp", "score", "cost", budget).count()
+      val nGroups = b0.map(_._1).distinct.size
+      val stateRows = spark.read.option("basePath", partials)
+        .parquet(partials).count()
+      val q2 = start()
+      try { mem.addData(b1: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      val want = Curation.budgetSelect(
+          rowsIn.toDF("grp", "doc_id", "score", "cost"),
+          "grp", "score", "cost", budget)
+        .select("grp", "doc_id", "score", "cost", "pick_rank", "cum_cost")
+        .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
+      val got = spark.read.parquet(s"$outDir/batch=1")
+        .select("grp", "doc_id", "score", "cost", "pick_rank", "cum_cost")
+        .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
+      got == want && stateRows >= keptAfterB0 &&
+        stateRows <= keptAfterB0 + nGroups
+    }
+
+  property("cardSink + compactCardPartials mid-stream = " +
+      "datasetCardSketch over the concatenated corpus (KMV legs keep " +
+      "only the global k-min)") =
+    forAll(
+      Gen.listOfN(8, Gen.zip(Gen.oneOf("en", "de"),
+        Gen.listOfN(4, Gen.oneOf("tok1", "tok2", "tok3", "tok4", "tok5")))),
+      Gen.chooseNum(1, 7)) { (docs, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows0 = docs.zipWithIndex.map { case ((lang, ws), i) =>
+        (i.toLong, lang, ws.mkString(" ")) }
+      val cut = math.min(splitAt, rows0.size - 1).max(1)
+      val (b0, b1) = rows0.splitAt(cut)
+      val partials = Files.createTempDirectory("law-cdcp").toString
+      val cardDir = Files.createTempDirectory("law-cdcc").toString
+      val cp = Files.createTempDirectory("law-cdck").toString
+      val K = 16
+      val mem = MemoryStream[(Long, String, String)]
+      def start() = Streams.cardSink(
+        mem.toDF().toDF("doc_id", "lang", "text"),
+        partials, cardDir, cp, k = K)
+      val q = start()
+      try { mem.addData(b0: _*); q.processAllAvailable() }
+      finally q.stop()
+      Streams.compactCardPartials(spark, partials, k = K)
+      val q2 = start()
+      try { mem.addData(b1: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      val all = rows0.toDF("doc_id", "lang", "text")
+      val want = graft.operators.Curation.datasetCardSketch(all, k = K)
+        .select("n_docs", "n_tokens", "vocab_estimate", "lang_counts")
+        .collect().head.toSeq
+      val got = spark.read.parquet(s"$cardDir/batch=1")
+        .select("n_docs", "n_tokens", "vocab_estimate", "lang_counts")
+        .collect().head.toSeq
+      val gotTexts = spark.read.parquet(s"$cardDir/batch=1")
+        .select("distinct_texts_estimate").collect().head.getDouble(0)
+      val kmv = graft.functions.KmvSketch.udaf(K)
+      val wantTexts = all
+        .select(graft.functions.TextFns.polyHash("text").as("h"))
+        .agg(kmv(col("h"))).collect().head.getDouble(0)
+      got == want && gotTexts == wantTexts
+    }
 }

@@ -596,6 +596,44 @@ class StreamsSpec extends SparkSpec {
         Tables.dropTable(spark, b + sfx)))
   }
 
+  test("compactIvfDelta / compactPqDelta: a MARKER-LESS delta tree with " +
+      "batch dirs refuses the fold (unknown assigning generation)") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    Seq("_cells", "_centroids").foreach(sfx =>
+      Tables.dropTable(spark, "ivforph" + sfx))
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 100), "ivforph",
+      nlist = 16, numBuckets = 4)
+    // an orphan tree: batch dirs present, no _routing_gen marker (the
+    // partially-cleaned state a dead sink can leave behind)
+    val delta = Files.createTempDirectory("ivforphdelta").toString
+    spark.table("ivforph_cells").limit(2)
+      .write.mode("overwrite").parquet(s"$delta/batch=0")
+    val ex = intercept[IllegalStateException] {
+      Streams.compactIvfDelta(spark, delta, "ivforph", numBuckets = 4)
+    }
+    assert(ex.getMessage.contains("no routing-generation marker"), ex)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+    Seq("_cells", "_centroids").foreach(sfx =>
+      Tables.dropTable(spark, "ivforph" + sfx))
+    // PQ twin
+    Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      Tables.dropTable(spark, "pqorph" + sfx))
+    Similarity.writePqIndex(emb.filter(col("vec_id") < 100), "pqorph",
+      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4)
+    val delta2 = Files.createTempDirectory("pqorphdelta").toString
+    spark.table("pqorph_pqcodes").limit(2)
+      .write.mode("overwrite").parquet(s"$delta2/batch=0")
+    val ex2 = intercept[IllegalStateException] {
+      Streams.compactPqDelta(spark, delta2, "pqorph", numBuckets = 4)
+    }
+    assert(ex2.getMessage.contains("no routing-generation marker"), ex2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta2))
+    Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      Tables.dropTable(spark, "pqorph" + sfx))
+  }
+
   test("ivfIngestSink: restarting over a stale-generation delta tree " +
       "with unfolded batches refuses to restamp the marker") {
     import graft.operators.Similarity
@@ -669,6 +707,66 @@ class StreamsSpec extends SparkSpec {
         Seq(2L, "c", ts("2030-01-05 00:00:00"), null)))
     } finally q.stop()
     Seq("scd_l", "scd_l__swap_tmp", "scd_l__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+  }
+
+  test("scd2Sink: a NO-CHANGE batch does not advance the clamp " +
+      "boundary — a later straggler clamps to a valid_from the table " +
+      "really holds, crash or no crash") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("scd_nc", "scd_nc__swap_tmp", "scd_nc__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    val cp = Files.createTempDirectory("scdnccp").toString
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    def start() = Streams.scd2Sink(mem.toDF().toDF("id", "v", "ts"),
+      "scd_nc", cp, "id", "ts")
+    val q = start()
+    try {
+      mem.addData((1L, "a", ts("2030-01-05 00:00:00")))
+      q.processAllAvailable()
+      // batch 2 repeats the identical attribute at a LATER event time:
+      // the merge is a no-op (nothing opened or closed), so NO row with
+      // valid_from = 2030-01-08 exists — the boundary must stay 01-05
+      mem.addData((1L, "a", ts("2030-01-08 00:00:00")))
+      q.processAllAvailable()
+      // batch 3 is a late straggler with a real change: it must clamp
+      // to the table's REAL max(valid_from) (01-05), not the phantom
+      // 01-08 a naive boundary advance would have cached
+      mem.addData((1L, "b", ts("2030-01-02 00:00:00")))
+      q.processAllAvailable()
+      val t1 = rows(spark.table("scd_nc").orderBy("valid_from", "v"))
+      assert(t1 == Seq(
+        Seq(1L, "a", ts("2030-01-05 00:00:00"), ts("2030-01-05 00:00:00")),
+        Seq(1L, "b", ts("2030-01-05 00:00:00"), null)),
+        s"boundary advanced on a no-change batch: $t1")
+    } finally q.stop()
+    // crash-equivalence: replay the same three batches with a restart
+    // after the no-change batch — the restarted sink re-derives the
+    // boundary from the table (01-05) and must produce the SAME table
+    Seq("scd_nc", "scd_nc__swap_tmp", "scd_nc__swap_backup")
+      .foreach(Tables.dropTable(spark, _))
+    val cp2 = Files.createTempDirectory("scdnccp2").toString
+    val mem2 = MemoryStream[(Long, String, Timestamp)]
+    def start2() = Streams.scd2Sink(mem2.toDF().toDF("id", "v", "ts"),
+      "scd_nc", cp2, "id", "ts")
+    val qa = start2()
+    try {
+      mem2.addData((1L, "a", ts("2030-01-05 00:00:00")))
+      qa.processAllAvailable()
+      mem2.addData((1L, "a", ts("2030-01-08 00:00:00")))
+      qa.processAllAvailable()
+    } finally qa.stop()
+    val qb = start2()
+    try {
+      mem2.addData((1L, "b", ts("2030-01-02 00:00:00")))
+      qb.processAllAvailable()
+      val t2 = rows(spark.table("scd_nc").orderBy("valid_from", "v"))
+      assert(t2 == Seq(
+        Seq(1L, "a", ts("2030-01-05 00:00:00"), ts("2030-01-05 00:00:00")),
+        Seq(1L, "b", ts("2030-01-05 00:00:00"), null)),
+        s"restart path diverged from the no-crash path: $t2")
+    } finally qb.stop()
+    Seq("scd_nc", "scd_nc__swap_tmp", "scd_nc__swap_backup")
       .foreach(Tables.dropTable(spark, _))
   }
 
@@ -1077,7 +1175,8 @@ class StreamsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val frame = batchWins.join(
-          spark.table("spbulk_winhash").withColumn("__seenb", lit(1)),
+          spark.table("spbulk_winhash")
+            .select(col("h"), col("h2").as("__h2b")),
           Seq("h"), "left")
         frame.collect()
         val plan = frame.queryExecution.executedPlan match {
