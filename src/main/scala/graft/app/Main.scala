@@ -134,10 +134,12 @@ object Main {
         Tables.loadOverwrite(df, c.staging)
         try {
           // the reference prints its generated MERGE before running it
-          // (omnichannel_to_bq.py:183) — same artifact here, and the
-          // string IS what an online-warehouse deployment would submit
+          // (omnichannel_to_bq.py:183) — same artifact here in the
+          // reference's literal bare-identifier shape; an online
+          // deployment should ship mergeSqlText's default QUOTED form
           println("[graft] merge SQL:\n" +
-            Tables.mergeSqlText(spark, c.staging, c.table, c.key))
+            Tables.mergeSqlText(spark, c.staging, c.table, c.key,
+              quoteIdentifiers = false))
           Tables.upsertIntoTable(spark, spark.table(c.staging), c.table,
             c.key)
         } finally Tables.dropTable(spark, c.staging)

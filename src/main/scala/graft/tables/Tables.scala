@@ -294,19 +294,32 @@ object Tables {
    * `` `project.dataset.table` `` interpolation; column names come from
    * the catalog, not the caller, so the text cannot smuggle injected
    * identifiers beyond what the schema already holds.
+   *
+   * By default COLUMN identifiers are backtick-quoted too
+   * (`quoteIdentifiers = true`) — the reference interpolates bare
+   * names, so a column named with a reserved word (`from`, `select`) or
+   * holding unusual characters would break its statement; the quoted
+   * form is what a production online seam should ship. Pass
+   * `quoteIdentifiers = false` for the reference's literal bare-name
+   * shape (both shapes are string-pinned in TablesSpec). Backticks
+   * inside an identifier are escaped by doubling, the shared
+   * BigQuery/Spark convention.
    */
   def mergeSqlText(spark: SparkSession, stagingTable: String,
-                   mainTable: String, keyField: String = "id"): String = {
+                   mainTable: String, keyField: String = "id",
+                   quoteIdentifiers: Boolean = true): String = {
     val allCols = tableSchema(spark, stagingTable).fieldNames.toSeq
     require(allCols.contains(keyField),
       s"staging table '$stagingTable' has no key column '$keyField'")
+    def qc(c: String): String =
+      if (quoteIdentifiers) "`" + c.replace("`", "``") + "`" else c
     val updateCols = allCols.filterNot(_ == keyField)
-    val setClause = updateCols.map(c => s"$c = S.$c").mkString(", ")
-    val insertCols = allCols.mkString(", ")
-    val insertVals = allCols.map(c => s"S.$c").mkString(", ")
+    val setClause = updateCols.map(c => s"${qc(c)} = S.${qc(c)}").mkString(", ")
+    val insertCols = allCols.map(qc).mkString(", ")
+    val insertVals = allCols.map(c => s"S.${qc(c)}").mkString(", ")
     s"""MERGE `$mainTable` T
        |USING `$stagingTable` S
-       |ON T.$keyField = S.$keyField
+       |ON T.${qc(keyField)} = S.${qc(keyField)}
        |WHEN MATCHED THEN UPDATE SET $setClause
        |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
       .stripMargin

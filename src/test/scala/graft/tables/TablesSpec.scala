@@ -692,22 +692,43 @@ class TablesSpec extends SparkSpec {
   }
 
   test("mergeSqlText mirrors the reference MERGE shape from the staging " +
-      "schema") {
+      "schema; the default quoted mode survives reserved-word columns") {
     Tables.dropTable(spark, "t_msql_stage")
     Tables.loadOverwrite(
       Seq((1L, "a", 2.0)).toDF("id", "name", "score"), "t_msql_stage")
-    val got = Tables.mergeSqlText(spark, "t_msql_stage", "t_msql_main", "id")
-    assert(got ==
+    // reference-shape mode: bare identifiers, exactly the reference's
+    // interpolation (omnichannel_to_bq.py:170-182)
+    val bare = Tables.mergeSqlText(spark, "t_msql_stage", "t_msql_main",
+      "id", quoteIdentifiers = false)
+    assert(bare ==
       """MERGE `t_msql_main` T
         |USING `t_msql_stage` S
         |ON T.id = S.id
         |WHEN MATCHED THEN UPDATE SET name = S.name, score = S.score
         |WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (S.id, S.name, S.score)"""
         .stripMargin)
+    // default mode: column identifiers quoted — the online seam a
+    // production deployment ships (a reserved-word column breaks the
+    // reference's bare interpolation)
+    val got = Tables.mergeSqlText(spark, "t_msql_stage", "t_msql_main", "id")
+    assert(got ==
+      """MERGE `t_msql_main` T
+        |USING `t_msql_stage` S
+        |ON T.`id` = S.`id`
+        |WHEN MATCHED THEN UPDATE SET `name` = S.`name`, `score` = S.`score`
+        |WHEN NOT MATCHED THEN INSERT (`id`, `name`, `score`) VALUES (S.`id`, S.`name`, S.`score`)"""
+        .stripMargin)
     intercept[IllegalArgumentException] {
       Tables.mergeSqlText(spark, "t_msql_stage", "t_msql_main", "nope")
     }
     Tables.dropTable(spark, "t_msql_stage")
+    // reserved-word column: quoted text holds it safely
+    Tables.dropTable(spark, "t_msql_rsv")
+    Tables.loadOverwrite(
+      Seq((1L, "x")).toDF("id", "from"), "t_msql_rsv")
+    val rsv = Tables.mergeSqlText(spark, "t_msql_rsv", "t_msql_main", "id")
+    assert(rsv.contains("UPDATE SET `from` = S.`from`"), rsv)
+    Tables.dropTable(spark, "t_msql_rsv")
   }
 
   test("scd2Lookup validity-horizon hint: identical output, and closed " +
