@@ -3340,23 +3340,24 @@ object SparkEntry {
         |    '') AS text_kept
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // duplicated_spans: the window hash IS the contract — the oracle
-    // recomputes the identical polynomial fold over the identical
-    // 8-token window strings, so presence-in->=2-docs matches exactly.
-    // Outer lambda var is `j`: the polyhash fold binds `i` internally.
+    // duplicated_spans: since round 15 the contract is the actual
+    // WINDOW TEXT (matching the rewrite twin dedup_spans — the Spark
+    // side uses an xxhash64 candidate filter and verifies text), so
+    // the oracle groups presence-in->=2-docs by the window string
     "duplicated_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |wins AS (
          |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
          |      list_transform(generate_series(1, len(t) - 7),
-         |        j -> ${polyHashSql("array_to_string(array_slice(t, j, j + 7), ' ')")})
-         |    ELSE CAST([] AS BIGINT[]) END) AS h
+         |        j -> array_to_string(array_slice(t, j, j + 7), ' '))
+         |    ELSE CAST([] AS VARCHAR[]) END) AS wt
          |  FROM toks),
-         |dup AS (SELECT h FROM wins GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |dup AS (SELECT wt FROM wins GROUP BY wt
+         |        HAVING min(doc_id) <> max(doc_id)),
          |stats AS (
          |  SELECT w.doc_id, count(*) AS n_windows,
-         |    sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS dup_windows
-         |  FROM wins w LEFT JOIN dup d ON w.h = d.h GROUP BY w.doc_id)
+         |    sum(CASE WHEN d.wt IS NOT NULL THEN 1 ELSE 0 END) AS dup_windows
+         |  FROM wins w LEFT JOIN dup d ON w.wt = d.wt GROUP BY w.doc_id)
          |SELECT tk.doc_id,
          |  CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
          |  CAST(COALESCE(s.dup_windows, 0) AS BIGINT) AS dup_windows,

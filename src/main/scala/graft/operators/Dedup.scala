@@ -1189,15 +1189,18 @@ object Dedup {
    * least one OTHER document. High `dup_fraction` = boilerplate or
    * template contamination that survives document-level dedup.
    *
-   * "Appears elsewhere" is decided on the reproducible polynomial hash of
-   * the window text — the hash IS the contract (the DuckDB oracle computes
-   * the identical fold), and it is what makes the operator scale: the
-   * shuffle carries 8-byte window hashes, never window strings, so
-   * exchange volume is ~8 bytes x tokens regardless of document size.
-   * Cross-doc presence is `min(doc) != max(doc)` per hash — a hash
-   * AGGREGATE with map-side combine, so a window duplicated a billion
-   * times costs one (min, max) pair per map task, never a skewed
-   * single-key sort. Two linear shuffles total: by window hash, by doc.
+   * "Appears elsewhere" is decided on ACTUAL WINDOW TEXT (since round
+   * 15, the same contract as the rewrite twin
+   * [[removeDuplicatedSpans]], so detection counts exactly the windows
+   * the rewrite would remove): a cheap xxhash64 candidate filter first
+   * — `min(doc) != max(doc)` per hash is a combinable AGGREGATE with
+   * map-side combine (a window duplicated a billion times costs one
+   * (min, max) pair per map task) and a SUPERSET of the truly
+   * duplicated texts — and only the hash-flagged occurrences re-attach
+   * their text for the exact per-text 2-distinct test. The bulk
+   * shuffle still carries 8-byte window hashes; window strings ship
+   * only for flagged occurrences (duplicated-mass-bounded, ~0 false
+   * candidates at 64 bits).
    *
    * Emits one row per input document:
    * (idCol, n_windows, dup_windows, dup_fraction), with zero counts for
@@ -1205,34 +1208,42 @@ object Dedup {
    */
   def duplicatedSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val winHash = TextFns.polyHashFragment(s"concat_ws(' ', slice(t, i, $w))",
-      31, TextFns.HashMod)
-    val wins = docs
-      .select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
-      .select(col("id"), explode(expr(
+    val winHash = s"xxhash64(concat_ws(' ', slice(t, i, $w)))"
+    val toks = docs.select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
+    val wins = toks.select(col("id"), explode(expr(
         s"""CASE WHEN size(t) >= $w THEN
-           |  transform(sequence(1, size(t) - ${w - 1}), i -> $winHash)
-           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("h"))
-    // windows present in >= 2 distinct documents: min != max is the exact
-    // 2-distinct test and stays a combinable aggregate (countDistinct
-    // would shuffle per-doc rows; this shuffles one struct per map task)
-    val dup = wins.groupBy("h")
+           |  transform(sequence(1, size(t) - ${w - 1}),
+           |            i -> struct(i AS i, $winHash AS h))
+           |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
+          .stripMargin)).as("s"))
+      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
+    val cand = wins.groupBy("h")
       .agg(min("id").as("__mn"), max("id").as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select("h")
-    val stats = wins
-      .join(dup.withColumn("__d", lit(1L)), Seq("h"), "left")
+    val nwin = wins.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    // text verify over the flagged subset only — same plan shape as the
+    // rewrite twin: one by-id text re-attach, one window pass per
+    // (h, window text), spill-safe on a hot window text
+    val ownW = Window.partitionBy("h", "__wtxt")
+    val dupStats = wins.join(cand, Seq("h"))
+      .join(toks, Seq("id"))
+      .select(col("id"), col("h"),
+        expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"))
+      .withColumn("__mn", min("id").over(ownW))
+      .withColumn("__mx", max("id").over(ownW))
+      .filter(col("__mn") =!= col("__mx"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_windows"),
-        coalesce(sum(when(col("__d").isNotNull, 1L).otherwise(0L)), lit(0L))
-          .as("dup_windows"))
+      .agg(count(lit(1)).as("dup_windows"))
     docs.select(col(idCol).as("id"))
-      .join(stats, Seq("id"), "left")
+      .join(nwin, Seq("id"), "left")
+      .join(dupStats, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         when(col("n_windows") > 0L,
-          round(col("dup_windows").cast("double") / col("n_windows"), 6))
+          round(coalesce(col("dup_windows"), lit(0L)).cast("double")
+            / col("n_windows"), 6))
           .otherwise(0.0).as("dup_fraction"))
   }
 
