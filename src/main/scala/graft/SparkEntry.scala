@@ -4598,8 +4598,9 @@ object SparkEntry {
          |FROM chunked GROUP BY doc_id, chunk_id
          |ORDER BY doc_id, chunk_id""".stripMargin,
 
-    // cdc_dedup: CDC chunks + corpus-first occurrence per chunk hash
-    // (first = lowest (doc_id, chunk position)), reassembled per doc —
+    // cdc_dedup: CDC chunks + corpus-first occurrence per chunk TEXT
+    // (since round 15 — chunk identity is the text itself, not a hash;
+    // first = lowest (doc_id, chunk position)), reassembled per doc —
     // the identical chunk boundaries AND the identical winner rule are
     // recomputed in SQL
     "cdc_dedup" ->
@@ -4609,7 +4610,7 @@ object SparkEntry {
          |  FROM chunked GROUP BY doc_id, chunk_id),
          |marked AS (
          |  SELECT doc_id, chunk_id, seg, row_number() OVER (
-         |    PARTITION BY ${polyHashSql("seg")}
+         |    PARTITION BY seg
          |    ORDER BY doc_id, chunk_id) AS rn
          |  FROM chunks)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,

@@ -1144,12 +1144,18 @@ object Dedup {
    * edit point, where fixed windows would re-cut (and so fail to dedup)
    * all of them.
    *
-   * Chunk identity is the reproducible polynomial hash of the chunk text
-   * (the hash IS the contract, recomputed by the oracle): the winner
-   * aggregate and the winner join both key on 8 bytes, and the winner
-   * side carries no text at all. Scale = cdcChunks (explode + per-doc
-   * window) + one hash aggregate + one hash join + one per-doc
-   * reassembly aggregate — all linear, map-side combinable.
+   * Chunk identity is the ACTUAL CHUNK TEXT (since round 15, like
+   * [[dedupSegments]] — a destructive rewrite must not drop a real
+   * chunk on a hash collision, the same rule that moved
+   * [[removeDuplicatedSpans]] to text verification; previously identity
+   * was the 30-bit polynomial hash, which collides with certainty at
+   * corpus scale). Cost is the same order as before: the probe side of
+   * the winner join always carried the chunk text anyway (reassembly
+   * needs it), and the winner aggregate's map-side combine reduces to
+   * one struct per distinct chunk per map task whether the key is 8
+   * bytes or the text. Scale = cdcChunks (explode + per-doc window) +
+   * one text-keyed aggregate + one join + one per-doc reassembly
+   * aggregate — all linear, map-side combinable.
    *
    * Emits one row per document that has at least one token:
    * (idCol, n_chunks, n_kept, text_kept), `text_kept = ""` when every
@@ -1160,13 +1166,11 @@ object Dedup {
                   textCol: String = "text"): DataFrame = {
     val segs = Curation.cdcChunks(docs, avgTokens, idCol, textCol)
       .select(col(idCol).as("id"), col("chunk_id").as("pos"),
-        col("chunk_text").as("seg"),
-        expr(TextFns.polyHashFragment("chunk_text", 31, TextFns.HashMod))
-          .as("h"))
-    val winners = segs.groupBy("h")
+        col("chunk_text").as("seg"))
+    val winners = segs.groupBy("seg")
       .agg(min(struct(col("id"), col("pos"))).as("w"))
-      .select(col("h"), col("w.id").as("wid"), col("w.pos").as("wpos"))
-    segs.join(winners, "h")
+      .select(col("seg"), col("w.id").as("wid"), col("w.pos").as("wpos"))
+    segs.join(winners, "seg")
       .withColumn("keep", col("id") === col("wid") && col("pos") === col("wpos"))
       .groupBy(col("id"))
       .agg(

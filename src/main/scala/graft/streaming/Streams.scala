@@ -661,8 +661,18 @@ object Streams {
    * index read EXCLUDES the current batch id, so a replayed micro-batch
    * rewrites its own partitions and never dedups against itself.
    *
-   * Scale: the index holds 8-byte hashes — never chunk text — one row
-   * per distinct chunk PER BATCH that carried it (the corpus read
+   * Hash contract (FORMAT VERSION — since round 15, the
+   * [[spanDedupSink]] rule): WITHIN a batch the winner is decided on
+   * actual chunk TEXT (the [[Dedup.dedupChunks]] contract — a
+   * destructive drop must not act on a collision); ACROSS batches the
+   * index stores the 128-bit composite (h, h2) = xxhash64(text) +
+   * xxhash64(reverse(text)) and a chunk is dropped only when BOTH
+   * match (residual ~n²/2^129 — cross-batch text verify would mean
+   * storing chunk text in the index). Pre-round-15 single-30-bit-hash
+   * indexes are incompatible; rebuild them.
+   *
+   * Scale: the index holds 16 bytes per chunk — never chunk text — one
+   * row per distinct chunk PER BATCH that carried it (the corpus read
    * re-distincts), so it grows with chunk appearances, not corpus bytes;
    * on re-crawl-heavy streams compact it periodically with a distinct
    * rewrite, exactly like small-file table maintenance. The chunking
@@ -683,18 +693,18 @@ object Streams {
           def segs = Curation.cdcChunks(batch, avgTokens, idCol, textCol)
             .select(col(idCol).as("id"), col("chunk_id").as("pos"),
               col("chunk_text").as("seg"),
-              expr(TextFns.polyHashFragment("chunk_text", 31, TextFns.HashMod))
-                .as("h"))
-          segs.select("h").distinct()
+              xxhash64(col("chunk_text")).as("h"),
+              xxhash64(reverse(col("chunk_text"))).as("h2"))
+          segs.select("h", "h2").distinct()
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
           val corpus = s.read
             .option("basePath", indexPath).parquet(indexPath)
-            .filter(col("batch") =!= batchId).select("h").distinct()
-          val winners = segs.groupBy("h")
+            .filter(col("batch") =!= batchId).select("h", "h2").distinct()
+          val winners = segs.groupBy("seg")
             .agg(min(struct(col("id"), col("pos"))).as("w"))
-            .select(col("h"), col("w.id").as("wid"), col("w.pos").as("wpos"))
-          segs.join(winners, "h")
-            .join(corpus.withColumn("__seen", lit(1)), Seq("h"), "left")
+            .select(col("seg"), col("w.id").as("wid"), col("w.pos").as("wpos"))
+          segs.join(winners, "seg")
+            .join(corpus.withColumn("__seen", lit(1)), Seq("h", "h2"), "left")
             .withColumn("keep", col("id") === col("wid")
               && col("pos") === col("wpos") && col("__seen").isNull)
             .groupBy(col("id"))
