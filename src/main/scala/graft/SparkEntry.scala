@@ -114,7 +114,7 @@ object SparkEntry {
     "lang_id",
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
-    "duplicated_spans", "dedup_spans",
+    "duplicated_spans", "dedup_spans", "dedup_spans_intra",
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed", "incremental_embedding_neardup",
     "incremental_embedding_neardup_indexed",
@@ -1684,6 +1684,12 @@ object SparkEntry {
     // cleaned canonical text for every document
     "dedup_spans" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(t(s, dir, "documents"), w = 8)
+        .orderBy("doc_id")),
+
+    // the WITHIN-document half: later repeats of a window inside ONE
+    // document drop; pure scan projection (zero shuffle)
+    "dedup_spans_intra" -> ((s, dir) =>
+      Dedup.removeRepeatedSpansWithinDoc(t(s, dir, "documents"), w = 8)
         .orderBy("doc_id")),
 
     "tfidf_topterms" -> ((s, dir) =>
@@ -3388,6 +3394,35 @@ object SparkEntry {
          |rem AS (SELECT w2.doc_id,
          |    list(DISTINCT p) AS rem
          |  FROM w2 JOIN own ON own.w = w2.w AND w2.doc_id <> own.own,
+         |    unnest(generate_series(w2.i, w2.i + 7)) AS u(p)
+         |  GROUP BY w2.doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(len(r.rem), 0) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_filter(tk.t, (tok, j) ->
+         |    NOT list_contains(COALESCE(r.rem, CAST([] AS BIGINT[])), j)),
+         |    ' '), '') AS clean_text
+         |FROM toks tk LEFT JOIN rem r ON r.doc_id = tk.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // dedup_spans_intra: within ONE document, a window text's first
+    // start owns; every later occurrence drops its covered positions
+    "dedup_spans_intra" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+         |      list_transform(generate_series(1, len(t) - 7),
+         |        j -> {'i': j,
+         |              'w': array_to_string(array_slice(t, j, j + 7), ' ')})
+         |    ELSE CAST([] AS STRUCT(i BIGINT, w VARCHAR)[]) END) AS s
+         |  FROM toks),
+         |w2 AS (SELECT doc_id, s.i AS i, s.w AS w FROM wins),
+         |fi AS (SELECT doc_id, w, min(i) AS fi FROM w2
+         |       GROUP BY doc_id, w),
+         |rem AS (SELECT w2.doc_id,
+         |    list(DISTINCT p) AS rem
+         |  FROM w2 JOIN fi ON fi.doc_id = w2.doc_id AND fi.w = w2.w
+         |    AND w2.i <> fi.fi,
          |    unnest(generate_series(w2.i, w2.i + 7)) AS u(p)
          |  GROUP BY w2.doc_id)
          |SELECT tk.doc_id,

@@ -1346,6 +1346,45 @@ object Dedup {
   }
 
   /**
+   * WITHIN-document repeated-span removal — the intra-document half of
+   * exact-substring dedup (Lee et al. ACL'22) that
+   * [[removeDuplicatedSpans]] deliberately leaves alone (its
+   * 2-distinct-docs ownership test keeps a document's internal
+   * repeats): any `w`-token window whose exact text already occurred at
+   * an earlier start IN THE SAME document loses its covered positions —
+   * the first occurrence owns. The curation step that strips repeated
+   * boilerplate/navigation blocks inside one page, the REWRITE twin of
+   * the detection-side `repetition_score`.
+   *
+   * Emits the [[removeDuplicatedSpans]] shape per document:
+   * (idCol, n_tokens, n_removed, clean_text), clean_text in the same
+   * canonical single-space form.
+   *
+   * Decided on ACTUAL window text (the round-15 destructive-rewrite
+   * rule: never delete on a hash); deterministic trivially (per-row
+   * function of the token array).
+   *
+   * Scale: the rare span operator that is a PURE SCAN PROJECTION — no
+   * explode, no shuffle, no aggregate: ownership never crosses rows, so
+   * both passes ([[graft.plans.IntraDupPositions]] marking, then the
+   * [[graft.plans.DropPositions]] rebuild) run inside whole-stage
+   * codegen at O(len · w) per document. A 100 TB corpus pays exactly
+   * one read and one write.
+   */
+  def removeRepeatedSpansWithinDoc(docs: DataFrame, w: Int = 8,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    docs.select(col(idCol), TextFns.tokens(textCol).as("__t"))
+      .withColumn("__rem", expr(s"graft_intra_dup_positions(__t, $w)"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(col("__rem")).cast("long").as("n_removed"),
+        coalesce(expr("graft_drop_positions(__t, __rem)"), lit(""))
+          .as("clean_text"))
+  }
+
+  /**
    * PRODUCTION embedding-space near-dup pairs — the banded scale twin of
    * [[embeddingNearDupPairs]], giving embedding space what token space
    * has in [[minhashLshPairs]]: hyperplane-band candidate generation +

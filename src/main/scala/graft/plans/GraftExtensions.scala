@@ -111,5 +111,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_drop_positions expects (tokenArray, sortedPositionArray)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intra_dup_positions"),
+      new ExpressionInfo(classOf[IntraDupPositions].getName,
+        "graft_intra_dup_positions"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, w) =>
+          IntraDupPositions(toks, longLit(w, "w").toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_intra_dup_positions expects (tokenArray, w)")
+      }))
   }
 }

@@ -856,6 +856,35 @@ object PropertyLaws extends Properties("graft") {
       got == want
     }
 
+  property("removeRepeatedSpansWithinDoc equals the in-memory reference " +
+      "(first in-doc start owns, later occurrences drop)") =
+    forAll(Gen.listOfN(4, Gen.listOfN(12, Gen.oneOf("a", "b"))),
+      Gen.chooseNum(2, 4)) { (docToks, w) =>
+      import graft.operators.Dedup
+      import spark.implicits._
+      val docs = docToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" ")) }
+      val want = docs.map { case (id, _) =>
+        val ts = docToks(id.toInt)
+        val first = scala.collection.mutable.Map[String, Int]()
+        val rem = scala.collection.mutable.Set[Int]()
+        for (j <- 0 to ts.size - w) {
+          val key = ts.slice(j, j + w).mkString(" ")
+          first.get(key) match {
+            case None => first(key) = j
+            case Some(_) => (j until j + w).foreach(rem += _)
+          }
+        }
+        val clean = ts.zipWithIndex.collect {
+          case (tk, j) if !rem(j) => tk }.mkString(" ")
+        Seq(id, ts.size.toLong, rem.size.toLong, clean)
+      }
+      val got = Dedup.removeRepeatedSpansWithinDoc(
+          docs.toDF("doc_id", "text"), w = w)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("rankingEval of any ranking against itself is perfect") =
     forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 3)) { (k, nq) =>
       import graft.operators.Similarity

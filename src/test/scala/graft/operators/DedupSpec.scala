@@ -604,6 +604,32 @@ class DedupSpec extends SparkSpec {
       Seq(6L, 10L, 9L, "k")))
   }
 
+  test("removeRepeatedSpansWithinDoc: later in-doc repeats drop, the " +
+      "first occurrence and cross-doc copies stay") {
+    val docs = Seq(
+      // doc 1: the 8-window "a..h" repeats at position 11 -> positions
+      // 11-18 go, the separators and first copy stay
+      (1L, "a b c d e f g h x y a b c d e f g h z"),
+      // doc 2: same window once — within-doc dedup never touches it,
+      // even though doc 1 also holds it (cross-doc is the other op)
+      (2L, "a b c d e f g h tail"),
+      // doc 3: shorter than the window — untouched
+      (3L, "short text"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.removeRepeatedSpansWithinDoc(docs, w = 8)
+      .orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 19L, 8L, "a b c d e f g h x y z"),
+      Seq(2L, 9L, 0L, "a b c d e f g h tail"),
+      Seq(3L, 2L, 0L, "short text")))
+    // overlapping repeats union their positions: "a..i" repeated is two
+    // overlapping 8-windows -> 9 positions removed, not 16
+    val overlap = Seq((5L,
+      "a b c d e f g h i SEP a b c d e f g h i")).toDF("doc_id", "text")
+    val o2 = rows(Dedup.removeRepeatedSpansWithinDoc(overlap, w = 8))
+    assert(o2 == Seq(Seq(5L, 19L, 9L, "a b c d e f g h i SEP")))
+  }
+
   test("nearDupDedup: representatives keep their absorbed counts") {
     // docs 1-3 near-dup each other (shared shingles), 9 is a singleton
     val base = "alpha beta gamma delta epsilon zeta"

@@ -321,6 +321,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("dedup_spans_intra: ONE documents scan, ZERO exchanges — the " +
+      "within-doc rewrite is a pure scan projection") {
+    val p = executedPlan("dedup_spans_intra")
+    assert(scanCount(p, "documents") == 1, s"documents rescanned:\n$p")
+    // the orderBy in the query entry is presentation; the operator
+    // itself must add no aggregate/join/generate
+    assert(count(p, "HashAggregate") == 0 && count(p, "Generate") == 0 &&
+      count(p, "Join") == 0, s"within-doc rewrite left the scan:\n$p")
+    assert(p.contains("graft_intra_dup_positions") &&
+      p.contains("graft_drop_positions"),
+      s"native expressions missing:\n$p")
+  }
+
   test("privacy_audit: <= 2 documents scans — every verdict re-derives " +
       "from the (classes x domain) counts frame, never the corpus") {
     val p = executedPlan("privacy_audit")
