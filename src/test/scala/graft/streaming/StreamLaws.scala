@@ -766,6 +766,38 @@ object StreamLaws extends Properties("graft.streams") {
       got == want && want.size == B
     }
 
+  property("chunkDedupSink union of batch outputs = batch dedupChunks " +
+      "over the concatenated corpus, for any batch split (monotone ids)") =
+    forAll(
+      Gen.listOfN(5, Gen.listOfN(8, Gen.oneOf("a", "b", "c"))),
+      Gen.chooseNum(1, 4)) { (docToks, splitAt) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val docs = docToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" ")) }
+      val cut = math.min(splitAt, docs.size - 1).max(1)
+      val (b0, b1) = docs.splitAt(cut)
+      val idx = Files.createTempDirectory("law-ckidx").toString
+      val outDir = Files.createTempDirectory("law-ckout").toString
+      val cp = Files.createTempDirectory("law-ckcp").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.chunkDedupSink(mem.toDF().toDF("doc_id", "text"),
+        idx, outDir, cp, avgTokens = 4)
+      try {
+        mem.addData(b0: _*)
+        q.processAllAvailable()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_chunks", "n_kept", "text_kept")
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      val want = Dedup.dedupChunks(docs.toDF("doc_id", "text"),
+          avgTokens = 4)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      got == want
+    }
+
   property("rankingEvalSink cumulative verdict = batch rankingEval over " +
       "the concatenated top-k rows, for any batch split") =
     forAll(
