@@ -984,7 +984,10 @@ object Streams {
    * through `reduce` into a single `batch=-1` partition, swapped in with
    * the same write-new → rename → drop-backup protocol as
    * [[graft.tables.Tables]] table maintenance (a crash between renames
-   * leaves both the compacted tree and the original on disk). The
+   * leaves both the compacted tree and the original on disk, the
+   * original under `__compact_backup`; RECOVERY = just re-run this
+   * compaction — entry restores a missing main from the backup before
+   * anything is deleted, drilled in StreamsSpec). The
    * sinks' exclude-current-batch reads keep working unchanged: real
    * batch ids are non-negative, so `batch=-1` is always visible to
    * them.
@@ -1019,6 +1022,17 @@ object Streams {
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(indexPath + "__compact_tmp")
     val backup = new Path(indexPath + "__compact_backup")
+    // entry recovery: a crash between the two swap renames leaves NO
+    // main and the original under __compact_backup (the documented
+    // crash window). "Re-run the compaction" must be the complete
+    // recovery procedure, so restore the original FIRST — a blind
+    // backup delete here would destroy the only copy of the index.
+    // (The compacted __compact_tmp is always recomputable; prefer the
+    // original.)
+    if (!fs.exists(main) && fs.exists(backup)) {
+      if (!fs.rename(backup, main)) throw new java.io.IOException(
+        s"compactIndex recovery: cannot restore $backup to $main")
+    }
     fs.delete(tmp, true)
     fs.delete(backup, true)
     val all = spark.read.option("basePath", indexPath).parquet(indexPath)

@@ -1330,6 +1330,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactIndex: re-run after a mid-swap crash restores the index " +
+      "from the backup — never deletes the only copy") {
+    import org.apache.hadoop.fs.Path
+    val idx = Files.createTempDirectory("cicrash").toString + "/tree"
+    // a small counter tree: two batch dirs of (k, n) rows
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+      .write.parquet(s"$idx/batch=0")
+    Seq(("a", 3L)).toDF("k", "n")
+      .write.parquet(s"$idx/batch=1")
+    def total() = spark.read.option("basePath", idx).parquet(idx)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(total() == 6L)
+    // simulate the crash WINDOW between the two renames: main moved
+    // aside to __compact_backup, nothing moved in yet (tmp may or may
+    // not exist — leave a stale partial tmp to make recovery pick the
+    // original)
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(idx), new Path(idx + "__compact_backup")))
+    fs.mkdirs(new Path(idx + "__compact_tmp"))
+    // recovery procedure = just re-run the compaction
+    Streams.compactCounterPartials(spark, idx,
+      keyCols = Seq("k"), sumCols = Seq("n"))
+    val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq
+    assert(dirs == Seq("batch=-1"), s"got $dirs")
+    assert(total() == 6L, "the original data survived the crash + re-run")
+    assert(rows(spark.read.option("basePath", idx).parquet(idx)
+      .drop("batch").orderBy("k")) == Seq(Seq("a", 4L), Seq("b", 2L)))
+  }
+
   test("compactIndex: folded index keeps dedup and count semantics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
