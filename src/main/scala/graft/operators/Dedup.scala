@@ -1225,7 +1225,12 @@ object Dedup {
       .agg(min("id").as("__mn"), max("id").as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select("h")
-    val nwin = wins.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    // n_windows is a pure projection of the token count — never a
+    // second explode + aggregate (max(0, len - w + 1))
+    val nwin = toks.select(col("id"),
+      when(size(col("t")) >= w,
+        (size(col("t")) - lit(w - 1)).cast("long"))
+        .otherwise(0L).as("n_windows"))
     // text verify over the flagged subset only — same plan shape as the
     // rewrite twin: one by-id text re-attach, one window pass per
     // (h, window text), spill-safe on a hot window text
@@ -1239,11 +1244,10 @@ object Dedup {
       .filter(col("__mn") =!= col("__mx"))
       .groupBy("id")
       .agg(count(lit(1)).as("dup_windows"))
-    docs.select(col(idCol).as("id"))
-      .join(nwin, Seq("id"), "left")
+    nwin
       .join(dupStats, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         when(col("n_windows") > 0L,
           round(coalesce(col("dup_windows"), lit(0L)).cast("double")

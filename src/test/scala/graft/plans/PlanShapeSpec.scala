@@ -321,6 +321,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("duplicated_spans: <= 4 documents scans (candidate agg, flagged " +
+      "join, text re-attach, per-doc counts), no cartesian product") {
+    val p = executedPlan("duplicated_spans")
+    assert(scanCount(p, "documents") <= 4, s"documents rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
   test("dedup_spans_intra: ONE documents scan, ZERO exchanges — the " +
       "within-doc rewrite is a pure scan projection") {
     val p = executedPlan("dedup_spans_intra")

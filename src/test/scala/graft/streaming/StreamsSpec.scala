@@ -1330,6 +1330,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("removeRepeatedSpansWithinDoc composes directly onto a stream — " +
+      "a pure projection needs no sink, state, or watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("intraout").toString
+    val cp = Files.createTempDirectory("intracp").toString
+    val q = graft.operators.Dedup.removeRepeatedSpansWithinDoc(
+        mem.toDF().toDF("doc_id", "text"), w = 2)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      mem.addData((1L, "x y x y z"), (2L, "a b c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(spark.read.parquet(out).orderBy("doc_id")) == Seq(
+      // "x y" repeats at position 3 -> positions 3-4 drop
+      Seq(1L, 5L, 2L, "x y z"),
+      Seq(2L, 3L, 0L, "a b c")))
+  }
+
   test("compactIndex: re-run after a mid-swap crash restores the index " +
       "from the backup — never deletes the only copy") {
     import org.apache.hadoop.fs.Path
