@@ -115,6 +115,7 @@ object SparkEntry {
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans", "dedup_spans", "dedup_spans_intra",
+    "dup_span_runs",
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed", "incremental_embedding_neardup",
     "incremental_embedding_neardup_indexed",
@@ -1690,6 +1691,12 @@ object SparkEntry {
     // document drop; pure scan projection (zero shuffle)
     "dedup_spans_intra" -> ((s, dir) =>
       Dedup.removeRepeatedSpansWithinDoc(t(s, dir, "documents"), w = 8)
+        .orderBy("doc_id")),
+
+    // longest consecutive duplicated run per doc — scattered boilerplate
+    // vs wholesale-copy discrimination over the same removal set
+    "dup_span_runs" -> ((s, dir) =>
+      Dedup.duplicatedSpanRuns(t(s, dir, "documents"), w = 8)
         .orderBy("doc_id")),
 
     "tfidf_topterms" -> ((s, dir) =>
@@ -3403,6 +3410,38 @@ object SparkEntry {
          |    NOT list_contains(COALESCE(r.rem, CAST([] AS BIGINT[])), j)),
          |    ' '), '') AS clean_text
          |FROM toks tk LEFT JOIN rem r ON r.doc_id = tk.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // dup_span_runs: the dedup_spans removal set per doc, reduced to
+    // the LONGEST consecutive position run (gaps-and-islands:
+    // p - row_number() is constant within a run)
+    "dup_span_runs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+         |      list_transform(generate_series(1, len(t) - 7),
+         |        j -> {'i': j,
+         |              'w': array_to_string(array_slice(t, j, j + 7), ' ')})
+         |    ELSE CAST([] AS STRUCT(i BIGINT, w VARCHAR)[]) END) AS s
+         |  FROM toks),
+         |w2 AS (SELECT doc_id, s.i AS i, s.w AS w FROM wins),
+         |own AS (SELECT w, min(doc_id) AS own FROM w2 GROUP BY w
+         |        HAVING min(doc_id) <> max(doc_id)),
+         |rp AS (SELECT DISTINCT w2.doc_id, p
+         |  FROM w2 JOIN own ON own.w = w2.w AND w2.doc_id <> own.own,
+         |    unnest(generate_series(w2.i, w2.i + 7)) AS u(p)),
+         |runs AS (SELECT doc_id, count(*) AS len FROM (
+         |    SELECT doc_id, p,
+         |      p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |    FROM rp) GROUP BY doc_id, g),
+         |best AS (SELECT doc_id, max(len) AS max_dup_run,
+         |    sum(len) AS dup_positions
+         |  FROM runs GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(b.dup_positions, 0) AS BIGINT) AS dup_positions,
+         |  CAST(COALESCE(b.max_dup_run, 0) AS BIGINT) AS max_dup_run
+         |FROM toks tk LEFT JOIN best b ON b.doc_id = tk.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
 
     // dedup_spans_intra: within ONE document, a window text's first

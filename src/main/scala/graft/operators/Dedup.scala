@@ -1327,8 +1327,26 @@ object Dedup {
     // otherwise recompute the corpus-side joins twice — and WindowExec
     // spills per partition-key group, so one pathologically hot window
     // text degrades to a slow (serialized) key, never an OOM.
+    val removed = crossDocRemovedPositions(wins, cand, toks, w)
+    toks.join(removed, Seq("id"), "left")
+      .withColumn("__rem",
+        coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("id").as(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("__rem")).cast("long").as("n_removed"),
+        coalesce(expr("graft_drop_positions(t, __rem)"), lit(""))
+          .as("clean_text"))
+  }
+
+  /** The text-verified removal position sets behind
+   * [[removeDuplicatedSpans]] / [[duplicatedSpanRuns]]: per doc, the
+   * SORTED 1-based positions covered by windows whose exact text a
+   * lower doc id owns. `wins` = (id, i, h) window rows, `cand` = the
+   * hash-candidate superset, `toks` = (id, t). */
+  private def crossDocRemovedPositions(wins: DataFrame, cand: DataFrame,
+                                       toks: DataFrame, w: Int): DataFrame = {
     val ownW = Window.partitionBy("h", "__wtxt")
-    val removed = wins.join(cand, Seq("h"))
+    wins.join(cand, Seq("h"))
       .join(toks, Seq("id"))
       .select(col("id"), col("i"), col("h"),
         expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"))
@@ -1339,14 +1357,6 @@ object Dedup {
         explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
       .groupBy("id")
       .agg(array_sort(collect_set(col("p"))).as("__rem"))
-    toks.join(removed, Seq("id"), "left")
-      .withColumn("__rem",
-        coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))
-      .select(col("id").as(idCol),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(col("__rem")).cast("long").as("n_removed"),
-        coalesce(expr("graft_drop_positions(t, __rem)"), lit(""))
-          .as("clean_text"))
   }
 
   /**
@@ -1386,6 +1396,64 @@ object Dedup {
         size(col("__rem")).cast("long").as("n_removed"),
         coalesce(expr("graft_drop_positions(__t, __rem)"), lit(""))
           .as("clean_text"))
+  }
+
+  /**
+   * Duplicated-RUN statistics: per document, the LONGEST consecutive
+   * stretch of cross-document-duplicated token positions (the
+   * [[removeDuplicatedSpans]] removal set, gaps-and-islands over its
+   * sorted positions) — the signal `dup_fraction` cannot express:
+   * a document that is 20% duplicated via scattered 8-token
+   * boilerplate snippets is a KEEP-after-cleanup, while one whose 20%
+   * is a single 2 000-token verbatim block is a wholesale-copy
+   * suspect. Curation gates key on exactly this distinction (Lee et
+   * al.'s 50-token threshold is a run-length rule, not a fraction
+   * rule).
+   *
+   * Emits per document: (idCol, n_tokens, dup_positions, max_dup_run)
+   * — zero run for clean or short documents.
+   *
+   * Same exactness + scale posture as the rewrite (shared pipeline:
+   * xxhash64 candidates, text-verified ownership, position sets
+   * bounded by duplicated mass); the run scan is one O(|positions|)
+   * fold over each doc's sorted removal set inside codegen.
+   */
+  def duplicatedSpanRuns(docs: DataFrame, w: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val winHash = s"xxhash64(concat_ws(' ', slice(t, i, $w)))"
+    val toks = docs.select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
+    val wins = toks.select(col("id"), explode(expr(
+        s"""CASE WHEN size(t) >= $w THEN
+           |  transform(sequence(1, size(t) - ${w - 1}),
+           |            i -> struct(i AS i, $winHash AS h))
+           |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
+          .stripMargin)).as("s"))
+      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
+    val cand = wins.groupBy("h")
+      .agg(min("id").as("__mn"), max("id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+    val removed = crossDocRemovedPositions(wins, cand, toks, w)
+    // longest consecutive run over the sorted position set: one
+    // aggregate-HOF fold, prev/current/best state
+    val runExpr =
+      """aggregate(__rem,
+        |  named_struct('prev', -2, 'cur', 0L, 'best', 0L),
+        |  (a, p) -> named_struct(
+        |    'prev', p,
+        |    'cur', CASE WHEN p = a.prev + 1 THEN a.cur + 1L ELSE 1L END,
+        |    'best', greatest(a.best,
+        |      CASE WHEN p = a.prev + 1 THEN a.cur + 1L ELSE 1L END)),
+        |  a -> a.best)""".stripMargin
+    toks.join(removed, Seq("id"), "left")
+      .withColumn("__rem",
+        coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("id").as(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("__rem")).cast("long").as("dup_positions"),
+        expr(runExpr).as("max_dup_run"))
   }
 
   /**

@@ -604,6 +604,27 @@ class DedupSpec extends SparkSpec {
       Seq(6L, 10L, 9L, "k")))
   }
 
+  test("duplicatedSpanRuns: scattered duplicated snippets vs one " +
+      "contiguous block — max run discriminates, fraction cannot") {
+    val docs = Seq(
+      // doc 1 owns both 8-windows (lowest id)
+      (1L, "a b c d e f g h SEP p q r s t u v w"),
+      // doc 2: ONE contiguous copied block of 8 -> run 8
+      (2L, "z a b c d e f g h tail"),
+      // doc 3: TWO separated copied blocks of 8 -> 16 positions but
+      // the max run is still 8
+      (3L, "a b c d e f g h GAP1 GAP2 p q r s t u v w"),
+      // doc 4: clean + short
+      (4L, "short text"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.duplicatedSpanRuns(docs, w = 8).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 17L, 0L, 0L),
+      Seq(2L, 10L, 8L, 8L),
+      Seq(3L, 18L, 16L, 8L),
+      Seq(4L, 2L, 0L, 0L)))
+  }
+
   test("removeRepeatedSpansWithinDoc: later in-doc repeats drop, the " +
       "first occurrence and cross-doc copies stay") {
     val docs = Seq(
