@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFns, VectorFns}
@@ -1212,36 +1211,20 @@ object Dedup {
    */
   def duplicatedSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val winHash = s"xxhash64(concat_ws(' ', slice(t, i, $w)))"
     val toks = docs.select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
-    val wins = toks.select(col("id"), explode(expr(
-        s"""CASE WHEN size(t) >= $w THEN
-           |  transform(sequence(1, size(t) - ${w - 1}),
-           |            i -> struct(i AS i, $winHash AS h))
-           |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
-          .stripMargin)).as("s"))
-      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
-    val cand = wins.groupBy("h")
-      .agg(min("id").as("__mn"), max("id").as("__mx"))
-      .filter(col("__mn") =!= col("__mx"))
-      .select("h")
+    val (wins, cand) = spanWindowCandidates(toks, w)
     // n_windows is a pure projection of the token count — never a
     // second explode + aggregate (max(0, len - w + 1))
     val nwin = toks.select(col("id"),
       when(size(col("t")) >= w,
         (size(col("t")) - lit(w - 1)).cast("long"))
         .otherwise(0L).as("n_windows"))
-    // text verify over the flagged subset only — same plan shape as the
-    // rewrite twin: one by-id text re-attach, one window pass per
-    // (h, window text), spill-safe on a hot window text
-    val ownW = Window.partitionBy("h", "__wtxt")
-    val dupStats = wins.join(cand, Seq("h"))
-      .join(toks, Seq("id"))
-      .select(col("id"), col("h"),
-        expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"))
-      .withColumn("__mn", min("id").over(ownW))
-      .withColumn("__mx", max("id").over(ownW))
-      .filter(col("__mn") =!= col("__mx"))
+    // text verify over the flagged subset only — the shared
+    // aggregate-based ownership pass (see [[spanTextOwnership]]): a
+    // map-side-combinable (h, text) aggregate + AQE-skew-splittable
+    // re-join, never a WindowExec (whose hot partition key would
+    // serialize a ubiquitous boilerplate window onto one task)
+    val dupStats = spanTextOwnership(wins, cand, toks, w)
       .groupBy("id")
       .agg(count(lit(1)).as("dup_windows"))
     nwin
@@ -1305,28 +1288,8 @@ object Dedup {
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val winHash = s"xxhash64(concat_ws(' ', slice(t, i, $w)))"
     val toks = docs.select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
-    val wins = toks.select(col("id"), explode(expr(
-        s"""CASE WHEN size(t) >= $w THEN
-           |  transform(sequence(1, size(t) - ${w - 1}),
-           |            i -> struct(i AS i, $winHash AS h))
-           |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
-          .stripMargin)).as("s"))
-      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
-    val cand = wins.groupBy("h")
-      .agg(min("id").as("__mn"), max("id").as("__mx"))
-      .filter(col("__mn") =!= col("__mx"))
-      .select("h")
-    // flagged occurrences re-attach their window text (one by-id join —
-    // each flagged doc's token array moves once), then ownership is
-    // decided per ACTUAL text with ONE window pass over (h, __wtxt):
-    // a collision's texts get their own min/max over their own doc
-    // sets and drop out unless really shared. A window (not agg+join)
-    // keeps the flagged frame in the plan ONCE — the lineage would
-    // otherwise recompute the corpus-side joins twice — and WindowExec
-    // spills per partition-key group, so one pathologically hot window
-    // text degrades to a slow (serialized) key, never an OOM.
+    val (wins, cand) = spanWindowCandidates(toks, w)
     val removed = crossDocRemovedPositions(wins, cand, toks, w)
     toks.join(removed, Seq("id"), "left")
       .withColumn("__rem",
@@ -1338,6 +1301,72 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** The shared window/candidate construction behind the
+   * cross-document span family ([[duplicatedSpans]],
+   * [[removeDuplicatedSpans]], [[duplicatedSpanRuns]]) — ONE
+   * definition site, because the detection-equals-rewrite contract
+   * depends on all three staying in lockstep. `toks` = (id, t).
+   * Returns (wins, cand): `wins` is one (id, i, h) row per w-token
+   * window (i 1-based, h = xxhash64 of the window text — 8 bytes on
+   * the wire for the bulk shuffle); `cand` is the hash-candidate
+   * SUPERSET of cross-document-duplicated windows (min(id) != max(id)
+   * per hash — a combinable aggregate with map-side combine, and a
+   * superset since a hash group unions its texts' doc sets, so no
+   * false negatives). */
+  private def spanWindowCandidates(toks: DataFrame,
+                                   w: Int): (DataFrame, DataFrame) = {
+    val winHash = s"xxhash64(concat_ws(' ', slice(t, i, $w)))"
+    val wins = toks.select(col("id"), explode(expr(
+        s"""CASE WHEN size(t) >= $w THEN
+           |  transform(sequence(1, size(t) - ${w - 1}),
+           |            i -> struct(i AS i, $winHash AS h))
+           |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
+          .stripMargin)).as("s"))
+      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
+    val cand = wins.groupBy("h")
+      .agg(min("id").as("__mn"), max("id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+    (wins, cand)
+  }
+
+  /** The shared TEXT-VERIFIED ownership pass behind the span family:
+   * hash-flagged occurrences re-attach their window text (one by-id
+   * join — each flagged doc's token array moves once), then ownership
+   * is decided per ACTUAL text. Emits one row per occurrence whose
+   * exact text really appears in >= 2 distinct documents:
+   * (id, i, h, __own) with __own = the lowest doc id holding that
+   * text; a collision's texts get their own min/max over their own
+   * doc sets and drop out unless really shared.
+   *
+   * Shape (round 16, replacing the r15 WindowExec): the ownership
+   * test is a map-side-combinable AGGREGATE
+   * `groupBy(h, text).agg(min(id), max(id))` + re-join. The aggregate
+   * collapses duplicate windows per map task BEFORE the shuffle —
+   * exactly the high-duplication case — so a boilerplate window
+   * present in every document of a 100 TB crawl costs one (min, max)
+   * pair per map task, not a billion-row single-task WindowExec
+   * partition; and the re-join is a plain shuffled join, which AQE's
+   * skew-join splits across tasks where a Window partition key never
+   * can be. The flagged frame is localCheckpoint'd (lazy — the
+   * [[Curation.dsirWeights]] expensive-lineage pin rule) so the agg
+   * leg and the join probe read ONE materialization instead of
+   * re-executing the corpus-side joins twice. */
+  private def spanTextOwnership(wins: DataFrame, cand: DataFrame,
+                                toks: DataFrame, w: Int): DataFrame = {
+    val flagged = wins.join(cand, Seq("h"))
+      .join(toks, Seq("id"))
+      .select(col("id"), col("i"), col("h"),
+        expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"))
+      .localCheckpoint(false)
+    val own = flagged.groupBy("h", "__wtxt")
+      .agg(min("id").as("__own"), max("id").as("__mx"))
+      .filter(col("__own") =!= col("__mx"))
+      .select("h", "__wtxt", "__own")
+    flagged.join(own, Seq("h", "__wtxt"))
+      .select(col("id"), col("i"), col("h"), col("__own"))
+  }
+
   /** The text-verified removal position sets behind
    * [[removeDuplicatedSpans]] / [[duplicatedSpanRuns]]: per doc, the
    * SORTED 1-based positions covered by windows whose exact text a
@@ -1345,14 +1374,8 @@ object Dedup {
    * hash-candidate superset, `toks` = (id, t). */
   private def crossDocRemovedPositions(wins: DataFrame, cand: DataFrame,
                                        toks: DataFrame, w: Int): DataFrame = {
-    val ownW = Window.partitionBy("h", "__wtxt")
-    wins.join(cand, Seq("h"))
-      .join(toks, Seq("id"))
-      .select(col("id"), col("i"), col("h"),
-        expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"))
-      .withColumn("__own", min("id").over(ownW))
-      .withColumn("__mx", max("id").over(ownW))
-      .filter(col("__own") =!= col("__mx") && col("id") =!= col("__own"))
+    spanTextOwnership(wins, cand, toks, w)
+      .filter(col("id") =!= col("__own"))
       .select(col("id"),
         explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
       .groupBy("id")
@@ -1422,19 +1445,8 @@ object Dedup {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val winHash = s"xxhash64(concat_ws(' ', slice(t, i, $w)))"
     val toks = docs.select(col(idCol).as("id"), TextFns.tokens(textCol).as("t"))
-    val wins = toks.select(col("id"), explode(expr(
-        s"""CASE WHEN size(t) >= $w THEN
-           |  transform(sequence(1, size(t) - ${w - 1}),
-           |            i -> struct(i AS i, $winHash AS h))
-           |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, h: BIGINT>>) END"""
-          .stripMargin)).as("s"))
-      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
-    val cand = wins.groupBy("h")
-      .agg(min("id").as("__mn"), max("id").as("__mx"))
-      .filter(col("__mn") =!= col("__mx"))
-      .select("h")
+    val (wins, cand) = spanWindowCandidates(toks, w)
     val removed = crossDocRemovedPositions(wins, cand, toks, w)
     // longest consecutive run over the sorted position set: one
     // aggregate-HOF fold, prev/current/best state
