@@ -1226,7 +1226,7 @@ object Dedup {
     // serialize a ubiquitous boilerplate window onto one task)
     val dupStats = spanTextOwnership(wins, cand, toks, w)
       .groupBy("id")
-      .agg(count(lit(1)).as("dup_windows"))
+      .agg(sum(size(col("__ps"))).cast("long").as("dup_windows"))
     nwin
       .join(dupStats, Seq("id"), "left")
       .select(col("id").as(idCol),
@@ -1333,53 +1333,71 @@ object Dedup {
   /** The shared TEXT-VERIFIED ownership pass behind the span family:
    * hash-flagged occurrences re-attach their window text (one by-id
    * join — each flagged doc's token array moves once), then ownership
-   * is decided per ACTUAL text. Emits one row per occurrence whose
-   * exact text really appears in >= 2 distinct documents:
-   * (id, i, h, __own) with __own = the lowest doc id holding that
-   * text; a collision's texts get their own min/max over their own
-   * doc sets and drop out unless really shared.
+   * is decided per ACTUAL text. Emits one row per (document, flagged
+   * window text) whose exact text really appears in >= 2 distinct
+   * documents: (id, h, __ps, __own) with __ps = that document's
+   * 1-based start positions of the window and __own = the lowest doc
+   * id holding that text; a collision's texts get their own min/max
+   * over their own doc sets and drop out unless really shared.
    *
-   * Shape (round 16, replacing the r15 WindowExec): the ownership
-   * test is a map-side-combinable AGGREGATE
-   * `groupBy(h, text).agg(min(id), max(id))` + re-join. The aggregate
-   * collapses duplicate windows per map task BEFORE the shuffle —
-   * exactly the high-duplication case — so a boilerplate window
-   * present in every document of a 100 TB crawl costs one (min, max)
-   * pair per map task, not a billion-row single-task WindowExec
-   * partition; and the re-join is a plain shuffled join, which AQE's
-   * skew-join splits across tasks where a Window partition key never
-   * can be. The flagged frame is localCheckpoint'd (lazy — the
-   * [[Curation.dsirWeights]] expensive-lineage pin rule) so the agg
-   * leg and the join probe read ONE materialization instead of
-   * re-executing the corpus-side joins twice. */
+   * Shape (round 16, replacing the r15 WindowExec — and then the
+   * occurrence-level re-join the first rewrite shipped, which the
+   * hot-key drill measured 2.4x WORSE than the window at 10x dup mass
+   * because occurrence-level text crossed two shuffles): flagged
+   * occurrences first collapse to ONE row per (id, h, window-text)
+   * carrying a positions array — a SHUFFLE-FREE aggregate, because the
+   * flagged frame is already partitioned by the doc id from the text
+   * re-attach join and (id) clustering satisfies (id, h, text)
+   * grouping, so a boilerplate window occurring thousands of times in
+   * one document leaves as one row. Ownership is then a map-side
+   * combinable `groupBy(h, text).agg(min(id), max(id))` over those
+   * deduped rows (a window present in every document of a 100 TB crawl
+   * costs one (min, max) pair per map task, never a billion-row
+   * single-task WindowExec partition), and the verdict re-join probes
+   * the deduped rows — text crosses the wire once per (doc, text),
+   * bounded by documents, and the join is AQE-skew-splittable where a
+   * Window partition key never is. The deduped frame is
+   * localCheckpoint'd (lazy — the [[Curation.dsirWeights]]
+   * expensive-lineage pin rule) so the agg leg and the join probe read
+   * ONE materialization instead of re-executing the corpus-side joins
+   * twice. */
   private def spanTextOwnership(wins: DataFrame, cand: DataFrame,
                                 toks: DataFrame, w: Int): DataFrame = {
-    val flagged = wins.join(cand, Seq("h"))
+    val grouped = wins.join(cand, Seq("h"))
       .join(toks, Seq("id"))
-      .select(col("id"), col("i"), col("h"),
-        expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"))
+      .select(col("id"), col("h"),
+        expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"), col("i"))
+      .groupBy("id", "h", "__wtxt")
+      .agg(collect_list(col("i")).as("__ps"))
       .localCheckpoint(false)
-    val own = flagged.groupBy("h", "__wtxt")
+    val own = grouped.groupBy("h", "__wtxt")
       .agg(min("id").as("__own"), max("id").as("__mx"))
       .filter(col("__own") =!= col("__mx"))
       .select("h", "__wtxt", "__own")
-    flagged.join(own, Seq("h", "__wtxt"))
-      .select(col("id"), col("i"), col("h"), col("__own"))
+    grouped.join(own, Seq("h", "__wtxt"))
+      .select(col("id"), col("h"), col("__ps"), col("__own"))
   }
 
   /** The text-verified removal position sets behind
    * [[removeDuplicatedSpans]] / [[duplicatedSpanRuns]]: per doc, the
    * SORTED 1-based positions covered by windows whose exact text a
    * lower doc id owns. `wins` = (id, i, h) window rows, `cand` = the
-   * hash-candidate superset, `toks` = (id, t). */
+   * hash-candidate superset, `toks` = (id, t).
+   *
+   * Only 4-byte window STARTS aggregate per document (collect_list
+   * merges map-side); the cover expansion to positions is one
+   * [[graft.plans.SpanCover]] codegen pass per document — never an
+   * exploded |occurrences| x w position stream through a hash
+   * aggregate, whose map-side distinct was the dominant profiled cost
+   * of the adversarial 10x stress (BENCH_scaling round 16). */
   private def crossDocRemovedPositions(wins: DataFrame, cand: DataFrame,
                                        toks: DataFrame, w: Int): DataFrame = {
     spanTextOwnership(wins, cand, toks, w)
       .filter(col("id") =!= col("__own"))
-      .select(col("id"),
-        explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
       .groupBy("id")
-      .agg(array_sort(collect_set(col("p"))).as("__rem"))
+      .agg(flatten(collect_list(col("__ps"))).as("__starts"))
+      .select(col("id"),
+        expr(s"graft_span_cover(array_sort(__starts), $w)").as("__rem"))
   }
 
   /**

@@ -112,6 +112,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_drop_positions expects (tokenArray, sortedPositionArray)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_span_cover"),
+      new ExpressionInfo(classOf[SpanCover].getName,
+        "graft_span_cover"),
+      (args: Seq[Expression]) => args match {
+        case Seq(starts, w) =>
+          SpanCover(starts, longLit(w, "w").toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_span_cover expects (sortedStartArray, w)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_intra_dup_positions"),
       new ExpressionInfo(classOf[IntraDupPositions].getName,
         "graft_intra_dup_positions"),
