@@ -136,7 +136,7 @@ object SparkEntry {
     "cap_per_group",
     "salted_join", "bloom_join", "corpus_shuffle", "length_buckets", "corpus_diff",
     "dataset_card", "dataset_card_sketch", "content_fingerprint",
-    "corpus_mix", "mix_planner", "budget_select",
+    "corpus_mix", "mix_planner", "budget_select", "budget_select_prethin",
     "chunk_documents",
     "cdc_chunks",
     "cdc_dedup", "upsample",
@@ -1507,6 +1507,21 @@ object SparkEntry {
         .orderBy("source", "pick_rank")
     }),
 
+    // the mega-group escape, oracle-checked against the SAME SQL as
+    // budget_select: the percentile pre-thin is exact (prefix-closed
+    // cut + verified retained mass), so both variants must hash-match
+    // the one oracle
+    "budget_select_prethin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs)
+        .select("doc_id", "n_tokens", "quality_score")
+      Curation.budgetSelect(
+        docs.select("doc_id", "source").join(scored, "doc_id"),
+        "source", "quality_score", "n_tokens", budget = 800L,
+        preThin = true)
+        .orderBy("source", "pick_rank")
+    }),
+
     // snapshot diff: old = docs minus id%17==0; new = docs minus
     // id%11==0 with id%13==0 texts edited -> added/removed/changed
     "corpus_diff" -> ((s, dir) => {
@@ -1944,6 +1959,25 @@ object SparkEntry {
        |$iterCtes
        |SELECT doc_id, pr AS pr_micro FROM p5 ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB greedy budget pick — ONE definition shared by the
+   * budget_select and budget_select_prethin oracles (the pre-thin is
+   * exact, so both plans must match the same SQL). */
+  private lazy val budgetSelectSql =
+    s"""WITH qs AS ($qualityScoreSql),
+       |j AS (SELECT d.doc_id, d.source, qs.n_tokens, qs.quality_score
+       |      FROM documents d JOIN qs ON qs.doc_id = d.doc_id),
+       |r AS (SELECT doc_id, source, n_tokens, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS pick_rank,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+       |  FROM j)
+       |SELECT doc_id, source, n_tokens, quality_score, pick_rank,
+       |  cum_cost
+       |FROM r WHERE cum_cost <= 800
+       |ORDER BY source, pick_rank""".stripMargin
 
   /** DuckDB quality-score body (no ORDER BY) — shared by the
    * quality_score and quality_band oracles. */
@@ -4741,21 +4775,12 @@ object SparkEntry {
 
     // budget_select: greedy best-first prefix per source under a token
     // budget — same quality score CTE, same (score desc, id) total order
-    "budget_select" ->
-      s"""WITH qs AS ($qualityScoreSql),
-         |j AS (SELECT d.doc_id, d.source, qs.n_tokens, qs.quality_score
-         |      FROM documents d JOIN qs ON qs.doc_id = d.doc_id),
-         |r AS (SELECT doc_id, source, n_tokens, quality_score,
-         |    CAST(row_number() OVER (PARTITION BY source
-         |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS pick_rank,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY source
-         |      ORDER BY quality_score DESC, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
-         |  FROM j)
-         |SELECT doc_id, source, n_tokens, quality_score, pick_rank,
-         |  cum_cost
-         |FROM r WHERE cum_cost <= 800
-         |ORDER BY source, pick_rank""".stripMargin,
+    "budget_select" -> budgetSelectSql,
+
+    // the preThin variant shares the SAME oracle text: the percentile
+    // cut is exact by construction, so the two Spark plans must
+    // hash-match one SQL definition
+    "budget_select_prethin" -> budgetSelectSql,
 
     "corpus_mix" ->
       s"""WITH tok AS (

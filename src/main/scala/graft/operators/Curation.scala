@@ -1601,24 +1601,67 @@ object Curation {
    * Scale: one hash partition per group + an in-partition sort (the
    * classic per-group window; all three window columns share the one
    * sort); groups are domains — thousands, not corpus-sized — but a
-   * single pathological mega-group serializes its own sort. For that
-   * shape, pre-thin with an approximate quality threshold
-   * (percentile_approx on orderCol) before the exact pass, the same
-   * escape documented on [[capPerGroup]].
+   * single pathological mega-group serializes its own sort (measured
+   * 34.6 s for 10M rows in one group, BENCH_scaling round 16). For
+   * that shape pass `preThin = true`: before the exact window pass,
+   * each group is cut at an approximate `orderCol` percentile and only
+   * rows STRICTLY ABOVE the cut enter the sort. The thin is EXACT, not
+   * best-effort, by a prefix argument: the thinned set T = {orderCol >
+   * q} is prefix-closed under the pick's total order, and the cut is
+   * only applied after an exact verification that sum(costCol over T)
+   * exceeds the budget — the running sum's prefix max at the end of T
+   * equals that sum, so the first budget-crossing row lies INSIDE T,
+   * and the kept rows (the prefix strictly before the crossing, since
+   * the prefix max is monotone) plus their pick_rank/cum_cost values
+   * are identical to the unthinned pass. Groups where no percentile
+   * cut retains provably enough cost (small groups, or a budget that
+   * admits most of the group — where thinning could not have helped)
+   * fall back to the full sort unchanged. Two extra scans (grouped
+   * percentile sketch + verification sum), both map-side combined;
+   * the thresholds frame is |groups|-bounded and broadcast.
    */
   def budgetSelect(df: DataFrame, groupCol: String, orderCol: String,
                    costCol: String, budget: Long,
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   preThin: Boolean = false): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    val nullCost = expr(s"raise_error('budgetSelect: null $costCol — " +
+      "every candidate row needs a cost (a null would silently count " +
+      "as 0 toward the budget)')")
+    val safeCost = when(col(costCol).isNull, nullCost)
+      .otherwise(col(costCol))
+    val base = if (!preThin) df else {
+      // candidate cuts, deepest first; the chooser keeps the deepest
+      // whose PROPORTIONAL retained-cost estimate still covers 2x the
+      // budget (a heuristic — the exact verification below decides)
+      val pcts = Seq(0.5, 0.75, 0.9, 0.99, 0.999)
+      val stats = df.groupBy(groupCol).agg(
+        sum(safeCost).as("__total"),
+        percentile_approx(col(orderCol),
+          typedLit(pcts), lit(10000)).as("__qs"))
+      val pctArr = pcts.mkString("array(", "D, ", "D)")
+      val chosen = stats.select(col(groupCol), expr(
+        s"""try_element_at(filter(
+           |  zip_with($pctArr, __qs, (p, q) -> named_struct('p', p, 'q', q)),
+           |  x -> __total * (1.0D - x.p) >= 2.0D * ${budget}L), -1).q"""
+          .stripMargin).as("__q"))
+        .filter(col("__q").isNotNull)
+      // EXACT verification: apply a cut only where the strictly-above
+      // mass really exceeds the budget (the prefix-closure guarantee)
+      val above = df.join(broadcast(chosen), Seq(groupCol))
+        .filter(col(orderCol) > col("__q"))
+        .groupBy(groupCol).agg(sum(col(costCol)).as("__above"))
+      val thr = chosen.join(above, Seq(groupCol), "left")
+        .filter(col("__above") > budget)
+        .select(col(groupCol), col("__q").as("__thr"))
+      df.join(broadcast(thr), Seq(groupCol), "left")
+        .filter(col("__thr").isNull || col(orderCol) > col("__thr"))
+        .drop("__thr")
+    }
     val w = Window.partitionBy(groupCol)
       .orderBy(col(orderCol).desc, col(idCol).asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val safeCost = when(col(costCol).isNull,
-        expr(s"raise_error('budgetSelect: null $costCol — every " +
-          "candidate row needs a cost (a null would silently count " +
-          "as 0 toward the budget)')"))
-      .otherwise(col(costCol))
-    df.withColumn("pick_rank", row_number().over(w).cast("long"))
+    base.withColumn("pick_rank", row_number().over(w).cast("long"))
       .withColumn("cum_cost", sum(safeCost).over(run).cast("long"))
       .withColumn("__pfx_max", max(col("cum_cost")).over(run))
       .filter(col("__pfx_max") <= budget)

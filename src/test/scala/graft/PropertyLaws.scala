@@ -885,6 +885,25 @@ object PropertyLaws extends Properties("graft") {
       got == want
     }
 
+  property("budgetSelect preThin = plain for any rows, ties, budget, " +
+      "and cost signs (the thin is exact, never best-effort)") =
+    forAll(
+      Gen.listOfN(40, for {
+        g <- Gen.oneOf("a", "b", "c")
+        s <- Gen.chooseNum(-5, 5)
+        c <- Gen.chooseNum(-3L, 10L)
+      } yield (g, s.toDouble, c)),
+      Gen.chooseNum(0L, 30L)) { (rows0, budget) =>
+      import spark.implicits._
+      import graft.operators.Curation
+      val df = rows0.zipWithIndex.map { case ((g, s, c), i) =>
+        (g, s, c, i.toLong) }.toDF("grp", "score", "cost", "doc_id")
+      def run(p: Boolean) = Curation.budgetSelect(df, "grp", "score",
+          "cost", budget, preThin = p)
+        .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
+      run(true) == run(false)
+    }
+
   property("rankingEval of any ranking against itself is perfect") =
     forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 3)) { (k, nq) =>
       import graft.operators.Similarity
