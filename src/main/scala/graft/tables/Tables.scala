@@ -551,8 +551,13 @@ object Tables {
    * test is exact and engine-invariant. Staging must carry exactly the
    * key + attribute columns; duplicate staging keys are rejected (the
    * [[upsertIntoTable]] guard). The table is replaced via the same
-   * crash-safe [[replaceWith]] protocol. Returns the post-merge row
-   * count (versions, not keys).
+   * crash-safe [[replaceWith]] protocol. Returns the number of NEWLY
+   * OPENED versions (changed + new keys) — counted off the
+   * current-tier⋈staging join BEFORE the swap, so the return is
+   * bounded by the current tier plus staging and never costs a
+   * full-table action (a post-merge `count()` here would file-list
+   * every history partition on the pruned 100 TB layout, contradicting
+   * the merge-cost contract below).
    *
    * Scale: ONE full-outer join between the CURRENT tier and staging —
    * closed, kept, and opened versions all derive from that single
@@ -615,6 +620,10 @@ object Tables {
         lit(effectiveTs).as("valid_from") :+
         lit(null).cast("timestamp").as("valid_to"): _*)
     val ordered = full.schema.fieldNames.toSeq
+    // count opened versions BEFORE any write: `opened`'s lineage reads
+    // the pre-merge table, and both merge paths replace the partitions
+    // it reads (the swap would make a post-write count see merged data)
+    val nOpened = opened.count()
     if (!pruned) {
       val hist = full.filter(col("valid_to").isNotNull)
       val merged = hist.select(ordered.map(col): _*)
@@ -650,7 +659,7 @@ object Tables {
       spark.sql(s"DROP TABLE ${q(tmp)}")
       spark.catalog.refreshTable(table)
     }
-    spark.table(table).count()
+    nOpened
   }
 
   /**

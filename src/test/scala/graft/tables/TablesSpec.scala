@@ -373,17 +373,19 @@ class TablesSpec extends SparkSpec {
     Seq("t_scd", "t_scd__swap_tmp", "t_scd__swap_backup")
       .foreach(Tables.dropTable(spark, _))
     Tables.loadScd2(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t_scd", t0)
-    // round 1: identical (no-op), changed, new
+    // round 1: identical (no-op), changed, new — return = OPENED
+    // versions (the changed re-open + the new key; the no-op opens
+    // nothing), never a post-merge table count
     assert(Tables.upsertScd2(spark,
       Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"),
-      "t_scd", "id", t1) == 4L)
+      "t_scd", "id", t1) == 2L)
     assert(rows(spark.table("t_scd").orderBy("id", "valid_from")) == Seq(
       Seq(1L, "a", t0, null), Seq(2L, "b", t0, t1),
       Seq(2L, "B", t1, null), Seq(3L, "c", t1, null)))
     // round 2: re-change key 1; key 2's current is identical (no-op);
     // key 3 unstaged (kept)
     assert(Tables.upsertScd2(spark,
-      Seq((1L, "A"), (2L, "B")).toDF("id", "v"), "t_scd", "id", t2) == 5L)
+      Seq((1L, "A"), (2L, "B")).toDF("id", "v"), "t_scd", "id", t2) == 1L)
     assert(rows(spark.table("t_scd").orderBy("id", "valid_from")) == Seq(
       Seq(1L, "a", t0, t2), Seq(1L, "A", t2, null),
       Seq(2L, "b", t0, t1), Seq(2L, "B", t1, null),
