@@ -661,15 +661,21 @@ object Streams {
    * index read EXCLUDES the current batch id, so a replayed micro-batch
    * rewrites its own partitions and never dedups against itself.
    *
-   * Hash contract (FORMAT VERSION — since round 15, the
+   * Hash contract (FORMAT VERSION — since round 16, the
    * [[spanDedupSink]] rule): WITHIN a batch the winner is decided on
    * actual chunk TEXT (the [[Dedup.dedupChunks]] contract — a
    * destructive drop must not act on a collision); ACROSS batches the
    * index stores the 128-bit composite (h, h2) = xxhash64(text) +
-   * xxhash64(reverse(text)) and a chunk is dropped only when BOTH
-   * match (residual ~n²/2^129 — cross-batch text verify would mean
-   * storing chunk text in the index). Pre-round-15 single-30-bit-hash
-   * indexes are incompatible; rebuild them.
+   * xxhash64(1L, text) — h2 chains a salt long through the hash state
+   * before the text, an independently-seeded second 64-bit hash for
+   * EVERY input. (The round-15 h2 = xxhash64(reverse(text)) was NOT:
+   * reverse fixes palindromes, and a chunk of one repeated token — the
+   * most boilerplate-prone shape — is a palindrome, silently degrading
+   * the bound to 2^-64 exactly where collisions matter most — ADVICE
+   * r15.) A chunk is dropped only when BOTH match (residual ~n²/2^129
+   * — cross-batch text verify would mean storing chunk text in the
+   * index). Pre-round-16 indexes (the reverse h2 or the pre-round-15
+   * single 30-bit hash) are incompatible; rebuild them.
    *
    * Scale: the index holds 16 bytes per chunk — never chunk text — one
    * row per distinct chunk PER BATCH that carried it (the corpus read
@@ -694,7 +700,7 @@ object Streams {
             .select(col(idCol).as("id"), col("chunk_id").as("pos"),
               col("chunk_text").as("seg"),
               xxhash64(col("chunk_text")).as("h"),
-              xxhash64(reverse(col("chunk_text"))).as("h2"))
+              xxhash64(lit(1L), col("chunk_text")).as("h2"))
           segs.select("h", "h2").distinct()
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
           val corpus = s.read
@@ -747,23 +753,29 @@ object Streams {
    * micro-batch rewrites its own partitions and never removes against
    * its own windows.
    *
-   * Hash contract (FORMAT VERSION — since round 15): the index stores
+   * Hash contract (FORMAT VERSION — since round 16): the index stores
    * TWO independent window hashes per distinct window, `h` = xxhash64
-   * of the window text (the join/bucket key) and `h2` = xxhash64 of
-   * the REVERSED window text (reverse is a bijection, so h2 is a full
-   * second 64-bit hash over distinct inputs, structurally unrelated to
-   * h; both are one cheap native hash, not the 3-fold reproducible
-   * poly family the oracle-checked operators need). A window is
-   * flagged only when BOTH match — a 128-bit composite, false-removal
-   * probability ~n²/2^129 (~10^-12 even at 10^13 windows). This is the
-   * documented divergence from the batch
-   * [[Dedup.removeDuplicatedSpans]], which verifies ACTUAL window text:
-   * cross-batch text verification would require storing window strings
-   * in the index, defeating the bounded-state design, so the streaming
-   * twin accepts the negligible composite-hash residual instead.
-   * Indexes persisted under the pre-round-15 single 30-bit hash are
-   * incompatible — REBUILD them (the [[Dedup.embeddingSignatures]]
-   * format-version precedent).
+   * of the window text (the join/bucket key) and `h2` = xxhash64 with
+   * a salt long chained through the hash state before the text
+   * (`xxhash64(1L, text)`) — an independently-seeded second 64-bit
+   * hash for EVERY input; both are one cheap native hash, not the
+   * 3-fold reproducible poly family the oracle-checked operators need.
+   * (The round-15 h2 hashed the REVERSED text; reverse fixes
+   * palindromes, and a window of one repeated token — common
+   * boilerplate — is a palindrome, so h2 == h added zero entropy
+   * exactly on the hottest windows and the bound silently degraded to
+   * 2^-64 there — ADVICE r15.) A window is flagged only when BOTH
+   * match — a 128-bit composite, false-removal probability ~n²/2^129
+   * (~10^-12 even at 10^13 windows). This is the documented divergence
+   * from the batch [[Dedup.removeDuplicatedSpans]], which verifies
+   * ACTUAL window text: cross-batch text verification would require
+   * storing window strings in the index, defeating the bounded-state
+   * design, so the streaming twin accepts the negligible
+   * composite-hash residual instead — and [[verifySpanIndex]] audits
+   * that residual against the actual corpus on demand. Indexes
+   * persisted under the round-15 reverse-text h2 or the pre-round-15
+   * single 30-bit hash are incompatible — REBUILD them (the
+   * [[Dedup.embeddingSignatures]] format-version precedent).
    *
    * Scale: the index holds 16 bytes per distinct window, never text —
    * one row per distinct window per batch that carried it; compact it
@@ -807,7 +819,7 @@ object Streams {
               s"""CASE WHEN size(t) >= $w THEN
                  |  transform(sequence(1, size(t) - ${w - 1}),
                  |            i -> struct(i AS i, xxhash64($winTxt) AS h,
-                 |                        xxhash64(reverse($winTxt)) AS h2))
+                 |                        xxhash64(1L, $winTxt) AS h2))
                  |ELSE CAST(array()
                  |  AS ARRAY<STRUCT<i: INT, h: BIGINT, h2: BIGINT>>) END"""
                 .stripMargin)).as("s"))
@@ -1281,6 +1293,105 @@ object Streams {
     batchIds.foreach(b => fs.delete(new Path(main, s"batch=$b"), true))
   }
 
+  /**
+   * QUIESCED reconciliation audit for [[spanDedupSink]]'s composite-hash
+   * residual: re-checks every (h, h2) composite the index holds against
+   * the ACTUAL window text of `corpus` and reports the collisions — index
+   * composites whose matching corpus windows carry ≥ 2 DISTINCT texts,
+   * i.e. exactly the entries that could have made the sink remove a
+   * window the batch operator's text verify would have kept. Expected
+   * EMPTY (~n²/2^129 composites collide); a non-empty result names the
+   * windows to hand-review, turning the sink's documented
+   * text-exactness divergence from [[Dedup.removeDuplicatedSpans]] into
+   * a measurable, auditable number instead of a standing unknown.
+   *
+   * `corpus` should be (a superset of) the documents the index was
+   * built from — the audit is one-sided: it can only see collisions
+   * whose witness texts are both in `corpus`. Output: one row per
+   * colliding composite, (h, h2, n_texts, text_a, text_b) with two
+   * distinct witness window texts. Pass `bucketedBase` to include the
+   * [[compactSpanIndex]] bulk tier.
+   *
+   * Scale: one window explode over the corpus (the sink's own per-batch
+   * cost shape, linear in corpus tokens), semi-joined down to composites
+   * the index actually holds, then a (h, h2) aggregate whose min/max
+   * text witnesses combine map-side — window text never collects to the
+   * driver and never groups beyond one row per index composite.
+   */
+  def verifySpanIndex(spark: SparkSession, indexPath: String,
+                      corpus: DataFrame, w: Int = 8,
+                      textCol: String = "text",
+                      bucketedBase: Option[String] = None): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val winTxt = s"concat_ws(' ', slice(t, i, $w))"
+    val wins = corpus
+      .select(graft.functions.TextFns.tokens(textCol).as("t"))
+      .select(explode(expr(
+        s"""CASE WHEN size(t) >= $w THEN
+           |  transform(sequence(1, size(t) - ${w - 1}),
+           |            i -> struct(xxhash64($winTxt) AS h,
+           |                        xxhash64(1L, $winTxt) AS h2,
+           |                        $winTxt AS __wtxt))
+           |ELSE CAST(array()
+           |  AS ARRAY<STRUCT<h: BIGINT, h2: BIGINT, __wtxt: STRING>>) END"""
+          .stripMargin)).as("s"))
+      .select(col("s.h").as("h"), col("s.h2").as("h2"),
+        col("s.__wtxt").as("__wtxt"))
+    verifySpanWindows(spark, indexPath, wins, bucketedBase)
+  }
+
+  /** The chunk-level twin of [[verifySpanIndex]] for
+   * [[chunkDedupSink]]'s index: re-chunks `corpus` with the SAME CDC
+   * parameters the sink ran with and reports index composites whose
+   * matching chunk texts differ — the entries that could have dropped
+   * a chunk the batch [[Dedup.dedupChunks]] (text-keyed) would have
+   * kept. Same one-sided contract, output shape, and scale posture as
+   * the span audit. */
+  def verifyChunkIndex(spark: SparkSession, indexPath: String,
+                       corpus: DataFrame, avgTokens: Int = 16,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val chunks = Curation.cdcChunks(corpus, avgTokens, idCol, textCol)
+      .select(xxhash64(col("chunk_text")).as("h"),
+        xxhash64(lit(1L), col("chunk_text")).as("h2"),
+        col("chunk_text").as("__wtxt"))
+    verifySpanWindows(spark, indexPath, chunks, None)
+  }
+
+  /** [[verifySpanIndex]] / [[verifyChunkIndex]] over a pre-built
+   * candidate frame (h, h2, __wtxt) — the seam the injected-collision
+   * drill uses (a true 128-bit xxhash64 collision cannot be
+   * constructed from text, so the test fabricates the frame;
+   * production always goes through the public audits, whose hashes
+   * match the sinks' by construction). */
+  private[graft] def verifySpanWindows(spark: SparkSession,
+                                       indexPath: String, wins: DataFrame,
+                                       bucketedBase: Option[String])
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(main) && fs.listStatus(main)
+      .exists(_.getPath.getName.startsWith("batch="))
+    val emptyH = spark.range(0)
+      .select(col("id").as("h"), col("id").as("h2"))
+    val pathH =
+      if (hasBatches) spark.read.option("basePath", indexPath)
+        .parquet(indexPath).select("h", "h2")
+      else emptyH
+    val bulkH = bucketedBase match {
+      case Some(base) if spark.catalog.tableExists(base + "_winhash") =>
+        spark.table(base + "_winhash").select("h", "h2")
+      case _ => emptyH
+    }
+    wins.join(pathH.union(bulkH).distinct(), Seq("h", "h2"), "left_semi")
+      .groupBy("h", "h2")
+      .agg(countDistinct(col("__wtxt")).as("n_texts"),
+        min(col("__wtxt")).as("text_a"), max(col("__wtxt")).as("text_b"))
+      .filter(col("text_a") =!= col("text_b"))
+      .select("h", "h2", "n_texts", "text_a", "text_b")
+  }
+
   /** Shared LSM fold: (idCol, sig) rows from the path tree plus the
    * existing bulk `_sigs` table, distinct-reduced, staged to a scratch
    * tree (the fold reads the bulk tables it is about to overwrite, and
@@ -1636,14 +1747,14 @@ object Streams {
    * closed) leaves no `valid_from = effective` row in the table, so
    * advancing on it would cache a boundary the table never held and a
    * restart (which re-derives from the table) would clamp differently
-   * than the no-crash path. "Wrote versions" is read off the merge's
-   * own return value — every opened version adds exactly one row (a
-   * closed version keeps its old row and opens a replacement), so the
-   * post-merge row count grows iff the merge opened versions at
-   * `effective`; the sink tracks the count in the same driver state.
-   * A restarted sink re-initializes from the table, so a replayed
-   * batch clamps against at-least the boundary it saw before the
-   * crash.
+   * than the no-crash path. "Wrote versions" is the merge's own return
+   * value — [[graft.tables.Tables.upsertScd2]] returns the number of
+   * opened versions, counted current-tier-bounded (never a post-merge
+   * full-table count — ADVICE r15), and every opened version carries
+   * `valid_from = effective`, so `opened > 0` is exactly the advance
+   * condition. A restarted sink re-initializes from the table, so a
+   * replayed batch clamps against at-least the boundary it saw before
+   * the crash.
    */
   def scd2Sink(stream: DataFrame, table: String, checkpointDir: String,
                key: String, tsCol: String = "ts"): StreamingQuery = {
@@ -1654,9 +1765,6 @@ object Streams {
     // Some(null) = table absent/empty at init (no clamp floor yet)
     val boundary = new java.util.concurrent.atomic.AtomicReference[
       Option[java.sql.Timestamp]](None)
-    // post-merge row count, tracked alongside: the boundary advances
-    // only when a merge GREW the table (= opened versions at effective)
-    val rowCount = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -1673,15 +1781,11 @@ object Streams {
               "values — every row needs an event timestamp to place " +
               "its version on the validity timeline")
           if (boundary.get.isEmpty) {
-            if (!s.catalog.tableExists(table)) {
-              boundary.set(Some(null))
-              rowCount.set(0L)
-            } else {
+            if (!s.catalog.tableExists(table)) boundary.set(Some(null))
+            else {
               scd2BoundaryReads.incrementAndGet()
-              val init = s.table(table)
-                .agg(max(col("valid_from")), count(lit(1))).head()
-              boundary.set(Some(init.getTimestamp(0)))
-              rowCount.set(init.getLong(1))
+              boundary.set(Some(s.table(table)
+                .agg(max(col("valid_from"))).head().getTimestamp(0)))
             }
           }
           // monotonicity clamp (see scaladoc): never regress below the
@@ -1701,15 +1805,13 @@ object Streams {
             graft.tables.Tables.loadScd2(staging, table, effective)
             // initial load: every row's valid_from IS effective
             boundary.set(Some(effective))
-            rowCount.set(s.table(table).count())
           } else {
-            val newCount = graft.tables.Tables.upsertScd2(s, staging,
+            val opened = graft.tables.Tables.upsertScd2(s, staging,
               table, key, effective)
-            // advance only if the merge opened versions (count grew) —
-            // a no-change batch leaves no valid_from = effective row,
-            // so the boundary must keep the table's real maximum
-            if (newCount > rowCount.get) boundary.set(Some(effective))
-            rowCount.set(newCount)
+            // advance only if the merge opened versions — a no-change
+            // batch leaves no valid_from = effective row, so the
+            // boundary must keep the table's real maximum
+            if (opened > 0L) boundary.set(Some(effective))
           }
           owner.catalog.refreshTable(table)
           ()

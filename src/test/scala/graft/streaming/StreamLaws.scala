@@ -839,6 +839,64 @@ object StreamLaws extends Properties("graft.streams") {
       got == want
     }
 
+  property("rankingEvalSink + compactIndex(identity) mid-stream: the " +
+      "cumulative verdict is unchanged, and a replayed folded batch id " +
+      "refuses to re-contribute") =
+    forAll(
+      Gen.chooseNum(1, 3), Gen.chooseNum(2, 4),
+      Gen.listOfN(3, Gen.zip(Gen.pick(4, 1 to 6), Gen.pick(4, 1 to 6))),
+      Gen.chooseNum(1, 20)) { (nq, k, perms, splitAt) =>
+      import graft.operators.Similarity
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rowsIn = (1 to nq).flatMap { q =>
+        val (tp, cp0) = perms(q - 1)
+        tp.take(k).zipWithIndex.map { case (n, i) =>
+          ("truth", q.toLong, n.toLong * 10 + q, (i + 1).toLong) } ++
+        cp0.take(k).zipWithIndex.map { case (n, i) =>
+          ("candidate", q.toLong, n.toLong * 10 + q, (i + 1).toLong) }
+      }
+      val cut = math.min(splitAt, rowsIn.size - 1).max(1)
+      val (b0, b1) = rowsIn.splitAt(cut)
+      val partials = Files.createTempDirectory("law-repc").toString
+      val evalDir = Files.createTempDirectory("law-reec").toString
+      val cp = Files.createTempDirectory("law-recc").toString
+      val mem = MemoryStream[(String, Long, Long, Long)]
+      def start() = Streams.rankingEvalSink(
+        mem.toDF().toDF("side", "query_id", "neighbor_id", "rank"),
+        partials, evalDir, cp, k = k)
+      val q = start()
+      try { mem.addData(b0: _*); q.processAllAvailable() }
+      finally q.stop()
+      // quiesced small-file fold (rows are facts, not sums: identity)
+      Streams.compactIndex(spark, partials)(identity)
+      val q2 = start()
+      try { mem.addData(b1: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      val allDf = rowsIn.toDF("side", "query_id", "neighbor_id", "rank")
+      val want = Similarity.rankingEval(
+          allDf.filter(col("side") === "truth").drop("side"),
+          allDf.filter(col("side") === "candidate").drop("side"), k)
+        .orderBy("query_id").collect().toSeq.map(_.toSeq)
+      val got = spark.read.parquet(s"$evalDir/batch=1")
+        .orderBy("query_id").collect().toSeq.map(_.toSeq)
+      // replayed folded batch: a FRESH checkpoint re-delivers b0 as
+      // batch 0 <= the fold watermark — the guard must skip it (its rows
+      // are already inside batch=-1; re-landing them doubles the fold)
+      def dirs() = new java.io.File(partials).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+      val before = dirs()
+      val cp2 = Files.createTempDirectory("law-recc2").toString
+      val mem2 = MemoryStream[(String, Long, Long, Long)]
+      val q3 = Streams.rankingEvalSink(
+        mem2.toDF().toDF("side", "query_id", "neighbor_id", "rank"),
+        partials, evalDir, cp2, k = k)
+      try { mem2.addData(b0: _*); q3.processAllAvailable() }
+      finally q3.stop()
+      got == want && before == Set("batch=-1", "batch=1") &&
+        dirs() == before
+    }
+
   // ---- counter-partials compaction -------------------------------------
 
   property("dsirSink + compactCounterPartials mid-stream = batch " +

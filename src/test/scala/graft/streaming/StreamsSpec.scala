@@ -1214,6 +1214,69 @@ class StreamsSpec extends SparkSpec {
       "spbulk_winhash__swap_backup").foreach(Tables.dropTable(spark, _))
   }
 
+  test("verifySpanIndex: zero residual on a real corpus (delta + folded " +
+      "bulk tiers); an injected 128-bit composite collision is caught, " +
+      "a 64-bit-only h collision is not flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("vsbulk_winhash", "vsbulk_winhash__swap_tmp",
+      "vsbulk_winhash__swap_backup").foreach(Tables.dropTable(spark, _))
+    val idx = Files.createTempDirectory("vsidx").toString
+    val out = Files.createTempDirectory("vsout").toString
+    val cp = Files.createTempDirectory("vscp").toString
+    val shared = "a b c d e f g h"
+    val docs = Seq((1L, shared + " x y"), (2L, shared + " p q"),
+      (3L, "completely different tokens across at least eight words here"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.spanDedupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, w = 8, bucketedBase = Some("vsbulk"))
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = docs.toDF("doc_id", "text")
+    // delta tree: real xxhash64 composites never collide on this corpus
+    assert(Streams.verifySpanIndex(spark, idx, corpus, w = 8).isEmpty)
+    // folded bulk tier (delta pruned -> exercises the no-batch-dirs
+    // read path + the bucketed union leg): still zero residual
+    Streams.compactSpanIndex(spark, idx, "vsbulk", numBuckets = 4)
+    assert(Streams.verifySpanIndex(spark, idx, corpus, w = 8,
+      bucketedBase = Some("vsbulk")).isEmpty)
+    // injected collision: two DISTINCT window texts sharing one (h, h2)
+    // composite — unconstructible from real text (that is the point of
+    // 128 bits), so fabricate the window frame through the private seam
+    // plus an index tree carrying the composites. The h-only collision
+    // (same h, different h2) is exactly what the composite exists to
+    // absorb — it must NOT be flagged.
+    val idx2 = Files.createTempDirectory("vsidx2").toString
+    Seq((42L, 7L), (99L, 1L), (99L, 2L)).toDF("h", "h2")
+      .write.parquet(s"$idx2/batch=0")
+    val winsBad = Seq(
+      (42L, 7L, "cookie banner text one"),
+      (42L, 7L, "cookie banner text two"), // full composite collision
+      (99L, 1L, "h collision text one"),
+      (99L, 2L, "h collision text two"))   // h2 split: absorbed
+      .toDF("h", "h2", "__wtxt")
+    val res = Streams.verifySpanWindows(spark, idx2, winsBad, None)
+    assert(rows(res.orderBy("h")) == Seq(
+      Seq(42L, 7L, 2L, "cookie banner text one", "cookie banner text two")),
+      "the audit must report exactly the 128-bit collision")
+    // chunk-level twin: a real chunk index audits clean too
+    val cidx = Files.createTempDirectory("vscidx").toString
+    val cout = Files.createTempDirectory("vscout").toString
+    val ccp = Files.createTempDirectory("vsccp").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.chunkDedupSink(mem2.toDF().toDF("doc_id", "text"),
+      cidx, cout, ccp, avgTokens = 4)
+    try {
+      mem2.addData(docs: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Streams.verifyChunkIndex(spark, cidx, corpus,
+      avgTokens = 4).isEmpty)
+    Seq("vsbulk_winhash", "vsbulk_winhash__swap_tmp",
+      "vsbulk_winhash__swap_backup").foreach(Tables.dropTable(spark, _))
+  }
+
   test("topTokensSink: finalized windows emit their exact top-k once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
