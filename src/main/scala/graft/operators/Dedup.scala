@@ -1369,7 +1369,12 @@ object Dedup {
         expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"), col("i"))
       .groupBy("id", "h", "__wtxt")
       .agg(collect_list(col("i")).as("__ps"))
-      .localCheckpoint(false)
+      // serialized + spillable storage: the cached rows carry window
+      // TEXT, and a heavily-duplicated mega-document pair (drilled:
+      // 2 x 10M tokens, all windows flagged) OOMs the deserialized
+      // default before the disk tier engages
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val own = grouped.groupBy("h", "__wtxt")
       .agg(min("id").as("__own"), max("id").as("__mx"))
       .filter(col("__own") =!= col("__mx"))

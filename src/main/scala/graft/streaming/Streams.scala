@@ -851,10 +851,13 @@ object Streams {
             .join(ownedInBatch, Seq("h", "h2"), "left")
             .filter(col("__seen").isNotNull || col("__h2b") === col("h2") ||
               (col("__own").isNotNull && col("id") =!= col("__own")))
-            .select(col("id"),
-              explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+            // 4-byte starts aggregate per doc; the cover expands once in
+            // codegen (the batch operator's graft_span_cover shape) —
+            // never an exploded |occurrences| x w position stream
             .groupBy("id")
-            .agg(array_sort(collect_set(col("p"))).as("__rem"))
+            .agg(collect_list(col("i")).as("__starts"))
+            .select(col("id"), expr(
+              s"graft_span_cover(array_sort(__starts), $w)").as("__rem"))
           toks.join(removed, Seq("id"), "left")
             .withColumn("__rem",
               coalesce(col("__rem"), expr("CAST(array() AS ARRAY<INT>)")))

@@ -355,6 +355,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("budget_select_prethin: <= 6 documents scans (candidate frame " +
+      "x stats/verify/final passes), thresholds broadcast, no " +
+      "cartesian product") {
+    val p = executedPlan("budget_select_prethin")
+    assert(scanCount(p, "documents") <= 6, s"documents rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
   test("ndcg_quantized: <= 6 embedding scans (exact + quantized leg, " +
       "corpus/query sides), query sides broadcast, no cartesian product") {
     val p = executedPlan("ndcg_quantized")
