@@ -856,6 +856,21 @@ object PropertyLaws extends Properties("graft") {
       got == want
     }
 
+  property("graft_span_cover = sorted distinct flatten of the per-start " +
+      "sequences, for any starts (unsorted input sorted by the caller, " +
+      "duplicates tolerated)") =
+    forAll(Gen.listOf(Gen.chooseNum(1, 30)), Gen.chooseNum(2, 5)) {
+      (starts, w) =>
+      import spark.implicits._
+      val df = Seq(Tuple1(starts)).toDF("s")
+      val got = df.select(
+          org.apache.spark.sql.functions.expr(
+            s"graft_span_cover(array_sort(s), $w)").as("c"))
+        .head().getSeq[Int](0).toList
+      val want = starts.flatMap(i => i until i + w).distinct.sorted
+      got == want
+    }
+
   property("removeRepeatedSpansWithinDoc equals the in-memory reference " +
       "(first in-doc start owns, later occurrences drop)") =
     forAll(Gen.listOfN(4, Gen.listOfN(12, Gen.oneOf("a", "b"))),
