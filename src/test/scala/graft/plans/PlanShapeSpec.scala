@@ -315,17 +315,30 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup_spans: <= 4 documents scans (candidate agg, flagged join, " +
       "text re-attach, rebuild), window hashes hash-joined, no " +
-      "cartesian product") {
+      "cartesian product, no WindowExec (ownership must stay a " +
+      "combinable aggregate — a Window keyed on window text serializes " +
+      "hot boilerplate onto one task, drilled to OOM at 100x)") {
     val p = executedPlan("dedup_spans")
     assert(scanCount(p, "documents") <= 4, s"documents rescanned:\n$p")
     assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "Window") == 0, s"WindowExec crept back:\n$p")
+    // graft_span_cover itself is invisible here: CollapseProject folds
+    // it into the final aggregate's resultExpressions, which the
+    // one-line ObjectHashAggregate summary does not print — so pin its
+    // structural consequence instead: the removal sets reach the
+    // rebuild WITHOUT a post-ownership Generate (the exploded
+    // positions stream the expression replaced)
+    assert(count(p, "Generate explode") <= 1,
+      s"a second explode appeared after the window explode:\n$p")
   }
 
   test("duplicated_spans: <= 4 documents scans (candidate agg, flagged " +
-      "join, text re-attach, per-doc counts), no cartesian product") {
+      "join, text re-attach, per-doc counts), no cartesian product, " +
+      "no WindowExec") {
     val p = executedPlan("duplicated_spans")
     assert(scanCount(p, "documents") <= 4, s"documents rescanned:\n$p")
     assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "Window") == 0, s"WindowExec crept back:\n$p")
   }
 
   test("dedup_spans_intra: ONE documents scan, ZERO exchanges — the " +
