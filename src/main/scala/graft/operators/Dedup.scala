@@ -1379,7 +1379,14 @@ object Dedup {
       .agg(min("id").as("__own"), max("id").as("__mx"))
       .filter(col("__own") =!= col("__mx"))
       .select("h", "__wtxt", "__own")
-    grouped.join(own, Seq("h", "__wtxt"))
+    // merge-join hint: `own` is bounded by DISTINCT DUPLICATED WINDOW
+    // TEXTS — corpus-shaped, never broadcastable in general — but the
+    // planner's size estimate for it descends from the pre-explode
+    // input and undercounts by ~w x text amplification (drilled: a
+    // 2 x 10M-token pair planned a 1.1 GB broadcast build and died on
+    // spark.driver.maxResultSize). The sort-merge join spills both
+    // sides and AQE skew-splits a hot (h, text) probe partition.
+    grouped.join(own.hint("merge"), Seq("h", "__wtxt"))
       .select(col("id"), col("h"), col("__ps"), col("__own"))
   }
 
