@@ -115,7 +115,7 @@ object SparkEntry {
     "classifier_auc", "calibration_curve", "fingerprint",
     "exact_dedup", "fuzzy_join", "dedup_lines",
     "duplicated_spans", "dedup_spans", "dedup_spans_intra",
-    "dup_span_runs",
+    "dedup_spans_full", "dup_span_runs",
     "minhash_lsh", "ppjoin", "simhash_capped", "incremental_neardup",
     "incremental_neardup_indexed", "incremental_embedding_neardup",
     "incremental_embedding_neardup_indexed",
@@ -1706,6 +1706,13 @@ object SparkEntry {
     // document drop; pure scan projection (zero shuffle)
     "dedup_spans_intra" -> ((s, dir) =>
       Dedup.removeRepeatedSpansWithinDoc(t(s, dir, "documents"), w = 8)
+        .orderBy("doc_id")),
+
+    // the full recipe: intra collapse first (zero shuffle), then
+    // cross-doc ownership over the collapsed texts — the documented
+    // mega-document mitigation, shipped as one oracle-checked operator
+    "dedup_spans_full" -> ((s, dir) =>
+      Dedup.dedupSpansFull(t(s, dir, "documents"), w = 8)
         .orderBy("doc_id")),
 
     // longest consecutive duplicated run per doc — scattered boilerplate
@@ -3506,6 +3513,59 @@ object SparkEntry {
          |    ' '), '') AS clean_text
          |FROM toks tk LEFT JOIN rem r ON r.doc_id = tk.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // dedup_spans_full: the intra chain feeding the cross chain — the
+    // same composition as the Spark operator (clean within, then dedup
+    // across). The intermediate token list is kept as a list (Spark's
+    // whitespace re-tokenization of a single-space join is the
+    // identity on it).
+    "dedup_spans_full" ->
+      s"""WITH toks0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |wins0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+         |      list_transform(generate_series(1, len(t) - 7),
+         |        j -> {'i': j,
+         |              'w': array_to_string(array_slice(t, j, j + 7), ' ')})
+         |    ELSE CAST([] AS STRUCT(i BIGINT, w VARCHAR)[]) END) AS s
+         |  FROM toks0),
+         |w20 AS (SELECT doc_id, s.i AS i, s.w AS w FROM wins0),
+         |fi AS (SELECT doc_id, w, min(i) AS fi FROM w20
+         |       GROUP BY doc_id, w),
+         |rem0 AS (SELECT w20.doc_id,
+         |    list(DISTINCT p) AS rem
+         |  FROM w20 JOIN fi ON fi.doc_id = w20.doc_id AND fi.w = w20.w
+         |    AND w20.i <> fi.fi,
+         |    unnest(generate_series(w20.i, w20.i + 7)) AS u(p)
+         |  GROUP BY w20.doc_id),
+         |intra AS (SELECT tk.doc_id,
+         |    CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(len(r.rem), 0) AS BIGINT) AS n_removed_intra,
+         |    list_filter(tk.t, (tok, j) ->
+         |      NOT list_contains(COALESCE(r.rem, CAST([] AS BIGINT[])), j))
+         |      AS t
+         |  FROM toks0 tk LEFT JOIN rem0 r ON r.doc_id = tk.doc_id),
+         |wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+         |      list_transform(generate_series(1, len(t) - 7),
+         |        j -> {'i': j,
+         |              'w': array_to_string(array_slice(t, j, j + 7), ' ')})
+         |    ELSE CAST([] AS STRUCT(i BIGINT, w VARCHAR)[]) END) AS s
+         |  FROM intra),
+         |w2 AS (SELECT doc_id, s.i AS i, s.w AS w FROM wins),
+         |own AS (SELECT w, min(doc_id) AS own FROM w2 GROUP BY w
+         |        HAVING min(doc_id) <> max(doc_id)),
+         |rem AS (SELECT w2.doc_id,
+         |    list(DISTINCT p) AS rem
+         |  FROM w2 JOIN own ON own.w = w2.w AND w2.doc_id <> own.own,
+         |    unnest(generate_series(w2.i, w2.i + 7)) AS u(p)
+         |  GROUP BY w2.doc_id)
+         |SELECT it.doc_id, it.n_tokens, it.n_removed_intra,
+         |  CAST(COALESCE(len(r.rem), 0) AS BIGINT) AS n_removed_cross,
+         |  COALESCE(array_to_string(list_filter(it.t, (tok, j) ->
+         |    NOT list_contains(COALESCE(r.rem, CAST([] AS BIGINT[])), j)),
+         |    ' '), '') AS clean_text
+         |FROM intra it LEFT JOIN rem r ON r.doc_id = it.doc_id
+         |ORDER BY it.doc_id""".stripMargin,
 
     "ngram_jaccard_exact" -> jaccardPairsSql,
     "minhash_lsh"         -> jaccardPairsSql,

@@ -30,7 +30,11 @@ object Main {
                     key: String = "id", staging: String = "",
                     since: Option[String] = None, to: Option[String] = None,
                     tsCol: String = "created_at", preview: Boolean = false,
-                    objKey: String = "deals", partitionByDate: Boolean = false)
+                    objKey: String = "deals", partitionByDate: Boolean = false,
+                    index: String = "", corpus: String = "",
+                    kind: String = "span", w: Int = 8, avgTokens: Int = 16,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    bucketedBase: Option[String] = None)
 
   /** ISO input parsing at the app boundary (reference get_iso_from_input,
    * omnichannel_to_bq.py:15-26): accepts `yyyy-MM-dd` or
@@ -46,8 +50,12 @@ object Main {
   }
 
   def parseArgs(args: Seq[String]): Config = {
-    require(args.nonEmpty && Set("load", "upsert").contains(args.head),
-      "usage: load|upsert --input <src> --table <name> [options]")
+    require(args.nonEmpty &&
+      Set("load", "upsert", "verify-index").contains(args.head),
+      "usage: load|upsert --input <src> --table <name> [options] | " +
+        "verify-index --index <dir> --corpus <parquet dir> " +
+        "[--kind span|chunk] [--w N] [--avg-tokens N] [--id-col c] " +
+        "[--text-col c] [--bucketed-base tbl]")
     var c = Config(action = args.head)
     var rest = args.tail.toList
     while (rest.nonEmpty) rest match {
@@ -62,15 +70,64 @@ object Main {
       case "--preview" :: t      => c = c.copy(preview = true); rest = t
       case "--partition-by-date" :: t =>
         c = c.copy(partitionByDate = true); rest = t
+      case "--index" :: v :: t   => c = c.copy(index = v.trim); rest = t
+      case "--corpus" :: v :: t  => c = c.copy(corpus = v.trim); rest = t
+      case "--kind" :: v :: t    => c = c.copy(kind = v.trim); rest = t
+      case "--w" :: v :: t       => c = c.copy(w = v.trim.toInt); rest = t
+      case "--avg-tokens" :: v :: t =>
+        c = c.copy(avgTokens = v.trim.toInt); rest = t
+      case "--id-col" :: v :: t  => c = c.copy(idCol = v.trim); rest = t
+      case "--text-col" :: v :: t => c = c.copy(textCol = v.trim); rest = t
+      case "--bucketed-base" :: v :: t =>
+        c = c.copy(bucketedBase = Some(v.trim)); rest = t
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
       case Nil => ()
     }
-    require(c.input.nonEmpty, "--input is required")
-    require(c.table.nonEmpty, "--table is required")
+    if (c.action == "verify-index") {
+      require(c.index.nonEmpty, "--index is required")
+      require(c.corpus.nonEmpty, "--corpus is required")
+      require(Set("span", "chunk").contains(c.kind),
+        s"--kind must be span or chunk, got '${c.kind}'")
+    } else {
+      require(c.input.nonEmpty, "--input is required")
+      require(c.table.nonEmpty, "--table is required")
+    }
     if (c.action == "upsert" && c.staging.isEmpty)
       c = c.copy(staging = c.table + "_staging")
     c
+  }
+
+  /**
+   * The `verify-index` subcommand: run the QUIESCED reconciliation
+   * audit ([[graft.streaming.Streams.verifySpanIndex]] /
+   * [[verifyChunkIndex]]) of a live streaming dedup index against the
+   * actual corpus — the operational handle for the sinks' documented
+   * composite-hash residual (the audits were test-reachable only until
+   * round 17). Prints every colliding composite (expected: none) and
+   * returns the residual count; [[main]] exits non-zero on a non-empty
+   * residual so the audit gates in a cron the same way a failed check
+   * does. Format mismatches fail loudly inside the audit itself (the
+   * round-17 `_format` gate) — an incompatible index can never report
+   * a clean zero here.
+   */
+  def verifyIndex(spark: SparkSession, c: Config): Long = {
+    import graft.streaming.Streams
+    val corpus = spark.read.parquet(c.corpus)
+    val residual = c.kind match {
+      case "span" => Streams.verifySpanIndex(spark, c.index, corpus,
+        w = c.w, textCol = c.textCol, bucketedBase = c.bucketedBase)
+      case "chunk" => Streams.verifyChunkIndex(spark, c.index, corpus,
+        avgTokens = c.avgTokens, idCol = c.idCol, textCol = c.textCol)
+    }
+    // the audit output is ≤ one row per index composite that collides —
+    // expected empty; bounded by actual collisions, never corpus-sized
+    val rows = residual.collect()
+    rows.foreach(r => System.err.println(s"[graft] RESIDUAL: $r"))
+    println(s"[graft] verify-index(${c.kind}) over ${c.index}: " +
+      s"${rows.length} colliding composite(s)" +
+      (if (rows.isEmpty) " — clean" else " — HAND-REVIEW the rows above"))
+    rows.length.toLong
   }
 
   /** Fetch stage: JSON URL templates go through the paginated DSv2 source
@@ -158,10 +215,16 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = run(spark, c)
-    if (n >= 0) println(s"[graft] ${c.action} into '${c.table}' complete; " +
-      s"COUNT(*) = $n")
-    spark.stop()
-    if (n < 0) sys.exit(1)
+    if (c.action == "verify-index") {
+      val residual = verifyIndex(spark, c)
+      spark.stop()
+      if (residual > 0) sys.exit(3)
+    } else {
+      val n = run(spark, c)
+      if (n >= 0) println(s"[graft] ${c.action} into '${c.table}' complete; " +
+        s"COUNT(*) = $n")
+      spark.stop()
+      if (n < 0) sys.exit(1)
+    }
   }
 }

@@ -1619,11 +1619,25 @@ object Curation {
    * fall back to the full sort unchanged. Two extra scans (grouped
    * percentile sketch + verification sum), both map-side combined;
    * the thresholds frame is |groups|-bounded and broadcast.
+   *
+   * The thin is SELF-GATING (round 17): before any sketch, one cheap
+   * count+sum pre-pass (map-side combined, no percentile state) keeps
+   * only groups that could possibly choose a cut — total cost ≥ 4×
+   * budget (the shallowest candidate percentile, p = 0.5, must retain
+   * 2× budget) and more than `preThinMinRows` rows (thinning only pays
+   * when the group's serialized sort hurts; the r16 A/B measured the
+   * sketch at 2.4× on can't-benefit groups). Everything else skips the
+   * sketch entirely, so a 50%-admit group runs at plain-sort parity
+   * even with preThin on. The gate can only SKIP a group the chooser
+   * would also have left uncut (total < 4× budget fails every
+   * percentile's retained-cost test), so output is unchanged — and a
+   * wrongly-skipped group merely falls back to the exact full sort.
    */
   def budgetSelect(df: DataFrame, groupCol: String, orderCol: String,
                    costCol: String, budget: Long,
                    idCol: String = "doc_id",
-                   preThin: Boolean = false): DataFrame = {
+                   preThin: Boolean = false,
+                   preThinMinRows: Long = 0L): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val nullCost = expr(s"raise_error('budgetSelect: null $costCol — " +
       "every candidate row needs a cost (a null would silently count " +
@@ -1631,11 +1645,20 @@ object Curation {
     val safeCost = when(col(costCol).isNull, nullCost)
       .otherwise(col(costCol))
     val base = if (!preThin) df else {
+      // self-gate: one count+sum pre-pass (no sketch) keeps only groups
+      // that could possibly choose a cut — see the scaladoc. safeCost
+      // keeps the null-cost guard local to this sum too.
+      val feasible = df.groupBy(groupCol).agg(
+          count(lit(1)).as("__n"), sum(safeCost).as("__t"))
+        .filter(col("__n") > preThinMinRows &&
+          col("__t").cast("double") >= lit(4.0) * lit(budget.toDouble))
+        .select(groupCol)
+      val cand = df.join(broadcast(feasible), Seq(groupCol), "left_semi")
       // candidate cuts, deepest first; the chooser keeps the deepest
       // whose PROPORTIONAL retained-cost estimate still covers 2x the
       // budget (a heuristic — the exact verification below decides)
       val pcts = Seq(0.5, 0.75, 0.9, 0.99, 0.999)
-      val stats = df.groupBy(groupCol).agg(
+      val stats = cand.groupBy(groupCol).agg(
         sum(safeCost).as("__total"),
         percentile_approx(col(orderCol),
           typedLit(pcts), lit(10000)).as("__qs"))
@@ -1648,9 +1671,12 @@ object Curation {
         .filter(col("__q").isNotNull)
       // EXACT verification: apply a cut only where the strictly-above
       // mass really exceeds the budget (the prefix-closure guarantee)
+      // safeCost here too (not raw costCol): the null-cost guard must
+      // hold locally at every cost sum, not lean on the stats pass
+      // having raised first (ADVICE r16)
       val above = df.join(broadcast(chosen), Seq(groupCol))
         .filter(col(orderCol) > col("__q"))
-        .groupBy(groupCol).agg(sum(col(costCol)).as("__above"))
+        .groupBy(groupCol).agg(sum(safeCost).as("__above"))
       val thr = chosen.join(above, Seq(groupCol), "left")
         .filter(col("__above") > budget)
         .select(col(groupCol), col("__q").as("__thr"))

@@ -1452,6 +1452,48 @@ object Dedup {
   }
 
   /**
+   * The full span-dedup recipe: intra-document collapse FIRST
+   * ([[removeRepeatedSpansWithinDoc]] — zero-shuffle scan projection),
+   * then cross-document ownership ([[removeDuplicatedSpans]]) over the
+   * already-collapsed texts. This composition IS the stated practical
+   * mitigation for the cross-doc pass's one honest stress shape, the
+   * all-distinct mega-document pair (BENCH_scaling round 16: 131 s at
+   * 2×10M tokens): a real crawl mega-document is boilerplate-heavy,
+   * and collapsing its internal repeats in the scan pass shrinks both
+   * the window explode and the distinct flagged-window-text set the
+   * ownership aggregate must hold — the cross pass then runs on the
+   * post-intra token mass. Shipped as an operator (not just a recipe)
+   * so the composition is oracle-checkable end to end.
+   *
+   * Emits per document: (idCol, n_tokens — ORIGINAL token count,
+   * n_removed_intra, n_removed_cross — counted against post-intra
+   * positions, clean_text). Note the composition is NOT the same
+   * function as [[removeDuplicatedSpans]] alone (intra-collapse can
+   * change which windows exist across documents); it is its own
+   * documented semantics — "clean within, then dedup across" — and the
+   * DuckDB oracle composes the two reference queries the same way.
+   *
+   * Scale: the intra pass adds no shuffle; the cross pass inherits its
+   * full posture on a strictly smaller input; the only new cost is the
+   * final by-id join re-attaching the intra counts (metadata-width on
+   * the build side: id + two longs per doc).
+   */
+  def dedupSpansFull(docs: DataFrame, w: Int = 8,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val intra = removeRepeatedSpansWithinDoc(docs, w, idCol, textCol)
+    val cross = removeDuplicatedSpans(
+      intra.select(col(idCol), col("clean_text")), w, idCol, "clean_text")
+    intra
+      .select(col(idCol), col("n_tokens"),
+        col("n_removed").as("n_removed_intra"))
+      .join(cross.select(col(idCol),
+          col("n_removed").as("n_removed_cross"), col("clean_text")),
+        Seq(idCol))
+  }
+
+  /**
    * Duplicated-RUN statistics: per document, the LONGEST consecutive
    * stretch of cross-document-duplicated token positions (the
    * [[removeDuplicatedSpans]] removal set, gaps-and-islands over its

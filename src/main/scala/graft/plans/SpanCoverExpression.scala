@@ -54,24 +54,43 @@ case class SpanCover(child: Expression, w: Int)
 }
 
 object SpanCover {
-  /** One merge pass over ascending starts: each start contributes
-   * positions from max(start, lastEmitted + 1) to start + w - 1. Kept
-   * public/static so codegen calls it directly. */
+  /** One counting pass + one fill pass over ascending starts: each
+   * start contributes positions from max(start, lastEmitted + 1) to
+   * start + w - 1. Two passes over the (tiny, 4-byte-starts) input
+   * buy an exactly-sized primitive Array[Int] for the (potentially
+   * huge — |cover| ~ duplicated mass) output: no per-position Integer
+   * boxing, no buffer-doubling churn in the per-row codegen hot path.
+   * Kept public/static so codegen calls it directly. */
   def cover(sortedStarts: ArrayData, w: Int): ArrayData = {
     val m = sortedStarts.numElements()
-    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    // pass 1: count emitted positions (same merge recurrence, no writes)
+    var n = 0
     var last = 0 // highest position emitted so far (positions are >= 1)
     var k = 0
     while (k < m) {
       if (!sortedStarts.isNullAt(k)) {
         val s = sortedStarts.getInt(k)
+        val end = s + w - 1
+        val from = math.max(s, last + 1)
+        if (end >= from) { n += end - from + 1; last = end }
+      }
+      k += 1
+    }
+    // pass 2: fill the exactly-sized primitive array
+    val out = new Array[Int](n)
+    var i = 0
+    last = 0
+    k = 0
+    while (k < m) {
+      if (!sortedStarts.isNullAt(k)) {
+        val s = sortedStarts.getInt(k)
         var p = math.max(s, last + 1)
         val end = s + w - 1
-        while (p <= end) { out += p; p += 1 }
+        while (p <= end) { out(i) = p; i += 1; p += 1 }
         if (end > last) last = end
       }
       k += 1
     }
-    new GenericArrayData(out.toArray)
+    new GenericArrayData(out)
   }
 }

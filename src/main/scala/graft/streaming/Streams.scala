@@ -450,6 +450,11 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // signatures only co-match when (shingle n, hash count) agree;
+          // a param drift is the same silent-never-match hazard as the
+          // span index's h2 bump, so the stamp pins the parameters
+          ensureIndexFormat(s, indexPath, s"minhash-v1:n=$n:h=$numHashes",
+            "nearDupSink")
           val bandsPath = indexPath + "__bands"
           val sigs = Dedup.minhashSignatures(batch, n, numHashes, idCol, textCol)
           sigs.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
@@ -541,6 +546,11 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // hyperplane signs only co-match under identical (planes, dim)
+          // — and the plane family is seed-derived, so the stamp pins
+          // the whole signature space (same hazard class as the span h2)
+          ensureIndexFormat(s, indexPath,
+            s"hyperplane-v1:p=$totalPlanes:d=$dim", "embeddingNearDupSink")
           Dedup.embeddingSignatures(batch, totalPlanes, dim, idCol, vecCol)
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
           // read back: one signing pass per vector, ever
@@ -593,6 +603,8 @@ object Streams {
         if (!batch.isEmpty) {
           import org.apache.hadoop.fs.Path
           val s = batch.sparkSession
+          ensureIndexFormat(s, indexPath, s"minhash-v1:n=$n:h=$numHashes",
+            "clustersSink")
           val bandsPath = indexPath + "__bands"
           val sigs = Dedup.minhashSignatures(batch, n, numHashes, idCol, textCol)
           sigs.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
@@ -696,6 +708,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          ensureIndexFormat(s, indexPath, SpanIndexFormat, "chunkDedupSink")
           def segs = Curation.cdcChunks(batch, avgTokens, idCol, textCol)
             .select(col(idCol).as("id"), col("chunk_id").as("pos"),
               col("chunk_text").as("seg"),
@@ -799,6 +812,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          ensureIndexFormat(s, indexPath, SpanIndexFormat, "spanDedupSink")
           // a replayed batch whose windows were already FOLDED into the
           // bulk would flag its own singletons as duplicates (the index
           // is membership-only — no id to tell self from other). The
@@ -838,8 +852,11 @@ object Streams {
           // a union with the delta would destroy that). The bulk join
           // key stays the single bucket column `h`; the h2 verify is a
           // post-join filter, so a 63-bit collision inside the bulk
-          // (two h2 rows under one h) merely multiplies rows whose
-          // identical positions the collect_set absorbs.
+          // (two h2 rows under one h) merely duplicates start positions
+          // that graft_span_cover's merge pass absorbs (the cover of a
+          // multiset of starts equals the cover of its set — the actual
+          // invariant this bulk join relies on since the collect_list
+          // + span-cover rewrite).
           val withBulk = bucketedBase match {
             case Some(base) if s.catalog.tableExists(base + "_winhash") =>
               wins.join(s.table(base + "_winhash")
@@ -943,6 +960,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          ensureIndexFormat(s, indexPath, s"minhash-v1:n=$n:h=$numHashes",
+            "intakeSink")
           val bandsPath = indexPath + "__bands"
           val kept = batch.join(
             TextAnalysis.qualityScore(batch, idCol)
@@ -1061,6 +1080,13 @@ object Streams {
     val mark = math.max(maxBatch, prevMark)
     val out = fs.create(new Path(tmp, MarkerFile), true)
     try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
+    // the swap replaces the WHOLE tree: carry the format stamp into the
+    // new tree or a compaction would strip it and the next sink open
+    // would refuse a perfectly-current index as unstamped
+    readIndexFormat(spark, indexPath).foreach { f =>
+      val fo = fs.create(new Path(tmp, FormatFile), true)
+      try fo.write(f.getBytes("UTF-8")) finally fo.close()
+    }
     if (!fs.rename(main, backup))
       throw new java.io.IOException(s"compactIndex: cannot move $main aside")
     if (!fs.rename(tmp, main)) {
@@ -1372,6 +1398,11 @@ object Streams {
                                        bucketedBase: Option[String])
       : DataFrame = {
     import org.apache.hadoop.fs.Path
+    // The audit is only meaningful against a current-format index: an
+    // incompatible tree's composites never match the recomputed hashes,
+    // so the left_semi would drop everything and an EMPTY result would
+    // read as a clean audit instead of a format mismatch (ADVICE r16).
+    ensureIndexFormat(spark, indexPath, SpanIndexFormat, "verifySpanIndex")
     val main = new Path(indexPath)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasBatches = fs.exists(main) && fs.listStatus(main)
@@ -1442,6 +1473,93 @@ object Streams {
 
   /** Leading underscore: Spark's parquet reader ignores it as data. */
   private val MarkerFile = "_compacted_through"
+
+  /** Leading underscore: Spark's parquet reader ignores it as data. */
+  private[streaming] val FormatFile = "_format"
+
+  /**
+   * Hash-format stamp of the composite-hash streaming indexes
+   * ([[spanDedupSink]] window index, [[chunkDedupSink]] chunk index):
+   * v2 = (h = xxhash64(text), h2 = xxhash64(1L, text)), the round-16
+   * salt-chained second hash. The round-15 reverse-text h2 ("v1") and
+   * the pre-round-15 single-hash trees are incompatible — and the
+   * failure mode of mixing them is SILENT: an old-format composite
+   * never double-matches under the new h2, so every historical
+   * duplicate survives unflagged, conservative but unbounded recall
+   * loss (VERDICT r16 "what's wrong" #2). Sinks and audits therefore
+   * stamp the format at index create and fail loudly on mismatch.
+   */
+  private[streaming] val SpanIndexFormat = "composite-hash-v2"
+
+  /** The persisted format stamp of an index tree, if any. */
+  def readIndexFormat(spark: SparkSession, indexPath: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(indexPath, FormatFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /**
+   * Attest an index tree's hash format — the operator escape hatch for
+   * a PRE-VERSIONING tree that is known (by provenance) to be written
+   * by current-format code: stamp it, then run [[verifySpanIndex]] /
+   * [[verifyChunkIndex]] against the full corpus to confirm. Sinks
+   * stamp automatically at index create; this is only for migration.
+   */
+  def stampIndexFormat(spark: SparkSession, indexPath: String,
+                       format: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(indexPath, FormatFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true) // creates parent dirs on a fresh tree
+    try out.write(format.getBytes("UTF-8")) finally out.close()
+  }
+
+  /**
+   * Open-time format gate: a stamped index must match `expected`
+   * exactly; an UNSTAMPED tree that already carries `batch=` data is
+   * refused too (unknown provenance — pre-versioning trees include the
+   * incompatible round-15 h2). A fresh/empty tree is stamped here, so
+   * every index created from round 17 on self-describes.
+   */
+  private[streaming] def ensureIndexFormat(spark: SparkSession,
+                                           indexPath: String,
+                                           expected: String,
+                                           opName: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readIndexFormat(spark, indexPath) match {
+      case Some(found) if found == expected => ()
+      case Some(found) => throw new IllegalStateException(
+        s"$opName: index at $indexPath is format '$found'; this build " +
+          s"reads/writes '$expected'. The two formats never co-match, so " +
+          "joining them would silently flag NOTHING (every historical " +
+          "duplicate survives). REBUILD the index: delete the tree and " +
+          "replay the stream through the sink, then audit the residual " +
+          "with verifySpanIndex/verifyChunkIndex.")
+      case None =>
+        val hasData = fs.exists(main) && fs.listStatus(main)
+          .exists(_.getPath.getName.startsWith("batch="))
+        if (hasData) throw new IllegalStateException(
+          s"$opName: index at $indexPath carries batch data but no " +
+            s"'$FormatFile' marker — a pre-versioning tree of unknown " +
+            "hash format. An old-format index never double-matches under " +
+            "the current hashes, so every historical duplicate would " +
+            "SURVIVE unflagged (silent recall loss). REBUILD it (delete " +
+            "the tree and replay the stream), or — only if the tree is " +
+            "known by provenance to be current-format — attest it with " +
+            s"stampIndexFormat(spark, path, \"$expected\") and then audit " +
+            "with verifySpanIndex/verifyChunkIndex against the full corpus.")
+        else stampIndexFormat(spark, indexPath, expected)
+    }
+  }
 
   /**
    * Highest batch id folded into `batch=-1` by [[compactIndex]], or -1
@@ -2224,13 +2342,21 @@ object Streams {
    * dedup signature index; the per-batch recompute is one window pass
    * over metadata, not over text. When even metadata-scale recompute
    * is too hot per batch, run the same fold on a cadence instead (the
-   * pick only needs to be current when someone reads it).
+   * pick only needs to be current when someone reads it). A mega-group
+   * burst pays the folded metadata's serialized per-group sort EVERY
+   * micro-batch — exactly the shape [[graft.operators.Curation
+   * .budgetSelect]]'s `preThin` bounds — so the flag threads through
+   * (with its round-17 self-gate, leaving it on costs small batches
+   * nothing; the `preThin = plain` ScalaCheck law guarantees the
+   * sink's output is unchanged either way).
    */
   def budgetSelectSink(stream: DataFrame, partialsPath: String,
                        outPath: String, checkpointDir: String,
                        groupCol: String, orderCol: String,
                        costCol: String, budget: Long,
-                       idCol: String = "doc_id"): StreamingQuery = {
+                       idCol: String = "doc_id",
+                       preThin: Boolean = false,
+                       preThinMinRows: Long = 0L): StreamingQuery = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -2246,7 +2372,8 @@ object Streams {
           graft.operators.Curation.budgetSelect(
               s.read.option("basePath", partialsPath)
                 .parquet(partialsPath).drop("batch"),
-              groupCol, orderCol, costCol, budget, idCol)
+              groupCol, orderCol, costCol, budget, idCol,
+              preThin, preThinMinRows)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()
         }

@@ -901,20 +901,22 @@ object PropertyLaws extends Properties("graft") {
     }
 
   property("budgetSelect preThin = plain for any rows, ties, budget, " +
-      "and cost signs (the thin is exact, never best-effort)") =
+      "cost signs, and self-gate threshold (the thin is exact, never " +
+      "best-effort; the round-17 count gate only skips work)") =
     forAll(
       Gen.listOfN(40, for {
         g <- Gen.oneOf("a", "b", "c")
         s <- Gen.chooseNum(-5, 5)
         c <- Gen.chooseNum(-3L, 10L)
       } yield (g, s.toDouble, c)),
-      Gen.chooseNum(0L, 30L)) { (rows0, budget) =>
+      Gen.chooseNum(0L, 30L),
+      Gen.chooseNum(0L, 50L)) { (rows0, budget, minRows) =>
       import spark.implicits._
       import graft.operators.Curation
       val df = rows0.zipWithIndex.map { case ((g, s, c), i) =>
         (g, s, c, i.toLong) }.toDF("grp", "score", "cost", "doc_id")
       def run(p: Boolean) = Curation.budgetSelect(df, "grp", "score",
-          "cost", budget, preThin = p)
+          "cost", budget, preThin = p, preThinMinRows = minRows)
         .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
       run(true) == run(false)
     }

@@ -135,4 +135,50 @@ class MainSpec extends SparkSpec {
       !spark.catalog.tableExists("app_rec__swap_backup"))
     Tables.dropTable(spark, "app_rec")
   }
+
+  test("verify-index subcommand: audits a live span index against a " +
+      "corpus (clean -> 0); chunk kind and arg parsing work end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // build a real index with the sink, land the corpus as parquet
+    val idx = Files.createTempDirectory("vixidx").toString
+    val out = Files.createTempDirectory("vixout").toString
+    val cp = Files.createTempDirectory("vixcp").toString
+    val corpusDir = Files.createTempDirectory("vixcorpus").toString
+    val docs = Seq(
+      (1L, "a b c d e f g h extra tail tokens"),
+      (2L, "a b c d e f g h different ending here"),
+      (3L, "nothing shared with the others at all in this one"))
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.spanDedupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, w = 8)
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    // parse + run through the public CLI surface
+    val c = Main.parseArgs(Seq("verify-index", "--index", idx,
+      "--corpus", corpusDir, "--kind", "span", "--w", "8"))
+    assert(c.kind == "span" && c.w == 8)
+    assert(Main.verifyIndex(spark, c) == 0L)
+    // chunk twin over its own sink-built index
+    val cidx = Files.createTempDirectory("vixcidx").toString
+    val cout = Files.createTempDirectory("vixcout").toString
+    val ccp = Files.createTempDirectory("vixccp").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.chunkDedupSink(mem2.toDF().toDF("doc_id", "text"),
+      cidx, cout, ccp, avgTokens = 4)
+    try { mem2.addData(docs: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(Main.verifyIndex(spark, Main.parseArgs(Seq("verify-index",
+      "--index", cidx, "--corpus", corpusDir, "--kind", "chunk",
+      "--avg-tokens", "4"))) == 0L)
+    // usage errors stay loud
+    intercept[IllegalArgumentException] {
+      Main.parseArgs(Seq("verify-index", "--corpus", corpusDir))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseArgs(Seq("verify-index", "--index", idx,
+        "--corpus", corpusDir, "--kind", "bogus"))
+    }
+  }
 }

@@ -651,6 +651,36 @@ class DedupSpec extends SparkSpec {
     assert(o2 == Seq(Seq(5L, 19L, 9L, "a b c d e f g h i SEP")))
   }
 
+  test("dedupSpansFull: intra collapse first, then cross ownership over " +
+      "the COLLAPSED texts — seam windows created by the intra pass " +
+      "participate in cross-doc ownership") {
+    val docs = Seq(
+      // doc 1: in-doc repeat of "a..h" -> intra removes 8, cleaned text
+      // "a b c d e f g h x y z" (the seam makes "d e f g h x y z" a
+      // window that never existed in the raw text)
+      (1L, "a b c d e f g h x y a b c d e f g h z"),
+      // doc 2: shares "a..h" with cleaned doc 1 -> cross drops 8
+      (2L, "a b c d e f g h tail"),
+      // doc 3: shorter than the window — untouched by both passes
+      (3L, "short text"),
+      // doc 4: shares the SEAM window "d e f g h x y z" with cleaned
+      // doc 1 — plain removeDuplicatedSpans on raw texts would keep it
+      // (the window doesn't exist raw); the composition removes it
+      (4L, "d e f g h x y z p q"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.dedupSpansFull(docs, w = 8).orderBy("doc_id"))
+    assert(out == Seq(
+      Seq(1L, 19L, 8L, 0L, "a b c d e f g h x y z"),
+      Seq(2L, 9L, 0L, 8L, "tail"),
+      Seq(3L, 2L, 0L, 0L, "short text"),
+      Seq(4L, 10L, 0L, 8L, "p q")))
+    // and the divergence claim itself: plain cross on the raw texts
+    // leaves doc 4 intact
+    val plain = rows(Dedup.removeDuplicatedSpans(docs, w = 8)
+      .filter(col("doc_id") === 4L))
+    assert(plain == Seq(Seq(4L, 10L, 0L, "d e f g h x y z p q")))
+  }
+
   test("nearDupDedup: representatives keep their absorbed counts") {
     // docs 1-3 near-dup each other (shared shingles), 9 is a singleton
     val base = "alpha beta gamma delta epsilon zeta"

@@ -437,27 +437,35 @@ object StreamLaws extends Properties("graft.streams") {
         (i.toLong, g, sc, c) }
       val cut = math.min(splitAt, docs.size - 1).max(1)
       val (b0, b1) = docs.splitAt(cut)
-      val parts = Files.createTempDirectory("law-bsp").toString
-      val outDir = Files.createTempDirectory("law-bso").toString
-      val cp = Files.createTempDirectory("law-bscp").toString
-      val mem = MemoryStream[(Long, String, Long, Long)]
-      val q = Streams.budgetSelectSink(
-        mem.toDF().toDF("doc_id", "grp", "score", "cost"),
-        parts, outDir, cp, "grp", "score", "cost", budget = 12L)
-      try {
-        mem.addData(b0: _*)
-        q.processAllAvailable()
-        mem.addData(b1: _*)
-        q.processAllAvailable()
-      } finally q.stop()
-      val got = spark.read.parquet(s"$outDir/batch=1")
-        .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
+      // run the sink BOTH ways: preThin threads through to the
+      // per-batch recompute (round 17) and must not change any batch's
+      // output for any split — the batch-level preThin = plain law
+      // lifted to the sink
+      def run(thin: Boolean) = {
+        val parts = Files.createTempDirectory("law-bsp").toString
+        val outDir = Files.createTempDirectory("law-bso").toString
+        val cp = Files.createTempDirectory("law-bscp").toString
+        val mem = MemoryStream[(Long, String, Long, Long)]
+        val q = Streams.budgetSelectSink(
+          mem.toDF().toDF("doc_id", "grp", "score", "cost"),
+          parts, outDir, cp, "grp", "score", "cost", budget = 12L,
+          preThin = thin)
+        try {
+          mem.addData(b0: _*)
+          q.processAllAvailable()
+          mem.addData(b1: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.read.parquet(s"$outDir/batch=1")
+          .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
+      }
+      val got = run(false)
       val want = graft.operators.Curation.budgetSelect(
           docs.toDF("doc_id", "grp", "score", "cost"),
           "grp", "score", "cost", budget = 12L)
         .select("grp", "doc_id", "score", "cost", "pick_rank", "cum_cost")
         .orderBy("grp", "pick_rank").collect().toSeq.map(_.toSeq)
-      got == want
+      got == want && run(true) == want
     }
 
   property("spanDedupSink union of batch outputs = batch " +

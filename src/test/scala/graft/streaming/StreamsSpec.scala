@@ -1074,6 +1074,10 @@ class StreamsSpec extends SparkSpec {
     // compacted-away leftover) — must be pruned, not joined
     Seq((99L, 0, 7L)).toDF("doc_id", "band", "bucket")
       .write.parquet(s"$bandsDir/batch=50")
+    // the legacy tree predates the round-17 format stamp: attesting it
+    // (the sigs above ARE current-format) is the documented migration
+    // step before a sink may open it
+    Streams.stampIndexFormat(spark, idx, "minhash-v1:n=3:h=128")
     val q = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"),
       idx, pairs, cp)
     try {
@@ -1248,6 +1252,9 @@ class StreamsSpec extends SparkSpec {
     // (same h, different h2) is exactly what the composite exists to
     // absorb — it must NOT be flagged.
     val idx2 = Files.createTempDirectory("vsidx2").toString
+    // stamp the fabricated tree: the audit refuses unstamped data (the
+    // round-17 format gate — drilled in its own test below)
+    Streams.stampIndexFormat(spark, idx2, Streams.SpanIndexFormat)
     Seq((42L, 7L), (99L, 1L), (99L, 2L)).toDF("h", "h2")
       .write.parquet(s"$idx2/batch=0")
     val winsBad = Seq(
@@ -1275,6 +1282,71 @@ class StreamsSpec extends SparkSpec {
       avgTokens = 4).isEmpty)
     Seq("vsbulk_winhash", "vsbulk_winhash__swap_tmp",
       "vsbulk_winhash__swap_backup").foreach(Tables.dropTable(spark, _))
+  }
+
+  test("index format gate: a pre-versioning tree refuses loudly at sink " +
+      "open and in the audits; an old-format stamp names the rebuild; " +
+      "stampIndexFormat is the attestation escape; compaction carries " +
+      "the stamp through the tree swap") {
+    implicit val sqlCtx = spark.sqlContext
+    // 1. unstamped tree WITH data (the pre-round-17 on-disk state):
+    // the sink must refuse instead of silently never-matching its h2
+    // against an unknown-format index (VERDICT r16 what's-wrong #2)
+    val idx = Files.createTempDirectory("fmtidx").toString
+    Seq((1L, 2L)).toDF("h", "h2").write.parquet(s"$idx/batch=0")
+    val out = Files.createTempDirectory("fmtout").toString
+    val cp = Files.createTempDirectory("fmtcp").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.spanDedupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, out, cp, w = 8)
+    try {
+      mem.addData((1L, "a b c d e f g h i"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getCause.getMessage.contains("_format"), e.getCause)
+      assert(e.getCause.getMessage.contains("stampIndexFormat"), e.getCause)
+      assert(e.getCause.getMessage.contains("verifySpanIndex"), e.getCause)
+    } finally q.stop()
+    // the audit refuses the same tree: an EMPTY residual must never
+    // read as a clean audit of an incompatible index (ADVICE r16)
+    val corpus = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalStateException] {
+      Streams.verifySpanIndex(spark, idx, corpus, w = 8)
+    }
+    assert(e2.getMessage.contains("stampIndexFormat"), e2)
+    // 2. an old-format stamp is named in the error with the rebuild path
+    val idxOld = Files.createTempDirectory("fmtidxold").toString
+    Streams.stampIndexFormat(spark, idxOld, "composite-hash-v1")
+    Seq((1L, 2L)).toDF("h", "h2").write.parquet(s"$idxOld/batch=0")
+    val e3 = intercept[IllegalStateException] {
+      Streams.verifySpanIndex(spark, idxOld, corpus, w = 8)
+    }
+    assert(e3.getMessage.contains("composite-hash-v1") &&
+      e3.getMessage.contains("REBUILD"), e3)
+    // 3. attestation: stamping the unstamped tree (operator-verified
+    // provenance) makes the audit — and a sink restart — accept it
+    Streams.stampIndexFormat(spark, idx, Streams.SpanIndexFormat)
+    assert(Streams.verifySpanIndex(spark, idx, corpus, w = 8).isEmpty)
+    // 4. a fresh sink stamps its own tree at create; compactIndex's
+    // whole-tree swap must carry the stamp (or the next open would
+    // refuse a perfectly-current compacted index as unstamped)
+    val cidx = Files.createTempDirectory("fmtcidx").toString
+    val cout = Files.createTempDirectory("fmtcout").toString
+    val ccp = Files.createTempDirectory("fmtccp").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.chunkDedupSink(mem2.toDF().toDF("doc_id", "text"),
+      cidx, cout, ccp, avgTokens = 4)
+    try {
+      mem2.addData((1L, "one two three four five six seven eight"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Streams.readIndexFormat(spark, cidx)
+      .contains(Streams.SpanIndexFormat))
+    Streams.compactIndex(spark, cidx)(_.distinct())
+    assert(Streams.readIndexFormat(spark, cidx)
+      .contains(Streams.SpanIndexFormat),
+      "compaction must carry the format stamp through the tree swap")
   }
 
   test("topTokensSink: finalized windows emit their exact top-k once") {
