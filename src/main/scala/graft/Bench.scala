@@ -193,11 +193,13 @@ object Bench {
       (name, trimmed(trimmed.size / 2), spread)
     }
     val normMed = normResults.map { case (k, m, _) => k -> m }.toMap
-    // Cross-run drift vs pinned controls: only meaningful for the full
-    // sf0.1 headliner set (the pins are sf0.1 medians), so it is gated
-    // on every control being present.
+    // Cross-run drift vs pinned controls: only meaningful at the SF the
+    // pins were measured at (sf0.1) AND with every control present —
+    // an sf0.01 iteration run would otherwise "drift" to ~0.1 and its
+    // value_normalized would be nonsense.
+    val pinsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val driftOpt: Option[Double] =
-      if (Controls.forall { case (c, _) => normMed.contains(c) })
+      if (pinsApply && Controls.forall { case (c, _) => normMed.contains(c) })
         Some(median(Controls.map { case (c, pin) => normMed(c) / pin }))
       else None
     val qs = normResults.sortBy(_._2)

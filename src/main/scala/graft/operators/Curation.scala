@@ -1644,7 +1644,7 @@ object Curation {
       "as 0 toward the budget)')")
     val safeCost = when(col(costCol).isNull, nullCost)
       .otherwise(col(costCol))
-    val base = if (!preThin) df else {
+    lazy val thinned = {
       // self-gate: one count+sum pre-pass (no sketch) keeps only groups
       // that could possibly choose a cut — see the scaladoc. safeCost
       // keeps the null-cost guard local to this sum too.
@@ -1653,6 +1653,13 @@ object Curation {
         .filter(col("__n") > preThinMinRows &&
           col("__t").cast("double") >= lit(4.0) * lit(budget.toDouble))
         .select(groupCol)
+      // bounded driver action (the frame is |groups|-rows at most —
+      // domains, not documents): when NO group qualifies, skip every
+      // thin stage outright, so preThin = true on a can't-benefit shape
+      // costs exactly one map-side agg scan beyond the plain pass
+      // (measured: the lazy-plan version still paid ~4 extra corpus
+      // scans through the no-op semi joins)
+      if (feasible.isEmpty) df else {
       val cand = df.join(broadcast(feasible), Seq(groupCol), "left_semi")
       // candidate cuts, deepest first; the chooser keeps the deepest
       // whose PROPORTIONAL retained-cost estimate still covers 2x the
@@ -1683,7 +1690,9 @@ object Curation {
       df.join(broadcast(thr), Seq(groupCol), "left")
         .filter(col("__thr").isNull || col(orderCol) > col("__thr"))
         .drop("__thr")
+      }
     }
+    val base = if (!preThin) df else thinned
     val w = Window.partitionBy(groupCol)
       .orderBy(col(orderCol).desc, col(idCol).asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1474,15 +1474,38 @@ object Dedup {
    * DuckDB oracle composes the two reference queries the same way.
    *
    * Scale: the intra pass adds no shuffle; the cross pass inherits its
-   * full posture on a strictly smaller input; the only new cost is the
-   * final by-id join re-attaching the intra counts (metadata-width on
-   * the build side: id + two longs per doc).
+   * full posture on a strictly smaller input; the new costs are the
+   * final by-id join re-attaching the intra counts (metadata-width:
+   * id + two longs per doc) and ONE materialization of the cleaned
+   * corpus (a lazy DISK_ONLY checkpoint — see the inline note).
+   * Drilled at 2×10M-token pairs (BENCH_scaling round 17): 8.6× faster
+   * than cross-only on the boilerplate-heavy pair (8.8 s vs 76.0 s);
+   * parity on the fully-adversarial ALL-DISTINCT pair (142.6 s vs
+   * 144.0 s) but needing the cleaned-corpus headroom (12 GB heap where
+   * the 8 GB box already sits at the cross-only edge). Guidance:
+   * all-distinct mega-pairs (vendored files) are
+   * [[removeDuplicatedSpans]]'s shape — intra cannot shrink them by
+   * construction; crawl-like corpora are this operator's.
    */
   def dedupSpansFull(docs: DataFrame, w: Int = 8,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
+    // lazy DISK-ONLY checkpoint: the cross pass references the intra
+    // output from SEVERAL branches (window explode, candidate agg, text
+    // re-attach, rebuild join) plus the counts join below — without the
+    // pin each branch re-evaluates the IntraDupPositions +
+    // DropPositions chain per task, and a 10M-token all-distinct pair
+    // OOMs on the concurrent ~120 MB/doc hash tables where the plain
+    // operator completes. DISK_ONLY (not MEMORY_AND_DISK_SER like the
+    // ownership checkpoint): this frame carries the whole CLEANED
+    // CORPUS text, it is read a handful of times against a pipeline
+    // that costs minutes, and letting it compete for executor memory
+    // with the ownership state tips the adversarial mega-pair over at
+    // the 8g box (drilled, BENCH_scaling round 17).
     val intra = removeRepeatedSpansWithinDoc(docs, w, idCol, textCol)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cross = removeDuplicatedSpans(
       intra.select(col(idCol), col("clean_text")), w, idCol, "clean_text")
     intra
