@@ -130,7 +130,24 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.benchQueries
+    // Optional isolation filter (comma-separated query names): the tool
+    // for re-timing flagged queries ALONE, the protocol every round has
+    // hand-run to separate a memory-pressure stall from a plan
+    // regression. A filtered run keeps the same warmup + interleaved
+    // passes; cross-run drift is emitted only when all six Controls are
+    // present (i.e. never on a filtered run unless the filter includes
+    // them), so a nonsense drift can't be quoted from an isolation run.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = filter match {
+      case None => SparkEntry.benchQueries
+      case Some(f) =>
+        val unknown = f -- SparkEntry.benchQueries.toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_QUERIES names unknown queries: " +
+            unknown.toSeq.sorted.mkString(", "))
+        SparkEntry.benchQueries.filter(f)
+    }
     // Warmup: one UNTIMED pass over the FULL query set, not just one
     // query — first-touch costs (codegen compilation, parquet footer
     // reads, JVM JIT of each operator's generated classes) are per-QUERY,
@@ -154,6 +171,11 @@ object Bench {
     val failedSet = scala.collection.mutable.LinkedHashSet.empty[String]
     val samples = Array.fill(names.size)(Vector.empty[Double])
     for (pass <- 1 to Passes) {
+      // progress marker (stderr, like the failure lines): lets a reader
+      // correlate an ambient-load episode with pass boundaries, and
+      // lets the loaded-host calibration drill align its interference
+      // with whole passes
+      System.err.println(s"[bench] pass $pass start")
       for ((name, i) <- names.zipWithIndex) {
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)

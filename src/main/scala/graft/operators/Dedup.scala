@@ -1503,6 +1503,14 @@ object Dedup {
     // that costs minutes, and letting it compete for executor memory
     // with the ownership state tips the adversarial mega-pair over at
     // the 8g box (drilled, BENCH_scaling round 17).
+    // Cluster caveat: localCheckpoint TRUNCATES LINEAGE, so a lost
+    // executor's cached partitions are unrecoverable and fail the job
+    // (Spark re-runs it from the source on retry — correct, just not
+    // free). On a long-lived 1000-executor run where executor loss is
+    // routine, prefer a reliable `spark.checkpoint.dir` checkpoint of
+    // the intra output (or persist the intra result as a table and run
+    // the cross pass over it — the two phases are independently
+    // restartable); the local pin is the single-job fast path.
     val intra = removeRepeatedSpansWithinDoc(docs, w, idCol, textCol)
       .localCheckpoint(false,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
