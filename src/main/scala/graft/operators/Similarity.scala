@@ -397,14 +397,50 @@ object Similarity {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
+    val cdim = unit.head.size
+    require(unit.forall(_.size == cdim),
+      s"ragged centroid matrix: expected every centroid at dim $cdim")
+    val flat = unit.flatten.toArray
     emb
       .withColumn("__cents", typedLit(unit))
       // dot against every centroid in one pass (native loop per centroid)
       .withColumn("__dists", expr(
         s"transform(__cents, c -> graft_dot($vecCol, c))"))
-      .withColumn("__cell",
-        expr("array_position(__dists, array_max(__dists))").cast("int"))
+      // `__cell` via the NATIVE fused argmax loop ([[graft.plans
+      // .NearestCell]]), NOT an argmax over `__dists`: the corpus-side
+      // assignment is the index-build kernel (once per corpus row), and
+      // every SQL-level formulation measured pays interpreted per-
+      // centroid overhead — the original array_position(__dists,
+      // array_max(__dists)) additionally had CollapseProject inlining
+      // the nlist-dot transform TWICE. Callers that use only `__cell`
+      // never evaluate `__dists`/`__cents` at all (column pruning);
+      // the query-side probe ranking still reads `__dists` via the HOF
+      // chain, whose cost is nprobe-rows small. Null/tie semantics are
+      // pinned identical to the chain in NearestCell's scaladoc + law
+      // spec.
+      .withColumn("__cell", org.apache.spark.sql.GraftColumnBridge
+        .column(graft.plans.NearestCell(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)),
+          flat, unit.size, cdim)))
   }
+
+  /** `__probes` = the `nprobe` nearest cells from `__dists`, with
+   * `__dists` in HOF ARGUMENT position (zip_with input), where it is
+   * evaluated once per row. The previous form indexed it INSIDE a
+   * transform lambda (element_at(__dists, i)), and CollapseProject
+   * inlined the whole nlist-dot transform into the per-element body —
+   * O(nlist²) dots per query row. Invisible at the fixture's nlist=16;
+   * at the production contract nlist ≈ √n it turns each query row into
+   * an O(n) scan (measured: 105 s for 256 queries at nlist=1000 — the
+   * round-17 1M-vector drill, BENCH_scaling.md; sub-second after this
+   * rewrite). House rule (first measured on the chunking family, round
+   * 9): expensive intermediates ride in HOF input arguments, never in
+   * lambda bodies. */
+  private def probesExpr(nlist: Int, nprobe: Int): String =
+    s"""slice(array_sort(
+       |  zip_with(__dists, sequence(1, $nlist),
+       |           (d, i) -> struct(-d AS d, i AS idx))),
+       |  1, $nprobe)""".stripMargin
 
   /**
    * IVF approximate top-k: corpus vectors live in their nearest centroid's
@@ -422,11 +458,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"),
         VectorFns.norm(vecCol).as("nc"), col("__cell").as("cell"))
     val q0 = withIvfCell(queries, cents, vecCol)
-      .withColumn("__probes", expr(
-        s"""slice(array_sort(
-           |  transform(sequence(1, ${cents.size}),
-           |            i -> struct(-element_at(__dists, i) AS d, i AS idx))),
-           |  1, $nprobe)""".stripMargin))
+      .withColumn("__probes", expr(probesExpr(cents.size, nprobe)))
       .select(col(idCol).as("query_id"), col(vecCol).as("vq"),
         VectorFns.norm(vecCol).as("nq"),
         explode(expr("transform(__probes, p -> p.idx)")).as("cell"))
@@ -621,11 +653,7 @@ object Similarity {
                            idCol: String, vecCol: String,
                            dedupCandidates: Boolean): DataFrame = {
     val q = broadcast(withIvfCell(queries, cents, vecCol)
-      .withColumn("__probes", expr(
-        s"""slice(array_sort(
-           |  transform(sequence(1, ${cents.size}),
-           |            i -> struct(-element_at(__dists, i) AS d, i AS idx))),
-           |  1, $nprobe)""".stripMargin))
+      .withColumn("__probes", expr(probesExpr(cents.size, nprobe)))
       .select(col(idCol).as("query_id"), col(vecCol).as("vq"),
         VectorFns.norm(vecCol).as("nq"),
         explode(expr("transform(__probes, p -> p.idx)")).as("cell")))
@@ -789,11 +817,7 @@ object Similarity {
     val m = books.size
     val qlut = books.zipWithIndex.foldLeft(
       withIvfCell(queries, cents, vecCol)
-        .withColumn("__probes", expr(
-          s"""slice(array_sort(
-             |  transform(sequence(1, ${cents.size}),
-             |            i -> struct(-element_at(__dists, i) AS d, i AS idx))),
-             |  1, $nprobe)""".stripMargin))) {
+        .withColumn("__probes", expr(probesExpr(cents.size, nprobe)))) {
       case (d, ((cb, bias), j)) =>
         d.withColumn(s"__qcb$j", typedLit(cb))
           .withColumn(s"__qbias$j", typedLit(bias))

@@ -921,6 +921,46 @@ object PropertyLaws extends Properties("graft") {
       run(true) == run(false)
     }
 
+  property("graft_nearest_cell = the HOF argmax chain on random/degenerate " +
+      "vectors (ties, length mismatch, null elements, null vectors)") =
+    forAll(
+      // centroids on a coarse grid so duplicate rows (ties) arise often
+      Gen.choose(1, 5).flatMap(nlist => Gen.listOfN(nlist,
+        Gen.listOfN(3, Gen.choose(-2, 2).map(_ / 2.0)))),
+      Gen.listOfN(8, Gen.frequency(
+        (1, Gen.const(null: List[java.lang.Float])),
+        (1, Gen.const(List[java.lang.Float]())), // length mismatch
+        (1, Gen.listOfN(2,                       // length mismatch
+          Gen.choose(-4, 4).map(x => java.lang.Float.valueOf(x / 2.0f)))),
+        (1, Gen.listOfN(3, Gen.choose(-4, 4))    // null element
+          .map(_.map(x => java.lang.Float.valueOf(x / 2.0f))
+            .updated(1, null: java.lang.Float))),
+        (6, Gen.listOfN(3,                       // well-formed, coarse grid
+          Gen.choose(-4, 4).map(x => java.lang.Float.valueOf(x / 2.0f))))))
+    ) { (cents, vecs) =>
+      import org.apache.spark.sql.{functions => F, Row, types => T}
+      val schema = T.StructType(Seq(T.StructField("embedding",
+        T.ArrayType(T.FloatType, containsNull = true))))
+      val df = spark.createDataFrame(
+        vecs.map(v => Row(if (v == null) null else v.toSeq)).asJava, schema)
+      val centsSql = cents
+        .map(_.mkString("array(", "D, ", "D)")).mkString("array(", ", ", ")")
+      // the REFERENCE chain this expression's scaladoc pins against —
+      // per-centroid graft_dot transform, array_position/array_max argmax
+      val chain = df.select(F.expr(
+        s"""CAST(array_position(
+           |  transform($centsSql, c -> graft_dot(embedding, c)),
+           |  array_max(transform($centsSql, c -> graft_dot(embedding, c))))
+           |AS INT)""".stripMargin).as("cell")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getInt(0))
+      val native = df.select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.NearestCell(
+          org.apache.spark.sql.GraftColumnBridge.expression(F.col("embedding")),
+          cents.flatten.toArray, cents.size, 3)).as("cell"))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+      chain.toSeq == native.toSeq
+    }
+
   property("rankingEval of any ranking against itself is perfect") =
     forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 3)) { (k, nq) =>
       import graft.operators.Similarity
