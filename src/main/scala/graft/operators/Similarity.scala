@@ -319,15 +319,23 @@ object Similarity {
                           books: Seq[(Seq[Seq[Double]], Seq[Double])],
                           dsub: Int, vecCol: String): DataFrame =
     books.zipWithIndex.foldLeft(df) { case (d, ((cb, bias), j)) =>
-      d.withColumn(s"__cb$j", typedLit(cb))
-        .withColumn(s"__bias$j", typedLit(bias))
-        .withColumn(s"__sc$j", expr(
-          s"""transform(sequence(1, ${cb.size}),
-             |  i -> graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
-             |                 element_at(__cb$j, i))
-             |       - element_at(__bias$j, i))""".stripMargin))
-        .withColumn(s"__code$j",
-          expr(s"array_position(__sc$j, array_max(__sc$j))").cast("int"))
+      // NATIVE fused encode ([[graft.plans.PqCode]]): the codebook and
+      // biases ride as driver values and the subvector window is read
+      // in place. The previous HOF chain (per-candidate graft_dot over
+      // a fresh slice(), argmax via array_position/array_max naming the
+      // score alias twice → CollapseProject double-inline) paid
+      // 2 × ksub interpreted dot dispatches + slice copies per corpus
+      // row and subspace — the PQ index-build kernel. An EMPTY codebook
+      // (empty corpus) keeps the old chain's value semantics via a
+      // typed null: zero rows evaluate it nowhere, and eager PqCode
+      // construction would reject k = 0 at the driver.
+      val code =
+        if (cb.isEmpty) lit(null).cast("int")
+        else org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.PqCode(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)),
+            cb.flatten.toArray, cb.size, dsub, j * dsub, bias.toArray))
+      d.withColumn(s"__code$j", code)
     }
 
   /**

@@ -73,7 +73,7 @@ case class NearestCell(child: Expression, matrix: Array[Double],
       i += 1
     }
     var best = Double.NegativeInfinity
-    var bestIdx = 0
+    var bestIdx = 1
     var c = 0
     while (c < nlist) {
       var acc = 0.0
@@ -84,12 +84,17 @@ case class NearestCell(child: Expression, matrix: Array[Double],
         acc += x * matrix(base + d)
         d += 1
       }
-      if (acc > best) { best = acc; bestIdx = c + 1 }
+      // Spark orders NaN GREATEST and NaN = NaN is true, so the chain's
+      // array_max/array_position selects the FIRST NaN when one exists;
+      // Java's `>` would never select it — branch explicitly.
+      if (java.lang.Double.isNaN(acc)) {
+        if (!java.lang.Double.isNaN(best)) { best = acc; bestIdx = c + 1 }
+      } else if (acc > best) { best = acc; bestIdx = c + 1 }
       c += 1
     }
-    // a first dot of -Infinity still assigns cell 1 via the strict `>`
-    // against the -Infinity sentinel failing: guard by construction
-    if (bestIdx == 0) 1 else bestIdx
+    // a first dot of -Infinity still assigns cell 1: the strict `>`
+    // against the -Infinity sentinel fails, but bestIdx starts at 1
+    bestIdx
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -132,7 +137,9 @@ case class NearestCell(child: Expression, matrix: Array[Double],
          |    for (int $d = 0; $d < $dim; $d++) {
          |      $acc += $vec[$d] * $matRef[$base + $d];
          |    }
-         |    if ($acc > $best) { $best = $acc; $bestIdx = $cc + 1; }
+         |    if (Double.isNaN($acc)) {
+         |      if (!Double.isNaN($best)) { $best = $acc; $bestIdx = $cc + 1; }
+         |    } else if ($acc > $best) { $best = $acc; $bestIdx = $cc + 1; }
          |  }
          |  ${ev.value} = $bestIdx;
          |}

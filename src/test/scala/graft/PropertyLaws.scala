@@ -961,6 +961,55 @@ object PropertyLaws extends Properties("graft") {
       chain.toSeq == native.toSeq
     }
 
+  property("graft_pq_code = the HOF slice/argmax chain on random windows " +
+      "(ties, short vectors, null elements in/out of the window)") =
+    forAll(
+      Gen.choose(1, 4).flatMap(k => Gen.listOfN(k,
+        Gen.listOfN(2, Gen.choose(-2, 2).map(_ / 2.0)))), // dsub = 2 codebook
+      Gen.choose(0, 1), // subspace j (offset = 2j)
+      Gen.listOfN(8, Gen.frequency(
+        (1, Gen.const(null: List[java.lang.Float])),
+        (1, Gen.listOfN(3,                       // too short for j = 1
+          Gen.choose(-4, 4).map(x => java.lang.Float.valueOf(x / 2.0f)))),
+        (1, Gen.listOfN(4, Gen.choose(-4, 4))    // null element at pos 1
+          .map(_.map(x => java.lang.Float.valueOf(x / 2.0f))
+            .updated(1, null: java.lang.Float))),
+        (1, Gen.listOfN(4, Gen.choose(-4, 4))    // null element at pos 3
+          .map(_.map(x => java.lang.Float.valueOf(x / 2.0f))
+            .updated(3, null: java.lang.Float))),
+        (5, Gen.listOfN(4,                       // well-formed dim 4
+          Gen.choose(-4, 4).map(x => java.lang.Float.valueOf(x / 2.0f))))))
+    ) { (cb, j, vecs) =>
+      import org.apache.spark.sql.{functions => F, Row, types => T}
+      val dsub = 2
+      val bias = cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5)
+      val schema = T.StructType(Seq(T.StructField("embedding",
+        T.ArrayType(T.FloatType, containsNull = true))))
+      val df = spark.createDataFrame(
+        vecs.map(v => Row(if (v == null) null else v.toSeq)).asJava, schema)
+      val cbSql = cb.map(_.mkString("array(", "D, ", "D)"))
+        .mkString("array(", ", ", ")")
+      val biasSql = bias.mkString("array(", "D, ", "D)")
+      val chain = df.select(F.expr(
+        s"""CAST(array_position(
+           |  transform(sequence(1, ${cb.size}),
+           |    i -> graft_dot(slice(embedding, ${j * dsub + 1}, $dsub),
+           |                   element_at($cbSql, i))
+           |         - element_at($biasSql, i)),
+           |  array_max(transform(sequence(1, ${cb.size}),
+           |    i -> graft_dot(slice(embedding, ${j * dsub + 1}, $dsub),
+           |                   element_at($cbSql, i))
+           |         - element_at($biasSql, i))))
+           |AS INT)""".stripMargin).as("code")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getInt(0))
+      val native = df.select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.PqCode(
+          org.apache.spark.sql.GraftColumnBridge.expression(F.col("embedding")),
+          cb.flatten.toArray, cb.size, dsub, j * dsub, bias.toArray)).as("code"))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+      chain.toSeq == native.toSeq
+    }
+
   property("rankingEval of any ranking against itself is perfect") =
     forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 3)) { (k, nq) =>
       import graft.operators.Similarity
