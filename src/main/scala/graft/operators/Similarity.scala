@@ -321,11 +321,14 @@ object Similarity {
     books.zipWithIndex.foldLeft(df) { case (d, ((cb, bias), j)) =>
       // NATIVE fused encode ([[graft.plans.PqCode]]): the codebook and
       // biases ride as driver values and the subvector window is read
-      // in place. The previous HOF chain (per-candidate graft_dot over
-      // a fresh slice(), argmax via array_position/array_max naming the
-      // score alias twice → CollapseProject double-inline) paid
-      // 2 × ksub interpreted dot dispatches + slice copies per corpus
-      // row and subspace — the PQ index-build kernel. An EMPTY codebook
+      // in place. The previous HOF chain paid, per corpus row and
+      // subspace, ksub interpreted lambda dispatches each doing a
+      // fresh slice() subvector COPY plus a boxed virtual graft_dot
+      // call (the twice-referenced `__sc` alias is not collapsed into
+      // the argmax — plan-verified — the transform runs once; the
+      // dispatch/copy/boxing overhead alone measured 368 s/1M rows at
+      // m=8, ksub=256 vs 4.7 s fused) — the PQ index-build kernel. An
+      // EMPTY codebook
       // (empty corpus) keeps the old chain's value semantics via a
       // typed null: zero rows evaluate it nowhere, and eager PqCode
       // construction would reject k = 0 at the driver.
@@ -417,15 +420,16 @@ object Similarity {
       // `__cell` via the NATIVE fused argmax loop ([[graft.plans
       // .NearestCell]]), NOT an argmax over `__dists`: the corpus-side
       // assignment is the index-build kernel (once per corpus row), and
-      // every SQL-level formulation measured pays interpreted per-
-      // centroid overhead — the original array_position(__dists,
-      // array_max(__dists)) additionally had CollapseProject inlining
-      // the nlist-dot transform TWICE. Callers that use only `__cell`
-      // never evaluate `__dists`/`__cents` at all (column pruning);
-      // the query-side probe ranking still reads `__dists` via the HOF
-      // chain, whose cost is nprobe-rows small. Null/tie semantics are
-      // pinned identical to the chain in NearestCell's scaladoc + law
-      // spec.
+      // every SQL-level formulation measured pays nlist interpreted
+      // lambda dispatches + a boxed virtual graft_dot call per centroid
+      // per row (the twice-referenced `__dists` alias is NOT collapsed
+      // into the argmax — plan-verified — so the transform runs once;
+      // dispatch + boxing alone cost ~4x the fused loop at nlist=1000).
+      // Callers that use only `__cell` never evaluate
+      // `__dists`/`__cents` at all (column pruning); the query-side
+      // probe ranking still reads `__dists` via the HOF chain, whose
+      // cost is nprobe-rows small. Null/tie semantics are pinned
+      // identical to the chain in NearestCell's scaladoc + law spec.
       .withColumn("__cell", org.apache.spark.sql.GraftColumnBridge
         .column(graft.plans.NearestCell(
           org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)),

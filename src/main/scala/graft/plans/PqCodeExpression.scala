@@ -18,11 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
  * Replaces the interpreted chain in `Similarity.withPqCodes`
  * (`array_position`/`array_max` over `transform(sequence(1, k),
  * i -> graft_dot(slice(vec, offset+1, dsub), element_at(__cb, i)) -
- * element_at(__bias, i))`), which paid, per CORPUS row and subspace:
- * the whole k-candidate transform TWICE (CollapseProject inlines the
- * `__sc` alias into both argmax references — the same double-inline
- * [[NearestCell]] removed from the IVF assignment), and per candidate
- * a fresh `slice` copy of the subvector plus a boxed virtual dot call.
+ * element_at(__bias, i))`), which paid, per CORPUS row and subspace,
+ * k interpreted lambda dispatches each doing a fresh `slice` COPY of
+ * the subvector plus a boxed virtual dot call. (The twice-referenced
+ * `__sc` alias is NOT collapsed into the argmax — plan-verified — so
+ * the transform ran once; the dispatch/copy/boxing overhead alone
+ * measured 368 s per 1M rows at m = 8, ksub = 256, vs 4.7 s fused.)
  * PQ encoding is the index-build kernel of the PQ/IVF-PQ family
  * (`pq_encode`, `writePqIndex`, `pqIngestSink` run it over every
  * corpus row at ksub candidates × m subspaces).
