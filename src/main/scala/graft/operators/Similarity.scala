@@ -404,6 +404,12 @@ object Similarity {
    * against unit-normalized centroids — equivalently max dot / norm). */
   private def withIvfCell(emb: DataFrame, centroids: Seq[Seq[Double]],
                           vecCol: String): DataFrame = {
+    // Loud, actionable failure instead of a bare NoSuchElementException
+    // from unit.head: an empty corpus gives trainIvfCentroids nothing to
+    // seed from, and every caller (ivfTopK, writeIvfIndex, ivfPqTopK)
+    // is better served by this message than by head-of-empty.
+    require(centroids.nonEmpty,
+      "IVF needs at least one centroid (empty corpus?)")
     val unit = centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)

@@ -147,6 +147,24 @@ case class NearestCell(child: Expression, matrix: Array[Double],
     })
   }
 
+  // Case-class equality on an Array param is reference identity, which
+  // makes two semantically identical instances (e.g. the corpus-side and
+  // query-side assignments in a self-kNN, each flattening its own copy
+  // of the same trained matrix) compare unequal — defeating
+  // semanticEquals-based subexpression elimination and exchange reuse
+  // that the earlier value-equal typedLit literals permitted. Compare
+  // matrix CONTENTS instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCell =>
+      nlist == that.nlist && dim == that.dim && child == that.child &&
+        java.util.Arrays.equals(matrix, that.matrix)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Integer.valueOf(nlist),
+      Integer.valueOf(dim), Integer.valueOf(java.util.Arrays.hashCode(matrix)))
+
   override protected def withNewChildInternal(newChild: Expression): NearestCell =
     copy(child = newChild)
 }

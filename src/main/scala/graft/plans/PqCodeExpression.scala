@@ -156,6 +156,25 @@ case class PqCode(child: Expression, matrix: Array[Double],
     })
   }
 
+  // Content-based equality over the Array params (same rationale as
+  // [[NearestCell]]): reference-identity equals would defeat
+  // semanticEquals-based subexpression elimination between two
+  // identically-parameterized instances.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqCode =>
+      k == that.k && dsub == that.dsub && offset == that.offset &&
+        child == that.child &&
+        java.util.Arrays.equals(matrix, that.matrix) &&
+        java.util.Arrays.equals(bias, that.bias)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Integer.valueOf(k),
+      Integer.valueOf(dsub), Integer.valueOf(offset),
+      Integer.valueOf(java.util.Arrays.hashCode(matrix)),
+      Integer.valueOf(java.util.Arrays.hashCode(bias)))
+
   override protected def withNewChildInternal(newChild: Expression): PqCode =
     copy(child = newChild)
 }

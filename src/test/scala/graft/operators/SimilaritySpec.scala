@@ -553,4 +553,20 @@ class SimilaritySpec extends SparkSpec {
     // q2: no hits → zeros against the same nonzero ideal
     assert(out(1) == Seq(2L, 0L, 0L, 0L, 2130929L, 0L))
   }
+
+  test("ivfTopK and writeIvfIndex refuse an empty corpus loudly (no bare " +
+      "head-of-empty from withIvfCell)") {
+    val empty = emb.filter($"vec_id" < 0)
+    val q = emb.filter($"vec_id" === 1)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(empty, q, k = 2, nlist = 2, nprobe = 1, dim = 2)
+        .collect()
+    }
+    assert(e1.getMessage.contains("at least one centroid"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfIndex(empty, s"$dir/idx", nlist = 2, dim = 2)
+    }
+    assert(e2.getMessage.contains("at least one centroid"))
+  }
 }

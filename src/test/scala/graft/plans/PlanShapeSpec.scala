@@ -384,4 +384,88 @@ class PlanShapeSpec extends SparkSpec {
       s"a ranking leg lost its broadcast query side:\n$p")
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  // ==== round-18 kernel pins: the native codegen kernels must stay in
+  // the plan. A refactor that silently falls back to the interpreted HOF
+  // chain (transform + graft_dot + array_position argmax) keeps results
+  // identical but pays ~8x at production nlist (round-17 drill) — only
+  // a plan assertion catches it.
+
+  test("ivf_topk: corpus cell assignment rides the native graft_nearest_" +
+      "cell kernel (no HOF-argmax fallback), <= 2 embedding scans, no " +
+      "cartesian product") {
+    val p = executedPlan("ivf_topk")
+    assert(count(p, "graft_nearest_cell") >= 1,
+      s"NearestCell kernel fell back to the interpreted chain:\n$p")
+    // the corpus-side argmax must NOT be the array_position chain; the
+    // query-side probe ranking legitimately keeps zip_with over __dists
+    assert(count(p, "array_position") == 0,
+      s"interpreted argmax chain back in the plan:\n$p")
+    assert(scanCount(p, "embeddings") <= 2, s"embeddings rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("pq_encode: subspace codes ride the native graft_pq_code kernel " +
+      "(no slice/argmax fallback), ONE embeddings scan") {
+    val p = executedPlan("pq_encode")
+    assert(count(p, "graft_pq_code") >= 1,
+      s"PqCode kernel fell back to the interpreted chain:\n$p")
+    assert(count(p, "array_position") == 0,
+      s"interpreted argmin chain back in the plan:\n$p")
+    assert(scanCount(p, "embeddings") == 1, s"embeddings rescanned:\n$p")
+  }
+
+  test("writeIvfIndex + writePqIndex build plans: both kernels present " +
+      "at index-build time (the once-per-corpus hot path)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val emb = graft.sources.Fixtures.table(spark, dir, "embeddings")
+    val ivfBase = "ivf_kernel_pin"
+    val pqBase = "pq_kernel_pin"
+    def dropAll(): Unit =
+      Seq(s"${ivfBase}_cells", s"${ivfBase}_centroids",
+        s"${pqBase}_pqcodes", s"${pqBase}_pqmeta")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+    dropAll()
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Similarity.writeIvfIndex(emb, ivfBase,
+        nlist = 4, dim = 64)
+      graft.operators.Similarity.writePqIndex(emb, pqBase,
+        nlist = 4, m = 4, kcent = 8, dim = 64)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def plans(tok: String): Option[String] =
+        captured.asScala.find(_.contains(tok))
+      while ((plans("graft_nearest_cell").isEmpty ||
+          plans("graft_pq_code").isEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(plans("graft_nearest_cell").isDefined,
+        s"no build plan used NearestCell; saw:\n${captured.asScala.take(4).mkString("\n---\n")}")
+      assert(plans("graft_pq_code").isDefined,
+        s"no build plan used PqCode; saw:\n${captured.asScala.take(4).mkString("\n---\n")}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      dropAll()
+    }
+  }
+
+  test("ivf_pq_topk_indexed query side: codes table scans <= 2, cell " +
+      "join broadcast, never a nested loop or python eval") {
+    val p = executedPlan("ivf_pq_topk_indexed")
+    assert(scanCount(p, "pqcodes") <= 2, s"codes table rescanned:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"cell join no longer broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0 &&
+      count(p, "BatchEvalPython") == 0)
+  }
 }
