@@ -1482,15 +1482,50 @@ object Dedup {
    * than cross-only on the boilerplate-heavy pair (8.8 s vs 76.0 s);
    * parity on the fully-adversarial ALL-DISTINCT pair (142.6 s vs
    * 144.0 s) but needing the cleaned-corpus headroom (12 GB heap where
-   * the 8 GB box already sits at the cross-only edge). Guidance:
+   * the 8 GB box already sits at the cross-only edge). Since round 18
+   * the `intraGate` probe (default on) detects that shape up front and
+   * skips the intra pass + checkpoint entirely when it is provably the
+   * identity, so the composition is never worse than the plain
+   * operator at the same heap; corpora with ANY internal repeat pay
+   * only a limit-1 short-circuit probe. Guidance stands:
    * all-distinct mega-pairs (vendored files) are
    * [[removeDuplicatedSpans]]'s shape — intra cannot shrink them by
    * construction; crawl-like corpora are this operator's.
    */
   def dedupSpansFull(docs: DataFrame, w: Int = 8,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     intraGate: Boolean = true): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
+    // ==== Intra-stage auto-gate (round 18) ====
+    // On the one adversarial shape (all-distinct mega-documents —
+    // vendored files, no internal repeats) the intra pass cannot remove
+    // a single position, yet the composition still paid its marking +
+    // rebuild AND the cleaned-corpus DISK_ONLY checkpoint — the
+    // materialization that tips an 8g box over where the plain operator
+    // completes (BENCH_scaling round 17). Probe first: does ANY
+    // document contain an intra-repeated window? The probe is ONE
+    // whole-stage-codegen marking scan with a limit-1 short-circuit
+    // (Dataset.isEmpty → executeTake(1)) — on repeat-bearing corpora it
+    // stops at the first hit (typically the first partition), and only
+    // the all-distinct shape pays the full scan, precisely where the
+    // skipped checkpoint refunds far more. The gate is EXACT, not a
+    // heuristic: it skips only when the intra pass is provably the
+    // identity (zero removable positions corpus-wide), so the composed
+    // semantics — and the DuckDB oracle — are unchanged; a gated run
+    // emits n_removed_intra = 0 for every document, which is what the
+    // intra pass would have computed.
+    val intraIsIdentity = intraGate && docs
+      .select(TextFns.tokens(textCol).as("__t"))
+      .filter(expr(s"size(graft_intra_dup_positions(__t, $w)) > 0"))
+      .isEmpty
+    if (intraIsIdentity) {
+      return removeDuplicatedSpans(docs, w, idCol, textCol)
+        .select(col(idCol), col("n_tokens"),
+          lit(0L).as("n_removed_intra"),
+          col("n_removed").as("n_removed_cross"),
+          col("clean_text"))
+    }
     // lazy DISK-ONLY checkpoint: the cross pass references the intra
     // output from SEVERAL branches (window explode, candidate agg, text
     // re-attach, rebuild join) plus the counts join below — without the

@@ -498,6 +498,101 @@ object Similarity {
   }
 
   /**
+   * Recall-targeted nprobe calibration (round 18 — the operational
+   * lesson of the round-17 adversarial sweep: query wall is FLAT in
+   * nprobe until candidate volume grows an order, so under-probing is
+   * pure recall loss; the right nprobe is a property of the
+   * corpus/centroid geometry, not a constant). Chooses the SMALLEST
+   * power-of-two nprobe whose measured recall@k on a bounded,
+   * deterministic self-query sample meets `targetRecall`:
+   *
+   *   1. sample = the `sample` corpus vectors with the lowest
+   *      `xxhash64(id)` (deterministic, corpus-order-independent);
+   *   2. ground truth = exact [[bruteForceTopK]] for the sample
+   *      (O(sample x corpus) dots — bounded, a few seconds at 1M);
+   *   3. ascend nprobe 1, 2, 4, ... re-ranking ONLY the sample until
+   *      recall >= target. Probing all `nlist` cells reproduces exact
+   *      brute force (identical tie-breaks), so the ascent always
+   *      terminates at recall 1.0 when `maxNprobe` >= nlist; a target
+   *      unreachable within `maxNprobe` < nlist throws with the
+   *      measured curve in the message (raise the cap or lower the
+   *      target) rather than silently under-delivering.
+   *
+   * Returns (chosen nprobe, the measured (nprobe, recall) curve).
+   * Deterministic end to end, so index rebuilds on the same corpus
+   * choose the same nprobe. Scale: every step is a probe join over
+   * `sample` broadcast queries — the corpus-side work is the one cell
+   * assignment, shared across steps via a lazy checkpoint.
+   *
+   * The calibration set should look like the WORKLOAD: the default
+   * self-sample prices the corpus's own geometry, which on clustered
+   * corpora is the happy path (a corpus vector's true neighbors mostly
+   * share its cell) — a boundary-heavy workload (e.g. queries landing
+   * between clusters) needs more probes than self-queries reveal. Pass
+   * a bounded `queries` sample of the real workload for those; ids
+   * must not collide with corpus ids (ground truth excludes self-id
+   * matches).
+   */
+  def calibrateNprobe(corpus: DataFrame, cents: Seq[Seq[Double]],
+                      targetRecall: Double, k: Int = 10,
+                      sample: Int = 64, maxNprobe: Int = 64,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      queries: Option[DataFrame] = None): (Int, Seq[(Int, Double)]) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(sample >= 1, s"sample must be >= 1, got $sample")
+    val nlist = cents.size
+    // bounded deterministic calibration sample (workload-supplied or
+    // corpus self-sample); pinned — referenced by the ground truth AND
+    // every nprobe step
+    val q = queries.getOrElse(corpus)
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sample)
+      .localCheckpoint(true)
+    val truth = bruteForceTopK(corpus, q, k, idCol, vecCol)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom = truth.count().toDouble
+    if (denom == 0) return (1, Seq((1, 1.0))) // degenerate singleton corpus
+    val cells = withIvfCell(corpus, cents, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"),
+        VectorFns.norm(vecCol).as("nc"), col("__cell").as("cell"))
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = math.min(maxNprobe, nlist)
+    val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq :+ cap)
+      .distinct
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (np <- steps) {
+      val hits = ivfProbeRank(cells, q, cents, k, np, idCol, vecCol,
+          dedupCandidates = false)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      val recall = hits / denom
+      curve += ((np, recall))
+      if (recall >= targetRecall) return (np, curve.toSeq)
+    }
+    throw new IllegalArgumentException(
+      s"recall target $targetRecall unreachable within maxNprobe=" +
+        s"$maxNprobe of nlist=$nlist cells; measured curve: " +
+        curve.map { case (n, r) => f"nprobe=$n%d->$r%.3f" }.mkString(", ") +
+        " — raise maxNprobe (nlist probes = exact) or lower the target")
+  }
+
+  /** The persisted index's calibrated nprobe, when [[writeIvfIndex]]
+   * ran with `targetRecall` — None on uncalibrated or pre-round-18
+   * indexes. */
+  def calibratedNprobe(spark: org.apache.spark.sql.SparkSession,
+                       baseTable: String): Option[Int] = {
+    val t = spark.table(baseTable + "_centroids")
+    if (!t.columns.contains("cal_nprobe")) None
+    else t.agg(max(col("cal_nprobe"))).first() match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getInt(0))
+    }
+  }
+
+  /**
    * Persist an IVF index as the CO-LOCATED two-table layout — the ANN
    * twin of [[graft.operators.Dedup.writeBandedIndex]]:
    *   - `<base>_cells`: (idCol, vec, nrm, cell) BUCKETED by `cell` —
@@ -523,10 +618,21 @@ object Similarity {
                     dim: Int = 64, numBuckets: Int = 8,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    iters: Int = 0): Unit = {
+                    iters: Int = 0,
+                    targetRecall: Option[Double] = None,
+                    recallK: Int = 10, recallSample: Int = 64,
+                    maxNprobe: Int = 64,
+                    calibrationQueries: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     val cents = trainIvfCentroids(corpus, nlist, dim, iters, idCol,
       vecCol)
+    // recall-targeted auto-nprobe (round 18): calibrate BEFORE the swap
+    // so the chosen value rides the same commit as the routing table it
+    // was measured against — a calibration can never describe a
+    // different centroid generation
+    val calNprobe = targetRecall.map(t =>
+      calibrateNprobe(corpus, cents, t, recallK, recallSample, maxNprobe,
+        idCol, vecCol, calibrationQueries)._1)
     val cells = withIvfCell(corpus, cents, vecCol)
       .select(col(idCol), col(vecCol).as("vec"),
         VectorFns.norm(vecCol).as("nrm"), col("__cell").as("cell"))
@@ -542,6 +648,8 @@ object Similarity {
     val centDf = cents.zipWithIndex
       .map { case (c, i) => (i + 1, c) }.toDF("cell", "centroid")
       .withColumn("gen", lit(gen))
+      .withColumn("cal_nprobe",
+        calNprobe.map(lit(_)).getOrElse(lit(null)).cast("int"))
     graft.tables.Tables.stageBucketedSwap(cells, baseTable + "_cells",
       "cell", numBuckets)
     graft.tables.Tables.stageBucketedSwap(centDf, baseTable + "_centroids",
@@ -614,11 +722,22 @@ object Similarity {
   def ivfTopKAgainstIndex(queries: DataFrame, baseTable: String,
                           k: Int = 10, nprobe: Int = 4, dim: Int = 64,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          autoNprobe: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val cents = ivfRouting(spark, baseTable)
+    // auto mode reads the calibrated value persisted with THIS routing
+    // generation; asking for it on an uncalibrated index is a caller
+    // bug (the silent fallback would quietly under- or over-probe)
+    val np =
+      if (!autoNprobe) nprobe
+      else calibratedNprobe(spark, baseTable).getOrElse(
+        throw new IllegalStateException(
+          s"autoNprobe requested but index '$baseTable' carries no " +
+            "calibration — rebuild with writeIvfIndex(targetRecall = " +
+            "Some(...)) or pass an explicit nprobe"))
     ivfProbeRank(bulkCells(spark, baseTable, idCol), queries, cents, k,
-      nprobe, idCol, vecCol, dedupCandidates = false)
+      np, idCol, vecCol, dedupCandidates = false)
   }
 
   /**

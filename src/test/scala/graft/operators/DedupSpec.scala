@@ -681,6 +681,36 @@ class DedupSpec extends SparkSpec {
     assert(plain == Seq(Seq(4L, 10L, 0L, "d e f g h x y z p q")))
   }
 
+  test("dedupSpansFull intra gate: gated == ungated on BOTH shapes — " +
+      "the all-distinct skip is exact, and any internal repeat disables " +
+      "the skip") {
+    // shape A: zero intra-repeated windows anywhere -> the gate skips
+    // the intra pass; output must still match the ungated composition
+    // bit for bit (n_removed_intra all 0)
+    val distinct = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, ((1 to 8).map(i => s"a$i") ++ (1 to 12).map(i => s"b$i"))
+        .mkString(" ")), // shares the first 8-window cross-doc only
+      (3L, "short one")).toDF("doc_id", "text")
+    val gatedA = rows(Dedup.dedupSpansFull(distinct, w = 8)
+      .orderBy("doc_id"))
+    val plainA = rows(Dedup.dedupSpansFull(distinct, w = 8,
+      intraGate = false).orderBy("doc_id"))
+    assert(gatedA == plainA)
+    assert(gatedA.forall(_(2) == 0L), "intra removals must all be zero")
+    assert(gatedA.exists(_(3).asInstanceOf[Long] > 0L),
+      "cross removals must still happen under the gate")
+    // shape B: the seam-window corpus (one doc has an internal repeat)
+    // -> gate must NOT skip; identical output either way
+    val seam = Seq(
+      (1L, "a b c d e f g h x y a b c d e f g h z"),
+      (2L, "a b c d e f g h tail"),
+      (4L, "d e f g h x y z p q")).toDF("doc_id", "text")
+    assert(rows(Dedup.dedupSpansFull(seam, w = 8).orderBy("doc_id")) ==
+      rows(Dedup.dedupSpansFull(seam, w = 8, intraGate = false)
+        .orderBy("doc_id")))
+  }
+
   test("nearDupDedup: representatives keep their absorbed counts") {
     // docs 1-3 near-dup each other (shared shingles), 9 is a singleton
     val base = "alpha beta gamma delta epsilon zeta"

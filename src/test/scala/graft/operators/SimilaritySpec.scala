@@ -554,6 +554,70 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == Seq(2L, 0L, 0L, 0L, 2130929L, 0L))
   }
 
+  test("calibrateNprobe: smallest power-of-two nprobe meeting the recall " +
+      "target, measured curve is honest, unreachable target throws with " +
+      "the curve") {
+    // ring corpus: neighbors straddle cell boundaries, so nprobe = 1
+    // under-recalls at nlist = 8 — the adversarial geometry
+    val corpus = (1L to 64L).map { i =>
+      (i, Array(math.cos(i * 0.0982).toFloat, math.sin(i * 0.0982).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(corpus, nlist = 8, dim = 2)
+    val (np, curve) = Similarity.calibrateNprobe(corpus, cents,
+      targetRecall = 1.0, k = 5, sample = 16, maxNprobe = 8)
+    assert(curve.last._1 == np && curve.last._2 >= 1.0)
+    // minimality: every earlier step in the ascent missed the target
+    assert(curve.init.forall(_._2 < 1.0))
+    // the chosen nprobe really delivers: compare ivfTopK at np vs brute
+    val exact = rows(Similarity.bruteForceTopK(corpus, corpus, k = 5)
+      .select("query_id", "neighbor_id")).toSet
+    val got = rows(Similarity.ivfTopK(corpus, corpus, k = 5, nlist = 8,
+      nprobe = np, dim = 2).select("query_id", "neighbor_id")).toSet
+    assert(got == exact, "recall-1.0 calibration must reproduce exact")
+    // unreachable: cap the ascent below the needed nprobe
+    if (np > 1) {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.calibrateNprobe(corpus, cents, targetRecall = 1.0,
+          k = 5, sample = 16, maxNprobe = 1)
+      }
+      assert(e.getMessage.contains("unreachable") &&
+        e.getMessage.contains("nprobe=1"))
+    }
+  }
+
+  test("writeIvfIndex(targetRecall): calibrated nprobe persists with the " +
+      "index and drives autoNprobe queries; uncalibrated index refuses " +
+      "autoNprobe loudly") {
+    val corpus = (1L to 64L).map { i =>
+      (i, Array(math.cos(i * 0.0982).toFloat, math.sin(i * 0.0982).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val base = "ivf_cal_spec"
+    def drop(): Unit = Seq(s"${base}_cells", s"${base}_centroids")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writeIvfIndex(corpus, base, nlist = 8, dim = 2,
+        targetRecall = Some(1.0), recallK = 5, recallSample = 16,
+        maxNprobe = 8)
+      val cal = Similarity.calibratedNprobe(spark, base)
+      assert(cal.nonEmpty && cal.get >= 1 && cal.get <= 8)
+      val q = corpus.filter($"vec_id" <= 4)
+      val auto = rows(Similarity.ivfTopKAgainstIndex(q, base, k = 5,
+        dim = 2, autoNprobe = true).orderBy("query_id", "rank"))
+      val manual = rows(Similarity.ivfTopKAgainstIndex(q, base, k = 5,
+        nprobe = cal.get, dim = 2).orderBy("query_id", "rank"))
+      assert(auto == manual && auto.nonEmpty)
+      // rebuild WITHOUT a target: calibration column null -> auto throws
+      Similarity.writeIvfIndex(corpus, base, nlist = 8, dim = 2)
+      assert(Similarity.calibratedNprobe(spark, base).isEmpty)
+      val e = intercept[IllegalStateException] {
+        Similarity.ivfTopKAgainstIndex(q, base, k = 5, dim = 2,
+          autoNprobe = true).collect()
+      }
+      assert(e.getMessage.contains("no calibration"))
+    } finally drop()
+  }
+
   test("ivfTopK and writeIvfIndex refuse an empty corpus loudly (no bare " +
       "head-of-empty from withIvfCell)") {
     val empty = emb.filter($"vec_id" < 0)
