@@ -563,8 +563,10 @@ class SimilaritySpec extends SparkSpec {
       (i, Array(math.cos(i * 0.0982).toFloat, math.sin(i * 0.0982).toFloat))
     }.toSeq.toDF("vec_id", "embedding")
     val cents = Similarity.trainIvfCentroids(corpus, nlist = 8, dim = 2)
+    // calibrate on the FULL corpus as the sample: the recall promise is
+    // about the calibration set, so only this makes exactness checkable
     val (np, curve) = Similarity.calibrateNprobe(corpus, cents,
-      targetRecall = 1.0, k = 5, sample = 16, maxNprobe = 8)
+      targetRecall = 1.0, k = 5, sample = 64, maxNprobe = 8)
     assert(curve.last._1 == np && curve.last._2 >= 1.0)
     // minimality: every earlier step in the ascent missed the target
     assert(curve.init.forall(_._2 < 1.0))
@@ -574,11 +576,17 @@ class SimilaritySpec extends SparkSpec {
     val got = rows(Similarity.ivfTopK(corpus, corpus, k = 5, nlist = 8,
       nprobe = np, dim = 2).select("query_id", "neighbor_id")).toSet
     assert(got == exact, "recall-1.0 calibration must reproduce exact")
+    // a SMALL sample's choice need not generalize to unseen queries —
+    // that is the documented contract (calibrate on the workload); pin
+    // only that the small-sample ascent still returns a valid nprobe
+    val (npSmall, curveSmall) = Similarity.calibrateNprobe(corpus, cents,
+      targetRecall = 1.0, k = 5, sample = 16, maxNprobe = 8)
+    assert(npSmall >= 1 && npSmall <= 8 && curveSmall.last._2 >= 1.0)
     // unreachable: cap the ascent below the needed nprobe
     if (np > 1) {
       val e = intercept[IllegalArgumentException] {
         Similarity.calibrateNprobe(corpus, cents, targetRecall = 1.0,
-          k = 5, sample = 16, maxNprobe = 1)
+          k = 5, sample = 64, maxNprobe = 1)
       }
       assert(e.getMessage.contains("unreachable") &&
         e.getMessage.contains("nprobe=1"))
