@@ -579,6 +579,78 @@ object Similarity {
         " — raise maxNprobe (nlist probes = exact) or lower the target")
   }
 
+  /**
+   * [[calibrateNprobe]] for the PQ path: the same smallest-power-of-two
+   * ascent, but each step ranks the sample through the ACTUAL ADC
+   * scoring over the PQ-encoded corpus ([[ivfPqAdcRank]]) — recall here
+   * prices cell misses AND quantization distortion together, which is
+   * what an [[ivfPqTopKIndexed]] caller experiences. Because codes are
+   * lossy, even probing every cell may sit below a high target; that
+   * failure is loud and names the cause (the codes, not the probes).
+   */
+  def calibratePqNprobe(corpus: DataFrame, cents: Seq[Seq[Double]],
+                        books: Seq[(Seq[Seq[Double]], Seq[Double])],
+                        targetRecall: Double, k: Int = 10,
+                        sample: Int = 64, maxNprobe: Int = 64,
+                        dim: Int = 64, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        queries: Option[DataFrame] = None): (Int, Seq[(Int, Double)]) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(sample >= 1, s"sample must be >= 1, got $sample")
+    val m = books.size
+    val nlist = cents.size
+    val q = queries.getOrElse(corpus)
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sample)
+      .localCheckpoint(true)
+    val truth = bruteForceTopK(corpus, q, k, idCol, vecCol)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom = truth.count().toDouble
+    if (denom == 0) return (1, Seq((1, 1.0)))
+    val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books,
+        dim / m, vecCol)
+      .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
+        (0 until m).map(j => col(s"__code$j")): _*)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = math.min(maxNprobe, nlist)
+    val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq :+ cap)
+      .distinct
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (np <- steps) {
+      val hits = ivfPqAdcRank(coded, q, cents, books, k, np, dim / m,
+          idCol, vecCol)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      val recall = hits / denom
+      curve += ((np, recall))
+      if (recall >= targetRecall) return (np, curve.toSeq)
+    }
+    val capped = cap == nlist
+    throw new IllegalArgumentException(
+      s"ADC recall target $targetRecall unreachable within maxNprobe=" +
+        s"$maxNprobe of nlist=$nlist cells; measured curve: " +
+        curve.map { case (n, r) => f"nprobe=$n%d->$r%.3f" }.mkString(", ") +
+        (if (capped)
+          " — every cell was probed, so the shortfall is PQ quantization" +
+            " distortion: raise m/kcent or lower the target"
+        else " — raise maxNprobe or lower the target"))
+  }
+
+  /** The persisted PQ index's calibrated nprobe (`kind = 'cal'` meta
+   * row), when [[writePqIndex]] ran with `targetRecall` — None on
+   * uncalibrated or pre-round-18 indexes. */
+  def calibratedPqNprobe(spark: org.apache.spark.sql.SparkSession,
+                         baseTable: String): Option[Int] = {
+    spark.table(baseTable + "_pqmeta")
+      .filter(col("kind") === "cal")
+      .agg(max(col("i"))).first() match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getInt(0))
+    }
+  }
+
   /** The persisted index's calibrated nprobe, when [[writeIvfIndex]]
    * ran with `targetRecall` — None on uncalibrated or pre-round-18
    * indexes. */
@@ -996,11 +1068,20 @@ object Similarity {
    *     by `cell` — the probe-join side; the raw vectors are read once
    *     here at build time and never again at query time;
    *   - `<base>_pqmeta`: the routing table AND the m codebooks in one
-   *     tiny frame — (kind ∈ {cent, book}, i, j, vec, gen): `cent`
+   *     tiny frame — (kind ∈ {cent, book, cal}, i, j, vec, gen): `cent`
    *     rows carry (cell = i, centroid = vec); `book` rows carry
-   *     (subspace = i, centroid index = j, subvector = vec). Bounded
-   *     by nlist + m·kcent rows — the per-batch driver collect
-   *     contract of [[trainIvfCentroids]].
+   *     (subspace = i, centroid index = j, subvector = vec); an
+   *     optional `cal` row carries (i = calibrated nprobe, vec empty)
+   *     when `targetRecall` is set. Bounded by nlist + m·kcent (+1)
+   *     rows — the per-batch driver collect contract of
+   *     [[trainIvfCentroids]].
+   *
+   * `targetRecall` runs [[calibratePqNprobe]] — the [[calibrateNprobe]]
+   * ascent but scored with the ACTUAL ADC ranking over the encoded
+   * corpus, so the chosen nprobe prices BOTH cell misses and
+   * quantization distortion; a target the codes cannot reach at any
+   * nprobe fails loudly at build time (raise m/kcent or lower the
+   * target) instead of shipping an index that silently under-delivers.
    * Centroids and codebooks are the deterministic seed sets
    * ([[ivfPqTopK]]'s contract), so the DuckDB oracle recomputes the
    * index closed-form. Replacement goes through the staged two-table
@@ -1019,7 +1100,11 @@ object Similarity {
   def writePqIndex(corpus: DataFrame, baseTable: String, nlist: Int = 16,
                    m: Int = 4, kcent: Int = 16, dim: Int = 64,
                    numBuckets: Int = 8, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Unit = {
+                   vecCol: String = "embedding",
+                   targetRecall: Option[Double] = None,
+                   recallK: Int = 10, recallSample: Int = 64,
+                   maxNprobe: Int = 64,
+                   calibrationQueries: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     val dsub = dim / m
     val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol,
@@ -1027,6 +1112,9 @@ object Similarity {
     val books = pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
     require(cents.nonEmpty && books.head._1.nonEmpty,
       "writePqIndex needs a non-empty corpus to seed centroids/codebooks")
+    val calNprobe = targetRecall.map(t =>
+      calibratePqNprobe(corpus, cents, books, t, recallK, recallSample,
+        maxNprobe, dim, idCol, vecCol, calibrationQueries)._1)
     val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books,
       dsub, vecCol)
       .select(col(idCol) +: col("__cell").as("cell") +:
@@ -1039,7 +1127,8 @@ object Similarity {
     val meta = (cents.zipWithIndex.map { case (c, i) =>
       ("cent", i + 1, 0, c) } ++
       books.zipWithIndex.flatMap { case ((cb, _), j) =>
-        cb.zipWithIndex.map { case (c, i) => ("book", j, i + 1, c) } })
+        cb.zipWithIndex.map { case (c, i) => ("book", j, i + 1, c) } } ++
+      calNprobe.map(np => ("cal", np, 0, Seq.empty[Double])).toSeq)
       .toDF("kind", "i", "j", "vec")
       .withColumn("gen", lit(gen))
     graft.tables.Tables.stageBucketedSwap(coded, baseTable + "_pqcodes",
@@ -1073,14 +1162,22 @@ object Similarity {
   def ivfPqTopKIndexed(queries: DataFrame, baseTable: String,
                        k: Int = 10, nprobe: Int = 4, dim: Int = 64,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       autoNprobe: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val (cents, books) = pqRouting(spark, baseTable)
+    val np =
+      if (!autoNprobe) nprobe
+      else calibratedPqNprobe(spark, baseTable).getOrElse(
+        throw new IllegalStateException(
+          s"autoNprobe requested but PQ index '$baseTable' carries no " +
+            "calibration — rebuild with writePqIndex(targetRecall = " +
+            "Some(...)) or pass an explicit nprobe"))
     val m = books.size
     val coded = spark.table(baseTable + "_pqcodes")
       .select(col(idCol).as("neighbor_id") +: col("cell") +:
         (0 until m).map(j => col(s"__code$j")): _*)
-    ivfPqAdcRank(coded, queries, cents, books, k, nprobe, dim / m, idCol,
+    ivfPqAdcRank(coded, queries, cents, books, k, np, dim / m, idCol,
       vecCol)
   }
 

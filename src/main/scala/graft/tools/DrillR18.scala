@@ -142,9 +142,11 @@ object DrillR18 {
       time(s"writeIvfIndex iters=$iters") {
         Similarity.writeIvfIndex(c, base, nlist, dim, iters = iters)
       }
-      val got = Similarity.ivfTopKAgainstIndex(eval, base, k = 10,
-        nprobe = 4, dim = dim)
-      println(f"MARKER iters=$iters nprobe=4 recall=${recallOf(got, truth)}%.4f")
+      for (np <- Seq(1, 2, 4)) {
+        val got = Similarity.ivfTopKAgainstIndex(eval, base, k = 10,
+          nprobe = np, dim = dim)
+        println(f"MARKER iters=$iters nprobe=$np recall=${recallOf(got, truth)}%.4f")
+      }
       Seq(s"${base}_cells", s"${base}_centroids")
         .foreach(graft.tables.Tables.dropTable(spark, _))
     }

@@ -626,6 +626,50 @@ class SimilaritySpec extends SparkSpec {
     } finally drop()
   }
 
+  test("writePqIndex(targetRecall): ADC-scored calibration persists as a " +
+      "cal meta row, drives autoNprobe, and names quantization when the " +
+      "codes cap recall below the target") {
+    val corpus = (1L to 64L).map { i =>
+      (i, Array(math.cos(i * 0.0982).toFloat, math.sin(i * 0.0982).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val base = "pq_cal_spec"
+    def drop(): Unit = Seq(s"${base}_pqcodes", s"${base}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      // a modest target the ADC ranking can reach on this geometry
+      Similarity.writePqIndex(corpus, base, nlist = 8, m = 2, kcent = 16,
+        dim = 2, targetRecall = Some(0.5), recallK = 5, recallSample = 32,
+        maxNprobe = 8)
+      val cal = Similarity.calibratedPqNprobe(spark, base)
+      assert(cal.nonEmpty && cal.get >= 1 && cal.get <= 8)
+      // generation survives: the cal row carries the same gen
+      assert(Similarity.pqGeneration(spark, base) == 0L)
+      val q = corpus.filter($"vec_id" <= 4)
+      val auto = rows(Similarity.ivfPqTopKIndexed(q, base, k = 5,
+        dim = 2, autoNprobe = true).orderBy("query_id", "rank"))
+      val manual = rows(Similarity.ivfPqTopKIndexed(q, base, k = 5,
+        nprobe = cal.get, dim = 2).orderBy("query_id", "rank"))
+      assert(auto == manual && auto.nonEmpty)
+      // uncalibrated rebuild: cal row gone, autoNprobe refuses
+      Similarity.writePqIndex(corpus, base, nlist = 8, m = 2, kcent = 16,
+        dim = 2)
+      assert(Similarity.calibratedPqNprobe(spark, base).isEmpty)
+      val e = intercept[IllegalStateException] {
+        Similarity.ivfPqTopKIndexed(q, base, k = 5, dim = 2,
+          autoNprobe = true).collect()
+      }
+      assert(e.getMessage.contains("no calibration"))
+      // an unreachable target at FULL probe blames the codes, loudly
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.writePqIndex(corpus, base, nlist = 8, m = 1, kcent = 2,
+          dim = 2, targetRecall = Some(1.0), recallK = 5,
+          recallSample = 64, maxNprobe = 8)
+      }
+      assert(e2.getMessage.contains("quantization"), e2.getMessage)
+    } finally drop()
+  }
+
   test("ivfTopK and writeIvfIndex refuse an empty corpus loudly (no bare " +
       "head-of-empty from withIvfCell)") {
     val empty = emb.filter($"vec_id" < 0)
