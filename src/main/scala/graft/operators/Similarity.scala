@@ -1024,7 +1024,7 @@ object Similarity {
                            idCol: String, vecCol: String,
                            dedupCandidates: Boolean = false): DataFrame = {
     val m = books.size
-    val qlut = books.zipWithIndex.foldLeft(
+    val qbase = books.zipWithIndex.foldLeft(
       withIvfCell(queries, cents, vecCol)
         .withColumn("__probes", expr(probesExpr(cents.size, nprobe)))) {
       case (d, ((cb, bias), j)) =>
@@ -1036,22 +1036,45 @@ object Similarity {
                |                             element_at(__qcb$j, i))
                |                   - element_at(__qbias$j, i)) * 1000000)
                |       AS BIGINT))""".stripMargin))
-    }.select(col(idCol).as("query_id") +:
-      explode(expr("transform(__probes, p -> p.idx)")).as("cell") +:
-      (0 until m).map(j => col(s"__qs$j")): _*)
+    }
     val adc = (0 until m)
       .map(j => s"element_at(__qs$j, __code$j)").mkString(" + ")
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val cand = coded.join(broadcast(qlut), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    // Join-shape choice (round 18, measured at 1M/m=8/ksub=256):
+    //  - NON-tiered (the common path): ONE fat broadcast — each
+    //    (query x probe-cell) row carries the m LUT arrays. The
+    //    nprobe-fold broadcast inflation (131 MB at 1024 queries) is
+    //    an in-memory reference on local mode and one-hop on a
+    //    cluster, while splitting it into probe-pairs + a second
+    //    by-query LUT join costs an extra hash probe on EVERY
+    //    candidate row (8M at 1024q) — measured 3.4 s -> 5.3 s, a net
+    //    loss. Keep the single join.
+    //  - TIERED (dedupCandidates): the precedence dedup WINDOW
+    //    shuffles candidate rows; those must stay code-width, not
+    //    LUT-width (16 KB/row through an exchange is real bytes, not
+    //    a reference). Slim probe-pair join first, dedup, then attach
+    //    the LUT per query.
     val deduped =
-      if (dedupCandidates) {
+      if (!dedupCandidates) {
+        val qlut = qbase.select(col(idCol).as("query_id") +:
+          explode(expr("transform(__probes, p -> p.idx)")).as("cell") +:
+          (0 until m).map(j => col(s"__qs$j")): _*)
+        coded.join(broadcast(qlut), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+      } else {
+        val probes = qbase.select(col(idCol).as("query_id"),
+          explode(expr("transform(__probes, p -> p.idx)")).as("cell"))
+        val qlut = qbase.select(col(idCol).as("query_id") +:
+          (0 until m).map(j => col(s"__qs$j")): _*)
         val wD = Window.partitionBy("query_id", "neighbor_id")
           .orderBy(col("__prec").desc)
-        cand.withColumn("__dr", row_number().over(wD))
+        coded.join(broadcast(probes), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("__dr", row_number().over(wD))
           .filter(col("__dr") === 1)
-      } else cand
+          .join(broadcast(qlut), Seq("query_id"))
+      }
     deduped
       .withColumn("adc", expr(adc))
       .withColumn("rank", row_number().over(w).cast("long"))
