@@ -122,7 +122,7 @@ object SparkEntry {
     "pagerank", "triangle_count",
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "embedding_near_dup_lsh", "embedding_near_dup_lsh_tight", "ivf_topk",
-    "ivf_topk_indexed",
+    "ivf_topk_indexed", "ivf_autoprobe",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "ivf_pq_topk_indexed", "matryoshka_topk",
     "quantize_int8", "ndcg_quantized", "embedding_centroids",
@@ -1046,6 +1046,25 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nlist = 16, nprobe = 4, dim = 64).orderBy("query_id", "rank")
+    }),
+
+    // recall-targeted nprobe calibration (round 18): the ascent's full
+    // measured curve and its choice, on an EXPLICIT 16-query workload
+    // sample (vec_id < 16 — supplying the sample keeps the entry
+    // oracle-exact: the default self-sample rule orders by xxhash64,
+    // which DuckDB cannot replicate). Target 1.0 with maxNprobe =
+    // nlist always terminates (probing every cell IS brute force), so
+    // the curve is the steps up to the first exact one — closed-form
+    // recomputable: per candidate nprobe, IVF top-5 vs brute top-5.
+    "ivf_autoprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainIvfCentroids(emb, nlist = 16, dim = 64)
+      val (np, curve) = Similarity.calibrateNprobe(emb, cents,
+        targetRecall = 1.0, k = 5, sample = 16, maxNprobe = 16,
+        queries = Some(emb.filter(col("vec_id") < 16)))
+      import s.implicits._
+      curve.map { case (n, r) => (n.toLong, r, if (n == np) 1L else 0L) }
+        .toDF("nprobe", "recall", "chosen").orderBy("nprobe")
     }),
 
     // the PERSISTED-index variant of ivf_topk: cell assignment + norms
@@ -4141,6 +4160,76 @@ object SparkEntry {
          |  JOIN n qn ON qn.vec_id = cand.query_id
          |  JOIN n nn ON nn.vec_id = cand.neighbor_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the calibration ascent's curve: per candidate nprobe, IVF top-5
+    // recall vs exact brute top-5 on the 16 explicit queries; rows up
+    // to and including the first exact step (target 1.0 early-stop),
+    // chosen marking it. Integer hit counts divide as DOUBLE — the
+    // same two BIGINTs divide to the same bits on both engines.
+    "ivf_autoprobe" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |unitc AS (
+         |  SELECT cidx, list_transform(embedding, x ->
+         |    CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+         |         ELSE CAST(x AS DOUBLE) / nrm END) AS c
+         |  FROM (SELECT cidx, embedding,
+         |          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |        FROM cents)),
+         |dists AS (
+         |  SELECT e.vec_id, u.cidx, ${dotSql("e.embedding", "u.c")} AS d
+         |  FROM embeddings e, unitc u),
+         |cells AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |qd AS (
+         |  SELECT vec_id, cidx, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |  FROM dists WHERE vec_id < 16),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id) AS rank
+         |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 16) WHERE rank <= 5),
+         |steps AS (SELECT unnest([1, 2, 4, 8, 16]) AS np),
+         |cand AS (
+         |  SELECT s.np, p.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM steps s JOIN qd p ON p.rn <= s.np
+         |  JOIN cells c ON c.cell = p.cidx AND c.vec_id <> p.vec_id),
+         |ivftop AS (
+         |  SELECT np, query_id, neighbor_id FROM (
+         |    SELECT cand.np, cand.query_id, cand.neighbor_id,
+         |      row_number() OVER (PARTITION BY cand.np, cand.query_id ORDER BY
+         |        ${dotSql("qn.embedding", "nn.embedding")} / (qn.nrm * nn.nrm) DESC,
+         |        cand.neighbor_id) AS rank
+         |    FROM cand
+         |    JOIN n qn ON qn.vec_id = cand.query_id
+         |    JOIN n nn ON nn.vec_id = cand.neighbor_id)
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT i.np, count(*) AS c FROM ivftop i
+         |  JOIN truth t ON t.query_id = i.query_id
+         |    AND t.neighbor_id = i.neighbor_id
+         |  GROUP BY i.np),
+         |denom AS (SELECT count(*) AS d FROM truth),
+         |curve AS (
+         |  SELECT s.np, coalesce(h.c, 0) AS c
+         |  FROM steps s LEFT JOIN hits h ON h.np = s.np),
+         |pick AS (SELECT min(np) AS np FROM curve, denom WHERE c = d)
+         |SELECT CAST(cu.np AS BIGINT) AS nprobe,
+         |  CAST(cu.c AS DOUBLE) / d.d AS recall,
+         |  CAST(cu.np = ch.np AS BIGINT) AS chosen
+         |FROM curve cu, denom d, pick ch
+         |WHERE cu.np <= ch.np
+         |ORDER BY nprobe""".stripMargin,
 
     "payload_meta" ->
       """SELECT doc_id,
