@@ -53,9 +53,11 @@ object Main {
     require(args.nonEmpty &&
       Set("load", "upsert", "verify-index").contains(args.head),
       "usage: load|upsert --input <src> --table <name> [options] | " +
-        "verify-index --index <dir> --corpus <parquet dir> " +
-        "[--kind span|chunk] [--w N] [--avg-tokens N] [--id-col c] " +
-        "[--text-col c] [--bucketed-base tbl]")
+        "verify-index --index <dir|table-base> [--corpus <parquet dir>] " +
+        "[--kind span|chunk|ivf|pq] [--w N] [--avg-tokens N] " +
+        "[--id-col c] [--text-col c] [--bucketed-base tbl] " +
+        "(ivf/pq: --index is the write{Ivf,Pq}Index table base, " +
+        "no --corpus needed)")
     var c = Config(action = args.head)
     var rest = args.tail.toList
     while (rest.nonEmpty) rest match {
@@ -86,9 +88,17 @@ object Main {
     }
     if (c.action == "verify-index") {
       require(c.index.nonEmpty, "--index is required")
-      require(c.corpus.nonEmpty, "--corpus is required")
-      require(Set("span", "chunk").contains(c.kind),
-        s"--kind must be span or chunk, got '${c.kind}'")
+      require(Set("span", "chunk", "ivf", "pq").contains(c.kind),
+        s"--kind must be span, chunk, ivf or pq, got '${c.kind}'")
+      // span/chunk audit against the source corpus; the ivf/pq audits
+      // are self-contained (the index holds what they need — vectors
+      // for ivf, structural invariants for pq)
+      require(c.corpus.nonEmpty || c.kind == "ivf" || c.kind == "pq",
+        "--corpus is required for span/chunk audits")
+      // the vector indexes key on vec_id by convention; an explicit
+      // --id-col still wins for either kind
+      if ((c.kind == "ivf" || c.kind == "pq") && c.idCol == "doc_id")
+        c = c.copy(idCol = "vec_id")
     } else {
       require(c.input.nonEmpty, "--input is required")
       require(c.table.nonEmpty, "--table is required")
@@ -110,15 +120,42 @@ object Main {
    * does. Format mismatches fail loudly inside the audit itself (the
    * round-17 `_format` gate) — an incompatible index can never report
    * a clean zero here.
+   *
+   * Round 18 adds the VECTOR index kinds: `--kind ivf` recomputes a
+   * bounded sample of cell assignments against the live routing table
+   * ([[graft.operators.Similarity.verifyIvfIndex]] — catches
+   * generation leaks and out-of-band edits), `--kind pq` checks every
+   * structural invariant the lossy codes table can support
+   * ([[graft.operators.Similarity.verifyPqIndex]]). Both print the
+   * index generation and calibrated nprobe, take `--index` as the
+   * TABLE BASE rather than a path, and need no `--corpus`.
    */
   def verifyIndex(spark: SparkSession, c: Config): Long = {
     import graft.streaming.Streams
-    val corpus = spark.read.parquet(c.corpus)
+    import graft.operators.Similarity
     val residual = c.kind match {
-      case "span" => Streams.verifySpanIndex(spark, c.index, corpus,
+      case "span" => Streams.verifySpanIndex(spark, c.index,
+        spark.read.parquet(c.corpus),
         w = c.w, textCol = c.textCol, bucketedBase = c.bucketedBase)
-      case "chunk" => Streams.verifyChunkIndex(spark, c.index, corpus,
+      case "chunk" => Streams.verifyChunkIndex(spark, c.index,
+        spark.read.parquet(c.corpus),
         avgTokens = c.avgTokens, idCol = c.idCol, textCol = c.textCol)
+      case "ivf" =>
+        // `--index` names the table BASE (the writeIvfIndex baseTable),
+        // not a path; report the routing metadata alongside the audit
+        println(s"[graft] ivf index '${c.index}': gen=" +
+          Similarity.ivfGeneration(spark, c.index) +
+          " cal_nprobe=" +
+          Similarity.calibratedNprobe(spark, c.index)
+            .map(_.toString).getOrElse("(uncalibrated)"))
+        Similarity.verifyIvfIndex(spark, c.index, idCol = c.idCol)
+      case "pq" =>
+        println(s"[graft] pq index '${c.index}': gen=" +
+          Similarity.pqGeneration(spark, c.index) +
+          " cal_nprobe=" +
+          Similarity.calibratedPqNprobe(spark, c.index)
+            .map(_.toString).getOrElse("(uncalibrated)"))
+        Similarity.verifyPqIndex(spark, c.index, idCol = c.idCol)
     }
     // the audit output is ≤ one row per index composite that collides —
     // expected empty; bounded by actual collisions, never corpus-sized

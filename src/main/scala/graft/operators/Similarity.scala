@@ -638,6 +638,67 @@ object Similarity {
         else " — raise maxNprobe or lower the target"))
   }
 
+  /**
+   * QUIESCED reconciliation audit of a persisted [[writeIvfIndex]]
+   * index — the IVF sibling of [[graft.streaming.Streams
+   * .verifySpanIndex]]: recompute the cell assignment of a bounded,
+   * deterministic sample of `_cells` rows against the CURRENT routing
+   * table and emit every mismatch (vec_id, stored_cell,
+   * recomputed_cell). Expected empty; a non-empty residual means rows
+   * assigned under a different centroid generation leaked past the
+   * [[ivfGeneration]] guards (or the table was edited out-of-band) —
+   * probe joins would silently miss those vectors, so this is the
+   * operational check to cron between rebuilds. Cost: `sample` rows
+   * through the same fused assignment kernel as a build.
+   */
+  def verifyIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     baseTable: String, sample: Int = 10000,
+                     idCol: String = "vec_id"): DataFrame = {
+    val cents = ivfRouting(spark, baseTable)
+    val cells = spark.table(baseTable + "_cells")
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sample)
+    withIvfCell(cells.select(col(idCol), col("vec"), col("cell")),
+        cents, "vec")
+      .filter(col("__cell").isNull || col("__cell") =!= col("cell"))
+      .select(col(idCol), col("cell").as("stored_cell"),
+        col("__cell").as("recomputed_cell"))
+  }
+
+  /**
+   * Structural audit of a persisted [[writePqIndex]] index. PQ codes
+   * are LOSSY — the original vectors are gone, so assignments cannot
+   * be recomputed; what CAN be checked is every invariant a query
+   * relies on: cell ids within the routing table, every code within
+   * its codebook's range and non-null, and the meta frame complete and
+   * single-generation (a half-swapped or hand-edited meta fails
+   * loudly here instead of mis-scoring silently). Emits violating
+   * code rows (expected empty).
+   */
+  def verifyPqIndex(spark: org.apache.spark.sql.SparkSession,
+                    baseTable: String,
+                    idCol: String = "vec_id"): DataFrame = {
+    val (cents, books) = pqRouting(spark, baseTable)
+    val nlist = cents.size
+    val m = books.size
+    val kc = books.head._1.size
+    require(books.forall(_._1.size == kc),
+      s"PQ meta for '$baseTable' is ragged: codebook sizes " +
+        books.map(_._1.size).mkString(",") + " — rebuild via writePqIndex")
+    val gens = spark.table(baseTable + "_pqmeta")
+      .select(col("gen")).distinct().collect().map(_.getLong(0))
+    require(gens.length == 1,
+      s"PQ meta for '$baseTable' carries ${gens.length} generations " +
+        s"(${gens.sorted.mkString(",")}) — run Tables.recoverSwap and " +
+        "rebuild before querying")
+    val codes = spark.table(baseTable + "_pqcodes")
+    val bad = (col("cell").isNull || col("cell") < 1 ||
+      col("cell") > nlist) +: (0 until m).map(j =>
+      col(s"__code$j").isNull || col(s"__code$j") < 1 ||
+        col(s"__code$j") > kc)
+    codes.filter(bad.reduce(_ || _))
+      .select(col(idCol), col("cell"))
+  }
+
   /** The persisted PQ index's calibrated nprobe (`kind = 'cal'` meta
    * row), when [[writePqIndex]] ran with `targetRecall` — None on
    * uncalibrated or pre-round-18 indexes. */

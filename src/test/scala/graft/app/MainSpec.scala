@@ -181,4 +181,43 @@ class MainSpec extends SparkSpec {
         "--corpus", corpusDir, "--kind", "bogus"))
     }
   }
+
+  test("verify-index --kind ivf/pq: clean indexes audit to 0 residual " +
+      "through the CLI, no --corpus needed, vec_id id-col default; a " +
+      "hand-corrupted cell surfaces as a residual row") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = (1L to 64L).map { i =>
+      (i, Array(math.cos(i * 0.0982).toFloat, math.sin(i * 0.0982).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val ivfBase = "vix_ivf"; val pqBase = "vix_pq"
+    def drop(): Unit = Seq(s"${ivfBase}_cells", s"${ivfBase}_centroids",
+      s"${pqBase}_pqcodes", s"${pqBase}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writeIvfIndex(corpus, ivfBase, nlist = 4, dim = 2,
+        targetRecall = Some(0.5), recallK = 3, recallSample = 16,
+        maxNprobe = 4)
+      Similarity.writePqIndex(corpus, pqBase, nlist = 4, m = 2,
+        kcent = 8, dim = 2)
+      val cIvf = Main.parseArgs(Seq("verify-index", "--index", ivfBase,
+        "--kind", "ivf"))
+      assert(cIvf.idCol == "vec_id", "ivf audit defaults to vec_id")
+      assert(Main.verifyIndex(spark, cIvf) == 0L)
+      assert(Main.verifyIndex(spark, Main.parseArgs(Seq("verify-index",
+        "--index", pqBase, "--kind", "pq"))) == 0L)
+      // corrupt ONE stored cell out-of-band: the audit must surface it
+      val cells = spark.table(s"${ivfBase}_cells")
+      val corrupted = cells.withColumn("cell",
+        org.apache.spark.sql.functions.when($"vec_id" === 7L,
+          ($"cell" % 4 + 1).cast("int")).otherwise($"cell"))
+      // materialize off the source table first: Spark refuses an
+      // overwrite that reads from its own target
+      val frozen = spark.createDataFrame(
+        java.util.Arrays.asList(corrupted.collect(): _*), corrupted.schema)
+      graft.tables.Tables.loadOverwrite(frozen, s"${ivfBase}_cells")
+      assert(Main.verifyIndex(spark, cIvf) == 1L)
+    } finally drop()
+  }
 }
