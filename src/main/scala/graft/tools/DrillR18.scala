@@ -58,6 +58,7 @@ object DrillR18 {
     spark.sparkContext.setLogLevel("WARN")
     args.headOption.getOrElse("autoprobe") match {
       case "autoprobe" => autoprobe(spark)
+      case "autoprobe-pq" => autoprobePq(spark)
       case "kmeans"    => kmeans(spark, args.lift(1).map(_.toLong))
       case "adc"       => adc(spark)
       case "spanfull"  => spanfull(spark, args.lift(1).getOrElse("distinct"))
@@ -110,6 +111,37 @@ object DrillR18 {
     }
     println(f"MARKER eval recall=${recallOf(got, truth)}%.4f target=0.95")
     Seq(s"${base}_cells", s"${base}_centroids")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+  }
+
+  def autoprobePq(spark: SparkSession): Unit = {
+    val n = 1000000L; val dim = 64; val nlist = 1000
+    val c = corpus(spark, n, dim, nlist).localCheckpoint(true)
+    println(s"MARKER corpus ready n=$n")
+    val cal = midQueries(spark, 64, dim, nlist, 2000000000L, salt = 1)
+      .localCheckpoint(true)
+    val eval = midQueries(spark, 256, dim, nlist, 3000000000L, salt = 2)
+      .localCheckpoint(true)
+    val base = "drill_r18_pqcal"
+    Seq(s"${base}_pqcodes", s"${base}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    time("writePqIndex calibrated m=8 ksub=256 target=0.9") {
+      Similarity.writePqIndex(c, base, nlist = nlist, m = 8, kcent = 256,
+        dim = dim, targetRecall = Some(0.9), recallK = 10,
+        recallSample = 64, maxNprobe = 64,
+        calibrationQueries = Some(cal))
+    }
+    println(s"MARKER persisted cal_nprobe=" +
+      Similarity.calibratedPqNprobe(spark, base))
+    val truth = time("brute ground truth 256q") {
+      Similarity.bruteForceTopK(c, eval, k = 10).localCheckpoint(true)
+    }
+    val got = time("ivfPq auto-nprobe 256q") {
+      Similarity.ivfPqTopKIndexed(eval, base, k = 10, dim = dim,
+        autoNprobe = true).localCheckpoint(true)
+    }
+    println(f"MARKER eval ADC recall=${recallOf(got, truth)}%.4f target=0.90")
+    Seq(s"${base}_pqcodes", s"${base}_pqmeta")
       .foreach(graft.tables.Tables.dropTable(spark, _))
   }
 
