@@ -122,7 +122,7 @@ object SparkEntry {
     "pagerank", "triangle_count",
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "embedding_near_dup_lsh", "embedding_near_dup_lsh_tight", "ivf_topk",
-    "ivf_topk_indexed", "ivf_autoprobe",
+    "ivf_topk_indexed", "ivf_autoprobe", "ivf_pq_topk_residual",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "ivf_pq_topk_indexed", "matryoshka_topk",
     "quantize_int8", "ndcg_quantized", "embedding_centroids",
@@ -1110,6 +1110,22 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nlist = 16, nprobe = 4, m = 4, kcent = 16, dim = 64)
         .orderBy("query_id", "rank")
+    }),
+
+    // residual IVF-PQ (IVFADC, Jégou TPAMI'11 §IV.C): codes quantize
+    // vec - raw_centroid instead of the raw vector — the variant that
+    // keeps within-cell resolution on clustered corpora (round-18 1M
+    // drill: grouped-near-dup recall 0.100 raw vs 0.763 residual at
+    // identical cost). Residual codebook seeds are the 16 vectors
+    // AFTER the centroid seed range (disjoint by contract — centroid
+    // seeds' own residuals are identically zero); scoring adds the
+    // per-probed-cell raw-centroid dot and subtracts the build-time
+    // micro-floored reconstruction correction, all associative BIGINT.
+    "ivf_pq_topk_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+        nlist = 16, nprobe = 4, m = 4, kcent = 16, dim = 64,
+        residual = true).orderBy("query_id", "rank")
     }),
 
     // the PERSISTED-index variant of ivf_pq_topk: codebooks train and
@@ -4087,6 +4103,120 @@ object SparkEntry {
          |  JOIN best b ON b.vec_id = d.neighbor_id
          |  JOIN qsc q ON q.qid = d.query_id AND q.j = b.j AND q.cidx = b.cidx
          |  GROUP BY d.query_id, d.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM tot)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // ivf_pq_topk_residual: the IVFADC twin — residuals vs the RAW
+    // centroid, residual codebook seeded from ids 16..31 (disjoint
+    // from the centroid seed range by contract), per-row corr term
+    // (left-assoc j-terms, then + 0.5||c||² — the exact double
+    // grouping the Spark expression uses), ADC = qcell + LUT sum -
+    // corr in pure BIGINT micro-units
+    "ivf_pq_topk_residual" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS craw
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |unitc AS (
+         |  SELECT cidx, craw,
+         |    CASE WHEN nrm = 0 THEN craw
+         |         ELSE list_transform(craw, x -> x / nrm) END AS u
+         |  FROM (SELECT cidx, craw, sqrt(${dotSql("craw", "craw")}) AS nrm
+         |        FROM cents)),
+         |dists AS (
+         |  SELECT e.vec_id, c.cidx, ${dotSql("e.embedding", "c.u")} AS d
+         |  FROM embeddings e, unitc c),
+         |cells AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |resid AS (
+         |  SELECT e.vec_id, ce.cell,
+         |    list_transform(generate_series(1, len(e.embedding)),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - u.craw[i]) AS r
+         |  FROM embeddings e
+         |  JOIN cells ce ON ce.vec_id = e.vec_id
+         |  JOIN unitc u ON u.cidx = ce.cell),
+         |sub AS (SELECT unnest(generate_series(1, 4)) AS j),
+         |rseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS sidx, r
+         |  FROM (SELECT vec_id, r FROM resid ORDER BY vec_id
+         |        OFFSET 16 LIMIT 16)),
+         |rcbb AS (
+         |  SELECT sidx, j, cs, ${dotSql("cs", "cs")} * 0.5 AS bias
+         |  FROM (SELECT s.sidx, b.j,
+         |          list_slice(s.r, (b.j - 1) * 16 + 1, b.j * 16) AS cs
+         |        FROM rseeds s, sub b)),
+         |rbest AS (
+         |  SELECT vec_id, j, sidx FROM (
+         |    SELECT v.vec_id, v.j, c.sidx, row_number() OVER (
+         |      PARTITION BY v.vec_id, v.j ORDER BY
+         |        ${dotSql("v.rs", "c.cs")} - c.bias DESC, c.sidx) AS rn
+         |    FROM (SELECT r.vec_id, b.j,
+         |            list_slice(r.r, (b.j - 1) * 16 + 1, b.j * 16) AS rs
+         |          FROM resid r, sub b) v
+         |    JOIN rcbb c ON c.j = v.j) WHERE rn = 1),
+         |codep AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN j = 1 THEN sidx END) AS k1,
+         |    max(CASE WHEN j = 2 THEN sidx END) AS k2,
+         |    max(CASE WHEN j = 3 THEN sidx END) AS k3,
+         |    max(CASE WHEN j = 4 THEN sidx END) AS k4
+         |  FROM rbest GROUP BY vec_id),
+         |corr AS (
+         |  SELECT cp.vec_id,
+         |    CAST(floor((
+         |      ((${dotSql("list_slice(u.craw, 1, 16)", "b1.cs")} + b1.bias)
+         |       + (${dotSql("list_slice(u.craw, 17, 32)", "b2.cs")} + b2.bias)
+         |       + (${dotSql("list_slice(u.craw, 33, 48)", "b3.cs")} + b3.bias)
+         |       + (${dotSql("list_slice(u.craw, 49, 64)", "b4.cs")} + b4.bias))
+         |      + 0.5 * ${dotSql("u.craw", "u.craw")}) * 1000000)
+         |      AS BIGINT) AS corr
+         |  FROM codep cp
+         |  JOIN cells ce ON ce.vec_id = cp.vec_id
+         |  JOIN unitc u ON u.cidx = ce.cell
+         |  JOIN rcbb b1 ON b1.j = 1 AND b1.sidx = cp.k1
+         |  JOIN rcbb b2 ON b2.j = 2 AND b2.sidx = cp.k2
+         |  JOIN rcbb b3 ON b3.j = 3 AND b3.sidx = cp.k3
+         |  JOIN rcbb b4 ON b4.j = 4 AND b4.sidx = cp.k4),
+         |qprobe AS (
+         |  SELECT d.vec_id AS query_id, d.cidx AS cell,
+         |    CAST(floor(${dotSql("e.embedding", "u.craw")} * 1000000)
+         |      AS BIGINT) AS qcell
+         |  FROM (SELECT vec_id, cidx, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |        FROM dists WHERE vec_id < 10) d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN unitc u ON u.cidx = d.cidx
+         |  WHERE d.rn <= 4),
+         |qlut AS (
+         |  SELECT v.vec_id AS qid, c.j, c.sidx,
+         |    CAST(floor(${dotSql("v.qs", "c.cs")} * 1000000) AS BIGINT) AS s
+         |  FROM (SELECT e.vec_id, b.j,
+         |          list_slice(list_transform(e.embedding,
+         |            x -> CAST(x AS DOUBLE)),
+         |            (b.j - 1) * 16 + 1, b.j * 16) AS qs
+         |        FROM embeddings e, sub b WHERE e.vec_id < 10) v
+         |  JOIN rcbb c ON c.j = v.j),
+         |cand AS (
+         |  SELECT p.query_id, ce.vec_id AS neighbor_id, p.qcell,
+         |    cp.k1, cp.k2, cp.k3, cp.k4
+         |  FROM qprobe p
+         |  JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+         |  JOIN codep cp ON cp.vec_id = ce.vec_id),
+         |tot AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    d.qcell + l1.s + l2.s + l3.s + l4.s - co.corr AS adc
+         |  FROM cand d
+         |  JOIN qlut l1 ON l1.qid = d.query_id AND l1.j = 1 AND l1.sidx = d.k1
+         |  JOIN qlut l2 ON l2.qid = d.query_id AND l2.j = 2 AND l2.sidx = d.k2
+         |  JOIN qlut l3 ON l3.qid = d.query_id AND l3.j = 3 AND l3.sidx = d.k3
+         |  JOIN qlut l4 ON l4.qid = d.query_id AND l4.j = 4 AND l4.sidx = d.k4
+         |  JOIN corr co ON co.vec_id = d.neighbor_id)
          |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank

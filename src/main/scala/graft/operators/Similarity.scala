@@ -312,6 +312,86 @@ object Similarity {
     }
   }
 
+  /** The residual of a row's vector against its assigned cell's RAW
+   * (corpus-scale) centroid, as ARRAY<DOUBLE> — requires `__cell` from
+   * [[withIvfCell]] and a `__rawcents` typedLit column upstream.
+   * RAW, not the unit-normalized routing matrix: subtracting a norm-1
+   * vector from corpus-scale vectors leaves ~the original vector (the
+   * round-18 drill measured the unit-residual curve IDENTICAL to raw
+   * PQ's 0.008), while the corpus-scale residual is the jitter-level
+   * structure IVFADC exists to encode. `zip_with` keeps the
+   * per-component subtraction a single narrow projection. */
+  private def residualExpr(vecCol: String): String =
+    s"""zip_with(CAST($vecCol AS ARRAY<DOUBLE>),
+       |         element_at(__rawcents, __cell), (a, b) -> a - b)""".stripMargin
+
+  /** [[pqCodebook]] over RESIDUALS (vec - unit centroid of the vector's
+   * cell) — the IVFADC codebook (Jégou et al. TPAMI'11 §IV.C: encode
+   * the residual, whose codebook resolves exactly the within-cell
+   * structure a raw-vector codebook erases; measured on the round-18
+   * 1M clustered drill as ADC recall 0.008 raw vs high residual).
+   * Seeds follow the library's deterministic contract: the first `k`
+   * residuals by id, sliced per subspace — closed-form recomputable by
+   * the DuckDB oracle from the same centroid seed set. */
+  private def pqResidualCodebook(emb: DataFrame, cents: Seq[Seq[Double]],
+                                 m: Int, k: Int, dim: Int,
+                                 idCol: String, vecCol: String)
+      : Seq[(Seq[Seq[Double]], Seq[Double])] = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val dsub = dim / m
+    // seeds start AFTER the first nlist ids: those ARE the centroid
+    // seed set, so their residuals are identically zero — an all-zeros
+    // codebook that collapses every code (found by the round-18 1M
+    // drill: the "residual" curve read exactly like raw PQ's until the
+    // seed ranges were made disjoint)
+    val seeds = withIvfCell(
+        emb.orderBy(col(idCol)).offset(cents.size).limit(k), cents, vecCol)
+      .withColumn("__rawcents", typedLit(cents))
+      .withColumn("__res", expr(residualExpr(vecCol)))
+      .orderBy(col(idCol))
+      .select(col("__res")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    (0 until m).map { j =>
+      val cb = seeds.map(_.slice(j * dsub, (j + 1) * dsub))
+      (cb, cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5))
+    }
+  }
+
+  /** Attach `__corr` — the per-row BIGINT micro-unit correction that
+   * makes residual ADC rank by the true L2-on-reconstruction MIPS
+   * score: `corr = ||c||²/2 + dot(c, recon) + ||recon||²/2`, with `c`
+   * the cell's RAW centroid and recon the CODES' reconstruction
+   * (element_at over the codebook literals), floored to micro-units
+   * once at the end. Computed at BUILD time from (`__rawcents`,
+   * `__cell`, `__code0..m-1`) — query time never touches it beyond a
+   * BIGINT subtract. The j-terms fold left-to-right in subspace order
+   * and `||recon_j||²/2` reuses the codebook bias arrays, so the
+   * DuckDB oracle reproduces the double arithmetic bit-for-bit. */
+  private def withResidualCorr(df: DataFrame,
+                               books: Seq[(Seq[Seq[Double]], Seq[Double])],
+                               dsub: Int): DataFrame = {
+    val m = books.size
+    val withLits = books.zipWithIndex.foldLeft(df) {
+      case (d, ((cb, bias), j)) =>
+        d.withColumn(s"__ccb$j", typedLit(cb))
+          .withColumn(s"__cbias$j", typedLit(bias))
+    }
+    val terms = (0 until m).map { j =>
+      s"""(graft_dot(slice(element_at(__rawcents, __cell), ${j * dsub + 1}, $dsub),
+         |           element_at(__ccb$j, __code$j))
+         | + element_at(__cbias$j, __code$j))""".stripMargin
+    }.mkString(" + ")
+    // the 0.5·||c||² term is added LAST so the double-addition grouping
+    // is (((t0+t1)+t2)+...)+0.5cc — the exact shape the DuckDB oracle
+    // writes (addition is not associative; a different grouping can
+    // flip floor() on a knife-edge value)
+    withLits.withColumn("__corr", expr(
+      s"""CAST(floor((($terms)
+         |  + 0.5 * graft_dot(element_at(__rawcents, __cell),
+         |                    element_at(__rawcents, __cell)))
+         |  * 1000000) AS BIGINT)""".stripMargin))
+  }
+
   /** Attach `__code0..__code{m-1}` — each subvector's nearest centroid
    * index by L2, via argmax of the MIPS score `dot(x,c) - ||c||²/2`
    * (first-max ties through array_position). Narrow projection. */
@@ -594,7 +674,8 @@ object Similarity {
                         sample: Int = 64, maxNprobe: Int = 64,
                         dim: Int = 64, idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        queries: Option[DataFrame] = None): (Int, Seq[(Int, Double)]) = {
+                        queries: Option[DataFrame] = None,
+                        residual: Boolean = false): (Int, Seq[(Int, Double)]) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     require(sample >= 1, s"sample must be >= 1, got $sample")
@@ -608,10 +689,19 @@ object Similarity {
       .select("query_id", "neighbor_id").localCheckpoint(true)
     val denom = truth.count().toDouble
     if (denom == 0) return (1, Seq((1, 1.0)))
-    val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books,
-        dim / m, vecCol)
+    val assigned = withIvfCell(corpus, cents, vecCol)
+    val coded0 =
+      if (residual)
+        withResidualCorr(
+          withPqCodes(assigned.withColumn("__rawcents", typedLit(cents))
+              .withColumn("__res", expr(residualExpr(vecCol))),
+            books, dim / m, "__res"),
+          books, dim / m)
+      else withPqCodes(assigned, books, dim / m, vecCol)
+    val coded = coded0
       .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
-        (0 until m).map(j => col(s"__code$j")): _*)
+        (0 until m).map(j => col(s"__code$j")) ++:
+        (if (residual) Seq(col("__corr")) else Nil): _*)
       .localCheckpoint(false,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.min(maxNprobe, nlist)
@@ -620,7 +710,7 @@ object Similarity {
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     for (np <- steps) {
       val hits = ivfPqAdcRank(coded, q, cents, books, k, np, dim / m,
-          idCol, vecCol)
+          idCol, vecCol, residual = residual)
         .select("query_id", "neighbor_id")
         .join(truth, Seq("query_id", "neighbor_id")).count()
       val recall = hits / denom
@@ -698,6 +788,15 @@ object Similarity {
     codes.filter(bad.reduce(_ || _))
       .select(col(idCol), col("cell"))
   }
+
+  /** Whether the persisted PQ index encodes RESIDUALS (IVFADC) — the
+   * `kind = 'res'` meta row written by `writePqIndex(residual = true)`.
+   * Query paths dispatch on this automatically; raw and residual
+   * indexes are never score-compatible. */
+  def pqIsResidual(spark: org.apache.spark.sql.SparkSession,
+                   baseTable: String): Boolean =
+    spark.table(baseTable + "_pqmeta")
+      .filter(col("kind") === "res").limit(1).count() > 0
 
   /** The persisted PQ index's calibrated nprobe (`kind = 'cal'` meta
    * row), when [[writePqIndex]] ran with `targetRecall` — None on
@@ -1052,21 +1151,39 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
                 kcent: Int = 16, dim: Int = 64,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                residual: Boolean = false): DataFrame = {
     val dsub = dim / m
     val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol, vecCol)
-    val books = pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
     // empty corpus -> empty codebooks/centroids; the LUT/probe transforms
     // would then throw on query rows (see pqTopK) — short-circuit
-    if (books.head._1.isEmpty || cents.isEmpty)
+    if (cents.isEmpty)
       return queries.limit(0)
         .select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
           lit(0L).as("rank"))
-    val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books, dsub, vecCol)
+    val books =
+      if (residual) pqResidualCodebook(corpus, cents, m, kcent, dim,
+        idCol, vecCol)
+      else pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
+    if (books.head._1.isEmpty)
+      return queries.limit(0)
+        .select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+          lit(0L).as("rank"))
+    val assigned = withIvfCell(corpus, cents, vecCol)
+    val coded0 =
+      if (residual)
+        withResidualCorr(
+          withPqCodes(assigned.withColumn("__rawcents", typedLit(cents))
+              .withColumn("__res", expr(residualExpr(vecCol))),
+            books, dsub, "__res"),
+          books, dsub)
+      else withPqCodes(assigned, books, dsub, vecCol)
+    val coded = coded0
       .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
-        (0 until m).map(j => col(s"__code$j")): _*)
+        (0 until m).map(j => col(s"__code$j")) ++:
+        (if (residual) Seq(col("__corr")) else Nil): _*)
     ivfPqAdcRank(coded, queries, cents, books, k, nprobe, dsub, idCol,
-      vecCol)
+      vecCol, residual = residual)
   }
 
   /** The shared query-side tail of [[ivfPqTopK]] and
@@ -1083,23 +1200,38 @@ object Similarity {
                            books: Seq[(Seq[Seq[Double]], Seq[Double])],
                            k: Int, nprobe: Int, dsub: Int,
                            idCol: String, vecCol: String,
-                           dedupCandidates: Boolean = false): DataFrame = {
+                           dedupCandidates: Boolean = false,
+                           residual: Boolean = false): DataFrame = {
     val m = books.size
+    // RAW mode: LUT entry = micro(dot(q_j, e) - ||e||²/2) — the MIPS
+    // bias rides the query LUT. RESIDUAL mode (IVFADC): the bias and
+    // every reconstruction term live in the build-time `__corr`
+    // column, so the LUT is the bare micro(dot(q_j, e)) over the
+    // RESIDUAL codebook, and the score adds the per-probed-cell
+    // micro(dot(q, u_c)) the probe ranking already computed.
     val qbase = books.zipWithIndex.foldLeft(
       withIvfCell(queries, cents, vecCol)
         .withColumn("__probes", expr(probesExpr(cents.size, nprobe)))) {
       case (d, ((cb, bias), j)) =>
+        val lutBody =
+          if (residual)
+            s"""graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
+               |          element_at(__qcb$j, i))""".stripMargin
+          else
+            s"""graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
+               |          element_at(__qcb$j, i))
+               | - element_at(__qbias$j, i)""".stripMargin
         d.withColumn(s"__qcb$j", typedLit(cb))
           .withColumn(s"__qbias$j", typedLit(bias))
           .withColumn(s"__qs$j", expr(
             s"""transform(sequence(1, ${cb.size}),
-               |  i -> CAST(floor((graft_dot(slice($vecCol, ${j * dsub + 1}, $dsub),
-               |                             element_at(__qcb$j, i))
-               |                   - element_at(__qbias$j, i)) * 1000000)
-               |       AS BIGINT))""".stripMargin))
+               |  i -> CAST(floor(($lutBody) * 1000000) AS BIGINT))"""
+              .stripMargin))
     }
-    val adc = (0 until m)
+    val lutSum = (0 until m)
       .map(j => s"element_at(__qs$j, __code$j)").mkString(" + ")
+    val adc =
+      if (residual) s"__qcell + $lutSum - __corr" else lutSum
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     // Join-shape choice (round 18, measured at 1M/m=8/ksub=256):
@@ -1116,16 +1248,42 @@ object Similarity {
     //    LUT-width (16 KB/row through an exchange is real bytes, not
     //    a reference). Slim probe-pair join first, dedup, then attach
     //    the LUT per query.
+    // residual mode explodes probes as (cell, __qcell) structs — the
+    // per-probed-cell micro(dot(q, c_raw)) term rides the same explode
+    // the cell ids do. RAW centroid dot, not the unit routing dot in
+    // p.d: the reconstruction lives at corpus scale (nprobe extra dots
+    // per query — noise)
+    val qbase2 =
+      if (residual) qbase.withColumn("__rawcents", typedLit(cents))
+      else qbase
+    val probeExplode =
+      if (residual)
+        expr(s"""transform(__probes, p ->
+                |  struct(p.idx AS cell,
+                |         CAST(floor(graft_dot($vecCol,
+                |                    element_at(__rawcents, p.idx))
+                |                    * 1000000) AS BIGINT)
+                |           AS __qcell))""".stripMargin)
+      else expr("transform(__probes, p -> struct(p.idx AS cell))")
+    val probeCols =
+      if (residual) Seq(col("__pr.cell").as("cell"),
+        col("__pr.__qcell").as("__qcell"))
+      else Seq(col("__pr.cell").as("cell"))
     val deduped =
       if (!dedupCandidates) {
-        val qlut = qbase.select(col(idCol).as("query_id") +:
-          explode(expr("transform(__probes, p -> p.idx)")).as("cell") +:
-          (0 until m).map(j => col(s"__qs$j")): _*)
+        val qlut = qbase2
+          .select(col(idCol).as("query_id") +:
+            explode(probeExplode).as("__pr") +:
+            (0 until m).map(j => col(s"__qs$j")): _*)
+          .select(col("query_id") +: probeCols ++:
+            (0 until m).map(j => col(s"__qs$j")): _*)
         coded.join(broadcast(qlut), Seq("cell"))
           .filter(col("query_id") =!= col("neighbor_id"))
       } else {
-        val probes = qbase.select(col(idCol).as("query_id"),
-          explode(expr("transform(__probes, p -> p.idx)")).as("cell"))
+        val probes = qbase2
+          .select(col(idCol).as("query_id"),
+            explode(probeExplode).as("__pr"))
+          .select(col("query_id") +: probeCols: _*)
         val qlut = qbase.select(col(idCol).as("query_id") +:
           (0 until m).map(j => col(s"__qs$j")): _*)
         val wD = Window.partitionBy("query_id", "neighbor_id")
@@ -1188,21 +1346,33 @@ object Similarity {
                    targetRecall: Option[Double] = None,
                    recallK: Int = 10, recallSample: Int = 64,
                    maxNprobe: Int = 64,
-                   calibrationQueries: Option[DataFrame] = None): Unit = {
+                   calibrationQueries: Option[DataFrame] = None,
+                   residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val dsub = dim / m
     val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol,
       vecCol)
-    val books = pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
+    val books =
+      if (residual) pqResidualCodebook(corpus, cents, m, kcent, dim,
+        idCol, vecCol)
+      else pqCodebook(corpus, m, kcent, dim, idCol, vecCol)
     require(cents.nonEmpty && books.head._1.nonEmpty,
       "writePqIndex needs a non-empty corpus to seed centroids/codebooks")
     val calNprobe = targetRecall.map(t =>
       calibratePqNprobe(corpus, cents, books, t, recallK, recallSample,
-        maxNprobe, dim, idCol, vecCol, calibrationQueries)._1)
-    val coded = withPqCodes(withIvfCell(corpus, cents, vecCol), books,
-      dsub, vecCol)
-      .select(col(idCol) +: col("__cell").as("cell") +:
-        (0 until m).map(j => col(s"__code$j")): _*)
+        maxNprobe, dim, idCol, vecCol, calibrationQueries, residual)._1)
+    val assigned = withIvfCell(corpus, cents, vecCol)
+    val coded0 =
+      if (residual)
+        withResidualCorr(
+          withPqCodes(assigned.withColumn("__rawcents", typedLit(cents))
+              .withColumn("__res", expr(residualExpr(vecCol))),
+            books, dsub, "__res"),
+          books, dsub)
+      else withPqCodes(assigned, books, dsub, vecCol)
+    val coded = coded0.select(col(idCol) +: col("__cell").as("cell") +:
+      (0 until m).map(j => col(s"__code$j")) ++:
+      (if (residual) Seq(col("__corr")) else Nil): _*)
     val gen =
       if (spark.catalog.tableExists(baseTable + "_pqmeta"))
         pqGeneration(spark, baseTable) + 1
@@ -1212,7 +1382,8 @@ object Similarity {
       ("cent", i + 1, 0, c) } ++
       books.zipWithIndex.flatMap { case ((cb, _), j) =>
         cb.zipWithIndex.map { case (c, i) => ("book", j, i + 1, c) } } ++
-      calNprobe.map(np => ("cal", np, 0, Seq.empty[Double])).toSeq)
+      calNprobe.map(np => ("cal", np, 0, Seq.empty[Double])).toSeq ++
+      (if (residual) Seq(("res", 1, 0, Seq.empty[Double])) else Nil))
       .toDF("kind", "i", "j", "vec")
       .withColumn("gen", lit(gen))
     graft.tables.Tables.stageBucketedSwap(coded, baseTable + "_pqcodes",
@@ -1258,11 +1429,13 @@ object Similarity {
             "calibration — rebuild with writePqIndex(targetRecall = " +
             "Some(...)) or pass an explicit nprobe"))
     val m = books.size
+    val res = pqIsResidual(spark, baseTable)
     val coded = spark.table(baseTable + "_pqcodes")
       .select(col(idCol).as("neighbor_id") +: col("cell") +:
-        (0 until m).map(j => col(s"__code$j")): _*)
+        (0 until m).map(j => col(s"__code$j")) ++:
+        (if (res) Seq(col("__corr")) else Nil): _*)
     ivfPqAdcRank(coded, queries, cents, books, k, np, dim / m, idCol,
-      vecCol)
+      vecCol, residual = res)
   }
 
   /**
@@ -1310,11 +1483,21 @@ object Similarity {
   def pqDeltaAssign(batch: DataFrame, cents: Seq[Seq[Double]],
                     books: Seq[(Seq[Seq[Double]], Seq[Double])],
                     dim: Int = 64, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    residual: Boolean = false): DataFrame = {
     val m = books.size
-    withPqCodes(withIvfCell(batch, cents, vecCol), books, dim / m, vecCol)
-      .select(col(idCol) +: col("__cell").as("cell") +:
-        (0 until m).map(j => col(s"__code$j")): _*)
+    val assigned = withIvfCell(batch, cents, vecCol)
+    val coded =
+      if (residual)
+        withResidualCorr(
+          withPqCodes(assigned.withColumn("__rawcents", typedLit(cents))
+              .withColumn("__res", expr(residualExpr(vecCol))),
+            books, dim / m, "__res"),
+          books, dim / m)
+      else withPqCodes(assigned, books, dim / m, vecCol)
+    coded.select(col(idCol) +: col("__cell").as("cell") +:
+      (0 until m).map(j => col(s"__code$j")) ++:
+      (if (residual) Seq(col("__corr")) else Nil): _*)
   }
 
   /**
@@ -1333,7 +1516,9 @@ object Similarity {
     val spark = queries.sparkSession
     val (cents, books) = pqRouting(spark, baseTable)
     val m = books.size
-    val codeCols = (0 until m).map(j => col(s"__code$j"))
+    val res = pqIsResidual(spark, baseTable)
+    val codeCols = (0 until m).map(j => col(s"__code$j")) ++
+      (if (res) Seq(col("__corr")) else Nil)
     val bulk = spark.table(baseTable + "_pqcodes")
       .select(col(idCol).as("neighbor_id") +: col("cell") +: codeCols: _*)
     val p = new org.apache.hadoop.fs.Path(deltaPath)
@@ -1352,7 +1537,7 @@ object Similarity {
           .select(col(idCol).as("neighbor_id") +: col("cell") +:
             codeCols :+ col("batch").cast("long").as("__prec"): _*))
     ivfPqAdcRank(corpus, queries, cents, books, k, nprobe, dim / m,
-      idCol, vecCol, dedupCandidates = hasDelta)
+      idCol, vecCol, dedupCandidates = hasDelta, residual = res)
   }
 
   /**

@@ -2707,6 +2707,11 @@ object Streams {
     val spark0 = stream.sparkSession
     val (cents, books) =
       graft.operators.Similarity.pqRouting(spark0, baseTable)
+    // residual (IVFADC) indexes encode deltas the same way the bulk
+    // was encoded — the stamp rides the meta, captured once at start
+    // (a rebuild that flips it also bumps gen, which the per-batch
+    // check already refuses)
+    val res0 = graft.operators.Similarity.pqIsResidual(spark0, baseTable)
     val gen0 = graft.operators.Similarity.pqGeneration(spark0, baseTable)
     readRoutingGenMarker(spark0, deltaPath) match {
       case Some(prior) =>
@@ -2736,7 +2741,7 @@ object Streams {
               s"(generation $gen0 -> $g): stop the sink, fold the delta, " +
               "rebuild quiesced, restart.")
           graft.operators.Similarity.pqDeltaAssign(batch, cents, books,
-            dim, idCol, vecCol)
+            dim, idCol, vecCol, residual = res0)
             .write.mode("overwrite").parquet(s"$deltaPath/batch=$batchId")
           ()
         }

