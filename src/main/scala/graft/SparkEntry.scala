@@ -123,6 +123,7 @@ object SparkEntry {
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "embedding_near_dup_lsh", "embedding_near_dup_lsh_tight", "ivf_topk",
     "ivf_topk_indexed", "ivf_autoprobe", "ivf_pq_topk_residual",
+    "ivf_pq_topk_refined",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "ivf_pq_topk_indexed", "matryoshka_topk",
     "quantize_int8", "ndcg_quantized", "embedding_centroids",
@@ -1126,6 +1127,27 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nlist = 16, nprobe = 4, m = 4, kcent = 16, dim = 64,
         residual = true).orderBy("query_id", "rank")
+    }),
+
+    // two-stage IVFPQ+R: residual ADC shortlist (40) from the PQ index,
+    // exact cosine re-rank against the companion IVF index's raw
+    // vectors — the documented recovery for the residual quantizer's
+    // code-flip ceiling. Both indexes memoize; the routing tables must
+    // match (checked loudly inside the operator).
+    "ivf_pq_topk_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfBase = "graft_ivf_idx_" + math.abs(dir.hashCode).toString
+      val pqBase = "graft_pqres_idx_" + math.abs(dir.hashCode).toString
+      memoIndex(s, ivfBase, Seq("_cells", "_centroids")) {
+        Similarity.writeIvfIndex(emb, ivfBase, nlist = 16, dim = 64)
+      }
+      memoIndex(s, pqBase, Seq("_pqcodes", "_pqmeta")) {
+        Similarity.writePqIndex(emb, pqBase, nlist = 16, m = 4,
+          kcent = 16, dim = 64, residual = true)
+      }
+      Similarity.ivfPqTopKRefined(emb.filter(col("vec_id") < 10), pqBase,
+        ivfBase, k = 10, shortlist = 40, nprobe = 4, dim = 64)
+        .orderBy("query_id", "rank")
     }),
 
     // the PERSISTED-index variant of ivf_pq_topk: codebooks train and
@@ -2285,6 +2307,117 @@ object SparkEntry {
    * (vector, subspace, centroid), and `best(vec_id, j, cidx)` — the PQ
    * codes. pq_encode emits the codes; pq_topk reuses `scores` for the
    * query LUTs and `best` for the corpus side. */
+  /** The residual (IVFADC) ADC oracle, parameterized by the rank
+   * bound so the refined twin can reuse it as a 40-deep shortlist
+   * stage. */
+  private def ivfPqResidualSql(kRank: Int): String =
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS craw
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |unitc AS (
+         |  SELECT cidx, craw,
+         |    CASE WHEN nrm = 0 THEN craw
+         |         ELSE list_transform(craw, x -> x / nrm) END AS u
+         |  FROM (SELECT cidx, craw, sqrt(${dotSql("craw", "craw")}) AS nrm
+         |        FROM cents)),
+         |dists AS (
+         |  SELECT e.vec_id, c.cidx, ${dotSql("e.embedding", "c.u")} AS d
+         |  FROM embeddings e, unitc c),
+         |cells AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |resid AS (
+         |  SELECT e.vec_id, ce.cell,
+         |    list_transform(generate_series(1, len(e.embedding)),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - u.craw[i]) AS r
+         |  FROM embeddings e
+         |  JOIN cells ce ON ce.vec_id = e.vec_id
+         |  JOIN unitc u ON u.cidx = ce.cell),
+         |sub AS (SELECT unnest(generate_series(1, 4)) AS j),
+         |rseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS sidx, r
+         |  FROM (SELECT vec_id, r FROM resid ORDER BY vec_id
+         |        OFFSET 16 LIMIT 16)),
+         |rcbb AS (
+         |  SELECT sidx, j, cs, ${dotSql("cs", "cs")} * 0.5 AS bias
+         |  FROM (SELECT s.sidx, b.j,
+         |          list_slice(s.r, (b.j - 1) * 16 + 1, b.j * 16) AS cs
+         |        FROM rseeds s, sub b)),
+         |rbest AS (
+         |  SELECT vec_id, j, sidx FROM (
+         |    SELECT v.vec_id, v.j, c.sidx, row_number() OVER (
+         |      PARTITION BY v.vec_id, v.j ORDER BY
+         |        ${dotSql("v.rs", "c.cs")} - c.bias DESC, c.sidx) AS rn
+         |    FROM (SELECT r.vec_id, b.j,
+         |            list_slice(r.r, (b.j - 1) * 16 + 1, b.j * 16) AS rs
+         |          FROM resid r, sub b) v
+         |    JOIN rcbb c ON c.j = v.j) WHERE rn = 1),
+         |codep AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN j = 1 THEN sidx END) AS k1,
+         |    max(CASE WHEN j = 2 THEN sidx END) AS k2,
+         |    max(CASE WHEN j = 3 THEN sidx END) AS k3,
+         |    max(CASE WHEN j = 4 THEN sidx END) AS k4
+         |  FROM rbest GROUP BY vec_id),
+         |corr AS (
+         |  SELECT cp.vec_id,
+         |    CAST(floor((
+         |      ((${dotSql("list_slice(u.craw, 1, 16)", "b1.cs")} + b1.bias)
+         |       + (${dotSql("list_slice(u.craw, 17, 32)", "b2.cs")} + b2.bias)
+         |       + (${dotSql("list_slice(u.craw, 33, 48)", "b3.cs")} + b3.bias)
+         |       + (${dotSql("list_slice(u.craw, 49, 64)", "b4.cs")} + b4.bias))
+         |      + 0.5 * ${dotSql("u.craw", "u.craw")}) * 1000000)
+         |      AS BIGINT) AS corr
+         |  FROM codep cp
+         |  JOIN cells ce ON ce.vec_id = cp.vec_id
+         |  JOIN unitc u ON u.cidx = ce.cell
+         |  JOIN rcbb b1 ON b1.j = 1 AND b1.sidx = cp.k1
+         |  JOIN rcbb b2 ON b2.j = 2 AND b2.sidx = cp.k2
+         |  JOIN rcbb b3 ON b3.j = 3 AND b3.sidx = cp.k3
+         |  JOIN rcbb b4 ON b4.j = 4 AND b4.sidx = cp.k4),
+         |qprobe AS (
+         |  SELECT d.vec_id AS query_id, d.cidx AS cell,
+         |    CAST(floor(${dotSql("e.embedding", "u.craw")} * 1000000)
+         |      AS BIGINT) AS qcell
+         |  FROM (SELECT vec_id, cidx, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+         |        FROM dists WHERE vec_id < 10) d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN unitc u ON u.cidx = d.cidx
+         |  WHERE d.rn <= 4),
+         |qlut AS (
+         |  SELECT v.vec_id AS qid, c.j, c.sidx,
+         |    CAST(floor(${dotSql("v.qs", "c.cs")} * 1000000) AS BIGINT) AS s
+         |  FROM (SELECT e.vec_id, b.j,
+         |          list_slice(list_transform(e.embedding,
+         |            x -> CAST(x AS DOUBLE)),
+         |            (b.j - 1) * 16 + 1, b.j * 16) AS qs
+         |        FROM embeddings e, sub b WHERE e.vec_id < 10) v
+         |  JOIN rcbb c ON c.j = v.j),
+         |cand AS (
+         |  SELECT p.query_id, ce.vec_id AS neighbor_id, p.qcell,
+         |    cp.k1, cp.k2, cp.k3, cp.k4
+         |  FROM qprobe p
+         |  JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+         |  JOIN codep cp ON cp.vec_id = ce.vec_id),
+         |tot AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    d.qcell + l1.s + l2.s + l3.s + l4.s - co.corr AS adc
+         |  FROM cand d
+         |  JOIN qlut l1 ON l1.qid = d.query_id AND l1.j = 1 AND l1.sidx = d.k1
+         |  JOIN qlut l2 ON l2.qid = d.query_id AND l2.j = 2 AND l2.sidx = d.k2
+         |  JOIN qlut l3 ON l3.qid = d.query_id AND l3.j = 3 AND l3.sidx = d.k3
+         |  JOIN qlut l4 ON l4.qid = d.query_id AND l4.j = 4 AND l4.sidx = d.k4
+         |  JOIN corr co ON co.vec_id = d.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM tot)
+         |WHERE rank <= $kRank ORDER BY query_id, rank""".stripMargin
+
   private val pqCtes =
     s"""WITH seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
@@ -4115,112 +4248,24 @@ object SparkEntry {
     // (left-assoc j-terms, then + 0.5||c||² — the exact double
     // grouping the Spark expression uses), ADC = qcell + LUT sum -
     // corr in pure BIGINT micro-units
-    "ivf_pq_topk_residual" ->
-      s"""WITH cents AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS craw
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |unitc AS (
-         |  SELECT cidx, craw,
-         |    CASE WHEN nrm = 0 THEN craw
-         |         ELSE list_transform(craw, x -> x / nrm) END AS u
-         |  FROM (SELECT cidx, craw, sqrt(${dotSql("craw", "craw")}) AS nrm
-         |        FROM cents)),
-         |dists AS (
-         |  SELECT e.vec_id, c.cidx, ${dotSql("e.embedding", "c.u")} AS d
-         |  FROM embeddings e, unitc c),
-         |cells AS (
-         |  SELECT vec_id, cidx AS cell FROM (
-         |    SELECT vec_id, cidx, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
-         |    FROM dists) WHERE rn = 1),
-         |resid AS (
-         |  SELECT e.vec_id, ce.cell,
-         |    list_transform(generate_series(1, len(e.embedding)),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) - u.craw[i]) AS r
-         |  FROM embeddings e
-         |  JOIN cells ce ON ce.vec_id = e.vec_id
-         |  JOIN unitc u ON u.cidx = ce.cell),
-         |sub AS (SELECT unnest(generate_series(1, 4)) AS j),
-         |rseeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) AS sidx, r
-         |  FROM (SELECT vec_id, r FROM resid ORDER BY vec_id
-         |        OFFSET 16 LIMIT 16)),
-         |rcbb AS (
-         |  SELECT sidx, j, cs, ${dotSql("cs", "cs")} * 0.5 AS bias
-         |  FROM (SELECT s.sidx, b.j,
-         |          list_slice(s.r, (b.j - 1) * 16 + 1, b.j * 16) AS cs
-         |        FROM rseeds s, sub b)),
-         |rbest AS (
-         |  SELECT vec_id, j, sidx FROM (
-         |    SELECT v.vec_id, v.j, c.sidx, row_number() OVER (
-         |      PARTITION BY v.vec_id, v.j ORDER BY
-         |        ${dotSql("v.rs", "c.cs")} - c.bias DESC, c.sidx) AS rn
-         |    FROM (SELECT r.vec_id, b.j,
-         |            list_slice(r.r, (b.j - 1) * 16 + 1, b.j * 16) AS rs
-         |          FROM resid r, sub b) v
-         |    JOIN rcbb c ON c.j = v.j) WHERE rn = 1),
-         |codep AS (
-         |  SELECT vec_id,
-         |    max(CASE WHEN j = 1 THEN sidx END) AS k1,
-         |    max(CASE WHEN j = 2 THEN sidx END) AS k2,
-         |    max(CASE WHEN j = 3 THEN sidx END) AS k3,
-         |    max(CASE WHEN j = 4 THEN sidx END) AS k4
-         |  FROM rbest GROUP BY vec_id),
-         |corr AS (
-         |  SELECT cp.vec_id,
-         |    CAST(floor((
-         |      ((${dotSql("list_slice(u.craw, 1, 16)", "b1.cs")} + b1.bias)
-         |       + (${dotSql("list_slice(u.craw, 17, 32)", "b2.cs")} + b2.bias)
-         |       + (${dotSql("list_slice(u.craw, 33, 48)", "b3.cs")} + b3.bias)
-         |       + (${dotSql("list_slice(u.craw, 49, 64)", "b4.cs")} + b4.bias))
-         |      + 0.5 * ${dotSql("u.craw", "u.craw")}) * 1000000)
-         |      AS BIGINT) AS corr
-         |  FROM codep cp
-         |  JOIN cells ce ON ce.vec_id = cp.vec_id
-         |  JOIN unitc u ON u.cidx = ce.cell
-         |  JOIN rcbb b1 ON b1.j = 1 AND b1.sidx = cp.k1
-         |  JOIN rcbb b2 ON b2.j = 2 AND b2.sidx = cp.k2
-         |  JOIN rcbb b3 ON b3.j = 3 AND b3.sidx = cp.k3
-         |  JOIN rcbb b4 ON b4.j = 4 AND b4.sidx = cp.k4),
-         |qprobe AS (
-         |  SELECT d.vec_id AS query_id, d.cidx AS cell,
-         |    CAST(floor(${dotSql("e.embedding", "u.craw")} * 1000000)
-         |      AS BIGINT) AS qcell
-         |  FROM (SELECT vec_id, cidx, row_number() OVER (
-         |          PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
-         |        FROM dists WHERE vec_id < 10) d
-         |  JOIN embeddings e ON e.vec_id = d.vec_id
-         |  JOIN unitc u ON u.cidx = d.cidx
-         |  WHERE d.rn <= 4),
-         |qlut AS (
-         |  SELECT v.vec_id AS qid, c.j, c.sidx,
-         |    CAST(floor(${dotSql("v.qs", "c.cs")} * 1000000) AS BIGINT) AS s
-         |  FROM (SELECT e.vec_id, b.j,
-         |          list_slice(list_transform(e.embedding,
-         |            x -> CAST(x AS DOUBLE)),
-         |            (b.j - 1) * 16 + 1, b.j * 16) AS qs
-         |        FROM embeddings e, sub b WHERE e.vec_id < 10) v
-         |  JOIN rcbb c ON c.j = v.j),
-         |cand AS (
-         |  SELECT p.query_id, ce.vec_id AS neighbor_id, p.qcell,
-         |    cp.k1, cp.k2, cp.k3, cp.k4
-         |  FROM qprobe p
-         |  JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
-         |  JOIN codep cp ON cp.vec_id = ce.vec_id),
-         |tot AS (
-         |  SELECT d.query_id, d.neighbor_id,
-         |    d.qcell + l1.s + l2.s + l3.s + l4.s - co.corr AS adc
-         |  FROM cand d
-         |  JOIN qlut l1 ON l1.qid = d.query_id AND l1.j = 1 AND l1.sidx = d.k1
-         |  JOIN qlut l2 ON l2.qid = d.query_id AND l2.j = 2 AND l2.sidx = d.k2
-         |  JOIN qlut l3 ON l3.qid = d.query_id AND l3.j = 3 AND l3.sidx = d.k3
-         |  JOIN qlut l4 ON l4.qid = d.query_id AND l4.j = 4 AND l4.sidx = d.k4
-         |  JOIN corr co ON co.vec_id = d.neighbor_id)
+    "ivf_pq_topk_residual" -> ivfPqResidualSql(10),
+
+    // ivf_pq_topk_refined: the residual ADC oracle widened to a
+    // 40-deep shortlist, then the exact-cosine re-rank tail (the
+    // matryoshka stage-2 pattern) — the IVFPQ+R composition
+    "ivf_pq_topk_refined" ->
+      s"""WITH short AS (
+         |  SELECT query_id, neighbor_id FROM (${ivfPqResidualSql(40)})),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
          |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
-         |  FROM tot)
+         |  SELECT s.query_id, s.neighbor_id, row_number() OVER (
+         |    PARTITION BY s.query_id ORDER BY
+         |      ${dotSql("qn.embedding", "nn.embedding")} / (qn.nrm * nn.nrm) DESC,
+         |      s.neighbor_id) AS rank
+         |  FROM short s
+         |  JOIN n qn ON qn.vec_id = s.query_id
+         |  JOIN n nn ON nn.vec_id = s.neighbor_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // matryoshka_topk: the topk_cosine oracle run twice — once over the

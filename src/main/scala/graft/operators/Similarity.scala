@@ -789,6 +789,56 @@ object Similarity {
       .select(col(idCol), col("cell"))
   }
 
+  /**
+   * Two-stage retrieval over the persisted index pair: ADC shortlist
+   * from the PQ index, EXACT cosine re-rank against the companion IVF
+   * index's raw vectors (the FAISS IVFPQ+R composition; also the
+   * documented recovery for the residual quantizer's code-flip recall
+   * ceiling — round-18 drill: 0.763 ADC-only -> exact re-rank of a
+   * 4x shortlist). The two indexes must describe the SAME corpus and
+   * centroid seed set — checked loudly by comparing routing tables,
+   * since a skewed pair would silently re-rank the wrong candidates.
+   *
+   * Scale posture: stage 1 is [[ivfPqTopKIndexed]] (codes scanned at
+   * their bucketing, raw vectors untouched); stage 2 joins the
+   * queries x shortlist pairs (tiny, broadcast) against `_cells` —
+   * ONE scan of the raw vectors, no corpus shuffle, and only
+   * shortlist-many exact dots per query.
+   */
+  def ivfPqTopKRefined(queries: DataFrame, pqBase: String,
+                       ivfBase: String, k: Int = 10,
+                       shortlist: Int = 40, nprobe: Int = 4,
+                       dim: Int = 64, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       autoNprobe: Boolean = false): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k)")
+    val spark = queries.sparkSession
+    val ivfCents = ivfRouting(spark, ivfBase)
+    val pqCents = pqRouting(spark, pqBase)._1
+    require(ivfCents == pqCents,
+      s"index pair mismatch: '$ivfBase' and '$pqBase' carry different " +
+        "routing tables — they must be built from the same corpus with " +
+        "the same nlist (rebuild one of them)")
+    val short = ivfPqTopKIndexed(queries, pqBase, k = shortlist,
+      nprobe = nprobe, dim = dim, idCol = idCol, vecCol = vecCol,
+      autoNprobe = autoNprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("vq"), VectorFns.norm(vecCol).as("nq"))
+    val cells = spark.table(ivfBase + "_cells")
+      .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
+        col("nrm").as("nc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cells.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Whether the persisted PQ index encodes RESIDUALS (IVFADC) — the
    * `kind = 'res'` meta row written by `writePqIndex(residual = true)`.
    * Query paths dispatch on this automatically; raw and residual

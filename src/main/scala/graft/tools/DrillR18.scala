@@ -165,6 +165,23 @@ object DrillR18 {
         autoNprobe = true).localCheckpoint(true)
     }
     println(f"MARKER eval ADC recall=${recallOf(got, truth)}%.4f target=0.70")
+    // stage 2: exact re-rank of a 4x shortlist against the companion
+    // IVF index's raw vectors — the code-flip recovery
+    if (residual) {
+      val ivfBase = "drill_r18_refivf"
+      Seq(s"${ivfBase}_cells", s"${ivfBase}_centroids")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+      time("writeIvfIndex companion") {
+        Similarity.writeIvfIndex(c, ivfBase, nlist = nlist, dim = dim)
+      }
+      val refined = time("ivfPqTopKRefined 256q shortlist=40") {
+        Similarity.ivfPqTopKRefined(eval, base, ivfBase, k = 10,
+          shortlist = 40, nprobe = 1, dim = dim).localCheckpoint(true)
+      }
+      println(f"MARKER refined recall=${recallOf(refined, truth)}%.4f")
+      Seq(s"${ivfBase}_cells", s"${ivfBase}_centroids")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+    }
     Seq(s"${base}_pqcodes", s"${base}_pqmeta")
       .foreach(graft.tables.Tables.dropTable(spark, _))
   }

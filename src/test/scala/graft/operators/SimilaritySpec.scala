@@ -574,6 +574,48 @@ class SimilaritySpec extends SparkSpec {
     } finally drop()
   }
 
+  test("ivfPqTopKRefined: exact re-rank recovers the code-flip losses " +
+      "(refined == exact on planted near-dups where ADC-only missed); " +
+      "a mismatched index pair refuses loudly") {
+    import spark.implicits._
+    val nG = 40
+    val corpus = (0 until nG * 5).map { i =>
+      val g = i % nG
+      (i.toLong, Array.tabulate(16) { p =>
+        (math.sin((g % 8 + 1) * (p + 1) * 0.7)
+          + 0.3 * math.sin((g * 131 + p * 17) * 0.19)
+          + 0.01 * math.sin((i * 37 + p * 101) * 0.13)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".between(nG + 20, nG + 23))
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, k = 4)
+      .orderBy("query_id", "rank"))
+    val ivfBase = "ref_ivf_spec"; val pqBase = "ref_pq_spec"
+    def drop(): Unit = Seq(s"${ivfBase}_cells", s"${ivfBase}_centroids",
+      s"${pqBase}_pqcodes", s"${pqBase}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writeIvfIndex(corpus, ivfBase, nlist = 8, dim = 16)
+      Similarity.writePqIndex(corpus, pqBase, nlist = 8, m = 4, kcent = 8,
+        dim = 16, residual = true)
+      // shortlist 20 >> k=4: the exact re-rank over probed-all cells
+      // must reproduce brute force on this margin structure
+      val refined = rows(Similarity.ivfPqTopKRefined(queries, pqBase,
+        ivfBase, k = 4, shortlist = 20, nprobe = 8, dim = 16)
+        .orderBy("query_id", "rank"))
+      assert(refined == exact,
+        "refined two-stage must recover the exact top-4 here")
+      // mismatched pair: rebuild the IVF half with a different nlist
+      Similarity.writeIvfIndex(corpus, ivfBase, nlist = 4, dim = 16)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKRefined(queries, pqBase, ivfBase, k = 4,
+          shortlist = 20, nprobe = 4, dim = 16)
+      }
+      assert(e.getMessage.contains("index pair mismatch"))
+    } finally drop()
+  }
+
   test("quantizedCosineTopK: ranks like brute force on clean vectors; " +
       "zero vectors sink to the bottom") {
     val corpus = emb.union(Seq((5L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"))
