@@ -984,13 +984,24 @@ object Similarity {
                       baseTable: String, deltaPath: String,
                       nlist: Int = 16, dim: Int = 64, numBuckets: Int = 8,
                       iters: Int = 0, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Unit = {
+                      vecCol: String = "embedding",
+                      targetRecall: Option[Double] = None,
+                      recallK: Int = 10, recallSample: Int = 64,
+                      maxNprobe: Int = 64,
+                      calibrationQueries: Option[DataFrame] = None): Unit = {
     graft.streaming.Streams.compactIvfDelta(spark, deltaPath, baseTable,
       numBuckets, idCol)
     val corpus = spark.table(baseTable + "_cells")
       .select(col(idCol), col("vec").as(vecCol))
+    // a calibration describes ONE routing generation — the retrain
+    // re-measures it (pass targetRecall again) or drops it; carrying
+    // the old cal_nprobe forward against moved centroids would quietly
+    // mis-probe, which is exactly what the generation protocol exists
+    // to prevent
     writeIvfIndex(corpus, baseTable, nlist, dim, numBuckets, idCol, vecCol,
-      iters = iters)
+      iters = iters, targetRecall = targetRecall, recallK = recallK,
+      recallSample = recallSample, maxNprobe = maxNprobe,
+      calibrationQueries = calibrationQueries)
   }
 
   /**

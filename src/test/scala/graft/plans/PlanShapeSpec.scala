@@ -458,6 +458,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ivf_pq_topk_residual: both kernels in the plan (NearestCell " +
+      "assignment + PqCode over the residual column), <= 3 embedding " +
+      "scans, no cartesian product") {
+    val p = executedPlan("ivf_pq_topk_residual")
+    assert(count(p, "graft_nearest_cell") >= 1,
+      s"NearestCell kernel missing from the residual plan:\n$p")
+    assert(count(p, "graft_pq_code") >= 1,
+      s"PqCode kernel missing from the residual plan:\n$p")
+    assert(scanCount(p, "embeddings") <= 3, s"embeddings rescanned:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("ivf_pq_topk_refined: stage 2 never shuffles the cells table — " +
+      "shortlist and queries broadcast onto ONE raw-vector scan") {
+    val p = executedPlan("ivf_pq_topk_refined")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"shortlist/query sides lost their broadcasts:\n$p")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0)
+    // the raw-vector side reads the bucketed _cells table exactly once
+    assert(count(p, "graft_ivf_idx") >= 1 &&
+      scanCount(p, "graft_ivf_idx") <= 1,
+      s"cells table rescanned or missing:\n$p")
+  }
+
   test("ivf_pq_topk_indexed query side: codes table scans <= 2, cell " +
       "join broadcast, never a nested loop or python eval") {
     val p = executedPlan("ivf_pq_topk_indexed")

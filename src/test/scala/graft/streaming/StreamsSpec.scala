@@ -1765,4 +1765,42 @@ class StreamsSpec extends SparkSpec {
     Seq("_pqcodes", "_pqmeta").foreach(sfx =>
       Tables.dropTable(spark, "pqstale" + sfx))
   }
+
+  test("residual PQ index streams: the sink encodes deltas with corr, " +
+      "tiered queries match the post-fold indexed query exactly, and " +
+      "the fold carries the corr column through") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      Tables.dropTable(spark, "pqres" + sfx))
+    Similarity.writePqIndex(emb.filter(col("vec_id") < 100), "pqres",
+      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4,
+      residual = true)
+    val delta = Files.createTempDirectory("pqresdelta").toString
+    val cp = Files.createTempDirectory("pqrescp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val newRows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val q = Streams.pqIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "pqres", delta, cp, dim = 64)
+    try { mem.addData(newRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    // the delta batch carries the residual corr column
+    val deltaDf = spark.read.option("basePath", delta).parquet(delta)
+    assert(deltaDf.columns.contains("__corr"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val tiered = rows(Similarity.ivfPqTopKTiered(queries, "pqres", delta,
+      k = 10, nprobe = 16, dim = 64).orderBy("query_id", "rank"))
+    Streams.compactPqDelta(spark, delta, "pqres", numBuckets = 4)
+    assert(spark.table("pqres_pqcodes").columns.contains("__corr"))
+    val folded = rows(Similarity.ivfPqTopKIndexed(queries, "pqres",
+      k = 10, nprobe = 16, dim = 64).orderBy("query_id", "rank"))
+    assert(tiered == folded && tiered.nonEmpty,
+      "tiered residual query must equal the post-fold indexed query")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+    Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+      Tables.dropTable(spark, "pqres" + sfx))
+  }
 }
