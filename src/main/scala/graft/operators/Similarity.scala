@@ -906,8 +906,17 @@ object Similarity {
                     maxNprobe: Int = 64,
                     calibrationQueries: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, nlist, dim, iters, idCol,
-      vecCol)
+    // iters > 0 rides the INTEGER-exact Lloyd ([[kmeansCentroids]]),
+    // not [[trainIvfCentroids]]'s float mean: a persisted index must
+    // rebuild bit-identically on identical data (the generation/
+    // calibration protocol compares across rebuilds), and a
+    // distributed float avg's summation order can flip borderline
+    // assignments between runs — fine for the ad-hoc in-memory paths,
+    // wrong for an index that outlives the session (round 18)
+    val cents =
+      if (iters == 0) trainIvfCentroids(corpus, nlist, dim, 0, idCol,
+        vecCol)
+      else kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
     // recall-targeted auto-nprobe (round 18): calibrate BEFORE the swap
     // so the chosen value rides the same commit as the routing table it
     // was measured against — a calibration can never describe a

@@ -771,6 +771,28 @@ class SimilaritySpec extends SparkSpec {
     } finally drop()
   }
 
+  test("writeIvfIndex(iters > 0) trains integer-exact: identical " +
+      "centroid tables across different input partitionings") {
+    val corpus = (1L to 64L).map { i =>
+      (i, Array(math.cos(i * 0.0982).toFloat, math.sin(i * 0.0982).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    def build(base: String, parts: Int): Seq[Seq[Any]] = {
+      Seq(s"${base}_cells", s"${base}_centroids")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+      Similarity.writeIvfIndex(corpus.repartition(parts), base,
+        nlist = 4, dim = 2, iters = 2)
+      val out = rows(spark.table(s"${base}_centroids")
+        .select("cell", "centroid").orderBy("cell"))
+      Seq(s"${base}_cells", s"${base}_centroids")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+      out
+    }
+    val a = build("ivf_det_a", 7)
+    val b = build("ivf_det_b", 3)
+    assert(a == b && a.nonEmpty,
+      "Lloyd-refined centroids must be partitioning-independent")
+  }
+
   test("ivfTopK and writeIvfIndex refuse an empty corpus loudly (no bare " +
       "head-of-empty from withIvfCell)") {
     val empty = emb.filter($"vec_id" < 0)
