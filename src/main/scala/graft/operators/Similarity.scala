@@ -1159,9 +1159,19 @@ object Similarity {
   def ivfTopKTiered(queries: DataFrame, baseTable: String,
                     deltaPath: String, k: Int = 10, nprobe: Int = 4,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    autoNprobe: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val cents = ivfRouting(spark, baseTable)
+    // same auto contract as [[ivfTopKAgainstIndex]] — the calibration
+    // described the BULK's routing table, which is also the tier's
+    val np =
+      if (!autoNprobe) nprobe
+      else calibratedNprobe(spark, baseTable).getOrElse(
+        throw new IllegalStateException(
+          s"autoNprobe requested but index '$baseTable' carries no " +
+            "calibration — rebuild with writeIvfIndex(targetRecall = " +
+            "Some(...)) or pass an explicit nprobe"))
     val bulk = bulkCells(spark, baseTable, idCol)
     val p = new org.apache.hadoop.fs.Path(deltaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1190,7 +1200,7 @@ object Similarity {
           .select(col(idCol).as("neighbor_id"), col("vec").as("vc"),
             col("nrm").as("nc"), col("cell"),
             col("batch").cast("long").as("__prec")))
-    ivfProbeRank(corpus, queries, cents, k, nprobe, idCol, vecCol,
+    ivfProbeRank(corpus, queries, cents, k, np, idCol, vecCol,
       dedupCandidates = hasDelta)
   }
 
@@ -1582,9 +1592,17 @@ object Similarity {
   def ivfPqTopKTiered(queries: DataFrame, baseTable: String,
                       deltaPath: String, k: Int = 10, nprobe: Int = 4,
                       dim: Int = 64, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      autoNprobe: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val (cents, books) = pqRouting(spark, baseTable)
+    val np =
+      if (!autoNprobe) nprobe
+      else calibratedPqNprobe(spark, baseTable).getOrElse(
+        throw new IllegalStateException(
+          s"autoNprobe requested but PQ index '$baseTable' carries no " +
+            "calibration — rebuild with writePqIndex(targetRecall = " +
+            "Some(...)) or pass an explicit nprobe"))
     val m = books.size
     val res = pqIsResidual(spark, baseTable)
     val codeCols = (0 until m).map(j => col(s"__code$j")) ++
@@ -1606,7 +1624,7 @@ object Similarity {
           .option("basePath", deltaPath).parquet(deltaPath)
           .select(col(idCol).as("neighbor_id") +: col("cell") +:
             codeCols :+ col("batch").cast("long").as("__prec"): _*))
-    ivfPqAdcRank(corpus, queries, cents, books, k, nprobe, dim / m,
+    ivfPqAdcRank(corpus, queries, cents, books, k, np, dim / m,
       idCol, vecCol, dedupCandidates = hasDelta, residual = res)
   }
 

@@ -716,6 +716,13 @@ class SimilaritySpec extends SparkSpec {
       val manual = rows(Similarity.ivfTopKAgainstIndex(q, base, k = 5,
         nprobe = cal.get, dim = 2).orderBy("query_id", "rank"))
       assert(auto == manual && auto.nonEmpty)
+      // the tiered entry point reads the same calibration (empty delta
+      // tree -> bulk-only, so it must equal the indexed auto query)
+      val emptyDelta = java.nio.file.Files
+        .createTempDirectory("ivf_cal_delta").toString
+      val tieredAuto = rows(Similarity.ivfTopKTiered(q, base, emptyDelta,
+        k = 5, autoNprobe = true).orderBy("query_id", "rank"))
+      assert(tieredAuto == auto)
       // rebuild WITHOUT a target: calibration column null -> auto throws
       Similarity.writeIvfIndex(corpus, base, nlist = 8, dim = 2)
       assert(Similarity.calibratedNprobe(spark, base).isEmpty)
