@@ -155,6 +155,17 @@ object Bench {
    * floored at 0.25 so a pathological estimate can never inflate a
    * sample 4x+; a clean pass sits at ~1.0 by construction.
    */
+  /** Whether an end-of-run retime clears a flag: every retime pass
+   * must have SUCCEEDED (a pass that threw records a fast, quiet
+   * elapsed time that would otherwise satisfy the criteria and
+   * silently clear a genuine failure — ADVICE r18), the spread must be
+   * quiet (≤ 2×), and the median must reproduce the run's own
+   * normalized median (≤ 1.5×). */
+  private[graft] def retimeClears(rs: Seq[Double], runMed: Double,
+                                  threw: Boolean): Boolean =
+    !threw && rs.nonEmpty && rs.max / rs.min <= 2.0 &&
+      median(rs) <= 1.5 * runMed
+
   private[graft] def passFactors(samples: Array[Vector[Double]]): Array[Double] = {
     val meds = samples.map(v => median(trim(v)))
     val nPasses = samples.map(_.size).max
@@ -339,17 +350,23 @@ object Bench {
       System.gc(); Thread.sleep(1000)
       val idx = names.zipWithIndex.toMap
       for (q <- flaggedNorm) {
+        // a pass that THROWS records a fast, quiet elapsed time that
+        // could satisfy the clear criteria — a failing query must keep
+        // its flag (ADVICE r18): every retime pass must succeed to clear
+        var threw = false
         val rs = (1 to RetimePasses).map { _ =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(q)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          catch { case e: Throwable =>
+            threw = true
+            System.err.println(s"[bench] retime pass of $q FAILED: " +
+              e.getClass.getSimpleName)
+          }
           (System.nanoTime() - t0) / 1e9
         }
-        val med = median(rs)
-        retimed(q) = med
-        val runMed = normResults(idx(q))._2
-        if (rs.max / rs.min <= 2.0 && med <= 1.5 * runMed) cleared += q
+        retimed(q) = median(rs)
+        if (retimeClears(rs, normResults(idx(q))._2, threw)) cleared += q
       }
     }
     val flaggedAll = flaggedNorm.filterNot(cleared)

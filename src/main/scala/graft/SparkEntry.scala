@@ -123,7 +123,7 @@ object SparkEntry {
     "topk_cosine", "mutual_knn_ivf", "hyperplane_ann", "hyperplane_ann_capped",
     "embedding_near_dup_lsh", "embedding_near_dup_lsh_tight", "ivf_topk",
     "ivf_topk_indexed", "ivf_autoprobe", "ivf_pq_topk_residual",
-    "ivf_pq_topk_refined",
+    "ivf_pq_topk_refined", "ivf_refined_autocal",
     "semantic_dedup", "kmeans_embed", "pq_encode", "pq_topk",
     "ivf_pq_topk", "ivf_pq_topk_indexed", "matryoshka_topk",
     "quantize_int8", "ndcg_quantized", "embedding_centroids",
@@ -1150,6 +1150,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // joint (nprobe, shortlist) calibration for the two-stage refined
+    // path (round 19): the ascent tries every shortlist step (4..64)
+    // before adding a probe — stage 2 re-ranks only queries x shortlist
+    // rows, so deepening the shortlist is near-free while another probe
+    // scans another corpus fraction. Explicit 16-query workload sample
+    // (the ivf_autoprobe contract: supplying the sample keeps the entry
+    // oracle-exact); point-estimate rule (marginZ = 0) with the 19/20
+    // target so the DuckDB twin replays acceptance in integer math.
+    // Emits the measured curve up to the accepted pair.
+    "ivf_refined_autocal" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pqBase = "graft_pqres_idx_" + math.abs(dir.hashCode).toString
+      memoIndex(s, pqBase, Seq("_pqcodes", "_pqmeta")) {
+        Similarity.writePqIndex(emb, pqBase, nlist = 16, m = 4,
+          kcent = 16, dim = 64, residual = true)
+      }
+      val (cents, books) = Similarity.pqRouting(s, pqBase)
+      val ((cnp, csh), curve) = Similarity.calibrateRefined(emb, cents,
+        books, targetRecall = 0.95, k = 4, sample = 16, maxNprobe = 16,
+        maxShortlist = 64, dim = 64,
+        queries = Some(emb.filter(col("vec_id") < 16)), residual = true,
+        marginZ = 0.0)
+      import s.implicits._
+      curve.map { case (n, sl, r) =>
+        (n.toLong, sl.toLong, r, if (n == cnp && sl == csh) 1L else 0L) }
+        .toDF("nprobe", "shortlist", "recall", "chosen")
+        .orderBy("nprobe", "shortlist")
+    }),
+
     // the PERSISTED-index variant of ivf_pq_topk: codebooks train and
     // the corpus encodes ONCE at writePqIndex time (memoized across
     // bench passes); each batch collects only the nlist + m*kcent meta
@@ -1160,7 +1189,7 @@ object SparkEntry {
       val base = "graft_pq_idx_" + math.abs(dir.hashCode).toString
       memoIndex(s, base, Seq("_pqcodes", "_pqmeta")) {
         Similarity.writePqIndex(emb, base, nlist = 16, m = 4, kcent = 16,
-          dim = 64)
+          dim = 64, residual = false)
       }
       Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 10), base,
         k = 10, nprobe = 4, dim = 64).orderBy("query_id", "rank")
@@ -2307,10 +2336,15 @@ object SparkEntry {
    * (vector, subspace, centroid), and `best(vec_id, j, cidx)` — the PQ
    * codes. pq_encode emits the codes; pq_topk reuses `scores` for the
    * query LUTs and `best` for the corpus side. */
-  /** The residual (IVFADC) ADC oracle, parameterized by the rank
-   * bound so the refined twin can reuse it as a 40-deep shortlist
-   * stage. */
-  private def ivfPqResidualSql(kRank: Int): String =
+  /** The residual (IVFADC) ADC oracle CTE chain through
+   * `tot(query_id, neighbor_id, prn, adc)` — prn is the probe rank of
+   * the neighbor's cell for the query, so downstream blocks can
+   * sub-select probe depths without re-deriving the chain.
+   * Parameterized by the query-id bound and the deepest probe rank
+   * retained; [[ivfPqResidualSql]] closes it with the classic rank
+   * filter, the refined-autocal oracle grids (nprobe, shortlist) over
+   * it. */
+  private def ivfPqResidualCtes(nQ: Int, maxNprobe: Int): String =
       s"""WITH cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS craw
@@ -2379,15 +2413,15 @@ object SparkEntry {
          |  JOIN rcbb b3 ON b3.j = 3 AND b3.sidx = cp.k3
          |  JOIN rcbb b4 ON b4.j = 4 AND b4.sidx = cp.k4),
          |qprobe AS (
-         |  SELECT d.vec_id AS query_id, d.cidx AS cell,
+         |  SELECT d.vec_id AS query_id, d.cidx AS cell, d.rn AS prn,
          |    CAST(floor(${dotSql("e.embedding", "u.craw")} * 1000000)
          |      AS BIGINT) AS qcell
          |  FROM (SELECT vec_id, cidx, row_number() OVER (
          |          PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
-         |        FROM dists WHERE vec_id < 10) d
+         |        FROM dists WHERE vec_id < $nQ) d
          |  JOIN embeddings e ON e.vec_id = d.vec_id
          |  JOIN unitc u ON u.cidx = d.cidx
-         |  WHERE d.rn <= 4),
+         |  WHERE d.rn <= $maxNprobe),
          |qlut AS (
          |  SELECT v.vec_id AS qid, c.j, c.sidx,
          |    CAST(floor(${dotSql("v.qs", "c.cs")} * 1000000) AS BIGINT) AS s
@@ -2395,23 +2429,30 @@ object SparkEntry {
          |          list_slice(list_transform(e.embedding,
          |            x -> CAST(x AS DOUBLE)),
          |            (b.j - 1) * 16 + 1, b.j * 16) AS qs
-         |        FROM embeddings e, sub b WHERE e.vec_id < 10) v
+         |        FROM embeddings e, sub b WHERE e.vec_id < $nQ) v
          |  JOIN rcbb c ON c.j = v.j),
          |cand AS (
-         |  SELECT p.query_id, ce.vec_id AS neighbor_id, p.qcell,
+         |  SELECT p.query_id, ce.vec_id AS neighbor_id, p.qcell, p.prn,
          |    cp.k1, cp.k2, cp.k3, cp.k4
          |  FROM qprobe p
          |  JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
          |  JOIN codep cp ON cp.vec_id = ce.vec_id),
          |tot AS (
-         |  SELECT d.query_id, d.neighbor_id,
+         |  SELECT d.query_id, d.neighbor_id, d.prn,
          |    d.qcell + l1.s + l2.s + l3.s + l4.s - co.corr AS adc
          |  FROM cand d
          |  JOIN qlut l1 ON l1.qid = d.query_id AND l1.j = 1 AND l1.sidx = d.k1
          |  JOIN qlut l2 ON l2.qid = d.query_id AND l2.j = 2 AND l2.sidx = d.k2
          |  JOIN qlut l3 ON l3.qid = d.query_id AND l3.j = 3 AND l3.sidx = d.k3
          |  JOIN qlut l4 ON l4.qid = d.query_id AND l4.j = 4 AND l4.sidx = d.k4
-         |  JOIN corr co ON co.vec_id = d.neighbor_id)
+         |  JOIN corr co ON co.vec_id = d.neighbor_id)""".stripMargin
+
+  /** The residual (IVFADC) ADC oracle, parameterized by the rank
+   * bound so the refined twin can reuse it as a 40-deep shortlist
+   * stage. */
+  private def ivfPqResidualSql(kRank: Int): String =
+    ivfPqResidualCtes(nQ = 10, maxNprobe = 4) +
+      s"""
          |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
@@ -4249,6 +4290,63 @@ object SparkEntry {
     // grouping the Spark expression uses), ADC = qcell + LUT sum -
     // corr in pure BIGINT micro-units
     "ivf_pq_topk_residual" -> ivfPqResidualSql(10),
+
+    // ivf_refined_autocal: the residual ADC chain widened to 16
+    // queries / full probe depth, gridded over (nprobe, shortlist) in
+    // ascent order, exact-cosine re-rank per cell, recall vs brute
+    // top-4; acceptance replayed in integer math (c*20 >= d*19 is the
+    // 0.95 target) and the curve truncated at the accepted ordinal —
+    // the same rows calibrateRefined publishes
+    "ivf_refined_autocal" ->
+      (ivfPqResidualCtes(nQ = 16, maxNprobe = 16) +
+      s""",
+         |adcranked AS (
+         |  SELECT s.np, t.query_id, t.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.np, t.query_id
+         |      ORDER BY t.adc DESC, t.neighbor_id) AS adcrank
+         |  FROM (SELECT unnest([1, 2, 4, 8, 16]) AS np) s
+         |  JOIN tot t ON t.prn <= s.np),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id) AS rank
+         |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 16) WHERE rank <= 4),
+         |grid AS (
+         |  SELECT row_number() OVER (ORDER BY np, sl) AS ord, np, sl
+         |  FROM (SELECT s.np, l.sl
+         |        FROM (SELECT unnest([1, 2, 4, 8, 16]) AS np) s,
+         |             (SELECT unnest([4, 8, 16, 32, 64]) AS sl) l)),
+         |rer AS (
+         |  SELECT g.ord, a.query_id, a.neighbor_id,
+         |    row_number() OVER (PARTITION BY g.ord, a.query_id ORDER BY
+         |      ${dotSql("qn.embedding", "nn.embedding")} / (qn.nrm * nn.nrm) DESC,
+         |      a.neighbor_id) AS rr
+         |  FROM grid g
+         |  JOIN adcranked a ON a.np = g.np AND a.adcrank <= g.sl
+         |  JOIN n qn ON qn.vec_id = a.query_id
+         |  JOIN n nn ON nn.vec_id = a.neighbor_id),
+         |hits AS (
+         |  SELECT r.ord, count(*) AS c FROM rer r
+         |  JOIN truth t ON t.query_id = r.query_id
+         |    AND t.neighbor_id = r.neighbor_id
+         |  WHERE r.rr <= 4 GROUP BY r.ord),
+         |denom AS (SELECT count(*) AS d FROM truth),
+         |curve AS (
+         |  SELECT g.ord, g.np, g.sl, coalesce(h.c, 0) AS c
+         |  FROM grid g LEFT JOIN hits h ON h.ord = g.ord),
+         |pick AS (SELECT min(ord) AS ord FROM curve, denom
+         |         WHERE c * 20 >= d * 19)
+         |SELECT CAST(cu.np AS BIGINT) AS nprobe,
+         |  CAST(cu.sl AS BIGINT) AS shortlist,
+         |  CAST(cu.c AS DOUBLE) / d.d AS recall,
+         |  CAST(cu.ord = p.ord AS BIGINT) AS chosen
+         |FROM curve cu, denom d, pick p WHERE cu.ord <= p.ord
+         |ORDER BY nprobe, shortlist""".stripMargin),
 
     // ivf_pq_topk_refined: the residual ADC oracle widened to a
     // 40-deep shortlist, then the exact-cosine re-rank tail (the

@@ -351,6 +351,17 @@ object Similarity {
       .orderBy(col(idCol))
       .select(col("__res")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
+    // a NON-empty corpus with <= nlist rows leaves zero residual seeds
+    // (every row IS a centroid seed) — an empty codebook would make
+    // ivfPqTopK(residual=true) silently return nothing and writePqIndex
+    // blame an "empty corpus" (ADVICE r18). Loud and actionable instead;
+    // cents.isEmpty (genuinely empty corpus) keeps the callers' empty
+    // short-circuits.
+    require(cents.isEmpty || seeds.nonEmpty,
+      s"residual codebook needs a corpus LARGER than nlist=${cents.size} " +
+        "rows (seeds draw from the ids after the centroid seed range, " +
+        "whose own residuals are identically zero) — grow the corpus, " +
+        "lower nlist, or use residual = false")
     (0 until m).map { j =>
       val cb = seeds.map(_.slice(j * dsub, (j + 1) * dsub))
       (cb, cb.map(c => c.foldLeft(0.0)((a, x) => a + x * x) * 0.5))
@@ -612,13 +623,26 @@ object Similarity {
    * a bounded `queries` sample of the real workload for those; ids
    * must not collide with corpus ids (ground truth excludes self-id
    * matches).
+   *
+   * The accept rule is `recall − margin ≥ target`, where margin =
+   * `marginZ · sd(per-query recall) / √sample` — a one-sided
+   * confidence bound on the SAMPLE's estimate (round 19; the round-18
+   * 10M drill measured a 64-query point estimate over-reading held-out
+   * recall by +0.15, so a target met by 0.01 on the sample could miss
+   * by 0.1 in production). `marginZ = 1.645` ≈ one-sided 95%;
+   * `marginZ = 0` restores the point-estimate rule. A recall of
+   * exactly 1.0 has zero dispersion, so margin never blocks an exact
+   * target. When the margin (not the point estimate) is what blocks
+   * acceptance, the failure message says so — grow `sample` to tighten
+   * the bound rather than raising probes.
    */
   def calibrateNprobe(corpus: DataFrame, cents: Seq[Seq[Double]],
                       targetRecall: Double, k: Int = 10,
                       sample: Int = 64, maxNprobe: Int = 64,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      queries: Option[DataFrame] = None): (Int, Seq[(Int, Double)]) = {
+                      queries: Option[DataFrame] = None,
+                      marginZ: Double = 1.645): (Int, Seq[(Int, Double)]) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     require(sample >= 1, s"sample must be >= 1, got $sample")
@@ -643,20 +667,51 @@ object Similarity {
     val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq :+ cap)
       .distinct
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var lastMargin = 0.0
     for (np <- steps) {
-      val hits = ivfProbeRank(cells, q, cents, k, np, idCol, vecCol,
+      val got = ivfProbeRank(cells, q, cents, k, np, idCol, vecCol,
           dedupCandidates = false)
         .select("query_id", "neighbor_id")
-        .join(truth, Seq("query_id", "neighbor_id")).count()
-      val recall = hits / denom
+      val (recall, margin) = recallStats(got, truth, denom, marginZ)
       curve += ((np, recall))
-      if (recall >= targetRecall) return (np, curve.toSeq)
+      lastMargin = margin
+      if (recall - margin >= targetRecall) return (np, curve.toSeq)
     }
     throw new IllegalArgumentException(
       s"recall target $targetRecall unreachable within maxNprobe=" +
         s"$maxNprobe of nlist=$nlist cells; measured curve: " +
         curve.map { case (n, r) => f"nprobe=$n%d->$r%.3f" }.mkString(", ") +
-        " — raise maxNprobe (nlist probes = exact) or lower the target")
+        (if (curve.last._2 >= targetRecall)
+          f" — the POINT estimate meets the target but the sample's" +
+            f" dispersion margin (${lastMargin}%.3f at z=$marginZ%.2f)" +
+            " does not: grow `sample` to tighten the bound"
+        else " — raise maxNprobe (nlist probes = exact) or lower the target"))
+  }
+
+  /** Pooled recall plus a one-sided dispersion margin for a calibration
+   * step: `got`/`truth` are (query_id, neighbor_id) frames; pooled
+   * recall = |got ∩ truth| / |truth| (the value every curve publishes),
+   * margin = `z · sd(per-query recall) / √nQueries`. One bounded
+   * collect of ≤ sample per-query rows. z = 0 short-circuits to the
+   * point-estimate rule with a single count. */
+  private def recallStats(got: DataFrame, truth: DataFrame,
+                          denom: Double, z: Double): (Double, Double) = {
+    val joined = got.join(truth, Seq("query_id", "neighbor_id"))
+    if (z <= 0.0) return (joined.count() / denom, 0.0)
+    val perQ = truth.groupBy("query_id").agg(count("*").as("__t"))
+      .join(joined.groupBy("query_id").agg(count("*").as("__h")),
+        Seq("query_id"), "left")
+      .select((coalesce(col("__h"), lit(0L)).cast("double") / col("__t"))
+        .as("__r"), col("__h"))
+      .collect()
+    val rs = perQ.map(_.getDouble(0))
+    val hits = perQ.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+    val nQ = rs.length
+    val mean = rs.sum / nQ
+    val sd =
+      if (nQ < 2) 0.0
+      else math.sqrt(rs.map(r => (r - mean) * (r - mean)).sum / (nQ - 1))
+    (hits / denom, z * sd / math.sqrt(nQ.toDouble))
   }
 
   /**
@@ -675,7 +730,8 @@ object Similarity {
                         dim: Int = 64, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         queries: Option[DataFrame] = None,
-                        residual: Boolean = false): (Int, Seq[(Int, Double)]) = {
+                        residual: Boolean = false,
+                        marginZ: Double = 1.645): (Int, Seq[(Int, Double)]) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     require(sample >= 1, s"sample must be >= 1, got $sample")
@@ -708,24 +764,159 @@ object Similarity {
     val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq :+ cap)
       .distinct
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var lastMargin = 0.0
     for (np <- steps) {
-      val hits = ivfPqAdcRank(coded, q, cents, books, k, np, dim / m,
+      val got = ivfPqAdcRank(coded, q, cents, books, k, np, dim / m,
           idCol, vecCol, residual = residual)
         .select("query_id", "neighbor_id")
-        .join(truth, Seq("query_id", "neighbor_id")).count()
-      val recall = hits / denom
+      val (recall, margin) = recallStats(got, truth, denom, marginZ)
       curve += ((np, recall))
-      if (recall >= targetRecall) return (np, curve.toSeq)
+      lastMargin = margin
+      if (recall - margin >= targetRecall) return (np, curve.toSeq)
     }
     val capped = cap == nlist
     throw new IllegalArgumentException(
       s"ADC recall target $targetRecall unreachable within maxNprobe=" +
         s"$maxNprobe of nlist=$nlist cells; measured curve: " +
         curve.map { case (n, r) => f"nprobe=$n%d->$r%.3f" }.mkString(", ") +
-        (if (capped)
+        (if (curve.last._2 >= targetRecall)
+          f" — the POINT estimate meets the target but the sample's" +
+            f" dispersion margin (${lastMargin}%.3f at z=$marginZ%.2f)" +
+            " does not: grow `sample` to tighten the bound"
+        else if (capped && !residual)
+          " — every cell was probed, so the shortfall is PQ quantization" +
+            " distortion; on a CLUSTERED corpus raw-vector codes collapse" +
+            " outright (cluster siblings share codes — round-18 1M drill:" +
+            " recall 0.100 raw vs 0.807 residual): rebuild with" +
+            " residual = true (IVFADC), or raise m/kcent, or lower the" +
+            " target"
+        else if (capped)
           " — every cell was probed, so the shortfall is PQ quantization" +
             " distortion: raise m/kcent or lower the target"
         else " — raise maxNprobe or lower the target"))
+  }
+
+  /**
+   * Joint (nprobe, shortlist) calibration for the TWO-STAGE refined
+   * path ([[ivfPqTopKRefined]]) — round 19, closing the round-18 10M
+   * drill's gap: the refined path's recall is a function of BOTH knobs,
+   * and the right shortlist scales with cell density (1000 rows/cell at
+   * 1M needed shortlist 40 for 0.9988; 3163 rows/cell at 10M read
+   * 0.9047 with the same 40), so a fixed constant silently decays as
+   * the corpus grows — exactly the failure `cal_nprobe` fixed for the
+   * single-stage paths in round 18.
+   *
+   * Ascent order prices the two stages correctly for scale: stage 1
+   * (ADC scan) cost grows with nprobe (probed fraction of the corpus),
+   * stage 2 (exact re-rank) touches only `queries × shortlist` rows —
+   * near-free. So for each nprobe (1, 2, 4, …) EVERY shortlist step
+   * (k, 2k, … maxShortlist) is tried before another probe is added:
+   * the chosen pair is the cheapest at query time, not the first met.
+   * Per nprobe step the ADC ranking runs ONCE at `maxShortlist` and
+   * all shortlist cuts re-rank the same scored candidate frame
+   * (sample × maxShortlist rows, checkpointed) — shortlist steps cost
+   * one tiny window each, not a corpus rescan.
+   *
+   * Accept rule is [[calibrateNprobe]]'s margin rule: pooled recall −
+   * `marginZ`·sd/√sample ≥ target. Returns ((nprobe, shortlist), the
+   * measured (nprobe, shortlist, recall) curve). Deterministic, same
+   * sample contract as the other calibrators; the workload-sample
+   * guidance in [[calibrateNprobe]] applies verbatim.
+   */
+  def calibrateRefined(corpus: DataFrame, cents: Seq[Seq[Double]],
+                       books: Seq[(Seq[Seq[Double]], Seq[Double])],
+                       targetRecall: Double, k: Int = 10,
+                       sample: Int = 64, maxNprobe: Int = 64,
+                       maxShortlist: Int = 256, dim: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       queries: Option[DataFrame] = None,
+                       residual: Boolean = false,
+                       marginZ: Double = 1.645)
+      : ((Int, Int), Seq[(Int, Int, Double)]) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(sample >= 1, s"sample must be >= 1, got $sample")
+    require(maxShortlist >= k,
+      s"maxShortlist ($maxShortlist) must be >= k ($k)")
+    val m = books.size
+    val nlist = cents.size
+    val q = queries.getOrElse(corpus)
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sample)
+      .localCheckpoint(true)
+    val truth = bruteForceTopK(corpus, q, k, idCol, vecCol)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom = truth.count().toDouble
+    if (denom == 0) return ((1, k), Seq((1, k, 1.0)))
+    val assigned = withIvfCell(corpus, cents, vecCol)
+    val coded0 =
+      if (residual)
+        withResidualCorr(
+          withPqCodes(assigned.withColumn("__rawcents", typedLit(cents))
+              .withColumn("__res", expr(residualExpr(vecCol))),
+            books, dim / m, "__res"),
+          books, dim / m)
+      else withPqCodes(assigned, books, dim / m, vecCol)
+    val coded = coded0
+      .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
+        (0 until m).map(j => col(s"__code$j")) ++:
+        (if (residual) Seq(col("__corr")) else Nil): _*)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // raw vectors for the exact stage-2 re-rank (build-time corpus —
+    // the same vectors the companion IVF index will serve at query time)
+    val raws = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"),
+        VectorFns.norm(vecCol).as("nc"))
+    val qv = q.select(col(idCol).as("query_id"), col(vecCol).as("vq"),
+      VectorFns.norm(vecCol).as("nq"))
+    val npCap = math.min(maxNprobe, nlist)
+    val npSteps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < npCap)
+      .toSeq :+ npCap).distinct
+    val sSteps = (Iterator.iterate(k)(_ * 2).takeWhile(_ < maxShortlist)
+      .toSeq :+ maxShortlist).distinct
+    val curve =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    var lastMargin = 0.0
+    for (np <- npSteps) {
+      // ONE ADC pass at the deepest shortlist; `rank` is the ADC rank,
+      // so every smaller shortlist is a prefix filter of this frame
+      val scored = ivfPqAdcRank(coded, q, cents, books, maxShortlist, np,
+          dim / m, idCol, vecCol, residual = residual)
+        .join(raws, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos",
+          VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .localCheckpoint(true) // sample x maxShortlist rows — bounded
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      for (s <- sSteps) {
+        val got = scored.filter(col("rank") <= s)
+          .withColumn("__rr", row_number().over(w))
+          .filter(col("__rr") <= k)
+          .select("query_id", "neighbor_id")
+        val (recall, margin) = recallStats(got, truth, denom, marginZ)
+        curve += ((np, s, recall))
+        lastMargin = margin
+        if (recall - margin >= targetRecall) return ((np, s), curve.toSeq)
+      }
+    }
+    throw new IllegalArgumentException(
+      s"refined recall target $targetRecall unreachable within maxNprobe=" +
+        s"$maxNprobe / maxShortlist=$maxShortlist (nlist=$nlist); " +
+        "measured curve: " + curve.map { case (n, s, r) =>
+          f"(np=$n%d,short=$s%d)->$r%.3f" }.mkString(", ") +
+        (if (curve.last._3 >= targetRecall)
+          f" — the POINT estimate meets the target but the sample's" +
+            f" dispersion margin (${lastMargin}%.3f at z=$marginZ%.2f)" +
+            " does not: grow `sample` to tighten the bound"
+        else
+          " — raise maxShortlist/maxNprobe, or the codes cannot surface" +
+            " the true neighbors into any shortlist at this depth" +
+            (if (!residual) " (clustered corpus? rebuild with residual" +
+              " = true — IVFADC)" else ": raise m/kcent")))
   }
 
   /**
@@ -781,10 +972,20 @@ object Similarity {
         s"(${gens.sorted.mkString(",")}) — run Tables.recoverSwap and " +
         "rebuild before querying")
     val codes = spark.table(baseTable + "_pqcodes")
+    // a residual (IVFADC) index scores as `__qcell + LUT - __corr`: a
+    // null __corr nulls the whole ADC score and the vector silently
+    // sinks out of every result — exactly the mis-scoring class this
+    // audit exists to surface (ADVICE r18), so check it like the codes
+    val res = pqIsResidual(spark, baseTable)
+    if (res) require(codes.columns.contains("__corr"),
+      s"PQ index '$baseTable' is stamped residual (kind='res') but " +
+        "_pqcodes carries no __corr column — rebuild via " +
+        "writePqIndex(residual = true)")
     val bad = (col("cell").isNull || col("cell") < 1 ||
       col("cell") > nlist) +: (0 until m).map(j =>
       col(s"__code$j").isNull || col(s"__code$j") < 1 ||
-        col(s"__code$j") > kc)
+        col(s"__code$j") > kc) ++:
+      (if (res) Seq(col("__corr").isNull) else Nil)
     codes.filter(bad.reduce(_ || _))
       .select(col(idCol), col("cell"))
   }
@@ -804,6 +1005,15 @@ object Similarity {
    * queries x shortlist pairs (tiny, broadcast) against `_cells` —
    * ONE scan of the raw vectors, no corpus shuffle, and only
    * shortlist-many exact dots per query.
+   *
+   * `autoNprobe = true` reads the PERSISTED `cal_ref` (nprobe,
+   * shortlist) pair a `writePqIndex(refinedTargetRecall = Some(…))`
+   * build measured — BOTH knobs, because the right shortlist scales
+   * with cell density (round-18 10M drill: the fixed default decayed
+   * 0.9988 → 0.9047 as rows/cell grew 3×; round 19 made it
+   * self-sizing). An index without a refined calibration refuses
+   * loudly — falling back to the fixed defaults is exactly the silent
+   * under-delivery the calibration protocol exists to prevent.
    */
   def ivfPqTopKRefined(queries: DataFrame, pqBase: String,
                        ivfBase: String, k: Int = 10,
@@ -811,18 +1021,25 @@ object Similarity {
                        dim: Int = 64, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        autoNprobe: Boolean = false): DataFrame = {
-    require(shortlist >= k,
-      s"shortlist ($shortlist) must be >= k ($k)")
     val spark = queries.sparkSession
+    val (np, short0) =
+      if (!autoNprobe) (nprobe, shortlist)
+      else calibratedRefined(spark, pqBase).getOrElse(
+        throw new IllegalStateException(
+          s"autoNprobe requested but PQ index '$pqBase' carries no " +
+            "refined (nprobe, shortlist) calibration — rebuild with " +
+            "writePqIndex(refinedTargetRecall = Some(...)) or pass " +
+            "explicit nprobe/shortlist"))
+    require(short0 >= k,
+      s"shortlist ($short0) must be >= k ($k)")
     val ivfCents = ivfRouting(spark, ivfBase)
     val pqCents = pqRouting(spark, pqBase)._1
     require(ivfCents == pqCents,
       s"index pair mismatch: '$ivfBase' and '$pqBase' carry different " +
         "routing tables — they must be built from the same corpus with " +
         "the same nlist (rebuild one of them)")
-    val short = ivfPqTopKIndexed(queries, pqBase, k = shortlist,
-      nprobe = nprobe, dim = dim, idCol = idCol, vecCol = vecCol,
-      autoNprobe = autoNprobe)
+    val short = ivfPqTopKIndexed(queries, pqBase, k = short0,
+      nprobe = np, dim = dim, idCol = idCol, vecCol = vecCol)
       .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("vq"), VectorFns.norm(vecCol).as("nq"))
@@ -860,6 +1077,17 @@ object Similarity {
       case r => Some(r.getInt(0))
     }
   }
+
+  /** The persisted PQ index's calibrated (nprobe, shortlist) pair for
+   * the TWO-STAGE refined path (`kind = 'cal_ref'` meta row), when
+   * [[writePqIndex]] ran with `refinedTargetRecall` — None on indexes
+   * without a refined calibration. */
+  def calibratedRefined(spark: org.apache.spark.sql.SparkSession,
+                        baseTable: String): Option[(Int, Int)] =
+    spark.table(baseTable + "_pqmeta")
+      .filter(col("kind") === "cal_ref")
+      .select("i", "j").limit(1).collect().headOption
+      .map(r => (r.getInt(0), r.getInt(1)))
 
   /** The persisted index's calibrated nprobe, when [[writeIvfIndex]]
    * ran with `targetRecall` — None on uncalibrated or pre-round-18
@@ -904,7 +1132,8 @@ object Similarity {
                     targetRecall: Option[Double] = None,
                     recallK: Int = 10, recallSample: Int = 64,
                     maxNprobe: Int = 64,
-                    calibrationQueries: Option[DataFrame] = None): Unit = {
+                    calibrationQueries: Option[DataFrame] = None,
+                    marginZ: Double = 1.645): Unit = {
     val spark = corpus.sparkSession
     // iters > 0 rides the INTEGER-exact Lloyd ([[kmeansCentroids]]),
     // not [[trainIvfCentroids]]'s float mean: a persisted index must
@@ -923,7 +1152,7 @@ object Similarity {
     // different centroid generation
     val calNprobe = targetRecall.map(t =>
       calibrateNprobe(corpus, cents, t, recallK, recallSample, maxNprobe,
-        idCol, vecCol, calibrationQueries)._1)
+        idCol, vecCol, calibrationQueries, marginZ)._1)
     val cells = withIvfCell(corpus, cents, vecCol)
       .select(col(idCol), col(vecCol).as("vec"),
         VectorFns.norm(vecCol).as("nrm"), col("__cell").as("cell"))
@@ -997,7 +1226,8 @@ object Similarity {
                       targetRecall: Option[Double] = None,
                       recallK: Int = 10, recallSample: Int = 64,
                       maxNprobe: Int = 64,
-                      calibrationQueries: Option[DataFrame] = None): Unit = {
+                      calibrationQueries: Option[DataFrame] = None,
+                      marginZ: Double = 1.645): Unit = {
     graft.streaming.Streams.compactIvfDelta(spark, deltaPath, baseTable,
       numBuckets, idCol)
     val corpus = spark.table(baseTable + "_cells")
@@ -1010,7 +1240,7 @@ object Similarity {
     writeIvfIndex(corpus, baseTable, nlist, dim, numBuckets, idCol, vecCol,
       iters = iters, targetRecall = targetRecall, recallK = recallK,
       recallSample = recallSample, maxNprobe = maxNprobe,
-      calibrationQueries = calibrationQueries)
+      calibrationQueries = calibrationQueries, marginZ = marginZ)
   }
 
   /**
@@ -1404,10 +1634,25 @@ object Similarity {
    * quantization distortion; a target the codes cannot reach at any
    * nprobe fails loudly at build time (raise m/kcent or lower the
    * target) instead of shipping an index that silently under-delivers.
+   * `refinedTargetRecall` additionally runs [[calibrateRefined]] and
+   * persists the chosen (nprobe, shortlist) PAIR as a `cal_ref` meta
+   * row — [[ivfPqTopKRefined]]`(autoNprobe = true)` reads it back, so
+   * the two-stage path is self-sizing against cell density the same
+   * way `cal_nprobe` made the single-stage paths self-sizing (round
+   * 19; the fixed shortlist default decayed 0.9988 → 0.9047 recall
+   * from 1M to 10M in the round-18 drill). Both calibrations use the
+   * dispersion-margin accept rule (see [[calibrateNprobe]]).
    * Centroids and codebooks are the deterministic seed sets
    * ([[ivfPqTopK]]'s contract), so the DuckDB oracle recomputes the
    * index closed-form. Replacement goes through the staged two-table
    * swap + generation bump, exactly like [[writeIvfIndex]].
+   *
+   * `residual` defaults to TRUE (round 19): every round-18 drill read
+   * residual (IVFADC) codes equal-or-better than raw-vector codes, and
+   * on clustered corpora raw codes collapse outright (recall 0.100 vs
+   * 0.807 at 1M grouped) — a silently-shipped raw default was the
+   * remaining footgun. Pass `residual = false` only for the
+   * oracle-exact raw twins or corpora known to be un-clustered.
    *
    * Rebuild contract: PQ codes are LOSSY — unlike the IVF `_cells`
    * table there are no raw vectors to retrain from, so a rebuild
@@ -1427,7 +1672,10 @@ object Similarity {
                    recallK: Int = 10, recallSample: Int = 64,
                    maxNprobe: Int = 64,
                    calibrationQueries: Option[DataFrame] = None,
-                   residual: Boolean = false): Unit = {
+                   residual: Boolean = true,
+                   refinedTargetRecall: Option[Double] = None,
+                   maxShortlist: Int = 256,
+                   marginZ: Double = 1.645): Unit = {
     val spark = corpus.sparkSession
     val dsub = dim / m
     val cents = trainIvfCentroids(corpus, nlist, dim, iters = 0, idCol,
@@ -1440,7 +1688,12 @@ object Similarity {
       "writePqIndex needs a non-empty corpus to seed centroids/codebooks")
     val calNprobe = targetRecall.map(t =>
       calibratePqNprobe(corpus, cents, books, t, recallK, recallSample,
-        maxNprobe, dim, idCol, vecCol, calibrationQueries, residual)._1)
+        maxNprobe, dim, idCol, vecCol, calibrationQueries, residual,
+        marginZ)._1)
+    val calRef = refinedTargetRecall.map(t =>
+      calibrateRefined(corpus, cents, books, t, recallK, recallSample,
+        maxNprobe, maxShortlist, dim, idCol, vecCol, calibrationQueries,
+        residual, marginZ)._1)
     val assigned = withIvfCell(corpus, cents, vecCol)
     val coded0 =
       if (residual)
@@ -1463,6 +1716,8 @@ object Similarity {
       books.zipWithIndex.flatMap { case ((cb, _), j) =>
         cb.zipWithIndex.map { case (c, i) => ("book", j, i + 1, c) } } ++
       calNprobe.map(np => ("cal", np, 0, Seq.empty[Double])).toSeq ++
+      calRef.map { case (np, s) =>
+        ("cal_ref", np, s, Seq.empty[Double]) }.toSeq ++
       (if (residual) Seq(("res", 1, 0, Seq.empty[Double])) else Nil))
       .toDF("kind", "i", "j", "vec")
       .withColumn("gen", lit(gen))
@@ -1472,6 +1727,65 @@ object Similarity {
       "kind", 1)
     graft.tables.Tables.commitSwaps(spark,
       Seq(baseTable + "_pqcodes", baseTable + "_pqmeta"))
+  }
+
+  /**
+   * Periodic retrain/rebuild of a persisted [[writePqIndex]] index that
+   * has grown through a [[graft.streaming.Streams.pqIngestSink]] delta
+   * tree — [[retrainIvfIndex]]'s generation protocol adapted to the PQ
+   * family's LOSSY codes (round 19):
+   *
+   *   1. fold the outstanding delta
+   *      ([[graft.streaming.Streams.compactPqDelta]]) so the bulk codes
+   *      table is complete — a crash after the fold but before the
+   *      rebuild leaves a fully queryable single-tier index;
+   *   2. rebuild via [[writePqIndex]] from `sourceCorpus` — codes
+   *      cannot be retrained from themselves, so the SOURCE corpus
+   *      (which must include every streamed vector; checked by count
+   *      below) is the training set. The residual/raw kind survives
+   *      the retrain by default (read from the current meta stamp);
+   *      pass `residual = Some(…)` to flip it deliberately;
+   *   3. the rebuild bumps `gen`, so a STILL-RUNNING sink started
+   *      against the old codebooks fails loudly on its next batch.
+   *
+   * Run QUIESCED (sink stopped, no tiered queries in flight) — the
+   * fold's own contract. The count guard is one aggregate over each
+   * side: a `sourceCorpus` smaller than the folded bulk is proof it is
+   * missing streamed vectors, and rebuilding from it would silently
+   * DROP them from the index (the exact silent-loss class the
+   * generation protocol exists to prevent).
+   */
+  def retrainPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     baseTable: String, deltaPath: String,
+                     sourceCorpus: DataFrame, nlist: Int = 16,
+                     m: Int = 4, kcent: Int = 16, dim: Int = 64,
+                     numBuckets: Int = 8, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     targetRecall: Option[Double] = None,
+                     recallK: Int = 10, recallSample: Int = 64,
+                     maxNprobe: Int = 64,
+                     calibrationQueries: Option[DataFrame] = None,
+                     residual: Option[Boolean] = None,
+                     refinedTargetRecall: Option[Double] = None,
+                     maxShortlist: Int = 256,
+                     marginZ: Double = 1.645): Unit = {
+    graft.streaming.Streams.compactPqDelta(spark, deltaPath, baseTable,
+      numBuckets, idCol)
+    val res = residual.getOrElse(pqIsResidual(spark, baseTable))
+    val folded = spark.table(baseTable + "_pqcodes").count()
+    val src = sourceCorpus.count()
+    require(src >= folded,
+      s"retrainPqIndex source corpus has $src rows but the folded index " +
+        s"'$baseTable' holds $folded — the source is missing streamed " +
+        "vectors, and rebuilding from it would silently drop them. PQ " +
+        "codes are lossy: the source corpus is the training set and " +
+        "must include every ingested vector.")
+    writePqIndex(sourceCorpus, baseTable, nlist, m, kcent, dim,
+      numBuckets, idCol, vecCol, targetRecall = targetRecall,
+      recallK = recallK, recallSample = recallSample,
+      maxNprobe = maxNprobe, calibrationQueries = calibrationQueries,
+      residual = res, refinedTargetRecall = refinedTargetRecall,
+      maxShortlist = maxShortlist, marginZ = marginZ)
   }
 
   /** The persisted PQ index's generation — the [[ivfGeneration]]

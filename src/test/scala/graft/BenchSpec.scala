@@ -143,4 +143,22 @@ class BenchSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"pinned controls missing from benchQueries: $missing")
   }
+
+  test("retimeClears: quiet reproducing samples clear; a retime pass " +
+      "that THREW never clears even with fast quiet samples (a failing " +
+      "query must keep its flag); noisy or slow retimes keep the flag") {
+    val quiet = Seq(1.0, 1.1, 0.9)
+    assert(Bench.retimeClears(quiet, runMed = 1.0, threw = false))
+    // the ADVICE r18 hazard: a throwing pass records a fast elapsed
+    // time — identical samples must NOT clear when any pass failed
+    assert(!Bench.retimeClears(quiet, runMed = 1.0, threw = true))
+    assert(!Bench.retimeClears(Seq(0.01, 0.01, 0.01), runMed = 1.0,
+      threw = true))
+    // spread > 2x (bimodal plan or a fresh episode): keep the flag
+    assert(!Bench.retimeClears(Seq(1.0, 2.5, 1.0), runMed = 1.0,
+      threw = false))
+    // median above 1.5x the run's own: the regression is real
+    assert(!Bench.retimeClears(Seq(2.0, 2.1, 1.9), runMed = 1.0,
+      threw = false))
+  }
 }

@@ -200,7 +200,7 @@ class MainSpec extends SparkSpec {
         targetRecall = Some(0.5), recallK = 3, recallSample = 16,
         maxNprobe = 4)
       Similarity.writePqIndex(corpus, pqBase, nlist = 4, m = 2,
-        kcent = 8, dim = 2)
+        kcent = 8, dim = 2, residual = false)
       val cIvf = Main.parseArgs(Seq("verify-index", "--index", ivfBase,
         "--kind", "ivf"))
       assert(cIvf.idCol == "vec_id", "ivf audit defaults to vec_id")

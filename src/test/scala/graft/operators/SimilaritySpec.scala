@@ -470,7 +470,7 @@ class SimilaritySpec extends SparkSpec {
     Seq("_pqcodes", "_pqmeta").foreach(sfx =>
       graft.tables.Tables.dropTable(spark, "pq_idx_test" + sfx))
     Similarity.writePqIndex(emb, "pq_idx_test", nlist = 16, m = 4,
-      kcent = 16, dim = 64, numBuckets = 4)
+      kcent = 16, dim = 64, numBuckets = 4, residual = false)
     try {
       assert(Similarity.pqGeneration(spark, "pq_idx_test") == 0L)
       val out = Similarity.ivfPqTopKIndexed(queries, "pq_idx_test",
@@ -500,7 +500,7 @@ class SimilaritySpec extends SparkSpec {
       // queries see only the new corpus
       Similarity.writePqIndex(emb.filter(col("vec_id") % 2 === 0),
         "pq_idx_test", nlist = 8, m = 4, kcent = 8, dim = 64,
-        numBuckets = 4)
+        numBuckets = 4, residual = false)
       assert(Similarity.pqGeneration(spark, "pq_idx_test") == 1L)
       val rebuilt = Similarity.ivfPqTopKIndexed(queries, "pq_idx_test",
         k = 5, nprobe = 2, dim = 64)
@@ -568,7 +568,7 @@ class SimilaritySpec extends SparkSpec {
       assert(indexed == rows(res.orderBy("query_id", "rank")))
       // a raw rebuild drops the stamp and the corr column
       Similarity.writePqIndex(corpus, base, nlist = 8, m = 4, kcent = 8,
-        dim = 16)
+        dim = 16, residual = false)
       assert(!Similarity.pqIsResidual(spark, base))
       assert(!spark.table(s"${base}_pqcodes").columns.contains("__corr"))
     } finally drop()
@@ -748,7 +748,7 @@ class SimilaritySpec extends SparkSpec {
       // a modest target the ADC ranking can reach on this geometry
       Similarity.writePqIndex(corpus, base, nlist = 8, m = 2, kcent = 16,
         dim = 2, targetRecall = Some(0.5), recallK = 5, recallSample = 32,
-        maxNprobe = 8)
+        maxNprobe = 8, residual = false)
       val cal = Similarity.calibratedPqNprobe(spark, base)
       assert(cal.nonEmpty && cal.get >= 1 && cal.get <= 8)
       // generation survives: the cal row carries the same gen
@@ -761,7 +761,7 @@ class SimilaritySpec extends SparkSpec {
       assert(auto == manual && auto.nonEmpty)
       // uncalibrated rebuild: cal row gone, autoNprobe refuses
       Similarity.writePqIndex(corpus, base, nlist = 8, m = 2, kcent = 16,
-        dim = 2)
+        dim = 2, residual = false)
       assert(Similarity.calibratedPqNprobe(spark, base).isEmpty)
       val e = intercept[IllegalStateException] {
         Similarity.ivfPqTopKIndexed(q, base, k = 5, dim = 2,
@@ -772,7 +772,7 @@ class SimilaritySpec extends SparkSpec {
       val e2 = intercept[IllegalArgumentException] {
         Similarity.writePqIndex(corpus, base, nlist = 8, m = 1, kcent = 2,
           dim = 2, targetRecall = Some(1.0), recallK = 5,
-          recallSample = 64, maxNprobe = 8)
+          recallSample = 64, maxNprobe = 8, residual = false)
       }
       assert(e2.getMessage.contains("quantization"), e2.getMessage)
     } finally drop()
@@ -814,5 +814,192 @@ class SimilaritySpec extends SparkSpec {
       Similarity.writeIvfIndex(empty, s"$dir/idx", nlist = 2, dim = 2)
     }
     assert(e2.getMessage.contains("at least one centroid"))
+  }
+
+  /** The round-18 grouped near-dup corpus shape (40 groups x 5
+   * members), shared by the round-19 calibration tests. */
+  private def groupedCorpus = {
+    val nG = 40
+    (0 until nG * 5).map { i =>
+      val g = i % nG
+      (i.toLong, Array.tabulate(16) { p =>
+        (math.sin((g % 8 + 1) * (p + 1) * 0.7)
+          + 0.3 * math.sin((g * 131 + p * 17) * 0.19)
+          + 0.01 * math.sin((i * 37 + p * 101) * 0.13)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("calibrateRefined: joint (nprobe, shortlist) ascent tries every " +
+      "shortlist before another probe, persists as cal_ref, and " +
+      "ivfPqTopKRefined(autoNprobe) reads the pair; an uncalibrated " +
+      "index refuses loudly") {
+    val corpus = groupedCorpus
+    val pqBase = "calref_pq_spec"; val ivfBase = "calref_ivf_spec"
+    def drop(): Unit = Seq(s"${pqBase}_pqcodes", s"${pqBase}_pqmeta",
+      s"${ivfBase}_cells", s"${ivfBase}_centroids")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writeIvfIndex(corpus, ivfBase, nlist = 8, dim = 16)
+      Similarity.writePqIndex(corpus, pqBase, nlist = 8, m = 4, kcent = 8,
+        dim = 16, refinedTargetRecall = Some(0.9), recallK = 4,
+        recallSample = 16, maxNprobe = 8, maxShortlist = 64)
+      val calOpt = Similarity.calibratedRefined(spark, pqBase)
+      assert(calOpt.nonEmpty, "cal_ref meta row must persist")
+      val (np, sh) = calOpt.get
+      assert(np >= 1 && np <= 8 && sh >= 4 && sh <= 64)
+      // a fresh direct calibration reproduces the persisted choice
+      // (deterministic end to end) and its curve ascends shortlists
+      // within each nprobe before adding a probe
+      val (cents, books) = Similarity.pqRouting(spark, pqBase)
+      val ((np2, sh2), curve) = Similarity.calibrateRefined(corpus, cents,
+        books, targetRecall = 0.9, k = 4, sample = 16, maxNprobe = 8,
+        maxShortlist = 64, dim = 16, residual = true)
+      assert((np2, sh2) == (np, sh))
+      val firstNp = curve.head._1
+      val withinFirst = curve.takeWhile(_._1 == firstNp).map(_._2)
+      assert(withinFirst == withinFirst.sorted,
+        "shortlist must ascend within a probe step")
+      assert(curve.map(_._1) == curve.map(_._1).sorted,
+        "probe steps must ascend")
+      // autoNprobe reads the pair; identical to passing it explicitly
+      val q = corpus.filter($"vec_id".between(60, 63))
+      val auto = rows(Similarity.ivfPqTopKRefined(q, pqBase, ivfBase,
+        k = 4, dim = 16, autoNprobe = true).orderBy("query_id", "rank"))
+      val manual = rows(Similarity.ivfPqTopKRefined(q, pqBase, ivfBase,
+        k = 4, shortlist = sh, nprobe = np, dim = 16)
+        .orderBy("query_id", "rank"))
+      assert(auto == manual && auto.nonEmpty)
+      // the chosen pair delivers the target on the calibration sample:
+      // recall of the refined top-4 vs brute, same deterministic sample
+      // rule (self-sample, 16 lowest xxhash64 ids)
+      val sampleQ = corpus
+        .orderBy(org.apache.spark.sql.functions.xxhash64(col("vec_id")),
+          col("vec_id")).limit(16)
+      val truth = rows(Similarity.bruteForceTopK(corpus, sampleQ, k = 4)
+        .select("query_id", "neighbor_id")).toSet
+      val got = rows(Similarity.ivfPqTopKRefined(sampleQ, pqBase, ivfBase,
+        k = 4, shortlist = sh, nprobe = np, dim = 16)
+        .select("query_id", "neighbor_id")).toSet
+      assert((got intersect truth).size.toDouble / truth.size >= 0.9)
+      // a rebuild WITHOUT refinedTargetRecall drops cal_ref and
+      // autoNprobe refuses with the rebuild remedy
+      Similarity.writePqIndex(corpus, pqBase, nlist = 8, m = 4,
+        kcent = 8, dim = 16)
+      assert(Similarity.calibratedRefined(spark, pqBase).isEmpty)
+      val e = intercept[IllegalStateException] {
+        Similarity.ivfPqTopKRefined(q, pqBase, ivfBase, k = 4, dim = 16,
+          autoNprobe = true)
+      }
+      assert(e.getMessage.contains("refinedTargetRecall"))
+    } finally drop()
+  }
+
+  test("calibration dispersion margin: a larger z never accepts earlier, " +
+      "an exact-recall step (zero dispersion) always accepts, and a " +
+      "point estimate inside the margin refuses naming the margin") {
+    val corpus = groupedCorpus
+    val cents = Similarity.trainIvfCentroids(corpus, 8, 16)
+    val (np0, _) = Similarity.calibrateNprobe(corpus, cents,
+      targetRecall = 0.8, k = 4, sample = 16, maxNprobe = 8, marginZ = 0.0)
+    val (npZ, curveZ) = Similarity.calibrateNprobe(corpus, cents,
+      targetRecall = 0.8, k = 4, sample = 16, maxNprobe = 8, marginZ = 50.0)
+    // z=50 only accepts a (near-)zero-dispersion step; probing all 8
+    // cells IS brute force (recall exactly 1.0, sd 0), so the ascent
+    // terminates there at the latest — and never before the z=0 choice
+    assert(npZ >= np0)
+    assert(curveZ.last._2 == 1.0 || npZ == np0)
+    // PQ path: set the target AT the measured full-probe ADC recall —
+    // the point estimate meets it exactly, so with a huge z the refusal
+    // must blame the dispersion margin, not the probes or the codes
+    val (_, books) = {
+      val base = "margin_pq_spec"
+      Seq(s"${base}_pqcodes", s"${base}_pqmeta")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+      Similarity.writePqIndex(corpus, base, nlist = 8, m = 4, kcent = 8,
+        dim = 16)
+      val r = Similarity.pqRouting(spark, base)
+      Seq(s"${base}_pqcodes", s"${base}_pqmeta")
+        .foreach(graft.tables.Tables.dropTable(spark, _))
+      r
+    }
+    val sampleQ = corpus
+      .orderBy(org.apache.spark.sql.functions.xxhash64(col("vec_id")),
+        col("vec_id")).limit(16)
+    val truth = rows(Similarity.bruteForceTopK(corpus, sampleQ, k = 4)
+      .select("query_id", "neighbor_id")).toSet
+    val gotFull = rows(Similarity.ivfPqTopK(corpus, sampleQ, k = 4,
+      nlist = 8, nprobe = 8, m = 4, kcent = 8, dim = 16, residual = true)
+      .select("query_id", "neighbor_id")).toSet
+    val plateau = (gotFull intersect truth).size.toDouble / truth.size
+    assume(plateau > 0.0 && plateau < 1.0,
+      s"margin-refusal drill needs a mid-range plateau, got $plateau")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.calibratePqNprobe(corpus, cents, books,
+        targetRecall = plateau, k = 4, sample = 16, maxNprobe = 8,
+        dim = 16, residual = true, marginZ = 50.0)
+    }
+    assert(e.getMessage.contains("dispersion margin"), e.getMessage)
+  }
+
+  test("residual is the default writePqIndex build; a non-empty corpus " +
+      "with <= nlist rows refuses residual seeding loudly (raw still " +
+      "works); verifyPqIndex audits __corr") {
+    val corpus = groupedCorpus
+    val base = "pq_corr_spec"
+    def drop(): Unit = Seq(s"${base}_pqcodes", s"${base}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      // round-19 default: residual (IVFADC) without the caller knowing
+      // the word — and the calibrated build SUCCEEDS on the grouped
+      // corpus where the raw path's refusal drill fired in round 18
+      Similarity.writePqIndex(corpus, base, nlist = 8, m = 4, kcent = 8,
+        dim = 16, targetRecall = Some(0.7), recallK = 4,
+        recallSample = 16, maxNprobe = 8)
+      assert(Similarity.pqIsResidual(spark, base))
+      assert(Similarity.verifyPqIndex(spark, base).count() == 0)
+      // corrupt one row's __corr out-of-band: the audit flags exactly it
+      val corrupted = spark.table(s"${base}_pqcodes")
+        .withColumn("__corr", org.apache.spark.sql.functions
+          .when(col("vec_id") === 0L, org.apache.spark.sql.functions
+            .lit(null)).otherwise(col("__corr")))
+        .localCheckpoint(true)
+      graft.tables.Tables.stageBucketedSwap(corrupted,
+        s"${base}_pqcodes", "cell", 8)
+      graft.tables.Tables.commitSwaps(spark, Seq(s"${base}_pqcodes"))
+      val bad = rows(Similarity.verifyPqIndex(spark, base))
+      assert(bad.size == 1 && bad.head.head == 0L)
+      // a residual-stamped index whose codes table lost __corr entirely
+      // refuses with the rebuild remedy instead of mis-scoring
+      val stripped = spark.table(s"${base}_pqcodes").drop("__corr")
+        .localCheckpoint(true)
+      graft.tables.Tables.stageBucketedSwap(stripped,
+        s"${base}_pqcodes", "cell", 8)
+      graft.tables.Tables.commitSwaps(spark, Seq(s"${base}_pqcodes"))
+      val e0 = intercept[IllegalArgumentException] {
+        Similarity.verifyPqIndex(spark, base)
+      }
+      assert(e0.getMessage.contains("__corr"))
+    } finally drop()
+    // residual seeding guard: 8 rows at nlist=8 leaves zero residual
+    // seeds (every row IS a centroid seed) — loud, actionable, and raw
+    // mode still works on the same corpus; a genuinely empty corpus
+    // keeps the empty-result short-circuit
+    val tiny = (0L until 8L).map(i =>
+      (i, Array.tabulate(16)(p => math.sin(i * 3 + p).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = tiny.filter($"vec_id" < 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(tiny, q, k = 2, nlist = 8, nprobe = 8,
+        m = 4, kcent = 4, dim = 16, residual = true).collect()
+    }
+    assert(e.getMessage.contains("LARGER than nlist"))
+    assert(Similarity.ivfPqTopK(tiny, q, k = 2, nlist = 8, nprobe = 8,
+      m = 4, kcent = 4, dim = 16, residual = false).count() > 0)
+    val empty = tiny.filter($"vec_id" < 0)
+    assert(Similarity.ivfPqTopK(empty, q, k = 2, nlist = 8, nprobe = 8,
+      m = 4, kcent = 4, dim = 16, residual = true).count() == 0)
   }
 }

@@ -441,7 +441,7 @@ class PlanShapeSpec extends SparkSpec {
       graft.operators.Similarity.writeIvfIndex(emb, ivfBase,
         nlist = 4, dim = 64)
       graft.operators.Similarity.writePqIndex(emb, pqBase,
-        nlist = 4, m = 4, kcent = 8, dim = 64)
+        nlist = 4, m = 4, kcent = 8, dim = 64, residual = false)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       def plans(tok: String): Option[String] =
         captured.asScala.find(_.contains(tok))

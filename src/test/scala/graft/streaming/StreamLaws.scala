@@ -702,7 +702,8 @@ object StreamLaws extends Properties("graft.streams") {
         Seq("_pqcodes", "_pqmeta").foreach(sfx =>
           graft.tables.Tables.dropTable(spark, b + sfx)))
       Similarity.writePqIndex(base.toDF("vec_id", "embedding"), "lawpq",
-        nlist = 4, m = 4, kcent = 4, dim = Dim, numBuckets = 2)
+        nlist = 4, m = 4, kcent = 4, dim = Dim, numBuckets = 2,
+        residual = false)
       val delta = Files.createTempDirectory("law-pqd").toString
       val cp = Files.createTempDirectory("law-pqc").toString
       val mem = MemoryStream[(Long, Seq[Float])]
@@ -716,7 +717,7 @@ object StreamLaws extends Properties("graft.streams") {
       } finally q.stop()
       val all = (base ++ docs).toDF("vec_id", "embedding")
       Similarity.writePqIndex(all, "lawpq_full", nlist = 4, m = 4,
-        kcent = 4, dim = Dim, numBuckets = 2)
+        kcent = 4, dim = Dim, numBuckets = 2, residual = false)
       val queries = all.filter(col("vec_id") < 2)
       val got = Similarity.ivfPqTopKTiered(queries, "lawpq", delta,
         k = 5, nprobe = 2, dim = Dim).collect()

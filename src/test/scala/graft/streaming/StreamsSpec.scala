@@ -596,6 +596,85 @@ class StreamsSpec extends SparkSpec {
         Tables.dropTable(spark, b + sfx)))
   }
 
+  test("retrainPqIndex: fold + rebuild from the SOURCE corpus bumps the " +
+      "generation and the residual stamp survives; a source smaller " +
+      "than the folded index refuses (lossy codes would silently drop " +
+      "streamed vectors); a stale sink fails loudly after the retrain") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    val initial = emb.filter(col("vec_id") < 100)
+    val grown = emb.filter(col("vec_id") < 200)
+    val later = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("pqgen", "pqgenfull").foreach(b =>
+      Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+        Tables.dropTable(spark, b + sfx)))
+    // round-19 default build: residual (IVFADC) — the retrain must
+    // carry the stamp through without the caller restating it
+    Similarity.writePqIndex(initial, "pqgen", nlist = 16, m = 4,
+      kcent = 16, dim = 64, numBuckets = 4)
+    assert(Similarity.pqGeneration(spark, "pqgen") == 0L)
+    assert(Similarity.pqIsResidual(spark, "pqgen"))
+    val delta = Files.createTempDirectory("pqgendelta").toString
+    val cp = Files.createTempDirectory("pqgencp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val laterRows = later.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val q = Streams.pqIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "pqgen", delta, cp)
+    try { mem.addData(laterRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    // COUNT GUARD: retraining from the ORIGINAL 100-row corpus after
+    // 100 more streamed in would silently drop them from the lossy
+    // codes — refuse. (The fold inside the failed attempt is fine: it
+    // leaves a complete, queryable single-tier index.)
+    val eSmall = intercept[IllegalArgumentException] {
+      Similarity.retrainPqIndex(spark, "pqgen", delta, initial,
+        nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4)
+    }
+    assert(eSmall.getMessage.contains("missing streamed"))
+    assert(Similarity.pqGeneration(spark, "pqgen") == 0L,
+      "a refused retrain must not bump the generation")
+    // quiesced retrain from the true grown source: generation bumps,
+    // stamp survives, and the index answers exactly like a one-shot
+    // build over the same corpus (deterministic seeds)
+    Similarity.retrainPqIndex(spark, "pqgen", delta, grown, nlist = 16,
+      m = 4, kcent = 16, dim = 64, numBuckets = 4)
+    assert(Similarity.pqGeneration(spark, "pqgen") == 1L)
+    assert(Similarity.pqIsResidual(spark, "pqgen"),
+      "the residual kind must survive a retrain")
+    assert(!new java.io.File(delta).listFiles()
+      .exists(_.getName.startsWith("batch=")), "delta folded + pruned")
+    Similarity.writePqIndex(grown, "pqgenfull", nlist = 16, m = 4,
+      kcent = 16, dim = 64, numBuckets = 4)
+    val want = rows(Similarity.ivfPqTopKIndexed(queries, "pqgenfull",
+      k = 10, nprobe = 4, dim = 64).orderBy("query_id", "rank"))
+    assert(want.nonEmpty && rows(
+      Similarity.ivfPqTopKIndexed(queries, "pqgen", k = 10, nprobe = 4,
+        dim = 64).orderBy("query_id", "rank")) == want)
+    // STALE SINK: a retrain under a running sink must fail the sink's
+    // next batch loudly (its captured codebooks are a dead generation)
+    val cp2 = Files.createTempDirectory("pqgencp2").toString
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = Streams.pqIngestSink(mem2.toDF().toDF("vec_id", "embedding"),
+      "pqgen", delta, cp2)
+    try {
+      Similarity.retrainPqIndex(spark, "pqgen", delta, grown, nlist = 16,
+        m = 4, kcent = 16, dim = 64, numBuckets = 4)
+      assert(Similarity.pqGeneration(spark, "pqgen") == 2L)
+      mem2.addData(laterRows.head)
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      assert(ex.toString.contains("rebuilt under this sink"),
+        s"expected the stale-sink refusal, got: $ex")
+    } finally q2.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+    Seq("pqgen", "pqgenfull").foreach(b =>
+      Seq("_pqcodes", "_pqmeta").foreach(sfx =>
+        Tables.dropTable(spark, b + sfx)))
+  }
+
   test("compactIvfDelta / compactPqDelta: a MARKER-LESS delta tree with " +
       "batch dirs refuses the fold (unknown assigning generation)") {
     import graft.operators.Similarity
@@ -621,7 +700,8 @@ class StreamsSpec extends SparkSpec {
     Seq("_pqcodes", "_pqmeta").foreach(sfx =>
       Tables.dropTable(spark, "pqorph" + sfx))
     Similarity.writePqIndex(emb.filter(col("vec_id") < 100), "pqorph",
-      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4)
+      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4,
+      residual = false)
     val delta2 = Files.createTempDirectory("pqorphdelta").toString
     spark.table("pqorph_pqcodes").limit(2)
       .write.mode("overwrite").parquet(s"$delta2/batch=0")
@@ -1734,7 +1814,8 @@ class StreamsSpec extends SparkSpec {
     Seq("_pqcodes", "_pqmeta").foreach(sfx =>
       Tables.dropTable(spark, "pqstale" + sfx))
     Similarity.writePqIndex(emb.filter(col("vec_id") < 100), "pqstale",
-      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4)
+      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4,
+      residual = false)
     val delta = Files.createTempDirectory("pqstaledelta").toString
     val cp = Files.createTempDirectory("pqstalecp").toString
     val mem = MemoryStream[(Long, Seq[Float])]
@@ -1748,7 +1829,8 @@ class StreamsSpec extends SparkSpec {
       .exists(_.getName.startsWith("batch=")))
     // rebuild bumps the generation while the old batch sits unfolded
     Similarity.writePqIndex(emb.filter(col("vec_id") < 100), "pqstale",
-      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4)
+      nlist = 16, m = 4, kcent = 16, dim = 64, numBuckets = 4,
+      residual = false)
     assert(Similarity.pqGeneration(spark, "pqstale") == 1L)
     val mem2 = MemoryStream[(Long, Seq[Float])]
     val cp2 = Files.createTempDirectory("pqstalecp2").toString
