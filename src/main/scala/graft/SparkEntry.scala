@@ -1169,7 +1169,7 @@ object SparkEntry {
       val (cents, books) = Similarity.pqRouting(s, pqBase)
       val ((cnp, csh), curve) = Similarity.calibrateRefined(emb, cents,
         books, targetRecall = 0.95, k = 4, sample = 16, maxNprobe = 16,
-        maxShortlist = 64, dim = 64,
+        maxShortlist = 512, dim = 64,
         queries = Some(emb.filter(col("vec_id") < 16)), residual = true,
         marginZ = 0.0)
       import s.implicits._
@@ -4320,7 +4320,8 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY np, sl) AS ord, np, sl
          |  FROM (SELECT s.np, l.sl
          |        FROM (SELECT unnest([1, 2, 4, 8, 16]) AS np) s,
-         |             (SELECT unnest([4, 8, 16, 32, 64]) AS sl) l)),
+         |             (SELECT unnest([4, 8, 16, 32, 64, 128, 256, 512])
+         |              AS sl) l)),
          |rer AS (
          |  SELECT g.ord, a.query_id, a.neighbor_id,
          |    row_number() OVER (PARTITION BY g.ord, a.query_id ORDER BY
