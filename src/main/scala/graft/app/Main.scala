@@ -150,11 +150,21 @@ object Main {
             .map(_.toString).getOrElse("(uncalibrated)"))
         Similarity.verifyIvfIndex(spark, c.index, idCol = c.idCol)
       case "pq" =>
+        // round 19: report the refined-path (nprobe, shortlist) pair
+        // and the encoding kind beside the ADC calibration — an
+        // operator diagnosing recall wants all three at a glance
         println(s"[graft] pq index '${c.index}': gen=" +
           Similarity.pqGeneration(spark, c.index) +
+          " kind=" +
+          (if (Similarity.pqIsResidual(spark, c.index)) "residual(IVFADC)"
+           else "raw") +
           " cal_nprobe=" +
           Similarity.calibratedPqNprobe(spark, c.index)
-            .map(_.toString).getOrElse("(uncalibrated)"))
+            .map(_.toString).getOrElse("(uncalibrated)") +
+          " cal_ref=" +
+          Similarity.calibratedRefined(spark, c.index)
+            .map { case (np, s) => s"(nprobe=$np,shortlist=$s)" }
+            .getOrElse("(uncalibrated)"))
         Similarity.verifyPqIndex(spark, c.index, idCol = c.idCol)
     }
     // the audit output is ≤ one row per index composite that collides —
