@@ -694,8 +694,8 @@ object Similarity {
    * margin = `z · sd(per-query recall) / √nQueries`. One bounded
    * collect of ≤ sample per-query rows. z = 0 short-circuits to the
    * point-estimate rule with a single count. */
-  private def recallStats(got: DataFrame, truth: DataFrame,
-                          denom: Double, z: Double): (Double, Double) = {
+  private[graft] def recallStats(got: DataFrame, truth: DataFrame,
+                                 denom: Double, z: Double): (Double, Double) = {
     val joined = got.join(truth, Seq("query_id", "neighbor_id"))
     if (z <= 0.0) return (joined.count() / denom, 0.0)
     val perQ = truth.groupBy("query_id").agg(count("*").as("__t"))

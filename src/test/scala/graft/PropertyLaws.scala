@@ -1024,4 +1024,42 @@ object PropertyLaws extends Properties("graft") {
           row.getLong(5) == 1000L
       }
     }
+
+  // per-query (truthCount, hitCount <= truthCount) shapes for the
+  // calibration accept rule's core math (round 19)
+  private val recallShape: Gen[List[(Int, Int)]] =
+    Gen.listOfN(4, for {
+      t <- Gen.chooseNum(1, 3)
+      h <- Gen.chooseNum(0, t)
+    } yield (t, h)).map(_.take(4)).suchThat(_.nonEmpty)
+
+  property("recallStats: pooled recall is z-invariant, margin is " +
+      "non-negative, linear in z, zero at z=0 and zero when every " +
+      "query's recall is equal; noise rows outside the truth set " +
+      "never count") =
+    forAll(recallShape) { shape =>
+      import graft.operators.Similarity
+      import spark.implicits._
+      val truth = shape.zipWithIndex.flatMap { case ((t, _), q) =>
+        (0 until t).map(j => (q.toLong, q * 100L + j)) }
+        .toDF("query_id", "neighbor_id")
+      // got = the first h true neighbors per query + a noise row per
+      // query that is NOT in the truth set (must be ignored)
+      val got = shape.zipWithIndex.flatMap { case ((_, h), q) =>
+        (0 until h).map(j => (q.toLong, q * 100L + j)) :+
+          ((q.toLong, 999999L)) }
+        .toDF("query_id", "neighbor_id")
+      val denom = shape.map(_._1).sum.toDouble
+      val (r0, m0) = Similarity.recallStats(got, truth, denom, 0.0)
+      val (r1, m1) = Similarity.recallStats(got, truth, denom, 1.0)
+      val (r2, m2) = Similarity.recallStats(got, truth, denom, 2.0)
+      val pooled = shape.map(_._2).sum / denom
+      val perQ = shape.map { case (t, h) => h.toDouble / t }
+      val allEqual = perQ.distinct.size == 1
+      math.abs(r0 - pooled) < 1e-12 &&
+        math.abs(r1 - pooled) < 1e-12 && math.abs(r2 - pooled) < 1e-12 &&
+        m0 == 0.0 && m1 >= 0.0 &&
+        math.abs(m2 - 2 * m1) < 1e-12 &&
+        (!allEqual || m1 == 0.0)
+    }
 }
