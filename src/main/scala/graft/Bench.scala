@@ -365,7 +365,10 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
-        retimed(q) = median(rs)
+        // a threw pass keeps the flag (retimeClears) AND suppresses the
+        // published retime figure — a median over failed passes is a
+        // bogus fast time, not a measurement (ADVICE r19)
+        if (!threw) retimed(q) = median(rs)
         if (retimeClears(rs, normResults(idx(q))._2, threw)) cleared += q
       }
     }

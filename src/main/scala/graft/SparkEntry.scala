@@ -1151,7 +1151,8 @@ object SparkEntry {
     }),
 
     // joint (nprobe, shortlist) calibration for the two-stage refined
-    // path (round 19): the ascent tries every shortlist step (4..64)
+    // path (round 19): the ascent tries every shortlist step (4..512 —
+    // the sf0.1 density needs depth past 64 to reach the target)
     // before adding a probe — stage 2 re-ranks only queries x shortlist
     // rows, so deepening the shortlist is near-free while another probe
     // scans another corpus fraction. Explicit 16-query workload sample

