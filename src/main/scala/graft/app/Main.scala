@@ -34,7 +34,8 @@ object Main {
                     index: String = "", corpus: String = "",
                     kind: String = "span", w: Int = 8, avgTokens: Int = 16,
                     idCol: String = "doc_id", textCol: String = "text",
-                    bucketedBase: Option[String] = None)
+                    bucketedBase: Option[String] = None,
+                    recallSample: Int = 0, recallK: Int = 10)
 
   /** ISO input parsing at the app boundary (reference get_iso_from_input,
    * omnichannel_to_bq.py:15-26): accepts `yyyy-MM-dd` or
@@ -56,8 +57,9 @@ object Main {
         "verify-index --index <dir|table-base> [--corpus <parquet dir>] " +
         "[--kind span|chunk|ivf|pq] [--w N] [--avg-tokens N] " +
         "[--id-col c] [--text-col c] [--bucketed-base tbl] " +
-        "(ivf/pq: --index is the write{Ivf,Pq}Index table base, " +
-        "no --corpus needed)")
+        "[--recall-sample N --recall-k K] " +
+        "(ivf/pq: --index is the write{Ivf,Pq}Index table base; " +
+        "--corpus only for span/chunk audits and the pq recall probe)")
     var c = Config(action = args.head)
     var rest = args.tail.toList
     while (rest.nonEmpty) rest match {
@@ -82,6 +84,10 @@ object Main {
       case "--text-col" :: v :: t => c = c.copy(textCol = v.trim); rest = t
       case "--bucketed-base" :: v :: t =>
         c = c.copy(bucketedBase = Some(v.trim)); rest = t
+      case "--recall-sample" :: v :: t =>
+        c = c.copy(recallSample = v.trim.toInt); rest = t
+      case "--recall-k" :: v :: t =>
+        c = c.copy(recallK = v.trim.toInt); rest = t
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
       case Nil => ()
@@ -99,6 +105,13 @@ object Main {
       // --id-col still wins for either kind
       if ((c.kind == "ivf" || c.kind == "pq") && c.idCol == "doc_id")
         c = c.copy(idCol = "vec_id")
+      if (c.recallSample > 0) {
+        require(c.kind == "ivf" || c.kind == "pq",
+          "--recall-sample applies to the ivf/pq audits only")
+        require(c.kind == "ivf" || c.corpus.nonEmpty,
+          "the pq recall probe needs --corpus (codes are lossy — " +
+            "ground truth cannot be reconstructed from the index)")
+      }
     } else {
       require(c.input.nonEmpty, "--input is required")
       require(c.table.nonEmpty, "--table is required")
@@ -166,6 +179,21 @@ object Main {
             .map { case (np, s) => s"(nprobe=$np,shortlist=$s)" }
             .getOrElse("(uncalibrated)"))
         Similarity.verifyPqIndex(spark, c.index, idCol = c.idCol)
+    }
+    // round 20: optional live QUALITY replay beside the structural
+    // audit — a small held-out recall probe through the index's own
+    // serving config, so an operator can audit drift after a retrain
+    // (the persisted calibration is the build-time promise; this is
+    // the measured now)
+    if (c.recallSample > 0 && (c.kind == "ivf" || c.kind == "pq")) {
+      val corpus =
+        if (c.kind == "pq") Some(spark.read.parquet(c.corpus)) else None
+      val (r, n, mode) = Similarity.measureIndexRecall(spark, c.index,
+        c.kind, corpus, k = c.recallK, sample = c.recallSample,
+        idCol = c.idCol)
+      println(f"[graft] measured recall@${c.recallK}%d = $r%.4f " +
+        f"over $n%d truth rows (held-out sample=${c.recallSample}%d, " +
+        s"mode=$mode)")
     }
     // the audit output is ≤ one row per index composite that collides —
     // expected empty; bounded by actual collisions, never corpus-sized

@@ -726,6 +726,124 @@ object Similarity {
     (hits / denom, z * sd / math.sqrt(nQ.toDouble))
   }
 
+  // ---- workload-shift fingerprint (round 20) -------------------------
+  // The dispersion margin budgets SAMPLING noise; it cannot see
+  // workload SHIFT — an index calibrated on workload A silently serves
+  // workload B at whatever recall it gets (round-18's +0.15 gap was
+  // shift between group families, not sampling). The fingerprint makes
+  // the gap loud: calibration persists the deciles of each sample
+  // query's max cosine to the routing centroids (how "at home" the
+  // workload is in the index's cell structure), and the autoNprobe
+  // query paths compare a live batch's distribution against it. The
+  // guard is ONE-SIDED on the far side: queries sitting farther from
+  // every centroid than the calibration workload is the configuration
+  // that under-delivers recall; a closer workload can only over-probe.
+
+  /** Max cosine to any routing centroid for each vector — pure driver
+   * math over the nlist-bounded centroid matrix and a ≤sample-bounded
+   * vector list (the [[trainIvfCentroids]] driver contract). */
+  private def nearestCentroidCos(vecs: Seq[Seq[Double]],
+                                 cents: Seq[Seq[Double]]): Seq[Double] = {
+    val unit = cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    vecs.map { v =>
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      if (vn == 0) 0.0
+      else unit.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length && i < v.length) { s += c(i) * v(i); i += 1 }
+        s / vn
+      }.max
+    }
+  }
+
+  /** Linear-interpolated deciles (p0, p10, …, p100) of a non-empty
+   * driver-side value list. */
+  private[graft] def deciles(vals: Seq[Double]): Seq[Double] = {
+    val s = vals.sorted.toIndexedSeq
+    (0 to 10).map { q =>
+      val pos = q * (s.length - 1) / 10.0
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, s.length - 1)
+      val f = pos - lo
+      s(lo) * (1 - f) + s(hi) * f
+    }
+  }
+
+  /** The deterministic bounded vector sample every fingerprint path
+   * shares — the calibrators' xxhash-ordered derivation. */
+  private def sampleVecs(df: DataFrame, n: Int, idCol: String,
+                         vecCol: String): Seq[Seq[Double]] =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** The persisted calibration-workload fingerprint — (sample size,
+   * 11 deciles of nearest-centroid cosine), written by a calibrated
+   * [[writePqIndex]]. None on uncalibrated or pre-round-20 indexes. */
+  def pqCalibrationFingerprint(spark: org.apache.spark.sql.SparkSession,
+                               baseTable: String)
+      : Option[(Int, Seq[Double])] =
+    spark.table(baseTable + "_pqmeta")
+      .filter(col("kind") === "cal_fp")
+      .select("j", "vec").limit(1).collect().headOption
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+
+  /**
+   * Compare a live query batch's nearest-centroid-cosine distribution
+   * against the persisted calibration fingerprint of `baseTable`.
+   * Returns the SHIFT FRACTION — the share of the live sample sitting
+   * below the calibration workload's p10 — or None when the index
+   * carries no fingerprint (pre-round-20 or uncalibrated) or the batch
+   * is empty, in which case the guard silently passes (backward
+   * compatible). `guard`:
+   *   - "off"    — skip entirely (no sample job);
+   *   - "warn"   — stderr warning when the fraction exceeds
+   *                `maxShiftFrac` (default: half the batch is farther
+   *                from every centroid than 90% of the calibration
+   *                workload — same-family batches sit near 0.10 by
+   *                construction);
+   *   - "refuse" — throw IllegalStateException instead.
+   * Cost: one ≤fingerprint-sample collect + nlist×sample driver
+   * multiplies per query batch — noise next to a single probe join.
+   */
+  def checkWorkloadShift(queries: DataFrame, baseTable: String,
+                         guard: String = "warn",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         maxShiftFrac: Double = 0.5): Option[Double] = {
+    require(Set("off", "warn", "refuse")(guard),
+      s"guard must be off, warn or refuse, got '$guard'")
+    if (guard == "off") return None
+    val spark = queries.sparkSession
+    pqCalibrationFingerprint(spark, baseTable).flatMap { case (n, d) =>
+      val vs = sampleVecs(queries, n, idCol, vecCol)
+      if (vs.isEmpty) None
+      else {
+        val live = nearestCentroidCos(vs, pqRouting(spark, baseTable)._1)
+        val p10 = d(1)
+        val frac = live.count(_ < p10).toDouble / live.size
+        if (frac > maxShiftFrac) {
+          val msg = f"workload shift on PQ index '$baseTable': " +
+            f"${frac * 100}%.0f%% of the live query sample " +
+            f"(n=${live.size}) sits farther from every routing centroid " +
+            f"than 90%% of the calibration workload (calibrated p10 " +
+            f"cos=$p10%.4f, live median=${deciles(live)(5)}%.4f vs " +
+            f"calibrated median=${d(5)}%.4f) — the persisted " +
+            "(nprobe, shortlist) was measured on a DIFFERENT workload " +
+            "and its recall target may silently not hold here. " +
+            "Recalibrate with calibrationQueries drawn from THIS " +
+            "workload, or pass explicit probe depths."
+          if (guard == "refuse") throw new IllegalStateException(msg)
+          System.err.println(s"[graft] WARN $msg")
+        }
+        Some(frac)
+      }
+    }
+  }
+
   /**
    * [[calibrateNprobe]] for the PQ path: the same smallest-power-of-two
    * ascent, but each step ranks the sample through the ACTUAL ADC
@@ -1053,7 +1171,8 @@ object Similarity {
                        shortlist: Int = 40, nprobe: Int = 4,
                        dim: Int = 64, idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       autoNprobe: Boolean = false): DataFrame = {
+                       autoNprobe: Boolean = false,
+                       shiftGuard: String = "warn"): DataFrame = {
     val spark = queries.sparkSession
     val (np, short0) =
       if (!autoNprobe) (nprobe, shortlist)
@@ -1063,6 +1182,10 @@ object Similarity {
             "refined (nprobe, shortlist) calibration — rebuild with " +
             "writePqIndex(refinedTargetRecall = Some(...)) or pass " +
             "explicit nprobe/shortlist"))
+    // trusting a persisted calibration only makes sense on the workload
+    // it was measured against — see [[checkWorkloadShift]]
+    if (autoNprobe)
+      checkWorkloadShift(queries, pqBase, shiftGuard, idCol, vecCol)
     require(short0 >= k,
       s"shortlist ($short0) must be >= k ($k)")
     val ivfCents = ivfRouting(spark, ivfBase)
@@ -1122,6 +1245,34 @@ object Similarity {
       .select("i", "j").limit(1).collect().headOption
       .map(r => (r.getInt(0), r.getInt(1)))
 
+  /** The calibration CONTRACT persisted with a [[writePqIndex]] build
+   * (round 20): target recall, the accept rule's `marginZ`, and the
+   * sample spec (k, sample size, maxNprobe, and maxShortlist on the
+   * refined kind). `maxShortlist` is `None` on the single-stage spec.
+   * [[retrainPqIndex]] reads this back to recalibrate by default —
+   * the calibrated (nprobe, shortlist) describes ONE generation's
+   * density, the TARGET outlives generations. */
+  final case class CalSpec(target: Double, marginZ: Double,
+                           recallK: Int, sample: Int, maxNprobe: Int,
+                           maxShortlist: Option[Int])
+
+  /** Read back the persisted calibration spec — `refined = false` for
+   * the single-stage `targetRecall` contract, `refined = true` for the
+   * two-stage `refinedTargetRecall` contract. None on indexes built
+   * without that calibration (or pre-round-20 calibrated indexes,
+   * which persisted only the RESULT). */
+  def pqCalibrationSpec(spark: org.apache.spark.sql.SparkSession,
+                        baseTable: String,
+                        refined: Boolean): Option[CalSpec] =
+    spark.table(baseTable + "_pqmeta")
+      .filter(col("kind") === (if (refined) "cal_ref_spec" else "cal_spec"))
+      .select("i", "j", "vec").limit(1).collect().headOption
+      .map { r =>
+        val v = r.getSeq[Double](2)
+        CalSpec(v(0), v(1), r.getInt(0), r.getInt(1), v(2).toInt,
+          if (refined) Some(v(3).toInt) else None)
+      }
+
   /** The persisted index's calibrated nprobe, when [[writeIvfIndex]]
    * ran with `targetRecall` — None on uncalibrated or pre-round-18
    * indexes. */
@@ -1133,6 +1284,23 @@ object Similarity {
       case r if r.isNullAt(0) => None
       case r => Some(r.getInt(0))
     }
+  }
+
+  /** The IVF index's persisted calibration CONTRACT — the
+   * [[pqCalibrationSpec]] twin over `_centroids`' `cal_spec` column
+   * ([target, marginZ, recallK, sample, maxNprobe]; `maxShortlist` is
+   * always None — the single-stage path has no shortlist). None on
+   * uncalibrated or pre-round-20 indexes. */
+  def ivfCalibrationSpec(spark: org.apache.spark.sql.SparkSession,
+                         baseTable: String): Option[CalSpec] = {
+    val t = spark.table(baseTable + "_centroids")
+    if (!t.columns.contains("cal_spec")) None
+    else t.select("cal_spec").filter(col("cal_spec").isNotNull)
+      .limit(1).collect().headOption
+      .map { r =>
+        val v = r.getSeq[Double](0)
+        CalSpec(v(0), v(1), v(2).toInt, v(3).toInt, v(4).toInt, None)
+      }
   }
 
   /**
@@ -1203,6 +1371,15 @@ object Similarity {
       .withColumn("gen", lit(gen))
       .withColumn("cal_nprobe",
         calNprobe.map(lit(_)).getOrElse(lit(null)).cast("int"))
+      // the calibration CONTRACT (round 20, the PQ family's
+      // cal_spec twin): [target, marginZ, recallK, sample, maxNprobe]
+      // — constant across the nlist rows, read back by
+      // [[ivfCalibrationSpec]] so [[retrainIvfIndex]] recalibrates by
+      // default instead of dropping the target with the generation
+      .withColumn("cal_spec",
+        targetRecall.map(t => typedLit(Seq(t, marginZ, recallK.toDouble,
+            recallSample.toDouble, maxNprobe.toDouble)))
+          .getOrElse(lit(null).cast("array<double>")))
     graft.tables.Tables.stageBucketedSwap(cells, baseTable + "_cells",
       "cell", numBuckets)
     graft.tables.Tables.stageBucketedSwap(centDf, baseTable + "_centroids",
@@ -1265,15 +1442,25 @@ object Similarity {
       numBuckets, idCol)
     val corpus = spark.table(baseTable + "_cells")
       .select(col(idCol), col("vec").as(vecCol))
-    // a calibration describes ONE routing generation — the retrain
-    // re-measures it (pass targetRecall again) or drops it; carrying
-    // the old cal_nprobe forward against moved centroids would quietly
-    // mis-probe, which is exactly what the generation protocol exists
-    // to prevent
+    // a calibrated NPROBE describes ONE routing generation and never
+    // carries forward — but the calibration CONTRACT (target + z +
+    // sample spec) outlives generations: when the caller does not
+    // restate `targetRecall`, the stored `cal_spec` drives a fresh
+    // measurement against the retrained centroids (round 20 — the PQ
+    // family's retrain-recalibration, see [[retrainPqIndex]]).
+    // Explicit targets win wholesale and become the new contract.
+    val stored = if (targetRecall.isDefined) None
+      else ivfCalibrationSpec(spark, baseTable)
+    val (effTarget, effK, effSample, effMaxNp, effZ) = stored match {
+      case Some(s) =>
+        (Some(s.target), s.recallK, s.sample, s.maxNprobe, s.marginZ)
+      case None =>
+        (targetRecall, recallK, recallSample, maxNprobe, marginZ)
+    }
     writeIvfIndex(corpus, baseTable, nlist, dim, numBuckets, idCol, vecCol,
-      iters = iters, targetRecall = targetRecall, recallK = recallK,
-      recallSample = recallSample, maxNprobe = maxNprobe,
-      calibrationQueries = calibrationQueries, marginZ = marginZ)
+      iters = iters, targetRecall = effTarget, recallK = effK,
+      recallSample = effSample, maxNprobe = effMaxNp,
+      calibrationQueries = calibrationQueries, marginZ = effZ)
   }
 
   /**
@@ -1727,6 +1914,18 @@ object Similarity {
       calibrateRefined(corpus, cents, books, t, recallK, recallSample,
         maxNprobe, maxShortlist, dim, idCol, vecCol, calibrationQueries,
         residual, marginZ)._1)
+    // workload fingerprint (round 20): persisted beside the calibrated
+    // pair so the autoNprobe query paths can detect workload SHIFT —
+    // the failure class the dispersion margin cannot see. Computed from
+    // the SAME deterministic sample derivation the calibrators use.
+    val calFp =
+      if (targetRecall.isEmpty && refinedTargetRecall.isEmpty) None
+      else {
+        val vs = sampleVecs(calibrationQueries.getOrElse(corpus),
+          recallSample, idCol, vecCol)
+        if (vs.isEmpty) None
+        else Some((vs.size, deciles(nearestCentroidCos(vs, cents))))
+      }
     val assigned = withIvfCell(corpus, cents, vecCol)
     val coded0 =
       if (residual)
@@ -1751,6 +1950,22 @@ object Similarity {
       calNprobe.map(np => ("cal", np, 0, Seq.empty[Double])).toSeq ++
       calRef.map { case (np, s) =>
         ("cal_ref", np, s, Seq.empty[Double]) }.toSeq ++
+      // the calibration CONTRACT rides the meta table alongside its
+      // result (round 20): target + accept-rule z + sample spec, so
+      // [[retrainPqIndex]] can recalibrate by default instead of
+      // silently dropping the self-sizing story at exactly the moment
+      // it matters most (a retrain happens because density changed).
+      // (kind, i = recallK, j = recallSample,
+      //  vec = [target, marginZ, maxNprobe (, maxShortlist)])
+      targetRecall.map(t => ("cal_spec", recallK, recallSample,
+        Seq(t, marginZ, maxNprobe.toDouble))).toSeq ++
+      refinedTargetRecall.map(t => ("cal_ref_spec", recallK, recallSample,
+        Seq(t, marginZ, maxNprobe.toDouble, maxShortlist.toDouble)))
+        .toSeq ++
+      // (kind = cal_fp, i = 0, j = sample size actually used,
+      //  vec = nearest-centroid-cosine deciles of the calibration
+      //  workload) — see [[checkWorkloadShift]]
+      calFp.map { case (nUsed, d) => ("cal_fp", 0, nUsed, d) }.toSeq ++
       (if (residual) Seq(("res", 1, 0, Seq.empty[Double])) else Nil))
       .toDF("kind", "i", "j", "vec")
       .withColumn("gen", lit(gen))
@@ -1787,6 +2002,23 @@ object Similarity {
    * missing streamed vectors, and rebuilding from it would silently
    * DROP them from the index (the exact silent-loss class the
    * generation protocol exists to prevent).
+   *
+   * CALIBRATION survives the retrain (round 20): like the `kind='res'`
+   * stamp, the calibration CONTRACT (target + z + sample spec, the
+   * `cal_spec`/`cal_ref_spec` meta rows a calibrated [[writePqIndex]]
+   * persists) is read back and RE-MEASURED against the rebuilt
+   * codebooks by default when `targetRecall`/`refinedTargetRecall`
+   * are not restated — the retrain happens because density changed,
+   * which is exactly when the old (nprobe, shortlist) stops being the
+   * right answer, so `autoNprobe` callers keep serving without the
+   * caller re-plumbing build-time constants. Explicit targets still
+   * win wholesale (and become the new persisted contract); a stored
+   * target the rebuilt codes genuinely cannot reach refuses loudly
+   * inside the calibrator, leaving the OLD index tables untouched
+   * (the refusal happens before the staged swap). Workload-sample
+   * calibrations (`calibrationQueries`) re-pass their sample here —
+   * frames are not persistable in meta; omitting it falls back to the
+   * corpus self-sample with the stored scalars.
    */
   def retrainPqIndex(spark: org.apache.spark.sql.SparkSession,
                      baseTable: String, deltaPath: String,
@@ -1805,6 +2037,26 @@ object Similarity {
     graft.streaming.Streams.compactPqDelta(spark, deltaPath, baseTable,
       numBuckets, idCol)
     val res = residual.getOrElse(pqIsResidual(spark, baseTable))
+    // the stored calibration contract — read BEFORE the rebuild swaps
+    // the meta table out from under us; explicit caller targets win
+    // wholesale (current behavior), otherwise the stored spec drives a
+    // fresh calibration against the rebuilt codebooks
+    val storedSingle = pqCalibrationSpec(spark, baseTable, refined = false)
+    val storedRefined = pqCalibrationSpec(spark, baseTable, refined = true)
+    val callerMode = targetRecall.isDefined || refinedTargetRecall.isDefined
+    val (effTarget, effRefined, effK, effSample, effMaxNp, effMaxSl, effZ) =
+      if (callerMode || (storedSingle.isEmpty && storedRefined.isEmpty))
+        (targetRecall, refinedTargetRecall, recallK, recallSample,
+          maxNprobe, maxShortlist, marginZ)
+      else {
+        // scalars come from the refined spec when present (it is the
+        // stricter contract); both specs are written by one
+        // writePqIndex call, so they agree in practice
+        val s = storedRefined.getOrElse(storedSingle.get)
+        (storedSingle.map(_.target), storedRefined.map(_.target),
+          s.recallK, s.sample, s.maxNprobe,
+          s.maxShortlist.getOrElse(maxShortlist), s.marginZ)
+      }
     val folded = spark.table(baseTable + "_pqcodes").count()
     val src = sourceCorpus.count()
     require(src >= folded,
@@ -1814,11 +2066,116 @@ object Similarity {
         "codes are lossy: the source corpus is the training set and " +
         "must include every ingested vector.")
     writePqIndex(sourceCorpus, baseTable, nlist, m, kcent, dim,
-      numBuckets, idCol, vecCol, targetRecall = targetRecall,
-      recallK = recallK, recallSample = recallSample,
-      maxNprobe = maxNprobe, calibrationQueries = calibrationQueries,
-      residual = res, refinedTargetRecall = refinedTargetRecall,
-      maxShortlist = maxShortlist, marginZ = marginZ)
+      numBuckets, idCol, vecCol, targetRecall = effTarget,
+      recallK = effK, recallSample = effSample,
+      maxNprobe = effMaxNp, calibrationQueries = calibrationQueries,
+      residual = res, refinedTargetRecall = effRefined,
+      maxShortlist = effMaxSl, marginZ = effZ)
+  }
+
+  /**
+   * Live QUALITY audit of a persisted index (round 20): replay a small
+   * HELD-OUT recall probe so an operator can audit what the index
+   * actually serves — after a retrain, a fold, or a suspected workload
+   * shift — rather than only its structure ([[verifyPqIndex]]) and its
+   * build-time promise (the persisted calibration). The sample takes
+   * the HIGHEST-xxhash64 `sample` ids, the far end of the ordering the
+   * calibrators draw their sample from, so on any corpus larger than
+   * 2×sample the probe is disjoint from the set the calibration
+   * already optimized for.
+   *
+   * `kind = "pq"` probes through the index's own serving config —
+   * the refined (nprobe, shortlist) pair when persisted (recall of the
+   * exact-re-rank serving path equals truth∩shortlist containment,
+   * since exact scores always rank true top-k members above shortlist
+   * imposters), else the single-stage calibrated nprobe, else
+   * `fallbackNprobe`. The PQ probe needs the RAW corpus (codes are
+   * lossy — truth is not reconstructable from the index). `kind =
+   * "ivf"` is self-contained (`_cells` holds the vectors); pass
+   * `corpus = None`.
+   *
+   * Returns (pooled recall, truth-query count, mode description).
+   * Cost: one brute-force pass over the corpus × sample (the ground
+   * truth — this is an audit, not a serving path) plus one probe.
+   */
+  def measureIndexRecall(spark: org.apache.spark.sql.SparkSession,
+                         baseTable: String, kind: String,
+                         corpus: Option[DataFrame] = None,
+                         k: Int = 10, sample: Int = 16,
+                         fallbackNprobe: Int = 4,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding")
+      : (Double, Long, String) = {
+    require(Set("ivf", "pq")(kind), s"kind must be ivf or pq, got '$kind'")
+    require(sample >= 1 && k >= 1, s"sample/k must be >= 1")
+    val corp = kind match {
+      case "ivf" =>
+        require(corpus.isEmpty,
+          "ivf recall audit is self-contained — omit the corpus")
+        spark.table(baseTable + "_cells")
+          .select(col(idCol), col("vec").as(vecCol))
+      case _ =>
+        corpus.getOrElse(throw new IllegalArgumentException(
+          "pq recall audit needs the raw corpus (codes are lossy; " +
+            "ground truth cannot be reconstructed from the index)"))
+    }
+    // held-out end of the calibrators' deterministic ordering
+    val q = corp.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)).desc, col(idCol).desc).limit(sample)
+      .localCheckpoint(true)
+    val truth = bruteForceTopK(corp, q, k, idCol, vecCol)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom = truth.count()
+    if (denom == 0) return (1.0, 0L, "empty-corpus")
+    val (got, mode) = kind match {
+      case "ivf" =>
+        val np = calibratedNprobe(spark, baseTable)
+          .getOrElse(fallbackNprobe)
+        val tag = if (calibratedNprobe(spark, baseTable).isDefined)
+          s"ivf(cal_nprobe=$np)" else s"ivf(default nprobe=$np)"
+        (ivfTopKAgainstIndex(q, baseTable, k = k + 1, nprobe = np,
+          idCol = idCol, vecCol = vecCol), tag)
+      case _ =>
+        calibratedRefined(spark, baseTable) match {
+          case Some((np, sl)) =>
+            (ivfPqTopKIndexed(q, baseTable, k = math.max(sl, k + 1),
+              nprobe = np, dim = pqIndexDim(spark, baseTable),
+              idCol = idCol, vecCol = vecCol),
+              s"pq-refined(nprobe=$np,shortlist=$sl)")
+          case None =>
+            val np = calibratedPqNprobe(spark, baseTable)
+              .getOrElse(fallbackNprobe)
+            val tag = if (calibratedPqNprobe(spark, baseTable).isDefined)
+              s"pq-adc(cal_nprobe=$np)" else s"pq-adc(default nprobe=$np)"
+            (ivfPqTopKIndexed(q, baseTable, k = k + 1, nprobe = np,
+              dim = pqIndexDim(spark, baseTable),
+              idCol = idCol, vecCol = vecCol), tag)
+        }
+    }
+    // the probe includes self-hits (queries are corpus members and the
+    // index serves them); truth excludes self — fetch k+1, drop self,
+    // and truncate back to the top k the serving path would return.
+    // (The refined mode needs no truncation: its got IS the shortlist,
+    // and the exact re-rank always carries true members through —
+    // containment equals serving recall there.)
+    val noSelf = got.select("query_id", "neighbor_id", "rank")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val served =
+      if (mode.startsWith("pq-refined")) noSelf
+      else noSelf.withColumn("__rr", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rank"))))
+        .filter(col("__rr") <= k)
+    val hits = served.select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id")).count()
+    (hits.toDouble / denom, denom, mode)
+  }
+
+  /** The persisted PQ index's vector dimension, derived from the
+   * codebooks (m subspaces × subvector width). */
+  private def pqIndexDim(spark: org.apache.spark.sql.SparkSession,
+                         baseTable: String): Int = {
+    val books = pqRouting(spark, baseTable)._2
+    books.size * books.head._1.head.size
   }
 
   /** The persisted PQ index's generation — the [[ivfGeneration]]
@@ -1845,7 +2202,8 @@ object Similarity {
                        k: Int = 10, nprobe: Int = 4, dim: Int = 64,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       autoNprobe: Boolean = false): DataFrame = {
+                       autoNprobe: Boolean = false,
+                       shiftGuard: String = "warn"): DataFrame = {
     val spark = queries.sparkSession
     val (cents, books) = pqRouting(spark, baseTable)
     val np =
@@ -1855,6 +2213,10 @@ object Similarity {
           s"autoNprobe requested but PQ index '$baseTable' carries no " +
             "calibration — rebuild with writePqIndex(targetRecall = " +
             "Some(...)) or pass an explicit nprobe"))
+    // a persisted calibration is only trustworthy on the workload it
+    // was measured against — see [[checkWorkloadShift]]
+    if (autoNprobe)
+      checkWorkloadShift(queries, baseTable, shiftGuard, idCol, vecCol)
     val m = books.size
     val res = pqIsResidual(spark, baseTable)
     val coded = spark.table(baseTable + "_pqcodes")

@@ -220,4 +220,62 @@ class MainSpec extends SparkSpec {
       assert(Main.verifyIndex(spark, cIvf) == 1L)
     } finally drop()
   }
+
+  test("verify-index --recall-sample: replays a held-out recall probe " +
+      "through the index's serving config (ivf self-contained, pq " +
+      "needs --corpus), printing a measured recall; flag misuse " +
+      "refuses at parse time") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = (1L to 64L).map { i =>
+      (i, Array(math.cos(i * 0.0982).toFloat, math.sin(i * 0.0982).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val ivfBase = "vrx_ivf"; val pqBase = "vrx_pq"
+    val corpusDir =
+      java.nio.file.Files.createTempDirectory("vrxcorpus").toString
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    def drop(): Unit = Seq(s"${ivfBase}_cells", s"${ivfBase}_centroids",
+      s"${pqBase}_pqcodes", s"${pqBase}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writeIvfIndex(corpus, ivfBase, nlist = 4, dim = 2,
+        targetRecall = Some(0.5), recallK = 3, recallSample = 16,
+        maxNprobe = 4)
+      Similarity.writePqIndex(corpus, pqBase, nlist = 4, m = 2,
+        kcent = 8, dim = 2, residual = false)
+      // ivf: self-contained, probes at the calibrated nprobe
+      val (rIvf, nIvf, modeIvf) = Similarity.measureIndexRecall(spark,
+        ivfBase, "ivf", k = 3, sample = 8)
+      assert(nIvf > 0 && rIvf > 0.0 && rIvf <= 1.0, s"($rIvf, $nIvf)")
+      assert(modeIvf.startsWith("ivf(cal_nprobe="), modeIvf)
+      // pq: uncalibrated index probes at the fallback, raw corpus given
+      val (rPq, nPq, modePq) = Similarity.measureIndexRecall(spark,
+        pqBase, "pq", Some(corpus), k = 3, sample = 8)
+      assert(nPq > 0 && rPq > 0.0 && rPq <= 1.0, s"($rPq, $nPq)")
+      assert(modePq.startsWith("pq-adc(default nprobe="), modePq)
+      // CLI wiring end to end (residual count still governs the exit)
+      assert(Main.verifyIndex(spark, Main.parseArgs(Seq("verify-index",
+        "--index", ivfBase, "--kind", "ivf",
+        "--recall-sample", "8", "--recall-k", "3"))) == 0L)
+      assert(Main.verifyIndex(spark, Main.parseArgs(Seq("verify-index",
+        "--index", pqBase, "--kind", "pq", "--corpus", corpusDir,
+        "--recall-sample", "8", "--recall-k", "3"))) == 0L)
+      // misuse refuses at parse time: pq recall without a corpus, and
+      // recall flags on a span audit
+      intercept[IllegalArgumentException] {
+        Main.parseArgs(Seq("verify-index", "--index", pqBase,
+          "--kind", "pq", "--recall-sample", "8"))
+      }
+      intercept[IllegalArgumentException] {
+        Main.parseArgs(Seq("verify-index", "--index", "x",
+          "--corpus", corpusDir, "--kind", "span",
+          "--recall-sample", "8"))
+      }
+    } finally {
+      drop()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(corpusDir))
+    }
+  }
 }

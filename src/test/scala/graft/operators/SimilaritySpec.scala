@@ -896,6 +896,67 @@ class SimilaritySpec extends SparkSpec {
     } finally drop()
   }
 
+  test("workload-shift fingerprint: calibrate on group-family A, query " +
+      "family B -> the guard fires (warn returns the shift fraction, " +
+      "refuse throws); same-family queries pass silently; off skips; " +
+      "an index without a fingerprint silently passes (back-compat)") {
+    // two planted-cluster families over DISJOINT base frequencies: B's
+    // vectors point nowhere near any of A's routing centroids, which is
+    // exactly the r18 0.675-vs-0.522 shift configuration in miniature
+    def family(firstBase: Int, idOffset: Long) =
+      (0 until 160).map { i =>
+        val g = i % 8
+        (idOffset + i, Array.tabulate(16) { p =>
+          (math.sin((g + firstBase) * (p + 1) * 0.7)
+            + 0.02 * math.sin((i * 37 + p * 101) * 0.13)).toFloat
+        })
+      }.toDF("vec_id", "embedding")
+    val famA = family(1, 0L)
+    val famB = family(40, 5000L)
+    val base = "shift_guard_pq"
+    def drop(): Unit = Seq(s"${base}_pqcodes", s"${base}_pqmeta")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writePqIndex(famA, base, nlist = 8, m = 4, kcent = 8,
+        dim = 16, targetRecall = Some(0.5), recallK = 4,
+        recallSample = 16, maxNprobe = 8, marginZ = 0.0,
+        calibrationQueries = Some(famA.filter(col("vec_id") >= 100)))
+      val fp = Similarity.pqCalibrationFingerprint(spark, base)
+      assert(fp.exists(f => f._1 == 16 && f._2.length == 11), s"fp: $fp")
+      // same family (held-out ids the calibration sample never saw):
+      // silent — the fraction sits at/below the p10 tail by construction
+      val sameFrac = Similarity.checkWorkloadShift(
+        famA.filter(col("vec_id") < 100), base)
+      assert(sameFrac.exists(_ <= 0.5), s"same-family frac: $sameFrac")
+      // family B: the guard fires — warn mode returns the fraction…
+      val shiftFrac = Similarity.checkWorkloadShift(famB, base)
+      assert(shiftFrac.exists(_ > 0.5), s"shifted frac: $shiftFrac")
+      // …refuse mode throws, naming the fingerprint comparison…
+      val e = intercept[IllegalStateException] {
+        Similarity.checkWorkloadShift(famB, base, guard = "refuse")
+      }
+      assert(e.getMessage.contains("workload shift"))
+      assert(e.getMessage.contains("recalibrate") ||
+        e.getMessage.contains("Recalibrate"))
+      // …and the wired query path enforces it under autoNprobe
+      val e2 = intercept[IllegalStateException] {
+        Similarity.ivfPqTopKIndexed(famB, base, k = 4, dim = 16,
+          autoNprobe = true, shiftGuard = "refuse").collect()
+      }
+      assert(e2.getMessage.contains("workload shift"))
+      // off skips without touching the fingerprint
+      assert(Similarity.checkWorkloadShift(famB, base, guard = "off")
+        .isEmpty)
+      // an uncalibrated rebuild has no fingerprint: guard passes
+      // silently (pre-round-20 indexes keep working)
+      Similarity.writePqIndex(famA, base, nlist = 8, m = 4, kcent = 8,
+        dim = 16)
+      assert(Similarity.pqCalibrationFingerprint(spark, base).isEmpty)
+      assert(Similarity.checkWorkloadShift(famB, base).isEmpty)
+    } finally drop()
+  }
+
   test("calibration dispersion margin: a larger z never accepts earlier, " +
       "an exact-recall step (zero dispersion) always accepts, and a " +
       "point estimate inside the margin refuses naming the margin") {

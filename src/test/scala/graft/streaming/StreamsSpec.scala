@@ -675,6 +675,116 @@ class StreamsSpec extends SparkSpec {
         Tables.dropTable(spark, b + sfx)))
   }
 
+  test("calibration contract survives retrain (round 20): a calibrated " +
+      "build streams, retrains WITHOUT restating the target, and " +
+      "autoNprobe still serves off a freshly-measured pair; the spec, " +
+      "fingerprint and stamp all ride the rebuilt meta; explicit " +
+      "targets at retrain override and become the new contract") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Fixtures.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    val initial = emb.filter(col("vec_id") < 100)
+    val grown = emb.filter(col("vec_id") < 200)
+    val later = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("_pqcodes", "_pqmeta").foreach(s =>
+      Tables.dropTable(spark, "pqcal" + s))
+    Seq("_cells", "_centroids").foreach(s =>
+      Tables.dropTable(spark, "ivfcal" + s))
+    // PQ: both calibration modes + the implied fingerprint
+    Similarity.writePqIndex(initial, "pqcal", nlist = 16, m = 8,
+      kcent = 32, dim = 64, numBuckets = 4,
+      targetRecall = Some(0.25), refinedTargetRecall = Some(0.8),
+      recallK = 4, recallSample = 16, maxNprobe = 16, maxShortlist = 64,
+      marginZ = 0.0)
+    val spec0 = Similarity.pqCalibrationSpec(spark, "pqcal",
+      refined = true)
+    assert(spec0.contains(Similarity.CalSpec(0.8, 0.0, 4, 16, 16,
+      Some(64))), s"persisted refined spec: $spec0")
+    assert(Similarity.pqCalibrationSpec(spark, "pqcal", refined = false)
+      .contains(Similarity.CalSpec(0.25, 0.0, 4, 16, 16, None)))
+    val fp0 = Similarity.pqCalibrationFingerprint(spark, "pqcal")
+    assert(fp0.exists(_._2.length == 11), s"fingerprint: $fp0")
+    val pair0 = Similarity.calibratedRefined(spark, "pqcal")
+    assert(pair0.nonEmpty)
+    // stream 100 more vectors, then retrain WITHOUT restating anything
+    val delta = Files.createTempDirectory("pqcaldelta").toString
+    val cp = Files.createTempDirectory("pqcalcp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val laterRows = later.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val q = Streams.pqIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+      "pqcal", delta, cp)
+    try { mem.addData(laterRows: _*); q.processAllAvailable() }
+    finally q.stop()
+    Similarity.retrainPqIndex(spark, "pqcal", delta, grown, nlist = 16,
+      m = 8, kcent = 32, dim = 64, numBuckets = 4)
+    assert(Similarity.pqGeneration(spark, "pqcal") == 1L)
+    // the contract survived: spec rows identical, a fresh pair was
+    // MEASURED against the new density (it may differ from pair0), and
+    // autoNprobe serves without the caller re-plumbing anything
+    assert(Similarity.pqCalibrationSpec(spark, "pqcal", refined = true)
+      == spec0, "refined spec must survive the retrain")
+    assert(Similarity.pqCalibrationSpec(spark, "pqcal", refined = false)
+      .contains(Similarity.CalSpec(0.25, 0.0, 4, 16, 16, None)))
+    assert(Similarity.calibratedRefined(spark, "pqcal").nonEmpty,
+      "retrain must re-measure the refined pair from the stored target")
+    assert(Similarity.calibratedPqNprobe(spark, "pqcal").nonEmpty)
+    assert(Similarity.pqCalibrationFingerprint(spark, "pqcal")
+      .exists(_._2.length == 11), "fingerprint must survive the retrain")
+    assert(Similarity.pqIsResidual(spark, "pqcal"))
+    Seq("_cells", "_centroids").foreach(s =>
+      Tables.dropTable(spark, "pqcal_ivf" + s))
+    Similarity.writeIvfIndex(grown, "pqcal_ivf", nlist = 16,
+      numBuckets = 4)
+    assert(rows(Similarity.ivfPqTopKRefined(queries, "pqcal",
+      "pqcal_ivf", k = 4, dim = 64, autoNprobe = true)
+      .orderBy("query_id", "rank")).nonEmpty,
+      "autoNprobe must serve after an untargeted retrain")
+    // explicit target at retrain OVERRIDES and becomes the new contract
+    Similarity.retrainPqIndex(spark, "pqcal", delta, grown, nlist = 16,
+      m = 8, kcent = 32, dim = 64, numBuckets = 4,
+      refinedTargetRecall = Some(0.6), recallK = 4, recallSample = 8,
+      maxNprobe = 16, maxShortlist = 32, marginZ = 0.0)
+    assert(Similarity.pqCalibrationSpec(spark, "pqcal", refined = true)
+      .contains(Similarity.CalSpec(0.6, 0.0, 4, 8, 16, Some(32))))
+    assert(Similarity.pqCalibrationSpec(spark, "pqcal", refined = false)
+      .isEmpty, "an explicit retrain target replaces the whole contract")
+    // IVF twin: the cal_spec column drives the default recalibration
+    Similarity.writeIvfIndex(initial, "ivfcal", nlist = 16,
+      numBuckets = 4, targetRecall = Some(0.6), recallK = 4,
+      recallSample = 16, maxNprobe = 16, marginZ = 0.0)
+    assert(Similarity.ivfCalibrationSpec(spark, "ivfcal")
+      .contains(Similarity.CalSpec(0.6, 0.0, 4, 16, 16, None)))
+    assert(Similarity.calibratedNprobe(spark, "ivfcal").nonEmpty)
+    val delta2 = Files.createTempDirectory("ivfcaldelta").toString
+    val cp2 = Files.createTempDirectory("ivfcalcp").toString
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = Streams.ivfIngestSink(mem2.toDF().toDF("vec_id", "embedding"),
+      "ivfcal", delta2, cp2)
+    try { mem2.addData(laterRows: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    Similarity.retrainIvfIndex(spark, "ivfcal", delta2, nlist = 16,
+      numBuckets = 4)
+    assert(Similarity.ivfGeneration(spark, "ivfcal") == 1L)
+    assert(Similarity.ivfCalibrationSpec(spark, "ivfcal")
+      .contains(Similarity.CalSpec(0.6, 0.0, 4, 16, 16, None)),
+      "the IVF calibration contract must survive an untargeted retrain")
+    assert(Similarity.calibratedNprobe(spark, "ivfcal").nonEmpty,
+      "retrain must re-measure cal_nprobe from the stored target")
+    assert(rows(Similarity.ivfTopKAgainstIndex(queries, "ivfcal", k = 4,
+      autoNprobe = true).orderBy("query_id", "rank")).nonEmpty)
+    Seq(delta, delta2).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    Seq("_pqcodes", "_pqmeta").foreach(s =>
+      Tables.dropTable(spark, "pqcal" + s))
+    Seq("_cells", "_centroids").foreach { s =>
+      Tables.dropTable(spark, "ivfcal" + s)
+      Tables.dropTable(spark, "pqcal_ivf" + s)
+    }
+  }
+
   test("compactIvfDelta / compactPqDelta: a MARKER-LESS delta tree with " +
       "batch dirs refuses the fold (unknown assigning generation)") {
     import graft.operators.Similarity
