@@ -818,21 +818,63 @@ object Similarity {
       s"guard must be off, warn or refuse, got '$guard'")
     if (guard == "off") return None
     val spark = queries.sparkSession
-    pqCalibrationFingerprint(spark, baseTable).flatMap { case (n, d) =>
+    checkShiftCore(queries, pqCalibrationFingerprint(spark, baseTable),
+      () => pqRouting(spark, baseTable)._1, s"PQ index '$baseTable'",
+      guard, idCol, vecCol, maxShiftFrac)
+  }
+
+  /** The persisted IVF calibration-workload fingerprint — the
+   * [[pqCalibrationFingerprint]] twin, riding `_centroids`' `cal_fp`
+   * column as [sample size, 11 deciles]. None on uncalibrated or
+   * pre-round-20 indexes. */
+  def ivfCalibrationFingerprint(spark: org.apache.spark.sql.SparkSession,
+                                baseTable: String)
+      : Option[(Int, Seq[Double])] = {
+    val t = spark.table(baseTable + "_centroids")
+    if (!t.columns.contains("cal_fp")) None
+    else t.select("cal_fp").filter(col("cal_fp").isNotNull)
+      .limit(1).collect().headOption
+      .map { r => val v = r.getSeq[Double](0); (v.head.toInt, v.tail.toSeq) }
+  }
+
+  /** [[checkWorkloadShift]] for the plain-IVF index family: compares a
+   * live batch against the `cal_fp` fingerprint a recall-targeted
+   * [[writeIvfIndex]] persists. Same guard semantics, same one-sided
+   * far-shift rule, same silent pass on fingerprint-less indexes. */
+  def checkIvfWorkloadShift(queries: DataFrame, baseTable: String,
+                            guard: String = "warn",
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            maxShiftFrac: Double = 0.5): Option[Double] = {
+    require(Set("off", "warn", "refuse")(guard),
+      s"guard must be off, warn or refuse, got '$guard'")
+    if (guard == "off") return None
+    val spark = queries.sparkSession
+    checkShiftCore(queries, ivfCalibrationFingerprint(spark, baseTable),
+      () => ivfRouting(spark, baseTable), s"IVF index '$baseTable'",
+      guard, idCol, vecCol, maxShiftFrac)
+  }
+
+  private def checkShiftCore(queries: DataFrame,
+                             fp: Option[(Int, Seq[Double])],
+                             cents: () => Seq[Seq[Double]], label: String,
+                             guard: String, idCol: String, vecCol: String,
+                             maxShiftFrac: Double): Option[Double] =
+    fp.flatMap { case (n, d) =>
       val vs = sampleVecs(queries, n, idCol, vecCol)
       if (vs.isEmpty) None
       else {
-        val live = nearestCentroidCos(vs, pqRouting(spark, baseTable)._1)
+        val live = nearestCentroidCos(vs, cents())
         val p10 = d(1)
         val frac = live.count(_ < p10).toDouble / live.size
         if (frac > maxShiftFrac) {
-          val msg = f"workload shift on PQ index '$baseTable': " +
+          val msg = f"workload shift on $label: " +
             f"${frac * 100}%.0f%% of the live query sample " +
             f"(n=${live.size}) sits farther from every routing centroid " +
             f"than 90%% of the calibration workload (calibrated p10 " +
             f"cos=$p10%.4f, live median=${deciles(live)(5)}%.4f vs " +
             f"calibrated median=${d(5)}%.4f) — the persisted " +
-            "(nprobe, shortlist) was measured on a DIFFERENT workload " +
+            "calibration was measured on a DIFFERENT workload " +
             "and its recall target may silently not hold here. " +
             "Recalibrate with calibrationQueries drawn from THIS " +
             "workload, or pass explicit probe depths."
@@ -842,7 +884,6 @@ object Similarity {
         Some(frac)
       }
     }
-  }
 
   /**
    * [[calibrateNprobe]] for the PQ path: the same smallest-power-of-two
@@ -1354,6 +1395,16 @@ object Similarity {
     val calNprobe = targetRecall.map(t =>
       calibrateNprobe(corpus, cents, t, recallK, recallSample, maxNprobe,
         idCol, vecCol, calibrationQueries, marginZ)._1)
+    // workload fingerprint (round 20, the PQ family's cal_fp twin):
+    // persisted beside the calibrated nprobe so
+    // [[checkIvfWorkloadShift]] can detect workload SHIFT on the
+    // autoNprobe query path. Encoded [sample size, 11 deciles].
+    val calFp = targetRecall.flatMap { _ =>
+      val vs = sampleVecs(calibrationQueries.getOrElse(corpus),
+        recallSample, idCol, vecCol)
+      if (vs.isEmpty) None
+      else Some(vs.size.toDouble +: deciles(nearestCentroidCos(vs, cents)))
+    }
     val cells = withIvfCell(corpus, cents, vecCol)
       .select(col(idCol), col(vecCol).as("vec"),
         VectorFns.norm(vecCol).as("nrm"), col("__cell").as("cell"))
@@ -1379,6 +1430,9 @@ object Similarity {
       .withColumn("cal_spec",
         targetRecall.map(t => typedLit(Seq(t, marginZ, recallK.toDouble,
             recallSample.toDouble, maxNprobe.toDouble)))
+          .getOrElse(lit(null).cast("array<double>")))
+      .withColumn("cal_fp",
+        calFp.map(f => typedLit(f))
           .getOrElse(lit(null).cast("array<double>")))
     graft.tables.Tables.stageBucketedSwap(cells, baseTable + "_cells",
       "cell", numBuckets)
@@ -1475,7 +1529,8 @@ object Similarity {
                           k: Int = 10, nprobe: Int = 4, dim: Int = 64,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          autoNprobe: Boolean = false): DataFrame = {
+                          autoNprobe: Boolean = false,
+                          shiftGuard: String = "warn"): DataFrame = {
     val spark = queries.sparkSession
     val cents = ivfRouting(spark, baseTable)
     // auto mode reads the calibrated value persisted with THIS routing
@@ -1488,6 +1543,10 @@ object Similarity {
           s"autoNprobe requested but index '$baseTable' carries no " +
             "calibration — rebuild with writeIvfIndex(targetRecall = " +
             "Some(...)) or pass an explicit nprobe"))
+    // a persisted calibration is only trustworthy on the workload it
+    // was measured against — see [[checkIvfWorkloadShift]]
+    if (autoNprobe)
+      checkIvfWorkloadShift(queries, baseTable, shiftGuard, idCol, vecCol)
     ivfProbeRank(bulkCells(spark, baseTable, idCol), queries, cents, k,
       np, idCol, vecCol, dedupCandidates = false)
   }

@@ -957,6 +957,49 @@ class SimilaritySpec extends SparkSpec {
     } finally drop()
   }
 
+  test("workload-shift fingerprint, IVF twin: a recall-targeted " +
+      "writeIvfIndex persists cal_fp; family B refuses through " +
+      "ivfTopKAgainstIndex(autoNprobe), same-family passes, an " +
+      "uncalibrated rebuild passes silently") {
+    def family(firstBase: Int, idOffset: Long) =
+      (0 until 160).map { i =>
+        val g = i % 8
+        (idOffset + i, Array.tabulate(16) { p =>
+          (math.sin((g + firstBase) * (p + 1) * 0.7)
+            + 0.02 * math.sin((i * 37 + p * 101) * 0.13)).toFloat
+        })
+      }.toDF("vec_id", "embedding")
+    val famA = family(1, 0L)
+    val famB = family(40, 5000L)
+    val base = "shift_guard_ivf"
+    def drop(): Unit = Seq(s"${base}_cells", s"${base}_centroids")
+      .foreach(graft.tables.Tables.dropTable(spark, _))
+    drop()
+    try {
+      Similarity.writeIvfIndex(famA, base, nlist = 8, dim = 16,
+        targetRecall = Some(0.5), recallK = 4, recallSample = 16,
+        maxNprobe = 8, marginZ = 0.0,
+        calibrationQueries = Some(famA.filter(col("vec_id") >= 100)))
+      val fp = Similarity.ivfCalibrationFingerprint(spark, base)
+      assert(fp.exists(f => f._1 == 16 && f._2.length == 11), s"fp: $fp")
+      assert(Similarity.checkIvfWorkloadShift(
+        famA.filter(col("vec_id") < 100), base).exists(_ <= 0.5))
+      assert(Similarity.checkIvfWorkloadShift(famB, base)
+        .exists(_ > 0.5))
+      val e = intercept[IllegalStateException] {
+        Similarity.ivfTopKAgainstIndex(famB, base, k = 4, dim = 16,
+          autoNprobe = true, shiftGuard = "refuse").collect()
+      }
+      assert(e.getMessage.contains("workload shift") &&
+        e.getMessage.contains("IVF index"))
+      assert(Similarity.checkIvfWorkloadShift(famB, base, guard = "off")
+        .isEmpty)
+      Similarity.writeIvfIndex(famA, base, nlist = 8, dim = 16)
+      assert(Similarity.ivfCalibrationFingerprint(spark, base).isEmpty)
+      assert(Similarity.checkIvfWorkloadShift(famB, base).isEmpty)
+    } finally drop()
+  }
+
   test("calibration dispersion margin: a larger z never accepts earlier, " +
       "an exact-recall step (zero dispersion) always accepts, and a " +
       "point estimate inside the margin refuses naming the margin") {
