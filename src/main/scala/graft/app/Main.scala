@@ -160,7 +160,17 @@ object Main {
           Similarity.ivfGeneration(spark, c.index) +
           " cal_nprobe=" +
           Similarity.calibratedNprobe(spark, c.index)
-            .map(_.toString).getOrElse("(uncalibrated)"))
+            .map(_.toString).getOrElse("(uncalibrated)") +
+          // round 20: the durable calibration CONTRACT (drives the
+          // default recalibration at retrain) and the workload
+          // fingerprint (drives the autoNprobe shift guard)
+          " contract=" +
+          Similarity.ivfCalibrationSpec(spark, c.index)
+            .map(s => f"target=${s.target}%.2f,z=${s.marginZ}%.2f")
+            .getOrElse("(none)") +
+          " fingerprint=" +
+          (if (Similarity.ivfCalibrationFingerprint(spark, c.index)
+            .isDefined) "yes" else "no"))
         Similarity.verifyIvfIndex(spark, c.index, idCol = c.idCol)
       case "pq" =>
         // round 19: report the refined-path (nprobe, shortlist) pair
@@ -177,7 +187,18 @@ object Main {
           " cal_ref=" +
           Similarity.calibratedRefined(spark, c.index)
             .map { case (np, s) => s"(nprobe=$np,shortlist=$s)" }
-            .getOrElse("(uncalibrated)"))
+            .getOrElse("(uncalibrated)") +
+          // round 20: contract + fingerprint, as for the ivf kind
+          " contract=" +
+          (Similarity.pqCalibrationSpec(spark, c.index, refined = true)
+            .map(s => f"refined_target=${s.target}%.2f,z=${s.marginZ}%.2f")
+            .orElse(Similarity.pqCalibrationSpec(spark, c.index,
+              refined = false)
+              .map(s => f"target=${s.target}%.2f,z=${s.marginZ}%.2f")))
+            .getOrElse("(none)") +
+          " fingerprint=" +
+          (if (Similarity.pqCalibrationFingerprint(spark, c.index)
+            .isDefined) "yes" else "no"))
         Similarity.verifyPqIndex(spark, c.index, idCol = c.idCol)
     }
     // round 20: optional live QUALITY replay beside the structural
