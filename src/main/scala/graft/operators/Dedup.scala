@@ -69,10 +69,14 @@ object Dedup {
   }
 
   /** Join candidate pairs (a, b) with both shingle sets and keep pairs whose
-   * exact Jaccard >= threshold. */
+   * exact Jaccard >= threshold. The pair frame is [[Par.widen]]ed first:
+   * the per-pair array_intersect is the CPU floor of every shingle
+   * near-dup operator, and byte-based AQE coalescing serializes it
+   * otherwise (measured: 617k-pair verify on 2 of 32 cores at sf0.1). */
   private def jaccardFilter(cand: DataFrame, sets: DataFrame, idCol: String,
-                            threshold: Double): DataFrame =
-    cand
+                            threshold: Double,
+                            wide: Boolean = false): DataFrame =
+    (if (wide) Par.widen(cand, col("a")) else cand)
       .join(sets.select(col(idCol).as("a"), col("hs").as("hsa"), col("sz").as("sza")), "a")
       .join(sets.select(col(idCol).as("b"), col("hs").as("hsb"), col("sz").as("szb")), "b")
       .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
@@ -270,7 +274,7 @@ object Dedup {
     // pair's score is untouched. Exactness holds only uncapped (None,
     // the default): on a replica-heavy corpus a capped prefix token can
     // be a clique's ONLY shared prefix entry, losing those pairs.
-    val pref = maxPrefixDF match {
+    val pref1 = maxPrefixDF match {
       case None => pref0
       case Some(cap) =>
         val small = pref0.groupBy("tok")
@@ -278,6 +282,10 @@ object Dedup {
           .select("tok")
         pref0.join(small, Seq("tok"), "left_semi")
     }
+    // widen the prefix rows: the token self-join probe + pair distinct
+    // is candidate-volume CPU on narrow rows, and it otherwise inherits
+    // the ordered-set exchange's byte-coalesced width (Par.widen)
+    val pref = Par.widen(pref1, col(idCol), col("pos"))
     // positional filter (PPJoin — Xiao et al., "Efficient Similarity
     // Joins for Near Duplicate Detection", WWW 2008, §3.2 — adapted to
     // set semantics): a shared prefix token at 0-based positions
@@ -317,7 +325,7 @@ object Dedup {
           lit(threshold / (1.0 + threshold)) *
             (col("sza") + col("szb")).cast("double") - lit(1e-9)))
       .select("a", "b").distinct()
-    jaccardFilter(cand, ordered, idCol, threshold)
+    jaccardFilter(cand, ordered, idCol, threshold, wide = true)
   }
 
   /** Per-doc shingle array in the global (df asc, sh asc) order —
@@ -360,16 +368,22 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val ordered = dfOrderedSets(docs, n, idCol, textCol)
-    val innerPref = ordered.select(col(idCol).as("__i"),
-      explode(expr(
-        s"slice(hs, 1, size(hs) - CAST(ceil($threshold * size(hs)) AS INT) + 1)"))
-        .as("tok"))
+    // widen the streamed prefix rows and the candidate pairs: the token
+    // join + per-pair array_intersect verify is candidate-volume CPU on
+    // narrow rows (Par.widen scaladoc; measured 599k-pair verify on 2 of
+    // 32 cores at sf0.1 without the pins)
+    val innerPref = Par.widen(
+      ordered.select(col(idCol).as("__i"),
+        explode(expr(
+          s"slice(hs, 1, size(hs) - CAST(ceil($threshold * size(hs)) AS INT) + 1)"))
+          .as("tok")),
+      col("__i"), col("tok"))
     val outerAll = ordered.select(col(idCol).as("__o"),
       explode(col("hs")).as("tok"))
     val cand = innerPref.join(outerAll, "tok")
       .filter(col("__i") =!= col("__o"))
       .select("__i", "__o").distinct()
-    cand
+    Par.widen(cand, col("__i"))
       .join(ordered.select(col(idCol).as("__i"), col("hs").as("hsi"),
         col("sz").as("szi")), "__i")
       .join(ordered.select(col(idCol).as("__o"), col("hs").as("hso")),
@@ -1073,11 +1087,15 @@ object Dedup {
       }
       variants.select(col("id"), xxhash64(col("v")).as("h")).distinct()
     }
-    val cand = vset.select(col("id").as("a"), col("h"))
+    // widen the streamed variant-key side and the candidate pairs: the
+    // key self-join + banded-levenshtein verify is candidate-volume CPU
+    // on narrow rows (Par.widen scaladoc; measured: 525k levenshtein
+    // pairs on 2 of 32 cores at sf0.1 without the pins)
+    val cand = Par.widen(vset.select(col("id").as("a"), col("h")), col("h"))
       .join(vset.select(col("id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
+    Par.widen(cand, col("a"))
       .join(strs.select(col("id").as("a"), col("s").as("sa")), "a")
       .join(strs.select(col("id").as("b"), col("s").as("sb")), "b")
       .filter(abs(length(col("sa")) - length(col("sb"))) <= k)

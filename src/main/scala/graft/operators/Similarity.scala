@@ -2651,13 +2651,26 @@ object Similarity {
         bucketRows.join(kept, Seq("tbl", "bucket"))
       case None => Dedup.capBuckets(bucketRows, Seq("tbl", "bucket"), maxBucketSize)
     }
-    val a = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
+    // widen the streamed bucket side and the candidate pairs when the
+    // layout is candidate-DENSE: expected random-pair candidacy is
+    // numTables/2^planes, so a loose layout (0.4-threshold: 21 tables x
+    // 3 planes = 2.6) generates corpus-quadratic-grade candidate volume
+    // whose bucket join + distinct + cosine verify is pure CPU on narrow
+    // rows — byte-based AQE coalescing serializes it (Par scaladoc;
+    // measured: 3.7M bucket-join rows on 1 of 32 cores at sf0.1). A
+    // tight layout (0.9-threshold: 7 x 2^-9 = 0.014) has output-scale
+    // candidates where the extra exchanges are a net loss — measured
+    // both ways in round 21.
+    val dense = numTables.toDouble / (1L << numPlanes) >= 0.5
+    val a0 = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
+    val a = if (dense) Par.widen(a0, col("tbl"), col("bucket")) else a0
     val b = base.select(col("tbl"), col("bucket"), col(idCol).as("b"))
     // dedup on the 16-byte id pair BEFORE re-attaching vectors: the distinct
     // shuffles small keys, not float arrays replicated numTables times
-    val cand = a.join(b, Seq("tbl", "bucket"))
+    val cand0 = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    val cand = if (dense) Par.widen(cand0, col("a")) else cand0
     val vecs = emb.select(col(idCol), col(vecCol), VectorFns.norm(vecCol).as("nrm"))
     cand
       .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na")), "a")
