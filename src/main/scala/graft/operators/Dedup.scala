@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 import graft.functions.{TextFns, VectorFns}
 
@@ -74,9 +75,8 @@ object Dedup {
    * near-dup operator, and byte-based AQE coalescing serializes it
    * otherwise (measured: 617k-pair verify on 2 of 32 cores at sf0.1). */
   private def jaccardFilter(cand: DataFrame, sets: DataFrame, idCol: String,
-                            threshold: Double,
-                            wide: Boolean = false): DataFrame =
-    (if (wide) Par.widen(cand, col("a")) else cand)
+                            threshold: Double): DataFrame =
+    cand
       .join(sets.select(col(idCol).as("a"), col("hs").as("hsa"), col("sz").as("sza")), "a")
       .join(sets.select(col(idCol).as("b"), col("hs").as("hsb"), col("sz").as("szb")), "b")
       .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
@@ -324,8 +324,8 @@ object Dedup {
         .cast("double") >= ceil(
           lit(threshold / (1.0 + threshold)) *
             (col("sza") + col("szb")).cast("double") - lit(1e-9)))
-      .select("a", "b").distinct()
-    jaccardFilter(cand, ordered, idCol, threshold, wide = true)
+      .select("a", "b").pipe(Par.widen(_, col("a"), col("b"))).distinct()
+    jaccardFilter(cand, ordered, idCol, threshold)
   }
 
   /** Per-doc shingle array in the global (df asc, sh asc) order —
@@ -382,8 +382,9 @@ object Dedup {
       explode(col("hs")).as("tok"))
     val cand = innerPref.join(outerAll, "tok")
       .filter(col("__i") =!= col("__o"))
-      .select("__i", "__o").distinct()
-    Par.widen(cand, col("__i"))
+      .select("__i", "__o")
+      .pipe(Par.widen(_, col("__i"), col("__o"))).distinct()
+    cand
       .join(ordered.select(col(idCol).as("__i"), col("hs").as("hsi"),
         col("sz").as("szi")), "__i")
       .join(ordered.select(col(idCol).as("__o"), col("hs").as("hso")),
@@ -431,6 +432,11 @@ object Dedup {
       sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
         .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
       Seq("band", "bucket"), maxBucketSize)
+    // NOT widened (Par.widen scaladoc): candidate volume here is
+    // output-scale at bench SF (7.5k pairs) and the pinned pair
+    // exchange measured as a net loss across the minhash-fed family
+    // (neardup_dedup 2.55 -> 3.18 s under the interleaved protocol);
+    // the high-volume prefix/LSH operators keep their pins.
     val cand = buckets.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(buckets.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
@@ -1074,7 +1080,7 @@ object Dedup {
     // DESCENDING when start > stop, so length 0 must yield no deletions.
     val vset = if (k == 1) {
       strs.select(col("id"), explode(expr("graft_del1_keys(s)")).as("h"))
-        .distinct()
+        .pipe(Par.widen(_, col("id"), col("h"))).distinct()
     } else {
       val del1 = "CASE WHEN length(v) < 1 THEN array() ELSE " +
         "array_distinct(transform(sequence(1, length(v)), " +
@@ -1085,17 +1091,17 @@ object Dedup {
         level = level.select(col("id"), explode(expr(del1)).as("v"))
         variants = variants.union(level)
       }
-      variants.select(col("id"), xxhash64(col("v")).as("h")).distinct()
+      variants.select(col("id"), xxhash64(col("v")).as("h"))
+        .pipe(Par.widen(_, col("id"), col("h"))).distinct()
     }
-    // widen the streamed variant-key side and the candidate pairs: the
-    // key self-join + banded-levenshtein verify is candidate-volume CPU
-    // on narrow rows (Par.widen scaladoc; measured: 525k levenshtein
-    // pairs on 2 of 32 cores at sf0.1 without the pins)
-    val cand = Par.widen(vset.select(col("id").as("a"), col("h")), col("h"))
+    // pinned-wide pair distinct: the banded-levenshtein verify fuses
+    // onto it (measured: 525k levenshtein pairs on 2 of 32 cores at
+    // sf0.1 without the pin)
+    val cand = vset.select(col("id").as("a"), col("h"))
       .join(vset.select(col("id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    Par.widen(cand, col("a"))
+      .select("a", "b").pipe(Par.widen(_, col("a"), col("b"))).distinct()
+    cand
       .join(strs.select(col("id").as("a"), col("s").as("sa")), "a")
       .join(strs.select(col("id").as("b"), col("s").as("sb")), "b")
       .filter(abs(length(col("sa")) - length(col("sb"))) <= k)

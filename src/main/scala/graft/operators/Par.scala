@@ -35,9 +35,20 @@ import org.apache.spark.sql.{Column, DataFrame}
  * designed to move at most once.
  */
 private[graft] object Par {
-  def widen(df: DataFrame, cols: Column*): DataFrame = {
+  def widen(df: DataFrame, cols: Column*): DataFrame = widenBy(df, 1, cols: _*)
+
+  /** [[widen]] with `factor`x the configured shuffle parallelism. Two
+   * uses: more waves for very CPU-dense stages, and — the subtle one —
+   * keeping a SUBSET-keyed pin alive: a repartition whose partitioning
+   * (keys AND count) exactly equals the child's inherited layout is
+   * removed at planning, so pinning by a prefix of an upstream
+   * aggregate's keys (to keep a downstream groupBy co-located and
+   * fully combining) needs a different partition count to survive
+   * (measured on bm25TopK: the doc_id pin at 1x silently vanished and
+   * the scoring aggregate stayed on 2 byte-coalesced partitions). */
+  def widenBy(df: DataFrame, factor: Int, cols: Column*): DataFrame = {
     require(cols.nonEmpty, "widen needs hash keys (keyless repartition sorts)")
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(p, cols: _*)
+    df.repartition(factor * p, cols: _*)
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 import graft.functions.VectorFns
 
@@ -2665,12 +2666,15 @@ object Similarity {
     val a0 = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
     val a = if (dense) Par.widen(a0, col("tbl"), col("bucket")) else a0
     val b = base.select(col("tbl"), col("bucket"), col(idCol).as("b"))
-    // dedup on the 16-byte id pair BEFORE re-attaching vectors: the distinct
-    // shuffles small keys, not float arrays replicated numTables times
-    val cand0 = a.join(b, Seq("tbl", "bucket"))
+    // dedup on the 16-byte id pair BEFORE re-attaching vectors (the
+    // distinct shuffles small keys, not float arrays replicated
+    // numTables times), with the distinct's own exchange pinned wide so
+    // the cosine verify fuses onto a full-parallelism final aggregate
+    // instead of a byte-coalesced one — zero extra exchanges
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val cand = if (dense) Par.widen(cand0, col("a")) else cand0
+      .select("a", "b")
+      .pipe(Par.widen(_, col("a"), col("b"))).distinct()
     val vecs = emb.select(col(idCol), col(vecCol), VectorFns.norm(vecCol).as("nrm"))
     cand
       .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na")), "a")

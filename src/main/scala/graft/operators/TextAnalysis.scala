@@ -810,6 +810,11 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("score_micro").desc, col("doc_id").asc)
+    // tf NOT widened (Par.widen scaladoc): steady-state runs measured
+    // ~0.5 s faster with a doc_id-pinned scoring stage, but under the
+    // interleaved bench protocol the extra exchange + wide aggregate
+    // measured ~1 s SLOWER than the fused byte-coalesced plan
+    // (trimmed medians 2.89 baseline vs 3.85 pinned) — reverted.
     tf.join(broadcast(qsel), "term")
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(corpus))
