@@ -130,7 +130,14 @@ object Bench {
     "q1_agg"            -> 1.20,
     "q3_top_revenue"    -> 0.75,
     "q5_region_revenue" -> 1.03,
-    "ppjoin"            -> 6.23,
+    // ppjoin re-pinned round 21: its plan deliberately changed (wide
+    // prefix join + pinned pair-distinct, OPTIMIZATION_r21.md), so the
+    // clean-host pin is derived by SAME-HOST ratio — ambient cancels:
+    // old pin 6.23 x (5.01 new / 9.00 old trimmed medians, both from
+    // this round's full runs on the same drifting host) = 3.47. The
+    // round-21 baseline cross-check validates the method: 9.00 raw /
+    // 1.452 measured drift = 6.20 ~= the 6.23 pin.
+    "ppjoin"            -> 3.47,
     "minhash_lsh"       -> 1.61,
     "pagerank"          -> 2.95
   )

@@ -649,7 +649,14 @@ object TextAnalysis {
         expr("transform(split(vec, ','), x -> CAST(x AS FLOAT))")
           .as("embedding"))
       .filter(expr("exists(embedding, x -> x != 0F)"))
-    val vecs = embed(docs)
+    // widen the embedded corpus before the cosine BNLJ: the per-pair
+    // 64-dim dots + per-partition top-k otherwise fuse onto hashEmbed's
+    // byte-coalesced aggregate (measured: the whole cosine side on 1 of
+    // 32 cores, ~2.4 s of task time at sf0.1). Factor 2 because a 1x
+    // vec_id pin matches the inherited layout and is elided
+    // (Par.widenBy scaladoc); the frame is dim-bounded derived data,
+    // never corpus text.
+    val vecs = Par.widenBy(embed(docs), 2, col("vec_id"))
     // the hashing-trick embedding is per-document (no corpus statistics),
     // so the query side embeds just the query docs instead of referencing
     // the corpus frame — a second reference would replan the whole corpus
