@@ -53,9 +53,10 @@ import org.apache.spark.sql.SparkSession
  * needs no pinned history, so it works at any SF.
  *
  * '''Cross-run drift vs pinned controls''' — six UNTOUCHED control
- * queries ([[Controls]]) carry their clean-host sf0.1 trimmed medians,
- * pinned from the r15-start / r16-start / r16-close runs (the three
- * runs judged drift-free; see BENCH_scaling.md round-15/16 entries).
+ * queries ([[Controls]]) carry their clean-host sf0.1 trimmed medians
+ * (pin provenance on the Controls val: r15/r16 clean runs for the
+ * original three, the drift-1.004 round-20 driver run for the round-22
+ * replacements).
  * When every control is present in the run (i.e. the full sf0.1
  * headliner set), `drift` = median over controls of
  * `normalizedMedian(c) / pin(c)` is emitted in the summary, alongside
@@ -119,27 +120,28 @@ object Bench {
 
   /**
    * Untouched control queries with pinned clean-host sf0.1 trimmed
-   * medians (seconds). Sources: BENCH_r15_start.json,
-   * BENCH_r16_start.json, and the round-16 close run quoted in
-   * BENCH_scaling.md — the three runs whose mutual ratios were judged
-   * drift-free. Pin = median of the available clean samples. The six
-   * span distinct plan shapes: scan+agg, 2-way join+topk, 6-way join,
-   * prefix-filtered self-join, banded LSH, iterative graph.
+   * medians (seconds). A drift control must stay UNTOUCHED by the
+   * optimizer for its pin to mean anything, so round 22 swapped out the
+   * three former controls whose operators were (ppjoin, round 21) or
+   * are planned to be (minhash_lsh, pagerank) optimization targets.
+   * Replacements are queries on the round-21 "deliberately left alone"
+   * list (lm_score, mad_outliers, source_overlap — OPTIMIZATION_r21.md)
+   * spanning distinct plan shapes: text-scoring scan, rank-window
+   * chain, set-overlap aggregate. Pins for the survivors (q1_agg,
+   * q3_top_revenue, q5_region_revenue) are the original r15/r16
+   * clean-host medians; pins for the replacements come from the
+   * round-20 DRIVER bench (BENCH_r20.json), whose measured drift vs
+   * the surviving pins was 1.004 — i.e. a clean host — divided by that
+   * 1.004 so all six pins share one scale. Frozen for the remaining
+   * optimization round.
    */
   private[graft] val Controls: Seq[(String, Double)] = Seq(
     "q1_agg"            -> 1.20,
     "q3_top_revenue"    -> 0.75,
     "q5_region_revenue" -> 1.03,
-    // ppjoin re-pinned round 21: its plan deliberately changed (wide
-    // prefix join + pinned pair-distinct, OPTIMIZATION_r21.md), so the
-    // clean-host pin is derived by SAME-HOST ratio — ambient cancels:
-    // old pin 6.23 x (5.01 new / 9.00 old trimmed medians, both from
-    // this round's full runs on the same drifting host) = 3.47. The
-    // round-21 baseline cross-check validates the method: 9.00 raw /
-    // 1.452 measured drift = 6.20 ~= the 6.23 pin.
-    "ppjoin"            -> 3.47,
-    "minhash_lsh"       -> 1.61,
-    "pagerank"          -> 2.95
+    "lm_score"          -> 1.49,
+    "mad_outliers"      -> 1.99,
+    "source_overlap"    -> 1.95
   )
 
   private def median(v: Seq[Double]): Double = {
@@ -396,7 +398,7 @@ object Bench {
     val retimedJson = retimed.toSeq
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val summary = f"""{"n":${normResults.size},"failed":$failed,"passes":$Passes,"stat":"trimmed-median","flagged":$flagged,"flagged_n":${flaggedAll.size},"flagged_cleared":$clearedJson,"retimed":$retimedJson,"flagged_raw_n":${flaggedRawAll.size},"drift":$driftJson,"value_normalized":$valueNorm,"value_raw":$totalRaw%.3f,"value_min":$totalMin%.3f,"unit":"sec","sf":"$sfDir","metric":"total","value":$total%.3f}"""
+    val summary = f"""{"queries":$qs,"n":${normResults.size},"failed":$failed,"passes":$Passes,"stat":"trimmed-median","flagged":$flagged,"flagged_n":${flaggedAll.size},"flagged_cleared":$clearedJson,"retimed":$retimedJson,"flagged_raw_n":${flaggedRawAll.size},"drift":$driftJson,"value_normalized":$valueNorm,"value_raw":$totalRaw%.3f,"value_min":$totalMin%.3f,"unit":"sec","sf":"$sfDir","metric":"total","value":$total%.3f}"""
     // Durable full record: per-query medians + the raw per-pass samples.
     val raw = names.zipWithIndex
       .map { case (k, i) =>
@@ -416,12 +418,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
     }
-    // The driver keeps only a bounded (~2 KB) stdout tail; the full
-    // per-query map (~6 KB at 140+ queries) overflowed it every round and
-    // left the parse at `parsed: null`. So: per-query detail goes to stdout
-    // EARLY (for humans reading the log) and to BENCH_full.json (durable),
-    // and the VERY LAST line is a compact summary guaranteed to fit.
-    println(f"""{"queries":$qs}""")
+    // ONE JSON line (round 22): earlier rounds printed a bare
+    // per-query line followed by a compact summary line, and the
+    // driver's parser latched onto DIFFERENT lines in different rounds
+    // (r20: summary, r21: queries) — PERF_r21 joined zero queries
+    // across rounds (n_common: 0). The scaladoc contract ("prints ONE
+    // JSON line") is now literal: the final stdout line carries the
+    // per-query map AND every summary field, so any line the driver
+    // parses has both. The raw per-pass samples stay durable in
+    // BENCH_full.json.
     println(summary)
     spark.stop()
     if (failedSet.nonEmpty) sys.exit(1)

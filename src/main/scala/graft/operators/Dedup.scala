@@ -70,10 +70,14 @@ object Dedup {
   }
 
   /** Join candidate pairs (a, b) with both shingle sets and keep pairs whose
-   * exact Jaccard >= threshold. The pair frame is [[Par.widen]]ed first:
-   * the per-pair array_intersect is the CPU floor of every shingle
-   * near-dup operator, and byte-based AQE coalescing serializes it
-   * otherwise (measured: 617k-pair verify on 2 of 32 cores at sf0.1). */
+   * exact Jaccard >= threshold. HIGH-VOLUME callers [[Par.widen]] the
+   * pair frame first (ppjoin's candidate distinct): the per-pair
+   * array_intersect is the CPU floor of every shingle near-dup
+   * operator, and byte-based AQE coalescing serializes it otherwise
+   * (measured: 617k-pair verify on 2 of 32 cores at sf0.1). Callers
+   * with OUTPUT-scale candidate volume (minhash, simhash) deliberately
+   * pass a non-widened frame — their unconditional pin measured as a
+   * net loss at bench SF (round 21; minhash now volume-gates it). */
   private def jaccardFilter(cand: DataFrame, sets: DataFrame, idCol: String,
                             threshold: Double): DataFrame =
     cand
@@ -432,15 +436,21 @@ object Dedup {
       sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
         .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
       Seq("band", "bucket"), maxBucketSize)
-    // NOT widened (Par.widen scaladoc): candidate volume here is
-    // output-scale at bench SF (7.5k pairs) and the pinned pair
-    // exchange measured as a net loss across the minhash-fed family
-    // (neardup_dedup 2.55 -> 3.18 s under the interleaved protocol);
-    // the high-volume prefix/LSH operators keep their pins.
+    // VOLUME-GATED widen (round 22; round 21 measured the
+    // UNCONDITIONAL pin as a net loss across the minhash-fed family —
+    // neardup_dedup 2.55 -> 3.18 s under the interleaved protocol —
+    // because candidate volume here is output-scale at bench SF, 7.5k
+    // pairs). At 100 TB the bucket join + Jaccard verify carries
+    // corpus-scale candidate rows and serializes on AQE's
+    // byte-coalesced partitions exactly as ppjoin's did, so the pin
+    // engages above Par.MinInputBytesKey of corpus input and stays off
+    // below it (sf0.1 bench plan unchanged — Par.widenWhenLarge
+    // scaladoc).
     val cand = buckets.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(buckets.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+      .pipe(Par.widenWhenLarge(_, docs, col("a"), col("b"))).distinct()
     jaccardFilter(cand, shingleSets(docs, idCol, n, textCol), idCol, threshold)
   }
 
@@ -911,7 +921,12 @@ object Dedup {
    */
   private[graft] def propagateMinLabels(edges0: DataFrame, init: DataFrame,
                                         maxRounds: Int = 20): DataFrame = {
-    val edges = edges0.localCheckpoint(true)
+    // pre-partitioned on the per-round join key before the checkpoint
+    // (round 22, guide §2.4): localCheckpoint preserves the pinned
+    // HashPartitioning(dst), so every round's `edges ⋈ labels` join
+    // stops re-exchanging the loop-invariant edge frame (the pageRank
+    // treatment; the label side still moves — it changes per round)
+    val edges = Par.widen(edges0, col("dst")).localCheckpoint(true)
     var cur = init.localCheckpoint(true)
     var round = 0
     var converged = false
@@ -1078,9 +1093,17 @@ object Dedup {
     // that dedups runs on (id, 8-byte hash) at the end).
     // sequence(1, length(v)) is guarded: Spark's sequence runs
     // DESCENDING when start > stop, so length 0 must yield no deletions.
+    // VOLUME-GATED widens (round 22): candidate volume here tracks the
+    // output (variant buckets hold only strings one deletion apart), so
+    // at bench SF the round-21 unconditional pins were a measured net
+    // LOSS on the driver's cold-JVM run (fuzzy_join 2.54 -> 4.50 s,
+    // VERDICT r21) — the minhashLshPairs failure mode. The gate keeps
+    // the pins off below Par.MinInputBytesKey of input and engages them
+    // where the variant/verify stages carry enough rows to serialize on
+    // AQE's byte-coalesced partitions (Par.widenWhenLarge scaladoc).
     val vset = if (k == 1) {
       strs.select(col("id"), explode(expr("graft_del1_keys(s)")).as("h"))
-        .pipe(Par.widen(_, col("id"), col("h"))).distinct()
+        .pipe(Par.widenWhenLarge(_, docs, col("id"), col("h"))).distinct()
     } else {
       val del1 = "CASE WHEN length(v) < 1 THEN array() ELSE " +
         "array_distinct(transform(sequence(1, length(v)), " +
@@ -1092,15 +1115,17 @@ object Dedup {
         variants = variants.union(level)
       }
       variants.select(col("id"), xxhash64(col("v")).as("h"))
-        .pipe(Par.widen(_, col("id"), col("h"))).distinct()
+        .pipe(Par.widenWhenLarge(_, docs, col("id"), col("h"))).distinct()
     }
-    // pinned-wide pair distinct: the banded-levenshtein verify fuses
-    // onto it (measured: 525k levenshtein pairs on 2 of 32 cores at
-    // sf0.1 without the pin)
+    // pair distinct, pinned wide only above the volume gate: the banded
+    // levenshtein verify fuses onto it (measured: 525k levenshtein
+    // pairs on 2 of 32 cores at sf0.1 without the pin — but the pin
+    // itself lost on the driver's cold run at this volume, see above)
     val cand = vset.select(col("id").as("a"), col("h"))
       .join(vset.select(col("id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
-      .select("a", "b").pipe(Par.widen(_, col("a"), col("b"))).distinct()
+      .select("a", "b")
+      .pipe(Par.widenWhenLarge(_, docs, col("a"), col("b"))).distinct()
     cand
       .join(strs.select(col("id").as("a"), col("s").as("sa")), "a")
       .join(strs.select(col("id").as("b"), col("s").as("sb")), "b")
@@ -1384,11 +1409,12 @@ object Dedup {
    * single-task WindowExec partition), and the verdict re-join probes
    * the deduped rows — text crosses the wire once per (doc, text),
    * bounded by documents, and the join is AQE-skew-splittable where a
-   * Window partition key never is. The deduped frame is
-   * localCheckpoint'd (eager — the [[Curation.dsirWeights]]
-   * expensive-lineage pin rule) so the agg leg and the join probe read
-   * ONE materialization instead of re-executing the corpus-side joins
-   * twice. */
+   * Window partition key never is. The deduped frame is repartitioned
+   * on (h, text) and the exchange is SHARED (ReuseExchange) by the agg
+   * leg and the join probe — one materialization of the corpus-side
+   * joins in disk-backed shuffle files, replacing the round-16 eager
+   * localCheckpoint (same single-execution + spill-safety guarantees,
+   * minus the extra checkpoint job barrier; round 22). */
   private def spanTextOwnership(wins: DataFrame, cand: DataFrame,
                                 toks: DataFrame, w: Int): DataFrame = {
     val grouped = wins.join(cand, Seq("h"))
@@ -1397,15 +1423,22 @@ object Dedup {
         expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"), col("i"))
       .groupBy("id", "h", "__wtxt")
       .agg(collect_list(col("i")).as("__ps"))
-      // serialized + spillable storage: the cached rows carry window
-      // TEXT, and a heavily-duplicated mega-document pair (drilled:
-      // 2 x 10M tokens, all windows flagged) OOMs the deserialized
-      // default before the disk tier engages. EAGER by repo law: a
-      // lazy localCheckpoint whose first materialization lands on a
-      // broadcast-exchange build thread deadlocks the driver
-      // (round-19 jstack) — the creating thread materializes here.
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // ONE shared exchange instead of the former eager localCheckpoint
+      // (round 22, guide §2.4): the deduped frame is referenced twice
+      // (ownership agg + verdict-join probe), and both legs need it
+      // clustered by (h, __wtxt) anyway — an explicit repartition on
+      // those keys makes the two physical subtrees identical, so
+      // ReuseExchange materializes the corpus-side joins ONCE in shuffle
+      // files (disk-backed and serialized, the same mega-document
+      // memory posture the old MEMORY_AND_DISK_SER checkpoint bought)
+      // while dropping the separate checkpoint job barrier and cache
+      // write. The agg leg reads the exchange directly (partial combine
+      // now runs post-shuffle: for a hot boilerplate (h, text) group
+      // that is a single-task linear min/max scan over rows the join
+      // side must sort anyway — strictly cheaper than that sort); the
+      // probe leg feeds the merge join below. No checkpoint, no
+      // lazy-materialization deadlock surface at all (repo law 1).
+      .repartition(col("h"), col("__wtxt"))
     val own = grouped.groupBy("h", "__wtxt")
       .agg(min("id").as("__own"), max("id").as("__mx"))
       .filter(col("__own") =!= col("__mx"))

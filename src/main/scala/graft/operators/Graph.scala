@@ -40,8 +40,22 @@ object Graph {
                idCol: String = "doc_id"): DataFrame = {
     val ed = edges.select(col("src"), col("dst"))
     val deg = ed.groupBy("src").agg(count(lit(1)).as("d"))
-    val e = ed.join(deg, "src").localCheckpoint(true)
-    val n = nodes.select(col(idCol))
+    // Pre-partition BOTH loop-invariant frames on their iteration join
+    // keys BEFORE checkpointing (round 22, guide §2.4 — remove shuffles
+    // outright): localCheckpoint preserves the physical partitioning in
+    // the LogicalRDD it leaves behind, and [[graft.operators.Par.widen]]
+    // plans an explicit-count exchange AQE never re-coalesces, so the
+    // pinned layout is HashPartitioning(key, spark.sql.shuffle
+    // .partitions) in every round. Each iteration's `e ⋈ pr` then sees
+    // both sides already clustered on its keys (pr inherits n's id
+    // partitioning through the left join) and plans ZERO exchanges —
+    // previously e re-exchanged by src and pr by id every round, 2×iters
+    // shuffles of the whole edge/node frames. The nodes checkpoint also
+    // stops each round's rebuild from re-scanning the corpus parquet
+    // for the node list (iters+1 scans → 1).
+    val e = Par.widen(ed.join(deg, "src"), col("src")).localCheckpoint(true)
+    val n = Par.widen(nodes.select(col(idCol)), col(idCol))
+      .localCheckpoint(true)
     var pr = n.withColumn("pr", lit(1000000L))
     (1 to iters).foreach { _ =>
       val in = e.join(pr, e("src") === pr(idCol))

@@ -578,12 +578,32 @@ object Similarity {
     // wrong plan: fall through to a shuffle join on `cell` and let AQE
     // pick; nlist must grow with the corpus (~sqrt(n)) for cells to stay
     // bounded, same contract as semantic_dedup's cells.
+    // (round 22: a pre-join widen of both cell-join inputs was tried
+    // here to spread the dot products — it regressed the self-kNN path
+    // 2.5 s -> 11-17 s at sf0.1 by displacing the planner's broadcast
+    // hash join, and was reverted. The post-join window widen below is
+    // the measured win; the scoring stage's width at scale comes from
+    // the shuffle join on nlist ≈ √n cells.)
     val q = if (broadcastQueries) broadcast(q0) else q0
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(q, Seq("cell"))
+    val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
+    // Self-kNN path (round 22): the candidate stream is
+    // ~n·k·(nprobe/nlist) narrow (query, neighbor, cos) rows whose
+    // per-query ranking is pure CPU — the window's own ENSURE exchange
+    // is byte-coalesced by AQE onto 1-2 partitions at bench scale
+    // (guide §2.6 / Par scaladoc). Project the payload off early
+    // (§2.3) and pin the window's clustering wide: same exchange
+    // count, non-coalescible origin, and the window needs only a local
+    // sort on top. The broadcast-queries path (bounded external query
+    // sets) keeps its original plan untouched.
+    val ranked =
+      if (broadcastQueries) scored
+      else Par.widen(scored.select("query_id", "neighbor_id", "cos"),
+        col("query_id"))
+    ranked
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -1072,6 +1092,13 @@ object Similarity {
     val curve =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     var lastMargin = 0.0
+    // truth sizes per query — one bounded (≤ sample rows) collect shared
+    // by every step's margin computation; skipped entirely at marginZ <= 0
+    // (the point-estimate rule needs only pooled hit counts). Sorted by
+    // key so the per-query float sums below are order-deterministic.
+    lazy val truthPerQ: Seq[(Any, Long)] = truth.groupBy("query_id")
+      .agg(count(lit(1)).as("__t")).collect()
+      .map(r => (r.get(0), r.getLong(1))).sortBy(_._1.toString).toSeq
     for (np <- npSteps) {
       // ONE ADC pass at the deepest shortlist; `rank` is the ADC rank,
       // so every smaller shortlist is a prefix filter of this frame
@@ -1083,14 +1110,47 @@ object Similarity {
           VectorFns.dot("vq", "vc") / (col("nq") * col("nc")))
         .select("query_id", "neighbor_id", "rank", "cos")
         .localCheckpoint(true) // sample x maxShortlist rows — bounded
-      val w = Window.partitionBy("query_id")
+      // BATCHED shortlist grid (round 22, guide §2.4/§5 — driver
+      // round-trips): the former inner loop ran one count JOB per
+      // shortlist step (13 driver-sequential jobs at the bench
+      // parameters). Every step is a prefix filter of the SAME
+      // checkpointed frame, so the whole grid evaluates in ONE job:
+      // explode the steps, re-rank within (query, step), join truth
+      // once, count hits per (step, query). The driver then walks the
+      // steps in ascent order, reproducing the sequential accept/curve
+      // semantics exactly — recall = pooled hits / denom and the
+      // recallStats margin formula are computed from the same counts.
+      val w2 = Window.partitionBy("query_id", "__s")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val hitRows = scored
+        .withColumn("__s", explode(typedLit(sSteps)))
+        .filter(col("rank") <= col("__s"))
+        .withColumn("__rr", row_number().over(w2))
+        .filter(col("__rr") <= k)
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("__s", "query_id").agg(count(lit(1)).as("__h"))
+        .collect()
+      val hitsByStep: Map[Int, Map[Any, Long]] = hitRows
+        .groupBy(_.getInt(0))
+        .map { case (s, rows) =>
+          (s, rows.map(r => (r.get(1), r.getLong(2))).toMap)
+        }
       for (s <- sSteps) {
-        val got = scored.filter(col("rank") <= s)
-          .withColumn("__rr", row_number().over(w))
-          .filter(col("__rr") <= k)
-          .select("query_id", "neighbor_id")
-        val (recall, margin) = recallStats(got, truth, denom, marginZ)
+        val hs = hitsByStep.getOrElse(s, Map.empty[Any, Long])
+        val recall = hs.values.sum / denom
+        val margin =
+          if (marginZ <= 0.0) 0.0
+          else {
+            val rs = truthPerQ.map { case (qid, t) =>
+              hs.getOrElse(qid, 0L).toDouble / t }
+            val nQ = rs.length
+            val mean = rs.sum / nQ
+            val sd =
+              if (nQ < 2) 0.0
+              else math.sqrt(
+                rs.map(r => (r - mean) * (r - mean)).sum / (nQ - 1))
+            marginZ * sd / math.sqrt(nQ.toDouble)
+          }
         curve += ((np, s, recall))
         lastMargin = margin
         if (recall - margin >= targetRecall) return ((np, s), curve.toSeq)
@@ -2662,7 +2722,11 @@ object Similarity {
     // tight layout (0.9-threshold: 7 x 2^-9 = 0.014) has output-scale
     // candidates where the extra exchanges are a net loss — measured
     // both ways in round 21.
-    val dense = numTables.toDouble / (1L << numPlanes) >= 0.5
+    // math.pow, not (1L << numPlanes): the require() above permits
+    // numPlanes up to 64 (at numTables = 1), where the long shift wraps
+    // (<< 64 = 1) or goes negative (<< 63) and would misclassify the
+    // sparsest possible layout as dense (ADVICE r21)
+    val dense = numTables.toDouble / math.pow(2.0, numPlanes) >= 0.5
     val a0 = base.select(col("tbl"), col("bucket"), col(idCol).as("a"))
     val a = if (dense) Par.widen(a0, col("tbl"), col("bucket")) else a0
     val b = base.select(col("tbl"), col("bucket"), col(idCol).as("b"))
@@ -2670,7 +2734,12 @@ object Similarity {
     // distinct shuffles small keys, not float arrays replicated
     // numTables times), with the distinct's own exchange pinned wide so
     // the cosine verify fuses onto a full-parallelism final aggregate
-    // instead of a byte-coalesced one — zero extra exchanges
+    // instead of a byte-coalesced one — zero extra exchanges. Unlike
+    // the bucket-side widen above, this pair pin is UNCONDITIONAL (all
+    // layouts): the round-21 tight-layout A/B accepted it (pair rows
+    // are post-dedup and the verify is pure CPU), and the round-21
+    // driver run measured the tight queries flat, not regressed,
+    // with it in place (ADVICE r21 asked for the comment to say so)
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b")
