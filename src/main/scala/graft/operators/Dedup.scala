@@ -921,12 +921,16 @@ object Dedup {
    */
   private[graft] def propagateMinLabels(edges0: DataFrame, init: DataFrame,
                                         maxRounds: Int = 20): DataFrame = {
-    // pre-partitioned on the per-round join key before the checkpoint
-    // (round 22, guide §2.4): localCheckpoint preserves the pinned
-    // HashPartitioning(dst), so every round's `edges ⋈ labels` join
-    // stops re-exchanging the loop-invariant edge frame (the pageRank
-    // treatment; the label side still moves — it changes per round)
-    val edges = Par.widen(edges0, col("dst")).localCheckpoint(true)
+    // VOLUME-GATED pre-partitioning on the per-round join key before
+    // the checkpoint (round 22, the pageRank treatment — see the gate
+    // rationale there): above the Par input gate, localCheckpoint
+    // preserves the pinned HashPartitioning(dst) and every round's
+    // `edges ⋈ labels` join stops re-exchanging the loop-invariant
+    // edge frame; below it the small-input broadcast-friendly shape
+    // stays (the unconditional pin measured 0.82-0.94x on the
+    // neardup family at sf0.1).
+    val edges = (if (Par.inputIsLarge(init)) Par.widen(edges0, col("dst"))
+                 else edges0).localCheckpoint(true)
     var cur = init.localCheckpoint(true)
     var round = 0
     var converged = false
@@ -1409,12 +1413,11 @@ object Dedup {
    * single-task WindowExec partition), and the verdict re-join probes
    * the deduped rows — text crosses the wire once per (doc, text),
    * bounded by documents, and the join is AQE-skew-splittable where a
-   * Window partition key never is. The deduped frame is repartitioned
-   * on (h, text) and the exchange is SHARED (ReuseExchange) by the agg
-   * leg and the join probe — one materialization of the corpus-side
-   * joins in disk-backed shuffle files, replacing the round-16 eager
-   * localCheckpoint (same single-execution + spill-safety guarantees,
-   * minus the extra checkpoint job barrier; round 22). */
+   * Window partition key never is. The deduped frame is
+   * localCheckpoint'd (eager — the [[Curation.dsirWeights]]
+   * expensive-lineage pin rule) so the agg leg and the join probe read
+   * ONE materialization instead of re-executing the corpus-side joins
+   * twice. */
   private def spanTextOwnership(wins: DataFrame, cand: DataFrame,
                                 toks: DataFrame, w: Int): DataFrame = {
     val grouped = wins.join(cand, Seq("h"))
@@ -1423,22 +1426,21 @@ object Dedup {
         expr(s"concat_ws(' ', slice(t, i, $w))").as("__wtxt"), col("i"))
       .groupBy("id", "h", "__wtxt")
       .agg(collect_list(col("i")).as("__ps"))
-      // ONE shared exchange instead of the former eager localCheckpoint
-      // (round 22, guide §2.4): the deduped frame is referenced twice
-      // (ownership agg + verdict-join probe), and both legs need it
-      // clustered by (h, __wtxt) anyway — an explicit repartition on
-      // those keys makes the two physical subtrees identical, so
-      // ReuseExchange materializes the corpus-side joins ONCE in shuffle
-      // files (disk-backed and serialized, the same mega-document
-      // memory posture the old MEMORY_AND_DISK_SER checkpoint bought)
-      // while dropping the separate checkpoint job barrier and cache
-      // write. The agg leg reads the exchange directly (partial combine
-      // now runs post-shuffle: for a hot boilerplate (h, text) group
-      // that is a single-task linear min/max scan over rows the join
-      // side must sort anyway — strictly cheaper than that sort); the
-      // probe leg feeds the merge join below. No checkpoint, no
-      // lazy-materialization deadlock surface at all (repo law 1).
-      .repartition(col("h"), col("__wtxt"))
+      // serialized + spillable storage: the cached rows carry window
+      // TEXT, and a heavily-duplicated mega-document pair (drilled:
+      // 2 x 10M tokens, all windows flagged) OOMs the deserialized
+      // default before the disk tier engages. EAGER by repo law: a
+      // lazy localCheckpoint whose first materialization lands on a
+      // broadcast-exchange build thread deadlocks the driver
+      // (round-19 jstack) — the creating thread materializes here.
+      // (Round 22 tried replacing this checkpoint with a shared
+      // repartition(h, __wtxt) exchange reused by both legs: per-leg
+      // column pruning — the own leg drops __ps — makes the two
+      // subtrees non-canonical, ReuseExchange never fires, the corpus
+      // joins run twice, and dedup_spans measured 0.80x in a
+      // control-normalized A/B. Reverted; plans/r22 has the evidence.)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val own = grouped.groupBy("h", "__wtxt")
       .agg(min("id").as("__own"), max("id").as("__mx"))
       .filter(col("__own") =!= col("__mx"))
