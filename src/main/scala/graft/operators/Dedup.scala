@@ -436,21 +436,24 @@ object Dedup {
       sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
         .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
       Seq("band", "bucket"), maxBucketSize)
-    // VOLUME-GATED widen (round 22; round 21 measured the
-    // UNCONDITIONAL pin as a net loss across the minhash-fed family —
-    // neardup_dedup 2.55 -> 3.18 s under the interleaved protocol —
-    // because candidate volume here is output-scale at bench SF, 7.5k
-    // pairs). At 100 TB the bucket join + Jaccard verify carries
-    // corpus-scale candidate rows and serializes on AQE's
-    // byte-coalesced partitions exactly as ppjoin's did, so the pin
-    // engages above Par.MinInputBytesKey of corpus input and stays off
-    // below it (sf0.1 bench plan unchanged — Par.widenWhenLarge
-    // scaladoc).
+    // NOT widened (Par.widen scaladoc): candidate volume here is
+    // output-scale. Round 21 measured the unconditional pin as a net
+    // loss across the minhash-fed family (neardup_dedup 2.55 -> 3.18 s
+    // under the interleaved protocol); round 22 built the volume-gated
+    // variant (pin engages above 8 MB of corpus input) and
+    // spot-measured it at 40x sf0.1 (23 MB documents,
+    // plans/r22/SPOT_scale.md): the engaged pin STILL lost — 13.9 s vs
+    // 11.5 s on minhash_lsh, 24.1 vs 17.8 on neardup_dedup — so the
+    // gate was removed, not retuned. Output-scale-candidate verifies
+    // are wide naturally once the corpus is big (the verify join stops
+    // being a broadcast and shuffles wide on its own); the pins that
+    // pay are the quadratic-grade candidate-per-input-byte shapes
+    // (ppjoin, containment, dense-layout LSH), which the layout gates
+    // capture.
     val cand = buckets.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(buckets.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b")
-      .pipe(Par.widenWhenLarge(_, docs, col("a"), col("b"))).distinct()
+      .select("a", "b").distinct()
     jaccardFilter(cand, shingleSets(docs, idCol, n, textCol), idCol, threshold)
   }
 
@@ -921,16 +924,16 @@ object Dedup {
    */
   private[graft] def propagateMinLabels(edges0: DataFrame, init: DataFrame,
                                         maxRounds: Int = 20): DataFrame = {
-    // VOLUME-GATED pre-partitioning on the per-round join key before
-    // the checkpoint (round 22, the pageRank treatment — see the gate
-    // rationale there): above the Par input gate, localCheckpoint
-    // preserves the pinned HashPartitioning(dst) and every round's
-    // `edges ⋈ labels` join stops re-exchanging the loop-invariant
-    // edge frame; below it the small-input broadcast-friendly shape
-    // stays (the unconditional pin measured 0.82-0.94x on the
-    // neardup family at sf0.1).
-    val edges = (if (Par.inputIsLarge(init)) Par.widen(edges0, col("dst"))
-                 else edges0).localCheckpoint(true)
+    // Edge frame NOT pre-partitioned (round-22 negative result): a
+    // dst-keyed pin before the checkpoint — so each round's
+    // `edges ⋈ labels` join reuses the layout — measured 0.82-0.94x on
+    // the neardup family at sf0.1 (it displaces the tiny-frame
+    // broadcast joins), and STILL 0.75x on neardup_clusters at the 40x
+    // spot scale (21.8 s pinned vs 16.5 s — plans/r22/SPOT_scale.md):
+    // the label side re-exchanges every round regardless, and the
+    // per-round sorts the pinned SMJ adds cost more than the edge
+    // re-exchange it saves.
+    val edges = edges0.localCheckpoint(true)
     var cur = init.localCheckpoint(true)
     var round = 0
     var converged = false
@@ -1097,17 +1100,22 @@ object Dedup {
     // that dedups runs on (id, 8-byte hash) at the end).
     // sequence(1, length(v)) is guarded: Spark's sequence runs
     // DESCENDING when start > stop, so length 0 must yield no deletions.
-    // VOLUME-GATED widens (round 22): candidate volume here tracks the
-    // output (variant buckets hold only strings one deletion apart), so
-    // at bench SF the round-21 unconditional pins were a measured net
+    // NOT widened (round 22 revert of the round-21 pins): candidate
+    // volume here tracks the OUTPUT (variant buckets hold only strings
+    // one deletion apart), and the round-21 pins were a measured net
     // LOSS on the driver's cold-JVM run (fuzzy_join 2.54 -> 4.50 s,
-    // VERDICT r21) — the minhashLshPairs failure mode. The gate keeps
-    // the pins off below Par.MinInputBytesKey of input and engages them
-    // where the variant/verify stages carry enough rows to serialize on
-    // AQE's byte-coalesced partitions (Par.widenWhenLarge scaladoc).
+    // VERDICT r21). A volume-gated variant (pins engage above 8 MB of
+    // input) was built and spot-measured at 40x sf0.1 (9.3 MB customer,
+    // plans/r22/SPOT_scale.md): the pinned plan was STILL flat-to-
+    // slower (27.8-47.0 s vs 26.6-39.5 s) — for output-scale-candidate
+    // operators the pin never pays at any measured scale, because the
+    // verify is wide naturally once the data is big and the extra
+    // stage barriers dominate when it is small. The pins that stay
+    // (ppjoin, containment, dense-layout LSH) are the quadratic-grade
+    // candidate-per-input-byte shapes, which the LAYOUT gates capture.
     val vset = if (k == 1) {
       strs.select(col("id"), explode(expr("graft_del1_keys(s)")).as("h"))
-        .pipe(Par.widenWhenLarge(_, docs, col("id"), col("h"))).distinct()
+        .distinct()
     } else {
       val del1 = "CASE WHEN length(v) < 1 THEN array() ELSE " +
         "array_distinct(transform(sequence(1, length(v)), " +
@@ -1119,17 +1127,15 @@ object Dedup {
         variants = variants.union(level)
       }
       variants.select(col("id"), xxhash64(col("v")).as("h"))
-        .pipe(Par.widenWhenLarge(_, docs, col("id"), col("h"))).distinct()
+        .distinct()
     }
-    // pair distinct, pinned wide only above the volume gate: the banded
-    // levenshtein verify fuses onto it (measured: 525k levenshtein
-    // pairs on 2 of 32 cores at sf0.1 without the pin — but the pin
-    // itself lost on the driver's cold run at this volume, see above)
+    // pair distinct NOT pinned (see the revert note above): the banded
+    // levenshtein verify fuses onto the byte-coalesced exchange, which
+    // measured fastest on the driver's cold run and at the 40x spot
     val cand = vset.select(col("id").as("a"), col("h"))
       .join(vset.select(col("id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
-      .select("a", "b")
-      .pipe(Par.widenWhenLarge(_, docs, col("a"), col("b"))).distinct()
+      .select("a", "b").distinct()
     cand
       .join(strs.select(col("id").as("a"), col("s").as("sa")), "a")
       .join(strs.select(col("id").as("b"), col("s").as("sb")), "b")

@@ -40,28 +40,17 @@ object Graph {
                idCol: String = "doc_id"): DataFrame = {
     val ed = edges.select(col("src"), col("dst"))
     val deg = ed.groupBy("src").agg(count(lit(1)).as("d"))
-    // VOLUME-GATED loop-frame pre-partitioning (round 22, guide §2.4 —
-    // remove shuffles outright): above the [[Par]] input gate, both
-    // loop-invariant frames are hash-pinned on their iteration join
-    // keys BEFORE checkpointing — localCheckpoint preserves the
-    // physical partitioning in the LogicalRDD it leaves behind, and the
-    // explicit-count exchange is one AQE never re-coalesces, so each
-    // iteration's `e ⋈ pr` sees both sides clustered on its keys (pr
-    // inherits n's id partitioning through the left join) and plans
-    // ZERO exchanges where it previously re-exchanged edge- and
-    // node-scale frames every round (2 × iters shuffles); the nodes
-    // checkpoint also cuts the per-round corpus re-scan to one. BELOW
-    // the gate the old shape stays: checkpointing `n` replaces its
-    // scan-derived size estimate with a LogicalRDD's unknown stats,
-    // which displaces the tiny-frame broadcast joins that make the
-    // small-input plan fast (measured: pagerank 0.88x / neardup family
-    // 0.82-0.94x in a control-normalized sf0.1 A/B with the pins
-    // unconditional).
-    val big = Par.inputIsLarge(nodes)
-    val e0 = ed.join(deg, "src")
-    val e = (if (big) Par.widen(e0, col("src")) else e0).localCheckpoint(true)
-    val n0 = nodes.select(col(idCol))
-    val n = if (big) Par.widen(n0, col(idCol)).localCheckpoint(true) else n0
+    // Loop frames NOT pre-partitioned (round-22 negative result): a
+    // src/id-keyed pin + checkpoint of both loop-invariant frames — so
+    // each iteration's `e ⋈ pr` plans zero exchanges — measured 0.88x
+    // at sf0.1 (checkpointing `n` replaces its scan-derived size
+    // estimate with a LogicalRDD's unknown stats and displaces the
+    // tiny-frame broadcast joins) and FLAT at the 40x spot scale
+    // (32.9 s vs 32.6 s — plans/r22/SPOT_scale.md): the per-round
+    // groupBy(dst) exchange is the floor either way and the pinned
+    // SMJ's per-round sorts eat the saved edge re-exchange.
+    val e = ed.join(deg, "src").localCheckpoint(true)
+    val n = nodes.select(col(idCol))
     var pr = n.withColumn("pr", lit(1000000L))
     (1 to iters).foreach { _ =>
       val in = e.join(pr, e("src") === pr(idCol))

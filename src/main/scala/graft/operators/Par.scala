@@ -35,43 +35,22 @@ import org.apache.spark.sql.{Column, DataFrame}
  * designed to move at most once.
  */
 private[graft] object Par {
-  /** Session conf key for [[widenWhenLarge]]'s engage threshold: the
-   * optimizer's size estimate of the operator's INPUT frame (bytes)
-   * below which the pin stays off. Default 8 MB — an sf0.1 fixture
-   * table (≤ ~1 MB on disk) stays un-pinned, a production corpus slice
-   * engages. */
-  val MinInputBytesKey = "spark.graft.widen.minInputBytes"
-  val DefaultMinInputBytes: Long = 8L << 20
+  // Round-22 note — INPUT-VOLUME gates were built here
+  // (`widenWhenLarge(df, sized, keys)`: engage a pin only when the
+  // operator's input size estimate clears a conf threshold), applied to
+  // the output-scale-candidate operators (editDistancePairs,
+  // minhashLshPairs, the iterative loop frames), and REMOVED after
+  // measurement: at sf0.1 the engaged pins reproduce the round-21
+  // losses, and at a 40x spot scale (where the gate engages:
+  // 9-23 MB inputs) they STILL lost 10-25% (plans/r22/SPOT_scale.md).
+  // Input size does not predict pin benefit — candidate volume PER
+  // INPUT BYTE does: quadratic-grade shapes (ppjoin prefixes,
+  // containment, dense LSH layouts) win and keep their pins via layout
+  // gates; output-scale shapes never win because their verify joins
+  // shuffle wide on their own once the data is big. Do not reintroduce
+  // an input-size gate without a spot measurement that beats this one.
 
   def widen(df: DataFrame, cols: Column*): DataFrame = widenBy(df, 1, cols: _*)
-
-  /** [[widen]] gated on estimated input volume — for operators whose
-   * candidate volume tracks the OUTPUT (edit-distance variants, minhash
-   * band buckets), where round 21 measured the unconditional pin as a
-   * net LOSS at bench scale under cold-JVM conditions (fuzzy_join
-   * 2.54 → 4.50 s on the round-21 driver run: the extra 32-way stage
-   * barriers cost more than the parallelism buys on tiny candidate
-   * sets), while at 100 TB the same candidate stage WILL serialize onto
-   * AQE's byte-coalesced partitions exactly as ppjoin's did. The gate
-   * reads the optimizer's size ESTIMATE of `sized` (the operator's raw
-   * input frame — for a parquet scan this is the file size, available
-   * at plan time with no job) against [[MinInputBytesKey]]; prefix/LSH
-   * operators whose pins are driver-CONFIRMED wins at bench scale
-   * (ppjoin, containment_exact, dense-layout embedding LSH) keep their
-   * unconditional [[widen]]. */
-  def widenWhenLarge(df: DataFrame, sized: DataFrame,
-                     cols: Column*): DataFrame =
-    if (inputIsLarge(sized)) widen(df, cols: _*) else df
-
-  /** Whether `sized`'s optimizer size estimate clears
-   * [[MinInputBytesKey]] — the shared volume gate. Plan-time only (for
-   * a parquet scan the estimate is the file size); no job runs. */
-  def inputIsLarge(sized: DataFrame): Boolean = {
-    val minBytes = sized.sparkSession.conf
-      .getOption(MinInputBytesKey).map(_.toLong)
-      .getOrElse(DefaultMinInputBytes)
-    sized.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
-  }
 
   /** [[widen]] with `factor`x the configured shuffle parallelism. Two
    * uses: more waves for very CPU-dense stages, and — the subtle one —
